@@ -1,0 +1,271 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.TBasic
+import graft.operators.TStep
+import graft.sources.Tables
+
+/** Declared queries for the relational operator inventory (SURVEY §2.2,
+  * §2.3, §2.4, §2.6) with DuckDB-oracle SQL equivalents.
+  *
+  * Float determinism: double SUM/AVG order is nondeterministic under
+  * parallel partial aggregation, so every double aggregate goes through
+  * an exact DECIMAL(18,2) cast (input data has ≤2 decimal places) and
+  * back to double — bit-reproducible on both engines. Row-wise
+  * arithmetic is deterministic IEEE math (fixed fold order mirrored in
+  * the SQL). Ranks are made total orders by unique tie-break keys.
+  */
+object RelationalQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def sumd(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── flagship: TPC-H Q1-style pricing summary (groupBy agg, §2.4) ──
+    "q1_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base_price"),
+          sumd(col("l_discount")).as("sum_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ── select, explicit columns (Tengine.py:84-85) ──
+    "q_select_project" -> ((s, dir) => {
+      TBasic(Tables.lineitem(s, dir),
+        TStep("select", inCols = Seq("l_orderkey", "l_linenumber", "l_extendedprice")))
+    }),
+
+    // ── select, dtype family "num" (Tengine.py:88-89) ──
+    "q_select_numeric" -> ((s, dir) => {
+      TBasic(Tables.lineitem(s, dir), TStep("select", inType = "num"))
+    }),
+
+    // ── row-wise arithmetic (Tengine.py:97-104) ──
+    "q_rowwise_sum" -> ((s, dir) => {
+      TBasic(Tables.lineitem(s, dir),
+        TStep("sum", inCols = Seq("l_quantity", "l_tax", "l_discount"),
+          outMode = "new_table", outName = Some("rowsum")),
+        carryCols = Seq("l_orderkey", "l_linenumber"))
+    }),
+    "q_rowwise_sub" -> ((s, dir) => {
+      TBasic(Tables.lineitem(s, dir),
+        TStep("sub", inCols = Seq("l_extendedprice", "l_discount"),
+          outMode = "new_table", outName = Some("rowsub")),
+        carryCols = Seq("l_orderkey", "l_linenumber"))
+    }),
+    "q_rowwise_mul" -> ((s, dir) => {
+      TBasic(Tables.lineitem(s, dir),
+        TStep("mul", inCols = Seq("l_extendedprice", "l_discount", "l_tax"),
+          outMode = "new_table", outName = Some("rowmul")),
+        carryCols = Seq("l_orderkey", "l_linenumber"))
+    }),
+    "q_rowwise_div" -> ((s, dir) => {
+      TBasic(Tables.lineitem(s, dir),
+        TStep("div", inCols = Seq("l_extendedprice", "l_quantity"),
+          outMode = "new_table", outName = Some("rowdiv")),
+        carryCols = Seq("l_orderkey", "l_linenumber"))
+    }),
+
+    // ── astype cast (Tengine.py:95-96) ──
+    "q_astype_cast" -> ((s, dir) => {
+      TBasic(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber")),
+        TStep("astype", inCols = Seq("l_linenumber"), castTo = Some("double")))
+    }),
+
+    // ── rank, method=first ascending (Tengine.py:107-108) ──
+    "q_rank_first" -> ((s, dir) => {
+      TBasic(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice")),
+        TStep("rank", inCols = Seq("o_totalprice")),
+        carryCols = Seq("o_orderkey"))
+        .withColumnRenamed("rank o_totalprice", "rank_totalprice")
+    }),
+
+    // ── nominalize: category → sorted-distinct code (Tengine.py:109-114) ──
+    "q_nominalize" -> ((s, dir) => {
+      TBasic(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+        TStep("nominalize", inCols = Seq("c_mktsegment"), outName = Some("segment_code")))
+        .select(col("c_custkey"), col("c_mktsegment"), col("segment_code"))
+    }),
+
+    // ── sum_bar group-agg (search.py:949-965) ──
+    "q_sum_bar" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(sumd(col("c_acctbal")).as("SUM_c_acctbal"))
+    }),
+
+    // ── count_bar group-agg (search.py:966-971) ──
+    "q_count_bar" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_count"))
+    }),
+
+    // ── top-k: score sort + cap (search.py:1261-1278) ──
+    "q_topk_limit" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+    }),
+
+    // ── exact dedup (search.py:1280-1299 / dropDuplicates) ──
+    "q_dedup_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+    }),
+
+    // ── broadcast dimension join (channel zip on key, SURVEY §2.5) ──
+    "q_join_enrich" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+             sumd(col("c_acctbal")).as("sum_acctbal"))
+    }),
+
+    // ── min-max normalize (Tfunctions.py:13 et al.) ──
+    "q_minmax_normalize" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"), col("l_tax"))
+      TBasic.minMaxNormalize(li, Seq("l_discount", "l_tax"))
+        .withColumnRenamed("l_discount", "nx")
+        .withColumnRenamed("l_tax", "ny")
+    }),
+
+    // ── 10×10 2-D histogram (score.py:30-58) ──
+    "q_histogram2d" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"), col("l_tax"))
+      val norm = TBasic.minMaxNormalize(li, Seq("l_discount", "l_tax"))
+      norm
+        .withColumn("cellx", least(floor(col("l_discount") * 10).cast(LongType), lit(9L)))
+        .withColumn("celly", least(floor(col("l_tax") * 10).cast(LongType), lit(9L)))
+        .groupBy(col("cellx"), col("celly"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ── profiling stats in one agg pass (spreadsheet.py:102-163) ──
+    "q_profile_stats" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("nd_orderkey"),
+        countDistinct(col("l_returnflag")).as("nd_returnflag"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_select_project" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+    "q_select_numeric" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        | l_extendedprice, l_discount, l_tax FROM lineitem""".stripMargin,
+    "q_rowwise_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ((COALESCE(l_quantity, 0) + COALESCE(l_tax, 0)) + COALESCE(l_discount, 0)) AS rowsum
+        |FROM lineitem""".stripMargin,
+    "q_rowwise_sub" ->
+      "SELECT l_orderkey, l_linenumber, (l_extendedprice - l_discount) AS rowsub FROM lineitem",
+    "q_rowwise_mul" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ((COALESCE(l_extendedprice, 1) * COALESCE(l_discount, 1)) * COALESCE(l_tax, 1)) AS rowmul
+        |FROM lineitem""".stripMargin,
+    "q_rowwise_div" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_quantity = 0 THEN 0 ELSE l_extendedprice / l_quantity END AS rowdiv
+        |FROM lineitem""".stripMargin,
+    "q_astype_cast" ->
+      "SELECT l_orderkey, CAST(l_linenumber AS DOUBLE) AS l_linenumber FROM lineitem",
+    "q_rank_first" ->
+      """SELECT o_orderkey, o_totalprice,
+        | ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rank_totalprice
+        |FROM orders""".stripMargin,
+    "q_nominalize" ->
+      """SELECT c_custkey, c_mktsegment,
+        | DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS segment_code
+        |FROM customer""".stripMargin,
+    "q_sum_bar" ->
+      """SELECT c_mktsegment,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS SUM_c_acctbal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q_count_bar" ->
+      "SELECT event_type, COUNT(*) AS n_count FROM events GROUP BY event_type",
+    "q_topk_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT * FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        | FROM orders) t WHERE rn <= 3""".stripMargin,
+    "q_dedup_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_join_enrich" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q_minmax_normalize" ->
+      """SELECT l_orderkey, l_linenumber,
+        | (l_discount - (SELECT MIN(l_discount) FROM lineitem))
+        |   / ((SELECT MAX(l_discount) FROM lineitem) - (SELECT MIN(l_discount) FROM lineitem)) AS nx,
+        | (l_tax - (SELECT MIN(l_tax) FROM lineitem))
+        |   / ((SELECT MAX(l_tax) FROM lineitem) - (SELECT MIN(l_tax) FROM lineitem)) AS ny
+        |FROM lineitem""".stripMargin,
+    "q_histogram2d" ->
+      """WITH norm AS (
+        | SELECT
+        |  (l_discount - (SELECT MIN(l_discount) FROM lineitem))
+        |    / ((SELECT MAX(l_discount) FROM lineitem) - (SELECT MIN(l_discount) FROM lineitem)) AS nx,
+        |  (l_tax - (SELECT MIN(l_tax) FROM lineitem))
+        |    / ((SELECT MAX(l_tax) FROM lineitem) - (SELECT MIN(l_tax) FROM lineitem)) AS ny
+        | FROM lineitem)
+        |SELECT LEAST(CAST(FLOOR(nx * 10) AS BIGINT), 9) AS cellx,
+        |       LEAST(CAST(FLOOR(ny * 10) AS BIGINT), 9) AS celly,
+        |       COUNT(*) AS n
+        |FROM norm GROUP BY 1, 2""".stripMargin,
+    "q_profile_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+        | COUNT(DISTINCT l_orderkey) AS nd_orderkey,
+        | COUNT(DISTINCT l_returnflag) AS nd_returnflag,
+        | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        | MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin
+  )
+}

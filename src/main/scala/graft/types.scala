@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Logical column types of the engine's data model.
+  *
+  * The reference infers five logical types per column (see
+  * /root/reference/spreadsheet.py:61-166): date, str, nominal, int, real.
+  * We map them onto Spark physical types (DateType/TimestampType,
+  * StringType, LongType, DoubleType) and keep the logical tag in the
+  * profile so the planner can match channel/type contracts.
+  */
+sealed trait LogicalType { def name: String }
+object LogicalType {
+  case object Date    extends LogicalType { val name = "date"    }
+  case object Str     extends LogicalType { val name = "str"     }
+  case object Nominal extends LogicalType { val name = "nominal" }
+  case object Int     extends LogicalType { val name = "int"     }
+  case object Real    extends LogicalType { val name = "real"    }
+
+  def isNumeric(t: LogicalType): Boolean = t == Int || t == Real
+  def isCategorical(t: LogicalType): Boolean = t == Nominal || t == Str
+
+  /** Physical → candidate logical family, before nominal/key refinement. */
+  def fromSpark(dt: DataType): LogicalType = dt match {
+    case LongType | IntegerType | ShortType | ByteType => Int
+    case DoubleType | FloatType | _: DecimalType       => Real
+    case DateType | TimestampType                      => Date
+    case _                                             => Str
+  }
+}
+
+/** Per-column profile produced by [[graft.profiler.Profiler]].
+  *
+  * Mirrors the per-column facts the reference collects during parsedata
+  * (spreadsheet.py:102-163): logical type, domain cardinality, min/max,
+  * key-ness — plus the quantile signature we use for distribution
+  * distance at scale (the reference computes exact 1-D Wasserstein on
+  * raw values, spreadsheet.py:187-190; we use a K-quantile sketch so the
+  * same operation works on 100 TB inputs).
+  */
+final case class ColumnProfile(
+    name: String,
+    sparkType: String,
+    logicalType: LogicalType,
+    distinctCount: Long,
+    nullCount: Long,
+    min: Option[Double],
+    max: Option[Double],
+    isKey: Boolean,
+    quantiles: Option[Array[Double]]
+)
+
+/** Whole-table profile: column profiles + the inter-column structures
+  * that drive the tpath search (dimension-match clusters from the
+  * Wasserstein distance matrix, unit clusters, name-substring clusters —
+  * spreadsheet.py:187-282).
+  */
+final case class TableProfile(
+    rows: Long,
+    columns: Seq[ColumnProfile],
+    keyColumn: Option[String],
+    distanceMatrix: Map[(String, String), Double],
+    dimClusters: Seq[Seq[String]],
+    unitClusters: Seq[Seq[String]],
+    nameClusters: Seq[Seq[String]]
+) {
+  def numericColumns: Seq[String] =
+    columns.filter(c => LogicalType.isNumeric(c.logicalType)).map(_.name)
+  def categoricalColumns: Seq[String] =
+    columns.filter(c => LogicalType.isCategorical(c.logicalType)).map(_.name)
+  def column(name: String): Option[ColumnProfile] = columns.find(_.name == name)
+}
+
+/** Engine configuration constants carried over from the reference
+  * (config.py:1-37). The 400-row source cap becomes optional: `None`
+  * means unbounded (the scale path).
+  */
+final case class EngineConfig(
+    maxSourceRows: Option[Int] = None,
+    nominalStd: Double = 0.05,
+    maxTPathDepth: Int = 5,
+    pruningDepth: Int = 1,
+    floatCanBeKey: Boolean = false,
+    notCalcuDmT: Boolean = true,
+    onlyProcessClusterMoreThan2: Boolean = true,
+    maxScatter: Int = 10,
+    maxLine: Int = 3,
+    maxCatLine: Int = 2,
+    maxSumBar: Int = 3,
+    maxCountBar: Int = 1,
+    maxLineNumInChart: Int = 3,
+    maxBarNumInChart: Int = 3,
+    potentialIdx: Seq[String] = Seq("idx", "index", "epoch", "no", "no."),
+    quantileBuckets: Int = 64,
+    /** Above this row count, global rank/nominalize switch from a single
+      * `Window.orderBy` to the shuffle-friendly zipWithIndex path. */
+    windowRankMaxRows: Long = 1000000L
+)
+
+object EngineConfig {
+  val default: EngineConfig = EngineConfig()
+  /** Reference-parity config: the 400-row demo cap on sources. */
+  val referenceParity: EngineConfig = EngineConfig(maxSourceRows = Some(400))
+}

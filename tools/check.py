@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs each oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
+sf parquet tables, loads the Spark result parquet from <outDir>/<name>/,
+sorts columns by name and rows by all columns, and compares values.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize dtypes for compare
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            ok = ((av.isna() & bv.isna()) | (av == bv)).all()
+            if not ok:
+                bad = (~((av.isna() & bv.isna()) | (av == bv))).idxmax()
+                return f"VAL col={c} row={bad}: {av[bad]!r} vs {bv[bad]!r}"
+        else:
+            if not av.astype(str).equals(bv.astype(str)):
+                neq = (av.astype(str) != bv.astype(str)).idxmax()
+                return f"VAL col={c} row={neq}: {av[neq]!r} vs {bv[neq]!r}"
+    return "OK"
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracles):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"{name:28s} MISSING spark output"); n_bad += 1; continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+            duck_df = con.execute(oracles[name]).df()
+            r = compare(normalize(spark_df), normalize(duck_df))
+        except Exception as e:
+            r = f"ERROR {e}"
+        status = "OK" if r == "OK" else r
+        print(f"{name:28s} {status}")
+        if r == "OK": n_ok += 1
+        else: n_bad += 1
+    # rows-only checks for queries without oracle
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        if name in oracles: continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"{name:28s} MISSING (rows-only)"); n_bad += 1; continue
+        n = sum(len(pd.read_parquet(f)) for f in files)
+        print(f"{name:28s} rows-only: {n} rows {'OK' if n > 0 else 'EMPTY'}")
+        if n > 0: n_ok += 1
+        else: n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
