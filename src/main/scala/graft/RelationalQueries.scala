@@ -167,6 +167,11 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ── full profiler: type/key/nominal rules (spreadsheet.py:60-166) ──
+    "q_profile_columns" -> ((s, dir) => {
+      graft.profiler.Profiler.profileStatsDF(s, Tables.customer(s, dir))
+    }),
+
     // ── profiling stats in one agg pass (spreadsheet.py:102-163) ──
     "q_profile_stats" -> ((s, dir) => {
       Tables.lineitem(s, dir).agg(
@@ -260,6 +265,27 @@ object RelationalQueries {
         |       LEAST(CAST(FLOOR(ny * 10) AS BIGINT), 9) AS celly,
         |       COUNT(*) AS n
         |FROM norm GROUP BY 1, 2""".stripMargin,
+    "q_profile_columns" ->
+      """WITH s AS (SELECT COUNT(*) AS n,
+        |  COUNT(DISTINCT c_custkey) AS nd_ck, COUNT(DISTINCT c_name) AS nd_nm,
+        |  COUNT(DISTINCT c_nationkey) AS nd_nk, COUNT(DISTINCT c_acctbal) AS nd_ab,
+        |  CAST(MIN(c_custkey) AS DOUBLE) AS min_ck, CAST(MAX(c_custkey) AS DOUBLE) AS max_ck,
+        |  CAST(MIN(c_nationkey) AS DOUBLE) AS min_nk, CAST(MAX(c_nationkey) AS DOUBLE) AS max_nk,
+        |  MIN(c_acctbal) AS min_ab, MAX(c_acctbal) AS max_ab FROM customer)
+        |SELECT 'c_custkey' AS col_name,
+        |  CASE WHEN (nd_ck = n AND nd_nm < n) OR nd_ck <= 0.05 * n
+        |       THEN 'nominal' ELSE 'int' END AS ltype,
+        |  nd_ck AS n_distinct, 0 AS n_nulls, min_ck AS min_val, max_ck AS max_val,
+        |  (nd_ck = n AND nd_nm < n) AS is_key FROM s
+        |UNION ALL
+        |SELECT 'c_nationkey',
+        |  CASE WHEN (nd_nk = n AND nd_ck < n AND nd_nm < n) OR nd_nk <= 0.05 * n
+        |       THEN 'nominal' ELSE 'int' END,
+        |  nd_nk, 0, min_nk, max_nk, (nd_nk = n AND nd_ck < n AND nd_nm < n) FROM s
+        |UNION ALL
+        |SELECT 'c_acctbal',
+        |  CASE WHEN nd_ab <= 0.05 * n THEN 'nominal' ELSE 'real' END,
+        |  nd_ab, 0, min_ab, max_ab, FALSE FROM s""".stripMargin,
     "q_profile_stats" ->
       """SELECT COUNT(*) AS n_rows,
         | COUNT(DISTINCT l_orderkey) AS nd_orderkey,

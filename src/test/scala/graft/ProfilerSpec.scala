@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.{DBSCAN, DateSniffer}
+import graft.profiler.Profiler
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("type rules: str key demotes int key back to int (spreadsheet.py:89-99)") {
+    // 20 rows: id (int, all distinct), name (str, all distinct),
+    // seg (str, 1 distinct ≤ 5%), v (real)
+    val df = (1 to 20).map(i => (i.toLong, s"name_$i", "only", i * 1.5))
+      .toDF("id", "name", "seg", "v")
+    val (_, p) = Profiler.profile(df)
+    assert(p.keyColumn.contains("name"))
+    assert(p.column("name").get.logicalType == LogicalType.Str)
+    assert(p.column("name").get.isKey)
+    // id was key (→nominal), then demoted by the str key → back to int
+    assert(p.column("id").get.logicalType == LogicalType.Int)
+    assert(!p.column("id").get.isKey)
+    assert(p.column("seg").get.logicalType == LogicalType.Nominal)
+    assert(p.column("v").get.logicalType == LogicalType.Real)
+  }
+
+  test("int key without str competitor becomes nominal key") {
+    val df = (1 to 20).map(i => (i.toLong, "dup", i * 1.5)).toDF("id", "s", "v")
+    val (_, p) = Profiler.profile(df)
+    assert(p.keyColumn.contains("id"))
+    assert(p.column("id").get.logicalType == LogicalType.Nominal)
+    assert(p.column("id").get.isKey)
+  }
+
+  test("no key → synthetic defaultindex appended") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("s", "v")
+    val (out, p) = Profiler.profile(df)
+    assert(p.keyColumn.contains("defaultindex"))
+    assert(out.columns.contains("defaultindex"))
+    val idx = out.select("defaultindex").as[Long].collect().sorted
+    assert(idx.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("date sniffing routes string date columns to Date") {
+    val df = Seq(("12/24/2019", 1.0), ("1/3/2020", 2.0), ("07/14/2021", 3.0))
+      .toDF("d", "v")
+    val (_, p) = Profiler.profile(df)
+    assert(p.column("d").get.logicalType == LogicalType.Date)
+  }
+
+  test("DateSniffer matches reference formats") {
+    assert(DateSniffer.sniff("12.24.2019").get.toString == "2019-12-24")
+    assert(DateSniffer.sniff("2019-12-24").get.toString == "2019-12-24")
+    assert(DateSniffer.sniff("8-January-2019").get.toString == "2019-01-08")
+    assert(DateSniffer.sniff("Dec 31 19").get.toString == "2019-12-31")
+    assert(DateSniffer.sniff("1998").get.toString == "1998-01-01")
+    assert(DateSniffer.sniff("1/24/20").get.toString == "2020-01-24")
+    assert(DateSniffer.sniff("31 Dec 99").get.toString == "1999-12-31")
+    assert(DateSniffer.sniff("hello").isEmpty)
+    assert(DateSniffer.sniff("123456").isEmpty)
+  }
+
+  test("DBSCAN: two blobs + noise, sklearn-compatible labels") {
+    val pts = Array(
+      Array(0.0, 0.0), Array(0.1, 0.0), Array(0.0, 0.1), Array(0.1, 0.1), Array(0.05, 0.05),
+      Array(5.0, 5.0), Array(5.1, 5.0), Array(5.0, 5.1), Array(5.1, 5.1), Array(5.05, 5.05),
+      Array(100.0, 100.0))
+    val labels = DBSCAN.fitPoints(pts, eps = 0.5, minPts = 5)
+    assert(labels.take(5).forall(_ == 0))
+    assert(labels.slice(5, 10).forall(_ == 1))
+    assert(labels(10) == -1)
+  }
+
+  test("quantile signatures drive Wasserstein distances") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble, i.toDouble + 100.0, s"n$i"))
+      .toDF("id", "a", "b", "nm")
+    val (_, p) = Profiler.profile(df)
+    val d = p.distanceMatrix(("a", "b"))
+    assert(math.abs(d - 100.0) < 2.0) // shifted distribution: W1 = shift
+    assert(p.distanceMatrix(("a", "a")) == 0.0)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Rank, TBasic, TStep}
+
+class TBasicSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, 10.0, 2.0, "a"),
+    (2L, 5.0, 0.0, "b"),
+    (3L, 0.0, 0.0, "a"),
+    (4L, -3.0, 4.0, "c")
+  ).toDF("k", "x", "y", "cat")
+
+  test("rowSum / rowMul / rowSub compose as expressions") {
+    val r = TBasic(df, TStep("sum", inCols = Seq("x", "y"), outName = Some("s")))
+      .select("k", "s").as[(Long, Double)].collect().toMap
+    assert(r == Map(1L -> 12.0, 2L -> 5.0, 3L -> 0.0, 4L -> 1.0))
+
+    val m = TBasic(df, TStep("mul", inCols = Seq("x", "y"), outName = Some("m")))
+      .select("k", "m").as[(Long, Double)].collect().toMap
+    assert(m == Map(1L -> 20.0, 2L -> 0.0, 3L -> 0.0, 4L -> -12.0))
+
+    val s = TBasic(df, TStep("sub", inCols = Seq("x", "y"), outName = Some("d")))
+      .select("k", "d").as[(Long, Double)].collect().toMap
+    assert(s == Map(1L -> 8.0, 2L -> 5.0, 3L -> 0.0, 4L -> -7.0))
+  }
+
+  test("rowDiv follows reference semantics: 0/0→0, x/0→±inf, null→0") {
+    val d = Seq((1L, Some(10.0), Some(2.0)), (2L, Some(5.0), Some(0.0)),
+      (3L, Some(0.0), Some(0.0)), (4L, Some(-3.0), Some(0.0)),
+      (5L, None: Option[Double], Some(2.0))).toDF("k", "a", "b")
+    val r = TBasic(d, TStep("div", inCols = Seq("a", "b"), outName = Some("q")))
+      .select("k", "q").as[(Long, Double)].collect().toMap
+    assert(r(1L) == 5.0)
+    assert(r(2L) == Double.PositiveInfinity)
+    assert(r(3L) == 0.0)
+    assert(r(4L) == Double.NegativeInfinity)
+    assert(r(5L) == 0.0)
+  }
+
+  test("rank method=first ascending, ties broken by key") {
+    val d = Seq((1L, 5.0), (2L, 1.0), (3L, 5.0), (4L, 0.5)).toDF("k", "v")
+    val r = TBasic(d, TStep("rank", inCols = Seq("v")), carryCols = Seq("k"))
+      .select("k", "rank v").as[(Long, Long)].collect().toMap
+    assert(r == Map(4L -> 1L, 2L -> 2L, 1L -> 3L, 3L -> 4L))
+  }
+
+  test("zipWithIndexRank matches window rank semantics") {
+    val d = (1 to 100).map(i => (i.toLong, (i % 10).toDouble)).toDF("k", "v")
+    val a = TBasic(d, TStep("rank", inCols = Seq("v")), carryCols = Seq("k"))
+      .select($"k", $"rank v".as("r")).as[(Long, Long)].collect().toMap
+    val b = Rank.zipWithIndexRank(d, "v", Seq("k"), "r")
+      .select("k", "r").as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("nominalize assigns 0-based codes by sorted distinct values") {
+    val r = TBasic(df, TStep("nominalize", inCols = Seq("cat"), outName = Some("code")))
+      .select("cat", "code").distinct().as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("select by dtype family and output modes") {
+    val num = TBasic(df, TStep("select", inType = "num"))
+    assert(num.columns.toSeq == Seq("k", "x", "y"))
+    val newt = TBasic(df, TStep("sum", inCols = Seq("x", "y"),
+      outMode = "new_table", outName = Some("s")), carryCols = Seq("k"))
+    assert(newt.columns.toSeq == Seq("k", "s"))
+    val repl = TBasic(df, TStep("sum", inCols = Seq("x", "y"),
+      outMode = "replace", outName = Some("s")))
+    assert(repl.columns.toSeq == Seq("k", "cat", "s"))
+  }
+
+  test("minMaxNormalize maps to [0,1], constant column to 0") {
+    val d = Seq((1L, 0.0, 7.0), (2L, 5.0, 7.0), (3L, 10.0, 7.0)).toDF("k", "x", "c")
+    val r = TBasic.minMaxNormalize(d, Seq("x", "c"))
+      .select("k", "x", "c").as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r == Map(1L -> ((0.0, 0.0)), 2L -> ((0.5, 0.0)), 3L -> ((1.0, 0.0))))
+  }
+}
