@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.DBSCAN
+
+/** Core transformations — the ML operators that terminate a tpath
+  * (registry T.py:1-178, executor wrappers Tengine.py:146-220).
+  *
+  * Shared semantics, replicated from the reference:
+  *  - operate on the numeric columns only (select_dtypes, Tengine.py:148…);
+  *  - min-max normalize per column first (Tfunctions.py:13,19,28,34,91,97);
+  *  - guard: input needs >2 columns (errorinputforcoreT, Tengine.py:217-220)
+  *    → `None`;
+  *  - output is a new narrow table; we additionally carry the key column
+  *    through every output because Spark rows have no stable order
+  *    (SURVEY §7.4.1) — the reference relies on pandas RangeIndex.
+  *
+  * Execution strategy per operator:
+  *  - PCA / KMeans / LDA: MLlib pipelines — fully distributed, scale path.
+  *  - DBSCAN / MDS: no MLlib implementation; driver-side over a bounded
+  *    collect (grid-indexed DBSCAN, Breeze eigendecomposition MDS).
+  *    Inputs are capped (`maxDriverRows`) exactly like the reference
+  *    caps its whole input at 400 rows — these operators are
+  *    chart-feeders, not table-scale transforms.
+  *  - t-SNE / UMAP: external-dependency operators in the reference
+  *    (umap-learn; sklearn TSNE). Feature-flagged out, like the
+  *    reference's dead `lida` path (searchthread.py:461-462); MDS is
+  *    the supported metric-embedding stand-in.
+  */
+object CoreT {
+
+  val dimensionReducing = Set("pca", "tsne", "mds", "umap") // dmTl (T.py)
+  private val arithmeticOps = Set("sum", "sub", "mul", "div")
+
+  /** Numeric columns of a frame (post-profile the caller usually passes
+    * them explicitly; this is the select_dtypes fallback). */
+  def numericCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSeq
+
+  /** Guard from Tengine.py:217-220: core transforms need >2 columns. */
+  private def guarded(df: DataFrame, features: Seq[String])(body: => DataFrame): Option[DataFrame] =
+    if (df.columns.length <= 2 || features.isEmpty) None else Some(body)
+
+  private def normalized(df: DataFrame, features: Seq[String], carry: Seq[String]): DataFrame = {
+    val kept = (carry ++ features).distinct
+    TBasic.minMaxNormalize(df.select(kept.map(col): _*), features)
+  }
+
+  /** PCA(2) → columns PC1, PC2 (Tfunctions.py:12-16, Tengine.py:146-152). */
+  def pca(df: DataFrame, features: Seq[String], carry: Seq[String]): Option[DataFrame] =
+    guarded(df, features) {
+      val norm = normalized(df, features, carry)
+      val assembled = new VectorAssembler()
+        .setInputCols(features.toArray).setOutputCol("__features")
+        .setHandleInvalid("keep").transform(norm)
+      val model = new org.apache.spark.ml.feature.PCA()
+        .setInputCol("__features").setOutputCol("__pca").setK(2)
+        .fit(assembled)
+      model.transform(assembled)
+        .withColumn("__arr", vector_to_array(col("__pca")))
+        .select(carry.map(col) :+ col("__arr").getItem(0).as("PC1")
+          :+ col("__arr").getItem(1).as("PC2"): _*)
+    }
+
+  /** KMeans(k=3, seed=9) → "Category by KMeans" int64 labels
+    * (Tfunctions.py:96-100, Tengine.py:194-200). Distributed; sklearn
+    * and MLlib inits differ so labels match only up to permutation —
+    * tests assert invariants, not values. */
+  def kmeans(df: DataFrame, features: Seq[String], carry: Seq[String],
+             k: Int = 3, seed: Long = 9): Option[DataFrame] =
+    guarded(df, features) {
+      val norm = normalized(df, features, carry)
+      val assembled = new VectorAssembler()
+        .setInputCols(features.toArray).setOutputCol("__features")
+        .setHandleInvalid("keep").transform(norm)
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(seed).setFeaturesCol("__features")
+        .fit(assembled)
+      model.transform(assembled)
+        .select(carry.map(col) :+ col("prediction").cast(LongType).as("Category by KMeans"): _*)
+    }
+
+  /** LDA(4 topics) over the reference's rank-based bag-of-tokens
+    * encoding (Tfunctions.py:46-77): each numeric column becomes one
+    * vocabulary token whose per-row count is the row's rank in that
+    * column. The reference materializes that as a blown-up token string
+    * then CountVectorizes it back; the count vector IS just the rank
+    * vector, so we assemble ranks directly as the feature vector —
+    * identical model input, no string blow-up.
+    *
+    * Output: per-row label of the argmax topic, rendered like the
+    * reference as "w1*col + w2*col + w3*col" from the normalized
+    * topic-term weights → column "Category by LDA".
+    */
+  def lda(df: DataFrame, features: Seq[String], carry: Seq[String],
+          k: Int = 4, seed: Long = 9): Option[DataFrame] =
+    guarded(df, features) {
+      val spark = df.sparkSession
+      // rank each feature column (method=first; tie-break = carry key)
+      val ranked = features.foldLeft(df.select((carry ++ features).distinct.map(col): _*)) {
+        (d, c) => d.withColumn(s"__rank_$c", TBasic.rankWindow(c, carry))
+      }
+      val assembled = new VectorAssembler()
+        .setInputCols(features.map(c => s"__rank_$c").toArray)
+        .setOutputCol("__counts").setHandleInvalid("keep")
+        .transform(ranked)
+      val model = new org.apache.spark.ml.clustering.LDA()
+        .setK(k).setSeed(seed).setFeaturesCol("__counts")
+        .setOptimizer("online")
+        .fit(assembled)
+      // topic labels: top-3 terms by normalized weight (Tfunctions.py:58-73)
+      val desc = model.describeTopics(3).collect()
+        .sortBy(_.getAs[Int]("topic"))
+        .map { r =>
+          val idxs = r.getAs[scala.collection.Seq[Int]]("termIndices")
+          val ws = r.getAs[scala.collection.Seq[Double]]("termWeights")
+          idxs.zip(ws).map { case (i, w) =>
+            s"${w.toString.take(6)}*${features(i)}"
+          }.mkString(" + ")
+        }
+      val labelFor = udf((v: org.apache.spark.ml.linalg.Vector) =>
+        desc(v.argmax))
+      model.transform(assembled)
+        .select(carry.map(col) :+ labelFor(col("topicDistribution")).as("Category by LDA"): _*)
+    }
+
+  /** DBSCAN(eps=0.25, minPts=5) → "Category by DBSCAN", -1 = outlier
+    * (Tfunctions.py:90-94, Tengine.py:186-192). Driver-side with a
+    * grid-indexed neighbor search over a bounded collect. */
+  def dbscan(df: DataFrame, features: Seq[String], carry: Seq[String],
+             eps: Double = 0.25, minPts: Int = 5,
+             maxDriverRows: Int = 200000): Option[DataFrame] =
+    guarded(df, features) {
+      val spark = df.sparkSession
+      val norm = normalized(df, features, carry)
+      val rows = norm.select((carry ++ features).map(col): _*).collect()
+      require(rows.length <= maxDriverRows,
+        s"dbscan driver path capped at $maxDriverRows rows (got ${rows.length}); " +
+          "sample or pre-aggregate first")
+      val pts = rows.map(r => features.indices.map(i =>
+        Option(r.get(carry.length + i)).map(_.toString.toDouble).getOrElse(0.0)).toArray)
+      val labels = DBSCAN.fitPoints(pts, eps, minPts)
+      val out = rows.zip(labels).map { case (r, l) =>
+        Row.fromSeq(carry.indices.map(r.get) :+ l.toLong)
+      }
+      val carrySchema = StructType(carry.map(c => norm.schema(c)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq),
+        StructType(carrySchema :+ StructField("Category by DBSCAN", LongType, nullable = false)))
+    }
+
+  /** Classical (Torgerson) metric MDS → MDS-1, MDS-2
+    * (Tfunctions.py:27-31): double-centered squared-distance Gram
+    * matrix, top-2 eigenpairs, coords = v·√λ. Driver-side (Breeze
+    * eigSym) over a bounded collect — sklearn uses SMACOF so
+    * coordinates differ, but both are metric embeddings of the same
+    * distances; tests assert distance preservation, not values. */
+  def mds(df: DataFrame, features: Seq[String], carry: Seq[String],
+          maxDriverRows: Int = 5000): Option[DataFrame] =
+    guarded(df, features) {
+      import breeze.linalg.{DenseMatrix, eigSym}
+      val spark = df.sparkSession
+      val norm = normalized(df, features, carry)
+      val rows = norm.select((carry ++ features).map(col): _*).collect()
+      require(rows.length <= maxDriverRows,
+        s"mds driver path capped at $maxDriverRows rows (got ${rows.length})")
+      val n = rows.length
+      val pts = rows.map(r => features.indices.map(i =>
+        Option(r.get(carry.length + i)).map(_.toString.toDouble).getOrElse(0.0)).toArray)
+      val d2 = DenseMatrix.tabulate(n, n) { (i, j) =>
+        var s = 0.0; var k = 0
+        while (k < pts(i).length) { val diff = pts(i)(k) - pts(j)(k); s += diff * diff; k += 1 }
+        s
+      }
+      // B = -1/2 J D² J
+      val rowMean = Array.tabulate(n)(i => (0 until n).map(j => d2(i, j)).sum / n)
+      val grand = rowMean.sum / n
+      val b = DenseMatrix.tabulate(n, n) { (i, j) =>
+        -0.5 * (d2(i, j) - rowMean(i) - rowMean(j) + grand)
+      }
+      val eig = eigSym(b)
+      val order = eig.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).take(2)
+      val coords = Array.tabulate(n, 2) { (i, c) =>
+        val (lambda, idx) = order(c)
+        eig.eigenvectors(i, idx) * math.sqrt(math.max(lambda, 0.0))
+      }
+      val out = rows.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(carry.indices.map(r.get) ++ Seq(coords(i)(0), coords(i)(1)))
+      }
+      val carrySchema = StructType(carry.map(c => norm.schema(c)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq),
+        StructType(carrySchema ++ Seq(StructField("MDS-1", DoubleType, nullable = false),
+          StructField("MDS-2", DoubleType, nullable = false))))
+    }
+
+  /** Identity pass-throughs null_num/null_num1/null_nom/null_nom1
+    * (Tengine.py:202-212): selection is done by the tpath; validity
+    * rules live in [[transform]]. */
+  def nullT(df: DataFrame): Option[DataFrame] = Some(df)
+
+  /** Full core-transform dispatch with the reference's plan-validity
+    * rules (Tengine.py:19-75):
+    *  - NOTCALCUDMT: dimension-reducing core T after an arithmetic
+    *    tpath → invalid (None);
+    *  - null_num1 is only valid when the tpath DID contain arithmetic
+    *    (single-column charts must show derived columns).
+    */
+  def transform(df: DataFrame, coreT: String, tpath: Seq[TStep],
+                carry: Seq[String], notCalcuDmT: Boolean = true): Option[DataFrame] = {
+    val hasArithmetic = tpath.exists(s => arithmeticOps.contains(s.op))
+    if (notCalcuDmT && dimensionReducing.contains(coreT) && hasArithmetic) return None
+    if (coreT == "null_num1" && !hasArithmetic) return None
+    val after = tpath.foldLeft(df)((d, s) => TBasic(d, s, carry))
+    val feats = numericCols(after).filterNot(carry.contains)
+    coreT match {
+      case "pca"    => pca(after, feats, carry)
+      case "kmeans" => kmeans(after, feats, carry)
+      case "lda"    => lda(after, feats, carry)
+      case "dbscan" => dbscan(after, feats, carry)
+      case "mds"    => mds(after, feats, carry)
+      case "tsne" | "umap" =>
+        throw new UnsupportedOperationException(
+          s"$coreT is an optional external-dependency operator (reference: umap-learn/sklearn); use mds")
+      case n if n.startsWith("null") || n == "test" => nullT(after)
+      case other => throw new IllegalArgumentException(s"unknown core T: $other")
+    }
+  }
+}

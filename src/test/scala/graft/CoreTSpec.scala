@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{CoreT, TStep}
+
+class CoreTSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated blobs + a line, 60 rows
+  private def blobs = {
+    val r = new scala.util.Random(7)
+    val rows = (0 until 30).map { i =>
+      (i.toLong, r.nextGaussian() * 0.05, r.nextGaussian() * 0.05, i * 1.0)
+    } ++ (30 until 60).map { i =>
+      (i.toLong, 5.0 + r.nextGaussian() * 0.05, 5.0 + r.nextGaussian() * 0.05, i * 1.0)
+    }
+    rows.toDF("k", "x", "y", "z")
+  }
+
+  test("pca outputs 2 components, variance concentrated on PC1 for correlated data") {
+    val df = (0 until 50).map(i => (i.toLong, i.toDouble, 2.0 * i, 3.0 * i)).toDF("k", "a", "b", "c")
+    val out = CoreT.pca(df, Seq("a", "b", "c"), Seq("k")).get
+    assert(out.columns.toSeq == Seq("k", "PC1", "PC2"))
+    assert(out.count() == 50)
+    // perfectly correlated → PC2 ≈ 0 everywhere
+    val pc2 = out.select("PC2").as[Double].collect()
+    assert(pc2.forall(v => math.abs(v) < 1e-9))
+  }
+
+  test("kmeans(k=3) labels are 0..2 and separate blobs consistently") {
+    val out = CoreT.kmeans(blobs, Seq("x", "y", "z"), Seq("k"), k = 2).get
+    val labels = out.select($"k", $"Category by KMeans").as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet.subsetOf(Set(0L, 1L)))
+    // each blob maps to one label
+    assert((0L until 30L).map(labels).toSet.size == 1)
+    assert((30L until 60L).map(labels).toSet.size == 1)
+    assert(labels(0L) != labels(59L))
+  }
+
+  test("dbscan separates blobs, labels outliers -1") {
+    val withOutlier = blobs.union(Seq((99L, 100.0, 100.0, 0.0)).toDF("k", "x", "y", "z"))
+    val out = CoreT.dbscan(withOutlier, Seq("x", "y"), Seq("k"), eps = 0.1, minPts = 5).get
+    val labels = out.select($"k", $"Category by DBSCAN").as[(Long, Long)].collect().toMap
+    assert(labels(99L) == -1L)
+    assert((0L until 30L).map(labels).toSet.size == 1)
+    assert((30L until 60L).map(labels).toSet.size == 1)
+  }
+
+  test("mds preserves relative distances of a 1-D manifold") {
+    val df = (0 until 20).map(i => (i.toLong, i.toDouble, i.toDouble, 0.0)).toDF("k", "a", "b", "c")
+    val out = CoreT.mds(df, Seq("a", "b"), Seq("k")).get
+    val coords = out.orderBy("k").select("MDS-1").as[Double].collect()
+    // points on a line → MDS-1 monotone (up to sign)
+    val diffs = coords.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(diffs.forall(_ > 0) || diffs.forall(_ < 0))
+  }
+
+  test("lda labels: k topics max, reference label format") {
+    val out = CoreT.lda(blobs, Seq("x", "y", "z"), Seq("k"), k = 3).get
+    val labels = out.select($"Category by LDA").as[String].collect()
+    assert(labels.length == 60)
+    assert(labels.distinct.length <= 3)
+    assert(labels.forall(_.matches(""".{1,6}\*[xyz]( \+ .{1,6}\*[xyz]){1,2}""")))
+  }
+
+  test("transform enforces plan-validity rules (Tengine.py:58-67)") {
+    val df = blobs
+    // NOTCALCUDMT: pca after arithmetic tpath → None
+    val arith = Seq(TStep("sum", inCols = Seq("x", "y"), outName = Some("s")))
+    assert(CoreT.transform(df, "pca", arith, Seq("k")).isEmpty)
+    // null_num1 without arithmetic → None, with arithmetic → Some
+    assert(CoreT.transform(df, "null_num1", Nil, Seq("k")).isEmpty)
+    assert(CoreT.transform(df, "null_num1", arith, Seq("k")).isDefined)
+    // pca with clean tpath → Some
+    assert(CoreT.transform(df, "pca", Nil, Seq("k")).isDefined)
+  }
+
+  test("guard: ≤2 columns → None (Tengine.py:217-220)") {
+    val df = Seq((1L, 2.0)).toDF("k", "x")
+    assert(CoreT.pca(df, Seq("x"), Seq("k")).isEmpty)
+  }
+}
