@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Declared queries for the training-data-pipeline extensions: text
+  * analysis, dedup family, similarity search, multimodal plumbing,
+  * and the batch twin of the streaming window agg.
+  *
+  * Near-dup queries build a derived corpus (each document unioned with
+  * a truncated copy of itself under id+1_000_000) so candidate
+  * detection has deterministic known positives regardless of how
+  * similar the synthetic documents happen to be.
+  */
+object ExtQueries {
+
+  private val ID_OFFSET = 1000000L
+
+  /** documents ∪ near-duplicate copies (first ~80% of tokens). */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+    val truncated = d.select((col("id") + ID_OFFSET).as("id"),
+      array_join(slice(TextFunctions.tokens(col("text")), lit(1),
+        greatest((size(TextFunctions.tokens(col("text"))) * 4) / 5, lit(1)).cast("int")), " ").as("text"))
+    d.unionByName(truncated)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── text analysis ──────────────────────────────────────────────
+    "q_text_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        size(TextFunctions.bpeishTokens(col("text"))).as("n_bpeish"))
+    }),
+    "q_text_quality" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    }),
+    "q_text_langid" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+    }),
+    "q_text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+    }),
+    "q_text_simhash" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.simhash(col("text")).as("simhash"))
+    }),
+
+    // ── dedup family ───────────────────────────────────────────────
+    "q_dedup_exact_docs" -> ((s, dir) => {
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+    }),
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(nearDupCorpus(s, dir), "id", "text",
+        shingleSize = 3, tau = 0.3, maxDocFreq = 10000)
+    }),
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(nearDupCorpus(s, dir), "id", "text",
+        numHashes = 32, shingleSize = 3)
+      Dedup.minhashCandidatePairs(sigs, numHashes = 32, bands = 8, tau = 0.3)
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(nearDupCorpus(s, dir), "id", "text", maxHamming = 12)
+    }),
+    "q_dedup_embed_cosine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      val jittered = e.select((col("id") + ID_OFFSET).as("id"),
+        transform(col("embedding"), x => x * lit(1.0f)).as("embedding"))
+      Similarity.embeddingNearDupPairs(e.unionByName(jittered), "id", "embedding",
+        dim = 64, tau = 0.999)
+    }),
+
+    // ── similarity search ──────────────────────────────────────────
+    "q_embed_norm" -> ((s, dir) => {
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        Similarity.l2Norm(col("embedding")).as("l2norm"))
+    }),
+    "q_sim_bruteforce_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    }),
+    "q_sim_lsh_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, dim = 64)
+    }),
+
+    // ── multimodal plumbing ────────────────────────────────────────
+    "q_multimodal_meta" -> ((s, dir) => {
+      Multimodal.extractMetadata(
+        Multimodal.attachFakeBinary(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id")
+    }),
+    "q_multimodal_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.attachFakeBinary(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id", everyNth = 10)
+    }),
+
+    // ── streaming twin: tumbling window agg (batch mode) ───────────
+    "q_events_window" -> ((s, dir) => {
+      Tables.eventsRawNanos(s, dir)
+        .groupBy(((col("ts") / lit(3600000000000L)).cast("long") * 3600).as("window_start_sec"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    })
+  )
+
+  private val stop = "'the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','that','this','be'"
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+        |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+        |  regexp_extract_all(lower(text), '\\S+') AS toks,
+        |  len(regexp_extract_all(text, '\\S+')) AS ntok FROM documents)
+        |SELECT doc_id,
+        | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |   / CASE WHEN length(text) = 0 THEN NULL ELSE length(text) END AS alpha_ratio,
+        | CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE)
+        |   / CASE WHEN ntok = 0 THEN NULL ELSE ntok END AS stopword_ratio,
+        | CAST(list_sum(list_transform(regexp_extract_all(text, '\\S+'), x -> length(x))) AS DOUBLE)
+        |   / CASE WHEN ntok = 0 THEN NULL ELSE ntok END AS mean_token_len,
+        | (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END * 0.2)
+        |  + (CASE WHEN COALESCE(CAST(list_sum(list_transform(regexp_extract_all(text, '\\S+'), x -> length(x))) AS DOUBLE)
+        |       / CASE WHEN ntok = 0 THEN NULL ELSE ntok END, 0.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END * 0.2)
+        |  + (COALESCE(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |       / CASE WHEN length(text) = 0 THEN NULL ELSE length(text) END, 0.0) * 0.3)
+        |  + (LEAST(COALESCE(CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE)
+        |       / CASE WHEN ntok = 0 THEN NULL ELSE ntok END, 0.0) * 5.0, 1.0) * 0.2)
+        |  + ((1.0 - COALESCE(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |       / CASE WHEN length(text) = 0 THEN NULL ELSE length(text) END, 0.0)) * 0.1) AS quality
+        |FROM t""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin,
+    "q_dedup_exact_docs" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        | MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_embed_norm" ->
+      """SELECT vec_id,
+        | sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |   (acc, v) -> acc + v)) AS l2norm
+        |FROM embeddings""".stripMargin,
+    "q_sim_bruteforce_topk" ->
+      """WITH dots AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_zip(q.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)
+        |  / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |       list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |       list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))) AS cosine
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM dots) t
+        |WHERE rank <= 5""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+        |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+        | octet_length(encode(text)) AS byte_len,
+        | sha256(text) AS sha256,
+        | CAST((octet_length(encode(text)) % 640) + 16 AS BIGINT) AS width,
+        | CAST((floor(octet_length(encode(text)) / 7) % 480) + 16 AS BIGINT) AS height,
+        | CAST((octet_length(encode(text)) % 30) + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+    "q_events_window" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

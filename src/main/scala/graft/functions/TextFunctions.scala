@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  * All built from codegen'd `org.apache.spark.sql.functions` — no UDFs
+  * in the hot path (the one custom piece, SimHash, is a native Catalyst
+  * expression in [[SimHash64]]).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (non-space runs). Empty/blank text → empty array. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** BPE-ish subword-friendly tokens: letter runs, digit runs, or single
+    * punctuation — the usual pre-tokenizer regex family. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Character n-gram shingles via a transform over positions — stays
+    * inside Catalyst (no UDF), scales linearly with text length. */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(length(__t) - ${n - 1}, 0)), i -> substring(__t, i, $n))"
+        .replace("__t", sqlRef(text))))
+
+  /** Word n-gram shingles from the whitespace tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = sqlRef(text)
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(size(regexp_extract_all($t, '\\\\S+', 0)) - ${n - 1}, 0)), " +
+        s"i -> array_join(slice(regexp_extract_all($t, '\\\\S+', 0), i, $n), ' '))"))
+  }
+
+  // only plain column references are spliced into expr() strings
+  private def sqlRef(c: Column): String = {
+    val s = c.toString
+    require(s.matches("[A-Za-z_][A-Za-z0-9_]*"), s"need a plain column ref, got $s")
+    s
+  }
+
+  // ── quality scoring (length / punctuation / stopword ratios) ───────
+  private val enStopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "that", "this", "be")
+
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      nullif_zero(length(text))
+  def digitRatio(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+      nullif_zero(length(text))
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast("double") /
+      nullif_zero(length(text))
+  def upperRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
+      nullif_zero(length(text))
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isin(enStopwords: _*))).cast("double") /
+      nullif_zero(size(toks))
+  }
+  def meanTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0), (acc, t) => acc + length(t)).cast("double") /
+      nullif_zero(tokenCount(text))
+
+  private def nullif_zero(c: Column): Column =
+    when(c === 0, lit(null)).otherwise(c.cast("double"))
+
+  /** Composite quality score in [0,1]: rewards stopword presence and
+    * alphabetic content, penalizes digit/punct walls and extreme token
+    * lengths — the standard web-corpus heuristic family (Gopher-style
+    * rules), deterministic and SQL-mirrorable. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 10000), 1.0).otherwise(0.0)
+    val meanOk = when(coalesce(meanTokenLen(text), lit(0.0)).between(3.0, 12.0), 1.0).otherwise(0.0)
+    val alpha = coalesce(alphaRatio(text), lit(0.0))
+    val stop = least(coalesce(stopwordRatio(text), lit(0.0)) * 5.0, lit(1.0))
+    val digitPenalty = coalesce(digitRatio(text), lit(0.0))
+    (lenOk * 0.2) + (meanOk * 0.2) + (alpha * 0.3) + (stop * 0.2) +
+      ((lit(1.0) - digitPenalty) * 0.1)
+  }
+
+  // ── language identification (stopword + script heuristic) ──────────
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "are", "this", "have", "not"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von", "auf", "für", "sich", "dass", "werden"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "une", "dans", "que", "pour", "qui", "pas", "sur", "avec"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por", "con", "para", "su"))
+
+  /** n-gram/stopword language ID: CJK script share → zh; otherwise the
+    * stopword profile with the highest token hit-rate, requiring a
+    * minimal signal, else "und". Pure Column expression — runs at scan
+    * speed over a 100 TB corpus. */
+  def langId(text: Column, minScore: Double = 0.05): Column = {
+    val toks = tokens(lower(text))
+    val total = nullif_zero(size(toks))
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> (size(filter(toks, t => t.isin(words: _*))).cast("double") / total)
+    }
+    val cjkShare = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("double") /
+      nullif_zero(length(text))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best >= minScore, lang).otherwise(acc)
+    }
+    when(coalesce(cjkShare, lit(0.0)) > 0.3, "zh").otherwise(pick)
+  }
+
+  /** Document fingerprint: md5 of case/whitespace-normalized text —
+    * the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** 64-bit SimHash fingerprint over whitespace tokens. */
+  def simhash(text: Column): Column = SimHash64.simhash64(tokens(text))
+}

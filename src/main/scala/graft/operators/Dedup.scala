@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus deduplication operators — the training-data-pipeline layer.
+  *
+  * All four families are shuffle-conscious:
+  *  - exact: one groupBy on a 128-bit fingerprint (no raw-text shuffle);
+  *  - MinHash+LSH: shingle→hash→k-way min signature (map-side
+  *    aggregable), band buckets → equi-join (candidate pairs only);
+  *  - SimHash: 64-bit fingerprint, pigeonhole piece join for Hamming≤k;
+  *  - n-gram Jaccard: inverted-index self-join with a document-frequency
+  *    cap so stop-shingles can't quadratically explode a bucket (the
+  *    classic skew killer at 100 TB).
+  */
+object Dedup {
+
+  /** Exact-duplicate groups: fingerprint → (keeper = min key, count).
+    * The dedup itself is then a semi-join on (key = keep_id). */
+  def exactGroups(df: DataFrame, keyCol: String, textCol: String): DataFrame =
+    df.select(col(keyCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(keyCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Rows surviving exact dedup (first-by-key wins). */
+  def exactDedup(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, keyCol, textCol).select(col("keep_id").as(keyCol))
+    df.join(keep, Seq(keyCol), "left_semi")
+  }
+
+  /** Near-duplicate candidate pairs by n-gram Jaccard similarity.
+    *
+    * @param shingleSize word-shingle size
+    * @param tau         Jaccard threshold
+    * @param maxDocFreq  drop shingles appearing in more docs than this
+    *                    (skew guard; log what was dropped at the caller)
+    */
+  def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
+                        shingleSize: Int = 3, tau: Double = 0.5,
+                        maxDocFreq: Long = 1000): DataFrame = {
+    val grams = df
+      .select(col(keyCol).as("id"),
+        explode(TextFunctions.wordShingles(col(textCol), shingleSize)).as("gram"))
+    val rare = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq && col("df") >= 2)
+    val filtered = grams.join(rare.select("gram"), Seq("gram"))
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = filtered.as("a").join(filtered.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Deterministic MinHash signature columns s0..s{k-1}: shingles are
+    * xxhash64'd once to a long, then k independent re-hashes
+    * (xxhash64 of (g, i) — ANSI-safe, no overflowing arithmetic) are
+    * min-aggregated — one groupBy, map-side combinable. */
+  def minhashSignatures(df: DataFrame, keyCol: String, textCol: String,
+                        numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val grams = df.select(col(keyCol).as("id"),
+      explode(TextFunctions.wordShingles(col(textCol), shingleSize)).as("gram"))
+      .withColumn("g", xxhash64(col("gram")))
+    val mins = (0 until numHashes).map { i =>
+      min(xxhash64(col("g"), lit(i))).as(s"s$i")
+    }
+    grams.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures, with the
+    * estimated Jaccard (fraction of agreeing signature positions).
+    *
+    * bands·rowsPerBand must equal numHashes of the signature frame.
+    */
+  def minhashCandidatePairs(sigs: DataFrame, numHashes: Int = 32,
+                            bands: Int = 8, tau: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"s$i")): _*).as("bucket"))
+    }: _*)
+    val banded = sigs.select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs.withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / lit(numHashes))
+      .where(col("est_jaccard") >= tau)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs within a Hamming radius: 64-bit fingerprint,
+    * split into 4×16-bit pieces; by pigeonhole any pair within Hamming≤3
+    * shares at least one piece → equi-join per piece, verify exactly
+    * with bit_count(xor). */
+  def simhashPairs(df: DataFrame, keyCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sims = df.select(col(keyCol).as("id"),
+      TextFunctions.simhash(col(textCol)).as("sim"))
+    val pieces = array((0 until 4).map { i =>
+      struct(lit(i).as("pc"),
+        shiftrightunsigned(col("sim"), 16 * i).bitwiseAND(lit(0xFFFFL)).as("pv"))
+    }: _*)
+    val exploded = sims.select(col("id"), col("sim"), explode(pieces).as("p"))
+      .select(col("id"), col("sim"), col("p.pc"), col("p.pv"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.pc") === col("b.pc") && col("a.pv") === col("b.pv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+}

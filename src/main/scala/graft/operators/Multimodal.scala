@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata.
+  *
+  * The Spark-side mechanics — schema, partition-sized batches, frame
+  * explosion — are real and tested; the codec itself is STUBBED with a
+  * deterministic fake (this container has no image/audio libraries).
+  * The stub boundary is `FakeCodec.decode`: swap in a real decoder
+  * (javacv / a Pandas-UDF sidecar in PySpark deployments) without
+  * touching the plumbing.
+  */
+object Multimodal {
+
+  /** Derive a binary media column from text (test stand-in for real
+    * media bytes: utf-8 payload + a deterministic media_type tag). */
+  def attachFakeBinary(df: DataFrame, keyCol: String, textCol: String): DataFrame =
+    df.select(col(keyCol),
+      encode(col(textCol), "UTF-8").as("media"),
+      element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (pmod(col(keyCol), lit(3)) + 1).cast(IntegerType)).as("media_type"))
+
+  /** Typed metadata extraction — pure expressions (codegen'd): byte
+    * length, content hash, and fake decoded dimensions derived
+    * deterministically from the payload size. */
+  def extractMetadata(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol),
+      col("media_type"),
+      length(col("media")).as("byte_len"),
+      sha2(col("media"), 256).as("sha256"),
+      (pmod(length(col("media")), lit(640)) + lit(16)).cast(LongType).as("width"),
+      (pmod(floor(length(col("media")) / 7), lit(480)) + lit(16)).cast(LongType).as("height"),
+      (pmod(length(col("media")), lit(30)) + lit(1)).cast(LongType).as("n_frames"))
+
+  /** STUB codec boundary. A real deployment decodes pixels/samples
+    * here; the fake returns a deterministic per-frame digest so the
+    * pipeline shape (binary → per-frame rows) is testable. */
+  object FakeCodec {
+    def decode(media: Array[Byte], frameIdx: Long): Array[Byte] = {
+      // ??? ← real decoder goes here (e.g. javacv FFmpegFrameGrabber);
+      // deterministic fake: frame digest = sha-256(media ++ frameIdx)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(media)
+      md.update(java.nio.ByteBuffer.allocate(8).putLong(frameIdx).array())
+      md.digest()
+    }
+  }
+
+  /** Frame sampling: one output row per sampled frame, batch-processed
+    * with mapPartitions (the Scala analogue of mapInPandas batches —
+    * per-partition codec reuse, streaming iterator, no whole-partition
+    * materialization). */
+  def sampleFrames(df: DataFrame, keyCol: String, everyNth: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val withMeta = df.select(col(keyCol), col("media"),
+      (pmod(length(col("media")), lit(30)) + lit(1)).cast(LongType).as("n_frames"))
+    val keyIdx = 0
+    val outSchema = StructType(Seq(
+      withMeta.schema.fields(keyIdx),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame_digest", StringType, nullable = false)))
+    val outRows = withMeta.rdd.mapPartitions { it =>
+      // one codec instance per partition (the expensive init a real
+      // decoder would amortize across the batch)
+      it.flatMap { r =>
+        val media = r.getAs[Array[Byte]]("media")
+        val n = r.getAs[Long]("n_frames")
+        (0L until n by everyNth.toLong).iterator.map { f =>
+          val digest = FakeCodec.decode(media, f)
+          Row(r.get(keyIdx), f, digest.map("%02x".format(_)).mkString)
+        }
+      }
+    }
+    spark.createDataFrame(outRows, outSchema)
+  }
+}

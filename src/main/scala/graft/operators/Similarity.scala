@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query
+  * set, score every corpus row, per-query window top-k. Exact, scales
+  * linearly in corpus size, embarrassingly parallel: the right answer
+  * up to surprisingly large corpora because it's one scan, no shuffle
+  * of the corpus itself.
+  *
+  * Scale path: random-hyperplane LSH (Charikar) — b bands of r sign
+  * bits; candidate = band-bucket equality; exact cosine re-rank of
+  * candidates only. Planes are seeded-deterministic literals, so the
+  * whole thing stays a Column expression tree (codegen, no UDF).
+  */
+object Similarity {
+
+  /** Elementwise-double dot product of two array columns (left-fold in
+    * array order — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force cosine top-k.
+    *
+    * @param corpus  (idCol, vecCol) corpus rows
+    * @param queries (idCol, vecCol) query rows — must be small (broadcast)
+    * @return (query_id, neighbor_id, cosine, rank) with rank 1..k,
+    *         ties broken by neighbor id for determinism
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic ±1 hyperplanes for `nbits` sign bits over `dim`
+    * dimensions (fixed seed). */
+  private def planes(dim: Int, nbits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nbits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Append band-bucket sign signatures: `bands` columns named
+    * band_0..band_{bands-1}, each an r-bit integer of hyperplane signs. */
+  def withLshBands(df: DataFrame, vecCol: String, dim: Int,
+                   bands: Int = 4, rowsPerBand: Int = 8,
+                   seed: Long = 20220901L): DataFrame = {
+    val ps = planes(dim, bands * rowsPerBand, seed)
+    val bits = ps.map { p =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(col(vecCol), planeLit) >= 0, 1L).otherwise(0L)
+    }
+    (0 until bands).foldLeft(df) { (d, b) =>
+      val bandVal = (0 until rowsPerBand).map { r =>
+        bits(b * rowsPerBand + r) * lit(1L << r)
+      }.reduce(_ + _)
+      d.withColumn(s"band_$b", bandVal)
+    }
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share at least one
+    * band bucket with the query; exact cosine re-rank of candidates.
+    * Recall < 1 by construction; raise bands for higher recall. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, dim: Int,
+              bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+    val c = withLshBands(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "__cv", dim, bands, rowsPerBand)
+    val q = withLshBands(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      "__qv", dim, bands, rowsPerBand)
+    val bandCols = (0 until bands).map(b => s"band_$b")
+    val candidates = bandCols.map { bc =>
+      c.select(col("neighbor_id"), col("__cv"), col(bc).as("__bucket"))
+        .join(broadcast(q.select(col("query_id"), col("__qv"), col(bc).as("__bucket"))),
+          Seq("__bucket"))
+        .drop("__bucket")
+    }.reduce(_ unionByName _)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates.withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ tau among LSH-band
+    * candidates (the embedding flavor of [[Dedup]]). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, tau: Double,
+                            bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+    val d = withLshBands(df.select(col(idCol).as("id"), col(vecCol).as("__v")),
+      "__v", dim, bands, rowsPerBand)
+    val bandCols = (0 until bands).map(b => s"band_$b")
+    bandCols.map { bc =>
+      d.select(col("id"), col("__v"), col(bc).as("__bucket")).as("a")
+        .join(d.select(col("id"), col("__v"), col(bc).as("__bucket")).as("b"),
+          col("a.__bucket") === col("b.__bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.__v").as("__va"), col("b.__v").as("__vb"))
+    }.reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .where(col("cosine") >= tau)
+      .select("id_a", "id_b", "cosine")
+  }
+}

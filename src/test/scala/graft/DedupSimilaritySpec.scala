@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10 distinct docs; doc 100 = copy of doc 1; doc 101 = near-copy of doc 2
+  private def corpus = {
+    val words = (1 to 40).map(i => s"w$i")
+    val docs = (1 to 10).map { d =>
+      (d.toLong, (0 until 30).map(i => words((d * 7 + i * 3) % 40)).mkString(" "))
+    }
+    val near = docs(1)._2.split(" ").dropRight(3).mkString(" ") + " extra tail here"
+    (docs :+ (100L, docs.head._2) :+ (101L, near)).toDF("id", "text")
+  }
+
+  test("exactGroups finds the exact duplicate, keeps min id") {
+    val g = Dedup.exactGroups(corpus, "id", "text")
+    val dup = g.where($"n_docs" > 1).select("keep_id", "n_docs").as[(Long, Long)].collect()
+    assert(dup.toSeq == Seq((1L, 2L)))
+    assert(Dedup.exactDedup(corpus, "id", "text").count() == 11)
+  }
+
+  test("ngramJaccardPairs finds exact and near duplicates") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "id", "text", shingleSize = 3, tau = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 100L)))
+    assert(pairs.contains((2L, 101L)))
+  }
+
+  test("minhash LSH recovers the duplicate pairs") {
+    val sigs = Dedup.minhashSignatures(corpus, "id", "text", numHashes = 32, shingleSize = 3)
+    val pairs = Dedup.minhashCandidatePairs(sigs, numHashes = 32, bands = 8, tau = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 100L)))
+    assert(pairs.contains((2L, 101L)))
+    // exact duplicate estimates jaccard 1.0
+    val est = Dedup.minhashCandidatePairs(sigs, 32, 8, 0.3)
+      .where($"id_a" === 1 && $"id_b" === 100).select("est_jaccard").as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("simhashPairs: exact dup at hamming 0, 1-token-changed dup found") {
+    // the piece join GUARANTEES pairs at hamming ≤ 3 (4×16-bit
+    // pigeonhole); larger radii are best-effort — so plant a copy of
+    // doc 4 with one token changed (few flipped bits, shares a piece)
+    val base = corpus
+    val oneOff = base.where($"id" === 4)
+      .select(lit(102L).as("id"),
+        concat(expr("substring(text, 1, length(text) - 3)"), lit("zzz")).as("text"))
+    val pairs = Dedup.simhashPairs(base.unionByName(oneOff), "id", "text", maxHamming = 16)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 100L)) == 0)
+    assert(m.contains((4L, 102L)))
+    assert(m((4L, 102L)) > 0 && m((4L, 102L)) <= 16)
+  }
+
+  test("bruteForceTopK: nearest neighbor of a vector is its near-copy") {
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 3 + j).toFloat))
+    }
+    val near = (100L, vecs(3)._2.map(x => x * 1.001f))
+    val df = (vecs :+ near).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.where($"vec_id" === 3), "vec_id", "embedding", 3)
+    val first = top.where($"rank" === 1).select("neighbor_id").as[Long].head()
+    assert(first == 100L)
+    assert(top.count() == 3)
+  }
+
+  test("lshTopK finds the same nearest neighbor as brute force") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(j => (math.sin(i * 5 + j) + math.cos(i + j * 2)).toFloat))
+    }
+    val near = (100L, vecs(7)._2.map(x => x * 1.0005f))
+    val df = (vecs :+ near).toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" === 7)
+    val bfFirst = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].head()
+    val lshFirst = Similarity.lshTopK(df, q, "vec_id", "embedding", 1, dim = 16)
+      .select("neighbor_id").as[Long].head()
+    assert(bfFirst == 100L)
+    assert(lshFirst == 100L) // identical-direction vector shares every band
+  }
+
+  test("embeddingNearDupPairs finds the planted near-duplicate") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (math.sin(i * 11 + j * 3) + 2.0).toFloat))
+    }
+    val dup = (200L, vecs(5)._2.clone())
+    val df = (vecs :+ dup).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(df, "vec_id", "embedding", dim = 8, tau = 0.9999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((5L, 200L)))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingDemo
+import graft.operators.Multimodal
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("windowedCounts over a MemoryStream source (true streaming run)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(
+      (ts(0, 5), "click", 1.0), (ts(0, 25), "click", 2.0), (ts(0, 45), "view", 3.0),
+      (ts(1, 10), "click", 4.0), (ts(1, 30), "view", 5.0))
+    val source = mem.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingDemo.runOnce(spark, source, "stream_test_1")
+      .select($"window_start", $"event_type", $"n_events", $"sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(out == Set(
+      (ts(0, 0), "click", 2L, 3.0), (ts(0, 0), "view", 1L, 3.0),
+      (ts(1, 0), "click", 1L, 4.0), (ts(1, 0), "view", 1L, 5.0)))
+  }
+
+  test("batch and streaming window plans agree") {
+    val batch = Seq(
+      (ts(0, 5), "click", 1.0), (ts(0, 25), "click", 2.0), (ts(1, 10), "view", 4.0))
+      .toDF("ts", "event_type", "value")
+    val r = StreamingDemo.windowedCounts(batch)
+      .select($"window_start", $"event_type", $"n_events").as[(Timestamp, String, Long)]
+      .collect().toSet
+    assert(r == Set((ts(0, 0), "click", 2L), (ts(1, 0), "view", 1L)))
+  }
+
+  test("multimodal frame sampling: one row per sampled frame, deterministic digests") {
+    val docs = Seq((1L, "some media payload text"), (2L, "x")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.attachFakeBinary(docs, "doc_id", "text"), "doc_id", everyNth = 10)
+    val byDoc = frames.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // n_frames = byte_len % 30 + 1 ⇒ doc1: 23%30+1=24 → frames 0,10,20 ⇒ 3
+    assert(byDoc(1L) == 3L)
+    assert(byDoc(2L) == 1L)
+    val d1 = frames.where($"doc_id" === 1 && $"frame_idx" === 0).select("frame_digest").as[String].head()
+    val d2 = frames.where($"doc_id" === 2 && $"frame_idx" === 0).select("frame_digest").as[String].head()
+    assert(d1 != d2 && d1.length == 64)
+  }
+}
