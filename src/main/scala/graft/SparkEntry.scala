@@ -16,7 +16,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ MLQueries.queries ++ ExtQueries.queries
+    RelationalQueries.queries ++ MLQueries.queries ++ ExtQueries.queries ++
+      AssemblyQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -51,8 +51,12 @@ object TBasic {
     case "all" => df.columns.toSeq
     case "like" => // dtype-family selection: inCols carries family names
       val fams = step.inCols.toSet
+      def isReal(dt: DataType) = dt == DoubleType || dt == FloatType || dt.isInstanceOf[DecimalType]
+      def isInt(dt: DataType) = dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
       df.schema.fields.filter { f =>
         (fams.contains("num") && isNumeric(f.dataType)) ||
+        ((fams.contains("real") || fams.contains("float")) && isReal(f.dataType)) ||
+        (fams.contains("int") && isInt(f.dataType)) ||
         (fams.contains("str") && f.dataType == StringType) ||
         (fams.contains("date") && (f.dataType == DateType || f.dataType == TimestampType))
       }.map(_.name).toSeq

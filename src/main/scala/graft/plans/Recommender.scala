@@ -1,0 +1,316 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{EngineConfig, TableProfile}
+import graft.operators.{ChartAssembly, CoreT, TStep}
+import graft.score.{Scagnostics, Significance}
+
+/** A recommended chart: type, channel descriptions, score, and the
+  * (bounded) data series for rendering. */
+final case class ChartRec(
+    chartType: String,
+    channels: Map[String, String], // channel → "coreT | tpath fingerprint"
+    columns: Map[String, Seq[String]], // channel → output columns
+    score: Double,
+    signature: String,
+    data: Seq[Map[String, Any]])
+
+final case class Recommendation(visList: Seq[ChartRec], graphJson: String)
+
+/** The five-phase search pipeline (SURVEY §3.2): presearch (tpath
+  * enumeration per core transform), stree channel matching,
+  * memoized execution, chart assembly, scoring + top-k + dedup +
+  * provenance graph.
+  *
+  * Phase structure vs the reference (search.py:46-308, 687-1443):
+  *  - enumeration and channel matching are pure driver logic;
+  *  - each (coreT, tpath) executes ONCE as a Spark plan and is cached
+  *    by fingerprint (the reference memoizes on pickled keys,
+  *    search.py:293-298);
+  *  - the reference's per-core-T OS processes (search.py:55-63)
+  *    disappear: Spark's scheduler is the parallelism substrate;
+  *  - chart data is bounded (`maxChartRows`) before driver-side
+  *    scoring, so scoring cost is independent of table size.
+  */
+object Recommender {
+
+  private val chartFamilies: Map[String, Seq[String]] = Map(
+    "scatter" -> Seq("num_scatter", "cat_scatter"),
+    "line" -> Seq("ord_line", "rel_line"),
+    "bar" -> Seq("sum_bar", "count_bar"))
+
+  /** V.py channel contracts: channel → (dim, type); dim None = multi. */
+  private val vlist: Map[String, Map[String, (Option[Int], String)]] = Map(
+    "num_scatter" -> Map("xy" -> (Some(2), "num"), "color" -> (Some(1), "num")),
+    "cat_scatter" -> Map("xy" -> (Some(2), "num"), "color" -> (Some(1), "cat")),
+    "ord_line" -> Map("y" -> (None, "num")),
+    "ord_cat_line" -> Map("y" -> (Some(1), "cat")),
+    "rel_line" -> Map("x" -> (Some(1), "num"), "y" -> (None, "num")),
+    "rel_cat_line" -> Map("x" -> (Some(1), "num"), "y" -> (Some(1), "cat")),
+    "sum_bar" -> Map("x" -> (Some(1), "cat"), "y" -> (None, "num")),
+    "count_bar" -> Map("x" -> (Some(1), "cat")))
+
+  private final case class Executed(coreT: String, tpath: TPathCandidate, df: DataFrame,
+                                    outCols: Seq[String])
+
+  def recommend(df: DataFrame, profile: TableProfile, spark: SparkSession,
+                cfg: EngineConfig = EngineConfig.default,
+                charts: Seq[String] = Seq("scatter", "line", "bar"),
+                maxChartRows: Int = 4000,
+                maxCandidatesPerChannel: Int = 12): Recommendation = {
+    val key = profile.keyColumn.toSeq
+
+    // ── presearch: enumerate pools, shared across DM core Ts
+    //    (threadsharing, T.py:192-199) ─────────────────────────────────
+    val coreTs = Seq("pca", "mds", "kmeans", "dbscan", "lda",
+      "null_num", "null_num1", "null_nom", "null_nom1")
+    val dmShared = Enumerator.dedupe(Enumerator.enumerate(profile, "pca", cfg))
+    def pool(t: String): Seq[TPathCandidate] =
+      if (Set("pca", "mds", "kmeans", "dbscan", "lda").contains(t)) dmShared
+      else Enumerator.dedupe(Enumerator.enumerate(profile, t, cfg))
+
+    // ── memoized execution (one Spark plan per (coreT, tpath)) ───────
+    val memo = mutable.Map[String, Option[Executed]]()
+    def execute(coreT: String, tp: TPathCandidate): Option[Executed] =
+      memo.getOrElseUpdate(s"$coreT :: ${tp.fingerprint}", {
+        try CoreT.transform(df, coreT, tp.steps, key, cfg.notCalcuDmT).map { out =>
+          val outCols = out.columns.filterNot(key.contains).toSeq
+          Executed(coreT, tp, out, outCols)
+        } catch { case _: Exception => None }
+      })
+
+    // static output-dimension prediction, so only dimension-compatible
+    // tpaths are ever executed (channel dim == T output dim,
+    // search.py:131)
+    def predictedDim(coreT: String, tp: TPathCandidate): Option[Int] = coreT match {
+      case "pca" | "mds" | "tsne" | "umap" => Some(2)
+      case "kmeans" | "dbscan" | "lda" => Some(1)
+      case _ => // null passthroughs: simulate the column set
+        var cols: Option[Seq[String]] = Some(Nil)
+        tp.steps.foreach { s =>
+          cols = (s.op, s.outMode, s.inType) match {
+            case ("select", _, "==") => Some(s.inCols)
+            case ("select", _, _) => None // like-select: dynamic
+            case ("rank", _, _) => cols
+            case (_, "append", _) => cols.map(_ ++ s.outName.toSeq)
+            case (_, "new_table", _) => Some(s.outName.toSeq)
+            case _ => cols
+          }
+        }
+        cols.map(_.size)
+    }
+
+    // channel candidates: executed results matching (dim, type)
+    def candidates(dim: Option[Int], ctype: String): Seq[Executed] = {
+      val ts = if (ctype == "num") Enumerator.numTl else Enumerator.catTl
+      ts.filter(t => t != "tsne" && t != "umap").flatMap { t =>
+        val perT = if (Set("pca", "mds", "kmeans", "dbscan", "lda").contains(t)) 3
+                   else maxCandidatesPerChannel
+        pool(t)
+          .filter(tp => predictedDim(t, tp).forall(d => dim.forall(_ == d)))
+          .take(perT)
+          .flatMap { tp =>
+            execute(t, tp).filter { ex =>
+              dim.forall(_ == ex.outCols.size) && ex.outCols.nonEmpty
+            }
+          }
+      }.take(maxCandidatesPerChannel)
+    }
+
+    // alignment rule (ONLYVISUALIZESELECTIONMATCHINGCHANNELS,
+    // search.py:734-737): channels from DM core Ts must come from the
+    // same final selection
+    val alignTl = Set("pca", "tsne", "mds", "umap", "dbscan", "kmeans", "lda")
+    def aligned(a: Executed, b: Executed): Boolean =
+      if (alignTl.contains(a.coreT) && alignTl.contains(b.coreT))
+        a.tpath.fingerprint == b.tpath.fingerprint
+      else true
+
+    def collect2(ex: Executed, cols: Seq[String]): Array[(Double, Double)] =
+      ex.df.select(cols.map(c => col(c).cast("double")): _*)
+        .na.drop().limit(maxChartRows).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+
+    val recs = mutable.ArrayBuffer[ChartRec]()
+
+    val enabledTypes = charts.flatMap(chartFamilies.getOrElse(_, Nil))
+
+    // ── scatter families ─────────────────────────────────────────────
+    if (enabledTypes.contains("num_scatter") || enabledTypes.contains("cat_scatter")) {
+      val xys = candidates(Some(2), "num")
+      val numColors = candidates(Some(1), "num")
+      val catColors = candidates(Some(1), "cat")
+      for (xy <- xys) {
+        val pts = collect2(xy, xy.outCols)
+        if (pts.length >= Scagnostics.DotNumLimit) {
+          val g = new Scagnostics.Graph(pts)
+          val base = Seq(g.outlying, 100 - g.skewed, g.stringy, g.straight,
+            100 - g.clumpy, g.monotonic)
+          if (enabledTypes.contains("num_scatter")) {
+            for (c <- numColors.filter(aligned(xy, _)).take(3)) {
+              val score = base.sum / base.size
+              recs += chartRec("num_scatter", Map("xy" -> xy, "color" -> c), score, maxChartRows)
+            }
+            if (numColors.isEmpty)
+              recs += chartRec("num_scatter", Map("xy" -> xy), base.sum / base.size, maxChartRows)
+          }
+          if (enabledTypes.contains("cat_scatter")) {
+            for (c <- catColors.filter(aligned(xy, _)).take(3)) {
+              // CDM needs the label column joined on the key
+              val joined = xy.df.join(c.df, key).na.drop()
+                .select((xy.outCols.map(cc => col(cc).cast("double")) :+
+                  col(c.outCols.head).cast("string")): _*)
+                .limit(maxChartRows).collect()
+              if (joined.nonEmpty) {
+                val pts2 = joined.map(r => (r.getDouble(0), r.getDouble(1)))
+                val labelStrs = joined.map(_.getString(2))
+                val codes = labelStrs.distinct.sorted.zipWithIndex.toMap
+                val labels = labelStrs.map(s => codes(s).toLong)
+                val cdm = Scagnostics.cdm(pts2, labels)
+                val score = (base :+ cdm).sum / (base.size + 1)
+                recs += chartRec("cat_scatter", Map("xy" -> xy, "color" -> c), score, maxChartRows)
+              }
+            }
+          }
+        }
+      }
+    }
+
+    // ── line families ────────────────────────────────────────────────
+    if (enabledTypes.contains("ord_line") || enabledTypes.contains("rel_line")) {
+      val ys = candidates(None, "num").filter(_.outCols.nonEmpty)
+      for (y <- ys.take(6)) {
+        // prefer derived columns, cap series per chart (search.py:940-947)
+        val series = y.outCols.take(cfg.maxLineNumInChart)
+        val rows = y.df.select(series.map(c => col(c).cast("double")): _*)
+          .na.drop().limit(maxChartRows).collect()
+        if (rows.length >= 3) {
+          val cols = series.indices.map(i => rows.map(_.getDouble(i)).toArray).toArray
+          if (enabledTypes.contains("ord_line")) {
+            val score =
+              if (cols.length >= 2) Significance.correlation(cols)
+              else Significance.linearness(cols(0))
+            recs += chartRec("ord_line", Map("y" -> y), score, maxChartRows)
+          }
+        }
+      }
+      if (enabledTypes.contains("rel_line")) {
+        val xs = candidates(Some(1), "num")
+        for (x <- xs.take(3); y <- ys.take(3) if aligned(x, y) &&
+             x.tpath.fingerprint != y.tpath.fingerprint) {
+          val joined = x.df.join(y.df, key).na.drop()
+            .orderBy(col(x.outCols.head))
+            .select(((x.outCols.head +: y.outCols.take(cfg.maxLineNumInChart))
+              .map(c => col(c).cast("double"))): _*)
+            .limit(maxChartRows).collect()
+          if (joined.length >= 3) {
+            val ySeries = (1 until joined.head.length)
+              .map(i => joined.map(_.getDouble(i)).toArray).toArray
+            val score = if (ySeries.length >= 2) Significance.correlation(ySeries)
+              else Significance.linearness(ySeries(0))
+            recs += chartRec("rel_line", Map("x" -> x, "y" -> y), score, maxChartRows)
+          }
+        }
+      }
+    }
+
+    // ── bar families (the group-agg charts) ──────────────────────────
+    if (enabledTypes.contains("sum_bar") || enabledTypes.contains("count_bar")) {
+      val xs = candidates(Some(1), "cat")
+      val ys = candidates(None, "num")
+      for (x <- xs.take(4)) {
+        val xCol = x.outCols.head
+        if (enabledTypes.contains("sum_bar")) {
+          for (y <- ys.take(3) if aligned(x, y)) {
+            val joined = x.df.join(y.df, key)
+            val series = y.outCols.take(cfg.maxBarNumInChart)
+            val agg = ChartAssembly.sumBar(joined, xCol, series)
+              .orderBy(col(xCol)).limit(maxChartRows).collect()
+            if (agg.length >= 2) {
+              val sums = series.indices.map(i =>
+                agg.map(r => Option(r.get(i + 1)).map(_.toString.toDouble).getOrElse(0.0)).toArray)
+              val score = sums.map(Significance.outstanding1).sum / sums.size
+              recs += chartRec("sum_bar", Map("x" -> x, "y" -> y), score, maxChartRows)
+            }
+          }
+        }
+        if (enabledTypes.contains("count_bar")) {
+          val agg = ChartAssembly.countBar(x.df, xCol)
+            .orderBy(col(xCol)).limit(maxChartRows).collect()
+          if (agg.length >= 2) {
+            val counts = agg.map(_.getLong(1).toDouble)
+            recs += chartRec("count_bar", Map("x" -> x),
+              Significance.outstanding1(counts), maxChartRows)
+          }
+        }
+      }
+    }
+
+    // ── sort, dedup, top-k per family (search.py:1261-1299) ──────────
+    val caps = Map("num_scatter" -> cfg.maxScatter, "cat_scatter" -> cfg.maxScatter,
+      "ord_line" -> cfg.maxLine, "rel_line" -> cfg.maxLine,
+      "ord_cat_line" -> cfg.maxCatLine, "rel_cat_line" -> cfg.maxCatLine,
+      "sum_bar" -> cfg.maxSumBar, "count_bar" -> cfg.maxCountBar)
+    val seen = mutable.Set[String]()
+    val topk = recs.toSeq.groupBy(_.chartType).toSeq.sortBy(_._1).flatMap {
+      case (ct, group) =>
+        group.sortBy(-_.score)
+          .filter(r => seen.add(r.signature))
+          .take(caps.getOrElse(ct, 3))
+    }
+
+    Recommendation(topk, ProvenanceGraph.render(topk))
+  }
+
+  private def chartRec(chartType: String, chans: Map[String, Executed],
+                       score: Double, maxRows: Int): ChartRec = {
+    val channels = chans.map { case (ch, ex) => ch -> s"${ex.coreT} | ${ex.tpath.fingerprint}" }
+    val columns = chans.map { case (ch, ex) => ch -> ex.outCols }
+    val sig = chartType + "::" + chans.toSeq.sortBy(_._1)
+      .map { case (ch, ex) => s"$ch=${ex.coreT}:${ex.tpath.fingerprint}" }.mkString("|")
+    // bounded sample of the primary channel for rendering
+    val primary = chans.head._2
+    val sample = primary.df.limit(20).collect().map { r =>
+      r.schema.fieldNames.zip(r.toSeq).toMap
+    }.toSeq
+    ChartRec(chartType, channels, columns, score, sig, sample)
+  }
+}
+
+/** Provenance graph emission (search.py:1301-1443): nodes = source /
+  * transforms / charts, edges = derivation, vis_list = the charts.
+  * JSON replaces the reference's eval-able node-id strings with
+  * content fingerprints (SURVEY §7.4.5). */
+object ProvenanceGraph {
+  private def esc(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
+  def render(charts: Seq[ChartRec]): String = {
+    val nodes = mutable.LinkedHashMap[String, String]() // id → json
+    val edges = mutable.ArrayBuffer[String]()
+    nodes("source") = s"""{"id":"source","kind":"table"}"""
+    charts.zipWithIndex.foreach { case (c, i) =>
+      val chartId = s"chart_$i"
+      c.channels.toSeq.sortBy(_._1).foreach { case (ch, t) =>
+        val tid = "t_" + Integer.toHexString(t.hashCode)
+        nodes.getOrElseUpdate(tid,
+          s"""{"id":${esc(tid)},"kind":"transform","label":${esc(t)}}""")
+        edges += s"""{"from":"source","to":${esc(tid)}}"""
+        edges += s"""{"from":${esc(tid)},"to":${esc(chartId)},"channel":${esc(ch)}}"""
+      }
+      nodes(chartId) =
+        s"""{"id":${esc(chartId)},"kind":"chart","type":${esc(c.chartType)},"score":${c.score}}"""
+    }
+    val vis = charts.map(c =>
+      s"""{"chart_type":${esc(c.chartType)},"score":${c.score},"channels":{${
+        c.channels.toSeq.sortBy(_._1).map { case (k, v) => s"${esc(k)}:${esc(v)}" }.mkString(",")
+      }}}""").mkString("[", ",", "]")
+    s"""{"nodes":[${nodes.values.mkString(",")}],"edges":[${edges.mkString(",")}],"vis_list":$vis}"""
+  }
+}

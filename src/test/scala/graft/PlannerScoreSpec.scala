@@ -1,0 +1,151 @@
+package graft
+
+import graft.plans.{Enumerator, Load, Recommender}
+import graft.profiler.Profiler
+import graft.score.{Scagnostics, Significance}
+
+class PlannerScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── Load / Pareto ──────────────────────────────────────────────────
+  test("Load dominance is the strict component-wise partial order") {
+    assert(Load(1, 2, 3).dominates(Load(2, 2, 3)))
+    assert(!Load(1, 2, 3).dominates(Load(1, 2, 3))) // equal → not dominated
+    assert(!Load(1, 5, 3).dominates(Load(2, 2, 3))) // incomparable
+  }
+
+  // ── Enumerator ─────────────────────────────────────────────────────
+  private def prof = {
+    // 4 correlated real columns forming one cluster + a nominal + str key
+    val df = (1 to 60).map { i =>
+      (s"k$i", i % 3 match { case 0 => "a"; case 1 => "b"; case _ => "c" },
+        i * 1.0, i * 1.0 + 1, i * 1.0 + 2, i * 2.0)
+    }.toDF("name", "seg", "m one", "m two", "m three", "other")
+    Profiler.profile(df)._2
+  }
+
+  test("null_nom1 / null_nom enumerate nominal selections") {
+    val p = prof
+    val nom1 = Enumerator.enumerate(p, "null_nom1")
+    assert(nom1.size == 1 && nom1.head.steps.head.inCols == Seq("seg"))
+    val nom = Enumerator.enumerate(p, "null_nom")
+    assert(nom.head.steps.head.inCols == Seq("seg"))
+  }
+
+  test("numeric enumeration: depth-0 selects + arithmetic tree with closing selects") {
+    val p = prof
+    val pool = Enumerator.dedupe(Enumerator.enumerate(p, "pca"))
+    assert(pool.nonEmpty)
+    // depth-0 cluster select exists
+    assert(pool.exists(tp => tp.steps.map(_.op) == Vector("select")))
+    // tree nodes end with a closing select and contain arithmetic
+    val arith = pool.filter(_.steps.exists(s => Set("sum", "sub", "mul", "div").contains(s.op)))
+    assert(arith.nonEmpty)
+    assert(arith.forall(_.steps.last.op == "select"))
+    // canonical op order: non-decreasing basicTl index within each path
+    val order = Enumerator.basicTl.zipWithIndex.toMap
+    assert(arith.forall { tp =>
+      val ops = tp.steps.map(_.op).filter(order.contains)
+      ops == ops.sortBy(order)
+    })
+    // loads are monotone with depth
+    assert(arith.forall(_.load.compute > 0))
+  }
+
+  test("Pareto pruning never removes a non-dominated sibling") {
+    val p = prof
+    val pool = Enumerator.enumerate(p, "pca")
+    val loads = pool.map(_.load).distinct
+    // no load in the pool strictly dominates ALL others at its depth
+    // (weak sanity: the pool is an antichain-ish set, never empty)
+    assert(loads.nonEmpty)
+  }
+
+  test("null_num1 includes arithmetic new_table steps over >2 clusters") {
+    val p = prof
+    val pool = Enumerator.enumerate(p, "null_num1")
+    assert(pool.exists(tp => tp.steps.head.op == "sum" && tp.steps.head.outMode == "new_table"))
+    // sub/div/mul need exactly-2 clusters, which ONLYPROCESSCLUSTERMORETHAN2 skips
+    assert(!pool.exists(tp => Set("sub", "div", "mul").contains(tp.steps.head.op)))
+  }
+
+  // ── Scagnostics ────────────────────────────────────────────────────
+  test("scagnostics on a straight line: stringy/straight/monotonic maxed") {
+    val pts = (0 until 50).map(i => (i.toDouble, 2.0 * i)).toArray
+    val g = new Scagnostics.Graph(pts)
+    assert(math.abs(g.stringy - 100.0) < 1e-6)
+    assert(math.abs(g.straight - 100.0) < 1e-9)
+    assert(math.abs(g.monotonic - 100.0) < 1e-6)
+    assert(math.abs(g.outlying - 100.0) < 1e-9) // no outlier edges cut
+  }
+
+  test("scagnostics below the dot limit score 0") {
+    val g = new Scagnostics.Graph(Array((0.0, 0.0), (1.0, 1.0)))
+    assert(g.stringy == 0 && g.outlying == 0 && g.clumpy == 0)
+  }
+
+  test("clumpy separates two distant blobs") {
+    val pts = ((0 until 20).map(i => (i * 0.01, i * 0.013)) ++
+      (0 until 20).map(i => (100.0 + i * 0.01, 100.0 + i * 0.011))).toArray
+    val g = new Scagnostics.Graph(pts)
+    assert(g.clumpy > 90)
+  }
+
+  test("CDM: separated classes score higher than mixed classes") {
+    val pts = ((0 until 50).map(i => (i * 0.1, 0.0)) ++
+      (0 until 50).map(i => (i * 0.1, 50.0))).toArray
+    val separated = Array.fill(50)(0L) ++ Array.fill(50)(1L)
+    val mixed = Array.tabulate(100)(i => (i % 2).toLong)
+    assert(Scagnostics.cdm(pts, separated) > Scagnostics.cdm(pts, mixed))
+  }
+
+  test("numpy-style percentile interpolation") {
+    val xs = Array(1.0, 2.0, 3.0, 4.0)
+    assert(Scagnostics.percentile(xs, 50) == 2.5)
+    assert(Scagnostics.percentile(xs, 25) == 1.75)
+    assert(Scagnostics.percentile(xs, 100) == 4.0)
+  }
+
+  // ── Significance ───────────────────────────────────────────────────
+  test("correlation2: perfectly correlated ≈ 100, independent low") {
+    val x = Array.tabulate(50)(_.toDouble)
+    val y = x.map(_ * 3 + 1)
+    assert(Significance.correlation2(x, y) > 99.9)
+    val rnd = new scala.util.Random(3)
+    val noise = Array.fill(50)(rnd.nextDouble())
+    assert(Significance.correlation2(x, noise) < 99)
+  }
+
+  test("outstanding1: one dominant value beats uniform") {
+    val dominant = Array(1.0, 1.1, 0.9, 1.05, 20.0)
+    val uniform = Array(1.0, 1.1, 0.9, 1.05, 1.02)
+    assert(Significance.outstanding1(dominant) != Significance.outstanding1(uniform))
+  }
+
+  test("moment scores match population formulas") {
+    val xs = Array(1.0, 2.0, 3.0, 4.0)
+    assert(Significance.dispersion(xs) == 1.25)
+    assert(math.abs(Significance.skewScore(xs)) < 1e-12)
+  }
+
+  // ── Recommender e2e ────────────────────────────────────────────────
+  test("recommend produces capped, deduped charts over a profiled table") {
+    val df = Seq.tabulate(80) { i =>
+      (s"n$i", if (i % 4 == 0) "gold" else if (i % 4 == 1) "silver" else "bronze",
+        i * 1.0 + (i % 7), 2.0 * i + (i % 5), 150.0 - i + (i % 3))
+    }.toDF("name", "tier", "score one", "score two", "other")
+    val (pdf, profile) = Profiler.profile(df)
+    val rec = Recommender.recommend(pdf, profile, spark)
+    assert(rec.visList.nonEmpty)
+    val byType = rec.visList.groupBy(_.chartType)
+    assert(byType.getOrElse("num_scatter", Nil).size <= 10)
+    assert(byType.getOrElse("sum_bar", Nil).size <= 3)
+    assert(byType.getOrElse("count_bar", Nil).size <= 1)
+    assert(rec.visList.map(_.signature).distinct.size == rec.visList.size)
+    // graph JSON is valid
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(rec.graphJson)
+    assert(tree.has("nodes") && tree.has("edges") && tree.has("vis_list"))
+    assert(tree.get("vis_list").size() == rec.visList.size)
+  }
+}
