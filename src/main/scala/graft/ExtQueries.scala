@@ -37,15 +37,22 @@ object ExtQueries {
         size(TextFunctions.bpeishTokens(col("text"))).as("n_bpeish"))
     }),
     "q_text_quality" -> ((s, dir) => {
-      Tables.documents(s, dir).select(col("doc_id"),
-        TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
-        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
-        TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("__toks"),
+          TextFunctions.tokens(lower(col("text"))).as("__ltoks"))
+        .select(col("doc_id"),
+          TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+          TextFunctions.stopwordRatioOf(col("__ltoks")).as("stopword_ratio"),
+          TextFunctions.meanTokenLenOf(col("__toks")).as("mean_token_len"),
+          TextFunctions.qualityScoreOf(col("text"), col("__toks"), col("__ltoks")).as("quality"))
     }),
     "q_text_langid" -> ((s, dir) => {
-      Tables.documents(s, dir).select(col("doc_id"),
-        TextFunctions.langId(col("text")).as("lang_pred"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokens(lower(col("text"))).as("__ltoks"))
+        .select(col("doc_id"),
+          TextFunctions.langIdOf(col("text"), col("__ltoks")).as("lang_pred"))
     }),
     "q_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),

@@ -61,14 +61,20 @@ object TextFunctions {
   def upperRatio(text: Column): Column =
     length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
       nullif_zero(length(text))
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(lower(text))
-    size(filter(toks, t => t.isin(enStopwords: _*))).cast("double") /
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(lower(text)))
+  def meanTokenLen(text: Column): Column = meanTokenLenOf(tokens(text))
+
+  /** Token-array variants: project the token arrays ONCE
+    * (`withColumn("toks", tokens(...))`) and feed them here — Catalyst
+    * keeps the producing Project separate when a non-cheap alias is
+    * reused, so the tokenizer regex runs once per row instead of once
+    * per derived metric. */
+  def stopwordRatioOf(lowerToks: Column): Column =
+    size(filter(lowerToks, t => t.isin(enStopwords: _*))).cast("double") /
+      nullif_zero(size(lowerToks))
+  def meanTokenLenOf(toks: Column): Column =
+    aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
       nullif_zero(size(toks))
-  }
-  def meanTokenLen(text: Column): Column =
-    aggregate(tokens(text), lit(0), (acc, t) => acc + length(t)).cast("double") /
-      nullif_zero(tokenCount(text))
 
   private def nullif_zero(c: Column): Column =
     when(c === 0, lit(null)).otherwise(c.cast("double"))
@@ -77,11 +83,14 @@ object TextFunctions {
     * alphabetic content, penalizes digit/punct walls and extreme token
     * lengths — the standard web-corpus heuristic family (Gopher-style
     * rules), deterministic and SQL-mirrorable. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(text, tokens(text), tokens(lower(text)))
+
+  def qualityScoreOf(text: Column, toks: Column, lowerToks: Column): Column = {
     val lenOk = when(length(text).between(50, 10000), 1.0).otherwise(0.0)
-    val meanOk = when(coalesce(meanTokenLen(text), lit(0.0)).between(3.0, 12.0), 1.0).otherwise(0.0)
+    val meanOk = when(coalesce(meanTokenLenOf(toks), lit(0.0)).between(3.0, 12.0), 1.0).otherwise(0.0)
     val alpha = coalesce(alphaRatio(text), lit(0.0))
-    val stop = least(coalesce(stopwordRatio(text), lit(0.0)) * 5.0, lit(1.0))
+    val stop = least(coalesce(stopwordRatioOf(lowerToks), lit(0.0)) * 5.0, lit(1.0))
     val digitPenalty = coalesce(digitRatio(text), lit(0.0))
     (lenOk * 0.2) + (meanOk * 0.2) + (alpha * 0.3) + (stop * 0.2) +
       ((lit(1.0) - digitPenalty) * 0.1)
@@ -98,18 +107,22 @@ object TextFunctions {
     * stopword profile with the highest token hit-rate, requiring a
     * minimal signal, else "und". Pure Column expression — runs at scan
     * speed over a 100 TB corpus. */
-  def langId(text: Column, minScore: Double = 0.05): Column = {
-    val toks = tokens(lower(text))
-    val total = nullif_zero(size(toks))
+  def langId(text: Column, minScore: Double = 0.05): Column =
+    langIdOf(text, tokens(lower(text)), minScore)
+
+  def langIdOf(text: Column, lowerToks: Column, minScore: Double = 0.05): Column = {
+    val total = nullif_zero(size(lowerToks))
     val scores = langProfiles.map { case (lang, words) =>
-      lang -> (size(filter(toks, t => t.isin(words: _*))).cast("double") / total)
+      lang -> (size(filter(lowerToks, t => t.isin(words: _*))).cast("double") / total)
     }
     val cjkShare = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("double") /
       nullif_zero(length(text))
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s === best && best >= minScore, lang).otherwise(acc)
-    }
+    // argmax via array<struct>: each score is computed exactly once
+    val packed = array_max(array(scores.map { case (lang, s) =>
+      struct(coalesce(s, lit(0.0)).as("score"), lit(lang).as("lang"))
+    }: _*))
+    val pick = when(packed.getField("score") >= minScore, packed.getField("lang"))
+      .otherwise("und")
     when(coalesce(cjkShare, lit(0.0)) > 0.3, "zh").otherwise(pick)
   }
 
