@@ -172,6 +172,27 @@ object RelationalQueries {
       graft.profiler.Profiler.profileStatsDF(s, Tables.customer(s, dir))
     }),
 
+    // ── del + replace output modes (Tengine.py:132-137) ──
+    "q_del_replace" -> ((s, dir) => {
+      val dropped = TBasic(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_discount"), col("l_tax")),
+        TStep("del", inCols = Seq("l_returnflag")))
+      TBasic(dropped, TStep("sum", inCols = Seq("l_discount", "l_tax"),
+        outMode = "replace", outName = Some("disc_plus_tax")))
+    }),
+
+    // ── first-class aggr (reserved in the reference, T.py:188) ──
+    "q_aggr_multi" -> ((s, dir) => {
+      graft.operators.ChartAssembly.aggr(
+        Tables.lineitem(s, dir),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(count(lit(1)).as("n"),
+          sumd(col("l_quantity")).as("sum_qty"),
+          (sumd(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          countDistinct(col("l_partkey")).as("nd_parts")))
+    }),
+
     // ── profiling stats in one agg pass (spreadsheet.py:102-163) ──
     "q_profile_stats" -> ((s, dir) => {
       Tables.lineitem(s, dir).agg(
@@ -265,6 +286,16 @@ object RelationalQueries {
         |       LEAST(CAST(FLOOR(ny * 10) AS BIGINT), 9) AS celly,
         |       COUNT(*) AS n
         |FROM norm GROUP BY 1, 2""".stripMargin,
+    "q_del_replace" ->
+      """SELECT l_orderkey, l_linenumber,
+        | (COALESCE(l_discount, 0) + COALESCE(l_tax, 0)) AS disc_plus_tax
+        |FROM lineitem""".stripMargin,
+    "q_aggr_multi" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(DISTINCT l_partkey) AS nd_parts
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_profile_columns" ->
       """WITH s AS (SELECT COUNT(*) AS n,
         |  COUNT(DISTINCT c_custkey) AS nd_ck, COUNT(DISTINCT c_name) AS nd_nm,

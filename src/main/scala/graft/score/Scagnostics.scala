@@ -243,6 +243,22 @@ object Scagnostics {
     }.toMap
   }
 
+  /** Local quality: per-cluster mean of {outlying, 100−skew, stringy,
+    * straight, 100−clumpy} over the groups of a categorical channel;
+    * groups of ≤2 points contribute 0 (search.py:823-840). */
+  def localQuality(points: Array[(Double, Double)], labels: Array[Long]): Double = {
+    val groups = points.zip(labels).groupBy(_._2).toSeq.sortBy(_._1)
+    if (groups.isEmpty) return 0.0
+    val scores = groups.map { case (_, members) =>
+      if (members.length <= 2) 0.0
+      else {
+        val g = new Graph(members.map(_._1))
+        Seq(g.outlying, 100 - g.skewed, g.stringy, g.straight, 100 - g.clumpy).sum / 5
+      }
+    }
+    scores.sum / scores.size
+  }
+
   /** CDM: pairwise L1 distance of per-class histograms, ÷ n·(classes−1),
     * ×100 (score.py:61-70). */
   def cdm(points: Array[(Double, Double)], labels: Array[Long]): Double = {

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColorMapping
+import graft.operators.TStep
+import graft.plans.{Beautify, Lineage}
+import graft.score.Scagnostics
+import graft.sources.Tables
+
+class LineageSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TPath JSON codec round-trips every field") {
+    val steps = Vector(
+      TStep("rank", inType = "like", inCols = Seq("real"), outMode = "append"),
+      TStep("sum", inCols = Seq("a", "b"), outMode = "new_table", outName = Some("s")),
+      TStep("astype", inCols = Seq("s"), castTo = Some("double")))
+    assert(Lineage.fromJson(Lineage.toJson(steps)) == steps)
+  }
+
+  test("lineage replay re-executes a serialized tpath; addStep extends it") {
+    val df = Seq((1L, 2.0, 3.0), (2L, 4.0, 5.0)).toDF("k", "a", "b")
+    val json = Lineage.toJson(Seq(
+      TStep("sum", inCols = Seq("a", "b"), outMode = "append", outName = Some("s"))))
+    val replayed = Lineage.replay(df, json, Seq("k"))
+    assert(replayed.select("k", "s").as[(Long, Double)].collect().toMap ==
+      Map(1L -> 5.0, 2L -> 9.0))
+    val (extended, newJson) = Lineage.addStep(df, json,
+      TStep("div", inCols = Seq("s", "a"), outMode = "append", outName = Some("q")), Seq("k"))
+    assert(extended.select("k", "q").as[(Long, Double)].collect().toMap ==
+      Map(1L -> 2.5, 2L -> 2.25))
+    assert(Lineage.fromJson(newJson).size == 2)
+  }
+
+  test("addCoreT applies a terminal transform on a replayed lineage") {
+    val df = (1 to 30).map(i => (i.toLong, i * 1.0, 2.0 * i, 3.0 * i)).toDF("k", "a", "b", "c")
+    val json = Lineage.toJson(Seq(TStep("select", inCols = Seq("a", "b", "c"),
+      outMode = "new_table")))
+    val out = Lineage.addCoreT(df, json, "pca", Seq("k"))
+    assert(out.isDefined && out.get.columns.toSeq == Seq("k", "PC1", "PC2"))
+  }
+
+  test("beautify reorder: fixed preferred prefix then remainder") {
+    // reference semantics: out-of-range preferred indices (8,7) are
+    // dropped only by the final filter, after the remainder (1,5) is
+    // appended — so the tail order is 1,5 (utils.py:215-222)
+    assert(Beautify.reorder((0 until 6).toList) == List(3, 2, 0, 4, 1, 5))
+    val big = (0 until 14).toList
+    assert(Beautify.reorder(big).take(5) == List(0, 2, 3, 6, 12))
+    assert(Beautify.reorder(big).sorted == big)
+  }
+
+  test("color mapping: nominal palette cycles with gray outlier, numeric ramp exact") {
+    val p = ColorMapping.nominalPalette(3)
+    assert(p.size == 4 && p.last == (0.5, 0.5, 0.5))
+    assert(ColorMapping.nominalColor(-1, 3) == (0.5, 0.5, 0.5))
+    val ramp = ColorMapping.numericColors(Array(0.0, 5.0, 10.0))
+    assert(ramp(0) == (222 / 255.0, 235 / 255.0, 247 / 255.0)) // min → pale
+    // max → dark, via the exact reference formula (hi−lo)·1+lo (fp!)
+    def at1(hi: Double, lo: Double) = (hi - lo) * 1.0 + lo
+    assert(ramp(2) == (at1(8 / 255.0, 222 / 255.0), at1(48 / 255.0, 235 / 255.0),
+      at1(107 / 255.0, 247 / 255.0)))
+    assert(ColorMapping.cdmBuckets(Array(0.0, 0.4, 1.0)).toSeq == Seq(0L, 1L, 3L))
+  }
+
+  test("local quality scores tight clusters above a scattered cloud") {
+    val tight = (0 until 30).map(i => (i * 0.001, i * 0.001)) ++
+      (0 until 30).map(i => (10 + i * 0.001, 10 + i * 0.001))
+    val labels = (Array.fill(30)(0L) ++ Array.fill(30)(1L))
+    val lq = Scagnostics.localQuality(tight.toArray, labels)
+    assert(lq > 0)
+    // tiny groups contribute 0
+    assert(Scagnostics.localQuality(Array((0.0, 0.0), (1.0, 1.0)), Array(0L, 1L)) == 0.0)
+  }
+
+  test("csv / json / in-memory sources round-trip with optional row cap") {
+    val dir = Files.createTempDirectory("graft_src").toFile
+    val csvPath = new java.io.File(dir, "t.csv")
+    Files.writeString(csvPath.toPath, "name,v\nalpha,1\nbeta,2\ngamma,3\n")
+    val csv = Tables.csv(spark, csvPath.getAbsolutePath)
+    assert(csv.count() == 3 && csv.columns.toSeq == Seq("name", "v"))
+    assert(Tables.csv(spark, csvPath.getAbsolutePath, maxRows = Some(2)).count() == 2)
+
+    val jsonPath = new java.io.File(dir, "t.json")
+    Files.writeString(jsonPath.toPath, """{"a":1,"b":"x"}""" + "\n" + """{"a":2,"b":"y"}""" + "\n")
+    assert(Tables.json(spark, jsonPath.getAbsolutePath).count() == 2)
+
+    val mem = Tables.inMemory(spark, Seq("h1", "h2"),
+      Seq(Seq("a", "1"), Seq("b", "2")))
+    assert(mem.count() == 2 && mem.columns.toSeq == Seq("h1", "h2"))
+  }
+}
