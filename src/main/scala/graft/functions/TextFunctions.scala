@@ -11,14 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens (non-space runs). Empty/blank text → empty array. */
-  def tokens(text: Column): Column =
-    regexp_extract_all(text, lit("\\S+"), lit(0))
+  /** Whitespace tokens (non-space runs). Empty/blank text → empty
+    * array. Single-pass native expression (≡ regexp_extract_all(text,
+    * "\\S+") — see [[Tokenize]]). */
+  def tokens(text: Column): Column = Tokenize.whitespaceTokens(text)
 
   /** BPE-ish subword-friendly tokens: letter runs, digit runs, or single
-    * punctuation — the usual pre-tokenizer regex family. */
-  def bpeishTokens(text: Column): Column =
-    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    * punctuation — the usual pre-tokenizer family; single-pass native
+    * expression. */
+  def bpeishTokens(text: Column): Column = Tokenize.bpeishTokens(text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -29,13 +30,11 @@ object TextFunctions {
       s"transform(sequence(1, greatest(length(__t) - ${n - 1}, 0)), i -> substring(__t, i, $n))"
         .replace("__t", sqlRef(text))))
 
-  /** Word n-gram shingles from the whitespace tokens. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = sqlRef(text)
-    array_distinct(expr(
-      s"transform(sequence(1, greatest(size(regexp_extract_all($t, '\\\\S+', 0)) - ${n - 1}, 0)), " +
-        s"i -> array_join(slice(regexp_extract_all($t, '\\\\S+', 0), i, $n), ' '))"))
-  }
+  /** Word n-gram shingles from the whitespace tokens (distinct, in
+    * first-occurrence order). Single-pass native expressions — the
+    * token array is built once per row, not once per shingle. */
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(Tokenize.wordShingles(tokens(text), n))
 
   // only plain column references are spliced into expr() strings
   private def sqlRef(c: Column): String = {

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass tokenizers as native Catalyst expressions.
+  *
+  * `regexp_extract_all` with an alternation pattern costs ~µs/char on
+  * the corpus hot path; these scanners do one linear pass over the
+  * UTF-8 bytes. Semantics exactly match the regex forms (ASCII
+  * whitespace = java/RE2 `\s`, ASCII letter/digit classes), so the
+  * DuckDB oracles stay valid.
+  *
+  * - [[WhitespaceTokens]] ≡ regexp_extract_all(text, "\\S+")
+  * - [[BpeishTokens]]     ≡ regexp_extract_all(text,
+  *                            "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+  */
+abstract class SinglePassTokenizer extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // ASCII \s: space, \t, \n, \x0B, \f, \r
+  @inline protected final def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+  @inline protected final def isAlpha(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+  @inline protected final def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+}
+
+/** Whitespace-run tokenization (≡ `\S+`). */
+case class WhitespaceTokens(child: Expression) extends SinglePassTokenizer {
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < bytes.length) {
+      while (i < bytes.length && isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < bytes.length && !isSpace(bytes(i))) i += 1
+      if (i > start) out.add(UTF8String.fromBytes(bytes, start, i - start))
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): WhitespaceTokens = copy(child = c)
+}
+
+/** Letter runs / digit runs / single other-non-space (the BPE-ish
+  * pre-tokenizer classes). */
+case class BpeishTokens(child: Expression) extends SinglePassTokenizer {
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (isAlpha(b)) {
+        val start = i
+        while (i < bytes.length && isAlpha(bytes(i))) i += 1
+        out.add(UTF8String.fromBytes(bytes, start, i - start))
+      } else if (isDigit(b)) {
+        val start = i
+        while (i < bytes.length && isDigit(bytes(i))) i += 1
+        out.add(UTF8String.fromBytes(bytes, start, i - start))
+      } else if (!isSpace(b)) {
+        // single non-alnum char — but multi-byte UTF-8 sequences stay
+        // one "char" like the regex `.`-class would treat them
+        val start = i
+        i += 1
+        while (i < bytes.length && (bytes(i) & 0xC0) == 0x80) i += 1 // continuation bytes
+        out.add(UTF8String.fromBytes(bytes, start, i - start))
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): BpeishTokens = copy(child = c)
+}
+
+/** n-token shingles from a token array. A lambda-based
+  * `transform(sequence(...), i -> slice(toks, i, n))` re-evaluates the
+  * token child once per element (O(tokens²) scans); this expression
+  * evaluates its child once. Output order matches the lambda form. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = arr.numElements()
+    val count = math.max(m - n + 1, 0)
+    val out = new Array[AnyRef](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+object Tokenize {
+  import org.apache.spark.sql.GraftSqlBridge
+
+  private def toExpr(c: Column): Expression =
+    GraftSqlBridge.expression(org.apache.spark.sql.SparkSession.active, c)
+
+  def whitespaceTokens(text: Column): Column =
+    GraftSqlBridge.column(WhitespaceTokens(toExpr(text)))
+  def bpeishTokens(text: Column): Column =
+    GraftSqlBridge.column(BpeishTokens(toExpr(text)))
+  def wordShingles(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(WordShingles(toExpr(tokens), n))
+}

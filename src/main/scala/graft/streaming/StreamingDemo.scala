@@ -15,6 +15,10 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingDemo {
 
+  /** Sessionization event / state records (top-level for Encoders). */
+  final case class Ev(userId: Long, tsMillis: Long)
+  final case class Sess(userId: Long, start: Long, end: Long, n: Long)
+
   /** Tumbling 1-hour window aggregation with a 10-minute watermark.
     * Works on a streaming OR batch frame with columns (ts, event_type,
     * value). */
@@ -27,6 +31,52 @@ object StreamingDemo {
         sum(col("value").cast("decimal(18,3)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+  }
+
+  /** Per-user sessionization with custom state
+    * (KeyValueGroupedDataset.flatMapGroupsWithState): a session closes
+    * after `gapMinutes` of inactivity; emits (user_id, session_start,
+    * session_end, n_events). Demonstrates the arbitrary-state API the
+    * window aggregation can't express. */
+  def sessionize(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                 gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val gapMs = gapMinutes * 60000L
+    val streaming = events.isStreaming // captured as a plain boolean
+
+    val typed = events.select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .as[(Long, java.sql.Timestamp)]
+      .map { case (u, t) => Ev(u, t.getTime) }
+
+    def fn(userId: Long, evs: Iterator[Ev], state: GroupState[Sess]): Iterator[Sess] = {
+      val sorted = evs.toSeq.sortBy(_.tsMillis)
+      var cur = state.getOption
+      val closed = Seq.newBuilder[Sess]
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.tsMillis - s.end <= gapMs =>
+            cur = Some(s.copy(end = e.tsMillis, n = s.n + 1))
+          case Some(s) =>
+            closed += s
+            cur = Some(Sess(userId, e.tsMillis, e.tsMillis, 1))
+          case None =>
+            cur = Some(Sess(userId, e.tsMillis, e.tsMillis, 1))
+        }
+      }
+      cur match {
+        case Some(s) if !streaming => state.remove(); closed += s // batch: flush
+        case Some(s) => state.update(s)
+        case None =>
+      }
+      closed.result().iterator
+    }
+
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF("user_id", "session_start_ms", "session_end_ms", "n_events")
   }
 
   /** Drive the streaming query synchronously from a bounded source and

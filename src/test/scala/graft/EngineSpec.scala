@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+import graft.operators.TStep
+import graft.plans.Lineage
+import graft.streaming.StreamingDemo
+
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table = Seq.tabulate(60) { i =>
+    (s"row$i", if (i % 3 == 0) "x" else "y", i * 1.0, 2.0 * i + 1, 100.0 - i)
+  }.toDF("name", "grp", "a val", "b val", "c val")
+
+  test("Engine.search runs the full pipeline with beautify") {
+    val engine = new Engine(spark)
+    val rec = engine.search(table)
+    assert(rec.visList.nonEmpty)
+    assert(rec.graphJson.contains("\"vis_list\""))
+  }
+
+  test("Engine.addTransform / addVisualization extend a lineage") {
+    val engine = new Engine(spark)
+    val base = Lineage.toJson(Seq(TStep("select",
+      inCols = Seq("a val", "b val", "c val"), outMode = "new_table")))
+    val (df2, json2) = engine.addTransform(table, base,
+      TStep("sum", inCols = Seq("a val", "b val"), outMode = "append", outName = Some("ab")))
+    assert(df2.columns.contains("ab"))
+    assert(Lineage.fromJson(json2).size == 2)
+    val vis = engine.addVisualization(table, base, "kmeans")
+    assert(vis.isDefined)
+    assert(vis.get.columns.contains("Category by KMeans"))
+  }
+
+  test("reference-parity config applies the 400-row source cap") {
+    val big = (1 to 1000).map(i => (s"r$i", i * 1.0, 2.0 * i, 3.0 * i))
+      .toDF("name", "a", "b", "c")
+    val engine = new Engine(spark, EngineConfig.referenceParity)
+    val (pdf, prof) = engine.profile(big)
+    assert(prof.rows == 400 && pdf.count() == 400)
+  }
+
+  test("sessionize (batch): gap splits sessions, counts events") {
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      (1L, ts(0, 0), 1.0), (1L, ts(0, 10), 1.0), (1L, ts(0, 20), 1.0),
+      (1L, ts(2, 0), 1.0), // > 30 min gap → new session
+      (2L, ts(1, 0), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val sessions = StreamingDemo.sessionize(events, gapMinutes = 30)
+      .select($"user_id", $"n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(sessions(1L) == Seq(1L, 3L)) // two sessions: 3 events + 1 event
+    assert(sessions(2L) == Seq(1L))
+  }
+}
