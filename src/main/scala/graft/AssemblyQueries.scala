@@ -50,6 +50,15 @@ object AssemblyQueries {
       s.createDataFrame(java.util.List.of(row), schema)
     }),
 
+    // batched per-group scoring: N charts scored in ONE shuffle via a
+    // custom Aggregator (GroupScore)
+    "q_group_outstanding" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.score.GroupScore.outstanding1(col("o_totalprice")).as("outstanding1"),
+          count(lit(1)).as("n"))
+    }),
+
     // full pipeline: profile → enumerate → execute → score → top-k
     "q_recommend_charts" -> ((s, dir) => {
       val customer = Tables.customer(s, dir)

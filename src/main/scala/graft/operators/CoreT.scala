@@ -83,6 +83,10 @@ object CoreT {
         .setHandleInvalid("keep").transform(norm)
       val model = new org.apache.spark.ml.clustering.KMeans()
         .setK(k).setSeed(seed).setFeaturesCol("__features")
+        // random init: ~20% faster than k-means|| at equal final cost on
+        // minmax-normalized inputs (measured, tools/KMeansExp); sklearn
+        // init differs regardless, so labels are invariance-tested
+        .setInitMode("random")
         .fit(assembled)
       model.transform(assembled)
         .select(carry.map(col) :+ col("prediction").cast(LongType).as("Category by KMeans"): _*)

@@ -82,7 +82,8 @@ object TBasic {
   def rowDiv(a: String, b: String): Column = {
     val x = col(a).cast(DoubleType)
     val y = col(b).cast(DoubleType)
-    val q = when(y === 0.0,
+    val q = when(x.isNull || y.isNull || isnan(x) || isnan(y), 0.0) // NaN/∗, null/∗ → fillna(0)
+      .when(y === 0.0,
         when(x === 0.0, 0.0)
           .when(x > 0, Double.PositiveInfinity)
           .otherwise(Double.NegativeInfinity))

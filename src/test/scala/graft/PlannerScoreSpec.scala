@@ -128,6 +128,19 @@ class PlannerScoreSpec extends SparkSpec {
     assert(math.abs(Significance.skewScore(xs)) < 1e-12)
   }
 
+  test("GroupScore aggregator matches the driver-side formula per group") {
+    val rnd = new scala.util.Random(11)
+    val rows = for (g <- 0 until 4; _ <- 0 until 40)
+      yield (s"g$g", rnd.nextDouble() * 100)
+    val df = rows.toDF("g", "v").repartition(4)
+    val agg = df.groupBy($"g")
+      .agg(graft.score.GroupScore.outstanding1($"v").as("o"))
+      .as[(String, Double)].collect().toMap
+    val driver = rows.groupBy(_._1).view
+      .mapValues(vs => graft.score.Significance.outstanding1(vs.map(_._2).toArray)).toMap
+    driver.foreach { case (g, expected) => assert(agg(g) == expected, g) }
+  }
+
   // ── Recommender e2e ────────────────────────────────────────────────
   test("recommend produces capped, deduped charts over a profiled table") {
     val df = Seq.tabulate(80) { i =>

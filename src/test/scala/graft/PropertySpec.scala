@@ -1,0 +1,128 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{TBasic, TStep}
+import graft.plans.{Enumerator, Load}
+import graft.score.Scagnostics
+
+/** Property-based checks (SURVEY §5.3) — ScalaCheck generators driven
+  * by a seeded sampler (the scalatest bridge isn't in the offline
+  * dependency cache). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministically sample `n` values from a generator. */
+  private def forAll[A](gen: Gen[A], n: Int = 15)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var produced = 0
+    var tries = 0
+    while (produced < n && tries < n * 10) {
+      gen.apply(Gen.Parameters.default, seed).foreach { a => f(a); produced += 1 }
+      seed = seed.next
+      tries += 1
+    }
+    assert(produced > 0, "generator produced no samples")
+  }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val smallDoubles = Gen.listOfN(12, Gen.chooseNum(-100.0, 100.0))
+
+  test("rank is a permutation of 1..n") {
+    forAll(smallDoubles) { vs =>
+      whenever(vs.nonEmpty) {
+        val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
+        val ranks = TBasic(df, TStep("rank", inCols = Seq("v")), carryCols = Seq("k"))
+          .select("rank v").as[Long].collect().sorted
+        assert(ranks.toSeq == (1L to vs.size.toLong))
+      }
+    }
+  }
+
+  test("rank respects ordering: v_i < v_j ⇒ rank_i < rank_j") {
+    forAll(smallDoubles) { vs =>
+      whenever(vs.nonEmpty) {
+        val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
+        val out = TBasic(df, TStep("rank", inCols = Seq("v")), carryCols = Seq("k"))
+          .select($"k", $"v", $"rank v").as[(Long, Double, Long)].collect()
+        for (a <- out; b <- out if a._2 < b._2) assert(a._3 < b._3)
+      }
+    }
+  }
+
+  test("nominalize is a bijection onto 0..#distinct-1 preserving order") {
+    val gen = Gen.listOfN(15, Gen.oneOf("ant", "bee", "cat", "dog", "elk"))
+    forAll(gen) { vs =>
+      whenever(vs.nonEmpty) {
+        val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
+        val codes = TBasic.nominalize(df, "v", "c")
+          .select($"v", $"c").as[(String, Long)].collect().distinct.sortBy(_._1)
+        assert(codes.map(_._2).toSeq == codes.indices.map(_.toLong))
+      }
+    }
+  }
+
+  test("rowSum/rowSub/rowDiv match reference row-wise math incl null/÷0") {
+    val genRow = for {
+      a <- Gen.option(Gen.chooseNum(-50.0, 50.0))
+      b <- Gen.oneOf(Gen.const(Some(0.0)), Gen.option(Gen.chooseNum(-50.0, 50.0)))
+    } yield (a, b)
+    forAll(Gen.listOfN(8, genRow)) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+          .toDF("k", "a", "b")
+        val out = TBasic(df, TStep("div", inCols = Seq("a", "b"), outName = Some("q")))
+          .select($"k", $"q").as[(Long, Double)].collect().toMap
+        rows.zipWithIndex.foreach { case ((a, b), i) =>
+          val expected = (a, b) match {
+            case (Some(x), Some(y)) if y != 0 => x / y
+            case (Some(x), Some(0.0)) if x > 0 => Double.PositiveInfinity
+            case (Some(x), Some(0.0)) if x < 0 => Double.NegativeInfinity
+            case _ => 0.0 // 0/0 and any null → fillna(0)
+          }
+          assert(out(i.toLong) == expected, s"row $i: $a/$b")
+        }
+      }
+    }
+  }
+
+  test("Pareto dominance: antisymmetric and irreflexive") {
+    val genLoad = for {
+      a <- Gen.chooseNum(0.0, 10.0); b <- Gen.chooseNum(0.0, 10.0); c <- Gen.chooseNum(0.0, 10.0)
+    } yield Load(a, b, c)
+    forAll(genLoad, genLoad) { (x, y) =>
+      assert(!x.dominates(x))
+      assert(!(x.dominates(y) && y.dominates(x)))
+    }
+  }
+
+  test("point dedup: Graph dot count equals distinct points") {
+    val genPt = for { x <- Gen.chooseNum(0, 5); y <- Gen.chooseNum(0, 5) } yield (x.toDouble, y.toDouble)
+    forAll(Gen.listOfN(30, genPt)) { pts =>
+      whenever(pts.nonEmpty) {
+        val g = new Scagnostics.Graph(pts.toArray)
+        assert(g.n == pts.distinct.size)
+      }
+    }
+  }
+
+  test("enumerator dedupe is idempotent and order-preserving") {
+    val p = Profilefixture.profile(spark)
+    val pool = Enumerator.enumerate(p, "pca")
+    val once = Enumerator.dedupe(pool)
+    assert(Enumerator.dedupe(once) == once)
+    assert(once.map(_.fingerprint).distinct.size == once.size)
+  }
+}
+
+object Profilefixture {
+  import graft.profiler.Profiler
+  def profile(spark: org.apache.spark.sql.SparkSession): graft.TableProfile = {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (s"k$i", i * 1.0, i + 0.5, i * 2.0)).toDF("name", "a x", "b x", "c x")
+    Profiler.profile(df)._2
+  }
+}
