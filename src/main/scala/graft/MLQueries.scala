@@ -42,6 +42,12 @@ object MLQueries {
         carry = Seq("p_partkey")).get
         .withColumnRenamed("Category by DBSCAN", "category_dbscan")
     }),
+    "q_coret_tsne" -> ((s, dir) => {
+      CoreT.tsne(Tables.supplier(s, dir),
+        features = Seq("s_nationkey", "s_acctbal"),
+        carry = Seq("s_suppkey")).get
+        .withColumnRenamed("tSNE-1", "tsne_1").withColumnRenamed("tSNE-2", "tsne_2")
+    }),
     "q_coret_mds" -> ((s, dir) => {
       CoreT.mds(Tables.supplier(s, dir),
         features = Seq("s_nationkey", "s_acctbal"),

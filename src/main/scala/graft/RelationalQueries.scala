@@ -89,6 +89,31 @@ object RelationalQueries {
         .withColumnRenamed("rank o_totalprice", "rank_totalprice")
     }),
 
+    // ── scale-path rank: range partition + zipWithIndex (no
+    //    single-partition window) — same semantics as q_rank_first ──
+    "q_rank_scalable" -> ((s, dir) => {
+      graft.operators.Rank.zipWithIndexRank(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", Seq("o_orderkey"), "rank_totalprice")
+    }),
+
+    // ── skew-resistant two-phase salted aggregation ──
+    "q_salted_sum" -> ((s, dir) => {
+      graft.operators.Salt.saltedSumCount(
+        Tables.lineitem(s, dir), "l_returnflag", "l_quantity")
+    }),
+
+    // ── distributed date parsing from a sniffed format (utils.py:44-129) ──
+    "q_date_parse" -> ((s, dir) => {
+      val strs = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "M/d/yyyy").as("ds"))
+      val sample = strs.select(first(col("ds"), ignoreNulls = true)).head().getString(0)
+      val fmt = graft.functions.DateSniffer.sparkFormat(sample).getOrElse("M/d/yyyy")
+      strs.select(year(to_date(col("ds"), fmt)).cast("long").as("y"))
+        .groupBy(col("y")).agg(count(lit(1)).as("n"))
+    }),
+
     // ── nominalize: category → sorted-distinct code (Tengine.py:109-114) ──
     "q_nominalize" -> ((s, dir) => {
       TBasic(Tables.customer(s, dir)
@@ -239,6 +264,18 @@ object RelationalQueries {
       """SELECT o_orderkey, o_totalprice,
         | ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rank_totalprice
         |FROM orders""".stripMargin,
+    "q_rank_scalable" ->
+      """SELECT o_orderkey, o_totalprice,
+        | ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rank_totalprice
+        |FROM orders""".stripMargin,
+    "q_salted_sum" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_date_parse" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_nominalize" ->
       """SELECT c_custkey, c_mktsegment,
         | DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS segment_code

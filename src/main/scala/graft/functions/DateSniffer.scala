@@ -72,4 +72,28 @@ object DateSniffer {
   }
 
   def isDate(value: String): Boolean = sniff(value).isDefined
+
+  /** Spark datetime pattern for a sampled value's detected format —
+    * the bridge from driver-side sniffing to a distributed
+    * `to_date(col, fmt)` parse of the whole column. */
+  def sparkFormat(value: String): Option[String] = {
+    if (value == null) return None
+    val v = value.trim
+    patterns.collectFirst(Function.unlift { case (re, order) =>
+      re.findPrefixMatchOf(v).flatMap { m =>
+        val g = m.subgroups
+        val sep = if (v.contains("/")) "/" else if (v.contains("-")) "-" else if (v.contains(".")) "." else " "
+        def yr(s: String) = if (s.length == 2) "yy" else "yyyy"
+        order match {
+          case "mdy" => Some(s"M${sep}d$sep${yr(g(2))}")
+          case "ymd" => Some(s"${yr(g(0))}${sep}M${sep}d")
+          case "dmy" => Some(s"d${sep}M$sep${yr(g(2))}")
+          case "dby" => Some(s"d${sep}MMM$sep${yr(g(2))}")
+          case "bdy" => Some(s"MMM${sep}d$sep${yr(g(2))}")
+          case "y4"  => Some("yyyy")
+          case _     => None
+        }
+      }
+    })
+  }
 }

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SQL registration for the engine's custom Catalyst expressions, so
+  * `spark.sql("SELECT graft_simhash64(...)")` works alongside the
+  * Column API.
+  *
+  * Two entry points:
+  *  - [[GraftFunctions.register]] on a live session (temp functions);
+  *  - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.
+  *    GraftExtensions` at session build time.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_tokens",
+      exprs => WhitespaceTokens(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpeish_tokens",
+      exprs => BpeishTokens(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_word_shingles",
+      exprs => WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+  }
+}
+
+/** `SparkSessionExtensions` hook (spark.sql.extensions). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[SimHash64].getName, null, name, usage, "")
+    e.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "64-bit simhash of a token array"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_tokens"),
+      info("graft_tokens", "single-pass whitespace tokenization"),
+      (exprs: Seq[Expression]) => WhitespaceTokens(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_bpeish_tokens"),
+      info("graft_bpeish_tokens", "letter/digit/punct pre-tokenization"),
+      (exprs: Seq[Expression]) => BpeishTokens(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_word_shingles"),
+      info("graft_word_shingles", "n-token shingles of a token array"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+  }
+}

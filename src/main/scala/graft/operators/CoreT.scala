@@ -206,6 +206,30 @@ object CoreT {
           StructField("MDS-2", DoubleType, nullable = false))))
     }
 
+  /** Exact t-SNE → tSNE-1, tSNE-2 (Tfunctions.py:18-25: perplexity=5,
+    * method=exact, init=pca for <100 rows). Driver-side deterministic
+    * implementation ([[graft.functions.TSNE]]), bounded like mds. */
+  def tsne(df: DataFrame, features: Seq[String], carry: Seq[String],
+           perplexity: Double = 5.0, maxDriverRows: Int = 2000): Option[DataFrame] =
+    guarded(df, features) {
+      val spark = df.sparkSession
+      val norm = normalized(df, features, carry)
+      val rows = norm.select((carry ++ features).map(col): _*).collect()
+      require(rows.length <= maxDriverRows,
+        s"tsne driver path capped at $maxDriverRows rows (got ${rows.length})")
+      val pts = rows.map(r => features.indices.map(i =>
+        Option(r.get(carry.length + i)).map(_.toString.toDouble).getOrElse(0.0)).toArray)
+      val emb = graft.functions.TSNE.embed(pts, perplexity)
+      val out = rows.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(carry.indices.map(r.get) ++ Seq(emb(i)(0), emb(i)(1)))
+      }
+      val carrySchema = StructType(carry.map(c => norm.schema(c)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq),
+        StructType(carrySchema ++ Seq(StructField("tSNE-1", DoubleType, nullable = false),
+          StructField("tSNE-2", DoubleType, nullable = false))))
+    }
+
   /** Identity pass-throughs null_num/null_num1/null_nom/null_nom1
     * (Tengine.py:202-212): selection is done by the tpath; validity
     * rules live in [[transform]]. */
@@ -231,9 +255,10 @@ object CoreT {
       case "lda"    => lda(after, feats, carry)
       case "dbscan" => dbscan(after, feats, carry)
       case "mds"    => mds(after, feats, carry)
-      case "tsne" | "umap" =>
+      case "tsne"   => tsne(after, feats, carry)
+      case "umap" =>
         throw new UnsupportedOperationException(
-          s"$coreT is an optional external-dependency operator (reference: umap-learn/sklearn); use mds")
+          "umap is an optional external-dependency operator in the reference (umap-learn); use tsne/mds")
       case n if n.startsWith("null") || n == "test" => nullT(after)
       case other => throw new IllegalArgumentException(s"unknown core T: $other")
     }

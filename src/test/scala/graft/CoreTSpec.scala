@@ -62,6 +62,22 @@ class CoreTSpec extends SparkSpec {
     assert(labels.forall(_.matches(""".{1,6}\*[xyz]( \+ .{1,6}\*[xyz]){1,2}""")))
   }
 
+  test("tsne embeds neighbors near each other, deterministic across runs") {
+    // two tight blobs in 3-D → t-SNE keeps within-blob distances far
+    // below between-blob distances
+    val out = CoreT.tsne(blobs, Seq("x", "y", "z"), Seq("k"), perplexity = 5).get
+      .orderBy("k").select("tSNE-1", "tSNE-2").as[(Double, Double)].collect()
+    def dist(a: (Double, Double), b: (Double, Double)) =
+      math.sqrt(math.pow(a._1 - b._1, 2) + math.pow(a._2 - b._2, 2))
+    val withinA = (for (i <- 0 until 29) yield dist(out(i), out(i + 1))).max
+    val between = dist(out(0), out(45))
+    assert(between > withinA)
+    // determinism: second run identical (no RNG anywhere)
+    val out2 = CoreT.tsne(blobs, Seq("x", "y", "z"), Seq("k"), perplexity = 5).get
+      .orderBy("k").select("tSNE-1", "tSNE-2").as[(Double, Double)].collect()
+    assert(out.toSeq == out2.toSeq)
+  }
+
   test("transform enforces plan-validity rules (Tengine.py:58-67)") {
     val df = blobs
     // NOTCALCUDMT: pca after arithmetic tpath → None

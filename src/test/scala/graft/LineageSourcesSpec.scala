@@ -75,6 +75,40 @@ class LineageSourcesSpec extends SparkSpec {
     assert(Scagnostics.localQuality(Array((0.0, 0.0), (1.0, 1.0)), Array(0L, 1L)) == 0.0)
   }
 
+  test("salted aggregation equals the plain groupBy result") {
+    val df = (1 to 500).map(i => (if (i <= 450) "hot" else s"k${i % 7}", i * 0.25))
+      .toDF("key", "v")
+    val salted = graft.operators.Salt.saltedSumCount(df, "key", "v", buckets = 8)
+      .select($"key", $"sum_v", $"n").as[(String, Double, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val plain = df.groupBy($"key")
+      .agg(sum($"v".cast("decimal(18,2)")).cast("double").as("s"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(salted == plain)
+  }
+
+  test("custom expressions registered as SQL functions") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_tokens('a b  c') AS t,
+        |       graft_bpeish_tokens('ab12!') AS b,
+        |       graft_word_shingles(graft_tokens('x y z'), 2) AS s,
+        |       graft_simhash64(graft_tokens('hello world')) AS h""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](1) == Seq("ab", "12", "!"))
+    assert(r.getSeq[String](2) == Seq("x y", "y z"))
+    assert(r.getLong(3) != 0L)
+  }
+
+  test("DateSniffer.sparkFormat bridges to distributed to_date parsing") {
+    import graft.functions.DateSniffer
+    assert(DateSniffer.sparkFormat("12/24/2019").contains("M/d/yyyy"))
+    assert(DateSniffer.sparkFormat("2019-12-24").contains("yyyy-M-d"))
+    assert(DateSniffer.sparkFormat("1/24/20").contains("M/d/yy"))
+    assert(DateSniffer.sparkFormat("not a date").isEmpty)
+  }
+
   test("csv / json / in-memory sources round-trip with optional row cap") {
     val dir = Files.createTempDirectory("graft_src").toFile
     val csvPath = new java.io.File(dir, "t.csv")
