@@ -33,14 +33,22 @@ object DBSCAN {
       else {
         cluster += 1
         labels(i) = cluster
-        val queue = mutable.Queue[Int](ni: _*)
+        // enqueue each point at most once: label BEFORE enqueueing, so
+        // a dense cluster can't flood the queue with duplicates (the
+        // naive enqueueAll(neighbors) is O(n·k) queue growth)
+        val queue = mutable.Queue[Int]()
+        ni.foreach { u =>
+          if (labels(u) == -1) labels(u) = cluster // noise → border
+          else if (labels(u) == -2) { labels(u) = cluster; queue.enqueue(u) }
+        }
         while (queue.nonEmpty) {
           val j = queue.dequeue()
-          if (labels(j) == -1) labels(j) = cluster // noise → border
-          if (labels(j) == -2) {
-            labels(j) = cluster
-            val nj = neighbors(j)
-            if (nj.size >= minPts) queue.enqueueAll(nj)
+          val nj = neighbors(j)
+          if (nj.size >= minPts) {
+            nj.foreach { u =>
+              if (labels(u) == -1) labels(u) = cluster
+              else if (labels(u) == -2) { labels(u) = cluster; queue.enqueue(u) }
+            }
           }
         }
       }
@@ -64,26 +72,31 @@ object DBSCAN {
       s
     }
 
-    // eps-cell index
-    def cellOf(p: Array[Double]): Seq[Int] = p.map(x => math.floor(x / eps).toInt).toSeq
+    // eps-cell index; cells precomputed once per point
+    val cells: Array[Seq[Int]] =
+      points.map(p => p.map(x => math.floor(x / eps).toInt).toSeq)
     val grid = mutable.HashMap[Seq[Int], mutable.ArrayBuffer[Int]]()
     points.indices.foreach { i =>
-      grid.getOrElseUpdate(cellOf(points(i)), mutable.ArrayBuffer[Int]()) += i
+      grid.getOrElseUpdate(cells(i), mutable.ArrayBuffer[Int]()) += i
     }
-    val offsets: Seq[Seq[Int]] =
-      (0 until dim).foldLeft(Seq(Seq.empty[Int]))((acc, _) =>
-        acc.flatMap(pfx => Seq(-1, 0, 1).map(pfx :+ _)))
+    val offsets: IndexedSeq[IndexedSeq[Int]] =
+      (0 until dim).foldLeft(IndexedSeq(IndexedSeq.empty[Int]))((acc, _) =>
+        acc.flatMap(pfx => IndexedSeq(-1, 0, 1).map(pfx :+ _)))
     val eps2 = eps * eps
 
     val labels = Array.fill(n)(-2)
     var cluster = -1
     def neighbors(i: Int): IndexedSeq[Int] = {
-      val c = cellOf(points(i))
-      offsets.flatMap { off =>
-        grid.get(c.zip(off).map { case (a, b) => a + b })
-          .map(_.filter(j => sqDist(points(i), points(j)) <= eps2))
-          .getOrElse(Nil)
-      }.toIndexedSeq
+      val c = cells(i)
+      val pi = points(i)
+      val out = IndexedSeq.newBuilder[Int]
+      offsets.foreach { off =>
+        val key = Seq.tabulate(dim)(k => c(k) + off(k))
+        grid.get(key).foreach { bucket =>
+          bucket.foreach { j => if (sqDist(pi, points(j)) <= eps2) out += j }
+        }
+      }
+      out.result()
     }
     for (i <- 0 until n if labels(i) == -2) {
       val ni = neighbors(i)
@@ -91,14 +104,19 @@ object DBSCAN {
       else {
         cluster += 1
         labels(i) = cluster
-        val queue = mutable.Queue[Int](ni: _*)
+        val queue = mutable.Queue[Int]()
+        ni.foreach { u =>
+          if (labels(u) == -1) labels(u) = cluster
+          else if (labels(u) == -2) { labels(u) = cluster; queue.enqueue(u) }
+        }
         while (queue.nonEmpty) {
           val j = queue.dequeue()
-          if (labels(j) == -1) labels(j) = cluster
-          if (labels(j) == -2) {
-            labels(j) = cluster
-            val nj = neighbors(j)
-            if (nj.size >= minPts) queue.enqueueAll(nj)
+          val nj = neighbors(j)
+          if (nj.size >= minPts) {
+            nj.foreach { u =>
+              if (labels(u) == -1) labels(u) = cluster
+              else if (labels(u) == -2) { labels(u) = cluster; queue.enqueue(u) }
+            }
           }
         }
       }

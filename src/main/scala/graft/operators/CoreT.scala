@@ -58,9 +58,11 @@ object CoreT {
   def pca(df: DataFrame, features: Seq[String], carry: Seq[String]): Option[DataFrame] =
     guarded(df, features) {
       val norm = normalized(df, features, carry)
+      // cache the assembled features: the fit scans them (covariance)
+      // and transform would otherwise recompute normalize+assemble
       val assembled = new VectorAssembler()
         .setInputCols(features.toArray).setOutputCol("__features")
-        .setHandleInvalid("keep").transform(norm)
+        .setHandleInvalid("keep").transform(norm).cache()
       val model = new org.apache.spark.ml.feature.PCA()
         .setInputCol("__features").setOutputCol("__pca").setK(2)
         .fit(assembled)
@@ -80,14 +82,21 @@ object CoreT {
       val norm = normalized(df, features, carry)
       val assembled = new VectorAssembler()
         .setInputCols(features.toArray).setOutputCol("__features")
-        .setHandleInvalid("keep").transform(norm)
+        .setHandleInvalid("keep").transform(norm).cache()
+      // fit on a bounded seeded sample, assign everything: k centers
+      // don't need the full table, and this caps fit cost at any scale
+      val n = assembled.count()
+      val fitCap = 50000L
+      val fitSet = if (n > fitCap)
+        assembled.sample(withReplacement = false, fitCap.toDouble / n, seed)
+      else assembled
       val model = new org.apache.spark.ml.clustering.KMeans()
         .setK(k).setSeed(seed).setFeaturesCol("__features")
         // random init: ~20% faster than k-means|| at equal final cost on
         // minmax-normalized inputs (measured, tools/KMeansExp); sklearn
         // init differs regardless, so labels are invariance-tested
         .setInitMode("random")
-        .fit(assembled)
+        .fit(fitSet)
       model.transform(assembled)
         .select(carry.map(col) :+ col("prediction").cast(LongType).as("Category by KMeans"): _*)
     }
@@ -108,14 +117,23 @@ object CoreT {
           k: Int = 4, seed: Long = 9): Option[DataFrame] =
     guarded(df, features) {
       val spark = df.sparkSession
-      // rank each feature column (method=first; tie-break = carry key)
+      // rank each feature column (method=first; tie-break = carry key),
+      // bucketed to percentiles 1..100: the reference's raw ranks are
+      // bounded by its 400-row cap, but as LDA token COUNTS raw ranks
+      // grow with table size and stall the variational fit — the
+      // percentile form keeps the rank-order encoding with bounded
+      // counts at any scale
+      import org.apache.spark.sql.expressions.Window
       val ranked = features.foldLeft(df.select((carry ++ features).distinct.map(col): _*)) {
-        (d, c) => d.withColumn(s"__rank_$c", TBasic.rankWindow(c, carry))
+        (d, c) =>
+          val ord = col(c) +: carry.map(col)
+          d.withColumn(s"__rank_$c",
+            (ceil(percent_rank().over(Window.orderBy(ord: _*)) * 99) + 1).cast("double"))
       }
       val assembled = new VectorAssembler()
         .setInputCols(features.map(c => s"__rank_$c").toArray)
         .setOutputCol("__counts").setHandleInvalid("keep")
-        .transform(ranked)
+        .transform(ranked).cache() // rank windows are expensive; fit + transform reuse
       val model = new org.apache.spark.ml.clustering.LDA()
         .setK(k).setSeed(seed).setFeaturesCol("__counts")
         .setOptimizer("online")

@@ -55,7 +55,15 @@ object Recommender {
     "count_bar" -> Map("x" -> (Some(1), "cat")))
 
   private final case class Executed(coreT: String, tpath: TPathCandidate, df: DataFrame,
-                                    outCols: Seq[String])
+                                    outCols: Seq[String]) {
+    /** Output columns with tpath-derived (created) columns first — the
+      * reference's series preference when capping lines/bars per chart
+      * (search.py:940-947, 1048-1055). */
+    def outColsDerivedFirst: Seq[String] = {
+      val derived = tpath.steps.flatMap(_.outName).toSet
+      outCols.filter(derived.contains) ++ outCols.filterNot(derived.contains)
+    }
+  }
 
   def recommend(df: DataFrame, profile: TableProfile, spark: SparkSession,
                 cfg: EngineConfig = EngineConfig.default,
@@ -63,6 +71,8 @@ object Recommender {
                 maxChartRows: Int = 4000,
                 maxCandidatesPerChannel: Int = 12): Recommendation = {
     val key = profile.keyColumn.toSeq
+    // the source frame feeds every (coreT, tpath) execution — keep it hot
+    df.persist()
 
     // ── presearch: enumerate pools, shared across DM core Ts
     //    (threadsharing, T.py:192-199) ─────────────────────────────────
@@ -185,7 +195,7 @@ object Recommender {
       val ys = candidates(None, "num").filter(_.outCols.nonEmpty)
       for (y <- ys.take(6)) {
         // prefer derived columns, cap series per chart (search.py:940-947)
-        val series = y.outCols.take(cfg.maxLineNumInChart)
+        val series = y.outColsDerivedFirst.take(cfg.maxLineNumInChart)
         val rows = y.df.select(series.map(c => col(c).cast("double")): _*)
           .na.drop().limit(maxChartRows).collect()
         if (rows.length >= 3) {
@@ -204,7 +214,7 @@ object Recommender {
              x.tpath.fingerprint != y.tpath.fingerprint) {
           val joined = x.df.join(y.df, key).na.drop()
             .orderBy(col(x.outCols.head))
-            .select(((x.outCols.head +: y.outCols.take(cfg.maxLineNumInChart))
+            .select(((x.outCols.head +: y.outColsDerivedFirst.take(cfg.maxLineNumInChart))
               .map(c => col(c).cast("double"))): _*)
             .limit(maxChartRows).collect()
           if (joined.length >= 3) {
@@ -227,7 +237,7 @@ object Recommender {
         if (enabledTypes.contains("sum_bar")) {
           for (y <- ys.take(3) if aligned(x, y)) {
             val joined = x.df.join(y.df, key)
-            val series = y.outCols.take(cfg.maxBarNumInChart)
+            val series = y.outColsDerivedFirst.take(cfg.maxBarNumInChart)
             val agg = ChartAssembly.sumBar(joined, xCol, series)
               .orderBy(col(xCol)).limit(maxChartRows).collect()
             if (agg.length >= 2) {
@@ -263,6 +273,7 @@ object Recommender {
           .take(caps.getOrElse(ct, 3))
     }
 
+    df.unpersist()
     Recommendation(topk, ProvenanceGraph.render(topk))
   }
 
