@@ -83,15 +83,33 @@ object Recommender {
       if (Set("pca", "mds", "kmeans", "dbscan", "lda").contains(t)) dmShared
       else Enumerator.dedupe(Enumerator.enumerate(profile, t, cfg))
 
-    // ── memoized execution (one Spark plan per (coreT, tpath)) ───────
-    val memo = mutable.Map[String, Option[Executed]]()
+    // ── memoized execution (one Spark plan per (coreT, tpath)),
+    //    submitted CONCURRENTLY: the reference parallelizes with one OS
+    //    process per core T (search.py:55-63); here concurrent job
+    //    submission on the shared SparkSession is the substrate, and
+    //    the future-valued memo makes concurrent requests for the same
+    //    fingerprint share one execution ─────────────────────────────
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    val execPool = Executors.newFixedThreadPool(4, (r: Runnable) => {
+      val t = new Thread(r, "graft-recommender")
+      t.setDaemon(true)
+      t
+    })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(execPool)
+    val memo = mutable.Map[String, Future[Option[Executed]]]()
+    def executeF(coreT: String, tp: TPathCandidate): Future[Option[Executed]] =
+      memo.synchronized {
+        memo.getOrElseUpdate(s"$coreT :: ${tp.fingerprint}", Future {
+          try CoreT.transform(df, coreT, tp.steps, key, cfg.notCalcuDmT).map { out =>
+            val outCols = out.columns.filterNot(key.contains).toSeq
+            Executed(coreT, tp, out, outCols)
+          } catch { case _: Exception => None }
+        })
+      }
     def execute(coreT: String, tp: TPathCandidate): Option[Executed] =
-      memo.getOrElseUpdate(s"$coreT :: ${tp.fingerprint}", {
-        try CoreT.transform(df, coreT, tp.steps, key, cfg.notCalcuDmT).map { out =>
-          val outCols = out.columns.filterNot(key.contains).toSeq
-          Executed(coreT, tp, out, outCols)
-        } catch { case _: Exception => None }
-      })
+      Await.result(executeF(coreT, tp), 30.minutes)
 
     // static output-dimension prediction, so only dimension-compatible
     // tpaths are ever executed (channel dim == T output dim,
@@ -114,20 +132,22 @@ object Recommender {
         cols.map(_.size)
     }
 
-    // channel candidates: executed results matching (dim, type)
+    // channel candidates: executed results matching (dim, type) — all
+    // dimension-compatible tpaths dispatched in parallel, then gathered
     def candidates(dim: Option[Int], ctype: String): Seq[Executed] = {
       val ts = if (ctype == "num") Enumerator.numTl else Enumerator.catTl
-      ts.filter(t => t != "tsne" && t != "umap").flatMap { t =>
-        val perT = if (Set("pca", "mds", "kmeans", "dbscan", "lda").contains(t)) 3
-                   else maxCandidatesPerChannel
-        pool(t)
-          .filter(tp => predictedDim(t, tp).forall(d => dim.forall(_ == d)))
-          .take(perT)
-          .flatMap { tp =>
-            execute(t, tp).filter { ex =>
-              dim.forall(_ == ex.outCols.size) && ex.outCols.nonEmpty
-            }
-          }
+      val work: Seq[(String, TPathCandidate)] =
+        ts.filter(t => t != "tsne" && t != "umap").flatMap { t =>
+          val perT = if (Set("pca", "mds", "kmeans", "dbscan", "lda").contains(t)) 3
+                     else maxCandidatesPerChannel
+          pool(t)
+            .filter(tp => predictedDim(t, tp).forall(d => dim.forall(_ == d)))
+            .take(perT).map(t -> _)
+        }
+      val gathered = Await.result(
+        Future.sequence(work.map { case (t, tp) => executeF(t, tp) }), 30.minutes)
+      gathered.flatten.filter { ex =>
+        dim.forall(_ == ex.outCols.size) && ex.outCols.nonEmpty
       }.take(maxCandidatesPerChannel)
     }
 
@@ -273,6 +293,7 @@ object Recommender {
           .take(caps.getOrElse(ct, 3))
     }
 
+    execPool.shutdown()
     df.unpersist()
     Recommendation(topk, ProvenanceGraph.render(topk))
   }
