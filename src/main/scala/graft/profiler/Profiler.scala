@@ -35,7 +35,10 @@ object Profiler {
     val df = cfg.maxSourceRows.fold(df0)(df0.limit)
     val fields = df.schema.fields.toSeq
 
-    // ── pass 1: one agg over everything ──────────────────────────────
+    // ── pass 1: one agg over everything. At scale (cfg.approxDistinct)
+    //    distinct counts use HLL sketches; exact multi-column
+    //    countDistinct is an expand-based plan that multiplies the scan
+    //    by #columns — the approx pass keeps it one linear scan ──────
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: fields.flatMap { f =>
       val c = col(f.name)
       val numish = f.dataType match {
@@ -44,8 +47,9 @@ object Profiler {
         case TimestampType  => Some(unix_timestamp(c).cast(DoubleType))
         case _              => None
       }
+      val nd = if (cfg.approxDistinct) approx_count_distinct(c, 0.01) else countDistinct(c)
       Seq(
-        countDistinct(c).as(s"__nd_${f.name}"),
+        nd.as(s"__nd_${f.name}"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_${f.name}"),
         numish.map(n => min(n)).getOrElse(lit(null).cast(DoubleType)).as(s"__min_${f.name}"),
         numish.map(n => max(n)).getOrElse(lit(null).cast(DoubleType)).as(s"__max_${f.name}"),
@@ -54,11 +58,33 @@ object Profiler {
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val rows = row.getAs[Long]("__rows")
 
+    // pass 1b (approx mode only): exact re-count for columns whose
+    // approximate count is near a decision boundary — key detection
+    // (distinct == rows) or the nominal threshold (distinct ≤ 5%·rows).
+    // Typically a handful of columns, one cheap agg.
+    val exactNd: Map[String, Long] =
+      if (!cfg.approxDistinct || rows == 0) Map.empty
+      else {
+        val boundary = fields.filter { f =>
+          val approx = row.getAs[Long](s"__nd_${f.name}")
+          val nearKey = approx >= rows * 0.95
+          val nomThresh = rows * cfg.nominalStd
+          val nearNominal = approx >= nomThresh * 0.8 && approx <= nomThresh * 1.2
+          nearKey || nearNominal
+        }
+        if (boundary.isEmpty) Map.empty
+        else {
+          val exactAggs = boundary.map(f => countDistinct(col(f.name)).as(s"__xnd_${f.name}"))
+          val r2 = df.agg(exactAggs.head, exactAggs.tail: _*).head()
+          boundary.map(f => f.name -> r2.getAs[Long](s"__xnd_${f.name}")).toMap
+        }
+      }
+
     val raw = fields.map { f =>
       def opt(prefix: String): Option[Double] =
         Option(row.getAs[Any](s"${prefix}_${f.name}")).map(_.asInstanceOf[Double])
       RawStats(f.name, f.dataType,
-        row.getAs[Long](s"__nd_${f.name}"),
+        exactNd.getOrElse(f.name, row.getAs[Long](s"__nd_${f.name}")),
         row.getAs[Long](s"__nn_${f.name}"),
         opt("__min"), opt("__max"),
         Option(row.getAs[String](s"__fv_${f.name}")))

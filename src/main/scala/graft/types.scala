@@ -95,7 +95,12 @@ final case class EngineConfig(
     quantileBuckets: Int = 64,
     /** Above this row count, global rank/nominalize switch from a single
       * `Window.orderBy` to the shuffle-friendly zipWithIndex path. */
-    windowRankMaxRows: Long = 1000000L
+    windowRankMaxRows: Long = 1000000L,
+    /** Scale path for profiling: HLL approx distinct counts in the main
+      * pass, with a second exact pass only for columns whose approximate
+      * count lands near a decision boundary (key detection, nominal
+      * threshold). Off by default — exact counts at test scale. */
+    approxDistinct: Boolean = false
 )
 
 object EngineConfig {

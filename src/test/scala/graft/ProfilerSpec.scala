@@ -69,6 +69,18 @@ class ProfilerSpec extends SparkSpec {
     assert(labels(10) == -1)
   }
 
+  test("approx-distinct profiling reaches the same types and key as exact") {
+    val df = (1 to 2000).map(i => (i.toLong, s"name_$i", s"seg${i % 5}", i * 1.5))
+      .toDF("id", "name", "seg", "v")
+    val exact = Profiler.profile(df)._2
+    val approx = Profiler.profile(df, EngineConfig(approxDistinct = true))._2
+    assert(approx.keyColumn == exact.keyColumn)
+    exact.columns.zip(approx.columns).foreach { case (e, a) =>
+      assert(a.logicalType == e.logicalType, e.name)
+      assert(a.isKey == e.isKey, e.name)
+    }
+  }
+
   test("quantile signatures drive Wasserstein distances") {
     val df = (1 to 1000).map(i => (i.toLong, i.toDouble, i.toDouble + 100.0, s"n$i"))
       .toDF("id", "a", "b", "nm")
