@@ -38,9 +38,12 @@ final case class Recommendation(visList: Seq[ChartRec], graphJson: String)
   */
 object Recommender {
 
-  private val chartFamilies: Map[String, Seq[String]] = Map(
+  private def chartFamilies(catLine: Boolean): Map[String, Seq[String]] = Map(
     "scatter" -> Seq("num_scatter", "cat_scatter"),
-    "line" -> Seq("ord_line", "rel_line"),
+    // the cat-y line kinds are gated by CAT_LINE like the reference
+    // (config.py:22, main.py:83-90)
+    "line" -> (Seq("ord_line", "rel_line") ++
+      (if (catLine) Seq("ord_cat_line", "rel_cat_line") else Nil)),
     "bar" -> Seq("sum_bar", "count_bar"))
 
   /** V.py channel contracts: channel → (dim, type); dim None = multi. */
@@ -167,7 +170,7 @@ object Recommender {
 
     val recs = mutable.ArrayBuffer[ChartRec]()
 
-    val enabledTypes = charts.flatMap(chartFamilies.getOrElse(_, Nil))
+    val enabledTypes = charts.flatMap(chartFamilies(cfg.catLine).getOrElse(_, Nil))
 
     // ── scatter families ─────────────────────────────────────────────
     if (enabledTypes.contains("num_scatter") || enabledTypes.contains("cat_scatter")) {
@@ -243,6 +246,40 @@ object Recommender {
             val score = if (ySeries.length >= 2) Significance.correlation(ySeries)
               else Significance.linearness(ySeries(0))
             recs += chartRec("rel_line", Map("x" -> x, "y" -> y), score, maxChartRows)
+          }
+        }
+      }
+    }
+
+    // ── cat-line families (CAT_LINE=true only): category channel is
+    //    encoded to sorted-distinct codes inline, exactly like the
+    //    chart-side twin of nominalize (search.py:1059-1067), then
+    //    scored with the line significance tests ────────────────────
+    if (enabledTypes.contains("ord_cat_line") || enabledTypes.contains("rel_cat_line")) {
+      val catYs = candidates(Some(1), "cat")
+      def codesOf(rows: Array[String]): Array[Double] = {
+        val codebook = rows.distinct.sorted.zipWithIndex.toMap
+        rows.map(codebook(_).toDouble)
+      }
+      for (y <- catYs.take(3)) {
+        if (enabledTypes.contains("ord_cat_line")) {
+          val labels = y.df.select(col(y.outCols.head).cast("string"))
+            .na.drop().limit(maxChartRows).collect().map(_.getString(0))
+          if (labels.length >= 3) {
+            recs += chartRec("ord_cat_line", Map("y" -> y),
+              Significance.linearness(codesOf(labels)), maxChartRows)
+          }
+        }
+        if (enabledTypes.contains("rel_cat_line")) {
+          for (x <- candidates(Some(1), "num").take(2) if aligned(x, y)) {
+            val joined = x.df.join(y.df, key).na.drop()
+              .orderBy(col(x.outCols.head))
+              .select(col(y.outCols.head).cast("string"))
+              .limit(maxChartRows).collect().map(_.getString(0))
+            if (joined.length >= 3) {
+              recs += chartRec("rel_cat_line", Map("x" -> x, "y" -> y),
+                Significance.linearness(codesOf(joined)), maxChartRows)
+            }
           }
         }
       }

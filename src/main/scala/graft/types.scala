@@ -84,6 +84,7 @@ final case class EngineConfig(
     floatCanBeKey: Boolean = false,
     notCalcuDmT: Boolean = true,
     onlyProcessClusterMoreThan2: Boolean = true,
+    catLine: Boolean = false, // CAT_LINE (config.py:22): cat-y line kinds
     maxScatter: Int = 10,
     maxLine: Int = 3,
     maxCatLine: Int = 2,

@@ -128,6 +128,17 @@ class PlannerScoreSpec extends SparkSpec {
     assert(math.abs(Significance.skewScore(xs)) < 1e-12)
   }
 
+  test("CAT_LINE flag gates the cat-line chart families") {
+    val df = Seq.tabulate(60) { i =>
+      (s"n$i", if (i % 2 == 0) "on" else "off", i * 1.0, i * 2.0, i * 3.0)
+    }.toDF("name", "state", "a v", "b v", "c v")
+    val (pdf, profile) = Profiler.profile(df)
+    val off = Recommender.recommend(pdf, profile, spark)
+    assert(!off.visList.exists(c => c.chartType.contains("cat_line")))
+    val on = Recommender.recommend(pdf, profile, spark, EngineConfig(catLine = true))
+    assert(on.visList.exists(c => c.chartType == "ord_cat_line"))
+  }
+
   test("GroupScore aggregator matches the driver-side formula per group") {
     val rnd = new scala.util.Random(11)
     val rows = for (g <- 0 until 4; _ <- 0 until 40)
