@@ -102,6 +102,11 @@ object ExtQueries {
       Similarity.lshTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, dim = 64)
     }),
+    "q_sim_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, dim = 64)
+    }),
 
     // ── multimodal plumbing ────────────────────────────────────────
     "q_multimodal_meta" -> ((s, dir) => {

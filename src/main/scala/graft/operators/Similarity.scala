@@ -104,6 +104,65 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k — the centroid-bucket scale
+    * path: a KMeans codebook (fit on a bounded seeded sample) assigns
+    * every corpus vector to its nearest-centroid list; a query scores
+    * only the lists of its `nprobe` nearest centroids, then exact
+    * cosine re-ranks. One shuffle to bucket the corpus (reusable
+    * across queries), probe cost ∝ nprobe/nlist of the corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, dim: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 9): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__v"))
+    val n = c.count()
+    val fitCap = 100000L
+    val fitSet = if (n > fitCap) c.sample(withReplacement = false, fitCap.toDouble / n, seed) else c
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(math.min(nlist, math.max(2, n.toInt))).setSeed(seed)
+      .setFeaturesCol("__v").setInitMode("random")
+      .fit(fitSet)
+    val bucketed = model.transform(c).withColumnRenamed("prediction", "__list")
+
+    // queries (small, driver-side): nprobe nearest centroids each
+    val centers = model.clusterCenters.map(_.toArray)
+    val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")).collect()
+    val probes = qRows.flatMap { r =>
+      val qv = r.getAs[scala.collection.Seq[Float]]("__qv").map(_.toDouble).toArray
+      centers.zipWithIndex.map { case (ctr, i) =>
+        var d = 0.0; var j = 0
+        while (j < dim) { val diff = qv(j) - ctr(j); d += diff * diff; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map { case (list, _) =>
+        (r.getAs[Any]("query_id"), r.getAs[scala.collection.Seq[Float]]("__qv"), list)
+      }
+    }
+    import spark.implicits._
+    val probeDF = spark.createDataFrame(
+      spark.sparkContext.parallelize(probes.toIndexedSeq.map(p =>
+        org.apache.spark.sql.Row(p._1, p._2, p._3))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          queries.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("__qv",
+          queries.schema(vecCol).dataType),
+        org.apache.spark.sql.types.StructField("__list",
+          org.apache.spark.sql.types.IntegerType))))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    bucketed.join(broadcast(probeDF), Seq("__list"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ tau among LSH-band
     * candidates (the embedding flavor of [[Dedup]]). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

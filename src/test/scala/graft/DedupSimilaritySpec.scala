@@ -85,6 +85,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lshFirst == 100L) // identical-direction vector shares every band
   }
 
+  test("ivfTopK finds the planted nearest neighbor (probes its bucket)") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(16)(j => (math.sin(i * 5 + j) + math.cos(i + j * 2)).toFloat))
+    }
+    val near = (900L, vecs(7)._2.map(x => x * 1.0005f))
+    val df = (vecs :+ near).toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" === 7)
+    val first = Similarity.ivfTopK(df, q, "vec_id", "embedding", k = 1, dim = 16,
+      nlist = 8, nprobe = 3)
+      .select("neighbor_id").as[Long].head()
+    // identical-direction vector lands in the same centroid list
+    assert(first == 900L)
+  }
+
   test("embeddingNearDupPairs finds the planted near-duplicate") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(j => (math.sin(i * 11 + j * 3) + 2.0).toFloat))
