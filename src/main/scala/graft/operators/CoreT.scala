@@ -28,10 +28,10 @@ import graft.functions.DBSCAN
   *    Inputs are capped (`maxDriverRows`) exactly like the reference
   *    caps its whole input at 400 rows — these operators are
   *    chart-feeders, not table-scale transforms.
-  *  - t-SNE / UMAP: external-dependency operators in the reference
-  *    (umap-learn; sklearn TSNE). Feature-flagged out, like the
-  *    reference's dead `lida` path (searchthread.py:461-462); MDS is
-  *    the supported metric-embedding stand-in.
+  *  - t-SNE: exact driver-side implementation ([[graft.functions.TSNE]]),
+  *    bounded like MDS. UMAP stays flagged out — an external-dependency
+  *    operator in the reference (umap-learn), like its dead `lida`
+  *    path (searchthread.py:461-462).
   */
 object CoreT {
 

@@ -42,6 +42,24 @@ class EngineSpec extends SparkSpec {
     assert(prof.rows == 400 && pdf.count() == 400)
   }
 
+  test("search handles a timestamp-bearing real table (lineitem sf0.001)") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001").limit(800)
+    val rec = new Engine(spark).search(li, charts = Seq("bar", "line"))
+    assert(rec.visList.nonEmpty)
+  }
+
+  test("search handles a keyless table with date strings") {
+    val df = Seq.tabulate(40) { i =>
+      (f"${i % 12 + 1}%d/15/2020", if (i % 2 == 0) "a" else "b", i * 1.0, i * 3.0, 10.0 + i)
+    }.toDF("when", "cat", "m1 v", "m2 v", "m3 v")
+    val engine = new Engine(spark)
+    val (pdf, prof) = engine.profile(df)
+    assert(prof.keyColumn.contains("defaultindex")) // synthetic key
+    assert(prof.column("when").get.logicalType == LogicalType.Date)
+    val rec = engine.search(df, charts = Seq("bar"))
+    assert(rec.visList.nonEmpty)
+  }
+
   test("sessionize (batch): gap splits sessions, counts events") {
     def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
     val events = Seq(
