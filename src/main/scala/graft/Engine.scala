@@ -45,4 +45,48 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
     val (pdf, prof) = Profiler.profile(source, cfg)
     Lineage.addCoreT(pdf, lineageJson, coreT, prof.keyColumn.toSeq, cfg.notCalcuDmT)
   }
+
+  /** Build a chart's data frame from user-chosen channel lineages —
+    * the assembly half of /vis/addV (search.py:1495-1794): each channel
+    * is a (lineageJson, coreT) pair replayed independently, channels
+    * are zipped on the carried key, and bar kinds apply their group-agg
+    * (the count groupby re-run at search.py:1734-1747).
+    *
+    * @param channels channel name → (lineage JSON, core transform);
+    *                 expected channels per chart type follow V.py:
+    *                 scatter: xy+color, lines: x?/y, bars: x(+y)
+    */
+  def buildChart(source: DataFrame, chartType: String,
+                 channels: Map[String, (String, String)]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val (pdf, prof) = Profiler.profile(source, cfg)
+    val key = prof.keyColumn.toSeq
+    val executed = channels.map { case (ch, (json, coreT)) =>
+      ch -> Lineage.addCoreT(pdf, json, coreT, key, cfg.notCalcuDmT)
+    }
+    if (executed.values.exists(_.isEmpty)) return None
+    val frames = executed.view.mapValues(_.get).toMap
+    def outCols(ch: String): Seq[String] =
+      frames(ch).columns.filterNot(key.contains).toSeq
+
+    chartType match {
+      case "sum_bar" =>
+        val joined = frames("x").join(frames("y"), key)
+        Some(graft.operators.ChartAssembly.sumBar(joined, outCols("x").head,
+          outCols("y").take(cfg.maxBarNumInChart)))
+      case "count_bar" =>
+        Some(graft.operators.ChartAssembly.countBar(frames("x"), outCols("x").head))
+      case "num_scatter" | "cat_scatter" =>
+        val base = frames("xy")
+        val withColor = frames.get("color")
+          .map(c => base.join(c, key)).getOrElse(base)
+        Some(withColor)
+      case "rel_line" | "rel_cat_line" =>
+        Some(frames("x").join(frames("y"), key).orderBy(col(outCols("x").head)))
+      case "ord_line" | "ord_cat_line" =>
+        Some(frames("y"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown chart type: $other")
+    }
+  }
 }

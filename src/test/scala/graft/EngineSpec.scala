@@ -34,6 +34,31 @@ class EngineSpec extends SparkSpec {
     assert(vis.get.columns.contains("Category by KMeans"))
   }
 
+  test("buildChart assembles bar/scatter data from channel lineages") {
+    val engine = new Engine(spark)
+    val selNum = Lineage.toJson(Seq(TStep("select",
+      inCols = Seq("a val", "b val"), outMode = "new_table")))
+    val selCat = Lineage.toJson(Seq(TStep("select",
+      inCols = Seq("grp"), outMode = "new_table")))
+
+    val bar = engine.buildChart(table, "sum_bar",
+      Map("x" -> (selCat, "null_nom1"), "y" -> (selNum, "null_num"))).get
+    assert(bar.columns.toSeq == Seq("grp", "SUM(a val)", "SUM(b val)"))
+    assert(bar.count() == 2) // x and y groups
+
+    val count = engine.buildChart(table, "count_bar",
+      Map("x" -> (selCat, "null_nom1"))).get
+    val counts = count.as[(String, Long)].collect().toMap
+    assert(counts == Map("x" -> 20L, "y" -> 40L))
+
+    val selThree = Lineage.toJson(Seq(TStep("select",
+      inCols = Seq("a val", "b val", "c val"), outMode = "new_table")))
+    val scatter = engine.buildChart(table, "cat_scatter",
+      Map("xy" -> (selThree, "pca"), "color" -> (selCat, "null_nom1"))).get
+    assert(scatter.columns.toSet == Set("name", "PC1", "PC2", "grp"))
+    assert(scatter.count() == 60)
+  }
+
   test("reference-parity config applies the 400-row source cap") {
     val big = (1 to 1000).map(i => (s"r$i", i * 1.0, 2.0 * i, 3.0 * i))
       .toDF("name", "a", "b", "c")
