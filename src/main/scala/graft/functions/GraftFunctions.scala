@@ -33,7 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
-      new ExpressionInfo(classOf[SimHash64].getName, null, name, usage, "")
+      new ExpressionInfo(classOf[SimHash64].getName, null, name, usage,
+        "", "", "", "", "", "", "scala_udf")
     e.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "64-bit simhash of a token array"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))

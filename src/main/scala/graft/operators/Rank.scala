@@ -28,7 +28,7 @@ object Rank {
                 else df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val withIdx = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val withIdx = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     df.sparkSession.createDataFrame(withIdx,

@@ -64,7 +64,7 @@ object Similarity {
                    seed: Long = 20220901L): DataFrame = {
     val ps = planes(dim, bands * rowsPerBand, seed)
     val bits = ps.map { p =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
       when(dot(col(vecCol), planeLit) >= 0, 1L).otherwise(0L)
     }
     (0 until bands).foldLeft(df) { (d, b) =>

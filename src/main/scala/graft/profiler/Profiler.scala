@@ -226,7 +226,7 @@ object Profiler {
 
   /** Append a 0..n-1 `defaultindex` column without a global sort. */
   def appendDefaultIndex(df: DataFrame): DataFrame = {
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     df.sparkSession.createDataFrame(rdd,
       StructType(df.schema.fields :+ StructField("defaultindex", LongType, nullable = false)))
   }
