@@ -61,6 +61,61 @@ class PlannerScoreSpec extends SparkSpec {
     assert(loads.nonEmpty)
   }
 
+  test("multi-cluster enumeration: depth≥2 paths, 2-col sub/div/mul, canonical order") {
+    // name-substring clustering yields several 2-col clusters ("alpha",
+    // "beta", "one", "two") plus the full numeric set (4-col)
+    val df = (1 to 60).map { i =>
+      (s"k$i", i * 1.0, i * 1.1, 1000.0 - i, 1000.0 - i * 1.2)
+    }.toDF("key name", "alpha one", "alpha two", "beta one", "beta two")
+    val p = Profiler.profile(df)._2
+    assert(p.dimClusters.exists(_.size == 4)) // full numeric set
+    val pool = Enumerator.dedupe(Enumerator.enumerate(p, "pca"))
+    val arithOps = Set("sum", "sub", "mul", "div")
+    // 2-col clusters enable sub (cost 10); div (40) and mul (50) over
+    // the SAME cluster carry identical distance terms, so sum/sub
+    // strictly dominate them — Pareto pruning removes them, exactly
+    // the reference's sibling-dominance semantics (searchthread.py:546-558)
+    assert(pool.exists(_.steps.exists(_.op == "sub")))
+    assert(!pool.exists(_.steps.exists(_.op == "div")))
+    assert(!pool.exists(_.steps.exists(_.op == "mul")))
+    // depth ≥ 2 under DEFAULT pruning: a two-step path's load is the
+    // one-step sibling's load plus a strictly positive increment, so
+    // the adjacent-node dominance test prunes EVERY deeper path — the
+    // reference's PRUNINGDEPTH=1 config makes the tree effectively
+    // depth-1 (searchthread.py:386-409); replicated here
+    val deep = pool.filter(_.steps.count(s => arithOps.contains(s.op)) >= 2)
+    assert(deep.isEmpty)
+    // with pruning disabled (pruningDepth > maxTPathDepth) the deeper
+    // paths materialize
+    val unpruned = Enumerator.dedupe(Enumerator.enumerate(p, "pca",
+      EngineConfig(pruningDepth = 6)))
+    assert(unpruned.exists(_.steps.count(s => arithOps.contains(s.op)) >= 2))
+    // canonical basicTl order within every path
+    val order = Enumerator.basicTl.zipWithIndex.toMap
+    pool.foreach { tp =>
+      val ops = tp.steps.map(_.op).filter(order.contains)
+      assert(ops == ops.sortBy(order), tp.fingerprint)
+    }
+    // no duplicates; pruning keeps the space bounded
+    assert(pool.map(_.fingerprint).distinct.size == pool.size)
+    assert(pool.size < 500, s"pool exploded: ${pool.size}")
+    assert(pool.size < unpruned.size) // pruning really prunes
+  }
+
+  test("alignment rule: DM channels from different tpaths are rejected") {
+    val df = Seq.tabulate(60) { i =>
+      (s"n$i", i * 1.0, 2.0 * i + 1, 150.0 - i, (i % 3).toDouble)
+    }.toDF("name", "a v", "b v", "c v", "d v")
+    val (pdf, profile) = Profiler.profile(df)
+    val rec = Recommender.recommend(pdf, profile, spark, charts = Seq("scatter"))
+    // every cat_scatter's xy and color channels share one tpath
+    rec.visList.filter(_.chartType == "cat_scatter").foreach { c =>
+      val xyTp = c.channels("xy").split('|').last.trim
+      val colorTp = c.channels("color").split('|').last.trim
+      assert(xyTp == colorTp, c.channels.toString)
+    }
+  }
+
   test("null_num1 includes arithmetic new_table steps over >2 clusters") {
     val p = prof
     val pool = Enumerator.enumerate(p, "null_num1")
