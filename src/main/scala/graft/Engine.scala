@@ -69,20 +69,31 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
     def outCols(ch: String): Seq[String] =
       frames(ch).columns.filterNot(key.contains).toSeq
 
+    // user-chosen lineages can produce overlapping column names; rename
+    // right-side collisions so the key-join stays unambiguous
+    def joinOn(left: DataFrame, right: DataFrame,
+               rightCols: Seq[String]): (DataFrame, Seq[String]) = {
+      val leftSet = left.columns.toSet
+      val renames = rightCols.filter(leftSet.contains).map(c => c -> (c + "__y")).toMap
+      val r2 = renames.foldLeft(right) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+      (left.join(r2, key), rightCols.map(c => renames.getOrElse(c, c)))
+    }
+
     chartType match {
       case "sum_bar" =>
-        val joined = frames("x").join(frames("y"), key)
+        val (joined, yCols) = joinOn(frames("x"), frames("y"), outCols("y"))
         Some(graft.operators.ChartAssembly.sumBar(joined, outCols("x").head,
-          outCols("y").take(cfg.maxBarNumInChart)))
+          yCols.take(cfg.maxBarNumInChart)))
       case "count_bar" =>
         Some(graft.operators.ChartAssembly.countBar(frames("x"), outCols("x").head))
       case "num_scatter" | "cat_scatter" =>
         val base = frames("xy")
         val withColor = frames.get("color")
-          .map(c => base.join(c, key)).getOrElse(base)
+          .map(c => joinOn(base, c, outCols("color"))._1).getOrElse(base)
         Some(withColor)
       case "rel_line" | "rel_cat_line" =>
-        Some(frames("x").join(frames("y"), key).orderBy(col(outCols("x").head)))
+        val (joined, _) = joinOn(frames("x"), frames("y"), outCols("y"))
+        Some(joined.orderBy(col(outCols("x").head)))
       case "ord_line" | "ord_cat_line" =>
         Some(frames("y"))
       case other =>

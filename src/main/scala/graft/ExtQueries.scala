@@ -122,8 +122,10 @@ object ExtQueries {
 
     // ── streaming twin: tumbling window agg (batch mode) ───────────
     "q_events_window" -> ((s, dir) => {
+      // integer DIV, not `/`: double division of epoch-nanos (>2^53)
+      // rounds by ~128ns and can truncate into the previous bucket
       Tables.eventsRawNanos(s, dir)
-        .groupBy(((col("ts") / lit(3600000000000L)).cast("long") * 3600).as("window_start_sec"),
+        .groupBy(expr("(ts DIV 3600000000000) * 3600").as("window_start_sec"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))

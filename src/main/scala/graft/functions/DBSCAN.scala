@@ -66,6 +66,17 @@ object DBSCAN {
     if (n == 0) return Array.empty
     val dim = points(0).length
 
+    // the grid index enumerates 3^dim neighbor cells — past ~8 dims
+    // that explodes; fall back to direct distance scans
+    if (dim > 8) {
+      def d(i: Int, j: Int): Double = {
+        var s = 0.0; var k = 0
+        while (k < dim) { val diff = points(i)(k) - points(j)(k); s += diff * diff; k += 1 }
+        math.sqrt(s)
+      }
+      return fit(n, d, eps, minPts)
+    }
+
     def sqDist(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var k = 0
       while (k < dim) { val diff = a(k) - b(k); s += diff * diff; k += 1 }

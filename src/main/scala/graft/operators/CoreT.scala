@@ -45,9 +45,13 @@ object CoreT {
       case f if f.dataType.isInstanceOf[NumericType] => f.name
     }.toSeq
 
-  /** Guard from Tengine.py:217-220: core transforms need >2 columns. */
-  private def guarded(df: DataFrame, features: Seq[String])(body: => DataFrame): Option[DataFrame] =
-    if (df.columns.length <= 2 || features.isEmpty) None else Some(body)
+  /** Guard from Tengine.py:217-220: core transforms need >2 columns.
+    * `minFeatures` hardens the dimension-reducing ops beyond the
+    * reference (sklearn would throw on k=2 over one feature; we return
+    * None like every other invalid input). */
+  private def guarded(df: DataFrame, features: Seq[String], minFeatures: Int = 1)
+                     (body: => DataFrame): Option[DataFrame] =
+    if (df.columns.length <= 2 || features.size < minFeatures) None else Some(body)
 
   private def normalized(df: DataFrame, features: Seq[String], carry: Seq[String]): DataFrame = {
     val kept = (carry ++ features).distinct
@@ -56,7 +60,7 @@ object CoreT {
 
   /** PCA(2) → columns PC1, PC2 (Tfunctions.py:12-16, Tengine.py:146-152). */
   def pca(df: DataFrame, features: Seq[String], carry: Seq[String]): Option[DataFrame] =
-    guarded(df, features) {
+    guarded(df, features, minFeatures = 2) {
       val norm = normalized(df, features, carry)
       // cache the assembled features: the fit scans them (covariance)
       // and transform would otherwise recompute normalize+assemble
@@ -163,7 +167,10 @@ object CoreT {
     guarded(df, features) {
       val spark = df.sparkSession
       val norm = normalized(df, features, carry)
-      val rows = norm.select((carry ++ features).map(col): _*).collect()
+      // limit BEFORE collect: the cap must protect the driver, not
+      // fire after the full frame is already materialized
+      val rows = norm.select((carry ++ features).map(col): _*)
+        .limit(maxDriverRows + 1).collect()
       require(rows.length <= maxDriverRows,
         s"dbscan driver path capped at $maxDriverRows rows (got ${rows.length}); " +
           "sample or pre-aggregate first")
@@ -187,11 +194,14 @@ object CoreT {
     * distances; tests assert distance preservation, not values. */
   def mds(df: DataFrame, features: Seq[String], carry: Seq[String],
           maxDriverRows: Int = 5000): Option[DataFrame] =
-    guarded(df, features) {
+    guarded(df, features, minFeatures = 2) {
       import breeze.linalg.{DenseMatrix, eigSym}
       val spark = df.sparkSession
       val norm = normalized(df, features, carry)
-      val rows = norm.select((carry ++ features).map(col): _*).collect()
+      // limit BEFORE collect: the cap must protect the driver, not
+      // fire after the full frame is already materialized
+      val rows = norm.select((carry ++ features).map(col): _*)
+        .limit(maxDriverRows + 1).collect()
       require(rows.length <= maxDriverRows,
         s"mds driver path capped at $maxDriverRows rows (got ${rows.length})")
       val n = rows.length
@@ -229,10 +239,13 @@ object CoreT {
     * implementation ([[graft.functions.TSNE]]), bounded like mds. */
   def tsne(df: DataFrame, features: Seq[String], carry: Seq[String],
            perplexity: Double = 5.0, maxDriverRows: Int = 2000): Option[DataFrame] =
-    guarded(df, features) {
+    guarded(df, features, minFeatures = 2) {
       val spark = df.sparkSession
       val norm = normalized(df, features, carry)
-      val rows = norm.select((carry ++ features).map(col): _*).collect()
+      // limit BEFORE collect: the cap must protect the driver, not
+      // fire after the full frame is already materialized
+      val rows = norm.select((carry ++ features).map(col): _*)
+        .limit(maxDriverRows + 1).collect()
       require(rows.length <= maxDriverRows,
         s"tsne driver path capped at $maxDriverRows rows (got ${rows.length})")
       val pts = rows.map(r => features.indices.map(i =>
@@ -261,11 +274,14 @@ object CoreT {
     *    (single-column charts must show derived columns).
     */
   def transform(df: DataFrame, coreT: String, tpath: Seq[TStep],
-                carry: Seq[String], notCalcuDmT: Boolean = true): Option[DataFrame] = {
+                carry: Seq[String], notCalcuDmT: Boolean = true,
+                approxRows: Long = 0L,
+                windowRankMaxRows: Long = 1000000L): Option[DataFrame] = {
     val hasArithmetic = tpath.exists(s => arithmeticOps.contains(s.op))
     if (notCalcuDmT && dimensionReducing.contains(coreT) && hasArithmetic) return None
     if (coreT == "null_num1" && !hasArithmetic) return None
-    val after = tpath.foldLeft(df)((d, s) => TBasic(d, s, carry))
+    val after = tpath.foldLeft(df)((d, s) =>
+      TBasic(d, s, carry, approxRows, windowRankMaxRows))
     val feats = numericCols(after).filterNot(carry.contains)
     coreT match {
       case "pca"    => pca(after, feats, carry)

@@ -138,8 +138,14 @@ object TBasic {
   /** Execute one basic step with the reference's output modes
     * (Tengine.py:127-137): new_table = select outputs (+carry), append =
     * add columns, replace = drop inputs then add. `carryCols` threads
-    * the key column through every output (SURVEY §7.4.1). */
-  def apply(df: DataFrame, step: TStep, carryCols: Seq[String] = Nil): DataFrame = {
+    * the key column through every output (SURVEY §7.4.1).
+    *
+    * @param approxRows caller's row-count estimate; above
+    *                   `windowRankMaxRows` the rank op switches from the
+    *                   single-partition window to [[Rank.zipWithIndexRank]]
+    *                   (same semantics, range-partitioned) */
+  def apply(df: DataFrame, step: TStep, carryCols: Seq[String] = Nil,
+            approxRows: Long = 0L, windowRankMaxRows: Long = 1000000L): DataFrame = {
     val ins = resolveInputs(df, step)
     def named(default: String): String = step.outName.getOrElse(default)
 
@@ -161,8 +167,10 @@ object TBasic {
         val to = step.castTo.getOrElse("double")
         ins.foldLeft(df)((d, c) => d.withColumn(c, astype(c, to)))
       case "rank" =>
-        // appended as "rank "+c beside the original (searchthread.py:470-519)
-        ins.foldLeft(df)((d, c) => d.withColumn("rank " + c, rankWindow(c, carryCols)))
+        // appended as "rank "+c beside the original (searchthread.py:470-519);
+        // scale path picked by the caller's row estimate
+        ins.foldLeft(df)((d, c) =>
+          Rank.rank(d, c, carryCols, "rank " + c, approxRows, windowRankMaxRows))
       case "nominalize" =>
         ins.foldLeft(df)((d, c) => nominalize(d, c, named("nominalize " + c)))
       case other =>

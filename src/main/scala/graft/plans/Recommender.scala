@@ -105,14 +105,23 @@ object Recommender {
     def executeF(coreT: String, tp: TPathCandidate): Future[Option[Executed]] =
       memo.synchronized {
         memo.getOrElseUpdate(s"$coreT :: ${tp.fingerprint}", Future {
-          try CoreT.transform(df, coreT, tp.steps, key, cfg.notCalcuDmT).map { out =>
+          try CoreT.transform(df, coreT, tp.steps, key, cfg.notCalcuDmT,
+            profile.rows, cfg.windowRankMaxRows).map { out =>
             val outCols = out.columns.filterNot(key.contains).toSeq
             Executed(coreT, tp, out, outCols)
           } catch { case _: Exception => None }
         })
       }
-    def execute(coreT: String, tp: TPathCandidate): Option[Executed] =
-      Await.result(executeF(coreT, tp), 30.minutes)
+    /** Key-join two channel frames, renaming colliding non-key columns
+      * on the right so downstream references stay unambiguous. Returns
+      * the joined frame + the (possibly renamed) right column names. */
+    def joinChannels(left: DataFrame, right: DataFrame,
+                     rightCols: Seq[String]): (DataFrame, Seq[String]) = {
+      val leftSet = left.columns.toSet
+      val renames = rightCols.filter(leftSet.contains).map(c => c -> (c + "__y")).toMap
+      val r2 = renames.foldLeft(right) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+      (left.join(r2, key), rightCols.map(c => renames.getOrElse(c, c)))
+    }
 
     // static output-dimension prediction, so only dimension-compatible
     // tpaths are ever executed (channel dim == T output dim,
@@ -172,6 +181,8 @@ object Recommender {
 
     val enabledTypes = charts.flatMap(chartFamilies(cfg.catLine).getOrElse(_, Nil))
 
+    try {
+
     // ── scatter families ─────────────────────────────────────────────
     if (enabledTypes.contains("num_scatter") || enabledTypes.contains("cat_scatter")) {
       val xys = candidates(Some(2), "num")
@@ -201,8 +212,17 @@ object Recommender {
               if (joined.nonEmpty) {
                 val pts2 = joined.map(r => (r.getDouble(0), r.getDouble(1)))
                 val labelStrs = joined.map(_.getString(2))
-                val codes = labelStrs.distinct.sorted.zipWithIndex.toMap
-                val labels = labelStrs.map(s => codes(s).toLong)
+                // numeric labels (kmeans/dbscan) keep their values so
+                // DBSCAN's -1 outliers stay negative and are skipped by
+                // the CDM histograms (score.py:61-70 convention);
+                // string categories get sorted-distinct codes
+                val labels: Array[Long] =
+                  if (labelStrs.forall(s => scala.util.Try(s.toLong).isSuccess))
+                    labelStrs.map(_.toLong)
+                  else {
+                    val codes = labelStrs.distinct.sorted.zipWithIndex.toMap
+                    labelStrs.map(s => codes(s).toLong)
+                  }
                 val cdm = Scagnostics.cdm(pts2, labels)
                 val score = (base :+ cdm).sum / (base.size + 1)
                 recs += chartRec("cat_scatter", Map("xy" -> xy, "color" -> c), score, maxChartRows)
@@ -235,9 +255,10 @@ object Recommender {
         val xs = candidates(Some(1), "num")
         for (x <- xs.take(3); y <- ys.take(3) if aligned(x, y) &&
              x.tpath.fingerprint != y.tpath.fingerprint) {
-          val joined = x.df.join(y.df, key).na.drop()
+          val (jf, yCols) = joinChannels(x.df, y.df, y.outColsDerivedFirst)
+          val joined = jf.na.drop()
             .orderBy(col(x.outCols.head))
-            .select(((x.outCols.head +: y.outColsDerivedFirst.take(cfg.maxLineNumInChart))
+            .select(((x.outCols.head +: yCols.take(cfg.maxLineNumInChart))
               .map(c => col(c).cast("double"))): _*)
             .limit(maxChartRows).collect()
           if (joined.length >= 3) {
@@ -330,9 +351,13 @@ object Recommender {
           .take(caps.getOrElse(ct, 3))
     }
 
-    execPool.shutdown()
-    df.unpersist()
     Recommendation(topk, ProvenanceGraph.render(topk))
+    } finally {
+      // always release resources — a failed assembly must not leak the
+      // persisted source frame or the executor pool
+      execPool.shutdown()
+      df.unpersist()
+    }
   }
 
   private def chartRec(chartType: String, chans: Map[String, Executed],

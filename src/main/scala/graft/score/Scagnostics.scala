@@ -158,7 +158,10 @@ object Scagnostics {
       * points; 100·(1−lastCut/max) normalized (score.py:188-222). */
     def clumpy: Double = if (!active) 0 else {
       val sortedEdges = mstEdges.sortBy(-_._3)
-      val minEdge = edgeLengthsSorted.head
+      // the reference's np.min/np.max run over the DENSE adjacency
+      // matrix, whose zero non-edges make the min 0 (score.py:221-222)
+      // — so the normalization floor is 0, not the shortest edge
+      val minEdge = 0.0
       val maxEdge = edgeLengthsSorted.last
       var lastCut = -1.0
       val removed = scala.collection.mutable.Set[Int]() // indices into sortedEdges

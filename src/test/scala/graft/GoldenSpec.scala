@@ -57,7 +57,7 @@ class GoldenSpec extends SparkSpec {
     ≈(g.straight, 8.3929806631)
     ≈(g.striated, 65.6023858508)
     ≈(g.monotonic, 13.3020637899)
-    ≈(g.clumpy, 2.6947317365)
+    ≈(g.clumpy, 2.5955464199) // normalization floor = 0, the reference's dense-matrix np.min
   }
 
   test("golden: significance formulas (reference quirks intact)") {
