@@ -161,6 +161,30 @@ object ExtQueries {
         |  + ((1.0 - COALESCE(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
         |       / CASE WHEN length(text) = 0 THEN NULL ELSE length(text) END, 0.0)) * 0.1) AS quality
         |FROM t""".stripMargin,
+    "q_text_langid" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  regexp_extract_all(lower(text), '\S+') AS toks,
+        |  CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN NULL
+        |       ELSE CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) END AS total
+        | FROM documents),
+        |scored AS (SELECT doc_id, text,
+        |  list_sort([
+        |   struct_pack(score := COALESCE(CAST(len(list_filter(toks, x -> x IN
+        |     ('the','and','of','to','in','is','that','it','was','for','with','are','this','have','not'))) AS DOUBLE) / total, 0.0), lang := 'en'),
+        |   struct_pack(score := COALESCE(CAST(len(list_filter(toks, x -> x IN
+        |     ('der','die','das','und','ist','nicht','ein','eine','mit','von','auf','für','sich','dass','werden'))) AS DOUBLE) / total, 0.0), lang := 'de'),
+        |   struct_pack(score := COALESCE(CAST(len(list_filter(toks, x -> x IN
+        |     ('le','la','les','de','des','et','est','une','dans','que','pour','qui','pas','sur','avec'))) AS DOUBLE) / total, 0.0), lang := 'fr'),
+        |   struct_pack(score := COALESCE(CAST(len(list_filter(toks, x -> x IN
+        |     ('el','la','los','las','de','que','y','en','un','una','es','por','con','para','su'))) AS DOUBLE) / total, 0.0), lang := 'es')
+        |  ])[-1] AS best FROM t)
+        |SELECT doc_id,
+        | CASE WHEN COALESCE(CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)
+        |        / CASE WHEN length(text) = 0 THEN NULL ELSE length(text) END, 0.0) > 0.3
+        |      THEN 'zh'
+        |      WHEN best.score >= 0.05 THEN best.lang
+        |      ELSE 'und' END AS lang_pred
+        |FROM scored""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
