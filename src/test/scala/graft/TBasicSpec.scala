@@ -55,6 +55,16 @@ class TBasicSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("rank via TBasic switches to the zipWithIndex path above the row threshold, same results") {
+    val d = (1 to 200).map(i => (i.toLong, (i % 13).toDouble)).toDF("k", "v")
+    val windowed = TBasic(d, TStep("rank", inCols = Seq("v")), carryCols = Seq("k"))
+      .select($"k", $"rank v").as[(Long, Long)].collect().toMap
+    val scaled = TBasic(d, TStep("rank", inCols = Seq("v")), carryCols = Seq("k"),
+      approxRows = 200L, windowRankMaxRows = 100L) // force the scale path
+      .select($"k", $"rank v").as[(Long, Long)].collect().toMap
+    assert(windowed == scaled)
+  }
+
   test("nominalize assigns 0-based codes by sorted distinct values") {
     val r = TBasic(df, TStep("nominalize", inCols = Seq("cat"), outName = Some("code")))
       .select("cat", "code").distinct().as[(String, Long)].collect().toMap
