@@ -12,6 +12,9 @@ libraryDependencies ++= Seq(
 scalacOptions ++= Seq("-deprecation", "-unchecked")
 Test / fork := true
 run / fork := true
+// Emit forked-run stdout raw (no "[info] " logger prefix): the driver
+// parses Bench's single JSON line from stdout, and the prefix breaks it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
