@@ -225,6 +225,99 @@ object ExtQueries {
         | CAST((floor(octet_length(encode(text)) / 7) % 480) + 16 AS BIGINT) AS height,
         | CAST((octet_length(encode(text)) % 30) + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    "q_text_simhash" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_transform(regexp_extract_all(text, '\S+'),
+        |    w -> ('0x'||substr(md5(w),1,15))::BIGINT) AS hs FROM documents)
+        |SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(generate_series(0,59), j ->
+        |    CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+        |        CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+        |      THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0) AS BIGINT) AS simhash
+        |FROM t""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id,
+        |    array_to_string((regexp_extract_all(text, '\S+'))
+        |      [1:greatest((len(regexp_extract_all(text, '\S+'))*4)//5, 1)], ' ') AS text
+        |  FROM documents),
+        |t AS (SELECT id, list_transform(regexp_extract_all(text, '\S+'),
+        |        w -> ('0x'||substr(md5(w),1,15))::BIGINT) AS hs FROM corpus),
+        |sims AS (SELECT id,
+        |  CAST(COALESCE(list_sum(list_transform(generate_series(0,59), j ->
+        |    CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+        |        CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+        |      THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0) AS BIGINT) AS sim FROM t),
+        |pv AS (SELECT id, sim, pc, (sim >> (15*pc)) & 32767 AS piece
+        |       FROM (SELECT id, sim, unnest(generate_series(0,3)) AS pc FROM sims)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+        |         FROM pv a JOIN pv b ON a.pc = b.pc AND a.piece = b.piece AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 12""".stripMargin,
+    "q_dedup_minhash_lsh" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id,
+        |    array_to_string((regexp_extract_all(text, '\S+'))
+        |      [1:greatest((len(regexp_extract_all(text, '\S+'))*4)//5, 1)], ' ') AS text
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |            for i in generate_series(1, len(toks)-2)]) AS shingles
+        |  FROM (SELECT id, regexp_extract_all(text, '\S+') AS toks FROM corpus)),
+        |ab AS (SELECT id, ('0x'||substr(md5(gram),1,7))::BIGINT AS a,
+        |              (('0x'||substr(md5(gram),8,7))::BIGINT | 1) AS b
+        |       FROM (SELECT id, unnest(shingles) AS gram FROM sh)),
+        |abl AS (SELECT id, list([a, b]) AS abs_ FROM ab GROUP BY id),
+        |sigs AS (SELECT id, list_transform(generate_series(0,31), i ->
+        |           list_min(list_transform(abs_, p -> (p[1] + i*p[2]) % 2147483647))) AS sig
+        |         FROM abl),
+        |bucketed AS (SELECT id, sig, band, sig[band*4+1 : band*4+4] AS bucket
+        |             FROM (SELECT id, sig, unnest(generate_series(0,7)) AS band FROM sigs)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        |         FROM bucketed a JOIN bucketed b
+        |         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+        |SELECT id_a, id_b, est_jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
+        |      z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) AS BIGINT) AS DOUBLE) / 32
+        |    AS est_jaccard FROM cand) t
+        |WHERE est_jaccard >= 0.3""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id,
+        |    array_to_string((regexp_extract_all(text, '\S+'))
+        |      [1:greatest((len(regexp_extract_all(text, '\S+'))*4)//5, 1)], ' ') AS text
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |            for i in generate_series(1, len(toks)-2)]) AS shingles
+        |  FROM (SELECT id, regexp_extract_all(text, '\S+') AS toks FROM corpus)),
+        |grams AS (SELECT id, unnest(shingles) AS gram FROM sh),
+        |rare AS (SELECT gram FROM grams GROUP BY gram
+        |         HAVING COUNT(*) <= 10000 AND COUNT(*) >= 2),
+        |filtered AS (SELECT g.id, g.gram FROM grams g JOIN rare USING (gram)),
+        |sizes AS (SELECT id, COUNT(*) AS sz FROM grams GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        |  FROM filtered a JOIN filtered b ON a.gram = b.gram AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    (octet_length(encode(text)) % 30) + 1 AS n_frames FROM documents),
+        |fr AS (SELECT doc_id, text, unnest(range(0, n_frames, 10)) AS frame_idx FROM f)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  sha256(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_digest
+        |FROM fr""".stripMargin,
     "q_events_window" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,
         | event_type, COUNT(*) AS n_events,

@@ -5,24 +5,26 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
-/** 64-bit SimHash over a token array, as a native Catalyst expression.
+/** 60-bit SimHash over a token array, as a native Catalyst expression.
   *
   * SimHash (Charikar 2002; the near-dup detector popularized by
-  * Manku/Jain/Sarma, WWW'07): hash every token to 64 bits; for each bit
-  * position sum +1/-1 across tokens by whether that bit is set; the
-  * sign vector is the fingerprint. Documents within small Hamming
-  * distance are near-duplicates.
+  * Manku/Jain/Sarma, WWW'07): hash every token; for each bit position
+  * sum +1/-1 across tokens by whether that bit is set; the sign vector
+  * is the fingerprint. Documents within small Hamming distance are
+  * near-duplicates.
+  *
+  * Token hash: the top 60 bits (15 hex digits) of md5 — deterministic
+  * across JVMs AND reproducible in any SQL engine with an md5
+  * function, so the correctness oracle can recompute the fingerprint
+  * value-exactly. 60 bits (not 64) keeps the fingerprint positive in a
+  * signed 64-bit integer, avoiding sign-extension mismatches between
+  * engines.
   *
   * A Catalyst `Expression` (vs a Scala UDF) keeps null semantics
   * declarative and avoids the UDF serialization boundary; eval-mode
   * only (CodegenFallback) — the surrounding plan still codegens.
-  *
-  * Token hash: two Murmur3-32 passes (seeds 0x9747b28c / 0x85ebca6b)
-  * combined into 64 bits — deterministic across JVMs, no dependency on
-  * java hashCode.
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -31,14 +33,13 @@ case class SimHash64(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val acc = new Array[Int](64)
+    val acc = new Array[Int](SimHash64.Bits)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = SimHash64.hash64(s)
+        val h = SimHash64.hash60(arr.getUTF8String(i))
         var b = 0
-        while (b < 64) {
+        while (b < SimHash64.Bits) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
           b += 1
         }
@@ -47,7 +48,7 @@ case class SimHash64(child: Expression)
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < SimHash64.Bits) {
       if (acc(b) > 0) out |= (1L << b)
       b += 1
     }
@@ -59,13 +60,27 @@ case class SimHash64(child: Expression)
 }
 
 object SimHash64 {
-  def hash64(s: UTF8String): Long = {
-    val lo = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x9747b28c)
-    val hi = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x85ebca6b)
-    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  /** Fingerprint width. 4 pieces of 15 bits (see Dedup.simhashPairs). */
+  val Bits = 60
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Column API: simhash64 of an array<string> token column. */
+  /** First 15 hex digits of md5(token) as a 60-bit long — equals SQL
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT`. */
+  def hash60(s: UTF8String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xFL)
+  }
+
+  /** Column API: simhash of an array<string> token column (60-bit). */
   def simhash64(tokens: Column): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(SimHash64(

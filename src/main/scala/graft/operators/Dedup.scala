@@ -62,17 +62,24 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Deterministic MinHash signature columns s0..s{k-1}: shingles are
-    * xxhash64'd once to a long, then k independent re-hashes
-    * (xxhash64 of (g, i) — ANSI-safe, no overflowing arithmetic) are
-    * min-aggregated — one groupBy, map-side combinable. */
+  /** Deterministic MinHash signature columns s0..s{k-1}: one md5 per
+    * shingle seeds a 2-universal affine family h_i = (a + i·b) mod p
+    * (p = 2^31−1, b forced odd), min-aggregated — one groupBy,
+    * map-side combinable. md5 (vs xxhash64) keeps the signatures
+    * recomputable in any SQL engine for the value-exact oracle; the
+    * affine re-hash costs one multiply-add per i instead of k full
+    * hashes per shingle. All arithmetic stays < 2^33 — ANSI-safe. */
   def minhashSignatures(df: DataFrame, keyCol: String, textCol: String,
                         numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val p = 2147483647L
     val grams = df.select(col(keyCol).as("id"),
       explode(TextFunctions.wordShingles(col(textCol), shingleSize)).as("gram"))
-      .withColumn("g", xxhash64(col("gram")))
+      .withColumn("h", md5(col("gram")))
+      .withColumn("a", conv(substring(col("h"), 1, 7), 16, 10).cast("long"))
+      .withColumn("b", conv(substring(col("h"), 8, 7), 16, 10).cast("long")
+        .bitwiseOR(lit(1L)))
     val mins = (0 until numHashes).map { i =>
-      min(xxhash64(col("g"), lit(i))).as(s"s$i")
+      min((col("a") + lit(i.toLong) * col("b")) % lit(p)).as(s"s$i")
     }
     grams.groupBy("id").agg(mins.head, mins.tail: _*)
   }
@@ -87,9 +94,10 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+    // bucket = the band's signature slice itself (equi-joinable array;
+    // no re-hash needed, and SQL engines can mirror it exactly)
     val bandStructs = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * r until (b + 1) * r).map(i => col(s"s$i")): _*).as("bucket"))
+      struct(lit(b).as("band"), slice(sigArr, b * r + 1, r).as("bucket"))
     }: _*)
     val banded = sigs.select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
@@ -107,8 +115,8 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** SimHash near-dup pairs within a Hamming radius: 64-bit fingerprint,
-    * split into 4×16-bit pieces; by pigeonhole any pair within Hamming≤3
+  /** SimHash near-dup pairs within a Hamming radius: 60-bit fingerprint,
+    * split into 4×15-bit pieces; by pigeonhole any pair within Hamming≤3
     * shares at least one piece → equi-join per piece, verify exactly
     * with bit_count(xor). */
   def simhashPairs(df: DataFrame, keyCol: String, textCol: String,
@@ -117,7 +125,7 @@ object Dedup {
       TextFunctions.simhash(col(textCol)).as("sim"))
     val pieces = array((0 until 4).map { i =>
       struct(lit(i).as("pc"),
-        shiftrightunsigned(col("sim"), 16 * i).bitwiseAND(lit(0xFFFFL)).as("pv"))
+        shiftrightunsigned(col("sim"), 15 * i).bitwiseAND(lit(0x7FFFL)).as("pv"))
     }: _*)
     val exploded = sims.select(col("id"), col("sim"), explode(pieces).as("p"))
       .select(col("id"), col("sim"), col("p.pc"), col("p.pv"))

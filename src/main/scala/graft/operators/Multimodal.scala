@@ -42,10 +42,12 @@ object Multimodal {
   object FakeCodec {
     def decode(media: Array[Byte], frameIdx: Long): Array[Byte] = {
       // ??? ← real decoder goes here (e.g. javacv FFmpegFrameGrabber);
-      // deterministic fake: frame digest = sha-256(media ++ frameIdx)
+      // deterministic fake: frame digest = sha-256(media ++ ":" ++ idx).
+      // The suffix is ASCII decimal (not raw bytes) so the whole digest
+      // input stays valid UTF-8 — SQL-mirrorable for the oracle gate.
       val md = java.security.MessageDigest.getInstance("SHA-256")
       md.update(media)
-      md.update(java.nio.ByteBuffer.allocate(8).putLong(frameIdx).array())
+      md.update(s":$frameIdx".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.digest()
     }
   }
