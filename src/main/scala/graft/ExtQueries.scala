@@ -134,6 +134,36 @@ object ExtQueries {
 
   private val stop = "'the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','that','this','be'"
 
+  // ── DuckDB fragments mirroring Similarity's expression trees ─────
+  // Ordered left folds match Spark's aggregate/zip_with bit-exactly.
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+       |  (acc, v) -> acc + v)""".stripMargin
+  private def sqlNorm(a: String): String =
+    s"""sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))""".stripMargin
+
+  /** The md5-derived ±1 hyperplanes of [[Similarity.withLshBands]]
+    * (seed 20220901, 32 planes × 64 dims), recomputed in SQL: the
+    * sign is the parity of the first hex digit of md5("plane:seed:p:d"). */
+  private val sqlPlanes: String =
+    """pl AS (
+      |  SELECT list(list_transform(generate_series(0,63), d ->
+      |    CASE WHEN (('0x'||substr(md5('plane:20220901:'||p||':'||d),1,1))::BIGINT & 1) = 1
+      |      THEN 1.0 ELSE -1.0 END) ORDER BY p) AS planes
+      |  FROM (SELECT unnest(generate_series(0,31)) AS p))""".stripMargin
+
+  /** Band signatures (4 bands × 8 sign bits) for an (id, embedding) source. */
+  private def sqlSigs(src: String): String =
+    s"""sigs AS (
+       |  SELECT id, embedding,
+       |    list_transform(generate_series(0,3), b ->
+       |      CAST(list_sum(list_transform(generate_series(0,7), r ->
+       |        CASE WHEN ${sqlDot("embedding", "planes[b*8+r+1]")} >= 0
+       |          THEN (1::BIGINT << r) ELSE 0::BIGINT END)) AS BIGINT)) AS bands
+       |  FROM $src, pl)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_text_tokens" ->
       """SELECT doc_id,
@@ -311,6 +341,37 @@ object ExtQueries {
         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
         |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3""".stripMargin,
+    "q_dedup_embed_cosine" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS id, embedding FROM embeddings),
+         |$sqlPlanes,
+         |${sqlSigs("corpus")},
+         |bb AS (SELECT id, embedding, band, bands[band+1] AS bucket
+         |       FROM (SELECT id, embedding, bands, unnest(generate_series(0,3)) AS band FROM sigs)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |           a.embedding AS va, b.embedding AS vb
+         |         FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT id_a, id_b, ${sqlDot("va", "vb")} / (${sqlNorm("va")} * ${sqlNorm("vb")}) AS cosine
+         |  FROM cand) t
+         |WHERE cosine >= 0.999""".stripMargin,
+    "q_sim_lsh_topk" ->
+      s"""WITH $sqlPlanes,
+         |${sqlSigs("(SELECT vec_id AS id, embedding FROM embeddings)")},
+         |bb AS (SELECT id, embedding, band, bands[band+1] AS bucket
+         |       FROM (SELECT id, embedding, bands, unnest(generate_series(0,3)) AS band FROM sigs)),
+         |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id,
+         |           q.embedding AS qv, c.embedding AS cv
+         |         FROM bb q JOIN bb c ON q.band = c.band AND q.bucket = c.bucket
+         |           AND q.id < 5 AND c.id <> q.id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM (SELECT query_id, neighbor_id,
+         |          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine FROM cand) s) t
+         |WHERE rank <= 5""".stripMargin,
     "q_multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text,
         |    (octet_length(encode(text)) % 30) + 1 AS n_frames FROM documents),

@@ -51,10 +51,20 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplanes for `nbits` sign bits over `dim`
-    * dimensions (fixed seed). */
+    * dimensions: sign(p,d) = parity of the first hex digit of
+    * md5("plane:seed:p:d"). md5 (vs a JVM PRNG) makes the planes
+    * recomputable in any SQL engine, so LSH bucketing is value-exact
+    * against the oracle. Driver-side only — the planes become plan
+    * literals, zero per-row cost. */
   private def planes(dim: Int, nbits: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nbits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nbits) { p =>
+      Array.tabulate(dim) { d =>
+        md.reset()
+        val h = md.digest(s"plane:$seed:$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (((h(0) >> 4) & 1) == 1) 1.0 else -1.0
+      }
+    }
   }
 
   /** Append band-bucket sign signatures: `bands` columns named
