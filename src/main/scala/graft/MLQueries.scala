@@ -53,6 +53,12 @@ object MLQueries {
         features = Seq("s_nationkey", "s_acctbal"),
         carry = Seq("s_suppkey")).get
         .withColumnRenamed("MDS-1", "mds_1").withColumnRenamed("MDS-2", "mds_2")
+    }),
+    "q_coret_umap" -> ((s, dir) => {
+      CoreT.umap(Tables.supplier(s, dir),
+        features = Seq("s_nationkey", "s_acctbal"),
+        carry = Seq("s_suppkey")).get
+        .withColumnRenamed("UMAP-1", "umap_1").withColumnRenamed("UMAP-2", "umap_2")
     })
   )
 }

@@ -1,0 +1,160 @@
+package graft.functions
+
+/** UMAP (McInnes, Healy & Melville 2018), driver-side and fully
+  * deterministic.
+  *
+  * The reference runs umap-learn with library defaults
+  * (Tfunctions.py:33-37, wrapper Tengine.py:170-176) over its ≤400-row
+  * charts. This is the same algorithm at that scale: exact kNN graph,
+  * smoothed-distance fuzzy simplicial set (per-point rho/sigma with the
+  * log2(k) calibration), probabilistic t-conorm symmetrization, and the
+  * standard per-edge SGD with negative sampling on the a/b rational
+  * kernel. Two departures keep it reproducible across runs/JVMs:
+  * PCA initialization (umap-learn's spectral init up to sign/rotation;
+  * init choice does not change neighbor structure) and a seeded
+  * xorshift RNG for negative sampling.
+  *
+  * O(n²) kNN + O(edges·epochs) SGD: bounded-input chart feeder like
+  * DBSCAN/MDS/t-SNE in [[graft.operators.CoreT]].
+  */
+object UMAP {
+
+  // Rational-kernel coefficients fit for min_dist=0.1, spread=1.0 —
+  // umap-learn's find_ab_params output for its defaults.
+  private val A = 1.5769434603113077
+  private val B = 0.8950608779109733
+
+  def embed(points: Array[Array[Double]], nNeighbors: Int = 15,
+            epochs: Int = 300, seed: Long = 9L): Array[Array[Double]] = {
+    val n = points.length
+    if (n == 0) return Array.empty
+    if (n == 1) return Array(Array(0.0, 0.0))
+    val k = math.min(nNeighbors, n - 1)
+
+    // exact kNN (bounded input): per-point k smallest distances
+    val dist = Array.ofDim[Double](n, n)
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      var s = 0.0; var c = 0
+      while (c < points(i).length) {
+        val diff = points(i)(c) - points(j)(c); s += diff * diff; c += 1
+      }
+      val d = math.sqrt(s)
+      dist(i)(j) = d; dist(j)(i) = d
+    }
+    val knn = Array.tabulate(n) { i =>
+      (0 until n).filter(_ != i).sortBy(j => (dist(i)(j), j)).take(k).toArray
+    }
+
+    // fuzzy simplicial set: rho = nearest nonzero distance; sigma via
+    // binary search so sum_j exp(-(d - rho)/sigma) = log2(k)
+    val target = math.log(k) / math.log(2.0)
+    val weights = new scala.collection.mutable.HashMap[(Int, Int), Double]
+    for (i <- 0 until n) {
+      val ds = knn(i).map(dist(i)(_))
+      val rho = ds.find(_ > 0.0).getOrElse(0.0)
+      var lo = 0.0; var hi = Double.PositiveInfinity; var sigma = 1.0
+      var it = 0
+      while (it < 64) {
+        val sum = ds.map(d => math.exp(-math.max(0.0, d - rho) / sigma)).sum
+        if (math.abs(sum - target) < 1e-5) it = 64
+        else {
+          if (sum > target) { hi = sigma; sigma = (lo + sigma) / 2 }
+          else { lo = sigma; sigma = if (hi.isInfinity) sigma * 2 else (sigma + hi) / 2 }
+        }
+        it += 1
+      }
+      knn(i).foreach { j =>
+        weights((i, j)) = math.exp(-math.max(0.0, dist(i)(j) - rho) / sigma)
+      }
+    }
+    // symmetrize: w = a + b - ab (probabilistic t-conorm)
+    val sym = new scala.collection.mutable.HashMap[(Int, Int), Double]
+    weights.foreach { case ((i, j), w) =>
+      val back = weights.getOrElse((j, i), 0.0)
+      val (lo, hi) = if (i < j) (i, j) else (j, i)
+      sym((lo, hi)) = w + back - w * back
+    }
+    val edges = sym.toArray.sortBy(_._1) // deterministic iteration order
+    val maxW = edges.map(_._2).max
+
+    val y = pcaInit(points, scale = 10.0)
+
+    // per-edge SGD with negative sampling (umap-learn optimize_layout):
+    // edge fires every maxW/w epochs; 5 negatives per positive
+    val epochsPerSample = edges.map { case (_, w) => maxW / w }
+    val nextDue = epochsPerSample.clone()
+    val negRate = 5
+    var rng = if (seed == 0) 0x9E3779B9L else seed // xorshift64
+    def nextInt(bound: Int): Int = {
+      rng ^= rng << 13; rng ^= rng >>> 7; rng ^= rng << 17
+      (((rng >>> 1) % bound).toInt + bound) % bound
+    }
+    def clip(v: Double): Double = math.max(-4.0, math.min(4.0, v))
+    for (epoch <- 1 to epochs) {
+      val alpha = 1.0 - (epoch - 1).toDouble / epochs
+      var e = 0
+      while (e < edges.length) {
+        if (nextDue(e) <= epoch) {
+          nextDue(e) += epochsPerSample(e)
+          val (i, j) = edges(e)._1
+          // attraction i<->j
+          val dx = y(i)(0) - y(j)(0); val dy = y(i)(1) - y(j)(1)
+          val d2 = dx * dx + dy * dy
+          if (d2 > 0.0) {
+            val g = (-2.0 * A * B * math.pow(d2, B - 1.0)) / (1.0 + A * math.pow(d2, B))
+            val g0 = clip(g * dx) * alpha; val g1 = clip(g * dy) * alpha
+            y(i)(0) += g0; y(i)(1) += g1
+            y(j)(0) -= g0; y(j)(1) -= g1
+          }
+          // repulsion from sampled non-neighbors of i
+          var s = 0
+          while (s < negRate) {
+            val m = nextInt(n)
+            if (m != i && m != j) {
+              val rx = y(i)(0) - y(m)(0); val ry = y(i)(1) - y(m)(1)
+              val rd2 = rx * rx + ry * ry
+              val g = (2.0 * B) / ((0.001 + rd2) * (1.0 + A * math.pow(rd2, B)))
+              y(i)(0) += clip(g * rx) * alpha
+              y(i)(1) += clip(g * ry) * alpha
+            }
+            s += 1
+          }
+        }
+        e += 1
+      }
+    }
+    // recenter for presentation parity with the other embeddings
+    val m0 = y.map(_(0)).sum / n; val m1 = y.map(_(1)).sum / n
+    y.foreach { p => p(0) -= m0; p(1) -= m1 }
+    y
+  }
+
+  /** Top-2 PCA projection via deterministic power iteration, scaled so
+    * the widest component spans ~[-scale, scale]. */
+  private def pcaInit(points: Array[Array[Double]], scale: Double): Array[Array[Double]] = {
+    val n = points.length
+    val d = points(0).length
+    val means = Array.tabulate(d)(c => points.map(_(c)).sum / n)
+    val x = points.map(p => Array.tabulate(d)(c => p(c) - means(c)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var c = 0
+      while (c < a.length) { s += a(c) * b(c); c += 1 }; s
+    }
+    def powerIter(deflate: Option[Array[Double]]): Array[Double] = {
+      var v = Array.tabulate(d)(c => 1.0 / (c + 1))
+      for (_ <- 0 until 100) {
+        deflate.foreach { u => val co = dot(v, u); for (c <- 0 until d) v(c) -= co * u(c) }
+        val xv = x.map(r => dot(r, v))
+        val next = Array.tabulate(d)(c => x.zip(xv).map { case (r, s) => r(c) * s }.sum)
+        val norm = math.sqrt(dot(next, next))
+        v = if (norm > 0) next.map(_ / norm) else v
+      }
+      v
+    }
+    val v1 = powerIter(None)
+    val v2 = powerIter(Some(v1))
+    val c1 = x.map(r => dot(r, v1)); val c2 = x.map(r => dot(r, v2))
+    val span = math.max(c1.map(math.abs).max, math.max(c2.map(math.abs).max, 1e-12))
+    Array.tabulate(n)(i => Array(c1(i) / span * scale, c2(i) / span * scale))
+  }
+}

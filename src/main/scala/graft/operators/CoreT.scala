@@ -28,10 +28,10 @@ import graft.functions.DBSCAN
   *    Inputs are capped (`maxDriverRows`) exactly like the reference
   *    caps its whole input at 400 rows — these operators are
   *    chart-feeders, not table-scale transforms.
-  *  - t-SNE: exact driver-side implementation ([[graft.functions.TSNE]]),
-  *    bounded like MDS. UMAP stays flagged out — an external-dependency
-  *    operator in the reference (umap-learn), like its dead `lida`
-  *    path (searchthread.py:461-462).
+  *  - t-SNE / UMAP: exact driver-side implementations
+  *    ([[graft.functions.TSNE]], [[graft.functions.UMAP]]), bounded
+  *    like MDS. (The reference's dead `lida` path,
+  *    searchthread.py:461-462, stays out.)
   */
 object CoreT {
 
@@ -261,6 +261,33 @@ object CoreT {
           StructField("tSNE-2", DoubleType, nullable = false))))
     }
 
+  /** UMAP → UMAP-1, UMAP-2 (Tfunctions.py:33-37: umap-learn defaults,
+    * n_neighbors=15, min_dist=0.1). Driver-side deterministic
+    * implementation ([[graft.functions.UMAP]]), bounded like mds. */
+  def umap(df: DataFrame, features: Seq[String], carry: Seq[String],
+           nNeighbors: Int = 15, maxDriverRows: Int = 2000): Option[DataFrame] =
+    guarded(df, features, minFeatures = 2) {
+      val spark = df.sparkSession
+      val norm = normalized(df, features, carry)
+      // limit BEFORE collect: the cap must protect the driver, not
+      // fire after the full frame is already materialized
+      val rows = norm.select((carry ++ features).map(col): _*)
+        .limit(maxDriverRows + 1).collect()
+      require(rows.length <= maxDriverRows,
+        s"umap driver path capped at $maxDriverRows rows (got ${rows.length})")
+      val pts = rows.map(r => features.indices.map(i =>
+        Option(r.get(carry.length + i)).map(_.toString.toDouble).getOrElse(0.0)).toArray)
+      val emb = graft.functions.UMAP.embed(pts, nNeighbors)
+      val out = rows.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(carry.indices.map(r.get) ++ Seq(emb(i)(0), emb(i)(1)))
+      }
+      val carrySchema = StructType(carry.map(c => norm.schema(c)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq),
+        StructType(carrySchema ++ Seq(StructField("UMAP-1", DoubleType, nullable = false),
+          StructField("UMAP-2", DoubleType, nullable = false))))
+    }
+
   /** Identity pass-throughs null_num/null_num1/null_nom/null_nom1
     * (Tengine.py:202-212): selection is done by the tpath; validity
     * rules live in [[transform]]. */
@@ -290,9 +317,7 @@ object CoreT {
       case "dbscan" => dbscan(after, feats, carry)
       case "mds"    => mds(after, feats, carry)
       case "tsne"   => tsne(after, feats, carry)
-      case "umap" =>
-        throw new UnsupportedOperationException(
-          "umap is an optional external-dependency operator in the reference (umap-learn); use tsne/mds")
+      case "umap"   => umap(after, feats, carry)
       case n if n.startsWith("null") || n == "test" => nullT(after)
       case other => throw new IllegalArgumentException(s"unknown core T: $other")
     }

@@ -78,6 +78,21 @@ class CoreTSpec extends SparkSpec {
     assert(out.toSeq == out2.toSeq)
   }
 
+  test("umap separates blobs, deterministic across runs") {
+    val out = CoreT.umap(blobs, Seq("x", "y", "z"), Seq("k"), nNeighbors = 10).get
+      .orderBy("k").select("UMAP-1", "UMAP-2").as[(Double, Double)].collect()
+    def dist(a: (Double, Double), b: (Double, Double)) =
+      math.sqrt(math.pow(a._1 - b._1, 2) + math.pow(a._2 - b._2, 2))
+    // mean within-blob distance far below mean between-blob distance
+    val withinA = (for (i <- 0 until 30; j <- (i + 1) until 30) yield dist(out(i), out(j)))
+    val between = (for (i <- 0 until 30; j <- 30 until 60) yield dist(out(i), out(j)))
+    assert(between.sum / between.size > 2 * withinA.sum / withinA.size)
+    // determinism: seeded negative sampling, PCA init → identical rerun
+    val out2 = CoreT.umap(blobs, Seq("x", "y", "z"), Seq("k"), nNeighbors = 10).get
+      .orderBy("k").select("UMAP-1", "UMAP-2").as[(Double, Double)].collect()
+    assert(out.toSeq == out2.toSeq)
+  }
+
   test("transform enforces plan-validity rules (Tengine.py:58-67)") {
     val df = blobs
     // NOTCALCUDMT: pca after arithmetic tpath → None
