@@ -1,8 +1,6 @@
 package graft.operators
 
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.functions.vector_to_array
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -58,22 +56,46 @@ object CoreT {
     TBasic.minMaxNormalize(df.select(kept.map(col): _*), features)
   }
 
-  /** PCA(2) → columns PC1, PC2 (Tfunctions.py:12-16, Tengine.py:146-152). */
+  /** PCA(2) → columns PC1, PC2 (Tfunctions.py:12-16, Tengine.py:146-152).
+    *
+    * The d×d covariance moments are one whole-stage-codegen aggregate
+    * (d sums + d(d+1)/2 product sums — d is a handful of chart
+    * features, never the row count); the eigendecomposition is a
+    * driver-side d×d Breeze eigSym; the projection is plain column
+    * arithmetic over the scan. Two passes total, no ML pipeline, no
+    * cache — the same shape scales to any row count because nothing
+    * driver-side grows with n. Projection is mean-centered like
+    * sklearn's (the reference's) transform; eigenvector signs are
+    * fixed by the largest-|loading| component for determinism. */
   def pca(df: DataFrame, features: Seq[String], carry: Seq[String]): Option[DataFrame] =
     guarded(df, features, minFeatures = 2) {
+      import breeze.linalg.{eigSym, DenseMatrix => BDM}
       val norm = normalized(df, features, carry)
-      // cache the assembled features: the fit scans them (covariance)
-      // and transform would otherwise recompute normalize+assemble
-      val assembled = new VectorAssembler()
-        .setInputCols(features.toArray).setOutputCol("__features")
-        .setHandleInvalid("keep").transform(norm).cache()
-      val model = new org.apache.spark.ml.feature.PCA()
-        .setInputCol("__features").setOutputCol("__pca").setK(2)
-        .fit(assembled)
-      model.transform(assembled)
-        .withColumn("__arr", vector_to_array(col("__pca")))
-        .select(carry.map(col) :+ col("__arr").getItem(0).as("PC1")
-          :+ col("__arr").getItem(1).as("PC2"): _*)
+      val d = features.length
+      val fit = norm.na.drop(features)
+      val prodAggs = for (i <- 0 until d; j <- i until d)
+        yield sum(col(features(i)) * col(features(j))).as(s"__p_${i}_$j")
+      val aggs = (count(lit(1)).as("__n") +: features.map(c => sum(col(c)).as(s"__s_$c"))) ++ prodAggs
+      val r = fit.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getAs[Long]("__n").toDouble
+      val means = Array.tabulate(d)(i => r.getAs[Double](s"__s_${features(i)}") / n)
+      val cov = BDM.tabulate(d, d) { (i, j) =>
+        val (lo, hi) = if (i <= j) (i, j) else (j, i)
+        r.getAs[Double](s"__p_${lo}_$hi") / n - means(lo) * means(hi)
+      }
+      val eig = eigSym(cov)
+      val top = eig.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).take(2)
+      val comps = top.map { case (_, idx) =>
+        val v = Array.tabulate(d)(i => eig.eigenvectors(i, idx))
+        val lead = v.indices.maxBy(i => (math.abs(v(i)), -i))
+        if (v(lead) < 0) v.map(-_) else v
+      }
+      def project(v: Array[Double]): org.apache.spark.sql.Column =
+        features.zipWithIndex.map { case (c, i) =>
+          (col(c) - lit(means(i))) * lit(v(i))
+        }.reduce(_ + _)
+      norm.select(carry.map(col) :+ project(comps(0)).as("PC1")
+        :+ project(comps(1)).as("PC2"): _*)
     }
 
   /** KMeans(k=3, seed=9) → "Category by KMeans" int64 labels
@@ -84,26 +106,86 @@ object CoreT {
              k: Int = 3, seed: Long = 9): Option[DataFrame] =
     guarded(df, features) {
       val norm = normalized(df, features, carry)
-      val assembled = new VectorAssembler()
-        .setInputCols(features.toArray).setOutputCol("__features")
-        .setHandleInvalid("keep").transform(norm).cache()
       // fit on a bounded seeded sample, assign everything: k centers
-      // don't need the full table, and this caps fit cost at any scale
-      val n = assembled.count()
+      // don't need the full table, and this caps fit cost at any scale.
+      // The Lloyd iterations run on the driver (≤fitCap×d doubles —
+      // megabytes); the full-table assignment is pure column
+      // arithmetic against the k center literals, so the distributed
+      // part is a single codegen scan with zero shuffles.
+      val n = df.count()
       val fitCap = 50000L
       val fitSet = if (n > fitCap)
-        assembled.sample(withReplacement = false, fitCap.toDouble / n, seed)
-      else assembled
-      val model = new org.apache.spark.ml.clustering.KMeans()
-        .setK(k).setSeed(seed).setFeaturesCol("__features")
-        // random init: ~20% faster than k-means|| at equal final cost on
-        // minmax-normalized inputs (measured, tools/KMeansExp); sklearn
-        // init differs regardless, so labels are invariance-tested
-        .setInitMode("random")
-        .fit(fitSet)
-      model.transform(assembled)
-        .select(carry.map(col) :+ col("prediction").cast(LongType).as("Category by KMeans"): _*)
+        norm.sample(withReplacement = false, fitCap.toDouble / n, seed)
+      else norm
+      val pts = fitSet.na.drop(features).select(features.map(col): _*)
+        .limit(fitCap.toInt).collect()
+        .map(r => Array.tabulate(features.length)(r.getDouble))
+      val centers = lloyd(pts, k, seed)
+      val dists = centers.map { ctr =>
+        features.zipWithIndex.map { case (c, i) =>
+          (col(c) - lit(ctr(i))) * (col(c) - lit(ctr(i)))
+        }.reduce(_ + _)
+      }
+      val pred = dists.zipWithIndex.tail
+        .foldLeft((lit(0L), dists.head)) { case ((bi, bd), (dc, ic)) =>
+          (when(dc < bd, lit(ic.toLong)).otherwise(bi),
+            when(dc < bd, dc).otherwise(bd))
+        }._1
+      norm.select(carry.map(col) :+ pred.as("Category by KMeans"): _*)
     }
+
+  /** Driver-side Lloyd's algorithm with seeded random init (the same
+    * init family as sklearn/MLlib "random"; labels match only up to
+    * permutation across ecosystems regardless, so tests assert
+    * invariants). Deterministic: JVM RNG + fixed iteration order. */
+  private def lloyd(pts: Array[Array[Double]], k: Int, seed: Long,
+                    maxIter: Int = 30): Array[Array[Double]] = {
+    val n = pts.length
+    if (n == 0) return Array.fill(math.max(k, 1))(Array(0.0))
+    val d = pts(0).length
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, n)
+    val centers = rnd.shuffle((0 until n).toVector).take(kk)
+      .map(i => pts(i).clone()).toArray
+    val assign = new Array[Int](n)
+    var moved = true
+    var iter = 0
+    while (moved && iter < maxIter) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < kk) {
+          var s = 0.0; var f = 0
+          while (f < d) { val diff = pts(i)(f) - centers(c)(f); s += diff * diff; f += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](d))
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val c = assign(i); counts(c) += 1
+        var f = 0
+        while (f < d) { sums(c)(f) += pts(i)(f); f += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var f = 0
+          while (f < d) { centers(c)(f) = sums(c)(f) / counts(c); f += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centers
+  }
 
   /** LDA(4 topics) over the reference's rank-based bag-of-tokens
     * encoding (Tfunctions.py:46-77): each numeric column becomes one
