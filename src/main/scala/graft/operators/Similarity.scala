@@ -88,22 +88,30 @@ object Similarity {
   /** LSH-bucketed approximate top-k: candidates share at least one
     * band bucket with the query; exact cosine re-rank of candidates.
     * Recall < 1 by construction; raise bands for higher recall. */
+  /** Explode band columns to (…, band, bucket) rows — one equi-join on
+    * (band, bucket) replaces a union of per-band joins, so the sign-bit
+    * computation is evaluated once per side. */
+  private def explodeBands(df: DataFrame, bands: Int): DataFrame = {
+    val arr = array((0 until bands).map { b =>
+      struct(lit(b).as("band"), col(s"band_$b").as("bucket"))
+    }: _*)
+    df.select(df.columns.filterNot(_.startsWith("band_")).map(col).toIndexedSeq
+      :+ explode(arr).as("__bb"): _*)
+      .withColumn("band", col("__bb.band"))
+      .withColumn("bucket", col("__bb.bucket"))
+      .drop("__bb")
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
               bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
-    val c = withLshBands(
+    val c = explodeBands(withLshBands(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "__cv", dim, bands, rowsPerBand)
-    val q = withLshBands(
+      "__cv", dim, bands, rowsPerBand), bands)
+    val q = explodeBands(withLshBands(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
-      "__qv", dim, bands, rowsPerBand)
-    val bandCols = (0 until bands).map(b => s"band_$b")
-    val candidates = bandCols.map { bc =>
-      c.select(col("neighbor_id"), col("__cv"), col(bc).as("__bucket"))
-        .join(broadcast(q.select(col("query_id"), col("__qv"), col(bc).as("__bucket"))),
-          Seq("__bucket"))
-        .drop("__bucket")
-    }.reduce(_ unionByName _)
+      "__qv", dim, bands, rowsPerBand), bands)
+    val candidates = c.join(broadcast(q), Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
@@ -178,16 +186,17 @@ object Similarity {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, tau: Double,
                             bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
-    val d = withLshBands(df.select(col(idCol).as("id"), col(vecCol).as("__v")),
-      "__v", dim, bands, rowsPerBand)
-    val bandCols = (0 until bands).map(b => s"band_$b")
-    bandCols.map { bc =>
-      d.select(col("id"), col("__v"), col(bc).as("__bucket")).as("a")
-        .join(d.select(col("id"), col("__v"), col(bc).as("__bucket")).as("b"),
-          col("a.__bucket") === col("b.__bucket") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.__v").as("__va"), col("b.__v").as("__vb"))
-    }.reduce(_ unionByName _)
+    // persist the exploded-band frame: the self-join would otherwise
+    // evaluate the 32 hyperplane dot products per row on both sides
+    val d = explodeBands(withLshBands(
+      df.select(col(idCol).as("id"), col(vecCol).as("__v")),
+      "__v", dim, bands, rowsPerBand), bands)
+      .persist()
+    d.as("a").join(d.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.__v").as("__va"), col("b.__v").as("__vb"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .where(col("cosine") >= tau)

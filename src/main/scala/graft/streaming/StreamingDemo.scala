@@ -79,6 +79,18 @@ object StreamingDemo {
       .toDF("user_id", "session_start_ms", "session_end_ms", "n_events")
   }
 
+  /** Streaming exact dedup: drop rows whose `idCol` was already seen
+    * within the watermark delay. State is bounded by the watermark (the
+    * point of `dropDuplicatesWithinWatermark` vs plain dropDuplicates,
+    * whose state grows forever on an unbounded stream) — the streaming
+    * twin of [[graft.operators.Dedup.exactDedup]]. Batch frames take
+    * the plain distinct path, same logical result. */
+  def dedupEvents(events: DataFrame, idCol: String = "event_id",
+                  tsCol: String = "ts", delay: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(idCol)
+    else events.dropDuplicates(idCol)
+
   /** Drive the streaming query synchronously from a bounded source and
     * return the materialized result (memory sink). Used by tests and
     * the demo entry point: batch parquet → streaming plan → complete

@@ -125,4 +125,19 @@ class LineageSourcesSpec extends SparkSpec {
       Seq(Seq("a", "1"), Seq("b", "2")))
     assert(mem.count() == 2 && mem.columns.toSeq == Seq("h1", "h2"))
   }
+
+  test("orc / text sources round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_src2").toFile
+    val orcPath = new java.io.File(dir, "t.orc").getAbsolutePath
+    Seq((1L, "alpha"), (2L, "beta")).toDF("k", "s").write.orc(orcPath)
+    val orc = Tables.orc(spark, orcPath)
+    assert(orc.count() == 2 && orc.columns.toSeq == Seq("k", "s"))
+    assert(Tables.orc(spark, orcPath, maxRows = Some(1)).count() == 1)
+
+    val txtPath = new java.io.File(dir, "t.txt")
+    Files.writeString(txtPath.toPath, "line one\nline two\nline three\n")
+    val txt = Tables.text(spark, txtPath.getAbsolutePath)
+    assert(txt.columns.toSeq == Seq("value") && txt.count() == 3)
+  }
 }

@@ -36,6 +36,26 @@ class StreamingSpec extends SparkSpec {
     assert(r == Set((ts(0, 0), "click", 2L), (ts(1, 0), "view", 1L)))
   }
 
+  test("dedupEvents drops watermark-window duplicates on a true stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    mem.addData(
+      (1L, ts(0, 5), 1.0), (1L, ts(0, 6), 1.0), (2L, ts(0, 7), 2.0),
+      (2L, ts(0, 8), 2.0), (3L, ts(0, 9), 3.0))
+    val src = mem.toDF().toDF("event_id", "ts", "value")
+    val q = StreamingDemo.dedupEvents(src)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream_test").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ids = spark.table("dedup_stream_test").select($"event_id").as[Long].collect()
+    assert(ids.sorted.toSeq == Seq(1L, 2L, 3L))
+    // batch twin: same logical result through the non-streaming branch
+    val batch = Seq((1L, ts(0, 5), 1.0), (1L, ts(0, 6), 1.0), (2L, ts(0, 7), 2.0))
+      .toDF("event_id", "ts", "value")
+    assert(StreamingDemo.dedupEvents(batch).count() == 2)
+  }
+
   test("multimodal frame sampling: one row per sampled frame, deterministic digests") {
     val docs = Seq((1L, "some media payload text"), (2L, "x")).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(
