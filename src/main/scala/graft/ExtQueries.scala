@@ -119,6 +119,11 @@ object ExtQueries {
         Multimodal.attachFakeBinary(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id", everyNth = 10)
     }),
+    "q_multimodal_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+        Multimodal.attachFakeBinary(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id")
+    }),
 
     // ── streaming twin: tumbling window agg (batch mode) ───────────
     "q_events_window" -> ((s, dir) => {
@@ -379,6 +384,10 @@ object ExtQueries {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  sha256(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_digest
         |FROM fr""".stripMargin,
+    "q_multimodal_features" ->
+      ("""SELECT doc_id, """ + (0 until 8).map(i =>
+        s"('0x'||substr(sha256(text || ':feat'), ${i * 8 + 1}, 8))::BIGINT / 4294967296.0 AS f$i")
+        .mkString(", ") + " FROM documents"),
     "q_events_window" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,
         | event_type, COUNT(*) AS n_events,

@@ -52,6 +52,58 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation decodes, resamples, and
+    * re-encodes; the fake re-digests the payload with the target
+    * geometry so outputs are deterministic and distinct per target.
+    * Batch-shaped like [[sampleFrames]] — one codec per partition. */
+  def resize(df: DataFrame, keyCol: String, targetW: Int, targetH: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(keyCol), col("media"), col("media_type"))
+    val outSchema = StructType(Seq(
+      in.schema.fields(0), in.schema.fields(2),
+      StructField("media", BinaryType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false)))
+    val outRows = in.rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        md.reset()
+        md.update(r.getAs[Array[Byte]]("media"))
+        md.update(s":resize:$targetW:$targetH".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Row(r.get(0), r.get(2), md.digest(), targetW.toLong, targetH.toLong)
+      }
+    }
+    spark.createDataFrame(outRows, outSchema)
+  }
+
+  /** Feature extraction: media → 8 deterministic doubles in [0,1),
+    * derived from sha-256(media ++ ":feat") 8 hex chars at a time.
+    * The mapPartitions shape is the real pattern — load the embedding
+    * model once per partition, stream rows through it — and the fake
+    * formula is SQL-mirrorable, so this one IS value-checked by the
+    * DuckDB oracle (unusual for a stub: the batch plumbing, schema,
+    * and determinism all sit in the gated path). */
+  def extractFeatures(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(keyCol), col("media"))
+    val outSchema = StructType(
+      in.schema.fields(0) +: (0 until 8).map(i =>
+        StructField(s"f$i", DoubleType, nullable = false)))
+    val outRows = in.rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256") // "model" init, once per batch
+      it.map { r =>
+        md.reset()
+        md.update(r.getAs[Array[Byte]]("media"))
+        md.update(":feat".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = md.digest().map("%02x".format(_)).mkString
+        val feats = (0 until 8).map(i =>
+          java.lang.Long.parseLong(hex.substring(i * 8, i * 8 + 8), 16) / 4294967296.0)
+        Row.fromSeq(r.get(0) +: feats)
+      }
+    }
+    spark.createDataFrame(outRows, outSchema)
+  }
+
   /** Frame sampling: one output row per sampled frame, batch-processed
     * with mapPartitions (the Scala analogue of mapInPandas batches —
     * per-partition codec reuse, streaming iterator, no whole-partition

@@ -68,4 +68,24 @@ class StreamingSpec extends SparkSpec {
     val d2 = frames.where($"doc_id" === 2 && $"frame_idx" === 0).select("frame_digest").as[String].head()
     assert(d1 != d2 && d1.length == 64)
   }
+
+  test("multimodal resize + feature extraction: deterministic, batch-shaped") {
+    val docs = Seq((1L, "some media payload"), (2L, "other payload")).toDF("doc_id", "text")
+    val media = Multimodal.attachFakeBinary(docs, "doc_id", "text")
+    val resized = Multimodal.resize(media, "doc_id", 224, 224)
+    assert(resized.columns.toSeq == Seq("doc_id", "media_type", "media", "width", "height"))
+    assert(resized.select("width").as[Long].collect().forall(_ == 224L))
+    // distinct targets yield distinct fake payloads; same target is stable
+    val a = resized.where($"doc_id" === 1).select("media").as[Array[Byte]].head()
+    val b = Multimodal.resize(media, "doc_id", 64, 64)
+      .where($"doc_id" === 1).select("media").as[Array[Byte]].head()
+    assert(!a.sameElements(b))
+
+    val feats = Multimodal.extractFeatures(media, "doc_id")
+    assert(feats.columns.toSeq == "doc_id" +: (0 until 8).map(i => s"f$i"))
+    val row1 = feats.where($"doc_id" === 1).collect().head
+    assert((1 to 8).map(row1.getDouble).forall(v => v >= 0.0 && v < 1.0))
+    val again = Multimodal.extractFeatures(media, "doc_id").where($"doc_id" === 1).collect().head
+    assert(row1 == again)
+  }
 }
