@@ -47,8 +47,12 @@ object Bench {
     val all = SparkEntry.queries
     val results = headline.filter(all.contains).map { name =>
       // min of 2 runs: first run pays whole-stage-codegen compilation,
-      // which a long-lived cluster amortizes away
+      // which a long-lived cluster amortizes away. Cache is cleared per
+      // run so operators that persist intermediates (dedup/similarity
+      // self-join inputs) are measured at full per-execution cost —
+      // the second run must not silently hit the first run's cache.
       val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
