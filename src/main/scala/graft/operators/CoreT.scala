@@ -121,16 +121,15 @@ object CoreT {
         .limit(fitCap.toInt).collect()
         .map(r => Array.tabulate(features.length)(r.getDouble))
       val centers = lloyd(pts, k, seed)
+      // argmin via array_position(min): linear-sized expression — a
+      // when()-fold would copy each distance term exponentially in k
       val dists = centers.map { ctr =>
         features.zipWithIndex.map { case (c, i) =>
           (col(c) - lit(ctr(i))) * (col(c) - lit(ctr(i)))
         }.reduce(_ + _)
       }
-      val pred = dists.zipWithIndex.tail
-        .foldLeft((lit(0L), dists.head)) { case ((bi, bd), (dc, ic)) =>
-          (when(dc < bd, lit(ic.toLong)).otherwise(bi),
-            when(dc < bd, dc).otherwise(bd))
-        }._1
+      val pred = (array_position(array(dists.toIndexedSeq: _*),
+        array_min(array(dists.toIndexedSeq: _*))) - 1).cast(LongType)
       norm.select(carry.map(col) :+ pred.as("Category by KMeans"): _*)
     }
 
@@ -138,8 +137,8 @@ object CoreT {
     * init family as sklearn/MLlib "random"; labels match only up to
     * permutation across ecosystems regardless, so tests assert
     * invariants). Deterministic: JVM RNG + fixed iteration order. */
-  private def lloyd(pts: Array[Array[Double]], k: Int, seed: Long,
-                    maxIter: Int = 30): Array[Array[Double]] = {
+  private[operators] def lloyd(pts: Array[Array[Double]], k: Int, seed: Long,
+                               maxIter: Int = 30): Array[Array[Double]] = {
     val n = pts.length
     if (n == 0) return Array.fill(math.max(k, 1))(Array(0.0))
     val d = pts(0).length

@@ -131,23 +131,34 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 9): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("__v"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // codebook: driver Lloyd on a bounded seeded sample (same fit
+    // strategy as CoreT.kmeans — centers never need the full table);
+    // corpus bucketing = argmin distance as a pure expression scan
     val n = c.count()
     val fitCap = 100000L
     val fitSet = if (n > fitCap) c.sample(withReplacement = false, fitCap.toDouble / n, seed) else c
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(math.min(nlist, math.max(2, n.toInt))).setSeed(seed)
-      .setFeaturesCol("__v").setInitMode("random")
-      .fit(fitSet)
-    val bucketed = model.transform(c).withColumnRenamed("prediction", "__list")
+    val pts = fitSet.limit(fitCap.toInt).collect().map(
+      _.getAs[scala.collection.Seq[Float]]("__cv").map(_.toDouble).toArray)
+    val centers = CoreT.lloyd(pts, math.min(nlist, math.max(2, pts.length)), seed)
+    // argmin via array_position(min): linear-sized expression — a
+    // when()-fold would copy each distance term exponentially in nlist
+    val centerDists = centers.map { ctr =>
+      (0 until dim).map { i =>
+        val diff = element_at(col("__cv"), i + 1).cast("double") - lit(ctr(i))
+        diff * diff
+      }.reduce(_ + _)
+    }
+    val distArr = array(centerDists.toIndexedSeq: _*)
+    val bucketed = c
+      .withColumn("__dists", distArr)
+      .withColumn("__list",
+        (array_position(col("__dists"), array_min(col("__dists"))) - 1).cast("int"))
+      .drop("__dists")
 
     // queries (small, driver-side): nprobe nearest centroids each
-    val centers = model.clusterCenters.map(_.toArray)
     val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")).collect()
     val probes = qRows.flatMap { r =>
       val qv = r.getAs[scala.collection.Seq[Float]]("__qv").map(_.toDouble).toArray
