@@ -130,6 +130,7 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
-  /** 64-bit SimHash fingerprint over whitespace tokens. */
+  /** 60-bit SimHash fingerprint over whitespace tokens (md5-derived
+    * per-token hashes — SQL-mirrorable for the oracle gate). */
   def simhash(text: Column): Column = SimHash64.simhash64(tokens(text))
 }

@@ -77,6 +77,8 @@ object CoreT {
         yield sum(col(features(i)) * col(features(j))).as(s"__p_${i}_$j")
       val aggs = (count(lit(1)).as("__n") +: features.map(c => sum(col(c)).as(s"__s_$c"))) ++ prodAggs
       val r = fit.agg(aggs.head, aggs.tail: _*).head()
+      require(r.getAs[Long]("__n") > 0,
+        "pca: no rows with complete features (covariance undefined)")
       val n = r.getAs[Long]("__n").toDouble
       val means = Array.tabulate(d)(i => r.getAs[Double](s"__s_${features(i)}") / n)
       val cov = BDM.tabulate(d, d) { (i, j) =>
@@ -128,8 +130,10 @@ object CoreT {
           (col(c) - lit(ctr(i))) * (col(c) - lit(ctr(i)))
         }.reduce(_ + _)
       }
-      val pred = (array_position(array(dists.toIndexedSeq: _*),
-        array_min(array(dists.toIndexedSeq: _*))) - 1).cast(LongType)
+      // coalesce: a null feature nulls every distance; keep the old
+      // MLlib handleInvalid=keep contract of a non-null label (0)
+      val pred = coalesce((array_position(array(dists.toIndexedSeq: _*),
+        array_min(array(dists.toIndexedSeq: _*))) - 1).cast(LongType), lit(0L))
       norm.select(carry.map(col) :+ pred.as("Category by KMeans"): _*)
     }
 
@@ -140,7 +144,7 @@ object CoreT {
   private[operators] def lloyd(pts: Array[Array[Double]], k: Int, seed: Long,
                                maxIter: Int = 30): Array[Array[Double]] = {
     val n = pts.length
-    if (n == 0) return Array.fill(math.max(k, 1))(Array(0.0))
+    require(n > 0, "kmeans fit sample is empty (no rows with complete features)")
     val d = pts(0).length
     val rnd = new scala.util.Random(seed)
     val kk = math.min(k, n)

@@ -12,10 +12,15 @@ import graft.functions.TextFunctions
   *  - exact: one groupBy on a 128-bit fingerprint (no raw-text shuffle);
   *  - MinHash+LSH: shingle→hash→k-way min signature (map-side
   *    aggregable), band buckets → equi-join (candidate pairs only);
-  *  - SimHash: 64-bit fingerprint, pigeonhole piece join for Hamming≤k;
+  *  - SimHash: 60-bit fingerprint, pigeonhole piece join for Hamming≤k;
   *  - n-gram Jaccard: inverted-index self-join with a document-frequency
   *    cap so stop-shingles can't quadratically explode a bucket (the
   *    classic skew killer at 100 TB).
+  *
+  * Frames feeding self-joins are `.persist()`ed (a self-join evaluates
+  * its subtree once per side) and stay registered for the session;
+  * long-lived sessions issuing many dedup calls should
+  * `spark.catalog.clearCache()` between batches.
   */
 object Dedup {
 

@@ -85,9 +85,6 @@ object Similarity {
     }
   }
 
-  /** LSH-bucketed approximate top-k: candidates share at least one
-    * band bucket with the query; exact cosine re-rank of candidates.
-    * Recall < 1 by construction; raise bands for higher recall. */
   /** Explode band columns to (…, band, bucket) rows — one equi-join on
     * (band, bucket) replaces a union of per-band joins, so the sign-bit
     * computation is evaluated once per side. */
@@ -102,6 +99,9 @@ object Similarity {
       .drop("__bb")
   }
 
+  /** LSH-bucketed approximate top-k: candidates share at least one
+    * band bucket with the query; exact cosine re-rank of candidates.
+    * Recall < 1 by construction; raise bands for higher recall. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
               bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
@@ -155,7 +155,8 @@ object Similarity {
     val bucketed = c
       .withColumn("__dists", distArr)
       .withColumn("__list",
-        (array_position(col("__dists"), array_min(col("__dists"))) - 1).cast("int"))
+        coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
+          .cast("int"), lit(0)))
       .drop("__dists")
 
     // queries (small, driver-side): nprobe nearest centroids each

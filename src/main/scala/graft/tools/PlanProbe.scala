@@ -16,9 +16,13 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, dir)
     df.explain("formatted")
+    // clear per run like Bench: operators that persist self-join inputs
+    // must not hand the second run a warm cache
+    spark.catalog.clearCache()
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     println(f"[probe] $name first: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    spark.catalog.clearCache()
     val t1 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     println(f"[probe] $name second: ${(System.nanoTime()-t1)/1e9}%.2f s")

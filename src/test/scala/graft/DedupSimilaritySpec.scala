@@ -43,7 +43,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("simhashPairs: exact dup at hamming 0, 1-token-changed dup found") {
-    // the piece join GUARANTEES pairs at hamming ≤ 3 (4×16-bit
+    // the piece join GUARANTEES pairs at hamming ≤ 3 (4×15-bit
     // pigeonhole); larger radii are best-effort — so plant a copy of
     // doc 4 with one token changed (few flipped bits, shares a piece)
     val base = corpus
