@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Physical-plan regression guards: the declared queries must keep the
+  * plan shapes the 100 TB posture depends on — pruned scans, pushed
+  * filters, broadcast dimension joins, single-shuffle aggregations.
+  * A correctness-preserving refactor that silently loses one of these
+  * (e.g. a projection that stops reaching the parquet scan) fails here,
+  * not in production.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** All nodes of the FINAL adaptive plan, seen through AQE wrappers
+    * (AdaptiveSparkPlanExec / query stages / reused exchanges). */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case other                    => other.children
+    }
+    p +: inner.flatMap(flatten)
+  }
+
+  private def executed(name: String): Seq[SparkPlan] = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // finalize AQE so the executed plan is the real one
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  test("q_select_project prunes the lineitem scan to the 3 selected columns") {
+    val scans = executed("q_select_project").collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("l_orderkey", "l_linenumber", "l_extendedprice"))
+  }
+
+  test("q_join_enrich joins dimensions by broadcast, no shuffle before the agg") {
+    val plan = executed("q_join_enrich")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 2, s"expected 2 broadcast joins, got:\n$plan")
+    // the only shuffle is the final groupBy — the joins themselves add none
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"dimension joins must not shuffle:\n$plan")
+  }
+
+  test("q1_pricing_summary is scan → partial agg → one exchange → final agg") {
+    val plan = executed("q1_pricing_summary")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, s"expected exactly one shuffle:\n$plan")
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    // column pruning: the wide lineitem scan reads only the agg inputs
+    assert(scans.head.requiredSchema.fieldNames.length <= 7,
+      s"scan should read only agg inputs, got ${scans.head.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.Tables.lineitem(spark, sfDir)
+      .where(col("l_quantity") > 30)
+      .select(col("l_orderkey"))
+    df.collect()
+    val scans = this.flatten(df.queryExecution.executedPlan).collect { case s: FileSourceScanExec => s }
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThan(l_quantity"),
+      s"expected pushed filter, got: $pushed")
+  }
+
+  test("kmeans assignment scan is shuffle-free (fit sample pass aside)") {
+    val plan = executed("q_coret_kmeans")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"assignment must be a pure expression scan, got shuffles:\n$plan")
+  }
+}
