@@ -93,13 +93,30 @@ object Dedup {
     grams.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Drop (band, bucket) groups larger than `cap` before a bucket
+    * self-join: a degenerate hot bucket (a viral duplicate cluster, an
+    * empty-text cluster) would otherwise join O(m²) — the LSH analogue
+    * of the n-gram document-frequency guard. Hot-bucket members still
+    * pair through their OTHER bands unless those are hot too; callers
+    * wanting the full quadratic cluster should exact-dedup first (the
+    * cheap operator is the right tool for exact copies). One extra agg
+    * over the already-persisted frame + a broadcast anti-join of the
+    * (tiny) hot-bucket list. */
+  private[operators] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
+    val hot = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bs"))
+      .where(col("__bs") > cap).select(keys.map(col): _*)
+    banded.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** LSH candidate pairs from banded MinHash signatures, with the
     * estimated Jaccard (fraction of agreeing signature positions).
     *
     * bands·rowsPerBand must equal numHashes of the signature frame.
+    * `maxBucketSize` is the hot-bucket skew guard ([[capBuckets]]).
     */
   def minhashCandidatePairs(sigs: DataFrame, numHashes: Int = 32,
-                            bands: Int = 8, tau: Double = 0.5): DataFrame = {
+                            bands: Int = 8, tau: Double = 0.5,
+                            maxBucketSize: Long = 100000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
@@ -112,9 +129,11 @@ object Dedup {
     // per side, which would re-run the whole shingle→signature
     // aggregation twice (measured 2.3s→1.0s at sf0.1). O(n·bands) rows
     // of (id, sig, bucket) — disk-backed at scale by default.
-    val banded = sigs.select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-      .persist()
+    val banded = capBuckets(
+      sigs.select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bb"))
+        .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+        .persist(),
+      Seq("band", "bucket"), maxBucketSize)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -134,7 +153,7 @@ object Dedup {
     * shares at least one piece → equi-join per piece, verify exactly
     * with bit_count(xor). */
   def simhashPairs(df: DataFrame, keyCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Long = 100000L): DataFrame = {
     val sims = df.select(col(keyCol).as("id"),
       TextFunctions.simhash(col(textCol)).as("sim"))
     val pieces = array((0 until 4).map { i =>
@@ -143,9 +162,11 @@ object Dedup {
     }: _*)
     // persist: both sides of the piece self-join reuse the fingerprint
     // computation instead of re-hashing every document
-    val exploded = sims.select(col("id"), col("sim"), explode(pieces).as("p"))
-      .select(col("id"), col("sim"), col("p.pc"), col("p.pv"))
-      .persist()
+    val exploded = capBuckets(
+      sims.select(col("id"), col("sim"), explode(pieces).as("p"))
+        .select(col("id"), col("sim"), col("p.pc"), col("p.pv"))
+        .persist(),
+      Seq("pc", "pv"), maxBucketSize)
     exploded.as("a").join(exploded.as("b"),
         col("a.pc") === col("b.pc") && col("a.pv") === col("b.pv") &&
           col("a.id") < col("b.id"))

@@ -197,13 +197,15 @@ object Similarity {
     * candidates (the embedding flavor of [[Dedup]]). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, tau: Double,
-                            bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+                            bands: Int = 4, rowsPerBand: Int = 8,
+                            maxBucketSize: Long = 100000L): DataFrame = {
     // persist the exploded-band frame: the self-join would otherwise
-    // evaluate the 32 hyperplane dot products per row on both sides
-    val d = explodeBands(withLshBands(
+    // evaluate the 32 hyperplane dot products per row on both sides;
+    // capBuckets = the hot-bucket skew guard (see Dedup)
+    val d = Dedup.capBuckets(explodeBands(withLshBands(
       df.select(col(idCol).as("id"), col(vecCol).as("__v")),
       "__v", dim, bands, rowsPerBand), bands)
-      .persist()
+      .persist(), Seq("band", "bucket"), maxBucketSize)
     d.as("a").join(d.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

@@ -58,6 +58,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m((4L, 102L)) > 0 && m((4L, 102L)) <= 16)
   }
 
+  test("hot-bucket skew guard drops oversized LSH buckets, keeps the rest") {
+    // 30 identical docs: every band bucket of the cluster has 30
+    // members → cap 10 suppresses the quadratic cluster entirely
+    val viral = (1 to 30).map(i => (i.toLong, "the same viral text repeated verbatim everywhere"))
+    val docs = (viral :+ (100L, "one unique document about spark shuffle behavior at scale"))
+      .toDF("id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "id", "text", 32, 3)
+    val uncapped = Dedup.minhashCandidatePairs(sigs, 32, 8, tau = 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(uncapped.count { case (a, b) => a <= 30 && b <= 30 } == 30 * 29 / 2)
+    val capped = Dedup.minhashCandidatePairs(sigs, 32, 8, tau = 0.0, maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!capped.exists { case (a, b) => a <= 30 && b <= 30 })
+    // simhash guard: same cluster, same suppression
+    val simUncapped = Dedup.simhashPairs(docs, "id", "text", maxHamming = 60)
+    assert(simUncapped.count() >= 30 * 29 / 2)
+    val simCapped = Dedup.simhashPairs(docs, "id", "text", maxHamming = 60, maxBucketSize = 10)
+    assert(simCapped.count() == 0)
+  }
+
   test("bruteForceTopK: nearest neighbor of a vector is its near-copy") {
     val vecs = (0 until 20).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 3 + j).toFloat))
