@@ -79,6 +79,12 @@ object ExtQueries {
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(nearDupCorpus(s, dir), "id", "text", maxHamming = 12)
     }),
+    "q_dedup_survivors" -> ((s, dir) => {
+      // end-to-end near-dedup: candidate pairs → connected components →
+      // min-id survivor per component
+      Dedup.nearDupSurvivors(Dedup.ngramJaccardPairs(nearDupCorpus(s, dir),
+        "id", "text", shingleSize = 3, tau = 0.3, maxDocFreq = 10000))
+    }),
     "q_dedup_embed_cosine" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
       val jittered = e.select((col("id") + ID_OFFSET).as("id"),
@@ -158,6 +164,31 @@ object ExtQueries {
       |    CASE WHEN (('0x'||substr(md5('plane:20220901:'||p||':'||d),1,1))::BIGINT & 1) = 1
       |      THEN 1.0 ELSE -1.0 END) ORDER BY p) AS planes
       |  FROM (SELECT unnest(generate_series(0,31)) AS p))""".stripMargin
+
+  /** The n-gram inverted-index pipeline as shared CTEs (corpus →
+    * shingles → DF-filtered postings → pair intersections), reused by
+    * the jaccard-pairs oracle and the survivor-components oracle. */
+  private val ngramCtes: String =
+    """corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS id,
+      |    array_to_string((regexp_extract_all(text, '\S+'))
+      |      [1:greatest((len(regexp_extract_all(text, '\S+'))*4)//5, 1)], ' ') AS text
+      |  FROM documents),
+      |sh AS (
+      |  SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
+      |            for i in generate_series(1, len(toks)-2)]) AS shingles
+      |  FROM (SELECT id, regexp_extract_all(text, '\S+') AS toks FROM corpus)),
+      |grams AS (SELECT id, unnest(shingles) AS gram FROM sh),
+      |rare AS (SELECT gram FROM grams GROUP BY gram
+      |         HAVING COUNT(*) <= 10000 AND COUNT(*) >= 2),
+      |filtered AS (SELECT g.id, g.gram FROM grams g JOIN rare USING (gram)),
+      |sizes AS (SELECT id, COUNT(*) AS sz FROM grams GROUP BY id),
+      |inter AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      |  FROM filtered a JOIN filtered b ON a.gram = b.gram AND a.id < b.id
+      |  GROUP BY a.id, b.id)""".stripMargin
 
   /** Band signatures (4 bands × 8 sign bits) for an (id, embedding) source. */
   private def sqlSigs(src: String): String =
@@ -322,30 +353,24 @@ object ExtQueries {
         |    AS est_jaccard FROM cand) t
         |WHERE est_jaccard >= 0.3""".stripMargin,
     "q_dedup_ngram_jaccard" ->
-      """WITH corpus AS (
-        |  SELECT doc_id AS id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS id,
-        |    array_to_string((regexp_extract_all(text, '\S+'))
-        |      [1:greatest((len(regexp_extract_all(text, '\S+'))*4)//5, 1)], ' ') AS text
-        |  FROM documents),
-        |sh AS (
-        |  SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
-        |            for i in generate_series(1, len(toks)-2)]) AS shingles
-        |  FROM (SELECT id, regexp_extract_all(text, '\S+') AS toks FROM corpus)),
-        |grams AS (SELECT id, unnest(shingles) AS gram FROM sh),
-        |rare AS (SELECT gram FROM grams GROUP BY gram
-        |         HAVING COUNT(*) <= 10000 AND COUNT(*) >= 2),
-        |filtered AS (SELECT g.id, g.gram FROM grams g JOIN rare USING (gram)),
-        |sizes AS (SELECT id, COUNT(*) AS sz FROM grams GROUP BY id),
-        |inter AS (
-        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-        |  FROM filtered a JOIN filtered b ON a.gram = b.gram AND a.id < b.id
-        |  GROUP BY a.id, b.id)
+      s"""WITH $ngramCtes
         |SELECT id_a, id_b,
         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
         |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3""".stripMargin,
+    "q_dedup_survivors" ->
+      s"""WITH RECURSIVE $ngramCtes,
+        |j AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM j
+        |          UNION ALL SELECT id_b, id_a FROM j),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id, LEAST(id, MIN(r)) AS keep_id FROM reach GROUP BY id""".stripMargin,
     "q_dedup_embed_cosine" ->
       s"""WITH corpus AS (
          |  SELECT vec_id AS id, embedding FROM embeddings

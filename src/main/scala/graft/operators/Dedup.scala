@@ -148,6 +148,55 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Collapse near-dup candidate pairs into survivor sets: every
+    * connected component of the pair graph keeps its minimum id.
+    *
+    * Min-label propagation — iterate label(x) ← min(label(x),
+    * min label over neighbors) to fixpoint. Each round is one
+    * join + map-side-combinable min-agg; rounds needed = component
+    * diameter, and dedup components are shallow (a cluster of copies
+    * is near-clique), so this converges in 2-3 rounds at any corpus
+    * size. `maxIters` bounds adversarial chains; the driver-side loop
+    * only ever sees a converged/not count, never data.
+    *
+    * @param pairs (id_a, id_b) candidate pairs from any of the
+    *              near-dup operators
+    * @return (id, keep_id) for every id that appears in a pair;
+    *         rows absent from `pairs` are their own survivors
+    */
+  def nearDupSurvivors(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("keep_id", col("id")).persist()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("keep_id").as("__nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("keep_id").as("__old"),
+          least(col("keep_id"), coalesce(col("__nmin"), col("keep_id"))).as("keep_id"))
+        .persist()
+      converged = updated.where(col("keep_id") =!= col("__old")).isEmpty
+      labels = updated.select(col("id"), col("keep_id"))
+      it += 1
+    }
+    labels
+  }
+
+  /** Rows surviving near-dedup: keep a row iff its key is a component
+    * survivor (or was never in a candidate pair). */
+  def nearDedup(df: DataFrame, pairs: DataFrame, keyCol: String): DataFrame = {
+    val losers = nearDupSurvivors(pairs)
+      .where(col("id") =!= col("keep_id"))
+      .select(col("id").as(keyCol))
+    df.join(losers, Seq(keyCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs within a Hamming radius: 60-bit fingerprint,
     * split into 4×15-bit pieces; by pigeonhole any pair within Hamming≤3
     * shares at least one piece → equi-join per piece, verify exactly

@@ -78,6 +78,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(simCapped.count() == 0)
   }
 
+  test("nearDupSurvivors collapses pair chains into min-id components") {
+    // components: {1,2,3} (chain), {10,11}, singleton 99 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val surv = Dedup.nearDupSurvivors(pairs).as[(Long, Long)].collect().toMap
+    assert(surv == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val kept = Dedup.nearDedup(docs, pairs, "id").select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 10L, 99L))
+  }
+
   test("bruteForceTopK: nearest neighbor of a vector is its near-copy") {
     val vecs = (0 until 20).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 3 + j).toFloat))
