@@ -88,6 +88,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 10L, 99L))
   }
 
+  test("CorpusPipeline.clean: exact dup, near dup, junk, and off-language all removed") {
+    import graft.operators.CorpusPipeline
+    val good = (1 to 40).map(i => if (i % 5 == 0) "the" else s"token$i").mkString(" ") +
+      " and of this document is about spark pipelines"
+    val near = good.split(" ").dropRight(2).mkString(" ")
+    val german = "der die das und ist nicht ein eine mit von der die das und ist " +
+      "nicht ein eine mit von werden sich dass auf"
+    val docs = Seq(
+      (1L, good), (2L, good), (3L, near),
+      (4L, "@@@@ #### 1111 2222 $$$$"), (5L, german),
+      (6L, "a completely different story about databases and the art of queries in this world"))
+      .toDF("id", "text")
+    val cleaned = CorpusPipeline.clean(docs, "id", "text",
+      CorpusPipeline.Config(minQuality = 0.3, keepLangs = Set("en"), tau = 0.5))
+    assert(cleaned.columns.contains("quality") && cleaned.columns.contains("lang"))
+    val kept = cleaned.select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 6L))
+  }
+
   test("bruteForceTopK: nearest neighbor of a vector is its near-copy") {
     val vecs = (0 until 20).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 3 + j).toFloat))
