@@ -64,4 +64,30 @@ object CorpusPipeline {
       Dedup.nearDedup(filtered, pairs, keyCol)
     }
   }
+
+  /** The streamable subset of [[clean]] for a document stream with an
+    * event-time column: watermark-bounded EXACT dedup on the content
+    * fingerprint (state bounded by the delay) plus the quality/language
+    * expression gates. Near-dedup needs a corpus self-join and stays a
+    * batch compaction — the standard lambda split: cheap gates on the
+    * stream, quadratic-ish pruning in the periodic batch job. */
+  def cleanStream(docs: DataFrame, textCol: String, tsCol: String,
+                  delay: String = "10 minutes",
+                  cfg: Config = Config()): DataFrame = {
+    val deduped = docs
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+    deduped
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("__ltoks", TextFunctions.tokens(lower(col(textCol))))
+      .withColumn("quality",
+        TextFunctions.qualityScoreOf(col(textCol), col("__toks"), col("__ltoks")))
+      .withColumn("lang", TextFunctions.langIdOf(col(textCol), col("__ltoks")))
+      .drop("__toks", "__ltoks")
+      .where(col("quality") >= cfg.minQuality)
+      .where(if (cfg.keepLangs.isEmpty) lit(true)
+             else col("lang").isin(cfg.keepLangs.toSeq: _*))
+  }
 }

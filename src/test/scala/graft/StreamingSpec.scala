@@ -56,6 +56,26 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingDemo.dedupEvents(batch).count() == 2)
   }
 
+  test("cleanStream: fingerprint dedup + quality gate on a true stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.CorpusPipeline
+    implicit val sqlCtx = spark.sqlContext
+    val good = (1 to 30).map(i => if (i % 5 == 0) "the" else s"token$i").mkString(" ") +
+      " and of this stream is about spark"
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(
+      (1L, ts(0, 1), good),
+      (2L, ts(0, 2), good),                      // exact dup (different id) → dropped
+      (3L, ts(0, 3), "@@@@ 1111 $$$$"))          // junk → quality gate
+    val src = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = CorpusPipeline.cleanStream(src, "text", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("clean_stream_test").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ids = spark.table("clean_stream_test").select($"doc_id").as[Long].collect()
+    assert(ids.toSeq == Seq(1L))
+  }
+
   test("multimodal frame sampling: one row per sampled frame, deterministic digests") {
     val docs = Seq((1L, "some media payload text"), (2L, "x")).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(
