@@ -317,7 +317,8 @@ object ExtQueries {
         |        CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
         |      THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0) AS BIGINT) AS sim FROM t),
         |pv AS (SELECT id, sim, pc, (sim >> (15*pc)) & 32767 AS piece
-        |       FROM (SELECT id, sim, unnest(generate_series(0,3)) AS pc FROM sims)),
+        |       FROM (SELECT id, sim, unnest(generate_series(0,3)) AS pc FROM sims)
+        |       QUALIFY COUNT(*) OVER (PARTITION BY pc, (sim >> (15*pc)) & 32767) <= 100000),
         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sim AS sim_a, b.sim AS sim_b
         |         FROM pv a JOIN pv b ON a.pc = b.pc AND a.piece = b.piece AND a.id < b.id)
         |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
@@ -342,7 +343,8 @@ object ExtQueries {
         |           list_min(list_transform(abs_, p -> (p[1] + i*p[2]) % 2147483647))) AS sig
         |         FROM abl),
         |bucketed AS (SELECT id, sig, band, sig[band*4+1 : band*4+4] AS bucket
-        |             FROM (SELECT id, sig, unnest(generate_series(0,7)) AS band FROM sigs)),
+        |             FROM (SELECT id, sig, unnest(generate_series(0,7)) AS band FROM sigs)
+        |             QUALIFY COUNT(*) OVER (PARTITION BY band, sig[band*4+1 : band*4+4]) <= 100000),
         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
         |         FROM bucketed a JOIN bucketed b
         |         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
@@ -379,7 +381,8 @@ object ExtQueries {
          |$sqlPlanes,
          |${sqlSigs("corpus")},
          |bb AS (SELECT id, embedding, band, bands[band+1] AS bucket
-         |       FROM (SELECT id, embedding, bands, unnest(generate_series(0,3)) AS band FROM sigs)),
+         |       FROM (SELECT id, embedding, bands, unnest(generate_series(0,3)) AS band FROM sigs)
+         |       QUALIFY COUNT(*) OVER (PARTITION BY band, bands[band+1]) <= 100000),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |           a.embedding AS va, b.embedding AS vb
          |         FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)

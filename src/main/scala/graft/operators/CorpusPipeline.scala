@@ -34,25 +34,33 @@ object CorpusPipeline {
                           shingleSize: Int = 3,
                           tau: Double = 0.7)
 
-  /** Clean a (keyCol, textCol) corpus; returns the surviving rows with
-    * `quality` and `lang` columns appended. */
-  def clean(docs: DataFrame, keyCol: String, textCol: String,
-            cfg: Config = Config()): DataFrame = {
-    // 1. exact dedup
-    val exact = Dedup.exactDedup(docs, keyCol, textCol)
+  private val generatedCols = Seq("quality", "lang", "__toks", "__ltoks")
 
-    // 2. quality + language gates, one expression scan
-    val scored = exact
-      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+  /** Quality + language gates, one expression scan: appends `quality`
+    * and `lang`, filters by the config thresholds. Shared verbatim by
+    * the batch and streaming paths so they can't drift. */
+  private def gates(df: DataFrame, textCol: String, cfg: Config): DataFrame = {
+    val clash = df.columns.intersect(generatedCols)
+    require(clash.isEmpty,
+      s"input already has ${clash.mkString(", ")} — rename before cleaning " +
+        "(the pipeline appends quality/lang and would clobber them)")
+    df.withColumn("__toks", TextFunctions.tokens(col(textCol)))
       .withColumn("__ltoks", TextFunctions.tokens(lower(col(textCol))))
       .withColumn("quality",
         TextFunctions.qualityScoreOf(col(textCol), col("__toks"), col("__ltoks")))
       .withColumn("lang", TextFunctions.langIdOf(col(textCol), col("__ltoks")))
       .drop("__toks", "__ltoks")
-    val filtered = scored
       .where(col("quality") >= cfg.minQuality)
       .where(if (cfg.keepLangs.isEmpty) lit(true)
              else col("lang").isin(cfg.keepLangs.toSeq: _*))
+  }
+
+  /** Clean a (keyCol, textCol) corpus; returns the surviving rows with
+    * `quality` and `lang` columns appended. */
+  def clean(docs: DataFrame, keyCol: String, textCol: String,
+            cfg: Config = Config()): DataFrame = {
+    // 1. exact dedup; 2. quality + language gates
+    val filtered = gates(Dedup.exactDedup(docs, keyCol, textCol), textCol, cfg)
 
     // 3. near dedup over the survivors
     if (!cfg.nearDedupOn) filtered
@@ -79,15 +87,6 @@ object CorpusPipeline {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
-    deduped
-      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
-      .withColumn("__ltoks", TextFunctions.tokens(lower(col(textCol))))
-      .withColumn("quality",
-        TextFunctions.qualityScoreOf(col(textCol), col("__toks"), col("__ltoks")))
-      .withColumn("lang", TextFunctions.langIdOf(col(textCol), col("__ltoks")))
-      .drop("__toks", "__ltoks")
-      .where(col("quality") >= cfg.minQuality)
-      .where(if (cfg.keepLangs.isEmpty) lit(true)
-             else col("lang").isin(cfg.keepLangs.toSeq: _*))
+    gates(deduped, textCol, cfg)
   }
 }

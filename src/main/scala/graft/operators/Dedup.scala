@@ -105,7 +105,9 @@ object Dedup {
   private[operators] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
     val hot = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bs"))
       .where(col("__bs") > cap).select(keys.map(col): _*)
-    banded.join(broadcast(hot), keys, "left_anti")
+    // persist the capped output too: the self-join consumes it twice,
+    // and without this the agg + anti-join would re-run per side
+    banded.join(broadcast(hot), keys, "left_anti").persist()
   }
 
   /** LSH candidate pairs from banded MinHash signatures, with the
@@ -164,12 +166,13 @@ object Dedup {
     * @return (id, keep_id) for every id that appears in a pair;
     *         rows absent from `pairs` are their own survivors
     */
-  def nearDupSurvivors(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def nearDupSurvivors(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("keep_id", col("id")).persist()
+    var labels = cached
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -181,10 +184,21 @@ object Dedup {
         .select(col("id"), col("keep_id").as("__old"),
           least(col("keep_id"), coalesce(col("__nmin"), col("keep_id"))).as("keep_id"))
         .persist()
-      converged = updated.where(col("keep_id") =!= col("__old")).isEmpty
+      // count() fully materializes the round's cache before the
+      // superseded one is released
+      converged = updated.where(col("keep_id") =!= col("__old")).count() == 0
+      cached.unpersist()
+      cached = updated
       labels = updated.select(col("id"), col("keep_id"))
       it += 1
     }
+    edges.unpersist()
+    // an unconverged result would silently disagree with the
+    // transitive-closure semantics (and the oracle) — fail loudly;
+    // real dedup components are near-cliques converging in 2-3 rounds
+    require(converged,
+      s"nearDupSurvivors did not converge in $maxIters rounds — " +
+        "pathological chain component; raise maxIters")
     labels
   }
 

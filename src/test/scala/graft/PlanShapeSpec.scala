@@ -28,10 +28,19 @@ class PlanShapeSpec extends SparkSpec {
     p +: inner.flatMap(flatten)
   }
 
+  /** Identity-dedup: a ReusedExchangeExec resurfaces the SAME exchange
+    * instance — counting it twice would fail the exact-count asserts
+    * even though one physical exchange runs. */
+  private def dedupByIdentity(nodes: Seq[SparkPlan]): Seq[SparkPlan] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    nodes.filter(seen.add)
+  }
+
   private def executed(name: String): Seq[SparkPlan] = {
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.collect() // finalize AQE so the executed plan is the real one
-    flatten(df.queryExecution.executedPlan)
+    dedupByIdentity(flatten(df.queryExecution.executedPlan))
   }
 
   test("q_select_project prunes the lineitem scan to the 3 selected columns") {
