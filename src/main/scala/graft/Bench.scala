@@ -40,7 +40,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the expected below-threshold global-window WARN
+    // from the reference-parity rank path (scale twin: q_rank_scalable)
+    // would otherwise swamp the one-line JSON contract output
+    spark.sparkContext.setLogLevel("ERROR")
 
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warm-up
 
