@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
 /** Corpus deduplication operators — the training-data-pipeline layer.
+  * MinHash resemblance per Broder (1997), banded LSH per the classic
+  * Mining of Massive Datasets construction, SimHash per Charikar
+  * (2002) with the Manku–Jain–Sarma piecewise Hamming join.
   *
   * All four families are shuffle-conscious:
   *  - exact: one groupBy on a 128-bit fingerprint (no raw-text shuffle);
