@@ -56,59 +56,55 @@ object DBSCAN {
     labels
   }
 
-  /** Euclidean DBSCAN over dense points, with an eps-grid spatial index
-    * so neighbor lookups scan only adjacent cells instead of all n
-    * points (O(n·k) instead of O(n²) for clustered data — needed once
-    * the core-transform path runs on real table sizes rather than the
-    * reference's 400-row cap). */
-  def fitPoints(points: Array[Array[Double]], eps: Double, minPts: Int): Array[Int] = {
+  /** Neighbor-lookup function over dense points: an eps-grid spatial
+    * index for ≤8 dims (adjacent-cell scans, O(n·k) total), direct
+    * distance scans past that (the 3^dim cell enumeration explodes). */
+  private def neighborFn(points: Array[Array[Double]], eps: Double): Int => IndexedSeq[Int] = {
     val n = points.length
-    if (n == 0) return Array.empty
     val dim = points(0).length
-
-    // the grid index enumerates 3^dim neighbor cells — past ~8 dims
-    // that explodes; fall back to direct distance scans
-    if (dim > 8) {
-      def d(i: Int, j: Int): Double = {
-        var s = 0.0; var k = 0
-        while (k < dim) { val diff = points(i)(k) - points(j)(k); s += diff * diff; k += 1 }
-        math.sqrt(s)
-      }
-      return fit(n, d, eps, minPts)
-    }
-
+    val eps2 = eps * eps
     def sqDist(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var k = 0
       while (k < dim) { val diff = a(k) - b(k); s += diff * diff; k += 1 }
       s
     }
-
-    // eps-cell index; cells precomputed once per point
-    val cells: Array[Seq[Int]] =
-      points.map(p => p.map(x => math.floor(x / eps).toInt).toSeq)
-    val grid = mutable.HashMap[Seq[Int], mutable.ArrayBuffer[Int]]()
-    points.indices.foreach { i =>
-      grid.getOrElseUpdate(cells(i), mutable.ArrayBuffer[Int]()) += i
+    if (dim > 8) {
+      (i: Int) => (0 until n).filter(j => sqDist(points(i), points(j)) <= eps2)
+    } else {
+      // eps-cell index; cells precomputed once per point
+      val cells: Array[Seq[Int]] =
+        points.map(p => p.map(x => math.floor(x / eps).toInt).toSeq)
+      val grid = mutable.HashMap[Seq[Int], mutable.ArrayBuffer[Int]]()
+      points.indices.foreach { i =>
+        grid.getOrElseUpdate(cells(i), mutable.ArrayBuffer[Int]()) += i
+      }
+      val offsets: IndexedSeq[IndexedSeq[Int]] =
+        (0 until dim).foldLeft(IndexedSeq(IndexedSeq.empty[Int]))((acc, _) =>
+          acc.flatMap(pfx => IndexedSeq(-1, 0, 1).map(pfx :+ _)))
+      (i: Int) => {
+        val c = cells(i)
+        val pi = points(i)
+        val out = IndexedSeq.newBuilder[Int]
+        offsets.foreach { off =>
+          val key = Seq.tabulate(dim)(k => c(k) + off(k))
+          grid.get(key).foreach { bucket =>
+            bucket.foreach { j => if (sqDist(pi, points(j)) <= eps2) out += j }
+          }
+        }
+        out.result()
+      }
     }
-    val offsets: IndexedSeq[IndexedSeq[Int]] =
-      (0 until dim).foldLeft(IndexedSeq(IndexedSeq.empty[Int]))((acc, _) =>
-        acc.flatMap(pfx => IndexedSeq(-1, 0, 1).map(pfx :+ _)))
-    val eps2 = eps * eps
+  }
+
+  /** Euclidean DBSCAN over dense points (discovery-order labels, same
+    * convention as [[fit]]/sklearn). */
+  def fitPoints(points: Array[Array[Double]], eps: Double, minPts: Int): Array[Int] = {
+    val n = points.length
+    if (n == 0) return Array.empty
+    val neighbors = neighborFn(points, eps)
 
     val labels = Array.fill(n)(-2)
     var cluster = -1
-    def neighbors(i: Int): IndexedSeq[Int] = {
-      val c = cells(i)
-      val pi = points(i)
-      val out = IndexedSeq.newBuilder[Int]
-      offsets.foreach { off =>
-        val key = Seq.tabulate(dim)(k => c(k) + off(k))
-        grid.get(key).foreach { bucket =>
-          bucket.foreach { j => if (sqDist(pi, points(j)) <= eps2) out += j }
-        }
-      }
-      out.result()
-    }
     for (i <- 0 until n if labels(i) == -2) {
       val ni = neighbors(i)
       if (ni.size < minPts) labels(i) = -1
@@ -133,5 +129,54 @@ object DBSCAN {
       }
     }
     labels
+  }
+
+  /** Order-independent DBSCAN labeling: a cluster is labeled by the
+    * MINIMUM key among its core points, a border point takes the
+    * minimum such label over its core neighbors, noise is -1.
+    *
+    * Identical cluster MEMBERSHIP to [[fitPoints]] for core points;
+    * border points within eps of two clusters go to the min-labeled one
+    * (visit-order in fitPoints/sklearn) — a deterministic tie-break
+    * instead of an incidental one, which is what makes the labeling
+    * reproducible by a SQL engine (the q_coret_dbscan DuckDB oracle is
+    * an ε-graph recursive CTE over exactly these semantics). */
+  def canonicalPoints(points: Array[Array[Double]], eps: Double, minPts: Int,
+                      keys: Array[Long]): Array[Long] = {
+    val n = points.length
+    if (n == 0) return Array.empty
+    require(keys.length == n, "one key per point")
+    val neighbors = neighborFn(points, eps)
+
+    val nbrs = Array.tabulate(n)(neighbors) // each point's list, once
+    val isCore = nbrs.map(_.size >= minPts)
+
+    // union-find over core-core eps edges
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for (i <- 0 until n if isCore(i); j <- nbrs(i) if isCore(j)) union(i, j)
+
+    val minKey = mutable.HashMap[Int, Long]()
+    for (i <- 0 until n if isCore(i)) {
+      val r = find(i)
+      minKey(r) = math.min(minKey.getOrElse(r, Long.MaxValue), keys(i))
+    }
+    Array.tabulate(n) { i =>
+      if (isCore(i)) minKey(find(i))
+      else {
+        val coreNbrs = nbrs(i).filter(isCore)
+        if (coreNbrs.isEmpty) -1L else coreNbrs.map(j => minKey(find(j))).min
+      }
+    }
   }
 }

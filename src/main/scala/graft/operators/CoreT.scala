@@ -245,7 +245,13 @@ object CoreT {
 
   /** DBSCAN(eps=0.25, minPts=5) → "Category by DBSCAN", -1 = outlier
     * (Tfunctions.py:90-94, Tengine.py:186-192). Driver-side with a
-    * grid-indexed neighbor search over a bounded collect. */
+    * grid-indexed neighbor search over a bounded collect.
+    *
+    * Labels: when the first carry column is integral, clusters are
+    * labeled by their minimum core key ([[DBSCAN.canonicalPoints]] —
+    * order-independent, hence oracle-checkable); otherwise sklearn-style
+    * discovery-order ints. Either way a bijection of the reference's
+    * labels (sklearn inits differ regardless; invariance-tested). */
   def dbscan(df: DataFrame, features: Seq[String], carry: Seq[String],
              eps: Double = 0.25, minPts: Int = 5,
              maxDriverRows: Int = 200000): Option[DataFrame] =
@@ -261,9 +267,17 @@ object CoreT {
           "sample or pre-aggregate first")
       val pts = rows.map(r => features.indices.map(i =>
         Option(r.get(carry.length + i)).map(_.toString.toDouble).getOrElse(0.0)).toArray)
-      val labels = DBSCAN.fitPoints(pts, eps, minPts)
+      val integralKey = carry.headOption.exists(c => norm.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      })
+      val labels: Array[Long] =
+        if (integralKey) {
+          val keys = rows.map(r => r.get(0).toString.toLong)
+          DBSCAN.canonicalPoints(pts, eps, minPts, keys)
+        } else DBSCAN.fitPoints(pts, eps, minPts).map(_.toLong)
       val out = rows.zip(labels).map { case (r, l) =>
-        Row.fromSeq(carry.indices.map(r.get) :+ l.toLong)
+        Row.fromSeq(carry.indices.map(r.get) :+ l)
       }
       val carrySchema = StructType(carry.map(c => norm.schema(c)))
       spark.createDataFrame(
