@@ -45,6 +45,24 @@ class CoreTSpec extends SparkSpec {
     assert((30L until 60L).map(labels).toSet.size == 1)
   }
 
+  test("dbscan canonical labels: min core key names the cluster, border ties break to min") {
+    // two tight 6-point cores at x∈[0,0.05] and x∈[0.95,1] (x spans
+    // exactly [0,1] so minmax normalization is the identity); keys make
+    // the right cluster's min key (5) smaller than the left's (10).
+    // The lone point at x=0.5 has 5 neighbors < minPts=6 → border, and
+    // it is within eps=0.46 of cores on BOTH sides → min label wins.
+    val left = (10 to 15).map(i => (i.toLong, (i - 10) * 0.01, 0.0, 0.0))
+    val right = ((5 to 9).map(i => (i.toLong, 0.95 + (i - 5) * 0.01, 0.0, 0.0)) :+
+      (16L, 1.0, 0.0, 0.0))
+    val border = Seq((99L, 0.5, 0.0, 0.0))
+    val df = (left ++ right ++ border).toDF("k", "x", "y", "z")
+    val out = CoreT.dbscan(df, Seq("x", "y"), Seq("k"), eps = 0.46, minPts = 6)
+      .get.select($"k", $"Category by DBSCAN").as[(Long, Long)].collect().toMap
+    assert((10L to 15L).forall(out(_) == 10L))
+    assert(((5L to 9L) :+ 16L).forall(out(_) == 5L))
+    assert(out(99L) == 5L) // within eps of both clusters → min label wins
+  }
+
   test("mds preserves relative distances of a 1-D manifold") {
     val df = (0 until 20).map(i => (i.toLong, i.toDouble, i.toDouble, 0.0)).toDF("k", "a", "b", "c")
     val out = CoreT.mds(df, Seq("a", "b"), Seq("k")).get
