@@ -199,21 +199,24 @@ object Similarity {
                             dim: Int, tau: Double,
                             bands: Int = 4, rowsPerBand: Int = 8,
                             maxBucketSize: Long = 100000L): DataFrame = {
-    // persist the exploded-band frame: the self-join would otherwise
-    // evaluate the 32 hyperplane dot products per row on both sides;
-    // capBuckets = the hot-bucket skew guard (see Dedup)
-    val d = Dedup.capBuckets(explodeBands(withLshBands(
+    // persist the compact banded frame (id, vec, band_0..band_{b-1}):
+    // the self-join would otherwise evaluate the bands×rowsPerBand
+    // hyperplane dot products per row on both sides; the band explode
+    // recomputes for free off the cache. capBuckets = the hot-bucket
+    // skew guard (see Dedup). Cosine + τ filter run before the pair
+    // dedup so sub-threshold collisions never shuffle the vectors.
+    val compact = withLshBands(
       df.select(col(idCol).as("id"), col(vecCol).as("__v")),
-      "__v", dim, bands, rowsPerBand), bands)
-      .persist(), Seq("band", "bucket"), maxBucketSize)
+      "__v", dim, bands, rowsPerBand).persist()
+    val d = Dedup.capBuckets(explodeBands(compact, bands),
+      Seq("band", "bucket"), maxBucketSize)
     d.as("a").join(d.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.__v").as("__va"), col("b.__v").as("__vb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+        cosine(col("a.__v"), col("b.__v")).as("cosine"))
       .where(col("cosine") >= tau)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "cosine")
   }
 }

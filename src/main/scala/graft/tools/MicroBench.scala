@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
+import graft.operators.Dedup
 import graft.sources.Tables
 
 /** Scratch micro-bench for expression-shape experiments (not part of
@@ -13,46 +14,88 @@ object MicroBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = Tables.documents(spark, "/root/testdata/sf0.1").cache()
-    docs.count()
+    val dir = "/root/testdata/sf0.1"
 
     def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
 
+    def corpus = {
+      val d = Tables.documents(spark, dir).select(col("doc_id").as("id"), col("text"))
+      val truncated = d.select((col("id") + 1000000L).as("id"),
+        array_join(slice(TextFunctions.tokens(col("text")), lit(1),
+          greatest((size(TextFunctions.tokens(col("text"))) * 4) / 5, lit(1)).cast("int")), " ").as("text"))
+      d.unionByName(truncated)
+    }
+
     for (_ <- 1 to 2) {
-      time("quality_direct") {
-        docs.select(col("doc_id"),
-          TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
-          TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
-          TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
+      spark.catalog.clearCache()
+      time("corpus only") {
+        corpus.write.format("noop").mode("overwrite").save()
+      }
+      time("shingle explode") {
+        corpus.select(col("id"),
+          explode(TextFunctions.wordShingles(col("text"), 3)).as("gram"))
           .write.format("noop").mode("overwrite").save()
       }
-      time("quality_projected") {
-        docs.select(col("doc_id"), col("text"),
-          TextFunctions.tokens(col("text")).as("__toks"),
-          TextFunctions.tokens(lower(col("text"))).as("__ltoks"))
-          .select(col("doc_id"),
-            TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
-            TextFunctions.stopwordRatioOf(col("__ltoks")).as("stopword_ratio"),
-            TextFunctions.meanTokenLenOf(col("__toks")).as("mean_token_len"),
-            TextFunctions.qualityScoreOf(col("text"), col("__toks"), col("__ltoks")).as("quality"))
+      time("grams+md5") {
+        corpus.select(col("id"),
+          explode(TextFunctions.wordShingles(col("text"), 3)).as("gram"))
+          .withColumn("h", md5(col("gram")))
+          .withColumn("a", conv(substring(col("h"), 1, 7), 16, 10).cast("long"))
+          .withColumn("b", conv(substring(col("h"), 8, 7), 16, 10).cast("long")
+            .bitwiseOR(lit(1L)))
           .write.format("noop").mode("overwrite").save()
       }
-      time("quality_twolevel") {
-        val l1 = docs.select(col("doc_id"), col("text"),
-          TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
-          TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
-          TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
-          TextFunctions.digitRatio(col("text")).as("__digit"))
-        val lenOk = when(length(col("text")).between(50, 10000), 1.0).otherwise(0.0)
-        val meanOk = when(coalesce(col("mean_token_len"), lit(0.0)).between(3.0, 12.0), 1.0).otherwise(0.0)
-        l1.select(col("doc_id"), col("alpha_ratio"), col("stopword_ratio"), col("mean_token_len"),
-          ((lenOk * 0.2) + (meanOk * 0.2) + (coalesce(col("alpha_ratio"), lit(0.0)) * 0.3) +
-            (least(coalesce(col("stopword_ratio"), lit(0.0)) * 5.0, lit(1.0)) * 0.2) +
-            ((lit(1.0) - coalesce(col("__digit"), lit(0.0))) * 0.1)).as("quality"))
+      time("signatures agg") {
+        Dedup.minhashSignatures(corpus, "id", "text", 32, 3)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      time("full pairs") {
+        Dedup.minhashCandidatePairs(
+          Dedup.minhashSignatures(corpus, "id", "text", 32, 3), 32, 8, 0.3)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      time("sigs persisted, join") {
+        val sigs = Dedup.minhashSignatures(corpus, "id", "text", 32, 3).persist()
+        val sigArr = array((0 until 32).map(i => col(s"s$i")): _*)
+        val bandStructs = array((0 until 8).map { b =>
+          struct(lit(b).as("band"), slice(sigArr, b * 4 + 1, 4).as("bucket"))
+        }: _*)
+        val banded = sigs.select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bb"))
+          .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            (aggregate(zip_with(col("a.sig"), col("b.sig"),
+              (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+              .cast("double") / lit(32)).as("est_jaccard"))
+          .where(col("est_jaccard") >= 0.3)
+          .dropDuplicates("id_a", "id_b")
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      time("no persist at all") {
+        val sigs = Dedup.minhashSignatures(corpus, "id", "text", 32, 3)
+        val sigArr = array((0 until 32).map(i => col(s"s$i")): _*)
+        val bandStructs = array((0 until 8).map { b =>
+          struct(lit(b).as("band"), slice(sigArr, b * 4 + 1, 4).as("bucket"))
+        }: _*)
+        val banded = sigs.select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bb"))
+          .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            (aggregate(zip_with(col("a.sig"), col("b.sig"),
+              (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+              .cast("double") / lit(32)).as("est_jaccard"))
+          .where(col("est_jaccard") >= 0.3)
+          .dropDuplicates("id_a", "id_b")
           .write.format("noop").mode("overwrite").save()
       }
     }
