@@ -200,7 +200,70 @@ object ExtQueries {
        |          THEN (1::BIGINT << r) ELSE 0::BIGINT END)) AS BIGINT)) AS bands
        |  FROM $src, pl)""".stripMargin
 
+  /** q_sim_ivf_topk oracle: bit-exact DuckDB replay of the IVF
+    * codebook fit + probe. The codebook is [[Similarity.ivfTopK]]'s
+    * deterministic Lloyd (md5-digest sample order, init = first 16,
+    * 10 fixed iterations — see [[graft.operators.CoreT.lloyd]]);
+    * every float op is an ordered left fold with a 0.0 seed, which
+    * matches Scala's `s += diff*diff` accumulation bit-exactly. */
+  private def ivfOracle: String = {
+    val (nlist, nprobe, k, iters) = (16, 4, 5, 10)
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+         |  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
+    def dist(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+         |  z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)""".stripMargin
+    def nrm(a: String) = s"sqrt(${dot(a, a)})"
+    s"""WITH RECURSIVE
+       |emb AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings),
+       |sp AS (SELECT list(v ORDER BY md5(id || ':9')) AS vs, COUNT(*) AS m FROM emb),
+       |it(i, cs) AS (
+       |  SELECT 0, vs[1:$nlist] FROM sp
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    [CASE WHEN len(ixs[c]) = 0 THEN cs[c]
+       |          ELSE list_transform(
+       |                 list_reduce(list_prepend(list_transform(generate_series(1, 64), z -> 0.0),
+       |                                          [vs[j] FOR j IN ixs[c]]),
+       |                             (a, v) -> list_transform(list_zip(a, v), z -> z[1] + z[2])),
+       |                 s -> s / len(ixs[c])) END
+       |     FOR c IN generate_series(1, $nlist)]
+       |  FROM (SELECT i, cs, vs,
+       |               [[j FOR j IN generate_series(1, m) IF asg[j] = c]
+       |                FOR c IN generate_series(1, $nlist)] AS ixs
+       |        FROM (SELECT i, cs, vs, m,
+       |                     list_transform(generate_series(1, m), j ->
+       |                       list_position(list_transform(cs, c -> ${dist("vs[j]", "c")}),
+       |                                     list_min(list_transform(cs, c -> ${dist("vs[j]", "c")})))) AS asg
+       |              FROM it, sp WHERE i < $iters))),
+       |fin AS (SELECT cs FROM it WHERE i = $iters),
+       |bucketed AS (
+       |  SELECT id, v,
+       |    CAST(list_position(list_transform(cs, c -> ${dist("v", "c")}),
+       |                       list_min(list_transform(cs, c -> ${dist("v", "c")}))) - 1 AS INT) AS lst
+       |  FROM emb, fin),
+       |probes AS (
+       |  SELECT id AS query_id, v AS qv, cidx - 1 AS lst
+       |  FROM (SELECT e.id, e.v, u.cidx, ${dist("e.v", "cs[u.cidx]")} AS d
+       |        FROM emb e, fin, (SELECT unnest(generate_series(1, $nlist)) AS cidx) u
+       |        WHERE e.id < 5)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cidx) <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, b.id AS neighbor_id,
+       |    ${dot("p.qv", "b.v")} /
+       |      (${nrm("p.qv")} * ${nrm("b.v")}) AS cosine
+       |  FROM bucketed b JOIN probes p ON b.lst = p.lst AND b.id <> p.query_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_sim_ivf_topk" -> ivfOracle,
     "q_text_tokens" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '\S+')) AS n_tokens,

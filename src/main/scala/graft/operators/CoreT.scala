@@ -101,28 +101,51 @@ object CoreT {
     }
 
   /** KMeans(k=3, seed=9) → "Category by KMeans" int64 labels
-    * (Tfunctions.py:96-100, Tengine.py:194-200). Distributed; sklearn
-    * and MLlib inits differ so labels match only up to permutation —
-    * tests assert invariants, not values. */
+    * (Tfunctions.py:96-100, Tengine.py:194-200).
+    *
+    * Fully deterministic and engine-reproducible: the fit sample is
+    * the `fitCap` rows with the smallest md5(key…:seed) digest (a
+    * seeded uniform pseudo-random subset that any SQL engine can
+    * recompute — unlike Bernoulli `sample()`, whose per-partition RNG
+    * is Spark-internal), collected in digest order; Lloyd inits from
+    * the first k points of that order and sums members in it. The
+    * DuckDB oracle replays the identical arithmetic, so labels are
+    * value-exact, not just permutation-equal. */
   def kmeans(df: DataFrame, features: Seq[String], carry: Seq[String],
-             k: Int = 3, seed: Long = 9): Option[DataFrame] =
+             k: Int = 3, seed: Long = 9, fitCap: Int = 50000,
+             maxIter: Int = 30): Option[DataFrame] =
     guarded(df, features) {
       val norm = normalized(df, features, carry)
-      // fit on a bounded seeded sample, assign everything: k centers
-      // don't need the full table, and this caps fit cost at any scale.
-      // The Lloyd iterations run on the driver (≤fitCap×d doubles —
-      // megabytes); the full-table assignment is pure column
-      // arithmetic against the k center literals, so the distributed
-      // part is a single codegen scan with zero shuffles.
-      val n = df.count()
-      val fitCap = 50000L
-      val fitSet = if (n > fitCap)
-        norm.sample(withReplacement = false, fitCap.toDouble / n, seed)
-      else norm
-      val pts = fitSet.na.drop(features).select(features.map(col): _*)
-        .limit(fitCap.toInt).collect()
-        .map(r => Array.tabulate(features.length)(r.getDouble))
-      val centers = lloyd(pts, k, seed)
+      // fit on a bounded deterministic sample, assign everything: k
+      // centers don't need the full table, and this caps fit cost at
+      // any scale. Selection is a TakeOrdered top-fitCap by digest
+      // (per-partition heaps + driver merge — no shuffle of the
+      // table); the Lloyd iterations run on the driver (≤fitCap×d
+      // doubles); the full-table assignment is pure column arithmetic
+      // against the k center literals, so the distributed part is a
+      // single codegen scan with zero shuffles.
+      // ordering tie-break: duplicate keys hash identically, so the
+      // digest alone can't canonically order them — extend the order
+      // with the feature values (full duplicates are interchangeable)
+      val fitRows = norm.na.drop(features)
+        .select(md5(concat_ws(":", carry.map(col) :+ lit(seed): _*)).as("__h")
+          +: features.map(c => col(c)): _*)
+        .orderBy(col("__h") +: features.map(col): _*).limit(fitCap)
+        .collect().sorted(new Ordering[Row] {
+          def compare(a: Row, b: Row): Int = {
+            val c0 = a.getString(0).compareTo(b.getString(0))
+            if (c0 != 0) return c0
+            var i = 1
+            while (i < a.length) {
+              val c = java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+              if (c != 0) return c
+              i += 1
+            }
+            0
+          }
+        })
+      val pts = fitRows.map(r => Array.tabulate(features.length)(i => r.getDouble(i + 1)))
+      val centers = lloyd(pts, k, maxIter)
       // argmin via array_position(min): linear-sized expression — a
       // when()-fold would copy each distance term exponentially in k
       val dists = centers.map { ctr =>
@@ -137,19 +160,21 @@ object CoreT {
       norm.select(carry.map(col) :+ pred.as("Category by KMeans"): _*)
     }
 
-  /** Driver-side Lloyd's algorithm with seeded random init (the same
-    * init family as sklearn/MLlib "random"; labels match only up to
-    * permutation across ecosystems regardless, so tests assert
-    * invariants). Deterministic: JVM RNG + fixed iteration order. */
-  private[operators] def lloyd(pts: Array[Array[Double]], k: Int, seed: Long,
+  /** Driver-side Lloyd's algorithm. Init = the first k points, so
+    * callers pass `pts` in a canonical pseudo-random order (digest
+    * order of a seeded md5 — uniform like a shuffle, but replayable
+    * by any engine). Deterministic: fixed iteration order, strict-less
+    * argmin (first center wins ties), empty clusters keep their
+    * center; the early stop is a pure optimization (at a fixed point
+    * the recomputed centers are bit-identical), so a fixed-iteration
+    * replay reaches the same centers. */
+  private[operators] def lloyd(pts: Array[Array[Double]], k: Int,
                                maxIter: Int = 30): Array[Array[Double]] = {
     val n = pts.length
     require(n > 0, "kmeans fit sample is empty (no rows with complete features)")
     val d = pts(0).length
-    val rnd = new scala.util.Random(seed)
     val kk = math.min(k, n)
-    val centers = rnd.shuffle((0 until n).toVector).take(kk)
-      .map(i => pts(i).clone()).toArray
+    val centers = Array.tabulate(kk)(i => pts(i).clone())
     val assign = new Array[Int](n)
     var moved = true
     var iter = 0

@@ -134,15 +134,20 @@ object Similarity {
     val spark = corpus.sparkSession
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    // codebook: driver Lloyd on a bounded seeded sample (same fit
-    // strategy as CoreT.kmeans — centers never need the full table);
-    // corpus bucketing = argmin distance as a pure expression scan
-    val n = c.count()
-    val fitCap = 100000L
-    val fitSet = if (n > fitCap) c.sample(withReplacement = false, fitCap.toDouble / n, seed) else c
-    val pts = fitSet.limit(fitCap.toInt).collect().map(
+    // codebook: driver Lloyd on a bounded deterministic sample (same
+    // fit strategy as CoreT.kmeans: top-fitCap by seeded md5 digest,
+    // collected and initialized in digest order — replayable by any
+    // SQL engine, so IVF results are value-exact against the oracle);
+    // corpus bucketing = argmin distance as a pure expression scan.
+    // 10 Lloyd rounds: a codebook doesn't need full convergence.
+    val fitCap = 100000
+    val fitRows = c
+      .select(md5(concat_ws(":", col("neighbor_id"), lit(seed))).as("__h"), col("__cv"))
+      .orderBy(col("__h")).limit(fitCap)
+      .collect().sortBy(_.getString(0))
+    val pts = fitRows.map(
       _.getAs[scala.collection.Seq[Float]]("__cv").map(_.toDouble).toArray)
-    val centers = CoreT.lloyd(pts, math.min(nlist, math.max(2, pts.length)), seed)
+    val centers = CoreT.lloyd(pts, math.min(nlist, math.max(2, pts.length)), maxIter = 10)
     // argmin via array_position(min): linear-sized expression — a
     // when()-fold would copy each distance term exponentially in nlist
     val centerDists = centers.map { ctr =>
