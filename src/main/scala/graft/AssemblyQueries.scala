@@ -47,7 +47,14 @@ object AssemblyQueries {
         Significance.heavyTailScore(sums))
       val schema = StructType(Seq("outstanding1", "linearness", "dispersion",
         "skew", "heavytail").map(StructField(_, DoubleType)))
-      s.createDataFrame(java.util.List.of(row), schema)
+      // DECIMAL round-trip pins float parity with the DuckDB oracle
+      // (CDF implementations agree to ~1e-13; the grid is 1e-2).
+      s.createDataFrame(java.util.List.of(row), schema).select(
+        col("outstanding1").cast("decimal(18,2)").cast("double").as("outstanding1"),
+        col("linearness").cast("decimal(18,2)").cast("double").as("linearness"),
+        col("dispersion").cast("decimal(28,2)").cast("double").as("dispersion"),
+        col("skew").cast("decimal(18,2)").cast("double").as("skew"),
+        col("heavytail").cast("decimal(18,2)").cast("double").as("heavytail"))
     }),
 
     // batched per-group scoring: N charts scored in ONE shuffle via a
@@ -55,7 +62,8 @@ object AssemblyQueries {
     "q_group_outstanding" -> ((s, dir) => {
       Tables.orders(s, dir)
         .groupBy(col("o_orderpriority"))
-        .agg(graft.score.GroupScore.outstanding1(col("o_totalprice")).as("outstanding1"),
+        .agg(graft.score.GroupScore.outstanding1(col("o_totalprice"))
+          .cast("decimal(18,2)").cast("double").as("outstanding1"),
           count(lit(1)).as("n"))
     }),
 
@@ -72,5 +80,70 @@ object AssemblyQueries {
         StructField("signature", StringType), StructField("channels", StringType)))
       s.createDataFrame(java.util.List.of(rows: _*), schema)
     })
+  )
+
+  import OracleSql._
+
+  /** DuckDB oracles for the CDF-based scorers: the F(1, d2) CDF is
+    * rebuilt in SQL as a regularized-incomplete-beta continued
+    * fraction (see [[OracleSql]]); moments mirror the Scala fold order
+    * exactly. q_scagnostics (O(n²) MST) and q_recommend_charts (full
+    * search pipeline) stay rows-only by design.
+    */
+  val oracles: Map[String, String] = Map(
+    "q_significance" -> {
+      val powIdx = (i: String) => s"pow($i, 0.7)"
+      val linIdx = (i: String) => s"$i"
+      s"""WITH sums AS (
+         |  SELECT list(t ORDER BY pr) AS raw FROM (
+         |    SELECT o_orderpriority AS pr,
+         |           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS t
+         |    FROM orders GROUP BY 1) u
+         |),
+         |out0 AS (SELECT list_sort(raw) AS d FROM sums),
+         |${fstatChain("out0", "", powIdx)},
+         |${fcdfChain("out0_x", "")},
+         |lin0 AS (
+         |  SELECT list(v ORDER BY v) AS d FROM (
+         |    SELECT c_acctbal AS v FROM customer ORDER BY c_acctbal LIMIT 2000) w
+         |),
+         |${fstatChain("lin0", "", linIdx)},
+         |${fcdfChain("lin0_x", "")},
+         |mom0 AS (SELECT raw AS d, len(raw) AS n FROM sums),
+         |mom1 AS (SELECT *, ${"list_reduce(list_prepend(0.0::DOUBLE, d), (p, q) -> p + q)"} / n AS m FROM mom0),
+         |mom2 AS (
+         |  SELECT *,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, n + 1), i -> (d[i] - m) * (d[i] - m))), (p, q) -> p + q) / n AS disp
+         |  FROM mom1
+         |),
+         |mom3 AS (
+         |  SELECT disp,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, n + 1), i -> pow(d[i] - m, 3))), (p, q) -> p + q) / (n * pow(sqrt(disp), 3)) AS skew,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, n + 1), i -> pow(d[i] - m, 4))), (p, q) -> p + q) / (n * pow(sqrt(disp), 4)) AS heavytail
+         |  FROM mom2
+         |)
+         |SELECT
+         |  (SELECT ${dec2(scoreExpr)} FROM out0_x_cdf) AS outstanding1,
+         |  (SELECT ${dec2(scoreExpr)} FROM lin0_x_cdf) AS linearness,
+         |  (SELECT ${dec2("disp", 28)} FROM mom3) AS dispersion,
+         |  (SELECT ${dec2("skew")} FROM mom3) AS skew,
+         |  (SELECT ${dec2("heavytail")} FROM mom3) AS heavytail
+         |""".stripMargin
+    },
+    "q_group_outstanding" -> {
+      val powIdx = (i: String) => s"pow($i, 0.7)"
+      s"""WITH g0 AS (
+         |  SELECT o_orderpriority, list_sort(list(o_totalprice)) AS d
+         |  FROM orders GROUP BY 1
+         |),
+         |${fstatChain("g0", "o_orderpriority", powIdx)},
+         |${fcdfChain("g0_x", "o_orderpriority")}
+         |SELECT o_orderpriority, ${dec2(scoreExpr)} AS outstanding1, n
+         |FROM g0_x_cdf
+         |""".stripMargin
+    }
   )
 }

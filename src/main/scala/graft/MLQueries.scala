@@ -134,6 +134,157 @@ object MLQueries {
        |FROM n, fin""".stripMargin
   }
 
+  /** q_coret_pca oracle: a bit-exact DuckDB replay of the whole PCA —
+    * minmax normalization, 2^-40 fixed-point moment sums (order-free
+    * BIGINT, see [[graft.operators.CoreT.pca]]), a 12-sweep cyclic
+    * Jacobi eigendecomposition as a `list_reduce` fold over the 72
+    * rotation steps carrying `[A(16) | V(16)]`, the same
+    * (-eigenvalue, index) top-2 pick and largest-|loading| sign fix,
+    * and the centered projection. Every operation is +,-,*,/ or sqrt
+    * (IEEE-exact on both engines), so PC1/PC2 match with NO output
+    * rounding. Mirrors [[graft.functions.JacobiEig]] term for term. */
+  private def pcaOracle: String = {
+    val S = "1099511627776.0" // 2^40
+    val fs = 1 to 4
+    val sums = fs.map(f => s"CAST(sum(CAST(floor(f$f * $S) AS BIGINT)) AS BIGINT) AS s$f")
+    val prods = for (i <- fs; j <- fs if j >= i)
+      yield s"CAST(sum(CAST(floor((f$i * f$j) * $S) AS BIGINT)) AS BIGINT) AS p${i}_$j"
+    val ms = fs.map(f => s"CAST(s$f AS DOUBLE) / $S / cnt AS m$f")
+    val qs = for (i <- fs; j <- fs if j >= i)
+      yield s"CAST(p${i}_$j AS DOUBLE) / $S / cnt AS q${i}_$j"
+    val cvs = for (i <- fs; j <- fs if j >= i)
+      yield s"q${i}_$j - m$i * m$j AS c${i}_$j"
+    def cRef(i: Int, j: Int) = { val (a, b) = if (i <= j) (i, j) else (j, i); s"c${a}_$b" }
+    val initA = (for (i <- fs; j <- fs) yield cRef(i, j)).mkString(", ")
+    val initV = (for (i <- fs; j <- fs) yield if (i == j) "1.0" else "0.0").mkString(", ")
+    val steps = (for (_ <- 1 to 12; p <- 1 to 4; q <- (p + 1) to 4)
+      yield s"[$p.0, $q.0]").mkString(", ")
+    // rotation pieces — p/q/t/c/s expand textually inside ONE lambda
+    val P = "CAST(e[1] AS BIGINT)"; val Q = "CAST(e[2] AS BIGINT)"
+    def A(r: String, c: String) = s"acc[($r - 1) * 4 + $c]"
+    def V(r: String, c: String) = s"acc[16 + ($r - 1) * 4 + $c]"
+    val app = A(P, P); val aqq = A(Q, Q); val apq = A(P, Q)
+    val th = s"(($aqq - $app) / (2.0 * $apq))"
+    val t = s"((CASE WHEN $th >= 0 THEN 1.0 ELSE -1.0 END) / (abs($th) + sqrt($th * $th + 1.0)))"
+    val co = s"(1.0 / sqrt($t * $t + 1.0))"
+    val si = s"($t * $co)"
+    val rr = "(((ii - 1) // 4) + 1)"; val cc = "(((ii - 1) % 4) + 1)"
+    val vr = "(((ii - 17) // 4) + 1)"; val vc = "(((ii - 17) % 4) + 1)"
+    val step =
+      s"""CASE WHEN $apq = 0 THEN acc ELSE list_transform(range(1, 33), ii ->
+         |  CASE WHEN ii <= 16 THEN
+         |    CASE WHEN $rr = $P AND $cc = $P THEN $app - $t * $apq
+         |         WHEN $rr = $Q AND $cc = $Q THEN $aqq + $t * $apq
+         |         WHEN ($rr = $P AND $cc = $Q) OR ($rr = $Q AND $cc = $P) THEN 0.0
+         |         WHEN $rr = $P THEN $co * ${A(P, cc)} - $si * ${A(Q, cc)}
+         |         WHEN $rr = $Q THEN $si * ${A(P, cc)} + $co * ${A(Q, cc)}
+         |         WHEN $cc = $P THEN $co * ${A(rr, P)} - $si * ${A(rr, Q)}
+         |         WHEN $cc = $Q THEN $si * ${A(rr, P)} + $co * ${A(rr, Q)}
+         |         ELSE acc[ii] END
+         |  ELSE
+         |    CASE WHEN $vc = $P THEN $co * ${V(vr, P)} - $si * ${V(vr, Q)}
+         |         WHEN $vc = $Q THEN $si * ${V(vr, P)} + $co * ${V(vr, Q)}
+         |         ELSE acc[ii] END
+         |  END) END""".stripMargin
+    def vSel(rk: Int) =
+      s"""v${rk}i AS (SELECT m1, m2, m3, m4, st,
+         |  (SELECT idx FROM sel WHERE rk = $rk) AS tidx FROM eig),
+         |v$rk AS (SELECT m1, m2, m3, m4,
+         |  list_transform(range(1, 5), k -> st[16 + (k - 1) * 4 + tidx]) AS vraw FROM v${rk}i),
+         |v${rk}f AS (SELECT m1, m2, m3, m4,
+         |  CASE WHEN vraw[list_position(list_transform(vraw, y -> abs(y)),
+         |                 list_aggregate(list_transform(vraw, y -> abs(y)), 'max'))] < 0
+         |       THEN list_transform(vraw, y -> -y) ELSE vraw END AS v FROM v$rk)""".stripMargin
+    def proj(tbl: String) =
+      fs.map(f => s"(f$f - $tbl.m$f) * $tbl.v[$f]").mkString(" + ")
+    s"""WITH src AS (SELECT l_orderkey AS k1, l_linenumber AS k2,
+       |               CAST(l_quantity AS DOUBLE) AS f1, CAST(l_extendedprice AS DOUBLE) AS f2,
+       |               CAST(l_discount AS DOUBLE) AS f3, CAST(l_tax AS DOUBLE) AS f4 FROM lineitem),
+       |mm AS (SELECT MIN(f1) lo1, MAX(f1) hi1, MIN(f2) lo2, MAX(f2) hi2,
+       |              MIN(f3) lo3, MAX(f3) hi3, MIN(f4) lo4, MAX(f4) hi4 FROM src),
+       |n AS (SELECT k1, k2,
+       |        CASE WHEN hi1 = lo1 THEN 0.0 ELSE (f1 - lo1) / (hi1 - lo1) END AS f1,
+       |        CASE WHEN hi2 = lo2 THEN 0.0 ELSE (f2 - lo2) / (hi2 - lo2) END AS f2,
+       |        CASE WHEN hi3 = lo3 THEN 0.0 ELSE (f3 - lo3) / (hi3 - lo3) END AS f3,
+       |        CASE WHEN hi4 = lo4 THEN 0.0 ELSE (f4 - lo4) / (hi4 - lo4) END AS f4
+       |      FROM src, mm),
+       |mom AS (SELECT COUNT(*) AS cnt, ${(sums ++ prods).mkString(", ")}
+       |        FROM n WHERE f1 IS NOT NULL AND f2 IS NOT NULL AND f3 IS NOT NULL AND f4 IS NOT NULL),
+       |cv AS (SELECT cnt, ${(ms ++ qs).mkString(", ")} FROM mom),
+       |cvm AS (SELECT cnt, m1, m2, m3, m4, ${cvs.mkString(", ")} FROM cv),
+       |jac AS (SELECT m1, m2, m3, m4,
+       |          list_reduce(list_prepend(
+       |            [$initA, $initV],
+       |            [$steps]),
+       |            (acc, e) -> $step) AS st FROM cvm),
+       |eig AS (SELECT m1, m2, m3, m4, [st[1], st[6], st[11], st[16]] AS ev, st FROM jac),
+       |sel AS (SELECT i AS idx, row_number() OVER (ORDER BY ev[i] DESC, i) AS rk
+       |        FROM eig, (SELECT unnest([1, 2, 3, 4]) AS i)),
+       |${vSel(1)},
+       |${vSel(2)}
+       |SELECT k1 AS l_orderkey, k2 AS l_linenumber,
+       |  ${proj("v1f")} AS PC1,
+       |  ${proj("v2f")} AS PC2
+       |FROM n, v1f, v2f""".stripMargin
+  }
+
+  /** q_coret_mds oracle: bit-exact DuckDB replay of classical MDS —
+    * minmax normalization, canonical s_suppkey row order, the
+    * double-centered Gram matrix B = -1/2·J·D²·J as a list-of-lists,
+    * and the SAME fixed-300-iteration power iteration + deflation as
+    * [[graft.functions.JacobiEig.powerTop]] (integer-hash start
+    * vector, ascending folds, sqrt-only arithmetic), so MDS-1/MDS-2
+    * match with no output rounding. */
+  private def mdsOracle: String = {
+    // each iteration is TWO fold steps — odd: w = B·acc (the O(n²)
+    // mat-vec, written once), even: normalize acc in place (cheap
+    // folds over the materialized list) — so the mat-vec isn't
+    // re-evaluated for every textual occurrence of `w`
+    def w(b: String) =
+      s"list_transform(range(1, cnt + 1), i -> list_reduce(list_prepend(0.0::DOUBLE, " +
+        s"list_transform(range(1, cnt + 1), j -> $b[i][j] * acc[j])), (p, q) -> p + q))"
+    val s2acc =
+      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(acc, t -> t * t)), (p, q) -> p + q)"
+    def step(b: String) =
+      s"CASE WHEN e[1] = 1.0 THEN ${w(b)} " +
+        s"WHEN $s2acc = 0 THEN acc ELSE list_transform(acc, t -> t / sqrt($s2acc)) END"
+    def lam(b: String, v: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, cnt + 1), i -> $v[i] * " +
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, cnt + 1), j -> $b[i][j] * $v[j])), (p, q) -> p + q))), (p, q) -> p + q)"
+    def power(b: String) =
+      s"""list_reduce(list_prepend(vinit,
+         |      list_transform(range(1, 601), z -> [CAST(z % 2 AS DOUBLE)])),
+         |      (acc, e) -> ${step(b)})""".stripMargin
+    s"""WITH src AS (SELECT s_suppkey AS k, CAST(s_nationkey AS DOUBLE) AS f1,
+       |               CAST(s_acctbal AS DOUBLE) AS f2 FROM supplier),
+       |mm AS (SELECT MIN(f1) lo1, MAX(f1) hi1, MIN(f2) lo2, MAX(f2) hi2 FROM src),
+       |nn AS (SELECT k,
+       |         coalesce(CASE WHEN hi1 = lo1 THEN 0.0 ELSE (f1 - lo1) / (hi1 - lo1) END, 0.0) AS f1,
+       |         coalesce(CASE WHEN hi2 = lo2 THEN 0.0 ELSE (f2 - lo2) / (hi2 - lo2) END, 0.0) AS f2
+       |       FROM src, mm ORDER BY k LIMIT 5001),
+       |pts AS (SELECT list(f1 ORDER BY k) AS x, list(f2 ORDER BY k) AS y,
+       |               list(k ORDER BY k) AS ks, COUNT(*) AS cnt FROM nn),
+       |ddm AS (SELECT *, list_transform(range(1, cnt + 1), i -> list_transform(range(1, cnt + 1), j ->
+       |          (x[i] - x[j]) * (x[i] - x[j]) + (y[i] - y[j]) * (y[i] - y[j]))) AS dd FROM pts),
+       |rmm AS (SELECT *, list_transform(dd, r ->
+       |          list_reduce(list_prepend(0.0::DOUBLE, r), (p, q) -> p + q) / cnt) AS rmn FROM ddm),
+       |grm AS (SELECT *, list_reduce(list_prepend(0.0::DOUBLE, rmn), (p, q) -> p + q) / cnt AS grand FROM rmm),
+       |bm AS (SELECT *, list_transform(range(1, cnt + 1), i -> list_transform(range(1, cnt + 1), j ->
+       |         -0.5 * (dd[i][j] - rmn[i] - rmn[j] + grand))) AS b FROM grm),
+       |ini AS (SELECT *, list_transform(range(1, cnt + 1), i ->
+       |          CAST(i * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS vinit FROM bm),
+       |pw1 AS (SELECT *, ${power("b")} AS vv1 FROM ini),
+       |lm1 AS (SELECT *, ${lam("b", "vv1")} AS l1 FROM pw1),
+       |dfl AS (SELECT *, list_transform(range(1, cnt + 1), i -> list_transform(range(1, cnt + 1), j ->
+       |          b[i][j] - l1 * vv1[i] * vv1[j])) AS b2 FROM lm1),
+       |pw2 AS (SELECT *, ${power("b2")} AS vv2 FROM dfl),
+       |lm2 AS (SELECT *, ${lam("b2", "vv2")} AS l2 FROM pw2)
+       |SELECT unnest(ks) AS s_suppkey,
+       |  unnest(list_transform(range(1, cnt + 1), i -> vv1[i] * sqrt(greatest(l1, 0.0)))) AS mds_1,
+       |  unnest(list_transform(range(1, cnt + 1), i -> vv2[i] * sqrt(greatest(l2, 0.0)))) AS mds_2
+       |FROM lm2""".stripMargin
+  }
+
   /** SQL-expressible core transforms: DBSCAN with canonical
     * min-core-key labels is pure ε-graph set logic — neighbor counts,
     * connected components (recursive CTE), min-label border assignment
@@ -144,6 +295,8 @@ object MLQueries {
     * rows-only by nature. */
   val oracles: Map[String, String] = Map(
     "q_coret_kmeans" -> kmeansOracle,
+    "q_coret_pca" -> pcaOracle,
+    "q_coret_mds" -> mdsOracle,
     "q_coret_dbscan" ->
       """WITH RECURSIVE
         |pts AS (SELECT p_partkey AS k, CAST(p_size AS DOUBLE) AS f1,

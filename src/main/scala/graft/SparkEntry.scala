@@ -22,5 +22,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ MLQueries.oracles ++ ExtQueries.oracles
+    RelationalQueries.oracles ++ MLQueries.oracles ++ ExtQueries.oracles ++
+      AssemblyQueries.oracles
 }

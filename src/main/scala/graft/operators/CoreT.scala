@@ -56,6 +56,17 @@ object CoreT {
     TBasic.minMaxNormalize(df.select(kept.map(col): _*), features)
   }
 
+  /** 2^40 — the fixed-point pin for order-free distributed moment sums
+    * (see [[pca]]). */
+  val PinScale: Double = 1099511627776.0
+
+  /** Order-free exact sum of `e` quantized to 2^-40 units: the BIGINT
+    * sum commutes, so the result is independent of partitioning and
+    * reproducible by any SQL engine. `e` must be bounded (normalized
+    * features ⇒ |e| ≤ 1 ⇒ |sum| ≤ n·2^40 ≪ 2^63). */
+  private def pinnedSum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(floor(e * lit(PinScale)).cast(LongType))
+
   /** PCA(2) → columns PC1, PC2 (Tfunctions.py:12-16, Tengine.py:146-152).
     *
     * The d×d covariance moments are one whole-stage-codegen aggregate
@@ -69,26 +80,35 @@ object CoreT {
     * fixed by the largest-|loading| component for determinism. */
   def pca(df: DataFrame, features: Seq[String], carry: Seq[String]): Option[DataFrame] =
     guarded(df, features, minFeatures = 2) {
-      import breeze.linalg.{eigSym, DenseMatrix => BDM}
       val norm = normalized(df, features, carry)
       val d = features.length
       val fit = norm.na.drop(features)
+      // Moment sums pinned to 2^-40 fixed point: floor(x·2^40) is exact
+      // (a power-of-2 multiply only shifts the exponent), the BIGINT sum
+      // is order-free (so identical on any partitioning AND in the
+      // DuckDB oracle), and the single cast back to double rounds once.
+      // Features are minmax-normalized to [0,1], so the ~9e-13
+      // quantization is far below data noise.
       val prodAggs = for (i <- 0 until d; j <- i until d)
-        yield sum(col(features(i)) * col(features(j))).as(s"__p_${i}_$j")
-      val aggs = (count(lit(1)).as("__n") +: features.map(c => sum(col(c)).as(s"__s_$c"))) ++ prodAggs
+        yield pinnedSum(col(features(i)) * col(features(j))).as(s"__p_${i}_$j")
+      val aggs = (count(lit(1)).as("__n") +:
+        features.map(c => pinnedSum(col(c)).as(s"__s_$c"))) ++ prodAggs
       val r = fit.agg(aggs.head, aggs.tail: _*).head()
       require(r.getAs[Long]("__n") > 0,
         "pca: no rows with complete features (covariance undefined)")
       val n = r.getAs[Long]("__n").toDouble
-      val means = Array.tabulate(d)(i => r.getAs[Double](s"__s_${features(i)}") / n)
-      val cov = BDM.tabulate(d, d) { (i, j) =>
+      val means = Array.tabulate(d)(i =>
+        r.getAs[Long](s"__s_${features(i)}").toDouble / PinScale / n)
+      val cov = Array.tabulate(d, d) { (i, j) =>
         val (lo, hi) = if (i <= j) (i, j) else (j, i)
-        r.getAs[Double](s"__p_${lo}_$hi") / n - means(lo) * means(hi)
+        r.getAs[Long](s"__p_${lo}_$hi").toDouble / PinScale / n - means(lo) * means(hi)
       }
-      val eig = eigSym(cov)
-      val top = eig.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).take(2)
+      // fixed-sweep Jacobi instead of LAPACK: every op is IEEE-exact
+      // and replayed term-for-term by the oracle (see JacobiEig)
+      val (evals, evecs) = graft.functions.JacobiEig.eigSym(cov)
+      val top = evals.zipWithIndex.sortBy(-_._1).take(2)
       val comps = top.map { case (_, idx) =>
-        val v = Array.tabulate(d)(i => eig.eigenvectors(i, idx))
+        val v = Array.tabulate(d)(i => evecs(i)(idx))
         val lead = v.indices.maxBy(i => (math.abs(v(i)), -i))
         if (v(lead) < 0) v.map(-_) else v
       }
@@ -319,34 +339,39 @@ object CoreT {
   def mds(df: DataFrame, features: Seq[String], carry: Seq[String],
           maxDriverRows: Int = 5000): Option[DataFrame] =
     guarded(df, features, minFeatures = 2) {
-      import breeze.linalg.{DenseMatrix, eigSym}
       val spark = df.sparkSession
       val norm = normalized(df, features, carry)
       // limit BEFORE collect: the cap must protect the driver, not
-      // fire after the full frame is already materialized
+      // fire after the full frame is already materialized. Rows are
+      // ordered by the carry key so the Gram matrix (and therefore the
+      // replayed eigenvectors) has one canonical layout on any
+      // partitioning — and in the DuckDB oracle.
       val rows = norm.select((carry ++ features).map(col): _*)
-        .limit(maxDriverRows + 1).collect()
+        .orderBy(carry.map(col): _*).limit(maxDriverRows + 1).collect()
       require(rows.length <= maxDriverRows,
         s"mds driver path capped at $maxDriverRows rows (got ${rows.length})")
       val n = rows.length
       val pts = rows.map(r => features.indices.map(i =>
         Option(r.get(carry.length + i)).map(_.toString.toDouble).getOrElse(0.0)).toArray)
-      val d2 = DenseMatrix.tabulate(n, n) { (i, j) =>
+      val d2 = Array.tabulate(n, n) { (i, j) =>
         var s = 0.0; var k = 0
         while (k < pts(i).length) { val diff = pts(i)(k) - pts(j)(k); s += diff * diff; k += 1 }
         s
       }
       // B = -1/2 J D² J
-      val rowMean = Array.tabulate(n)(i => (0 until n).map(j => d2(i, j)).sum / n)
+      val rowMean = Array.tabulate(n)(i => (0 until n).map(j => d2(i)(j)).sum / n)
       val grand = rowMean.sum / n
-      val b = DenseMatrix.tabulate(n, n) { (i, j) =>
-        -0.5 * (d2(i, j) - rowMean(i) - rowMean(j) + grand)
+      val b = Array.tabulate(n, n) { (i, j) =>
+        -0.5 * (d2(i)(j) - rowMean(i) - rowMean(j) + grand)
       }
-      val eig = eigSym(b)
-      val order = eig.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).take(2)
+      // top-2 eigenpairs by mirrored power iteration + deflation (see
+      // JacobiEig.powerTop — replayable, unlike LAPACK)
+      val (l1, v1) = graft.functions.JacobiEig.powerTop(b)
+      val b2 = Array.tabulate(n, n) { (i, j) => b(i)(j) - l1 * v1(i) * v1(j) }
+      val (l2, v2) = graft.functions.JacobiEig.powerTop(b2)
       val coords = Array.tabulate(n, 2) { (i, c) =>
-        val (lambda, idx) = order(c)
-        eig.eigenvectors(i, idx) * math.sqrt(math.max(lambda, 0.0))
+        if (c == 0) v1(i) * math.sqrt(math.max(l1, 0.0))
+        else v2(i) * math.sqrt(math.max(l2, 0.0))
       }
       val out = rows.zipWithIndex.map { case (r, i) =>
         Row.fromSeq(carry.indices.map(r.get) ++ Seq(coords(i)(0), coords(i)(1)))
