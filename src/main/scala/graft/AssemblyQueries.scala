@@ -11,25 +11,34 @@ import graft.sources.Tables
 
 /** Declared queries for the scoring + recommendation layer (SURVEY
   * §2.11, §3.2). Driver-side math over bounded chart frames → emitted
-  * as single-row / per-chart DataFrames. Not SQL-expressible (MST,
-  * F/t distributions, search pipeline) → rows-only checks; exact
-  * values are pinned by ScoreSpec instead.
+  * as single-row / per-chart DataFrames. The statistical scorers are
+  * DuckDB-value-exact (F-CDF continued fraction + MST replay, see
+  * [[OracleSql]]); only q_recommend_charts (the full search pipeline)
+  * keeps a rows-only check, with values pinned by ScoreSpec.
   */
 object AssemblyQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // MST scagnostics over the (deduped, capped) part scatter
+    // MST scagnostics over the (deduped, capped) part scatter.
+    // Key-bounded input (reference chart-feeder scale — its whole
+    // input is capped at 400 rows, config.py:1): keeps the oracle's
+    // O(n) recursive-CTE Prim replay cheap at every scale factor;
+    // the Graph itself accepts any bounded frame.
     "q_scagnostics" -> ((s, dir) => {
-      val pts = Tables.part(s, dir)
+      val pts = Tables.part(s, dir).where(col("p_partkey") <= 500)
         .select(col("p_size").cast("double"), col("p_retailprice").cast("double"))
         .na.drop().dropDuplicates().limit(4000).collect()
         .map(r => (r.getDouble(0), r.getDouble(1)))
       val g = new Scagnostics.Graph(pts)
       val row = Row(g.outlying, g.skewed, g.stringy, g.straight, g.striated,
         g.monotonic, g.clumpy)
-      val schema = StructType(Seq("outlying", "skewed", "stringy", "straight",
-        "striated", "monotonic", "clumpy").map(StructField(_, DoubleType)))
+      val names = Seq("outlying", "skewed", "stringy", "straight",
+        "striated", "monotonic", "clumpy")
+      val schema = StructType(names.map(StructField(_, DoubleType)))
+      // DECIMAL round-trip: the oracle replay is bit-exact by
+      // construction, the rounding is insurance (same pin both sides)
       s.createDataFrame(java.util.List.of(row), schema)
+        .select(names.map(c => col(c).cast("decimal(18,2)").cast("double").as(c)): _*)
     }),
 
     // significance tests over per-group sums (the bar-chart scorers)
@@ -91,6 +100,7 @@ object AssemblyQueries {
     * search pipeline) stay rows-only by design.
     */
   val oracles: Map[String, String] = Map(
+    "q_scagnostics" -> OracleSql.scagnosticsOracle,
     "q_significance" -> {
       val powIdx = (i: String) => s"pow($i, 0.7)"
       val linIdx = (i: String) => s"$i"

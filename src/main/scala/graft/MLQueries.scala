@@ -8,11 +8,12 @@ import graft.sources.Tables
 
 /** Declared queries for the core (ML) transforms — SURVEY §2.8.
   *
-  * The iterative/eigen-based transforms are not SQL-expressible, so
-  * the driver records rows-only checks for them (cross-ecosystem
-  * determinism — sklearn vs our fits — makes value equality
-  * meaningless anyway; invariants are asserted in CoreTSpec).
-  * DBSCAN is the exception: see [[oracles]].
+  * DBSCAN, KMeans, PCA and MDS are DuckDB-value-exact (deterministic
+  * fits replayed bit-for-bit, see [[oracles]]). The stochastic/EM
+  * transforms (t-SNE, UMAP, LDA) stay rows-only: their exp/log SGD
+  * loops amplify libm ulp differences chaotically, so cross-engine
+  * value equality is meaningless; invariants are asserted in
+  * CoreTSpec instead.
   *
   * Output column names are the reference's ("Category by KMeans", PC1…)
   * sanitized to snake_case where parquet forbids spaces.
@@ -290,9 +291,10 @@ object MLQueries {
     * connected components (recursive CTE), min-label border assignment
     * — over the same minmax normalization and fixed-order squared
     * distances, so it value-matches bit-exactly; KMeans replays the
-    * deterministic Lloyd fit ([[kmeansOracle]]). The remaining
-    * iterative/eigen-based transforms (pca/tsne/mds/umap/lda) stay
-    * rows-only by nature. */
+    * deterministic Lloyd fit ([[kmeansOracle]]); PCA replays the
+    * fixed-sweep Jacobi ([[pcaOracle]]); MDS replays power iteration
+    * ([[mdsOracle]]). t-SNE/UMAP/LDA stay rows-only (chaotic SGD / EM
+    * internals). */
   val oracles: Map[String, String] = Map(
     "q_coret_kmeans" -> kmeansOracle,
     "q_coret_pca" -> pcaOracle,
