@@ -93,11 +93,11 @@ object AssemblyQueries {
 
   import OracleSql._
 
-  /** DuckDB oracles for the CDF-based scorers: the F(1, d2) CDF is
+  /** DuckDB oracles for the statistical scorers: the F(1, d2) CDF is
     * rebuilt in SQL as a regularized-incomplete-beta continued
-    * fraction (see [[OracleSql]]); moments mirror the Scala fold order
-    * exactly. q_scagnostics (O(n²) MST) and q_recommend_charts (full
-    * search pipeline) stay rows-only by design.
+    * fraction, the MST scagnostics as a recursive-CTE Prim replay
+    * (see [[OracleSql]]); moments mirror the Scala fold order exactly.
+    * Only q_recommend_charts (full search pipeline) stays rows-only.
     */
   val oracles: Map[String, String] = Map(
     "q_scagnostics" -> OracleSql.scagnosticsOracle,

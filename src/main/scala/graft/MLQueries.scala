@@ -147,12 +147,14 @@ object MLQueries {
   private def pcaOracle: String = {
     val S = "1099511627776.0" // 2^40
     val fs = 1 to 4
-    val sums = fs.map(f => s"CAST(sum(CAST(floor(f$f * $S) AS BIGINT)) AS BIGINT) AS s$f")
+    // sum(BIGINT) promotes to HUGEINT (exact); the single cast to
+    // DOUBLE rounds once — same sequence as Spark's DECIMAL(38,0) sum
+    val sums = fs.map(f => s"CAST(sum(CAST(floor(f$f * $S) AS BIGINT)) AS DOUBLE) AS s$f")
     val prods = for (i <- fs; j <- fs if j >= i)
-      yield s"CAST(sum(CAST(floor((f$i * f$j) * $S) AS BIGINT)) AS BIGINT) AS p${i}_$j"
-    val ms = fs.map(f => s"CAST(s$f AS DOUBLE) / $S / cnt AS m$f")
+      yield s"CAST(sum(CAST(floor((f$i * f$j) * $S) AS BIGINT)) AS DOUBLE) AS p${i}_$j"
+    val ms = fs.map(f => s"s$f / $S / cnt AS m$f")
     val qs = for (i <- fs; j <- fs if j >= i)
-      yield s"CAST(p${i}_$j AS DOUBLE) / $S / cnt AS q${i}_$j"
+      yield s"p${i}_$j / $S / cnt AS q${i}_$j"
     val cvs = for (i <- fs; j <- fs if j >= i)
       yield s"q${i}_$j - m$i * m$j AS c${i}_$j"
     def cRef(i: Int, j: Int) = { val (a, b) = if (i <= j) (i, j) else (j, i); s"c${a}_$b" }

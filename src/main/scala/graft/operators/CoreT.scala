@@ -22,7 +22,7 @@ import graft.functions.DBSCAN
   * Execution strategy per operator:
   *  - PCA / KMeans / LDA: MLlib pipelines — fully distributed, scale path.
   *  - DBSCAN / MDS: no MLlib implementation; driver-side over a bounded
-  *    collect (grid-indexed DBSCAN, Breeze eigendecomposition MDS).
+  *    collect (grid-indexed DBSCAN, mirrored power-iteration MDS).
   *    Inputs are capped (`maxDriverRows`) exactly like the reference
   *    caps its whole input at 400 rows — these operators are
   *    chart-feeders, not table-scale transforms.
@@ -60,19 +60,25 @@ object CoreT {
     * (see [[pca]]). */
   val PinScale: Double = 1099511627776.0
 
-  /** Order-free exact sum of `e` quantized to 2^-40 units: the BIGINT
-    * sum commutes, so the result is independent of partitioning and
-    * reproducible by any SQL engine. `e` must be bounded (normalized
-    * features ⇒ |e| ≤ 1 ⇒ |sum| ≤ n·2^40 ≪ 2^63). */
+  /** Order-free exact sum of `e` quantized to 2^-40 units: the exact
+    * integer sum commutes, so the result is independent of
+    * partitioning and reproducible by any SQL engine. Per-row values
+    * are bounded (normalized features ⇒ |e| ≤ 1 ⇒ |floor(e·2^40)| ≤
+    * 2^40), and the sum runs in DECIMAL(38,0) — a LongType sum would
+    * overflow past ~2^23 rows (n·2^40 > 2^63), i.e. at exactly the
+    * cluster scale this pin exists for. DuckDB's BIGINT sum promotes
+    * to HUGEINT, so both engines sum exactly and round to double
+    * once, identically. Returns the rounded DOUBLE. */
   private def pinnedSum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(floor(e * lit(PinScale)).cast(LongType))
+    sum(floor(e * lit(PinScale)).cast(DecimalType(38, 0))).cast(DoubleType)
 
   /** PCA(2) → columns PC1, PC2 (Tfunctions.py:12-16, Tengine.py:146-152).
     *
     * The d×d covariance moments are one whole-stage-codegen aggregate
     * (d sums + d(d+1)/2 product sums — d is a handful of chart
     * features, never the row count); the eigendecomposition is a
-    * driver-side d×d Breeze eigSym; the projection is plain column
+    * driver-side d×d fixed-sweep Jacobi ([[graft.functions.JacobiEig]],
+    * SQL-replayable, see pcaOracle); the projection is plain column
     * arithmetic over the scan. Two passes total, no ML pipeline, no
     * cache — the same shape scales to any row count because nothing
     * driver-side grows with n. Projection is mean-centered like
@@ -98,10 +104,10 @@ object CoreT {
         "pca: no rows with complete features (covariance undefined)")
       val n = r.getAs[Long]("__n").toDouble
       val means = Array.tabulate(d)(i =>
-        r.getAs[Long](s"__s_${features(i)}").toDouble / PinScale / n)
+        r.getAs[Double](s"__s_${features(i)}") / PinScale / n)
       val cov = Array.tabulate(d, d) { (i, j) =>
         val (lo, hi) = if (i <= j) (i, j) else (j, i)
-        r.getAs[Long](s"__p_${lo}_$hi").toDouble / PinScale / n - means(lo) * means(hi)
+        r.getAs[Double](s"__p_${lo}_$hi") / PinScale / n - means(lo) * means(hi)
       }
       // fixed-sweep Jacobi instead of LAPACK: every op is IEEE-exact
       // and replayed term-for-term by the oracle (see JacobiEig)
@@ -332,8 +338,9 @@ object CoreT {
 
   /** Classical (Torgerson) metric MDS → MDS-1, MDS-2
     * (Tfunctions.py:27-31): double-centered squared-distance Gram
-    * matrix, top-2 eigenpairs, coords = v·√λ. Driver-side (Breeze
-    * eigSym) over a bounded collect — sklearn uses SMACOF so
+    * matrix, top-2 eigenpairs, coords = v·√λ. Driver-side (mirrored
+    * power iteration, [[graft.functions.JacobiEig.powerTop]]) over a
+    * bounded collect — sklearn uses SMACOF so
     * coordinates differ, but both are metric embeddings of the same
     * distances; tests assert distance preservation, not values. */
   def mds(df: DataFrame, features: Seq[String], carry: Seq[String],

@@ -41,11 +41,10 @@ class JacobiEigSpec extends AnyFunSuite {
     assert(math.abs(evals.sum - (4.0 + 3.0 + 2.0 + 1.0)) < 1e-12)
   }
 
-  test("eigSym: deterministic — repeated runs are bit-identical") {
-    val (e1, v1) = JacobiEig.eigSym(sym)
-    val (e2, v2) = JacobiEig.eigSym(sym)
-    assert(e1.toSeq == e2.toSeq)
-    assert(v1.map(_.toSeq).toSeq == v2.map(_.toSeq).toSeq)
+  test("eigSym: input matrix is not mutated") {
+    val pristine = sym.map(_.clone())
+    JacobiEig.eigSym(sym)
+    assert(sym.map(_.toSeq).toSeq == pristine.map(_.toSeq).toSeq)
   }
 
   test("eigSym: diagonal matrix is a fixed point") {
