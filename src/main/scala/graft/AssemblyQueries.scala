@@ -22,7 +22,7 @@ object AssemblyQueries {
     // MST scagnostics over the (deduped, capped) part scatter.
     // Key-bounded input (reference chart-feeder scale — its whole
     // input is capped at 400 rows, config.py:1): keeps the oracle's
-    // O(n) recursive-CTE Prim replay cheap at every scale factor;
+    // O(n²) recursive-CTE Prim replay cheap at every scale factor;
     // the Graph itself accepts any bounded frame.
     "q_scagnostics" -> ((s, dir) => {
       val pts = Tables.part(s, dir).where(col("p_partkey") <= 500)
@@ -145,13 +145,23 @@ object AssemblyQueries {
     },
     "q_group_outstanding" -> {
       val powIdx = (i: String) => s"pow($i, 0.7)"
-      s"""WITH g0 AS (
-         |  SELECT o_orderpriority, list_sort(list(o_totalprice)) AS d
+      // mirror GroupScore's deterministic cap: groups larger than
+      // 100000 score the multiset of their 100000 LARGEST values
+      // (ascending sort, right slice); `n` reports the full count
+      s"""WITH graw AS (
+         |  SELECT o_orderpriority, list_sort(list(o_totalprice)) AS draw
          |  FROM orders GROUP BY 1
          |),
-         |${fstatChain("g0", "o_orderpriority", powIdx)},
-         |${fcdfChain("g0_x", "o_orderpriority")}
-         |SELECT o_orderpriority, ${dec2(scoreExpr)} AS outstanding1, n
+         |g0 AS (
+         |  SELECT o_orderpriority, len(draw) AS fulln,
+         |         CASE WHEN len(draw) > 100000
+         |              THEN draw[len(draw) - 100000 + 1:len(draw)]
+         |              ELSE draw END AS d
+         |  FROM graw
+         |),
+         |${fstatChain("g0", "o_orderpriority, fulln", powIdx)},
+         |${fcdfChain("g0_x", "o_orderpriority, fulln")}
+         |SELECT o_orderpriority, ${dec2(scoreExpr)} AS outstanding1, fulln AS n
          |FROM g0_x_cdf
          |""".stripMargin
     }

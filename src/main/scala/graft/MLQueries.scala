@@ -244,16 +244,19 @@ object MLQueries {
     // folds over the materialized list) — so the mat-vec isn't
     // re-evaluated for every textual occurrence of `w`
     def w(b: String) =
-      s"list_transform(range(1, cnt + 1), i -> list_reduce(list_prepend(0.0::DOUBLE, " +
-        s"list_transform(range(1, cnt + 1), j -> $b[i][j] * acc[j])), (p, q) -> p + q))"
-    val s2acc =
-      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(acc, t -> t * t)), (p, q) -> p + q)"
+      s"list_transform(range(1, cnt + 1), i -> " +
+        OracleSql.osum(s"list_transform(range(1, cnt + 1), j -> $b[i][j] * acc[j])") + ")"
+    val s2acc = OracleSql.osum("list_transform(acc, t -> t * t)")
+    // the 1-element wrapper transform evaluates the O(n) norm fold
+    // ONCE per step (binding it to `s2`) instead of once per element —
+    // DuckDB re-evaluates expressions embedded in element lambdas
     def step(b: String) =
       s"CASE WHEN e[1] = 1.0 THEN ${w(b)} " +
-        s"WHEN $s2acc = 0 THEN acc ELSE list_transform(acc, t -> t / sqrt($s2acc)) END"
+        s"ELSE list_transform([$s2acc], s2 -> CASE WHEN s2 = 0 THEN acc " +
+        s"ELSE list_transform(acc, t -> t / sqrt(s2)) END)[1] END"
     def lam(b: String, v: String) =
-      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, cnt + 1), i -> $v[i] * " +
-        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, cnt + 1), j -> $b[i][j] * $v[j])), (p, q) -> p + q))), (p, q) -> p + q)"
+      OracleSql.osum(s"list_transform(range(1, cnt + 1), i -> $v[i] * " +
+        OracleSql.osum(s"list_transform(range(1, cnt + 1), j -> $b[i][j] * $v[j])") + ")")
     def power(b: String) =
       s"""list_reduce(list_prepend(vinit,
          |      list_transform(range(1, 601), z -> [CAST(z % 2 AS DOUBLE)])),
@@ -270,8 +273,8 @@ object MLQueries {
        |ddm AS (SELECT *, list_transform(range(1, cnt + 1), i -> list_transform(range(1, cnt + 1), j ->
        |          (x[i] - x[j]) * (x[i] - x[j]) + (y[i] - y[j]) * (y[i] - y[j]))) AS dd FROM pts),
        |rmm AS (SELECT *, list_transform(dd, r ->
-       |          list_reduce(list_prepend(0.0::DOUBLE, r), (p, q) -> p + q) / cnt) AS rmn FROM ddm),
-       |grm AS (SELECT *, list_reduce(list_prepend(0.0::DOUBLE, rmn), (p, q) -> p + q) / cnt AS grand FROM rmm),
+       |          ${OracleSql.osum("r")} / cnt) AS rmn FROM ddm),
+       |grm AS (SELECT *, ${OracleSql.osum("rmn")} / cnt AS grand FROM rmm),
        |bm AS (SELECT *, list_transform(range(1, cnt + 1), i -> list_transform(range(1, cnt + 1), j ->
        |         -0.5 * (dd[i][j] - rmn[i] - rmn[j] + grand))) AS b FROM grm),
        |ini AS (SELECT *, list_transform(range(1, cnt + 1), i ->

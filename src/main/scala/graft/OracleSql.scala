@@ -22,8 +22,11 @@ package graft
   */
 object OracleSql {
 
-  /** Ordered left fold `0.0 + x1 + x2 + …` (matches Array[Double].sum). */
-  private def osum(list: String): String =
+  /** Ordered left fold `0.0 + x1 + x2 + …` (matches Array[Double].sum).
+    * The ONE canonical spelling of the fold — oracles must reuse it so
+    * the bit-exactness argument never depends on keeping textual
+    * copies in sync. */
+  def osum(list: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, $list), (p, q) -> p + q)"
 
   /** CTE chain computing the reference f statistic over a sorted list
@@ -80,7 +83,7 @@ object OracleSql {
     val d1 = s"(1.0 / ${guard(s"1.0 + $aa1 * acc[2]")})"
     val c1 = guard(s"1.0 + $aa1 / acc[1]")
     val d2 = s"(1.0 / ${guard(s"1.0 + $aa2 * $d1")})"
-    val c2 = s"(1.0 + $aa2 / $c1)"
+    val c2 = guard(s"1.0 + $aa2 / $c1")
     s"""list_reduce(
        |      list_prepend(
        |        [1.0::DOUBLE,
@@ -162,7 +165,8 @@ object OracleSql {
       s"list_reduce(list_prepend([-1.0::DOUBLE, 0.0::DOUBLE], list_transform(range(1, cnt + 1), " +
         s"j -> [CAST(j AS DOUBLE), $v[j]])), (a2, e2) -> " +
         s"CASE WHEN a2[1] < 0 OR e2[2] > a2[2] THEN e2 ELSE a2 END)"
-    // squared distance between points i/j of the sorted dot lists
+    // Euclidean distance between points i/j of the sorted dot lists
+    // (sqrt included — mirrors Scagnostics.Graph.dist exactly)
     def dist(i: String, j: String) =
       s"sqrt((x[$i] - x[$j]) * (x[$i] - x[$j]) + (y[$i] - y[$j]) * (y[$i] - y[$j]))"
     // Prim argmin: first index with strictly smaller minDist among out-of-tree

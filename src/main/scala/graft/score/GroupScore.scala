@@ -12,60 +12,82 @@ import scala.collection.mutable.ArrayBuffer
   * computes the score inside the aggregation, so scoring N charts =
   * one `groupBy(chartId).agg(...)`.
   *
-  * The buffer holds the group's values (bounded by `maxValues` — chart
-  * series are bounded by construction); the finish step runs the exact
-  * driver-side formula ([[Significance.outstanding1]]), so both paths
-  * agree bit-for-bit (spec-pinned).
+  * The buffer is bounded by `cap`, and the truncation is DETERMINISTIC:
+  * a group larger than `cap` keeps exactly the multiset of its `cap`
+  * LARGEST values (amortized via sort-and-halve compaction), which is
+  * independent of row order, partitioning, and merge order — so the
+  * score is reproducible on any cluster and by the DuckDB oracle
+  * (which mirrors the same sort-and-slice). Keeping the largest tail
+  * is the right truncation for these metrics: both scorers regress the
+  * ASCENDING-sorted series, and outstanding1 specifically measures how
+  * much the top values stand out. The finish step runs the exact
+  * driver-side formula ([[Significance.outstanding1]] /
+  * [[Significance.linearness]]), so both paths agree bit-for-bit
+  * (spec-pinned).
   */
 object GroupScore {
 
-  private val MaxValues = 100000
+  val MaxValues = 100000
 
   /** Aggregation buffer (public: the encoder requires a public class). */
   final case class Buf(values: ArrayBuffer[Double])
 
-  private class Outstanding1Agg extends Aggregator[Double, Buf, Double] {
+  private def addCapped(b: Buf, a: Double, cap: Int): Buf = {
+    b.values += a
+    if (b.values.length >= 2 * cap) compact(b, cap)
+    b
+  }
+
+  private def mergeCapped(a: Buf, b: Buf, cap: Int): Buf = {
+    a.values ++= b.values
+    if (a.values.length >= 2 * cap) compact(a, cap)
+    a
+  }
+
+  /** Keep the `cap` largest values (deterministic multiset). */
+  private def compact(b: Buf, cap: Int): Unit = {
+    val sorted = b.values.toArray
+    java.util.Arrays.sort(sorted)
+    b.values.clear()
+    b.values ++= sorted.takeRight(cap)
+  }
+
+  private def kept(b: Buf, cap: Int): Array[Double] = {
+    if (b.values.length <= cap) b.values.toArray
+    else {
+      val sorted = b.values.toArray
+      java.util.Arrays.sort(sorted)
+      sorted.takeRight(cap)
+    }
+  }
+
+  private class Outstanding1Agg(cap: Int) extends Aggregator[Double, Buf, Double] {
     def zero: Buf = Buf(ArrayBuffer.empty)
-    def reduce(b: Buf, a: Double): Buf = {
-      if (b.values.length < MaxValues) b.values += a
-      b
-    }
-    def merge(a: Buf, b: Buf): Buf = {
-      val room = MaxValues - a.values.length
-      if (room > 0) a.values ++= b.values.take(room)
-      a
-    }
-    def finish(b: Buf): Double = Significance.outstanding1(b.values.toArray)
+    def reduce(b: Buf, a: Double): Buf = addCapped(b, a, cap)
+    def merge(a: Buf, b: Buf): Buf = mergeCapped(a, b, cap)
+    def finish(b: Buf): Double = Significance.outstanding1(kept(b, cap))
     def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  private class LinearnessAgg extends Aggregator[Double, Buf, Double] {
+  private class LinearnessAgg(cap: Int) extends Aggregator[Double, Buf, Double] {
     def zero: Buf = Buf(ArrayBuffer.empty)
-    def reduce(b: Buf, a: Double): Buf = {
-      if (b.values.length < MaxValues) b.values += a
-      b
-    }
-    def merge(a: Buf, b: Buf): Buf = {
-      val room = MaxValues - a.values.length
-      if (room > 0) a.values ++= b.values.take(room)
-      a
-    }
-    // linearness sorts nothing itself but depends on input order — at
-    // scale the group order is nondeterministic, so sort for stability
-    def finish(b: Buf): Double = Significance.linearness(b.values.sorted.toArray)
+    def reduce(b: Buf, a: Double): Buf = addCapped(b, a, cap)
+    def merge(a: Buf, b: Buf): Buf = mergeCapped(a, b, cap)
+    // linearness depends on input order — score the sorted series
+    def finish(b: Buf): Double = Significance.linearness(kept(b, cap).sorted)
     def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
   /** outstanding1 as an aggregate Column:
     * `df.groupBy(chart).agg(outstanding1(col))`. Order-insensitive
-    * (the metric sorts internally). */
-  def outstanding1(values: Column): Column =
-    udaf(new Outstanding1Agg, Encoders.scalaDouble).apply(values)
+    * (the metric sorts internally; the cap keeps the largest values). */
+  def outstanding1(values: Column, cap: Int = MaxValues): Column =
+    udaf(new Outstanding1Agg(cap), Encoders.scalaDouble).apply(values)
 
   /** linearness as an aggregate Column (values sorted for partition-
-    * order independence). */
-  def linearness(values: Column): Column =
-    udaf(new LinearnessAgg, Encoders.scalaDouble).apply(values)
+    * order independence; the cap keeps the largest values). */
+  def linearness(values: Column, cap: Int = MaxValues): Column =
+    udaf(new LinearnessAgg(cap), Encoders.scalaDouble).apply(values)
 }

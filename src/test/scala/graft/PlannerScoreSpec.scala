@@ -207,6 +207,22 @@ class PlannerScoreSpec extends SparkSpec {
     driver.foreach { case (g, expected) => assert(agg(g) == expected, g) }
   }
 
+  test("GroupScore cap keeps the largest values deterministically") {
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(60)(rnd.nextDouble() * 100)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    // over-cap group scored on any partitioning = driver formula over
+    // the cap LARGEST values (order-free multiset truncation)
+    val expected = graft.score.Significance.outstanding1(
+      vals.sorted.takeRight(25).toArray)
+    for (parts <- Seq(1, 7)) {
+      val got = df.repartition(parts).groupBy($"g")
+        .agg(graft.score.GroupScore.outstanding1($"v", cap = 25).as("o"))
+        .as[(String, Double)].collect().head._2
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
   // ── Recommender e2e ────────────────────────────────────────────────
   test("recommend produces capped, deduped charts over a profiled table") {
     val df = Seq.tabulate(80) { i =>
