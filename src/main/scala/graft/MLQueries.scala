@@ -8,12 +8,13 @@ import graft.sources.Tables
 
 /** Declared queries for the core (ML) transforms — SURVEY §2.8.
   *
-  * DBSCAN, KMeans, PCA and MDS are DuckDB-value-exact (deterministic
-  * fits replayed bit-for-bit, see [[oracles]]). The stochastic/EM
-  * transforms (t-SNE, UMAP, LDA) stay rows-only: their exp/log SGD
-  * loops amplify libm ulp differences chaotically, so cross-engine
-  * value equality is meaningless; invariants are asserted in
-  * CoreTSpec instead.
+  * DBSCAN, KMeans, PCA, MDS and t-SNE are DuckDB-value-exact
+  * (deterministic fits replayed bit-for-bit, see [[oracles]] and
+  * [[TsneOracle]] — t-SNE's exp/ln go through
+  * [[graft.functions.MirrorMath]], which both engines evaluate
+  * identically). UMAP and LDA stay rows-only: UMAP's xorshift SGD
+  * and MLlib LDA's EM internals aren't replayable; invariants are
+  * asserted in CoreTSpec instead.
   *
   * Output column names are the reference's ("Category by KMeans", PC1…)
   * sanitized to snake_case where parquet forbids spaces.
@@ -298,12 +299,14 @@ object MLQueries {
     * distances, so it value-matches bit-exactly; KMeans replays the
     * deterministic Lloyd fit ([[kmeansOracle]]); PCA replays the
     * fixed-sweep Jacobi ([[pcaOracle]]); MDS replays power iteration
-    * ([[mdsOracle]]). t-SNE/UMAP/LDA stay rows-only (chaotic SGD / EM
+    * ([[mdsOracle]]); t-SNE replays the whole fit through MirrorMath
+    * ([[TsneOracle]]). UMAP/LDA stay rows-only (xorshift SGD / EM
     * internals). */
   val oracles: Map[String, String] = Map(
     "q_coret_kmeans" -> kmeansOracle,
     "q_coret_pca" -> pcaOracle,
     "q_coret_mds" -> mdsOracle,
+    "q_coret_tsne" -> TsneOracle.sql,
     "q_coret_dbscan" ->
       """WITH RECURSIVE
         |pts AS (SELECT p_partkey AS k, CAST(p_size AS DOUBLE) AS f1,

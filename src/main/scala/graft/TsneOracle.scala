@@ -1,0 +1,219 @@
+package graft
+
+/** q_coret_tsne oracle: a bit-exact DuckDB replay of the ENTIRE exact
+  * t-SNE fit ([[graft.functions.TSNE]]) — perplexity bisection, P
+  * matrix, PCA init, and all 500 gradient-descent iterations.
+  *
+  * Feasible because the fit is transcendental-mirrorable: the only
+  * exp/ln live in the P stage and go through
+  * [[graft.functions.MirrorMath]] (Cody–Waite exp, power-of-2 ln
+  * normalization + atanh Horner — replayed here term for term), and
+  * the GD loop is purely rational. Structure:
+  *
+  *  - bisection: ONE fold over cnt×250 elements (50 tries × 5 phases
+  *    per point: ssum, dsum, ln-normalize, entropy, branch) carrying a
+  *    10-slot state plus a growing tail of finished betas. Fixed-slot
+  *    phases with direct `acc` references only — DuckDB 1.0 miscompiles
+  *    `list_transform([acc[k]], v -> …)` singleton bindings inside
+  *    fold lambdas (state zeroes out), and segfaults when >≈20 rows
+  *    each carry such folds, hence single-row everything;
+  *  - P rows, symmetrization, PCA-init power iteration (100 fixed
+  *    iterations, deflation inline) as list expressions;
+  *  - GD: one fold over 500×4 phase elements (qTot, update, means,
+  *    recenter) on a flat [y0|y1|prev0|prev1|qt,m0,m1] state.
+  *
+  * Entropy-branch thresholds (|h−target| < 1e-5) replay exactly
+  * because both engines compute identical doubles at every step — the
+  * bisection takes the same path, so the final coordinates match with
+  * NO output rounding.
+  */
+object TsneOracle {
+
+  private val L = "0.6931471805599453"
+  private val LHI = "6.93147180369123816490e-01"
+  private val LLO = "1.90821492927058770002e-10"
+
+  /** MirrorMath.expm mirrored: Cody–Waite reduction + 13-term Horner. */
+  private def expSql(x: String): String = {
+    val k = s"floor(($x) / $L + 0.5)"
+    val r = s"((($x) - $k * $LHI) - $k * $LLO)"
+    var acc = "1.0"
+    for (i <- 13 to 1 by -1) acc = s"(1.0 + $r * $acc / $i.0)"
+    s"(CASE WHEN ($x) < -745.0 THEN 0.0 WHEN ($x) > 709.0 THEN CAST('Infinity' AS DOUBLE) ELSE (pow(2.0, $k) * $acc) END)"
+  }
+
+  /** MirrorMath.logm's normalization loop: 1100 halve/double steps →
+    * [m, e] (identity once in [1,2), covers subnormals). */
+  private def normFold(x: String): String =
+    s"list_reduce(list_prepend([CAST(($x) AS DOUBLE), 0.0::DOUBLE], " +
+      "list_transform(range(1, 1101), zz -> [0.0::DOUBLE])), " +
+      "(lac, le2) -> CASE WHEN lac[1] >= 2.0 THEN [lac[1] * 0.5, lac[2] + 1.0] " +
+      "WHEN lac[1] < 1.0 THEN [lac[1] * 2.0, lac[2] - 1.0] ELSE lac END)"
+
+  /** MirrorMath.logm's atanh-series Horner: 2t·Q(t²), t = (m−1)/(m+1). */
+  private def hornerLn(m: String): String = {
+    val t = s"((($m) - 1.0) / (($m) + 1.0))"
+    var acc = "0.0"
+    for (i <- 16 to 0 by -1) acc = s"((1.0 / ${2 * i + 1}.0) + $t * $t * $acc)"
+    s"(2.0 * $t * $acc)"
+  }
+
+  // ---- bisection fold (state 10 + beta tail; elements cnt×250) ----
+  private val IP = "((CAST(e[1] AS BIGINT) - 1) // 250 + 1)"
+  private val PZ = "(((CAST(e[1] AS BIGINT) - 1) % 250) + 1)"
+  private def ssum: String =
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, cnt + 1), j -> " +
+      s"CASE WHEN j = $IP THEN 0.0 ELSE ${expSql(s"-(dd[$IP][j] * acc[3])")} END)), (p, q) -> p + q)"
+  private def dsum: String =
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, cnt + 1), j -> " +
+      s"CASE WHEN j = $IP THEN 0.0 ELSE dd[$IP][j] * ${expSql(s"-(dd[$IP][j] * acc[3])")} END)), (p, q) -> p + q)"
+  private val gsv = "(CASE WHEN acc[6] <= 0.0 THEN 4.9e-324 ELSE acc[6] END)"
+  private def hh: String =
+    s"((acc[9] * $L + ${hornerLn("acc[8]")}) + acc[3] * acc[7] / $gsv)"
+  private val init10 =
+    "[0.0::DOUBLE, 1.0::DOUBLE, 1.0::DOUBLE, CAST('-Infinity' AS DOUBLE), CAST('Infinity' AS DOUBLE), " +
+      "0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE]"
+  private def keepSlot(upd: String, slot: Int): String = {
+    val parts = (1 to 10).map(s => if (s == slot) upd else s"acc[$s]")
+    s"list_concat([${parts.mkString(", ")}], acc[11:len(acc)])"
+  }
+  private def bisStep: String = {
+    val nrm = normFold(gsv)
+    val ph1 = s"list_concat([acc[1], acc[3], acc[3], acc[4], acc[5], $ssum, acc[7], acc[8], acc[9], acc[10]], acc[11:len(acc)])"
+    val ph2 = keepSlot(dsum, 7)
+    val ph3 = s"list_concat([acc[1], acc[2], acc[3], acc[4], acc[5], acc[6], acc[7], $nrm[1], $nrm[2], acc[10]], acc[11:len(acc)])"
+    val ph4 = keepSlot(hh, 10)
+    val br =
+      s"""CASE
+         |   WHEN abs(acc[10] - tgt) < 1e-5 THEN list_concat([1.0, acc[2], acc[3], acc[4], acc[5], acc[6], acc[7], acc[8], acc[9], acc[10]], acc[11:len(acc)])
+         |   WHEN acc[10] > tgt THEN list_concat([0.0, acc[2],
+         |     CASE WHEN isinf(acc[5]) THEN acc[3] * 2.0 ELSE (acc[3] + acc[5]) / 2.0 END,
+         |     acc[3], acc[5], acc[6], acc[7], acc[8], acc[9], acc[10]], acc[11:len(acc)])
+         |   ELSE list_concat([0.0, acc[2],
+         |     CASE WHEN isinf(acc[4]) THEN acc[3] / 2.0 ELSE (acc[3] + acc[4]) / 2.0 END,
+         |     acc[4], acc[3], acc[6], acc[7], acc[8], acc[9], acc[10]], acc[11:len(acc)])
+         | END""".stripMargin
+    val fin = s"list_concat(list_concat($init10, acc[11:len(acc)]), [acc[2]])"
+    s"""CASE
+       | WHEN $PZ = 250 THEN $fin
+       | WHEN acc[1] = 1.0 THEN acc
+       | WHEN $PZ % 5 = 1 THEN $ph1
+       | WHEN $PZ % 5 = 2 THEN $ph2
+       | WHEN $PZ % 5 = 3 THEN $ph3
+       | WHEN $PZ % 5 = 4 THEN $ph4
+       | ELSE $br
+       |END""".stripMargin
+  }
+
+  // ---- P matrix ----
+  private def psum: String =
+    "list_transform(range(1, cnt + 1), i2 -> list_reduce(list_prepend(0.0::DOUBLE, " +
+      "list_transform(range(1, cnt + 1), j -> CASE WHEN j = i2 THEN 0.0 ELSE " +
+      expSql("-(dd[i2][j] * bus[i2])") + " END)), (p, q) -> p + q))"
+  private def pmat: String =
+    "list_transform(range(1, cnt + 1), i2 -> list_transform(range(1, cnt + 1), j -> " +
+      "CASE WHEN j = i2 THEN 0.0 ELSE " + expSql("-(dd[i2][j] * bus[i2])") + " / psg[i2] END))"
+  private val psym =
+    "list_transform(range(1, cnt + 1), i2 -> list_transform(range(1, cnt + 1), j -> " +
+      "CASE WHEN j = i2 THEN 0.0 ELSE (pm[i2][j] + pm[j][i2]) / (2.0 * cnt) END))"
+
+  // ---- PCA init (power iteration, d = 2, start [1, 1/2]) ----
+  private def powerFold(d1: String, d2: String): String = {
+    val xv = s"((0.0 + cx[r] * $d1) + cy[r] * $d2)"
+    val n1 = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, cnt + 1), r -> cx[r] * $xv)), (p, q) -> p + q)"
+    val n2 = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, cnt + 1), r -> cy[r] * $xv)), (p, q) -> p + q)"
+    val nrm = s"sqrt((0.0 + $n1 * $n1) + $n2 * $n2)"
+    s"list_reduce(list_prepend([1.0::DOUBLE, 0.5::DOUBLE], list_transform(range(1, 101), zz -> [CAST(zz AS DOUBLE)])), " +
+      s"(acc, e) -> CASE WHEN $nrm > 0.0 THEN [$n1 / $nrm, $n2 / $nrm] ELSE [$d1, $d2] END)"
+  }
+  private val cdef = "((0.0 + acc[1] * u1) + acc[2] * u2)"
+  private def proj(v1: String, v2: String): String =
+    s"list_transform(range(1, cnt + 1), r -> (0.0 + cx[r] * $v1) + cy[r] * $v2)"
+  private def meanOf(c: String): String =
+    s"(list_reduce(list_prepend(0.0::DOUBLE, $c), (p, q) -> p + q) / cnt)"
+  private def stdOf(c: String, m: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform($c, v -> (v - $m) * (v - $m))), (p, q) -> p + q) / cnt)"
+
+  // ---- gradient descent fold (state [y0|y1|prev0|prev1|qt,m0,m1]) ----
+  private val zb = "CAST(e[1] AS BIGINT)"
+  private def gdStep: String = {
+    val nump = "(1.0 / (1.0 + (acc[i2] - acc[j]) * (acc[i2] - acc[j]) + " +
+      "(acc[cnt + i2] - acc[cnt + j]) * (acc[cnt + i2] - acc[cnt + j])))"
+    val qtot = s"list_reduce(list_prepend(0.0::DOUBLE, flatten(list_transform(range(1, cnt + 1), i2 -> " +
+      s"list_transform(range(i2 + 1, cnt + 1), j -> $nump)))), (p, q) -> p + 2.0 * q)"
+    val ex = s"(CASE WHEN ($zb - 2) // 4 < 100 THEN 4.0 ELSE 1.0 END)"
+    val mom = s"(CASE WHEN ($zb - 2) // 4 < 250 THEN 0.5 ELSE 0.8 END)"
+    def grad(i: String, c: Int): String = {
+      val off = if (c == 0) "" else "cnt + "
+      val num = s"(1.0 / (1.0 + (acc[$i] - acc[j]) * (acc[$i] - acc[j]) + " +
+        s"(acc[cnt + $i] - acc[cnt + j]) * (acc[cnt + $i] - acc[cnt + j])))"
+      val mult = s"(($ex * ps[$i][j] - $num / acc[4 * cnt + 1]) * $num)"
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, cnt + 1), j -> " +
+        s"CASE WHEN j = $i THEN 0.0 ELSE $mult * (acc[$off$i] - acc[${off}j]) END)), (p, q) -> p + q)"
+    }
+    def stepC(i: String, c: Int): String = {
+      val off = if (c == 0) "2 * cnt + " else "3 * cnt + "
+      s"($mom * acc[$off$i] - 200.0 * (4.0 * ${grad(i, c)}))"
+    }
+    val phUpd = s"list_concat(list_transform(range(1, 4 * cnt + 1), idx -> " +
+      s"CASE WHEN idx <= cnt THEN acc[idx] + ${stepC("idx", 0)} " +
+      s"WHEN idx <= 2 * cnt THEN acc[idx] + ${stepC("(idx - cnt)", 1)} " +
+      s"WHEN idx <= 3 * cnt THEN ${stepC("(idx - 2 * cnt)", 0)} " +
+      s"ELSE ${stepC("(idx - 3 * cnt)", 1)} END), [acc[4 * cnt + 1], acc[4 * cnt + 2], acc[4 * cnt + 3]])"
+    val phQt = s"list_concat(acc[1:4 * cnt], [$qtot, acc[4 * cnt + 2], acc[4 * cnt + 3]])"
+    val m0 = "(list_reduce(list_prepend(0.0::DOUBLE, acc[1:cnt]), (p, q) -> p + q) / cnt)"
+    val m1 = "(list_reduce(list_prepend(0.0::DOUBLE, acc[cnt + 1:2 * cnt]), (p, q) -> p + q) / cnt)"
+    val phMean = s"list_concat(acc[1:4 * cnt], [acc[4 * cnt + 1], $m0, $m1])"
+    val phRc = s"list_concat(list_transform(range(1, 4 * cnt + 1), idx -> " +
+      s"CASE WHEN idx <= cnt THEN acc[idx] - acc[4 * cnt + 2] " +
+      s"WHEN idx <= 2 * cnt THEN acc[idx] - acc[4 * cnt + 3] ELSE acc[idx] END), " +
+      s"[acc[4 * cnt + 1], acc[4 * cnt + 2], acc[4 * cnt + 3]])"
+    s"CASE WHEN $zb % 4 = 1 THEN $phQt WHEN $zb % 4 = 2 THEN $phUpd " +
+      s"WHEN $zb % 4 = 3 THEN $phMean ELSE $phRc END"
+  }
+
+  /** The complete oracle SQL for q_coret_tsne (supplier, 2 features). */
+  def sql: String = {
+    val tgtFold = normFold("least(5.0::DOUBLE, cnt - 1.0::DOUBLE)")
+    s"""WITH src AS (SELECT s_suppkey AS k, CAST(s_nationkey AS DOUBLE) AS f1, CAST(s_acctbal AS DOUBLE) AS f2 FROM supplier),
+       |mm AS (SELECT MIN(f1) lo1, MAX(f1) hi1, MIN(f2) lo2, MAX(f2) hi2 FROM src),
+       |nn AS (SELECT k,
+       |        coalesce(CASE WHEN hi1 = lo1 THEN 0.0 ELSE (f1 - lo1) / (hi1 - lo1) END, 0.0) AS f1,
+       |        coalesce(CASE WHEN hi2 = lo2 THEN 0.0 ELSE (f2 - lo2) / (hi2 - lo2) END, 0.0) AS f2
+       |      FROM src, mm ORDER BY k LIMIT 2001),
+       |pts AS MATERIALIZED (SELECT list(f1 ORDER BY k) AS x, list(f2 ORDER BY k) AS y, list(k ORDER BY k) AS ks, COUNT(*) AS cnt FROM nn),
+       |tg0 AS (SELECT *, $tgtFold AS tgl FROM pts),
+       |tg AS MATERIALIZED (SELECT *, (tgl[2] * $L + ${hornerLn("tgl[1]")}) AS tgt FROM tg0),
+       |ddm AS MATERIALIZED (SELECT *, list_transform(range(1, cnt + 1), i -> list_transform(range(1, cnt + 1), j ->
+       |        (x[i] - x[j]) * (x[i] - x[j]) + (y[i] - y[j]) * (y[i] - y[j]))) AS dd FROM tg),
+       |bis AS MATERIALIZED (SELECT ddm.*, list_reduce(list_prepend(
+       |        $init10,
+       |        list_transform(range(1, cnt * 250 + 1), zt -> [CAST(zt AS DOUBLE)])),
+       |        (acc, e) -> $bisStep)[11:] AS bus
+       |      FROM ddm),
+       |ps0 AS MATERIALIZED (SELECT *, $psum AS psum FROM bis),
+       |ps1 AS (SELECT *, list_transform(psum, s -> CASE WHEN s <= 0.0 THEN 4.9e-324 ELSE s END) AS psg FROM ps0),
+       |ps2 AS MATERIALIZED (SELECT *, $pmat AS pm FROM ps1),
+       |ps3 AS MATERIALIZED (SELECT *, $psym AS ps FROM ps2),
+       |ctr AS (SELECT *, list_transform(x, v -> v - ${meanOf("x")}) AS cx,
+       |               list_transform(y, v -> v - ${meanOf("y")}) AS cy FROM ps3),
+       |pw1 AS MATERIALIZED (SELECT *, ${powerFold("acc[1]", "acc[2]")} AS vv1 FROM ctr),
+       |pw1b AS (SELECT *, vv1[1] AS u1, vv1[2] AS u2 FROM pw1),
+       |pw2 AS MATERIALIZED (SELECT *, ${powerFold(s"(acc[1] - $cdef * u1)", s"(acc[2] - $cdef * u2)")} AS vv2 FROM pw1b),
+       |pj AS (SELECT *, ${proj("u1", "u2")} AS c1, ${proj("vv2[1]", "vv2[2]")} AS c2 FROM pw2),
+       |sc AS (SELECT *,
+       |  CASE WHEN ${stdOf("c1", meanOf("c1"))} > 0.0 THEN 1e-4 / ${stdOf("c1", meanOf("c1"))} ELSE 1.0 END AS s1,
+       |  CASE WHEN ${stdOf("c2", meanOf("c2"))} > 0.0 THEN 1e-4 / ${stdOf("c2", meanOf("c2"))} ELSE 1.0 END AS s2 FROM pj),
+       |gd0 AS MATERIALIZED (SELECT *, list_concat(list_concat(list_concat(
+       |        list_transform(c1, v -> v * s1), list_transform(c2, v -> v * s2)),
+       |        list_transform(range(1, 2 * cnt + 1), zz -> 0.0::DOUBLE)),
+       |        [0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE]) AS st0 FROM sc),
+       |gd AS MATERIALIZED (SELECT *, list_reduce(list_prepend(st0,
+       |        list_transform(range(1, 2001), zt -> [CAST(zt AS DOUBLE)])),
+       |        (acc, e) -> $gdStep) AS fy FROM gd0)
+       |SELECT unnest(ks) AS s_suppkey,
+       |  unnest(fy[1:cnt]) AS tsne_1,
+       |  unnest(fy[cnt + 1:2 * cnt]) AS tsne_2
+       |FROM gd""".stripMargin
+  }
+}

@@ -32,30 +32,41 @@ object TSNE {
       d2(i)(j) = s; d2(j)(i) = s
     }
 
-    // P matrix: binary-search beta per row for target perplexity
-    val targetH = math.log(math.min(perplexity, n - 1.0))
+    // P matrix: binary-search beta per row for target perplexity.
+    // exp/ln are MirrorMath (engine-mirrorable), the entropy uses the
+    // Shannon identity H = ln S + β·(Σ d²e)/S (one ln per try — also
+    // what sklearn's _binary_search_perplexity computes), and the final
+    // row is rebuilt from the last TRIED beta — all so the DuckDB
+    // oracle can replay the bisection path decision-for-decision.
+    val targetH = MirrorMath.logm(math.min(perplexity, n - 1.0))
     val p = Array.ofDim[Double](n, n)
     for (i <- 0 until n) {
       var betaMin = Double.NegativeInfinity
       var betaMax = Double.PositiveInfinity
       var beta = 1.0
+      var betaUsed = 1.0
       var tries = 0
       var done = false
       while (!done && tries < 50) {
+        betaUsed = beta
         var sum = 0.0
-        for (j <- 0 until n if j != i) { p(i)(j) = math.exp(-d2(i)(j) * beta); sum += p(i)(j) }
-        if (sum <= 0) sum = Double.MinPositiveValue
-        var h = 0.0
+        var dsum = 0.0
         for (j <- 0 until n if j != i) {
-          val pij = p(i)(j) / sum
-          if (pij > 1e-12) h -= pij * math.log(pij)
-          p(i)(j) = pij
+          val e = MirrorMath.expm(-d2(i)(j) * beta)
+          sum += e
+          dsum += d2(i)(j) * e
         }
+        if (sum <= 0) sum = Double.MinPositiveValue
+        val h = MirrorMath.logm(sum) + beta * dsum / sum
         if (math.abs(h - targetH) < 1e-5) done = true
         else if (h > targetH) { betaMin = beta; beta = if (betaMax.isInfinity) beta * 2 else (beta + betaMax) / 2 }
         else { betaMax = beta; beta = if (betaMin.isInfinity) beta / 2 else (beta + betaMin) / 2 }
         tries += 1
       }
+      var sum = 0.0
+      for (j <- 0 until n if j != i) { p(i)(j) = MirrorMath.expm(-d2(i)(j) * betaUsed); sum += p(i)(j) }
+      if (sum <= 0) sum = Double.MinPositiveValue
+      for (j <- 0 until n if j != i) p(i)(j) = p(i)(j) / sum
     }
     // symmetrize
     val pSym = Array.ofDim[Double](n, n)

@@ -399,9 +399,11 @@ object CoreT {
       val spark = df.sparkSession
       val norm = normalized(df, features, carry)
       // limit BEFORE collect: the cap must protect the driver, not
-      // fire after the full frame is already materialized
+      // fire after the full frame is already materialized. Canonical
+      // key order (like mds) so the pair matrices — and the replayed
+      // embedding — have one layout on any partitioning.
       val rows = norm.select((carry ++ features).map(col): _*)
-        .limit(maxDriverRows + 1).collect()
+        .orderBy(carry.map(col): _*).limit(maxDriverRows + 1).collect()
       require(rows.length <= maxDriverRows,
         s"tsne driver path capped at $maxDriverRows rows (got ${rows.length})")
       val pts = rows.map(r => features.indices.map(i =>
