@@ -205,7 +205,14 @@ object ExtQueries {
     * deterministic Lloyd (md5-digest sample order, init = first 16,
     * 10 fixed iterations — see [[graft.operators.CoreT.lloyd]]);
     * every float op is an ordered left fold with a 0.0 seed, which
-    * matches Scala's `s += diff*diff` accumulation bit-exactly. */
+    * matches Scala's `s += diff*diff` accumulation bit-exactly.
+    *
+    * The sp CTE caps the digest-ordered fit sample at 100000 rows to
+    * mirror ivfTopK's `fitCap` — without the slice the oracle would
+    * silently fit on the full corpus and diverge past 100k vectors.
+    * The `vs[1:nlist]` init additionally assumes the corpus has at
+    * least nlist=16 vectors (Spark uses min(nlist, max(2, n))); the
+    * gate corpus has 500, so the branch never diverges there. */
   private def ivfOracle: String = {
     val (nlist, nprobe, k, iters) = (16, 4, 5, 10)
     def dot(a: String, b: String) =
@@ -218,7 +225,8 @@ object ExtQueries {
     s"""WITH RECURSIVE
        |emb AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |        FROM embeddings),
-       |sp AS (SELECT list(v ORDER BY md5(id || ':9')) AS vs, COUNT(*) AS m FROM emb),
+       |sp AS (SELECT (list(v ORDER BY md5(id || ':9')))[1:100000] AS vs,
+       |              LEAST(COUNT(*), 100000) AS m FROM emb),
        |it(i, cs) AS (
        |  SELECT 0, vs[1:$nlist] FROM sp
        |  UNION ALL

@@ -250,7 +250,21 @@ object MLQueries {
     val s2acc = OracleSql.osum("list_transform(acc, t -> t * t)")
     // the 1-element wrapper transform evaluates the O(n) norm fold
     // ONCE per step (binding it to `s2`) instead of once per element —
-    // DuckDB re-evaluates expressions embedded in element lambdas
+    // DuckDB re-evaluates expressions embedded in element lambdas.
+    //
+    // DuckDB 1.0 REGRESSION NOTE: singleton-binding transforms inside
+    // a list_reduce lambda are the construct family TsneOracle.scala
+    // documents as miscompiled ("state zeroes out"). That failure mode
+    // needs (a) the binding to slice the accumulator itself
+    // (`[acc[k]]`) and (b) a coexisting plain-`acc` branch reading the
+    // corrupted state on a LATER fold step. Here neither holds: the
+    // bound value `s2acc` is a fresh fold over acc (not an acc slice),
+    // the only plain-`acc` reference inside the transform (`t / ...`)
+    // is consumed in the SAME step, and the zero-norm `THEN acc`
+    // branch is dead (power iteration never reaches norm 0 — vinit is
+    // non-null-space by construction). If a DuckDB version bump ever
+    // breaks q_coret_mds, restructure this normalize as a fixed-slot
+    // phase fold like TsneOracle's GD loop before suspecting the math.
     def step(b: String) =
       s"CASE WHEN e[1] = 1.0 THEN ${w(b)} " +
         s"ELSE list_transform([$s2acc], s2 -> CASE WHEN s2 = 0 THEN acc " +

@@ -270,10 +270,12 @@ object CoreT {
           d.withColumn(s"__rank_$c",
             (ceil(percent_rank().over(Window.orderBy(ord: _*)) * 99) + 1).cast("double"))
       }
-      val assembled = new VectorAssembler()
+      // rank windows are expensive; fit + transform reuse the cache
+      // (CacheScope-tracked so callers can reclaim it)
+      val assembled = graft.CacheScope.track(new VectorAssembler()
         .setInputCols(features.map(c => s"__rank_$c").toArray)
         .setOutputCol("__counts").setHandleInvalid("keep")
-        .transform(ranked).cache() // rank windows are expensive; fit + transform reuse
+        .transform(ranked))
       val model = new org.apache.spark.ml.clustering.LDA()
         .setK(k).setSeed(seed).setFeaturesCol("__counts")
         .setOptimizer("online")
@@ -288,10 +290,16 @@ object CoreT {
             s"${w.toString.take(6)}*${features(i)}"
           }.mkString(" + ")
         }
-      val labelFor = udf((v: org.apache.spark.ml.linalg.Vector) =>
-        desc(v.argmax))
+      // argmax(topicDistribution) → label, as a pure codegen'd
+      // expression: vector_to_array + array_position(array_max) both
+      // take the FIRST maximal index (same tie-break as Vector.argmax)
+      // and the k label strings ride along as an array literal
+      val labels = array(desc.toIndexedSeq.map(lit): _*)
+      val topics = org.apache.spark.ml.functions.vector_to_array(col("topicDistribution"))
       model.transform(assembled)
-        .select(carry.map(col) :+ labelFor(col("topicDistribution")).as("Category by LDA"): _*)
+        .select(carry.map(col) :+
+          element_at(labels, array_position(topics, array_max(topics)).cast("int"))
+            .as("Category by LDA"): _*)
     }
 
   /** DBSCAN(eps=0.25, minPts=5) → "Category by DBSCAN", -1 = outlier

@@ -20,10 +20,11 @@ import graft.functions.TextFunctions
   *    cap so stop-shingles can't quadratically explode a bucket (the
   *    classic skew killer at 100 TB).
   *
-  * Frames feeding self-joins are `.persist()`ed (a self-join evaluates
-  * its subtree once per side) and stay registered for the session;
-  * long-lived sessions issuing many dedup calls should
-  * `spark.catalog.clearCache()` between batches.
+  * Frames feeding self-joins are persisted (a self-join evaluates
+  * its subtree once per side) and registered with [[graft.CacheScope]];
+  * long-lived sessions issuing many dedup calls should scope batches
+  * in `CacheScope.withCached { ... }` or call `CacheScope.releaseAll()`
+  * between them.
   */
 object Dedup {
 
@@ -53,13 +54,12 @@ object Dedup {
     // persist the exploded index: it feeds the doc-frequency agg, the
     // per-doc sizes, and both sides of the inverted-index self-join —
     // four evaluations of the shingle explode otherwise
-    val grams = df
+    val grams = graft.CacheScope.track(df
       .select(col(keyCol).as("id"),
-        explode(TextFunctions.wordShingles(col(textCol), shingleSize)).as("gram"))
-      .persist()
+        explode(TextFunctions.wordShingles(col(textCol), shingleSize)).as("gram")))
     val rare = grams.groupBy("gram").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq && col("df") >= 2)
-    val filtered = grams.join(rare.select("gram"), Seq("gram")).persist()
+    val filtered = graft.CacheScope.track(grams.join(rare.select("gram"), Seq("gram")))
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = filtered.as("a").join(filtered.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
@@ -107,11 +107,11 @@ object Dedup {
     * cheap operator is the right tool for exact copies). One extra agg
     * + a broadcast anti-join of the (tiny) hot-bucket list.
     *
-    * Callers persist the COMPACT pre-explode frame (signatures /
-    * fingerprints), not this exploded output: caching the bands×n
-    * exploded rows was measured ~40% slower end-to-end than
-    * re-running the cheap explode per join side off the compact
-    * cache. */
+    * This output feeds self-joins, and its subtree contains a shuffle
+    * (the hot-bucket groupBy): callers MUST persist it, or the band
+    * explode AND that aggregation pass run once per join side (the
+    * round-3 driver bench measured exactly that on the MinHash path:
+    * 10.2s un-persisted vs 4.0s persisted). */
   private[operators] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
     val hot = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bs"))
       .where(col("__bs") > cap).select(keys.map(col): _*)
@@ -129,23 +129,25 @@ object Dedup {
                             maxBucketSize: Long = 100000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // persist the COMPACT signature frame (n rows × numHashes longs):
-    // a self-join evaluates its subtree once per side, which would
-    // re-run the whole shingle→signature aggregation twice. Caching
-    // before the band explode (instead of after) keeps the cache
-    // bands× smaller and measured ~25% faster end-to-end at sf0.1 —
-    // the explode itself is nearly free to recompute per side.
-    val sigsP = sigs.persist()
     val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
     // bucket = the band's signature slice itself (equi-joinable array;
     // no re-hash needed, and SQL engines can mirror it exactly)
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"), slice(sigArr, b * r + 1, r).as("bucket"))
     }: _*)
-    val banded = capBuckets(
-      sigsP.select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bb"))
+    // persist the CAPPED banded frame: a self-join evaluates its
+    // subtree once per side, and this subtree carries BOTH the
+    // shingle→signature aggregation and the hot-bucket groupBy shuffle
+    // from capBuckets. Round 3 persisted the compact signature frame
+    // instead, betting the explode was free to recompute — the driver
+    // bench said otherwise (q_dedup_minhash_lsh 3.98s → 10.16s),
+    // because the capBuckets aggregation pass re-ran per side. The
+    // cache is bands×n rows of (id, sig, band, bucket); default
+    // MEMORY_AND_DISK spills rather than OOMs at scale.
+    val banded = graft.CacheScope.track(capBuckets(
+      sigs.select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bb"))
         .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket")),
-      Seq("band", "bucket"), maxBucketSize)
+      Seq("band", "bucket"), maxBucketSize))
     // est_jaccard is computed inside the join projection and the τ
     // filter applied BEFORE the pair dedup: the distinct shuffle then
     // carries (id_a, id_b, est) instead of two numHashes-long signature
@@ -204,6 +206,9 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    // the final round's cache backs the returned labels — register it
+    // so CacheScope.releaseAll()/withCached can reclaim it
+    graft.CacheScope.trackExisting(cached)
     // an unconverged result would silently disagree with the
     // transitive-closure semantics (and the oracle) — fail loudly;
     // real dedup components are near-cliques converging in 2-3 rounds
@@ -228,19 +233,20 @@ object Dedup {
     * with bit_count(xor). */
   def simhashPairs(df: DataFrame, keyCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucketSize: Long = 100000L): DataFrame = {
-    // persist the compact (id, fingerprint) frame: both sides of the
-    // piece self-join reuse the per-document hashing; the 4× piece
-    // explode recomputes for free off the cache
     val sims = df.select(col(keyCol).as("id"),
-      TextFunctions.simhash(col(textCol)).as("sim")).persist()
+      TextFunctions.simhash(col(textCol)).as("sim"))
     val pieces = array((0 until 4).map { i =>
       struct(lit(i).as("pc"),
         shiftrightunsigned(col("sim"), 15 * i).bitwiseAND(lit(0x7FFFL)).as("pv"))
     }: _*)
-    val exploded = capBuckets(
+    // persist AFTER the hot-bucket cap, not the compact frame before
+    // the explode: the capBuckets subtree carries a groupBy shuffle
+    // that would otherwise run once per self-join side (see
+    // minhashCandidatePairs — same lesson, measured by the r3 bench)
+    val exploded = graft.CacheScope.track(capBuckets(
       sims.select(col("id"), col("sim"), explode(pieces).as("p"))
         .select(col("id"), col("sim"), col("p.pc"), col("p.pv")),
-      Seq("pc", "pv"), maxBucketSize)
+      Seq("pc", "pv"), maxBucketSize))
     // radius filter before the pair dedup: out-of-radius piece
     // collisions are dropped map-side instead of shuffling for distinct
     exploded.as("a").join(exploded.as("b"),

@@ -204,17 +204,19 @@ object Similarity {
                             dim: Int, tau: Double,
                             bands: Int = 4, rowsPerBand: Int = 8,
                             maxBucketSize: Long = 100000L): DataFrame = {
-    // persist the compact banded frame (id, vec, band_0..band_{b-1}):
-    // the self-join would otherwise evaluate the bands×rowsPerBand
-    // hyperplane dot products per row on both sides; the band explode
-    // recomputes for free off the cache. capBuckets = the hot-bucket
-    // skew guard (see Dedup). Cosine + τ filter run before the pair
-    // dedup so sub-threshold collisions never shuffle the vectors.
+    // persist the CAPPED exploded frame: the self-join evaluates its
+    // subtree once per side, and that subtree carries the
+    // bands×rowsPerBand hyperplane dot products per row AND the
+    // hot-bucket groupBy shuffle inside capBuckets (the skew guard,
+    // see Dedup — and see minhashCandidatePairs for the r3 bench
+    // lesson on persisting before vs after the cap). Cosine + τ
+    // filter run before the pair dedup so sub-threshold collisions
+    // never shuffle the vectors.
     val compact = withLshBands(
       df.select(col(idCol).as("id"), col(vecCol).as("__v")),
-      "__v", dim, bands, rowsPerBand).persist()
-    val d = Dedup.capBuckets(explodeBands(compact, bands),
-      Seq("band", "bucket"), maxBucketSize)
+      "__v", dim, bands, rowsPerBand)
+    val d = graft.CacheScope.track(Dedup.capBuckets(explodeBands(compact, bands),
+      Seq("band", "bucket"), maxBucketSize))
     d.as("a").join(d.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

@@ -12,4 +12,10 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** True when the session's CacheManager holds no cached plans —
+    * `sharedState` is private[sql], so the cache-leak assertion in
+    * specs (graft.CacheScope lifecycle) needs this hop too. */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

@@ -148,6 +148,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(first == 900L)
   }
 
+  test("CacheScope: a full dedup pipeline run leaves no cached plans behind") {
+    import graft.operators.CorpusPipeline
+    import org.apache.spark.sql.GraftSqlBridge
+    spark.catalog.clearCache()
+    CacheScope.releaseAll() // drop frames tracked by earlier suites
+    assert(GraftSqlBridge.cacheIsEmpty(spark))
+    CacheScope.withCached {
+      // terminal actions inside the scope: count + collect
+      assert(CorpusPipeline.clean(corpus, "id", "text",
+        CorpusPipeline.Config(minQuality = 0.0, tau = 0.3)).count() > 0)
+      Dedup.ngramJaccardPairs(corpus, "id", "text", tau = 0.3).collect()
+    }
+    assert(GraftSqlBridge.cacheIsEmpty(spark),
+      "dedup operators leaked persisted frames past their CacheScope")
+  }
+
   test("embeddingNearDupPairs finds the planted near-duplicate") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(j => (math.sin(i * 11 + j * 3) + 2.0).toFloat))
