@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.sources.Tables
+import graft.streaming.StreamingDemo
 
 /** Declared queries for the training-data-pipeline extensions: text
   * analysis, dedup family, similarity search, multimodal plumbing,
@@ -140,6 +141,33 @@ object ExtQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    }),
+
+    // ── streaming twin: per-user sessionization (batch mode) ───────
+    // Millis (not raw nanos) because DuckDB reads TIMESTAMP(NANOS)
+    // parquet at microsecond precision: ts DIV 1000000 here equals
+    // epoch_us(ts)//1000 there (both floor-truncate), so gap
+    // arithmetic is integer-exact across engines.
+    "q_events_sessionize" -> ((s, dir) => {
+      StreamingDemo.sessionizeMillis(
+        Tables.eventsRawNanos(s, dir)
+          .select(col("user_id"), expr("ts DIV 1000000").as("ts_ms")),
+        gapMinutes = 30)
+    }),
+
+    // ── streaming twin: exact dedup, earliest-event-time-wins ──────
+    // Duplicates are planted (every 5th event re-emitted 3 minutes
+    // later) so the deterministic earliest-wins pick is actually
+    // exercised: a nondeterministic dedup could surface the shifted
+    // copy and fail the value hash. Microsecond domain for the same
+    // DuckDB-precision reason as q_events_sessionize.
+    "q_stream_dedup" -> ((s, dir) => {
+      val e = Tables.eventsRawNanos(s, dir)
+        .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+      val dups = e.where(col("event_id") % 5 === 0)
+        .withColumn("ts_us", col("ts_us") + lit(180000000L))
+      StreamingDemo.dedupEvents(e.unionByName(dups), "event_id", "ts_us")
     })
   )
 
@@ -491,6 +519,38 @@ object ExtQueries {
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // gaps-and-islands twin of flatMapGroupsWithState sessionization:
+    // a session breaks when the gap to the previous event exceeds
+    // 30 min; islands numbered by a running sum of breaks. Ties on
+    // (user_id, ts_ms) order arbitrarily in both engines but a zero
+    // gap can never break a session, so the session set is identical.
+    "q_events_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000 AS ts_ms FROM events),
+        |f AS (SELECT user_id, ts_ms,
+        |        CASE WHEN ts_ms - LAG(ts_ms) OVER
+        |               (PARTITION BY user_id ORDER BY ts_ms) > 1800000
+        |             OR LAG(ts_ms) OVER
+        |               (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT user_id, ts_ms,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM f)
+        |SELECT user_id, MIN(ts_ms) AS session_start_ms,
+        |       MAX(ts_ms) AS session_end_ms, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q_stream_dedup" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+        |                  event_type, value FROM events),
+        |u AS (SELECT * FROM e
+        |      UNION ALL
+        |      SELECT event_id, ts_us + 180000000, user_id, event_type, value
+        |      FROM e WHERE event_id % 5 = 0)
+        |SELECT event_id, ts_us, user_id, event_type, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts_us) AS rn
+        |  FROM u) t
+        |WHERE rn = 1""".stripMargin
   )
 }

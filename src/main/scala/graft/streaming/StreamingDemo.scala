@@ -40,16 +40,35 @@ object StreamingDemo {
     * window aggregation can't express. */
   def sessionize(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                  gapMinutes: Int = 30): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
+    import spark.implicits._
+    sessionizeCore(
+      events.select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+        .as[(Long, java.sql.Timestamp)]
+        .map { case (u, t) => Ev(u, t.getTime) },
+      gapMinutes, events.isStreaming)
+  }
+
+  /** [[sessionize]] over a pre-extracted epoch-milliseconds column
+    * (`user_id`, `ts_ms`) — the integer-exact entry point for sources
+    * whose native timestamps don't survive a cast (the nanosecond
+    * events table), and the one the oracle-gated batch twin uses. */
+  def sessionizeMillis(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    sessionizeCore(
+      events.select(col("user_id").cast("long"), col("ts_ms").cast("long"))
+        .as[(Long, Long)].map { case (u, m) => Ev(u, m) },
+      gapMinutes, events.isStreaming)
+  }
+
+  private def sessionizeCore(typed: org.apache.spark.sql.Dataset[Ev],
+                             gapMinutes: Int, streaming: Boolean): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = typed.sparkSession
     import spark.implicits._
 
     val gapMs = gapMinutes * 60000L
-    val streaming = events.isStreaming // captured as a plain boolean
-
-    val typed = events.select(col("user_id").cast("long"), col("ts").cast("timestamp"))
-      .as[(Long, java.sql.Timestamp)]
-      .map { case (u, t) => Ev(u, t.getTime) }
 
     def fn(userId: Long, evs: Iterator[Ev], state: GroupState[Sess]): Iterator[Sess] = {
       val sorted = evs.toSeq.sortBy(_.tsMillis)
@@ -83,13 +102,25 @@ object StreamingDemo {
     * within the watermark delay. State is bounded by the watermark (the
     * point of `dropDuplicatesWithinWatermark` vs plain dropDuplicates,
     * whose state grows forever on an unbounded stream) — the streaming
-    * twin of [[graft.operators.Dedup.exactDedup]]. Batch frames take
-    * the plain distinct path, same logical result. */
+    * twin of [[graft.operators.Dedup.exactDedup]].
+    *
+    * Batch frames keep the EARLIEST-event-time row per id (row_number
+    * over ts), not `dropDuplicates`' arbitrary first-seen row: the
+    * deterministic pick is what makes the batch twin oracle-checkable,
+    * and it matches the streaming path's first-arrival-wins whenever
+    * replay order follows event time (the normal backfill case). Rows
+    * tied on (id, ts) are still an arbitrary pick — give ids a unique
+    * ts if exact replayability matters. */
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
                   tsCol: String = "ts", delay: String = "10 minutes"): DataFrame =
     if (events.isStreaming)
       events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(idCol)
-    else events.dropDuplicates(idCol)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col(tsCol).asc)
+      events.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    }
 
   /** Drive the streaming query synchronously from a bounded source and
     * return the materialized result (memory sink). Used by tests and

@@ -56,6 +56,38 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingDemo.dedupEvents(batch).count() == 2)
   }
 
+  test("sessionizeMillis: 30-min gap splits sessions, counts and bounds exact") {
+    val evs = Seq(
+      (1L, 0L), (1L, 60000L),      // session A: two events a minute apart
+      (1L, 3000000L),              // gap 2940s > 1800s → session B
+      (2L, 5L))                    // other user: singleton session
+      .toDF("user_id", "ts_ms")
+    val out = StreamingDemo.sessionizeMillis(evs, gapMinutes = 30)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 60000L, 2L), (1L, 3000000L, 3000000L, 1L), (2L, 5L, 5L, 1L)))
+  }
+
+  test("sessionize (timestamp) and sessionizeMillis agree on the same events") {
+    val rows = Seq((1L, ts(0, 1)), (1L, ts(0, 5)), (1L, ts(9, 0)), (7L, ts(2, 2)))
+    val viaTs = StreamingDemo.sessionize(rows.toDF("user_id", "ts"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaMs = StreamingDemo.sessionizeMillis(
+      rows.map { case (u, t) => (u, t.getTime) }.toDF("user_id", "ts_ms"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaTs == viaMs && viaTs.size == 3)
+  }
+
+  test("dedupEvents batch path keeps the earliest-ts row per id, deterministically") {
+    val batch = Seq(
+      (1L, 10L, "late"), (1L, 5L, "early"),
+      (2L, 7L, "only"))
+      .toDF("event_id", "ts", "tag")
+    val kept = StreamingDemo.dedupEvents(batch, "event_id", "ts")
+      .select($"event_id", $"tag").as[(Long, String)].collect().toSet
+    assert(kept == Set((1L, "early"), (2L, "only")))
+  }
+
   test("cleanStream: fingerprint dedup + quality gate on a true stream") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.operators.CorpusPipeline
