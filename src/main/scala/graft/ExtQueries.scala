@@ -489,6 +489,10 @@ object ExtQueries {
          |  SELECT id_a, id_b, ${sqlDot("va", "vb")} / (${sqlNorm("va")} * ${sqlNorm("vb")}) AS cosine
          |  FROM cand) t
          |WHERE cosine >= 0.999""".stripMargin,
+    // mirrors lshTopK incl. the recall floor: queries with < k bucket
+    // candidates brute-force the corpus (no-op at gate scale, where
+    // every query already has ≥ 5 candidates — but the twin branches
+    // must agree the day the data doesn't)
     "q_sim_lsh_topk" ->
       s"""WITH $sqlPlanes,
          |${sqlSigs("(SELECT vec_id AS id, embedding FROM embeddings)")},
@@ -497,12 +501,22 @@ object ExtQueries {
          |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id,
          |           q.embedding AS qv, c.embedding AS cv
          |         FROM bb q JOIN bb c ON q.band = c.band AND q.bucket = c.bucket
-         |           AND q.id < 5 AND c.id <> q.id)
+         |           AND q.id < 5 AND c.id <> q.id),
+         |lack AS (SELECT e.vec_id AS query_id, e.embedding AS qv
+         |         FROM embeddings e LEFT JOIN
+         |           (SELECT query_id, COUNT(*) AS nc FROM cand GROUP BY query_id) n
+         |           ON e.vec_id = n.query_id
+         |         WHERE e.vec_id < 5 AND COALESCE(n.nc, 0) < 5),
+         |allc AS (SELECT query_id, neighbor_id, qv, cv FROM cand
+         |         WHERE query_id NOT IN (SELECT query_id FROM lack)
+         |         UNION ALL
+         |         SELECT l.query_id, e.vec_id, l.qv, e.embedding
+         |         FROM lack l JOIN embeddings e ON e.vec_id <> l.query_id)
          |SELECT query_id, neighbor_id, cosine, rank FROM (
          |  SELECT query_id, neighbor_id, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
          |  FROM (SELECT query_id, neighbor_id,
-         |          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine FROM cand) s) t
+         |          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine FROM allc) s) t
          |WHERE rank <= 5""".stripMargin,
     "q_multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text,

@@ -101,22 +101,41 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: candidates share at least one
     * band bucket with the query; exact cosine re-rank of candidates.
-    * Recall < 1 by construction; raise bands for higher recall. */
+    * Recall < 1 by construction; raise bands for higher recall.
+    *
+    * Recall floor: a query whose buckets yield fewer than k candidates
+    * falls back to a brute-force scan for that query alone, so every
+    * query always returns exactly k rows (corpus permitting). The
+    * fallback costs one extra corpus pass ONLY when it fires, scoped
+    * to the lacking queries — the common all-buckets-warm case pays
+    * one broadcast count. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
               bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
-    val c = explodeBands(withLshBands(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "__cv", dim, bands, rowsPerBand), bands)
-    val q = explodeBands(withLshBands(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
-      "__qv", dim, bands, rowsPerBand), bands)
-    val candidates = c.join(broadcast(q), Seq("band", "bucket"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
+    val cQ = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qQ = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = explodeBands(withLshBands(cQ, "__cv", dim, bands, rowsPerBand), bands)
+    val q = explodeBands(withLshBands(qQ, "__qv", dim, bands, rowsPerBand), bands)
+    // the candidate set feeds both the per-query count (recall floor)
+    // and the final rank — persist it (CacheScope-tracked) so the
+    // band join runs once
+    val candidates = graft.CacheScope.track(
+      c.join(broadcast(q), Seq("band", "bucket"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id"))
+    val lacking = qQ.join(
+        candidates.groupBy("query_id").agg(count(lit(1)).as("__nc")),
+        Seq("query_id"), "left")
+      .where(coalesce(col("__nc"), lit(0L)) < k)
+      .select("query_id", "__qv")
+    val scored = candidates.select("query_id", "neighbor_id", "__qv", "__cv")
+      .join(broadcast(lacking.select("query_id")), Seq("query_id"), "left_anti")
+      .unionByName(cQ.crossJoin(broadcast(lacking))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    candidates.withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    scored.withColumn("cosine", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")

@@ -134,6 +134,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lshFirst == 100L) // identical-direction vector shares every band
   }
 
+  test("lshTopK recall floor: every query returns exactly k rows, = brute force") {
+    val vecs = (0 until 25).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 13 + j * 7).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.where($"vec_id" < 5)
+    // k = corpus-1: either the floor fires (brute-force fallback) or
+    // every other vector was already a candidate — both cases must
+    // equal the exact scan, and both must return exactly k rows
+    val k = 24
+    val out = Similarity.lshTopK(df, qs, "vec_id", "embedding", k, dim = 16)
+      .as[(Long, Long, Double, Int)].collect()
+    val counts = out.groupBy(_._1).map { case (q, rs) => q -> rs.length }
+    assert((0L until 5L).forall(q => counts.get(q).contains(k)))
+    val bf = Similarity.bruteForceTopK(df, qs, "vec_id", "embedding", k)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(out.toSet == bf)
+  }
+
   test("ivfTopK finds the planted nearest neighbor (probes its bucket)") {
     val vecs = (0 until 200).map { i =>
       (i.toLong, Array.tabulate(16)(j => (math.sin(i * 5 + j) + math.cos(i + j * 2)).toFloat))
