@@ -149,7 +149,9 @@ object MLQueries {
     val S = "1099511627776.0" // 2^40
     val fs = 1 to 4
     // sum(BIGINT) promotes to HUGEINT (exact); the single cast to
-    // DOUBLE rounds once — same sequence as Spark's DECIMAL(38,0) sum
+    // DOUBLE rounds once — the same exact-integer-then-one-rounding
+    // sequence as Spark's split hi/lo long sums + BigInt reassembly
+    // (CoreT.pinnedParts/pinnedTotal)
     val sums = fs.map(f => s"CAST(sum(CAST(floor(f$f * $S) AS BIGINT)) AS DOUBLE) AS s$f")
     val prods = for (i <- fs; j <- fs if j >= i)
       yield s"CAST(sum(CAST(floor((f$i * f$j) * $S) AS BIGINT)) AS DOUBLE) AS p${i}_$j"

@@ -42,10 +42,20 @@ object MirrorMath {
     math.pow(2.0, k) * acc
   }
 
+  /** x^y for x ≥ 0, y finite: expm(y·logm(x)). x = 0 → 0 (logm's
+    * −∞ drives expm to 0), matching Math.pow(0, y) for y > 0 — the
+    * only pow shape UMAP's kernel uses. NOT correctly rounded (≈1e-14
+    * relative); bit-equal to the SQL mirror, which is the point. */
+  def powm(x: Double, y: Double): Double = expm(y * logm(x))
+
   /** ln(x) for x > 0 finite: normalize m = x·2^−e into [1,2) by exact
     * halving/doubling (bounded 1100-step loop — covers subnormals),
     * then ln(x) = e·ln2 + 2t·Q(t²), t = (m−1)/(m+1), Q = 17-term
-    * atanh-series Horner. */
+    * atanh-series Horner. The SQL mirror normalizes by binary descent
+    * (multiply by 2^±2^k, ~22 exact steps) instead of unit steps —
+    * the (m, e) pair with m ∈ [1,2) is unique and every step in both
+    * loops is an exact power-of-2 scaling, so the results are
+    * bit-identical. */
   def logm(x: Double): Double = {
     if (x <= 0.0) return Double.NegativeInfinity
     if (x.isInfinite) return Double.PositiveInfinity

@@ -1,7 +1,7 @@
 package graft.functions
 
-/** UMAP (McInnes, Healy & Melville 2018), driver-side and fully
-  * deterministic.
+/** UMAP (McInnes, Healy & Melville 2018), driver-side, fully
+  * deterministic, and engine-replayable.
   *
   * The reference runs umap-learn with library defaults
   * (Tfunctions.py:33-37, wrapper Tengine.py:170-176) over its ≤400-row
@@ -9,10 +9,22 @@ package graft.functions
   * smoothed-distance fuzzy simplicial set (per-point rho/sigma with the
   * log2(k) calibration), probabilistic t-conorm symmetrization, and the
   * standard per-edge SGD with negative sampling on the a/b rational
-  * kernel. Two departures keep it reproducible across runs/JVMs:
-  * PCA initialization (umap-learn's spectral init up to sign/rotation;
-  * init choice does not change neighbor structure) and a seeded
-  * xorshift RNG for negative sampling.
+  * kernel. Departures that keep it reproducible across runs, JVMs, AND
+  * SQL engines (the DuckDB oracle replays the whole fit bit-exactly,
+  * see [[graft.UmapOracle]]):
+  *  - PCA initialization (umap-learn's spectral init up to
+  *    sign/rotation; init choice does not change neighbor structure);
+  *  - a counter-based quadratic-congruential hash for negative
+  *    sampling instead of a stateful RNG — draw t depends only on
+  *    (seed, t), so a replay can compute any draw directly from the
+  *    firing event's position (all intermediates < 2^62: exact in
+  *    Long and in DuckDB BIGINT);
+  *  - the per-edge schedule tracks an integer fire count k and tests
+  *    eps·(k+1) ≤ epoch (single multiply) instead of accumulating
+  *    nextDue += eps — same schedule up to float rounding, but
+  *    closed-form recoverable from (eps, epoch) by any engine;
+  *  - exp/ln/pow go through [[MirrorMath]] (engine-mirrorable
+  *    transcendentals); sqrt is IEEE-correctly-rounded everywhere.
   *
   * O(n²) kNN + O(edges·epochs) SGD: bounded-input chart feeder like
   * DBSCAN/MDS/t-SNE in [[graft.operators.CoreT]].
@@ -21,14 +33,41 @@ object UMAP {
 
   // Rational-kernel coefficients fit for min_dist=0.1, spread=1.0 —
   // umap-learn's find_ab_params output for its defaults.
-  private val A = 1.5769434603113077
-  private val B = 0.8950608779109733
+  private[graft] val A = 1.5769434603113077
+  private[graft] val B = 0.8950608779109733
+
+  /** Negative-sampling draw t (0-based) → index in [0, bound): two
+    * MINSTD multiplies around a quadratic squaring step, all mod the
+    * prime 2^31−1. Nonlinear in t (a pure LCG of the counter would be
+    * an affine map with lattice artifacts); every intermediate stays
+    * below 2^62, so DuckDB BIGINT arithmetic replays it exactly. */
+  private[graft] def draw(t: Long, seed: Long, bound: Int): Int = {
+    val p = 2147483647L
+    val x0 = (t + 1L + (seed % 65536L)) % p
+    val x1 = 48271L * x0 % p
+    val x2 = (x1 * x1 + 12345L) % p
+    val x3 = 48271L * x2 % p
+    (x3 % bound).toInt
+  }
+
+  /** Fit intermediates, exposed so specs and the oracle dev harness
+    * can check the SQL replay stage by stage. */
+  private[graft] case class Trace(
+    knn: Array[Array[Int]], rho: Array[Double], sigma: Array[Double],
+    edges: Array[((Int, Int), Double)], maxW: Double,
+    init: Array[Array[Double]], firings: Long, y: Array[Array[Double]])
 
   def embed(points: Array[Array[Double]], nNeighbors: Int = 15,
-            epochs: Int = 300, seed: Long = 9L): Array[Array[Double]] = {
+            epochs: Int = 300, seed: Long = 9L): Array[Array[Double]] =
+    embedTraced(points, nNeighbors, epochs, seed).y
+
+  private[graft] def embedTraced(points: Array[Array[Double]], nNeighbors: Int = 15,
+            epochs: Int = 300, seed: Long = 9L): Trace = {
+    def empty(y: Array[Array[Double]]) =
+      Trace(Array.empty, Array.empty, Array.empty, Array.empty, 0.0, y, 0L, y)
     val n = points.length
-    if (n == 0) return Array.empty
-    if (n == 1) return Array(Array(0.0, 0.0))
+    if (n == 0) return empty(Array.empty)
+    if (n == 1) return empty(Array(Array(0.0, 0.0)))
     val k = math.min(nNeighbors, n - 1)
 
     // exact kNN (bounded input): per-point k smallest distances
@@ -46,8 +85,12 @@ object UMAP {
     }
 
     // fuzzy simplicial set: rho = nearest nonzero distance; sigma via
-    // binary search so sum_j exp(-(d - rho)/sigma) = log2(k)
-    val target = math.log(k) / math.log(2.0)
+    // binary search so sum_j exp(-(d - rho)/sigma) = log2(k).
+    // MirrorMath exp/ln: a 1-ulp engine difference here would change
+    // the bisection path and desynchronize the oracle replay.
+    val target = MirrorMath.logm(k.toDouble) / MirrorMath.logm(2.0)
+    val rhos = new Array[Double](n)
+    val sigmas = new Array[Double](n)
     val weights = new scala.collection.mutable.HashMap[(Int, Int), Double]
     for (i <- 0 until n) {
       val ds = knn(i).map(dist(i)(_))
@@ -55,7 +98,7 @@ object UMAP {
       var lo = 0.0; var hi = Double.PositiveInfinity; var sigma = 1.0
       var it = 0
       while (it < 64) {
-        val sum = ds.map(d => math.exp(-math.max(0.0, d - rho) / sigma)).sum
+        val sum = ds.map(d => MirrorMath.expm(-math.max(0.0, d - rho) / sigma)).sum
         if (math.abs(sum - target) < 1e-5) it = 64
         else {
           if (sum > target) { hi = sigma; sigma = (lo + sigma) / 2 }
@@ -63,8 +106,9 @@ object UMAP {
         }
         it += 1
       }
+      rhos(i) = rho; sigmas(i) = sigma
       knn(i).foreach { j =>
-        weights((i, j)) = math.exp(-math.max(0.0, dist(i)(j) - rho) / sigma)
+        weights((i, j)) = MirrorMath.expm(-math.max(0.0, dist(i)(j) - rho) / sigma)
       }
     }
     // symmetrize: w = a + b - ab (probabilistic t-conorm)
@@ -80,28 +124,30 @@ object UMAP {
     val y = pcaInit(points, scale = 10.0)
 
     // per-edge SGD with negative sampling (umap-learn optimize_layout):
-    // edge fires every maxW/w epochs; 5 negatives per positive
+    // edge fires every maxW/w epochs; 5 negatives per positive. The
+    // schedule tests eps·(fires+1) ≤ epoch — a single multiply, so the
+    // k-th firing epoch is a closed form of (eps, k) the oracle can
+    // recover without replaying a += accumulation. The draw counter
+    // advances 5 per firing (skipped m == i/j draws still consume),
+    // so draw t for any firing is 5·(firing ordinal) + s.
     val epochsPerSample = edges.map { case (_, w) => maxW / w }
-    val nextDue = epochsPerSample.clone()
+    val fires = new Array[Int](edges.length)
     val negRate = 5
-    var rng = if (seed == 0) 0x9E3779B9L else seed // xorshift64
-    def nextInt(bound: Int): Int = {
-      rng ^= rng << 13; rng ^= rng >>> 7; rng ^= rng << 17
-      (((rng >>> 1) % bound).toInt + bound) % bound
-    }
+    var drawT = 0L
+    val init = y.map(_.clone())
     def clip(v: Double): Double = math.max(-4.0, math.min(4.0, v))
     for (epoch <- 1 to epochs) {
       val alpha = 1.0 - (epoch - 1).toDouble / epochs
       var e = 0
       while (e < edges.length) {
-        if (nextDue(e) <= epoch) {
-          nextDue(e) += epochsPerSample(e)
+        if (epochsPerSample(e) * (fires(e) + 1) <= epoch) {
+          fires(e) += 1
           val (i, j) = edges(e)._1
           // attraction i<->j
           val dx = y(i)(0) - y(j)(0); val dy = y(i)(1) - y(j)(1)
           val d2 = dx * dx + dy * dy
           if (d2 > 0.0) {
-            val g = (-2.0 * A * B * math.pow(d2, B - 1.0)) / (1.0 + A * math.pow(d2, B))
+            val g = (-2.0 * A * B * MirrorMath.powm(d2, B - 1.0)) / (1.0 + A * MirrorMath.powm(d2, B))
             val g0 = clip(g * dx) * alpha; val g1 = clip(g * dy) * alpha
             y(i)(0) += g0; y(i)(1) += g1
             y(j)(0) -= g0; y(j)(1) -= g1
@@ -109,11 +155,12 @@ object UMAP {
           // repulsion from sampled non-neighbors of i
           var s = 0
           while (s < negRate) {
-            val m = nextInt(n)
+            val m = draw(drawT, seed, n)
+            drawT += 1
             if (m != i && m != j) {
               val rx = y(i)(0) - y(m)(0); val ry = y(i)(1) - y(m)(1)
               val rd2 = rx * rx + ry * ry
-              val g = (2.0 * B) / ((0.001 + rd2) * (1.0 + A * math.pow(rd2, B)))
+              val g = (2.0 * B) / ((0.001 + rd2) * (1.0 + A * MirrorMath.powm(rd2, B)))
               y(i)(0) += clip(g * rx) * alpha
               y(i)(1) += clip(g * ry) * alpha
             }
@@ -126,7 +173,7 @@ object UMAP {
     // recenter for presentation parity with the other embeddings
     val m0 = y.map(_(0)).sum / n; val m1 = y.map(_(1)).sum / n
     y.foreach { p => p(0) -= m0; p(1) -= m1 }
-    y
+    Trace(knn, rhos, sigmas, edges, maxW, init, drawT / negRate, y)
   }
 
   /** Top-2 PCA projection via deterministic power iteration, scaled so

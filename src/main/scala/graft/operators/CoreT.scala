@@ -56,21 +56,41 @@ object CoreT {
     TBasic.minMaxNormalize(df.select(kept.map(col): _*), features)
   }
 
+  /** [[normalized]] exposed for the oracle dev harness
+    * (graft.tools.DumpUmap) — not part of the operator surface. */
+  private[graft] def normalizedForTrace(df: DataFrame, features: Seq[String],
+                                        carry: Seq[String]): DataFrame =
+    normalized(df, features, carry)
+
   /** 2^40 — the fixed-point pin for order-free distributed moment sums
     * (see [[pca]]). */
   val PinScale: Double = 1099511627776.0
 
-  /** Order-free exact sum of `e` quantized to 2^-40 units: the exact
-    * integer sum commutes, so the result is independent of
-    * partitioning and reproducible by any SQL engine. Per-row values
-    * are bounded (normalized features ⇒ |e| ≤ 1 ⇒ |floor(e·2^40)| ≤
-    * 2^40), and the sum runs in DECIMAL(38,0) — a LongType sum would
-    * overflow past ~2^23 rows (n·2^40 > 2^63), i.e. at exactly the
-    * cluster scale this pin exists for. DuckDB's BIGINT sum promotes
-    * to HUGEINT, so both engines sum exactly and round to double
-    * once, identically. Returns the rounded DOUBLE. */
-  private def pinnedSum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(floor(e * lit(PinScale)).cast(DecimalType(38, 0))).cast(DoubleType)
+  /** Order-free exact sum of `e` quantized to 2^-40 units, split into
+    * two primitive LongType sums so the whole aggregate stays in
+    * whole-stage codegen (a DECIMAL(38,0) sum is exact too, but its
+    * BigDecimal-backed buffer measurably dominated q_coret_pca's wall
+    * time — BENCH_r3 0.93s vs r2 0.59s). Per-row values are bounded
+    * (normalized features ⇒ |e| ≤ 1 ⇒ |v| = |floor(e·2^40)| ≤ 2^40);
+    * v splits exactly into hi = floor(v/2^20) and lo = v − hi·2^20 ∈
+    * [0, 2^20) (power-of-2 divides/multiplies only shift the
+    * exponent), so each half-sum stays under 2^63 up to ~2^42 rows —
+    * ~4e12, an order of magnitude past 100 TB of lineitem. The exact
+    * integer total is reassembled driver-side in [[pinnedTotal]] and
+    * rounded to double once, matching DuckDB's HUGEINT-promoted
+    * BIGINT sum + single DOUBLE cast. */
+  private def pinnedParts(e: org.apache.spark.sql.Column, tag: String): Seq[org.apache.spark.sql.Column] = {
+    val v = floor(e * lit(PinScale))
+    val hi = floor(v / lit(1048576.0))
+    val lo = v - hi * lit(1048576.0)
+    Seq(sum(hi.cast(LongType)).as(s"${tag}_hi"), sum(lo.cast(LongType)).as(s"${tag}_lo"))
+  }
+
+  /** Reassemble a [[pinnedParts]] pair: exact integer total (BigInt —
+    * half-even rounded to double exactly like DuckDB's HUGEINT→DOUBLE
+    * cast), already divided back by the 2^40 pin. */
+  private def pinnedTotal(r: Row, tag: String): Double =
+    ((BigInt(r.getAs[Long](s"${tag}_hi")) << 20) + BigInt(r.getAs[Long](s"${tag}_lo"))).toDouble / PinScale
 
   /** PCA(2) → columns PC1, PC2 (Tfunctions.py:12-16, Tengine.py:146-152).
     *
@@ -90,24 +110,23 @@ object CoreT {
       val d = features.length
       val fit = norm.na.drop(features)
       // Moment sums pinned to 2^-40 fixed point: floor(x·2^40) is exact
-      // (a power-of-2 multiply only shifts the exponent), the BIGINT sum
-      // is order-free (so identical on any partitioning AND in the
-      // DuckDB oracle), and the single cast back to double rounds once.
-      // Features are minmax-normalized to [0,1], so the ~9e-13
-      // quantization is far below data noise.
-      val prodAggs = for (i <- 0 until d; j <- i until d)
-        yield pinnedSum(col(features(i)) * col(features(j))).as(s"__p_${i}_$j")
+      // (a power-of-2 multiply only shifts the exponent), the split
+      // long sums are order-free (so identical on any partitioning AND
+      // in the DuckDB oracle), and the single conversion back to
+      // double rounds once. Features are minmax-normalized to [0,1],
+      // so the ~9e-13 quantization is far below data noise.
+      val prodAggs = for (i <- 0 until d; j <- i until d; c <-
+        pinnedParts(col(features(i)) * col(features(j)), s"__p_${i}_$j")) yield c
       val aggs = (count(lit(1)).as("__n") +:
-        features.map(c => pinnedSum(col(c)).as(s"__s_$c"))) ++ prodAggs
+        features.zipWithIndex.flatMap { case (c, i) => pinnedParts(col(c), s"__s_$i") }) ++ prodAggs
       val r = fit.agg(aggs.head, aggs.tail: _*).head()
       require(r.getAs[Long]("__n") > 0,
         "pca: no rows with complete features (covariance undefined)")
       val n = r.getAs[Long]("__n").toDouble
-      val means = Array.tabulate(d)(i =>
-        r.getAs[Double](s"__s_${features(i)}") / PinScale / n)
+      val means = Array.tabulate(d)(i => pinnedTotal(r, s"__s_$i") / n)
       val cov = Array.tabulate(d, d) { (i, j) =>
         val (lo, hi) = if (i <= j) (i, j) else (j, i)
-        r.getAs[Double](s"__p_${lo}_$hi") / PinScale / n - means(lo) * means(hi)
+        pinnedTotal(r, s"__p_${lo}_$hi") / n - means(lo) * means(hi)
       }
       // fixed-sweep Jacobi instead of LAPACK: every op is IEEE-exact
       // and replayed term-for-term by the oracle (see JacobiEig)
@@ -436,9 +455,11 @@ object CoreT {
       val spark = df.sparkSession
       val norm = normalized(df, features, carry)
       // limit BEFORE collect: the cap must protect the driver, not
-      // fire after the full frame is already materialized
+      // fire after the full frame is already materialized. Canonical
+      // key order (like tsne) so the kNN graph, edge list, and SGD
+      // replay see one layout on any partitioning.
       val rows = norm.select((carry ++ features).map(col): _*)
-        .limit(maxDriverRows + 1).collect()
+        .orderBy(carry.map(col): _*).limit(maxDriverRows + 1).collect()
       require(rows.length <= maxDriverRows,
         s"umap driver path capped at $maxDriverRows rows (got ${rows.length})")
       val pts = rows.map(r => features.indices.map(i =>
