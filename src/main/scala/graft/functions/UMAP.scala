@@ -124,30 +124,42 @@ object UMAP {
     val y = pcaInit(points, scale = 10.0)
 
     // per-edge SGD with negative sampling (umap-learn optimize_layout):
-    // edge fires every maxW/w epochs; 5 negatives per positive. The
-    // schedule tests eps·(fires+1) ≤ epoch — a single multiply, so the
-    // k-th firing epoch is a closed form of (eps, k) the oracle can
-    // recover without replaying a += accumulation. The draw counter
-    // advances 5 per firing (skipped m == i/j draws still consume),
-    // so draw t for any firing is 5·(firing ordinal) + s.
+    // edge fires every maxW/w epochs (at most once per epoch); 5
+    // negatives per positive. The schedule is CLOSED-FORM: cumulative
+    // firings after epoch t are min(t, floor(t/eps)), and the edge
+    // fires at t iff that count increments. umap-learn accumulates
+    // epoch_of_next_sample += eps instead — same cadence up to float
+    // rounding, but an accumulation can only be replayed by re-running
+    // it, while this form lets any engine test a given (edge, epoch)
+    // pair with one division. The draw counter advances 5 per firing
+    // (skipped m == i/j draws still consume), so draw t for any firing
+    // is 5·(firing ordinal) + s.
     val epochsPerSample = edges.map { case (_, w) => maxW / w }
-    val fires = new Array[Int](edges.length)
     val negRate = 5
     var drawT = 0L
     val init = y.map(_.clone())
     def clip(v: Double): Double = math.max(-4.0, math.min(4.0, v))
+    def firesThrough(t: Int, eps: Double): Double =
+      math.min(t.toDouble, math.floor(t / eps))
     for (epoch <- 1 to epochs) {
       val alpha = 1.0 - (epoch - 1).toDouble / epochs
       var e = 0
       while (e < edges.length) {
-        if (epochsPerSample(e) * (fires(e) + 1) <= epoch) {
-          fires(e) += 1
+        val eps = epochsPerSample(e)
+        if (firesThrough(epoch, eps) > firesThrough(epoch - 1, eps)) {
           val (i, j) = edges(e)._1
           // attraction i<->j
           val dx = y(i)(0) - y(j)(0); val dy = y(i)(1) - y(j)(1)
           val d2 = dx * dx + dy * dy
           if (d2 > 0.0) {
-            val g = (-2.0 * A * B * MirrorMath.powm(d2, B - 1.0)) / (1.0 + A * MirrorMath.powm(d2, B))
+            // distances² are floored at 1e-30 before the kernel pow:
+            // keeps ln-args out of the subnormal range (the SQL
+            // replay's 7-step exponent descent covers [2^-100, 2^128])
+            // and is semantically invisible — it binds only when two
+            // embedded points sit < 1e-15 apart, where the clipped
+            // step is ~1e-12 either way
+            val d2c = math.max(d2, 1e-30)
+            val g = (-2.0 * A * B * MirrorMath.powm(d2c, B - 1.0)) / (1.0 + A * MirrorMath.powm(d2c, B))
             val g0 = clip(g * dx) * alpha; val g1 = clip(g * dy) * alpha
             y(i)(0) += g0; y(i)(1) += g1
             y(j)(0) -= g0; y(j)(1) -= g1
@@ -159,7 +171,7 @@ object UMAP {
             drawT += 1
             if (m != i && m != j) {
               val rx = y(i)(0) - y(m)(0); val ry = y(i)(1) - y(m)(1)
-              val rd2 = rx * rx + ry * ry
+              val rd2 = math.max(rx * rx + ry * ry, 1e-30)
               val g = (2.0 * B) / ((0.001 + rd2) * (1.0 + A * MirrorMath.powm(rd2, B)))
               y(i)(0) += clip(g * rx) * alpha
               y(i)(1) += clip(g * ry) * alpha

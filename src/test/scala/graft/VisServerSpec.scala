@@ -1,0 +1,83 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** In-process drive of the four HTTP endpoints (SURVEY §3.1-3.3 /
+  * main.py:40-138 parity): csv ingest+profile → search → addT → addV,
+  * all against one server instance holding the session sheet. */
+class VisServerSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private lazy val server = new graft.api.VisServer(spark)
+  private lazy val port = server.start()
+  private lazy val http = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  private val csvBody = {
+    val headers = """["name","price","cost","size"]"""
+    val rows = (1 to 40).map { i =>
+      s"""["item$i", ${i * 10.0}, ${i * 7.0 + 3}, ${(i % 5) * 1.0}]"""
+    }.mkString("[", ",", "]")
+    s"""{"headers": $headers, "body": $rows}"""
+  }
+
+  test("POST /vis/csv profiles and installs the sheet") {
+    val (code, r) = post("/vis/csv", csvBody)
+    assert(code == 200, r.toString)
+    assert(r.get("rows").asLong() == 40)
+    assert(r.get("key").asText() == "name")
+    val cols = r.get("columns").elements()
+    val names = Iterator.continually(cols).takeWhile(_.hasNext)
+      .map(_.next().get(0).asText()).toSet
+    assert(names == Set("name", "price", "cost", "size"))
+    // price/cost form a dimension cluster (same scale family)
+    assert(r.get("dimclusters").size() >= 1)
+  }
+
+  test("POST /vis/search returns scored charts over the sheet") {
+    post("/vis/csv", csvBody)
+    val (code, r) = post("/vis/search", """{"charts": ["scatter", "bar"]}""")
+    assert(code == 200, r.toString)
+    assert(r.get("vislist").size() > 0)
+    val first = r.get("vislist").get(0)
+    assert(first.has("type") && first.has("score") && first.get("data").size() > 0)
+    assert(r.get("graph").isObject || r.get("graph").isArray)
+  }
+
+  test("POST /vis/addT extends a lineage; /vis/addV runs a terminal transform") {
+    post("/vis/csv", csvBody)
+    val (c1, r1) = post("/vis/addT",
+      """{"lineage": "[]", "t": {"op": "sum", "incols": ["price", "cost"]}}""")
+    assert(c1 == 200, r1.toString)
+    val lineage = r1.get("lineage").asText()
+    assert(lineage.nonEmpty && r1.get("data").size() == 40)
+    // replay the produced lineage and add a terminal core transform
+    val (c2, r2) = post("/vis/addV",
+      s"""{"lineage": ${mapper.writeValueAsString(lineage)}, "coret": "null_num"}""")
+    assert(c2 == 200, r2.toString)
+    assert(r2.get("ok").asBoolean())
+    assert(r2.get("data").size() == 40)
+  }
+
+  test("POST /vis/search without a sheet is a clean 400") {
+    val fresh = new graft.api.VisServer(spark)
+    val p = fresh.start()
+    try {
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/vis/search"))
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 400)
+      assert(mapper.readTree(resp.body()).get("error").asText().contains("/vis/csv"))
+    } finally fresh.stop()
+  }
+}
