@@ -195,11 +195,16 @@ object Profiler {
     val unitClusters = unitOf.values.filter(_.nonEmpty).toSeq.distinct
       .map(u => names.filter(n => unitOf(n) == u))
 
-    // ── name-substring clusters: ≥2-char token in ≥2 names
-    //    (spreadsheet.py:256-262); w2v semantic clustering is an
-    //    optional asset in the reference and off here ─────────────────
+    // ── semantic name clusters (spreadsheet.py:231-253): w2v DBSCAN
+    //    over first-token vectors, feature-flagged like the reference's
+    //    optional GoogleNews asset; then name-substring clusters:
+    //    ≥2-char token in ≥2 names (spreadsheet.py:256-262). Semantic
+    //    clusters come FIRST, matching the reference's append order ──
+    val semClusters =
+      if (cfg.semanticNameClusters) SemClusters.cluster(names, cfg.semEmbeddingPath)
+      else Nil
     val tokens = names.flatMap(n => n.toLowerCase.split("[^a-z0-9]+").filter(_.length >= 2)).distinct
-    val nameClusters = tokens
+    val nameClusters = semClusters ++ tokens
       .map(t => names.filter(_.toLowerCase.contains(t)))
       .filter(_.size >= 2)
 

@@ -101,7 +101,13 @@ final case class EngineConfig(
       * pass, with a second exact pass only for columns whose approximate
       * count lands near a decision boundary (key detection, nominal
       * threshold). Off by default — exact counts at test scale. */
-    approxDistinct: Boolean = false
+    approxDistinct: Boolean = false,
+    /** w2v semantic name clustering (spreadsheet.py:231-253). Off by
+      * default, mirroring the reference's gitignored GoogleNews asset;
+      * on, [[graft.profiler.SemClusters]] uses `semEmbeddingPath`
+      * (word2vec text format) or a hashed-token fallback. */
+    semanticNameClusters: Boolean = false,
+    semEmbeddingPath: Option[String] = None
 )
 
 object EngineConfig {

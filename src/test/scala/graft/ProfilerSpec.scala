@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{DBSCAN, DateSniffer}
-import graft.profiler.Profiler
+import graft.profiler.{Profiler, SemClusters}
 
 class ProfilerSpec extends SparkSpec {
   import spark.implicits._
@@ -88,5 +88,44 @@ class ProfilerSpec extends SparkSpec {
     val d = p.distanceMatrix(("a", "b"))
     assert(math.abs(d - 100.0) < 2.0) // shifted distribution: W1 = shift
     assert(p.distanceMatrix(("a", "a")) == 0.0)
+  }
+
+  test("semantic name clusters: synthetic embedding file groups synonyms") {
+    import java.nio.file.Files
+    // 5 money-ish tokens packed within eps=0.5 of each other, two far
+    // outliers — matches the reference's DBSCAN(eps=0.5, minPts=5)
+    // over first-token vectors (spreadsheet.py:238-246)
+    val emb = Files.createTempFile("w2v", ".txt")
+    val money = Seq("price", "cost", "value", "total", "amount").zipWithIndex
+      .map { case (w, i) => s"$w ${1.0 + i * 0.01} 0.0 0.0" }
+    val far = Seq("weight -5.0 3.0 0.0", "height 4.0 -6.0 1.0", "TOKEN 9.0 9.0 9.0")
+    Files.writeString(emb, (money ++ far).mkString("\n"))
+    val names = Seq("price_usd", "cost (usd)", "Value2", "total-sum", "amount",
+      "weight", "height")
+    val got = SemClusters.cluster(names, Some(emb.toString))
+    assert(got == Seq(Seq("price_usd", "cost (usd)", "Value2", "total-sum", "amount")))
+    Files.delete(emb)
+  }
+
+  test("semantic name clusters: hashed fallback groups same leading token") {
+    // no embedding file: identical first tokens are distance 0, distinct
+    // tokens near-orthogonal 16-d hashes (far beyond eps) → degraded
+    // mode clusters exactly "same leading token"
+    val names = Seq("sales_1", "sales_2", "sales_3", "sales_4", "sales_5",
+      "profit", "margin")
+    val got = SemClusters.cluster(names, None)
+    assert(got == Seq(Seq("sales_1", "sales_2", "sales_3", "sales_4", "sales_5")))
+  }
+
+  test("semanticNameClusters flag feeds nameClusters ahead of substring clusters") {
+    val df = (1 to 50).map(i => (i.toLong, i * 1.0, i * 2.0, i * 3.0, i * 4.0, i * 5.0))
+      .toDF("id", "rev a", "rev b", "rev c", "rev d", "rev e")
+    val on = Profiler.profile(df, EngineConfig(semanticNameClusters = true))._2
+    // all five share first token "rev": one semantic cluster — and the
+    // substring path finds the same member set, deduped by clean()
+    assert(on.nameClusters.exists(_.toSet ==
+      Set("rev a", "rev b", "rev c", "rev d", "rev e")))
+    val off = Profiler.profile(df)._2
+    assert(off.nameClusters == on.nameClusters.distinct)
   }
 }
