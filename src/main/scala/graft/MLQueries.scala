@@ -8,13 +8,13 @@ import graft.sources.Tables
 
 /** Declared queries for the core (ML) transforms — SURVEY §2.8.
   *
-  * DBSCAN, KMeans, PCA, MDS and t-SNE are DuckDB-value-exact
-  * (deterministic fits replayed bit-for-bit, see [[oracles]] and
-  * [[TsneOracle]] — t-SNE's exp/ln go through
+  * DBSCAN, KMeans, PCA, MDS, t-SNE and UMAP are DuckDB-value-exact
+  * (deterministic fits replayed bit-for-bit, see [[oracles]],
+  * [[TsneOracle]] and [[UmapOracle]] — exp/ln/pow go through
   * [[graft.functions.MirrorMath]], which both engines evaluate
-  * identically). UMAP and LDA stay rows-only: UMAP's xorshift SGD
-  * and MLlib LDA's EM internals aren't replayable; invariants are
-  * asserted in CoreTSpec instead.
+  * identically). LDA stays rows-only: MLlib online EM is seeded but
+  * partitioning-dependent; the compensating control is the pinned
+  * GoldenSpec plus CoreTSpec invariants.
   *
   * Output column names are the reference's ("Category by KMeans", PC1…)
   * sanitized to snake_case where parquet forbids spaces.
@@ -64,9 +64,12 @@ object MLQueries {
         .withColumnRenamed("MDS-1", "mds_1").withColumnRenamed("MDS-2", "mds_2")
     }),
     "q_coret_umap" -> ((s, dir) => {
+      // epochs pinned to UmapOracle.GateEpochs (50) so the oracle's
+      // per-event replay fold stays within the driver's DuckDB budget
+      // (like kmeans pins fitCap=2000); the operator default stays 300
       CoreT.umap(Tables.supplier(s, dir),
         features = Seq("s_nationkey", "s_acctbal"),
-        carry = Seq("s_suppkey")).get
+        carry = Seq("s_suppkey"), epochs = UmapOracle.GateEpochs).get
         .withColumnRenamed("UMAP-1", "umap_1").withColumnRenamed("UMAP-2", "umap_2")
     })
   )
@@ -316,13 +319,16 @@ object MLQueries {
     * deterministic Lloyd fit ([[kmeansOracle]]); PCA replays the
     * fixed-sweep Jacobi ([[pcaOracle]]); MDS replays power iteration
     * ([[mdsOracle]]); t-SNE replays the whole fit through MirrorMath
-    * ([[TsneOracle]]). UMAP/LDA stay rows-only (xorshift SGD / EM
-    * internals). */
+    * ([[TsneOracle]]); UMAP replays the whole fit — counter-based
+    * draws, closed-form schedule, MirrorMath kernel — at the gate's
+    * pinned 50 epochs ([[UmapOracle]]). LDA stays rows-only (MLlib
+    * online EM is partitioning-dependent; pinned GoldenSpec instead). */
   val oracles: Map[String, String] = Map(
     "q_coret_kmeans" -> kmeansOracle,
     "q_coret_pca" -> pcaOracle,
     "q_coret_mds" -> mdsOracle,
     "q_coret_tsne" -> TsneOracle.sql,
+    "q_coret_umap" -> UmapOracle.sql,
     "q_coret_dbscan" ->
       """WITH RECURSIVE
         |pts AS (SELECT p_partkey AS k, CAST(p_size AS DOUBLE) AS f1,

@@ -4,7 +4,7 @@ package graft
   * fit ([[graft.functions.UMAP]]) — exact kNN graph, rho/sigma
   * calibration (64-iteration bisection), fuzzy-set symmetrization,
   * PCA init, the closed-form per-edge firing schedule, counter-based
-  * negative draws, and every SGD update.
+  * negative draws, and every SGD update, with NO output rounding.
   *
   * Feasible because round 4 made the fit engine-replayable (see the
   * UMAP scaladoc): exp/ln/pow go through [[graft.functions.MirrorMath]]
@@ -19,48 +19,76 @@ package graft
   *    finalize per point) carrying [done, lo, hi, sigma] + a growing
   *    tail of finished sigmas — the t-SNE bisection shape;
   *  - SGD: one fold over 2× the firing events (two phases per event).
-  *    Phase 1 appends the event's 4 updated coordinates (an INNER
-  *    61-stage fold: ln-exponent descent → Horner ln → kernel g →
-  *    apply, for the attraction pair then each of 5 negatives) as
-  *    scratch; phase 2 writes scratch into the y slots. Two phases so
-  *    the inner fold is evaluated ONCE (no lets / no CSE assumption
-  *    in DuckDB lambdas);
-  *  - ln's exponent extraction is a 7-step binary descent over powers
-  *    64..1 (covers the 1e-30-clamped kernel domain [2^-100, 2^128]);
-  *    every step is an exact power-of-2 scaling, so it lands on the
-  *    same (m, e) pair as MirrorMath.logm's unit-step loop.
+  *    Phase 1 appends the event's 4 updated coordinates — an INNER
+  *    43-stage fold on a 10-slot state [xi, yi, xj, yj, scratch×6] —
+  *    after the state; phase 2 writes them into the y slots. Two
+  *    phases so the inner fold is evaluated ONCE (DuckDB lambdas have
+  *    no lets and no CSE).
   *
-  * DuckDB 1.0 quirks honored (see TsneOracle): fixed-slot phases with
-  * direct `acc`/`ia` references; no `list_transform([acc[k]], …)`
-  * singleton bindings inside fold lambdas. Nested list_reduce inside a
-  * fold lambda is verified correct (tools/umap_oracle_dev.py probes).
+  * Cost model (measured, DuckDB 1.0): ~8.4 µs fixed per fold step,
+  * ~1.3 µs per EVALUATED expression node, untaken CASE branches free.
+  * Hence the slot discipline: every Horner chain reads its base from a
+  * state slot, ln's exponent extraction is floor(log2(x)) + a one-step
+  * adjust (faithful libm log2 is off by at most one at integer
+  * boundaries; every rescale is an exact power-of-2 multiply, so it
+  * lands on the same unique (m ∈ [1,2), e) pair as MirrorMath.logm's
+  * unit-step loop), and kernel args are clamped to ≥ 1e-30 so every
+  * exp argument stays inside (-75, 636) and expm's ±745/709 guards can
+  * never fire — the SQL omits them.
+  *
+  * DuckDB 1.0 traps honored: fixed-slot phases, no singleton-binding
+  * `list_transform([acc[k]], …)` inside fold lambdas (miscompiles),
+  * and — found the hard way — REAL LITERALS MUST BE E-NOTATION:
+  * DuckDB parses plain decimals as DECIMAL, so literal-only
+  * subexpressions like `(0.895… - 1.0)` constant-fold in exact decimal
+  * arithmetic and round differently (up to 4 ulp) than Scala's double
+  * subtraction. `8.950608779109733e-1` parses as DOUBLE.
   *
   * tools/umap_oracle_dev.py is the dev twin of this builder: it emits
-  * the same SQL stage by stage and exact-compares each stage against
-  * a Scala-side trace (graft.tools.DumpUmap). Runtime at the gate's
-  * 100-point chart: ~88k firing events; minutes-scale in DuckDB,
-  * comparable to the accepted t-SNE oracle.
+  * the same SQL and exact-compares every stage (kNN, rho, sigma,
+  * edges, maxW, init, the 14,331-event schedule, and the full SGD +
+  * recenter) against a Scala-side trace (graft.tools.DumpUmap) —
+  * all OK at the gate's 100-point chart, ~116 s wall in DuckDB
+  * (the accepted t-SNE oracle runs ~49 s).
   */
 object UmapOracle {
 
-  private val L = "0.6931471805599453"
+  private val L = "6.931471805599453e-1"
   private val LHI = "6.93147180369123816490e-01"
   private val LLO = "1.90821492927058770002e-10"
-  private val EPOCHS = 300
-  private val UA = "1.5769434603113077"
-  private val UB = "0.8950608779109733"
+  /** Gate-query epoch count (CoreT.umap's `epochs`): pinned to 50 like
+    * kmeans pins fitCap=2000, so the oracle's event fold stays within
+    * the driver's DuckDB budget; the operator default stays 300
+    * (spec-tested at full strength). 50 epochs = 14,331 firing events
+    * over supplier's 867-edge graph at sf0.01. */
+  val GateEpochs = 50
+  private val UA = "1.5769434603113077e0"
+  private val UB = "8.950608779109733e-1"
 
-  /** MirrorMath.expm mirrored: Cody–Waite reduction + 13-term Horner. */
+  /** MirrorMath.expm mirrored: Cody–Waite reduction + 13-term Horner.
+    * Used where the argument is a plain column (weights/sigma stages) —
+    * keeps the range guards since those args aren't pre-bounded. */
   private def expSql(x: String): String = {
     val k = s"floor(($x) / $L + 0.5)"
     val r = s"((($x) - $k * $LHI) - $k * $LLO)"
-    var acc = "1.0"
-    for (i <- 13 to 1 by -1) acc = s"(1.0 + $r * $acc / $i.0)"
-    s"(CASE WHEN ($x) < -745.0 THEN 0.0 WHEN ($x) > 709.0 THEN CAST('Infinity' AS DOUBLE) ELSE (pow(2.0, $k) * $acc) END)"
+    s"(CASE WHEN ($x) < -745.0 THEN 0.0 WHEN ($x) > 709.0 THEN CAST('Infinity' AS DOUBLE) ELSE (pow(2.0, $k) * ${horner13(r)}) END)"
   }
 
-  /** MirrorMath.logm's tail: e·ln2 + 2t·Q(t²), t = (m−1)/(m+1);
-    * m and e must be short slot refs. */
+  /** expm's 13-term Taylor Horner; `r` should be a slot ref or short. */
+  private def horner13(r: String): String = {
+    var acc = "1.0"
+    for (i <- 13 to 1 by -1) acc = s"(1.0 + $r * $acc / $i.0)"
+    acc
+  }
+
+  /** logm's 17-term atanh-series Horner on a slotted t². */
+  private def horner17(t2: String): String = {
+    var acc = "0.0"
+    for (i <- 16 to 0 by -1) acc = s"((1.0 / ${2 * i + 1}.0) + $t2 * $acc)"
+    acc
+  }
+
+  /** MirrorMath.logm's tail for short m/e refs (target stage). */
   private def hornerLn(m: String, e: String): String = {
     val t = s"((($m) - 1.0) / (($m) + 1.0))"
     var acc = "0.0"
@@ -68,21 +96,17 @@ object UmapOracle {
     s"(($e) * $L + 2.0 * $t * $acc)"
   }
 
-  // binary-descent exponent extraction: one pass of powers 64..1
-  // descends m ≥ 1 into [1,2) and ascends m < 1 into [1,2); every
-  // multiply is an exact power-of-2 scaling. Literals are the shortest
-  // decimal reprs (round-trip exactly to the binary powers).
+  // binary-descent [m, e] normalize fold for the one-off log2(k) target
   private val DescPowers = Seq(64, 32, 16, 8, 4, 2, 1)
-  private def pow2(p: Int): String = java.lang.Double.toString(math.pow(2.0, p))
-  private def pow2neg(p: Int): String = java.lang.Double.toString(math.pow(2.0, -p))
-  private def pow2up1(p: Int): String = java.lang.Double.toString(math.pow(2.0, 1 - p))
-
-  /** Full [m, e] normalize fold for one-off scalars (the log2(k) target). */
+  private def dbl(v: Double): String = {
+    val s = java.lang.Double.toString(v)
+    if (s.contains("E") || s.contains("e")) s.toLowerCase else s + "e0"
+  }
   private def normFold(x: String): String = {
     val steps = DescPowers.map(p => s"[$p.0, 0.0]").mkString(", ")
     val arms = DescPowers.map { p =>
-      s"WHEN le[1] = $p.0 AND la[1] >= ${pow2(p)} THEN [la[1] * ${pow2neg(p)}, la[2] + $p.0] " +
-        s"WHEN le[1] = $p.0 AND la[1] < ${pow2up1(p)} THEN [la[1] * ${pow2(p)}, la[2] - $p.0]"
+      s"WHEN le[1] = $p.0 AND la[1] >= ${dbl(math.pow(2, p))} THEN [la[1] * ${dbl(math.pow(2, -p))}, la[2] + $p.0] " +
+        s"WHEN le[1] = $p.0 AND la[1] < ${dbl(math.pow(2, 1 - p))} THEN [la[1] * ${dbl(math.pow(2, p))}, la[2] - $p.0]"
     }.mkString(" ")
     s"list_reduce(list_prepend([CAST(($x) AS DOUBLE), 0.0], [$steps]), " +
       s"(la, le) -> CASE $arms ELSE la END)"
@@ -138,59 +162,72 @@ object UmapOracle {
   private def negsSelect: String =
     (0 until 5).map(s => s"CAST(${drw(s"5 * (rn - 1) + $s")} + 1 AS DOUBLE)").mkString(", ")
 
-  // ---- SGD: outer two-phase fold, inner 61-stage per-event fold ----
+  // ---- SGD: outer two-phase fold, inner 43-stage per-event fold ----
   private val I = "CAST(e[2] AS BIGINT)"
   private val J = "CAST(e[3] AS BIGINT)"
   private val AL = "e[4]"
   private val SC = "CAST(ie[1] AS BIGINT)"
   private val AUX = "CAST(ie[2] AS BIGINT)"
   private def clip(v: String): String = s"greatest(-4.0, least(4.0, $v))"
+
+  /** 10-slot rebuild with only the given slots changed. */
+  private def keep(upd: (Int, String)*): String = {
+    val m = upd.toMap
+    (1 to 10).map(k => m.getOrElse(k, s"ia[$k]")).mkString("[", ", ", "]")
+  }
+
   private def innerStep: String = {
     val d2Att = "((ia[1] - ia[3]) * (ia[1] - ia[3]) + (ia[2] - ia[4]) * (ia[2] - ia[4]))"
     val mn = s"CAST(e[4 + $AUX] AS BIGINT)"
     val rx = s"(ia[1] - acc[$mn])"
     val ry = s"(ia[2] - acc[cnt + $mn])"
-    val rd2 = s"greatest($rx * $rx + $ry * $ry, 1e-30)"
-    val lnm = hornerLn("ia[5]", "ia[6]")
-    val gAtt = s"((-2.0 * $UA * $UB * ${expSql(s"($UB - 1.0) * ia[5]")}) / " +
-      s"(1.0 + $UA * ${expSql(s"$UB * ia[5]")}))"
-    val gNeg = s"((2.0 * $UB) / ((0.001 + $rd2) * (1.0 + $UA * ${expSql(s"$UB * ia[5]")})))"
-    val descent = DescPowers.map { p =>
-      s"WHEN $AUX = $p AND ia[5] >= ${pow2(p)} THEN [ia[1], ia[2], ia[3], ia[4], ia[5] * ${pow2neg(p)}, ia[6] + $p.0] " +
-        s"WHEN $AUX = $p AND ia[5] < ${pow2up1(p)} THEN [ia[1], ia[2], ia[3], ia[4], ia[5] * ${pow2(p)}, ia[6] - $p.0]"
-    }.mkString(" ")
-    val attApply =
-      s"CASE WHEN $d2Att > 0.0 THEN [" +
-        s"ia[1] + ${clip("ia[5] * (ia[1] - ia[3])")} * $AL, " +
-        s"ia[2] + ${clip("ia[5] * (ia[2] - ia[4])")} * $AL, " +
-        s"ia[3] - ${clip("ia[5] * (ia[1] - ia[3])")} * $AL, " +
-        s"ia[4] - ${clip("ia[5] * (ia[2] - ia[4])")} * $AL, ia[5], ia[6]] ELSE ia END"
-    val negApply =
-      s"CASE WHEN $mn = $I OR $mn = $J THEN ia ELSE [" +
-        s"ia[1] + ${clip(s"$gNeg * $rx")} * $AL, " +
-        s"ia[2] + ${clip(s"$gNeg * $ry")} * $AL, " +
-        s"ia[3], ia[4], ia[5], ia[6]] END"
-    s"""CASE
-       | WHEN $SC = 1 THEN [ia[1], ia[2], ia[3], ia[4], greatest($d2Att, 1e-30), 0.0]
-       | WHEN $SC = 2 THEN CASE $descent ELSE ia END
-       | WHEN $SC = 3 OR $SC = 7 THEN [ia[1], ia[2], ia[3], ia[4], $lnm, ia[6]]
-       | WHEN $SC = 4 THEN [ia[1], ia[2], ia[3], ia[4], $gAtt, ia[6]]
-       | WHEN $SC = 5 THEN $attApply
-       | WHEN $SC = 6 THEN [ia[1], ia[2], ia[3], ia[4], greatest($rx * $rx + $ry * $ry, 1e-30), 0.0]
-       | ELSE $negApply
-       |END""".stripMargin
+    val e0 = "floor(log2(ia[5]))"
+    val m0 = s"(ia[5] * pow(2.0, -$e0))"
+    val st = Map(
+      // attraction: d2 seed → (m,e) → (t,t²) → lnval → k's → r's → g → apply
+      1 -> keep(5 -> s"greatest($d2Att, 1e-30)"),
+      2 -> keep(
+        5 -> s"(CASE WHEN $m0 >= 2.0 THEN $m0 * 0.5 WHEN $m0 < 1.0 THEN $m0 * 2.0 ELSE $m0 END)",
+        6 -> s"(CASE WHEN $m0 >= 2.0 THEN $e0 + 1.0 WHEN $m0 < 1.0 THEN $e0 - 1.0 ELSE $e0 END)"),
+      3 -> keep(7 -> "((ia[5] - 1.0) / (ia[5] + 1.0))",
+        8 -> "(((ia[5] - 1.0) / (ia[5] + 1.0)) * ((ia[5] - 1.0) / (ia[5] + 1.0)))"),
+      4 -> keep(5 -> s"(ia[6] * $L + 2.0 * ia[7] * ${horner17("ia[8]")})"),
+      5 -> keep(6 -> s"floor((($UB - 1.0) * ia[5]) / $L + 0.5)",
+        7 -> s"floor(($UB * ia[5]) / $L + 0.5)"),
+      6 -> keep(8 -> s"(((($UB - 1.0) * ia[5]) - ia[6] * $LHI) - ia[6] * $LLO)",
+        9 -> s"((($UB * ia[5]) - ia[7] * $LHI) - ia[7] * $LLO)"),
+      7 -> keep(5 -> (s"((-2.0 * $UA * $UB * (pow(2.0, ia[6]) * ${horner13("ia[8]")})) / " +
+        s"(1.0 + $UA * (pow(2.0, ia[7]) * ${horner13("ia[9]")})))")),
+      8 -> (s"CASE WHEN $d2Att > 0.0 THEN " + keep(
+        1 -> s"(ia[1] + ${clip("ia[5] * (ia[1] - ia[3])")} * $AL)",
+        2 -> s"(ia[2] + ${clip("ia[5] * (ia[2] - ia[4])")} * $AL)",
+        3 -> s"(ia[3] - ${clip("ia[5] * (ia[1] - ia[3])")} * $AL)",
+        4 -> s"(ia[4] - ${clip("ia[5] * (ia[2] - ia[4])")} * $AL)") + " ELSE ia END"),
+      // negatives: rd2 seed (rd2 also kept in s10) → shared 2/3/4 → k,r → g → apply
+      9 -> keep(5 -> s"greatest($rx * $rx + $ry * $ry, 1e-30)",
+        10 -> s"greatest($rx * $rx + $ry * $ry, 1e-30)"),
+      10 -> keep(6 -> s"floor(($UB * ia[5]) / $L + 0.5)",
+        7 -> (s"((($UB * ia[5]) - floor(($UB * ia[5]) / $L + 0.5) * $LHI) - " +
+          s"floor(($UB * ia[5]) / $L + 0.5) * $LLO)")),
+      11 -> keep(5 -> (s"((2.0 * $UB) / ((0.001 + ia[10]) * " +
+        s"(1.0 + $UA * (pow(2.0, ia[6]) * ${horner13("ia[7]")}))))")),
+      12 -> (s"CASE WHEN $mn = $I OR $mn = $J THEN ia ELSE " + keep(
+        1 -> s"(ia[1] + ${clip(s"ia[5] * $rx")} * $AL)",
+        2 -> s"(ia[2] + ${clip(s"ia[5] * $ry")} * $AL)") + " END"))
+    "CASE " + (1 to 11).map(c => s"WHEN $SC = $c THEN ${st(c)}").mkString(" ") +
+      s" ELSE ${st(12)} END"
   }
+
   private def stageList: String = {
-    val att = Seq("[1.0, 0.0]") ++ DescPowers.map(p => s"[2.0, $p.0]") ++
-      Seq("[3.0, 0.0]", "[4.0, 0.0]", "[5.0, 0.0]")
-    val negs = (1 to 5).flatMap(s =>
-      Seq(s"[6.0, $s.0]") ++ DescPowers.map(p => s"[2.0, $p.0]") ++
-        Seq("[7.0, 0.0]", s"[8.0, $s.0]"))
+    val att = (1 to 8).map(c => s"[$c.0, 0.0]")
+    val negs = (1 to 5).flatMap(s => Seq(s"[9.0, $s.0]", "[2.0, 0.0]", "[3.0, 0.0]",
+      "[4.0, 0.0]", "[10.0, 0.0]", "[11.0, 0.0]", s"[12.0, $s.0]"))
     (att ++ negs).mkString("[", ", ", "]")
   }
+
   private def outerStep: String = {
-    val inner = s"list_reduce(list_prepend([acc[$I], acc[cnt + $I], acc[$J], acc[cnt + $J], 0.0, 0.0], " +
-      s"$stageList), (ia, ie) -> $innerStep)"
+    val inner = s"list_reduce(list_prepend([acc[$I], acc[cnt + $I], acc[$J], acc[cnt + $J], " +
+      s"0.0, 0.0, 0.0, 0.0, 0.0, 0.0], $stageList), (ia, ie) -> $innerStep)"
     val ph1 = s"list_concat(acc[1:2 * cnt], $inner[1:4])"
     val ph2 = s"list_transform(range(1, 2 * cnt + 1), idx -> " +
       s"CASE WHEN idx = $I THEN acc[2 * cnt + 1] " +
@@ -252,11 +289,11 @@ object UmapOracle {
        |ini AS MATERIALIZED (SELECT *, list_concat(
        |        list_transform(c1, v -> v / spn * 10.0),
        |        list_transform(c2, v -> v / spn * 10.0)) AS st0 FROM sc),
-       |ev0 AS (SELECT a, b, eps, unnest(range(1, $EPOCHS + 1)) AS t
+       |ev0 AS (SELECT a, b, eps, unnest(range(1, $GateEpochs + 1)) AS t
        |      FROM (SELECT a, b, maxw / s AS eps FROM edges, mx)),
        |ev1 AS (SELECT a, b, t FROM ev0 WHERE $ft > $ftm1),
        |ev2 AS (SELECT a, b, t, row_number() OVER (ORDER BY t, a, b) AS rn,
-       |        1.0 - (CAST(t AS DOUBLE) - 1.0) / $EPOCHS.0 AS alpha FROM ev1),
+       |        1.0 - (CAST(t AS DOUBLE) - 1.0) / $GateEpochs.0 AS alpha FROM ev1),
        |evl AS MATERIALIZED (SELECT list([CAST(a AS DOUBLE), CAST(b AS DOUBLE), alpha, $negsSelect] ORDER BY rn) AS evs,
        |        COUNT(*) AS nev FROM ev2, pts),
        |evp AS MATERIALIZED (SELECT flatten(list_transform(evs, ee ->

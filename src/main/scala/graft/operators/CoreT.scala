@@ -450,7 +450,8 @@ object CoreT {
     * n_neighbors=15, min_dist=0.1). Driver-side deterministic
     * implementation ([[graft.functions.UMAP]]), bounded like mds. */
   def umap(df: DataFrame, features: Seq[String], carry: Seq[String],
-           nNeighbors: Int = 15, maxDriverRows: Int = 2000): Option[DataFrame] =
+           nNeighbors: Int = 15, epochs: Int = 300,
+           maxDriverRows: Int = 2000): Option[DataFrame] =
     guarded(df, features, minFeatures = 2) {
       val spark = df.sparkSession
       val norm = normalized(df, features, carry)
@@ -464,7 +465,7 @@ object CoreT {
         s"umap driver path capped at $maxDriverRows rows (got ${rows.length})")
       val pts = rows.map(r => features.indices.map(i =>
         Option(r.get(carry.length + i)).map(_.toString.toDouble).getOrElse(0.0)).toArray)
-      val emb = graft.functions.UMAP.embed(pts, nNeighbors)
+      val emb = graft.functions.UMAP.embed(pts, nNeighbors, epochs)
       val out = rows.zipWithIndex.map { case (r, i) =>
         Row.fromSeq(carry.indices.map(r.get) ++ Seq(emb(i)(0), emb(i)(1)))
       }

@@ -11,6 +11,7 @@ object DumpUmap {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = if (args.length > 1) args(1) else "/tmp/umap_trace.json"
+    val epochs = if (args.length > 2) args(2).toInt else 300
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
@@ -24,7 +25,7 @@ object DumpUmap {
     val pts = rows.map(r => Array(
       Option(r.get(1)).map(_.toString.toDouble).getOrElse(0.0),
       Option(r.get(2)).map(_.toString.toDouble).getOrElse(0.0)))
-    val tr = graft.functions.UMAP.embedTraced(pts)
+    val tr = graft.functions.UMAP.embedTraced(pts, epochs = epochs)
     def arr(a: Iterable[String]) = a.mkString("[", ",", "]")
     def d(v: Double) = if (v.isInfinity || v.isNaN) "\"" + v + "\"" else v.toString
     val json = new StringBuilder("{\n")

@@ -11,12 +11,12 @@ Usage: python3 tools/umap_oracle_dev.py <sfDir> [stage]
 import sys, json
 import duckdb
 
-L = "0.6931471805599453"
+L = "6.931471805599453e-1"
 LHI = "6.93147180369123816490e-01"
 LLO = "1.90821492927058770002e-10"
-EPOCHS = 300
-UA = "1.5769434603113077"
-UB = "0.8950608779109733"
+EPOCHS = int(__import__("os").environ.get("UMAP_EPOCHS", "300"))
+UA = "1.5769434603113077e0"
+UB = "8.950608779109733e-1"
 
 
 def exp_sql(x):
@@ -217,63 +217,88 @@ evl AS MATERIALIZED (SELECT list([CAST(a AS DOUBLE), CAST(b AS DOUBLE), alpha, {
 
 
 def cte_sgd():
-    """Two-phase outer fold over events; inner fold does one event's
-    sequential updates with an ln-descent phase per kernel pow."""
-    # outer element e: phase flag in e[1]: [1, i, j, alpha, m1..m5] / [2, i, j]
-    # outer state: y flat [x1..xn, y1..yn] (+4 scratch after phase 1)
+    """Two-phase outer fold over events; the inner 43-stage fold does
+    one event's sequential updates on a 10-slot state
+    [xi, yi, xj, yj, s5..s10]. Slot-staged ln/exp (Horner bases always
+    read from slots) keeps evaluated-node counts small — DuckDB's
+    lambda interpreter costs ~1.3us per EVALUATED node, ~8.4us fixed
+    per fold step, and unexecuted CASE branches are free (measured).
+
+    ln's exponent extraction is floor(log2(x)) + a one-step adjust:
+    faithful libm log2 is off by at most 1 at integer boundaries, the
+    adjust lands on the unique (m in [1,2), e) pair, and every rescale
+    is an exact power-of-2 multiply — so it equals MirrorMath.logm's
+    unit-step loop bit for bit. Kernel args are clamped to
+    [1e-30, ~1e9], so ln in [-69.1, +20.8] and every exp arg is inside
+    (-62, 19): the +-745/709 guards of MirrorMath.expm can never fire
+    and the SQL omits them."""
     I = "CAST(e[2] AS BIGINT)"
     J = "CAST(e[3] AS BIGINT)"
     AL = "e[4]"
-    # ---- inner fold: state [xi, yi, xj, yj, m, e6] over 61 stage elements
-    # codes: 1 att-seed, 2 descent (aux=p), 3 horner->5, 4 att-g->5,
-    #        5 att-apply, 6 neg-seed (aux=s), 7 neg-horner->5, 8 neg-apply (aux=s)
     SC = "CAST(ie[1] AS BIGINT)"
     AUX = "CAST(ie[2] AS BIGINT)"
     d2_att = "((ia[1] - ia[3]) * (ia[1] - ia[3]) + (ia[2] - ia[4]) * (ia[2] - ia[4]))"
-    # negative m slot index from outer e: e[4 + aux]
     MN = f"CAST(e[4 + {AUX}] AS BIGINT)"
     rx = f"(ia[1] - acc[{MN}])"
     ry = f"(ia[2] - acc[cnt + {MN}])"
-    rd2 = f"greatest({rx} * {rx} + {ry} * {ry}, 1e-30)"
-    lnm = horner_ln("ia[5]", "ia[6]")
-    g_att = (f"((-2.0 * {UA} * {UB} * " + exp_sql(f"({UB} - 1.0) * ia[5]") + ") / "
-             f"(1.0 + {UA} * " + exp_sql(f"{UB} * ia[5]") + "))")
-    g_neg = (f"((2.0 * {UB}) / ((0.001 + {rd2}) * (1.0 + {UA} * "
-             + exp_sql(f"{UB} * ia[5]") + ")))")
     def clip(v):
         return f"greatest(-4.0, least(4.0, {v}))"
-    descent = " ".join(
-        f"WHEN {AUX} = {p} AND ia[5] >= {POW2[p]} THEN [ia[1], ia[2], ia[3], ia[4], ia[5] * {POW2NEG[p]}, ia[6] + {p}.0] "
-        f"WHEN {AUX} = {p} AND ia[5] < {POW2UP1[p]} THEN [ia[1], ia[2], ia[3], ia[4], ia[5] * {POW2[p]}, ia[6] - {p}.0]"
-        for p in DESC_POWERS)
-    att_apply = (
-        f"CASE WHEN {d2_att} > 0.0 THEN ["
-        f"ia[1] + {clip('ia[5] * (ia[1] - ia[3])')} * {AL}, "
-        f"ia[2] + {clip('ia[5] * (ia[2] - ia[4])')} * {AL}, "
-        f"ia[3] - {clip('ia[5] * (ia[1] - ia[3])')} * {AL}, "
-        f"ia[4] - {clip('ia[5] * (ia[2] - ia[4])')} * {AL}, ia[5], ia[6]] ELSE ia END")
-    neg_apply = (
-        f"CASE WHEN {MN} = {I} OR {MN} = {J} THEN ia ELSE ["
-        f"ia[1] + {clip(g_neg + f' * {rx}')} * {AL}, "
-        f"ia[2] + {clip(g_neg + f' * {ry}')} * {AL}, "
-        f"ia[3], ia[4], ia[5], ia[6]] END")
-    inner_step = f"""CASE
- WHEN {SC} = 1 THEN [ia[1], ia[2], ia[3], ia[4], greatest({d2_att}, 1e-30), 0.0]
- WHEN {SC} = 2 THEN CASE {descent} ELSE ia END
- WHEN {SC} = 3 OR {SC} = 7 THEN [ia[1], ia[2], ia[3], ia[4], {lnm}, ia[6]]
- WHEN {SC} = 4 THEN [ia[1], ia[2], ia[3], ia[4], {g_att}, ia[6]]
- WHEN {SC} = 5 THEN {att_apply}
- WHEN {SC} = 6 THEN [ia[1], ia[2], ia[3], ia[4], greatest({rx} * {rx} + {ry} * {ry}, 1e-30), 0.0]
- ELSE {neg_apply}
-END"""
-    # inner stage element list: att 1,(2,p)x7,3,4,5 then per neg s: (6,s),(2,p)x7,7,(8,s)
-    stages = ["[1.0, 0.0]"] + [f"[2.0, {p}.0]" for p in DESC_POWERS] + ["[3.0, 0.0]", "[4.0, 0.0]", "[5.0, 0.0]"]
+    def keep(**upd):
+        # 10-slot rebuild with only the named slots changed
+        return "[" + ", ".join(upd.get(f"s{k}", f"ia[{k}]") for k in range(1, 11)) + "]"
+    def horner17(t2):
+        acc = "0.0"
+        for i in range(16, -1, -1):
+            acc = f"((1.0 / {2 * i + 1}.0) + {t2} * {acc})"
+        return acc
+    def horner13(r):
+        acc = "1.0"
+        for i in range(13, 0, -1):
+            acc = f"(1.0 + {r} * {acc} / {i}.0)"
+        return acc
+    e0 = "floor(log2(ia[5]))"
+    m0 = f"(ia[5] * pow(2.0, -{e0}))"
+    # stage bodies (code -> 10-slot result)
+    st = {}
+    st[1] = keep(s5=f"greatest({d2_att}, 1e-30)")
+    st[2] = keep(
+        s5=f"(CASE WHEN {m0} >= 2.0 THEN {m0} * 0.5 WHEN {m0} < 1.0 THEN {m0} * 2.0 ELSE {m0} END)",
+        s6=f"(CASE WHEN {m0} >= 2.0 THEN {e0} + 1.0 WHEN {m0} < 1.0 THEN {e0} - 1.0 ELSE {e0} END)")
+    st[3] = keep(s7="((ia[5] - 1.0) / (ia[5] + 1.0))",
+                 s8="(((ia[5] - 1.0) / (ia[5] + 1.0)) * ((ia[5] - 1.0) / (ia[5] + 1.0)))")
+    st[4] = keep(s5=f"(ia[6] * {L} + 2.0 * ia[7] * {horner17('ia[8]')})")
+    st[5] = keep(s6=f"floor((({UB} - 1.0) * ia[5]) / {L} + 0.5)",
+                 s7=f"floor(({UB} * ia[5]) / {L} + 0.5)")
+    st[6] = keep(s8=f"(((({UB} - 1.0) * ia[5]) - ia[6] * {LHI}) - ia[6] * {LLO})",
+                 s9=f"((({UB} * ia[5]) - ia[7] * {LHI}) - ia[7] * {LLO})")
+    st[7] = keep(s5=f"((-2.0 * {UA} * {UB} * (pow(2.0, ia[6]) * {horner13('ia[8]')})) / "
+                    f"(1.0 + {UA} * (pow(2.0, ia[7]) * {horner13('ia[9]')})))")
+    st[8] = (f"CASE WHEN {d2_att} > 0.0 THEN " + keep(
+        s1=f"(ia[1] + {clip('ia[5] * (ia[1] - ia[3])')} * {AL})",
+        s2=f"(ia[2] + {clip('ia[5] * (ia[2] - ia[4])')} * {AL})",
+        s3=f"(ia[3] - {clip('ia[5] * (ia[1] - ia[3])')} * {AL})",
+        s4=f"(ia[4] - {clip('ia[5] * (ia[2] - ia[4])')} * {AL})") + " ELSE ia END")
+    st[9] = keep(s5=f"greatest({rx} * {rx} + {ry} * {ry}, 1e-30)",
+                 s10=f"greatest({rx} * {rx} + {ry} * {ry}, 1e-30)")
+    st[10] = keep(s6=f"floor(({UB} * ia[5]) / {L} + 0.5)",
+                  s7=f"((({UB} * ia[5]) - floor(({UB} * ia[5]) / {L} + 0.5) * {LHI}) - "
+                     f"floor(({UB} * ia[5]) / {L} + 0.5) * {LLO})")
+    st[11] = keep(s5=f"((2.0 * {UB}) / ((0.001 + ia[10]) * "
+                     f"(1.0 + {UA} * (pow(2.0, ia[6]) * {horner13('ia[7]')}))))")
+    st[12] = (f"CASE WHEN {MN} = {I} OR {MN} = {J} THEN ia ELSE " + keep(
+        s1=f"(ia[1] + {clip(f'ia[5] * {rx}')} * {AL})",
+        s2=f"(ia[2] + {clip(f'ia[5] * {ry}')} * {AL})") + " END")
+    inner_step = ("CASE " + " ".join(
+        f"WHEN {SC} = {c} THEN {st[c]}" for c in range(1, 12)) +
+        f" ELSE {st[12]} END")
+    att = [f"[{c}.0, 0.0]" for c in range(1, 9)]
+    negs = []
     for s in range(1, 6):
-        stages += [f"[6.0, {s}.0]"] + [f"[2.0, {p}.0]" for p in DESC_POWERS] + ["[7.0, 0.0]", f"[8.0, {s}.0]"]
-    stage_list = "[" + ", ".join(stages) + "]"
-    inner = (f"list_reduce(list_prepend([acc[{I}], acc[cnt + {I}], acc[{J}], acc[cnt + {J}], 0.0, 0.0], "
-             f"{stage_list}), (ia, ie) -> {inner_step})")
-    # ---- outer fold
+        negs += [f"[9.0, {s}.0]", "[2.0, 0.0]", "[3.0, 0.0]", "[4.0, 0.0]",
+                 "[10.0, 0.0]", "[11.0, 0.0]", f"[12.0, {s}.0]"]
+    stage_list = "[" + ", ".join(att + negs) + "]"
+    inner = (f"list_reduce(list_prepend([acc[{I}], acc[cnt + {I}], acc[{J}], acc[cnt + {J}], "
+             f"0.0, 0.0, 0.0, 0.0, 0.0, 0.0], {stage_list}), (ia, ie) -> {inner_step})")
     ph1 = f"list_concat(acc[1:2 * cnt], {inner}[1:4])"
     ph2 = (f"list_transform(range(1, 2 * cnt + 1), idx -> "
            f"CASE WHEN idx = {I} THEN acc[2 * cnt + 1] "
@@ -282,7 +307,6 @@ END"""
            f"WHEN idx = cnt + {J} THEN acc[2 * cnt + 4] "
            f"ELSE acc[idx] END)")
     outer_step = f"CASE WHEN e[1] = 1.0 THEN {ph1} ELSE {ph2} END"
-    # event list doubled into phases: [1, i, j, al, m1..m5] and [2, i, j, 0, ...]
     return f"""evp AS MATERIALIZED (SELECT flatten(list_transform(evs, ee ->
         [list_concat([1.0], ee), [2.0, ee[1], ee[2]]])) AS evp2 FROM evl),
 gd AS MATERIALIZED (SELECT ini.cnt AS cnt, ini.ks AS ks,
@@ -367,6 +391,64 @@ def main():
                 "SELECT nev, evs[1], evs[2], evs[len(evs)] FROM evl")
         print("events:", r[0], "(scala:", tr["firings"], ")", "OK" if r[0] == tr["firings"] else "MISMATCH")
         print("  first:", r[1], "\n  second:", r[2])
+
+    if stage == "debug":
+        import math
+        # python bit-exact replay of the SGD (IEEE doubles), event by event
+        A = 1.5769434603113077; B = 0.8950608779109733
+        Lc = 0.6931471805599453
+        LHIc = float("6.93147180369123816490e-01"); LLOc = 1.90821492927058770002e-10
+        def expm(x):
+            k = math.floor(x / Lc + 0.5)
+            r = (x - k * LHIc) - k * LLOc
+            acc = 1.0
+            for i in range(13, 0, -1): acc = 1.0 + r * acc / i
+            return (2.0 ** k) * acc
+        def lnm(x):
+            m, ex = math.frexp(x)   # m in [0.5,1) exact
+            m *= 2.0; ex -= 1       # m in [1,2) exact
+            t = (m - 1.0) / (m + 1.0); t2 = t * t
+            acc = 0.0
+            for i in range(16, -1, -1): acc = 1.0 / (2 * i + 1) + t2 * acc
+            return ex * Lc + 2.0 * t * acc
+        def powm(x, y): return expm(y * lnm(x))
+        def clip(v): return max(-4.0, min(4.0, v))
+        tr_init = tr["init"]
+        n = len(tr_init)
+        r = run([cte_pts(), cte_knn(), cte_target(), cte_sigma(), cte_edges(),
+                 cte_init(), cte_events2()], "SELECT evs FROM evl")
+        evs = r[0]
+        xs = [p[0] for p in tr_init]; ys = [p[1] for p in tr_init]
+        def apply_event(ee):
+            i = int(ee[0]) - 1; j = int(ee[1]) - 1; al = ee[2]
+            ms = [int(v) - 1 for v in ee[3:8]]
+            dx = xs[i] - xs[j]; dy = ys[i] - ys[j]
+            d2 = dx * dx + dy * dy
+            if d2 > 0.0:
+                d2c = max(d2, 1e-30)
+                g = (-2.0 * A * B * powm(d2c, B - 1.0)) / (1.0 + A * powm(d2c, B))
+                g0 = clip(g * dx) * al; g1 = clip(g * dy) * al
+                xs[i] += g0; ys[i] += g1; xs[j] -= g0; ys[j] -= g1
+            for m in ms:
+                if m != i and m != j:
+                    rx = xs[i] - xs[m]; ry = ys[i] - ys[m]
+                    rd2 = max(rx * rx + ry * ry, 1e-30)
+                    g = (2.0 * B) / ((0.001 + rd2) * (1.0 + A * powm(rd2, B)))
+                    xs[i] += clip(g * rx) * al
+                    ys[i] += clip(g * ry) * al
+        K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+        for ee in evs[:K]:
+            apply_event(ee)
+        sgd = cte_sgd().replace("list_prepend(st0, evp2)",
+                                f"list_prepend(st0, evp2[1:{2*K}])")
+        fy = run([cte_pts(), cte_knn(), cte_target(), cte_sigma(), cte_edges(),
+                  cte_init(), cte_events2(), sgd], "SELECT fy FROM gd")[0]
+        bad = [i for i in range(n) if fy[i] != xs[i] or fy[n + i] != ys[i]]
+        print(f"debug K={K}:", "OK" if not bad else f"MISMATCH {len(bad)} pts, first {bad[:5]}")
+        if bad:
+            i = bad[0]
+            print("  sql:", repr(fy[i]), repr(fy[n + i]))
+            print("  py :", repr(xs[i]), repr(ys[i]))
 
     if stage in ("all", "sgd"):
         import time
