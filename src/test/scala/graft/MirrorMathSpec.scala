@@ -43,4 +43,15 @@ class MirrorMathSpec extends AnyFunSuite {
       assert(math.abs(MirrorMath.logm(MirrorMath.expm(x)) - x) < 1e-13, s"x=$x")
     }
   }
+
+  test("powm matches Math.pow to 1e-13 relative on UMAP's kernel domain") {
+    val b = 0.8950608779109733
+    val xs = Seq(1e-30, 1e-12, 0.001, 0.449, 1.0, 2.5, 1e4, 1e9)
+    for (x <- xs; y <- Seq(b, b - 1.0)) {
+      val e = math.pow(x, y)
+      val m = MirrorMath.powm(x, y)
+      assert(math.abs(m - e) <= 1e-13 * math.abs(e), s"x=$x y=$y: $m vs $e")
+    }
+    assert(MirrorMath.powm(0.0, b) == 0.0) // logm -inf → expm 0, like Math.pow
+  }
 }
