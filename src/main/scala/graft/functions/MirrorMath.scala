@@ -48,6 +48,22 @@ object MirrorMath {
     * relative); bit-equal to the SQL mirror, which is the point. */
   def powm(x: Double, y: Double): Double = expm(y * logm(x))
 
+  /** digamma ψ(x) for x > 0: ascending recurrence ψ(x) = ψ(x+1) − 1/x
+    * until x ≥ 6, then the asymptotic (Bernoulli) series
+    * ln x − 1/(2x) − Σ B₂ₙ/(2n·x²ⁿ) to n = 5 — ~1e-14 absolute on
+    * x ≥ 6 (Abramowitz & Stegun 6.3.18). Only +,−,*,/ and logm, so
+    * the VB-LDA oracle replays it term for term. */
+  def digammam(x: Double): Double = {
+    var v = 0.0
+    var xx = x
+    while (xx < 6.0) { v -= 1.0 / xx; xx += 1.0 }
+    val inv = 1.0 / xx
+    val inv2 = inv * inv
+    val series = inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 *
+      (1.0 / 252.0 - inv2 * (1.0 / 240.0 - inv2 * (1.0 / 132.0)))))
+    v + logm(xx) - 0.5 * inv - series
+  }
+
   /** ln(x) for x > 0 finite: normalize m = x·2^−e into [1,2) by exact
     * halving/doubling (bounded 1100-step loop — covers subnormals),
     * then ln(x) = e·ln2 + 2t·Q(t²), t = (m−1)/(m+1), Q = 17-term

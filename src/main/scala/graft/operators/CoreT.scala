@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -265,15 +264,23 @@ object CoreT {
     * vocabulary token whose per-row count is the row's rank in that
     * column. The reference materializes that as a blown-up token string
     * then CountVectorizes it back; the count vector IS just the rank
-    * vector, so we assemble ranks directly as the feature vector —
+    * vector, so we assemble ranks directly as the count matrix —
     * identical model input, no string blow-up.
+    *
+    * The fit is [[graft.functions.VBLda]] — the same batch variational
+    * Bayes sklearn runs, with its random init replaced by deterministic
+    * choices (the reference cannot reproduce its own labels run over
+    * run; this can, on any engine). The ranking stage is distributed;
+    * fit + per-row posteriors run on a bounded canonical-order collect
+    * like the other chart-feeder transforms (dbscan/tsne/mds — the
+    * reference caps sources at 400 rows).
     *
     * Output: per-row label of the argmax topic, rendered like the
     * reference as "w1*col + w2*col + w3*col" from the normalized
     * topic-term weights → column "Category by LDA".
     */
   def lda(df: DataFrame, features: Seq[String], carry: Seq[String],
-          k: Int = 4, seed: Long = 9): Option[DataFrame] =
+          k: Int = 4, seed: Long = 9, maxDriverRows: Int = 200000): Option[DataFrame] =
     guarded(df, features) {
       val spark = df.sparkSession
       // rank each feature column (method=first; tie-break = carry key),
@@ -289,36 +296,30 @@ object CoreT {
           d.withColumn(s"__rank_$c",
             (ceil(percent_rank().over(Window.orderBy(ord: _*)) * 99) + 1).cast("double"))
       }
-      // rank windows are expensive; fit + transform reuse the cache
-      // (CacheScope-tracked so callers can reclaim it)
-      val assembled = graft.CacheScope.track(new VectorAssembler()
-        .setInputCols(features.map(c => s"__rank_$c").toArray)
-        .setOutputCol("__counts").setHandleInvalid("keep")
-        .transform(ranked))
-      val model = new org.apache.spark.ml.clustering.LDA()
-        .setK(k).setSeed(seed).setFeaturesCol("__counts")
-        .setOptimizer("online")
-        .fit(assembled)
+      // canonical key order: the VB fold order is part of the replay
+      // contract (limit BEFORE collect — cap protects the driver)
+      val rows = ranked
+        .select((carry.map(col) ++ features.map(c => col(s"__rank_$c"))): _*)
+        .orderBy(carry.map(col): _*).limit(maxDriverRows + 1).collect()
+      require(rows.length <= maxDriverRows,
+        s"lda driver path capped at $maxDriverRows rows (got ${rows.length}); " +
+          "sample or pre-aggregate first")
+      val docs = rows.map(r => Array.tabulate(features.length) { i =>
+        Option(r.get(carry.length + i)).map(_.toString.toDouble).getOrElse(0.0)
+      })
+      val fit = graft.functions.VBLda.fit(docs, k, seed = seed)
       // topic labels: top-3 terms by normalized weight (Tfunctions.py:58-73)
-      val desc = model.describeTopics(3).collect()
-        .sortBy(_.getAs[Int]("topic"))
-        .map { r =>
-          val idxs = r.getAs[scala.collection.Seq[Int]]("termIndices")
-          val ws = r.getAs[scala.collection.Seq[Double]]("termWeights")
-          idxs.zip(ws).map { case (i, w) =>
-            s"${w.toString.take(6)}*${features(i)}"
-          }.mkString(" + ")
-        }
-      // argmax(topicDistribution) → label, as a pure codegen'd
-      // expression: vector_to_array + array_position(array_max) both
-      // take the FIRST maximal index (same tie-break as Vector.argmax)
-      // and the k label strings ride along as an array literal
-      val labels = array(desc.toIndexedSeq.map(lit): _*)
-      val topics = org.apache.spark.ml.functions.vector_to_array(col("topicDistribution"))
-      model.transform(assembled)
-        .select(carry.map(col) :+
-          element_at(labels, array_position(topics, array_max(topics)).cast("int"))
-            .as("Category by LDA"): _*)
+      val desc = graft.functions.VBLda.topTerms(fit, 3).map {
+        _.map { case (i, w) => s"${w.toString.take(6)}*${features(i)}" }.mkString(" + ")
+      }
+      val topicOf = graft.functions.VBLda.argmaxTopics(fit)
+      val out = rows.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(carry.indices.map(r.get) :+ desc(topicOf(i)))
+      }
+      val carrySchema = StructType(carry.map(c => ranked.schema(c)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq),
+        StructType(carrySchema :+ StructField("Category by LDA", StringType, nullable = false)))
     }
 
   /** DBSCAN(eps=0.25, minPts=5) → "Category by DBSCAN", -1 = outlier

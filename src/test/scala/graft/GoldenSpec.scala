@@ -66,27 +66,27 @@ class GoldenSpec extends SparkSpec {
     assert(math.abs(Significance.linearness(vals.sorted) - 94.7971970454) < 1e-9)
   }
 
-  test("golden: lda labels pinned (MLlib online EM, seeded + fixed partitioning)") {
-    // MLlib's online variational EM is seeded but PARTITIONING-dependent
-    // (minibatch sampling runs per partition), so q_coret_lda stays a
-    // rows-only gate entry. This pin is the compensating control: a
-    // fixed 40-row frame, explicitly repartitioned, must reproduce the
-    // exact labels run over run and JVM over JVM. If this ever breaks,
-    // determinism of the lda operator has regressed (or the Spark
-    // version changed — re-pin deliberately in that case).
+  test("golden: lda labels pinned (deterministic VB fit, partition-independent)") {
+    // VBLda is a pure function of the canonically-ordered count matrix
+    // (MirrorMath transcendentals, counter-hash init), so the exact
+    // labels must reproduce run over run, JVM over JVM, and across ANY
+    // partitioning. If this breaks, determinism of the lda operator has
+    // regressed — re-pin only for a deliberate algorithm change.
     import spark.implicits._
-    val df = (0 until 40).map { i =>
+    def frame(parts: Int) = (0 until 40).map { i =>
       (i.toLong, (i % 7).toDouble, ((i * 3) % 11).toDouble, (i / 4).toDouble)
-    }.toDF("k", "x", "y", "z").repartition(2)
-    def fit(): Array[(Long, String)] =
-      graft.operators.CoreT.lda(df, Seq("x", "y", "z"), Seq("k"), k = 3).get
+    }.toDF("k", "x", "y", "z").repartition(parts)
+    def fit(parts: Int): Array[(Long, String)] =
+      graft.operators.CoreT.lda(frame(parts), Seq("x", "y", "z"), Seq("k"), k = 3).get
         .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
-    val a = fit()
+    val a = fit(2)
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(a.mkString("|").getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(md5 == "38d6a45fa25f9397d50a5bd46fbc3da2", s"lda pin drifted: $md5")
+    assert(md5 == "620fba6dc99302465d4cde6c2e1d9587", s"lda pin drifted: $md5")
     assert(a.map(_._2).distinct.sorted.toList == List(
-      "0.4618*x + 0.2848*y + 0.2533*z", "0.4895*z + 0.4684*y + 0.0420*x"))
-    assert(fit().toSeq == a.toSeq) // same-session rerun identical
+      "0.7212*x + 0.1782*z + 0.1004*y",
+      "0.7251*z + 0.1529*y + 0.1219*x",
+      "0.7857*y + 0.1198*z + 0.0943*x"))
+    assert(fit(7).toSeq == a.toSeq) // partitioning-INDEPENDENT, not just seeded
   }
 }
