@@ -8,13 +8,11 @@ import graft.sources.Tables
 
 /** Declared queries for the core (ML) transforms — SURVEY §2.8.
   *
-  * DBSCAN, KMeans, PCA, MDS, t-SNE and UMAP are DuckDB-value-exact
-  * (deterministic fits replayed bit-for-bit, see [[oracles]],
-  * [[TsneOracle]] and [[UmapOracle]] — exp/ln/pow go through
-  * [[graft.functions.MirrorMath]], which both engines evaluate
-  * identically). LDA stays rows-only: MLlib online EM is seeded but
-  * partitioning-dependent; the compensating control is the pinned
-  * GoldenSpec plus CoreTSpec invariants.
+  * ALL seven core fits — DBSCAN, KMeans, PCA, MDS, t-SNE, UMAP, LDA —
+  * are DuckDB-value-exact: deterministic fits replayed bit-for-bit
+  * (see [[oracles]], [[TsneOracle]], [[UmapOracle]], [[LdaOracle]] —
+  * exp/ln/pow/digamma go through [[graft.functions.MirrorMath]],
+  * which both engines evaluate identically).
   *
   * Output column names are the reference's ("Category by KMeans", PC1…)
   * sanitized to snake_case where parquet forbids spaces.
@@ -37,7 +35,11 @@ object MLQueries {
         .withColumnRenamed("Category by KMeans", "category_kmeans")
     }),
     "q_coret_lda" -> ((s, dir) => {
-      CoreT.lda(Tables.part(s, dir),
+      // key-bounded input (dbscan's gate bounds the same way, and the
+      // reference itself caps sources at 400 rows): the oracle replays
+      // all 10 VB iterations × 30 E-step sweeps PER DOC, so the gate
+      // runs at chart scale while the operator stays unbounded
+      CoreT.lda(Tables.part(s, dir).where(col("p_partkey") <= 100),
         features = Seq("p_size", "p_retailprice"),
         carry = Seq("p_partkey")).get
         .withColumnRenamed("Category by LDA", "category_lda")
@@ -321,14 +323,15 @@ object MLQueries {
     * ([[mdsOracle]]); t-SNE replays the whole fit through MirrorMath
     * ([[TsneOracle]]); UMAP replays the whole fit — counter-based
     * draws, closed-form schedule, MirrorMath kernel — at the gate's
-    * pinned 50 epochs ([[UmapOracle]]). LDA stays rows-only (MLlib
-    * online EM is partitioning-dependent; pinned GoldenSpec instead). */
+    * pinned 50 epochs ([[UmapOracle]]); LDA replays the deterministic
+    * VB fit — ranks, all EM iterations, labels — ([[LdaOracle]]). */
   val oracles: Map[String, String] = Map(
     "q_coret_kmeans" -> kmeansOracle,
     "q_coret_pca" -> pcaOracle,
     "q_coret_mds" -> mdsOracle,
     "q_coret_tsne" -> TsneOracle.sql,
     "q_coret_umap" -> UmapOracle.sql,
+    "q_coret_lda" -> LdaOracle.sql,
     "q_coret_dbscan" ->
       """WITH RECURSIVE
         |pts AS (SELECT p_partkey AS k, CAST(p_size AS DOUBLE) AS f1,

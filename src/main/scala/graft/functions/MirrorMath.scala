@@ -54,9 +54,13 @@ object MirrorMath {
     * x ≥ 6 (Abramowitz & Stegun 6.3.18). Only +,−,*,/ and logm, so
     * the VB-LDA oracle replays it term for term. */
   def digammam(x: Double): Double = {
+    // each shifted argument is ONE add from the original x (x + t),
+    // never an accumulated x += 1 — accumulation rounds differently
+    // from the replay's single adds and desynchronizes low bits
     var v = 0.0
-    var xx = x
-    while (xx < 6.0) { v -= 1.0 / xx; xx += 1.0 }
+    var t = 0.0
+    while (x + t < 6.0) { v -= 1.0 / (x + t); t += 1.0 }
+    val xx = x + t
     val inv = 1.0 / xx
     val inv2 = inv * inv
     val series = inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 *
