@@ -87,4 +87,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.isEmpty,
       s"assignment must be a pure expression scan, got shuffles:\n$plan")
   }
+
+  test("pca projection is a pruned shuffle-free scan; moment sums stay primitive") {
+    // the hi/lo long-split exists so the moment aggregate runs as a
+    // codegen HashAggregate over LongType buffers — a DECIMAL(38,0)
+    // revert would land on BigDecimal-backed buffers (BENCH r2→r3
+    // regression) and fail the buffer-type assertion below
+    import org.apache.spark.sql.functions.{col, sum, floor, lit}
+    import org.apache.spark.sql.types.LongType
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val out = graft.operators.CoreT.pca(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      Seq("l_orderkey", "l_linenumber")).get
+    val plan = flatten(out.queryExecution.executedPlan)
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "projection must be expression-only against the scan")
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.head.requiredSchema.fieldNames.length == 6,
+      s"scan must read exactly carry+features, got ${scans.map(_.requiredSchema.fieldNames.toSeq)}")
+    // moment-agg shape: the pinned hi/lo sums aggregate as LongType
+    val v = floor(col("l_quantity") * lit(graft.operators.CoreT.PinScale))
+    val agg = li.agg(
+      sum(floor(v / lit(1048576.0)).cast(LongType)),
+      sum((v - floor(v / lit(1048576.0)) * lit(1048576.0)).cast(LongType)))
+    val aggPlan = flatten(agg.queryExecution.executedPlan)
+    val hashAggs = aggPlan.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(hashAggs.nonEmpty, "pinned sums must plan as HashAggregate")
+    assert(hashAggs.forall(_.aggregateExpressions.forall(
+      _.aggregateFunction.dataType == LongType)),
+      "pinned sums must aggregate as LongType, not Decimal")
+  }
 }
