@@ -109,6 +109,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("nearDupSurvivors equals brute-force union-find on random pair graphs") {
+    // the min-label propagation is the one distributed-graph algorithm
+    // in the dedup family; random edge sets (chains, stars, cycles,
+    // disconnected clumps) must collapse to exactly the brute-force
+    // connected components with min-id keepers
+    val genGraph = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    forAll(genGraph, n = 4) { edges =>
+      if (edges.nonEmpty) {
+        val pairs = edges.toDF("id_a", "id_b")
+        // label propagation persists per round; release between graphs
+        // so four random runs don't stack cached plans in the test heap
+        val got = graft.CacheScope.withCached {
+          graft.operators.Dedup.nearDupSurvivors(pairs)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        }
+        // brute-force union-find
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val parent = scala.collection.mutable.Map(nodes.map(v => v -> v): _*)
+        def find(v: Long): Long = { if (parent(v) != v) parent(v) = find(parent(v)); parent(v) }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val roots = nodes.groupBy(find)
+        val expect = roots.flatMap { case (_, vs) => val m = vs.min; vs.map(_ -> m) }
+        assert(got == expect, s"edges=$edges")
+      }
+    }
+  }
+
   test("enumerator dedupe is idempotent and order-preserving") {
     val p = Profilefixture.profile(spark)
     val pool = Enumerator.enumerate(p, "pca")
