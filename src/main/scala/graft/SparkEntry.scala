@@ -4,9 +4,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` aggregates every implemented operator's declared query;
-  * `oracleSql` gives the DuckDB-equivalent SQL for the SQL-expressible
-  * subset (non-SQL ops — ML transforms, sketch-based dedup — get a
-  * rows-only check from the driver).
+  * `oracleSql` gives the DuckDB-equivalent SQL. Every query is
+  * value-exact against its oracle — including all seven ML fits, whose
+  * oracles replay the deterministic fits bit-for-bit ([[TsneOracle]],
+  * [[UmapOracle]], [[LdaOracle]], and the builders in [[MLQueries]]) —
+  * except q_recommend_charts (the full search pipeline), which keeps a
+  * rows-only check with values pinned by specs.
   */
 object SparkEntry {
 
