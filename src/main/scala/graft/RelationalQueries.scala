@@ -108,7 +108,13 @@ object RelationalQueries {
       val strs = Tables.orders(s, dir)
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "M/d/yyyy").as("ds"))
-      val sample = strs.select(first(col("ds"), ignoreNulls = true)).head().getString(0)
+      // sniff from ONE row via CollectLimit (short-circuits after the
+      // first non-empty partition) — a first() aggregate here would
+      // partial-agg every partition, i.e. a full scan just to sample.
+      // In the engine proper the format comes from the Profiler's one
+      // profiling pass; this query proves the distributed parse.
+      val sample = strs.where(col("ds").isNotNull).select(col("ds")).limit(1)
+        .head().getString(0)
       val fmt = graft.functions.DateSniffer.sparkFormat(sample).getOrElse("M/d/yyyy")
       strs.select(year(to_date(col("ds"), fmt)).cast("long").as("y"))
         .groupBy(col("y")).agg(count(lit(1)).as("n"))
