@@ -110,9 +110,12 @@ object ExtQueries {
         k = 5, dim = 64)
     }),
     "q_sim_ivf_topk" -> ((s, dir) => {
+      // nlist pinned to 16 (like kmeans pins fitCap): the DuckDB replay
+      // hardcodes the same 16 — the operator default is auto (≈ √m,
+      // Similarity.autoNlist, spec-tested at two corpus sizes)
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, dim = 64)
+        k = 5, dim = 64, nlist = 16)
     }),
 
     // ── multimodal plumbing ────────────────────────────────────────

@@ -42,6 +42,27 @@ package graft
   */
 object LdaOracle {
 
+  /** Gate-query shape, shared with MLQueries.q_coret_lda so the Spark
+    * query and this SQL cannot drift independently. */
+  val GateFeatures: Seq[String] = Seq("p_size", "p_retailprice")
+  val GateKeyBound = 100
+
+  /** Topic count / seed / priors come from the operator's own
+    * constants ([[graft.operators.CoreT.LdaK]]/LdaSeed,
+    * [[graft.functions.VBLda.InitDrawBound]]); the fold layout below
+    * (slot map, packed argmax width) is SPECIALIZED to k=4 × 2
+    * features, so a constant change fails these requires at SQL-build
+    * time instead of surfacing as a silent gate value mismatch. */
+  private val K = graft.operators.CoreT.LdaK
+  require(K == 4, s"LdaOracle fold layout is specialized to k=4 (got $K)")
+  require(GateFeatures.length == 2,
+    s"LdaOracle fold layout is specialized to 2 features (got ${GateFeatures.length})")
+  /** α = η = 1/K (sklearn defaults); renders "0.25" — exact in DOUBLE. */
+  private val Alpha = s"${1.0 / K}"
+  private val DrawOffset =
+    graft.functions.UMAP.drawOffset(graft.operators.CoreT.LdaSeed)
+  private val DrawBound = graft.functions.VBLda.InitDrawBound
+
   private val L = "6.931471805599453e-1"
   private val LHI = "6.93147180369123816490e-01"
   private val LLO = "1.90821492927058770002e-10"
@@ -128,7 +149,7 @@ object LdaOracle {
       s"(1e-100 + $terms)"
     }
     def gnew(i: Int) =
-      s"(0.25 + ${eet(i)} * ($C1 * ${eeb(i, 1)} / ${norm(1)} + $C2 * ${eeb(i, 2)} / ${norm(2)}))"
+      s"($Alpha + ${eet(i)} * ($C1 * ${eeb(i, 1)} / ${norm(1)} + $C2 * ${eeb(i, 2)} / ${norm(2)}))"
     val change = (1 to 4).map(i => s"abs(${gnew(i)} - ${g(i)})").mkString(" + ")
     val am =
       "(CASE WHEN ia[25] >= ia[26] AND ia[25] >= ia[27] AND ia[25] >= ia[28] THEN 0.0 " +
@@ -136,7 +157,7 @@ object LdaOracle {
         "WHEN ia[27] >= ia[28] THEN 2.0 ELSE 3.0 END)"
     val slotOf = s"($Pack0 + ($DP - 1) // 24)"
     Map(
-      0 -> keep((25 to 28).map(s => s -> s"(0.25 + ($C1 + $C2) / 4.0)").toMap + (33 -> "0.0")),
+      0 -> keep((25 to 28).map(s => s -> s"($Alpha + ($C1 + $C2) / $K.0)").toMap + (33 -> "0.0")),
       1 -> keep(((1 to 4).flatMap(i => Seq(
         38 + i -> xstar(g(i)), 43 + i -> vrec(g(i)))) ++
         Seq(43 -> xstar(gsum), 48 -> vrec(gsum))).toMap),
@@ -145,14 +166,15 @@ object LdaOracle {
         37 -> psi(41, 46, 51), 38 -> psi(42, 47, 52))),
       4 -> keep((1 to 4).map(i => (28 + i) -> expmSql(s"(ia[${34 + i}] - ia[34])")).toMap),
       5 -> keep((1 to 4).map(i => (24 + i) -> gnew(i)).toMap +
-        (33 -> s"(CASE WHEN ($change) / 4.0 < 1e-3 THEN 1.0 ELSE 0.0 END)")),
+        (33 -> s"(CASE WHEN ($change) / $K.0 < 1e-3 THEN 1.0 ELSE 0.0 END)")),
       10 -> keep(Map(33 -> "0.0")),
       11 -> keep((for (i <- 1 to 4; j <- 1 to 2) yield {
         val c = if (j == 1) C1 else C2
         (16 + (i - 1) * 2 + j) ->
           s"(ia[${16 + (i - 1) * 2 + j}] + $c * ${eet(i)} * ${eeb(i, j)} / ${norm(j)})"
       }).toMap),
-      12 -> keep((1 to 8).map(i => i -> s"(0.25 + ia[${16 + i}])").toMap ++
+      // M-step: λ = η + sstats, η = 1/K like α
+      12 -> keep((1 to 8).map(i => i -> s"($Alpha + ia[${16 + i}])").toMap ++
         (1 to 8).map(i => (16 + i) -> "0.0").toMap)
     ) ++ (1 to 4).map { i =>
       val l1 = s"ia[${(i - 1) * 2 + 1}]"; val l2 = s"ia[${(i - 1) * 2 + 2}]"
@@ -210,14 +232,16 @@ object LdaOracle {
   }
 
   private def lam0: String = {
+    // UMAP.draw mirrored in BIGINT; offset/bound derived from the
+    // shared constants (LdaSeed → +10, VBLda.InitDrawBound → 1000)
     def drw(t: Int): String = {
-      val x0 = s"((CAST($t AS BIGINT)) + 10) % 2147483647"
+      val x0 = s"((CAST($t AS BIGINT)) + $DrawOffset) % 2147483647"
       val x1 = s"(48271 * ($x0)) % 2147483647"
       val x2 = s"((($x1) * ($x1)) + 12345) % 2147483647"
       val x3 = s"(48271 * ($x2)) % 2147483647"
-      s"(CAST(($x3) % 1000 AS DOUBLE) / 1000.0 - 0.5)"
+      s"(CAST(($x3) % $DrawBound AS DOUBLE) / $DrawBound.0 - 0.5)"
     }
-    (0 until 8).map(t => s"(1.0 + ${drw(t)} / 10.0) AS l$t").mkString(", ")
+    (0 until K * GateFeatures.length).map(t => s"(1.0 + ${drw(t)} / 10.0) AS l$t").mkString(", ")
   }
 
   private def initState: String = {
@@ -226,9 +250,10 @@ object LdaOracle {
     s"[$lam, $zeros]"
   }
 
-  /** The complete oracle SQL for q_coret_lda (part ≤ 100, 2 features). */
+  /** The complete oracle SQL for q_coret_lda
+    * (part ≤ [[GateKeyBound]], [[GateFeatures]]). */
   def sql: String = {
-    val feats = Seq("p_size", "p_retailprice")
+    val feats = GateFeatures
     def lab(i: Int): String = {
       val l1 = s"fs[${(i - 1) * 2 + 1}]"; val l2 = s"fs[${(i - 1) * 2 + 2}]"
       val w1 = s"($l1 / ($l1 + $l2))"; val w2 = s"($l2 / ($l1 + $l2))"
@@ -236,13 +261,13 @@ object LdaOracle {
       val t2 = s"substr(CAST($w2 AS VARCHAR), 1, 6) || '*${feats(1)}'"
       s"(CASE WHEN $w1 >= $w2 THEN $t1 || ' + ' || $t2 ELSE $t2 || ' + ' || $t1 END)"
     }
-    val labels = (1 to 4).map(i => s"${lab(i)} AS lb$i").mkString(", ")
+    val labels = (1 to K).map(i => s"${lab(i)} AS lb$i").mkString(", ")
     val am = s"CAST(floor(fs[$Pack0 + (d - 1) // 24] / " +
-      "pow(4.0, CAST((d - 1) % 24 AS DOUBLE))) AS BIGINT) % 4"
+      s"pow(4.0, CAST((d - 1) % 24 AS DOUBLE))) AS BIGINT) % $K"
     s"""WITH src AS (SELECT p_partkey AS k,
-       |        CAST(ceil((percent_rank() OVER (ORDER BY p_size, p_partkey)) * 99) + 1 AS DOUBLE) AS c1,
-       |        CAST(ceil((percent_rank() OVER (ORDER BY p_retailprice, p_partkey)) * 99) + 1 AS DOUBLE) AS c2
-       |      FROM part WHERE p_partkey <= 100),
+       |        CAST(ceil((percent_rank() OVER (ORDER BY ${feats.head}, p_partkey)) * 99) + 1 AS DOUBLE) AS c1,
+       |        CAST(ceil((percent_rank() OVER (ORDER BY ${feats(1)}, p_partkey)) * 99) + 1 AS DOUBLE) AS c2
+       |      FROM part WHERE p_partkey <= $GateKeyBound),
        |dl AS MATERIALIZED (SELECT list([c1, c2] ORDER BY k) AS dd, list(k ORDER BY k) AS ks,
        |        COUNT(*) AS nd FROM src),
        |lam0 AS (SELECT $lam0),

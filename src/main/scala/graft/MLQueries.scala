@@ -39,8 +39,8 @@ object MLQueries {
       // reference itself caps sources at 400 rows): the oracle replays
       // all 10 VB iterations × 30 E-step sweeps PER DOC, so the gate
       // runs at chart scale while the operator stays unbounded
-      CoreT.lda(Tables.part(s, dir).where(col("p_partkey") <= 100),
-        features = Seq("p_size", "p_retailprice"),
+      CoreT.lda(Tables.part(s, dir).where(col("p_partkey") <= LdaOracle.GateKeyBound),
+        features = LdaOracle.GateFeatures,
         carry = Seq("p_partkey")).get
         .withColumnRenamed("Category by LDA", "category_lda")
     }),
@@ -68,7 +68,12 @@ object MLQueries {
     "q_coret_umap" -> ((s, dir) => {
       // epochs pinned to UmapOracle.GateEpochs (50) so the oracle's
       // per-event replay fold stays within the driver's DuckDB budget
-      // (like kmeans pins fitCap=2000); the operator default stays 300
+      // (like kmeans pins fitCap=2000); the operator default stays 300.
+      // QUALITY NOTE: 50 epochs is an under-converged embedding relative
+      // to the operator default (umap-learn effectively runs 500 for
+      // ≤10k rows) — the gate checks replay EXACTNESS, not embedding
+      // quality; UmapQualitySpec pins neighborhood preservation at the
+      // 300-epoch default.
       CoreT.umap(Tables.supplier(s, dir),
         features = Seq("s_nationkey", "s_acctbal"),
         carry = Seq("s_suppkey"), epochs = UmapOracle.GateEpochs).get

@@ -151,9 +151,13 @@ object UmapOracle {
   // ---- firing schedule + counter-based negative draws ----
   private val ft = "least(CAST(t AS DOUBLE), floor(CAST(t AS DOUBLE) / eps))"
   private val ftm1 = "least(CAST(t AS DOUBLE) - 1.0, floor((CAST(t AS DOUBLE) - 1.0) / eps))"
-  /** UMAP.draw mirrored in BIGINT (seed = 9 → +10 offset). */
+  /** UMAP.draw mirrored in BIGINT; the counter offset is derived from
+    * the shared seed constant (UMAP.DefaultSeed = 9 → +10), so a seed
+    * change on the Scala side desynchronizes the SQL loudly at build
+    * time instead of silently at gate time. */
+  private val DrawOffset = graft.functions.UMAP.drawOffset(graft.functions.UMAP.DefaultSeed)
   private def drw(tt: String): String = {
-    val x0 = s"(($tt) + 10) % 2147483647"
+    val x0 = s"(($tt) + $DrawOffset) % 2147483647"
     val x1 = s"(48271 * ($x0)) % 2147483647"
     val x2 = s"((($x1) * ($x1)) + 12345) % 2147483647"
     val x3 = s"(48271 * ($x2)) % 2147483647"

@@ -43,7 +43,7 @@ object UMAP {
     * below 2^62, so DuckDB BIGINT arithmetic replays it exactly. */
   private[graft] def draw(t: Long, seed: Long, bound: Int): Int = {
     val p = 2147483647L
-    val x0 = (t + 1L + (seed % 65536L)) % p
+    val x0 = (t + drawOffset(seed)) % p
     val x1 = 48271L * x0 % p
     val x2 = (x1 * x1 + 12345L) % p
     val x3 = 48271L * x2 % p
@@ -57,12 +57,21 @@ object UMAP {
     edges: Array[((Int, Int), Double)], maxW: Double,
     init: Array[Array[Double]], firings: Long, y: Array[Array[Double]])
 
+  /** Default draw seed — the reference's kmeans seed 9 (Tfunctions.py:98)
+    * reused engine-wide. [[graft.UmapOracle]] derives its SQL draw
+    * offset from this (draw adds `1 + seed % 65536`), so operator and
+    * oracle cannot drift independently. */
+  private[graft] val DefaultSeed = 9L
+
+  /** The SQL-side additive offset `draw` applies to the counter. */
+  private[graft] def drawOffset(seed: Long): Long = 1L + (seed % 65536L)
+
   def embed(points: Array[Array[Double]], nNeighbors: Int = 15,
-            epochs: Int = 300, seed: Long = 9L): Array[Array[Double]] =
+            epochs: Int = 300, seed: Long = DefaultSeed): Array[Array[Double]] =
     embedTraced(points, nNeighbors, epochs, seed).y
 
   private[graft] def embedTraced(points: Array[Array[Double]], nNeighbors: Int = 15,
-            epochs: Int = 300, seed: Long = 9L): Trace = {
+            epochs: Int = 300, seed: Long = DefaultSeed): Trace = {
     def empty(y: Array[Array[Double]]) =
       Trace(Array.empty, Array.empty, Array.empty, Array.empty, 0.0, y, 0L, y)
     val n = points.length

@@ -30,9 +30,14 @@ package graft.functions
   */
 object VBLda {
 
-  /** draw t ∈ [0, 1000) via the UMAP counter hash — init perturbation. */
+  /** Resolution of the λ-init perturbation draws; shared with
+    * [[graft.LdaOracle]]'s SQL mirror. */
+  private[graft] val InitDrawBound = 1000
+
+  /** draw t ∈ [0, InitDrawBound) via the UMAP counter hash — init
+    * perturbation. */
   private def draw1000(t: Long, seed: Long): Double =
-    UMAP.draw(t, seed, 1000).toDouble / 1000.0
+    UMAP.draw(t, seed, InitDrawBound).toDouble / InitDrawBound
 
   /** Fit result: λ (K×W), per-doc topic posteriors γ (n×K). */
   final case class Fit(lambda: Array[Array[Double]], gamma: Array[Array[Double]])
@@ -48,6 +53,7 @@ object VBLda {
     val nd = counts.sum
     val gamma = Array.fill(k)(alpha + nd / k)
     val expElogtheta = new Array[Double](k)
+    val phiNorm = new Array[Double](w)
     var it = 0
     var done = false
     while (it < maxIter && !done) {
@@ -60,17 +66,26 @@ object VBLda {
         expElogtheta(i) = MirrorMath.expm(MirrorMath.digammam(gamma(i)) - psiSum)
         i += 1
       }
+      // φ normalizer per word, hoisted out of the topic loop: it
+      // depends only on expElogtheta (fixed for this sweep), so
+      // computing it once per word is bit-identical to recomputing it
+      // inside the i-loop and drops the sweep from O(k²·w) to O(k·w)
+      var j = 0
+      while (j < w) {
+        var norm = 1e-100 // sklearn's EPS floor on the φ normalizer
+        var kk = 0
+        while (kk < k) { norm += expElogtheta(kk) * expElogbeta(kk)(j); kk += 1 }
+        phiNorm(j) = norm
+        j += 1
+      }
       var change = 0.0
       i = 0
       while (i < k) {
         // γ_k = α + expElogtheta_k · Σ_w counts_w · expElogbeta_kw / φnorm_w
         var acc = 0.0
-        var j = 0
+        j = 0
         while (j < w) {
-          var norm = 1e-100 // sklearn's EPS floor on the φ normalizer
-          var kk = 0
-          while (kk < k) { norm += expElogtheta(kk) * expElogbeta(kk)(j); kk += 1 }
-          acc += counts(j) * expElogbeta(i)(j) / norm
+          acc += counts(j) * expElogbeta(i)(j) / phiNorm(j)
           j += 1
         }
         val next = alpha + expElogtheta(i) * acc

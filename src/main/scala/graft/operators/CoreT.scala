@@ -35,6 +35,14 @@ object CoreT {
   val dimensionReducing = Set("pca", "tsne", "mds", "umap") // dmTl (T.py)
   private val arithmeticOps = Set("sum", "sub", "mul", "div")
 
+  /** LDA defaults (Tfunctions.py:46-77: n_components=4; seed 9 is the
+    * engine-wide deterministic seed). Shared with [[graft.LdaOracle]],
+    * whose SQL derives its draw offset and 1/k priors from these — a
+    * change here desynchronizes the oracle loudly at build time, not
+    * silently at gate time. */
+  val LdaK = 4
+  val LdaSeed = 9L
+
   /** Numeric columns of a frame (post-profile the caller usually passes
     * them explicitly; this is the select_dtypes fallback). */
   def numericCols(df: DataFrame): Seq[String] =
@@ -280,7 +288,8 @@ object CoreT {
     * topic-term weights → column "Category by LDA".
     */
   def lda(df: DataFrame, features: Seq[String], carry: Seq[String],
-          k: Int = 4, seed: Long = 9, maxDriverRows: Int = 200000): Option[DataFrame] =
+          k: Int = LdaK, seed: Long = LdaSeed, maxDriverRows: Int = 200000,
+          windowRankMaxRows: Long = 1000000L): Option[DataFrame] =
     guarded(df, features) {
       val spark = df.sparkSession
       // rank each feature column (method=first; tie-break = carry key),
@@ -288,13 +297,22 @@ object CoreT {
       // bounded by its 400-row cap, but as LDA token COUNTS raw ranks
       // grow with table size and stall the variational fit — the
       // percentile form keeps the rank-order encoding with bounded
-      // counts at any scale
-      import org.apache.spark.sql.expressions.Window
-      val ranked = features.foldLeft(df.select((carry ++ features).distinct.map(col): _*)) {
-        (d, c) =>
-          val ord = col(c) +: carry.map(col)
-          d.withColumn(s"__rank_$c",
-            (ceil(percent_rank().over(Window.orderBy(ord: _*)) * 99) + 1).cast("double"))
+      // counts at any scale.
+      //
+      // Ranking goes through Rank.rank (the engine's scale path), not a
+      // bare percent_rank window: the key tie-break makes the order
+      // total, so percent_rank ≡ (row_number−1)/(n−1) — the expression
+      // below reproduces Spark's PercentRank arithmetic bit for bit
+      // (same division, then ×99, then ceil), including the n=1 case
+      // (PercentRank special-cases it to 0; max(n−1,1) gives 0/1).
+      val base = df.select((carry ++ features).distinct.map(col): _*)
+      val n = base.count()
+      val denom = math.max(n - 1, 1L).toDouble
+      val ranked = features.foldLeft(base) { (d, c) =>
+        Rank.rank(d, c, carry, s"__rn_$c", approxRows = n, windowRankMaxRows)
+          .withColumn(s"__rank_$c",
+            (ceil((col(s"__rn_$c") - 1).cast("double") / lit(denom) * 99) + 1).cast("double"))
+          .drop(s"__rn_$c")
       }
       // canonical key order: the VB fold order is part of the replay
       // contract (limit BEFORE collect — cap protects the driver)
@@ -502,7 +520,7 @@ object CoreT {
     coreT match {
       case "pca"    => pca(after, feats, carry)
       case "kmeans" => kmeans(after, feats, carry)
-      case "lda"    => lda(after, feats, carry)
+      case "lda"    => lda(after, feats, carry, windowRankMaxRows = windowRankMaxRows)
       case "dbscan" => dbscan(after, feats, carry)
       case "mds"    => mds(after, feats, carry)
       case "tsne"   => tsne(after, feats, carry)

@@ -129,6 +129,15 @@ object Dedup {
                             maxBucketSize: Long = 100000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // persist the compact signature frame too (n rows × numHashes ints —
+    // cheap): populating the capped cache below evaluates its input
+    // subtree TWICE (once for capBuckets' hot groupBy, once as the
+    // anti-join probe side), and that subtree otherwise carries the
+    // expensive shingle→md5→min-agg shuffle from minhashSignatures.
+    // With sigs cached, the double evaluation re-reads n×32 ints and
+    // re-runs only the trivial band explode (r4 driver bench: 7.13s
+    // without this persist vs ~4s with the agg run once).
+    val sigsC = graft.CacheScope.track(sigs)
     val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
     // bucket = the band's signature slice itself (equi-joinable array;
     // no re-hash needed, and SQL engines can mirror it exactly)
@@ -145,7 +154,7 @@ object Dedup {
     // cache is bands×n rows of (id, sig, band, bucket); default
     // MEMORY_AND_DISK spills rather than OOMs at scale.
     val banded = graft.CacheScope.track(capBuckets(
-      sigs.select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bb"))
+      sigsC.select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bb"))
         .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket")),
       Seq("band", "bucket"), maxBucketSize))
     // est_jaccard is computed inside the join projection and the τ
@@ -233,8 +242,14 @@ object Dedup {
     * with bit_count(xor). */
   def simhashPairs(df: DataFrame, keyCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucketSize: Long = 100000L): DataFrame = {
-    val sims = df.select(col(keyCol).as("id"),
-      TextFunctions.simhash(col(textCol)).as("sim"))
+    // persist the compact fingerprint frame (n rows × one long) for the
+    // same reason minhashCandidatePairs persists its signature frame:
+    // populating the capped cache evaluates this subtree twice (hot
+    // groupBy + anti-join probe), and the subtree carries the full-text
+    // simhash token scan. Cheap here (one pass), but the double
+    // evaluation is pure waste either way.
+    val sims = graft.CacheScope.track(df.select(col(keyCol).as("id"),
+      TextFunctions.simhash(col(textCol)).as("sim")))
     val pieces = array((0 until 4).map { i =>
       struct(lit(i).as("pc"),
         shiftrightunsigned(col("sim"), 15 * i).bitwiseAND(lit(0x7FFFL)).as("pv"))

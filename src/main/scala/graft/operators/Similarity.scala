@@ -141,15 +141,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Auto-derived IVF list count for an m-vector fit sample: ≈ √m (the
+    * classic IVF balance point — per-query probe work m/nlist matches
+    * the nlist-term centroid scan at nlist = √m), floored at 2 and
+    * capped at 1024 because the centroid assignment is a plan-literal
+    * expression whose size grows linearly with nlist (at the 100k
+    * fitCap, √m ≈ 316, well inside the cap). */
+  private[graft] def autoNlist(m: Int): Int =
+    math.min(math.max(2, math.round(math.sqrt(m.toDouble)).toInt), 1024)
+
   /** IVF (inverted-file) approximate top-k — the centroid-bucket scale
     * path: a KMeans codebook (fit on a bounded seeded sample) assigns
     * every corpus vector to its nearest-centroid list; a query scores
     * only the lists of its `nprobe` nearest centroids, then exact
     * cosine re-ranks. One shuffle to bucket the corpus (reusable
-    * across queries), probe cost ∝ nprobe/nlist of the corpus. */
+    * across queries), probe cost ∝ nprobe/nlist of the corpus.
+    *
+    * @param nlist list count; 0 (the default) derives [[autoNlist]]
+    *              (≈ √fit-sample-size) — pass an explicit value to pin
+    *              results across corpus growth (the gate query pins 16
+    *              so its DuckDB replay stays in lockstep) */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
-              nlist: Int = 16, nprobe: Int = 4, seed: Long = 9): DataFrame = {
+              nlist: Int = 0, nprobe: Int = 4, seed: Long = 9): DataFrame = {
     val spark = corpus.sparkSession
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
@@ -166,7 +180,10 @@ object Similarity {
       .collect().sortBy(_.getString(0))
     val pts = fitRows.map(
       _.getAs[scala.collection.Seq[Float]]("__cv").map(_.toDouble).toArray)
-    val centers = CoreT.lloyd(pts, math.min(nlist, math.max(2, pts.length)), maxIter = 10)
+    // nlist = 0 → derive from the fit sample actually collected (≈ √m,
+    // see autoNlist) — the sample is what the codebook can resolve
+    val effNlist = if (nlist > 0) nlist else autoNlist(pts.length)
+    val centers = CoreT.lloyd(pts, math.min(effNlist, math.max(2, pts.length)), maxIter = 10)
     // argmin via array_position(min): linear-sized expression — a
     // when()-fold would copy each distance term exponentially in nlist
     val centerDists = centers.map { ctr =>
@@ -231,9 +248,14 @@ object Similarity {
     // lesson on persisting before vs after the cap). Cosine + τ
     // filter run before the pair dedup so sub-threshold collisions
     // never shuffle the vectors.
-    val compact = withLshBands(
+    // ... and persist the compact banded frame itself: populating the
+    // capped cache evaluates it twice (capBuckets' hot groupBy + the
+    // anti-join probe side), and it carries all bands×rowsPerBand
+    // hyperplane dot products per row. Cached, the second evaluation
+    // re-reads n rows and re-runs only the band explode.
+    val compact = graft.CacheScope.track(withLshBands(
       df.select(col(idCol).as("id"), col(vecCol).as("__v")),
-      "__v", dim, bands, rowsPerBand)
+      "__v", dim, bands, rowsPerBand))
     val d = graft.CacheScope.track(Dedup.capBuckets(explodeBands(compact, bands),
       Seq("band", "bucket"), maxBucketSize))
     d.as("a").join(d.as("b"),

@@ -38,6 +38,15 @@ final case class Recommendation(visList: Seq[ChartRec], graphJson: String)
   */
 object Recommender {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Default tpath-failure hook: warn once per core T (the search loop
+    * is forgiving like the reference's, search.py:246-308, but a
+    * systematic failure must not degrade to "fewer charts" silently). */
+  private def logFailure(coreT: String, fingerprint: String, e: Throwable): Unit =
+    log.warn(s"tpath execution failed for coreT=$coreT (tpath $fingerprint); " +
+      s"further $coreT failures suppressed: $e")
+
   private def chartFamilies(catLine: Boolean): Map[String, Seq[String]] = Map(
     "scatter" -> Seq("num_scatter", "cat_scatter"),
     // the cat-y line kinds are gated by CAT_LINE like the reference
@@ -68,22 +77,26 @@ object Recommender {
     }
   }
 
+  /** Dimension-reduction / clustering core Ts: shared tpath enumeration
+    * (threadsharing, T.py:192-199), per-T candidate cap 3, channel
+    * alignment rule. */
+  private val dmTs = Set("pca", "mds", "tsne", "umap", "kmeans", "dbscan", "lda")
+
   def recommend(df: DataFrame, profile: TableProfile, spark: SparkSession,
                 cfg: EngineConfig = EngineConfig.default,
                 charts: Seq[String] = Seq("scatter", "line", "bar"),
                 maxChartRows: Int = 4000,
-                maxCandidatesPerChannel: Int = 12): Recommendation = {
+                maxCandidatesPerChannel: Int = 12,
+                onExecutionFailure: (String, String, Throwable) => Unit = logFailure): Recommendation = {
     val key = profile.keyColumn.toSeq
     // the source frame feeds every (coreT, tpath) execution — keep it hot
     df.persist()
 
     // ── presearch: enumerate pools, shared across DM core Ts
     //    (threadsharing, T.py:192-199) ─────────────────────────────────
-    val coreTs = Seq("pca", "mds", "kmeans", "dbscan", "lda",
-      "null_num", "null_num1", "null_nom", "null_nom1")
     val dmShared = Enumerator.dedupe(Enumerator.enumerate(profile, "pca", cfg))
     def pool(t: String): Seq[TPathCandidate] =
-      if (Set("pca", "mds", "kmeans", "dbscan", "lda").contains(t)) dmShared
+      if (dmTs.contains(t)) dmShared
       else Enumerator.dedupe(Enumerator.enumerate(profile, t, cfg))
 
     // ── memoized execution (one Spark plan per (coreT, tpath)),
@@ -102,6 +115,10 @@ object Recommender {
     })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(execPool)
     val memo = mutable.Map[String, Future[Option[Executed]]]()
+    // failures stay forgiving (the reference's search loop drops a
+    // failed tpath and moves on) but never silent: the FIRST failure
+    // per core T reaches `onExecutionFailure` (default: slf4j warn)
+    val failureReported = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def executeF(coreT: String, tp: TPathCandidate): Future[Option[Executed]] =
       memo.synchronized {
         memo.getOrElseUpdate(s"$coreT :: ${tp.fingerprint}", Future {
@@ -109,7 +126,11 @@ object Recommender {
             profile.rows, cfg.windowRankMaxRows).map { out =>
             val outCols = out.columns.filterNot(key.contains).toSeq
             Executed(coreT, tp, out, outCols)
-          } catch { case _: Exception => None }
+          } catch {
+            case e: Exception =>
+              if (failureReported.add(coreT)) onExecutionFailure(coreT, tp.fingerprint, e)
+              None
+          }
         })
       }
     /** Key-join two channel frames, renaming colliding non-key columns
@@ -146,12 +167,17 @@ object Recommender {
 
     // channel candidates: executed results matching (dim, type) — all
     // dimension-compatible tpaths dispatched in parallel, then gathered
+    // tsne/umap are in the reference's default search tlist (main.py:91,
+    // T.py:180) and in ours — but they are driver-side fits, so beyond
+    // cfg.searchEmbedMaxRows (default: the reference's own 400-row
+    // scale) the search skips them rather than collect-and-fit per
+    // candidate; see the EngineConfig scaladoc
+    val embedOk = cfg.searchEmbedTs && profile.rows <= cfg.searchEmbedMaxRows
     def candidates(dim: Option[Int], ctype: String): Seq[Executed] = {
       val ts = if (ctype == "num") Enumerator.numTl else Enumerator.catTl
       val work: Seq[(String, TPathCandidate)] =
-        ts.filter(t => t != "tsne" && t != "umap").flatMap { t =>
-          val perT = if (Set("pca", "mds", "kmeans", "dbscan", "lda").contains(t)) 3
-                     else maxCandidatesPerChannel
+        ts.filter(t => embedOk || (t != "tsne" && t != "umap")).flatMap { t =>
+          val perT = if (dmTs.contains(t)) 3 else maxCandidatesPerChannel
           pool(t)
             .filter(tp => predictedDim(t, tp).forall(d => dim.forall(_ == d)))
             .take(perT).map(t -> _)
@@ -166,9 +192,8 @@ object Recommender {
     // alignment rule (ONLYVISUALIZESELECTIONMATCHINGCHANNELS,
     // search.py:734-737): channels from DM core Ts must come from the
     // same final selection
-    val alignTl = Set("pca", "tsne", "mds", "umap", "dbscan", "kmeans", "lda")
     def aligned(a: Executed, b: Executed): Boolean =
-      if (alignTl.contains(a.coreT) && alignTl.contains(b.coreT))
+      if (dmTs.contains(a.coreT) && dmTs.contains(b.coreT))
         a.tpath.fingerprint == b.tpath.fingerprint
       else true
 

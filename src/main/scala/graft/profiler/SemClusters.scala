@@ -86,14 +86,20 @@ object SemClusters {
   def cluster(names: Seq[String], embeddingPath: Option[String]): Seq[Seq[String]] = {
     if (names.isEmpty) return Nil
     val vocab = embeddingPath.map(loadEmbedding).getOrElse(Map.empty)
+    // the hashed fallback must match the loaded vocabulary's dimension:
+    // a well-formed embedding file merely lacking a literal 'TOKEN' row
+    // would otherwise mix (say) 300-d in-vocab vectors with 16-d OOV
+    // fallbacks and abort the whole profile call at the dim check below
+    val fallbackDim = vocab.headOption.map(_._2.length).getOrElse(16)
     def vectorOf(name: String): Array[Double] = {
       val t = firstToken(name)
       vocab.get(t)
         .orElse(vocab.get("TOKEN"))
-        .getOrElse(hashedVector(t))
+        .getOrElse(hashedVector(t, fallbackDim))
     }
     val vs = names.map(vectorOf).toArray
-    // mixed dims can only happen with a malformed embedding file; the
+    // after the dim-matched fallback, mixed dims can only happen with a
+    // malformed embedding file (rows of differing widths); the
     // euclidean metric needs one dim — fail loudly rather than guess
     require(vs.map(_.length).distinct.length == 1,
       "semantic embedding file has inconsistent vector dimensions")

@@ -7,18 +7,33 @@ import graft.operators.Dedup
 import graft.sources.Tables
 
 /** Scratch micro-bench for expression-shape experiments (not part of
-  * the driver contract). Usage: runMain graft.tools.MicroBench */
+  * the driver contract). Usage: runMain graft.tools.MicroBench
+  *
+  * `runMain graft.tools.MicroBench tail` instead re-measures the
+  * sub-second bench-tail queries with n=5 and prints per-run times +
+  * medians — the round-4 bench saw ±38-66% swings on these purely from
+  * run noise (and a concurrent DuckDB load once inflated a 0.43s query
+  * to 3.5s); medians over n≥5 on an idle machine are the comparable
+  * numbers. Findings recorded in BASELINE.md ("bench noise floor").
+  */
 object MicroBench {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
+    if (args.headOption.contains("tail")) {
+      tailStability(spark, dir)
+      spark.stop()
+      return
     }
 
     def corpus = {
@@ -100,5 +115,24 @@ object MicroBench {
       }
     }
     spark.stop()
+  }
+
+  /** n=5 per query, Bench's own measurement protocol (clearCache per
+    * run, noop sink), per-run times + median printed. */
+  private def tailStability(spark: SparkSession, dir: String): Unit = {
+    val tail = Seq("q_nominalize", "q_multimodal_meta", "q_text_fingerprint",
+      "q_text_langid") // langid: the round-4 concurrent-load false alarm
+    spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
+    val all = graft.SparkEntry.queries
+    tail.foreach { name =>
+      val times = (1 to 5).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        all(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = times.sorted.apply(times.size / 2)
+      println(f"$name%-24s median=$med%.3f s  runs=${times.map(t => f"$t%.3f").mkString(", ")}")
+    }
   }
 }

@@ -107,7 +107,20 @@ final case class EngineConfig(
       * on, [[graft.profiler.SemClusters]] uses `semEmbeddingPath`
       * (word2vec text format) or a hashed-token fallback. */
     semanticNameClusters: Boolean = false,
-    semEmbeddingPath: Option[String] = None
+    semEmbeddingPath: Option[String] = None,
+    /** Include tsne/umap in the search pipeline's channel candidates.
+      * The reference's default tlist has both (main.py:91, T.py:16,44,
+      * 180), so they are ON here too — but both are driver-side fits
+      * (exact t-SNE is O(n²·iters)), so at engine scale the search only
+      * runs them when the profiled row count is ≤ [[searchEmbedMaxRows]]
+      * (the reference itself never sees more than its 400-row cap,
+      * config.py:1). Above the bound they are skipped as CHANNEL
+      * CANDIDATES only — both operators stay reachable directly and via
+      * /vis/addV at their own (larger) driver caps. */
+    searchEmbedTs: Boolean = true,
+    /** Row bound above which search skips tsne/umap channel candidates;
+      * default = the reference's MAXSOURCEDATAROWS (config.py:1). */
+    searchEmbedMaxRows: Long = 400L
 )
 
 object EngineConfig {

@@ -167,6 +167,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(first == 900L)
   }
 
+  test("ivfTopK auto-nlist: ≈√m rule at two corpus sizes, results complete") {
+    // the derivation rule itself
+    assert(Similarity.autoNlist(100) == 10)
+    assert(Similarity.autoNlist(500) == 22)   // gate corpus size
+    assert(Similarity.autoNlist(100000) == 316) // fitCap-sized sample
+    assert(Similarity.autoNlist(1) == 2)        // floor
+    assert(Similarity.autoNlist(4000000) == 1024) // plan-size cap
+    // behavior: default (auto) nlist at two corpus sizes returns k rows
+    // per query and the planted near-duplicate at rank 1
+    for (n <- Seq(100, 400)) {
+      val vecs = (0 until n).map { i =>
+        (i.toLong, Array.tabulate(16)(j => (math.sin(i * 5 + j) + math.cos(i + j * 2)).toFloat))
+      }
+      val near = (9000L, vecs(7)._2.map(x => x * 1.0005f))
+      val df = (vecs :+ near).toDF("vec_id", "embedding")
+      val q = df.where($"vec_id" === 7)
+      val out = Similarity.ivfTopK(df, q, "vec_id", "embedding", k = 3, dim = 16,
+        nprobe = 3).select("neighbor_id", "rank").as[(Long, Int)].collect()
+      assert(out.length == 3, s"n=$n: ${out.toSeq}")
+      assert(out.find(_._2 == 1).map(_._1).contains(9000L), s"n=$n: ${out.toSeq}")
+    }
+  }
+
   test("CacheScope: a full dedup pipeline run leaves no cached plans behind") {
     import graft.operators.CorpusPipeline
     import org.apache.spark.sql.GraftSqlBridge

@@ -1,0 +1,63 @@
+package graft
+
+import graft.plans.Recommender
+import graft.profiler.Profiler
+
+/** Round-5 search-pipeline guarantees: tsne/umap participate in the
+  * default search at reference scale (the reference's default tlist
+  * includes both — main.py:91, T.py:16,44,180), the cost gate and the
+  * off-switch work, and tpath execution failures are reported instead
+  * of silently swallowed. */
+class RecommenderSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference-scale fixture (≤ searchEmbedMaxRows): a key, two numeric
+    * columns with distinct shapes — enough for 2-dim xy channels. */
+  private def fixture = (1 to 60).map { i =>
+    (s"id$i", i * 1.0, math.sin(i * 0.5) * 20 + 30, 120.0 - 2.0 * i)
+  }.toDF("name", "a v", "b v", "c v")
+
+  private def embedChannels(rec: graft.plans.Recommendation): Seq[String] =
+    rec.visList.flatMap(_.channels.values).filter(v =>
+      v.startsWith("tsne") || v.startsWith("umap"))
+
+  test("default search at reference scale emits tsne/umap-channel scatters") {
+    val (pdf, profile) = Profiler.profile(fixture)
+    assert(profile.rows <= EngineConfig.default.searchEmbedMaxRows)
+    val rec = Recommender.recommend(pdf, profile, spark, charts = Seq("scatter"))
+    assert(embedChannels(rec).nonEmpty,
+      s"no tsne/umap channel in ${rec.visList.map(_.channels)}")
+    // and they are real 2-d embeddings feeding xy, not colors
+    assert(rec.visList.exists(c => c.channels.get("xy").exists(v =>
+      v.startsWith("tsne") || v.startsWith("umap"))))
+  }
+
+  test("searchEmbedTs=false restores the exclusion; row bound gates by cost") {
+    val (pdf, profile) = Profiler.profile(fixture)
+    val off = Recommender.recommend(pdf, profile, spark,
+      EngineConfig(searchEmbedTs = false), charts = Seq("scatter"))
+    assert(embedChannels(off).isEmpty)
+    // shrinking the row bound below the table size has the same effect
+    val bounded = Recommender.recommend(pdf, profile, spark,
+      EngineConfig(searchEmbedMaxRows = 10), charts = Seq("scatter"))
+    assert(embedChannels(bounded).isEmpty)
+  }
+
+  test("tpath execution failure is reported once per coreT, search still completes") {
+    val (pdf, profile) = Profiler.profile(fixture)
+    // sabotage: the profile promises columns the frame no longer has,
+    // so every tpath select throws at execution time
+    val broken = pdf.withColumnRenamed("a v", "gone")
+      .withColumnRenamed("b v", "gone2").withColumnRenamed("c v", "gone3")
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val rec = Recommender.recommend(broken, profile, spark,
+      onExecutionFailure = (t, fp, _) => failures.add((t, fp)))
+    // forgiving like the reference: no charts, but no crash either
+    assert(rec.visList.isEmpty)
+    val reported = failures.toArray(Array.empty[(String, String)])
+    assert(reported.nonEmpty, "failures were swallowed silently")
+    // at most one report per core T (log flooding guard)
+    val perT = reported.groupBy(_._1).values.map(_.length)
+    assert(perT.forall(_ == 1), reported.mkString(", "))
+  }
+}
