@@ -99,6 +99,52 @@ object Similarity {
       .drop("__bb")
   }
 
+  /** Query-side band explosion with MULTIPROBE: per band, probe the
+    * exact bucket plus every bucket at Hamming distance 1 (flip each
+    * of the r sign bits). A near neighbor that lands one hyperplane
+    * sign away in every band — the typical near-miss for vectors close
+    * to a plane — is still reached, so recall rises without touching
+    * the corpus side or adding bands. Probe rows per query:
+    * bands × (1 + rowsPerBand); the query set is broadcast-small by
+    * contract, so the extra rows cost nothing at corpus scale
+    * (Lv et al., "Multi-Probe LSH", VLDB 2007 — the 1-step perturbation
+    * set specialized to sign-bit buckets). */
+  private def explodeBandsMultiprobe(df: DataFrame, bands: Int,
+                                     rowsPerBand: Int): DataFrame = {
+    val arr = array((for {
+      b <- 0 until bands
+      probe <- -1 until rowsPerBand
+    } yield {
+      val bucket = if (probe < 0) col(s"band_$b")
+                   else col(s"band_$b").bitwiseXOR(lit(1L << probe))
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }): _*)
+    df.select(df.columns.filterNot(_.startsWith("band_")).map(col).toIndexedSeq
+      :+ explode(arr).as("__bb"): _*)
+      .withColumn("band", col("__bb.band"))
+      .withColumn("bucket", col("__bb.bucket"))
+      .drop("__bb")
+  }
+
+  /** Candidate (query_id, neighbor_id) pairs sharing a band bucket —
+    * the probe stage of [[lshTopK]], exposed for recall analysis.
+    * Returned frame is persisted (CacheScope-tracked). */
+  private[graft] def lshCandidates(corpus: DataFrame, queries: DataFrame,
+                                       idCol: String, vecCol: String, dim: Int,
+                                       bands: Int, rowsPerBand: Int,
+                                       multiprobe: Boolean): DataFrame = {
+    val cQ = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qQ = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = explodeBands(withLshBands(cQ, "__cv", dim, bands, rowsPerBand), bands)
+    val qB = withLshBands(qQ, "__qv", dim, bands, rowsPerBand)
+    val q = if (multiprobe) explodeBandsMultiprobe(qB, bands, rowsPerBand)
+            else explodeBands(qB, bands)
+    graft.CacheScope.track(
+      c.join(broadcast(q), Seq("band", "bucket"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share at least one
     * band bucket with the query; exact cosine re-rank of candidates.
     * Recall < 1 by construction; raise bands for higher recall.
@@ -108,21 +154,24 @@ object Similarity {
     * query always returns exactly k rows (corpus permitting). The
     * fallback costs one extra corpus pass ONLY when it fires, scoped
     * to the lacking queries — the common all-buckets-warm case pays
-    * one broadcast count. */
+    * one broadcast count.
+    *
+    * @param multiprobe also probe every 1-bit-flipped bucket per band
+    *        on the QUERY side ([[explodeBandsMultiprobe]]): candidate
+    *        sets only grow, so recall never drops and the brute-force
+    *        fallback fires less often — the right default for mid-size
+    *        corpora where the fallback's extra scan is the cost center */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
-              bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+              bands: Int = 4, rowsPerBand: Int = 8,
+              multiprobe: Boolean = false): DataFrame = {
     val cQ = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val qQ = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = explodeBands(withLshBands(cQ, "__cv", dim, bands, rowsPerBand), bands)
-    val q = explodeBands(withLshBands(qQ, "__qv", dim, bands, rowsPerBand), bands)
     // the candidate set feeds both the per-query count (recall floor)
-    // and the final rank — persist it (CacheScope-tracked) so the
-    // band join runs once
-    val candidates = graft.CacheScope.track(
-      c.join(broadcast(q), Seq("band", "bucket"))
-        .where(col("query_id") =!= col("neighbor_id"))
-        .dropDuplicates("query_id", "neighbor_id"))
+    // and the final rank — persisted inside lshCandidates so the band
+    // join runs once
+    val candidates = lshCandidates(corpus, queries, idCol, vecCol, dim,
+      bands, rowsPerBand, multiprobe)
     val lacking = qQ.join(
         candidates.groupBy("query_id").agg(count(lit(1)).as("__nc")),
         Seq("query_id"), "left")

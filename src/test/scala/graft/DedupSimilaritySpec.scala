@@ -153,6 +153,63 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toSet == bf)
   }
 
+  test("multiprobe LSH: candidate superset per query, fewer starved queries, recall ≥ single-probe") {
+    // a corpus scattered enough that single-probe buckets starve some
+    // queries below k — the situation multiprobe exists for. splitmix64
+    // coordinates ≈ uniform directions (a linear-congruential pattern
+    // here has lattice correlation and over-fills buckets)
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(16) { j =>
+        ((mix(i * 16L + j) >>> 11).toDouble / (1L << 52).toDouble - 1.0).toFloat
+      })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.where($"vec_id" < 10)
+    val k = 8
+    def candSets(multi: Boolean): Map[Long, Set[Long]] =
+      Similarity.lshCandidates(df, qs, "vec_id", "embedding", dim = 16,
+          bands = 4, rowsPerBand = 8, multiprobe = multi)
+        .select($"query_id".cast("long"), $"neighbor_id".cast("long"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val single = candSets(multi = false)
+    val multi = candSets(multi = true)
+    // superset per query: adding probes can only ADD candidates
+    (0L until 10L).foreach { q =>
+      assert(single.getOrElse(q, Set.empty).subsetOf(multi.getOrElse(q, Set.empty)), s"q=$q")
+    }
+    // fallback pressure: strictly fewer queries starve below k
+    def starved(m: Map[Long, Set[Long]]): Int =
+      (0L until 10L).count(q => m.getOrElse(q, Set.empty).size < k)
+    assert(starved(multi) <= starved(single))
+    assert(starved(single) > 0, "fixture no longer starves single-probe — rebuild it")
+    assert(starved(multi) < starved(single),
+      s"multiprobe did not reduce starvation: ${starved(multi)} vs ${starved(single)}")
+    // candidate recall vs the true top-k: superset ⇒ multiprobe can
+    // only match or beat single-probe, and the measured numbers prove
+    // the probes find real neighbors (not arbitrary extra candidates)
+    val bfSets = Similarity.bruteForceTopK(df, qs, "vec_id", "embedding", k)
+      .select($"query_id".cast("long"), $"neighbor_id".cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(m: Map[Long, Set[Long]]): Double = (0L until 10L).map { q =>
+      (m.getOrElse(q, Set.empty) & bfSets(q)).size.toDouble / k
+    }.sum / 10
+    assert(recall(multi) >= recall(single), s"${recall(multi)} < ${recall(single)}")
+    // end-to-end: the recall floor stays on, so every query still
+    // returns exactly k rows even where buckets (and probes) are thin
+    val mp = Similarity.lshTopK(df, qs, "vec_id", "embedding", k, dim = 16,
+      multiprobe = true).as[(Long, Long, Double, Int)].collect()
+    val counts = mp.groupBy(_._1).map { case (q, rs) => q -> rs.length }
+    assert((0L until 10L).forall(q => counts.get(q).contains(k)), counts.toString)
+  }
+
   test("ivfTopK finds the planted nearest neighbor (probes its bucket)") {
     val vecs = (0 until 200).map { i =>
       (i.toLong, Array.tabulate(16)(j => (math.sin(i * 5 + j) + math.cos(i + j * 2)).toFloat))
