@@ -25,11 +25,34 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
   def profile(df: DataFrame): (DataFrame, TableProfile) = Profiler.profile(df, cfg)
 
   /** The main search query (§3.2): profile → enumerate → execute →
-    * score → top-k (+ optional beautify reorder, utils.py:215-222). */
+    * score → top-k (+ optional beautify reorder, utils.py:215-222).
+    *
+    * @param tlist       restrict core transforms (the /vis/search
+    *                    "tlist" parameter, main.py:91-94); the null
+    *                    passthroughs are always admitted; None = all
+    * @param dimClusters client-supplied dimension clusters REPLACING
+    *                    the profiled ones (main.py:98); None = keep
+    *                    the computed clusters (the reference's
+    *                    frontend always echoes them back, so absence
+    *                    here means "use what profiling found")
+    * @param semClusters client-supplied semantic-name clusters, same
+    *                    semantics (main.py:99)
+    * @param slist       enabled score metrics (score.py:10-28 names,
+    *                    main.py:97); chart score = mean of enabled;
+    *                    None = the engine's default metric set
+    */
   def search(df: DataFrame, charts: Seq[String] = Seq("scatter", "line", "bar"),
-             beautify: Boolean = true): Recommendation = {
-    val (pdf, prof) = Profiler.profile(df, cfg)
-    val rec = Recommender.recommend(pdf, prof, spark, cfg, charts)
+             beautify: Boolean = true,
+             tlist: Option[Set[String]] = None,
+             dimClusters: Option[Seq[Seq[String]]] = None,
+             semClusters: Option[Seq[Seq[String]]] = None,
+             slist: Option[Set[String]] = None): Recommendation = {
+    val (pdf, prof0) = Profiler.profile(df, cfg)
+    val prof = prof0.copy(
+      dimClusters = dimClusters.getOrElse(prof0.dimClusters),
+      nameClusters = semClusters.getOrElse(prof0.nameClusters))
+    val rec = Recommender.recommend(pdf, prof, spark, cfg, charts,
+      tlist = tlist, slist = slist)
     if (beautify) rec.copy(visList = Beautify.reorder(rec.visList)) else rec
   }
 

@@ -93,7 +93,22 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
       .map(_.elements().asScala.map(_.asText()).toSeq)
       .getOrElse(Seq("scatter", "line", "bar"))
     val beautify = Option(req.get("beautify")).forall(_.asBoolean(true))
-    val rec = engine.search(df, charts, beautify)
+    // reference parity (main.py:91-99): optional core-T restriction and
+    // client-supplied cluster overrides
+    val tlist = Option(req.get("tlist"))
+      .map(_.elements().asScala.map(_.asText()).toSet)
+    def clusters(field: String): Option[Seq[Seq[String]]] =
+      Option(req.get(field)).map(_.elements().asScala.map(
+        _.elements().asScala.map(_.asText()).toSeq).toSeq)
+    // slist arrives in the reference's {name: bool} toggle form
+    // (score.py:10-28); the engine takes the enabled-name set
+    val slist = Option(req.get("slist")).map { node =>
+      node.fields().asScala.collect {
+        case e if e.getValue.asBoolean(false) => e.getKey
+      }.toSet
+    }
+    val rec = engine.search(df, charts, beautify, tlist,
+      clusters("dim_clusters"), clusters("sem_clusters"), slist)
     val out = mapper.createObjectNode()
     val vis = out.putArray("vislist")
     rec.visList.foreach { c =>

@@ -129,6 +129,9 @@ object TBasic {
     * single-partition the full table; StringIndexer orders by frequency
     * (wrong order). */
   def nominalize(df: DataFrame, c: String, outName: String): DataFrame = {
+    // the bare Window.orderBy here runs over the DISTINCT CODES frame
+    // only — broadcast-small by construction (it is broadcast two lines
+    // down), so the single-partition sort is bounded at any table size
     val codes = df.select(col(c)).where(col(c).isNotNull).distinct()
       .withColumn(outName,
         (row_number().over(Window.orderBy(col(c))) - 1).cast(LongType))

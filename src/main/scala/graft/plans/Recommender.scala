@@ -82,12 +82,28 @@ object Recommender {
     * alignment rule. */
   private val dmTs = Set("pca", "mds", "tsne", "umap", "kmeans", "dbscan", "lda")
 
+  /** @param tlist restrict core transforms considered for channels —
+    *        the /vis/search "tlist" parameter (main.py:91-94). The four
+    *        null passthroughs are always admitted, exactly like the
+    *        reference appends them to any client tlist; None = all.
+    * @param slist enabled score metrics — the /vis/search "slist"
+    *        toggles (score.py:10-28, main.py:97): a chart's score is
+    *        the unweighted mean of its ENABLED metrics (search.py:792).
+    *        None = this engine's default metric set (identical scores
+    *        to every previous round); an explicit set filters it and
+    *        can additionally enable "sca_striated" (off by default). */
   def recommend(df: DataFrame, profile: TableProfile, spark: SparkSession,
                 cfg: EngineConfig = EngineConfig.default,
                 charts: Seq[String] = Seq("scatter", "line", "bar"),
                 maxChartRows: Int = 4000,
                 maxCandidatesPerChannel: Int = 12,
-                onExecutionFailure: (String, String, Throwable) => Unit = logFailure): Recommendation = {
+                onExecutionFailure: (String, String, Throwable) => Unit = logFailure,
+                tlist: Option[Set[String]] = None,
+                slist: Option[Set[String]] = None): Recommendation = {
+    // mean-of-enabled (search.py:792); empty → 0 like utils.mean's
+    // safe default on an all-disabled slist
+    def enabled(name: String): Boolean = slist.forall(_.contains(name))
+    def meanOf(xs: Seq[Double]): Double = if (xs.isEmpty) 0.0 else xs.sum / xs.size
     val key = profile.keyColumn.toSeq
     // the source frame feeds every (coreT, tpath) execution — keep it hot
     df.persist()
@@ -173,10 +189,14 @@ object Recommender {
     // scale) the search skips them rather than collect-and-fit per
     // candidate; see the EngineConfig scaladoc
     val embedOk = cfg.searchEmbedTs && profile.rows <= cfg.searchEmbedMaxRows
+    // client tlist restriction + the always-admitted null passthroughs
+    // (main.py:92-94)
+    val allowedTs = tlist.map(_ ++ Set("null_num", "null_num1", "null_nom", "null_nom1"))
     def candidates(dim: Option[Int], ctype: String): Seq[Executed] = {
       val ts = if (ctype == "num") Enumerator.numTl else Enumerator.catTl
       val work: Seq[(String, TPathCandidate)] =
-        ts.filter(t => embedOk || (t != "tsne" && t != "umap")).flatMap { t =>
+        ts.filter(t => allowedTs.forall(_.contains(t)))
+          .filter(t => embedOk || (t != "tsne" && t != "umap")).flatMap { t =>
           val perT = if (dmTs.contains(t)) 3 else maxCandidatesPerChannel
           pool(t)
             .filter(tp => predictedDim(t, tp).forall(d => dim.forall(_ == d)))
@@ -217,15 +237,23 @@ object Recommender {
         val pts = collect2(xy, xy.outCols)
         if (pts.length >= Scagnostics.DotNumLimit) {
           val g = new Scagnostics.Graph(pts)
-          val base = Seq(g.outlying, 100 - g.skewed, g.stringy, g.straight,
-            100 - g.clumpy, g.monotonic)
+          // per-flag metric selection (search.py:763-792); striated is
+          // opt-in only, so the default set scores exactly as before
+          val base = Seq(
+            "sca_outlying" -> (() => g.outlying),
+            "sca_skewed" -> (() => 100 - g.skewed),
+            "sca_stringy" -> (() => g.stringy),
+            "sca_straight" -> (() => g.straight),
+            "sca_clumpy" -> (() => 100 - g.clumpy),
+            "sca_monotonic" -> (() => g.monotonic)
+          ).collect { case (n, v) if enabled(n) => v() } ++
+            (if (slist.exists(_.contains("sca_striated"))) Seq(g.striated) else Nil)
           if (enabledTypes.contains("num_scatter")) {
             for (c <- numColors.filter(aligned(xy, _)).take(3)) {
-              val score = base.sum / base.size
-              recs += chartRec("num_scatter", Map("xy" -> xy, "color" -> c), score, maxChartRows)
+              recs += chartRec("num_scatter", Map("xy" -> xy, "color" -> c), meanOf(base), maxChartRows)
             }
             if (numColors.isEmpty)
-              recs += chartRec("num_scatter", Map("xy" -> xy), base.sum / base.size, maxChartRows)
+              recs += chartRec("num_scatter", Map("xy" -> xy), meanOf(base), maxChartRows)
           }
           if (enabledTypes.contains("cat_scatter")) {
             for (c <- catColors.filter(aligned(xy, _)).take(3)) {
@@ -248,9 +276,10 @@ object Recommender {
                     val codes = labelStrs.distinct.sorted.zipWithIndex.toMap
                     labelStrs.map(s => codes(s).toLong)
                   }
-                val cdm = Scagnostics.cdm(pts2, labels)
-                val score = (base :+ cdm).sum / (base.size + 1)
-                recs += chartRec("cat_scatter", Map("xy" -> xy, "color" -> c), score, maxChartRows)
+                val withCdm =
+                  if (enabled("sca_cdm")) base :+ Scagnostics.cdm(pts2, labels) else base
+                recs += chartRec("cat_scatter", Map("xy" -> xy, "color" -> c),
+                  meanOf(withCdm), maxChartRows)
               }
             }
           }
@@ -270,8 +299,9 @@ object Recommender {
           val cols = series.indices.map(i => rows.map(_.getDouble(i)).toArray).toArray
           if (enabledTypes.contains("ord_line")) {
             val score =
-              if (cols.length >= 2) Significance.correlation(cols)
-              else Significance.linearness(cols(0))
+              if (cols.length >= 2 && enabled("lin_correlation")) Significance.correlation(cols)
+              else if (enabled("lin_linearness")) Significance.linearness(cols(0))
+              else 0.0
             recs += chartRec("ord_line", Map("y" -> y), score, maxChartRows)
           }
         }
@@ -289,8 +319,10 @@ object Recommender {
           if (joined.length >= 3) {
             val ySeries = (1 until joined.head.length)
               .map(i => joined.map(_.getDouble(i)).toArray).toArray
-            val score = if (ySeries.length >= 2) Significance.correlation(ySeries)
-              else Significance.linearness(ySeries(0))
+            val score =
+              if (ySeries.length >= 2 && enabled("lin_correlation")) Significance.correlation(ySeries)
+              else if (enabled("lin_linearness")) Significance.linearness(ySeries(0))
+              else 0.0
             recs += chartRec("rel_line", Map("x" -> x, "y" -> y), score, maxChartRows)
           }
         }
@@ -308,12 +340,14 @@ object Recommender {
         rows.map(codebook(_).toDouble)
       }
       for (y <- catYs.take(3)) {
+        def catLineScore(codes: Array[Double]): Double =
+          if (enabled("lin_linearness")) Significance.linearness(codes) else 0.0
         if (enabledTypes.contains("ord_cat_line")) {
           val labels = y.df.select(col(y.outCols.head).cast("string"))
             .na.drop().limit(maxChartRows).collect().map(_.getString(0))
           if (labels.length >= 3) {
             recs += chartRec("ord_cat_line", Map("y" -> y),
-              Significance.linearness(codesOf(labels)), maxChartRows)
+              catLineScore(codesOf(labels)), maxChartRows)
           }
         }
         if (enabledTypes.contains("rel_cat_line")) {
@@ -324,7 +358,7 @@ object Recommender {
               .limit(maxChartRows).collect().map(_.getString(0))
             if (joined.length >= 3) {
               recs += chartRec("rel_cat_line", Map("x" -> x, "y" -> y),
-                Significance.linearness(codesOf(joined)), maxChartRows)
+                catLineScore(codesOf(joined)), maxChartRows)
             }
           }
         }
@@ -346,7 +380,8 @@ object Recommender {
             if (agg.length >= 2) {
               val sums = series.indices.map(i =>
                 agg.map(r => Option(r.get(i + 1)).map(_.toString.toDouble).getOrElse(0.0)).toArray)
-              val score = sums.map(Significance.outstanding1).sum / sums.size
+              val score = if (enabled("lin_outstanding1"))
+                sums.map(Significance.outstanding1).sum / sums.size else 0.0
               recs += chartRec("sum_bar", Map("x" -> x, "y" -> y), score, maxChartRows)
             }
           }
@@ -357,7 +392,8 @@ object Recommender {
           if (agg.length >= 2) {
             val counts = agg.map(_.getLong(1).toDouble)
             recs += chartRec("count_bar", Map("x" -> x),
-              Significance.outstanding1(counts), maxChartRows)
+              if (enabled("lin_outstanding1")) Significance.outstanding1(counts) else 0.0,
+              maxChartRows)
           }
         }
       }

@@ -17,9 +17,14 @@ object DumpLda {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.expressions.Window
-    val features = Seq("p_size", "p_retailprice")
+    // this harness keeps the literal percent_rank form because it
+    // mirrors the oracle SQL text; the OPERATOR (CoreT.lda) ranks via
+    // Rank.rank with (row_number−1)/(n−1) — bit-identical under the
+    // total key order (same division, then ×99, then ceil)
+    val features = graft.LdaOracle.GateFeatures
     val carry = Seq("p_partkey")
-    val df = graft.sources.Tables.part(spark, dir).where(col("p_partkey") <= 100)
+    val df = graft.sources.Tables.part(spark, dir)
+      .where(col("p_partkey") <= graft.LdaOracle.GateKeyBound)
     val ranked = features.foldLeft(df.select((carry ++ features).distinct.map(col): _*)) {
       (d, c) =>
         val ord = col(c) +: carry.map(col)

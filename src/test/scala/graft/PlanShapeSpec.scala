@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 
@@ -17,12 +18,14 @@ class PlanShapeSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   /** All nodes of the FINAL adaptive plan, seen through AQE wrappers
-    * (AdaptiveSparkPlanExec / query stages / reused exchanges). */
+    * (AdaptiveSparkPlanExec / query stages / reused exchanges) and
+    * into cached-relation build plans (InMemoryTableScan children). */
   private def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val inner = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec        => Seq(q.plan)
       case r: ReusedExchangeExec    => Seq(r.child)
+      case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
       case other                    => other.children
     }
     p +: inner.flatMap(flatten)
@@ -86,6 +89,25 @@ class PlanShapeSpec extends SparkSpec {
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
     assert(shuffles.isEmpty,
       s"assignment must be a pure expression scan, got shuffles:\n$plan")
+  }
+
+  test("minhash LSH self-join reads two cached frames: compact sigs + capped banded") {
+    // guards the round-5 perf fix: persisting ONLY the capped banded
+    // frame leaves its cache-population input (the shingle→signature
+    // shuffle agg) evaluated twice — once for the hot-bucket groupBy,
+    // once for the anti-join probe side (BENCH r4: 7.1s vs 1.7s).
+    // Both persists must survive refactors: this fails on a revert of
+    // either one, before any bench runs.
+    try {
+      val plan = executed("q_dedup_minhash_lsh")
+      val cachedSchemas = plan.collect { case i: InMemoryTableScanExec =>
+        i.output.map(_.name).toSet
+      }.distinct
+      assert(cachedSchemas.exists(_.contains("s0")),
+        s"compact signature frame (id, s0..s31) is no longer persisted: $cachedSchemas")
+      assert(cachedSchemas.exists(s => s.contains("band") && s.contains("bucket")),
+        s"capped banded frame (id, sig, band, bucket) is no longer persisted: $cachedSchemas")
+    } finally CacheScope.releaseAll()
   }
 
   test("pca projection is a pruned shuffle-free scan; moment sums stay primitive") {

@@ -54,6 +54,45 @@ class VisServerSpec extends SparkSpec {
     assert(r.get("graph").isObject || r.get("graph").isArray)
   }
 
+  test("POST /vis/search honors tlist restriction and cluster overrides (main.py:91-99)") {
+    post("/vis/csv", csvBody)
+    // tlist restricted to pca: no kmeans/dbscan/lda channel may appear
+    // (null passthroughs stay admitted, like the reference appends them)
+    val (c1, r1) = post("/vis/search",
+      """{"charts": ["scatter", "bar"], "tlist": ["pca"]}""")
+    assert(c1 == 200, r1.toString)
+    val channels = r1.get("vislist").elements().asScalaAll
+      .flatMap(_.get("channels").elements().asScalaAll.map(_.asText()))
+    assert(channels.nonEmpty)
+    assert(!channels.exists(ch => Seq("kmeans", "dbscan", "lda", "mds").exists(ch.startsWith)),
+      channels.toString)
+    // cluster override: enumeration only sees the client's cluster, so
+    // every select draws from {price, size} (+derived), never cost
+    val (c2, r2) = post("/vis/search",
+      """{"charts": ["scatter"], "dim_clusters": [["price", "size"]], "sem_clusters": []}""")
+    assert(c2 == 200, r2.toString)
+    val chans2 = r2.get("vislist").elements().asScalaAll
+      .flatMap(_.get("channels").elements().asScalaAll.map(_.asText()))
+    assert(chans2.nonEmpty)
+    assert(!chans2.exists(_.contains("cost")), chans2.toString)
+    // slist toggles (reference {name: bool} form): all metrics off →
+    // every chart scores 0 (mean of enabled = safe mean of empty)
+    val (c3, r3) = post("/vis/search",
+      """{"charts": ["bar"], "slist": {"lin_outstanding1": false}}""")
+    assert(c3 == 200, r3.toString)
+    val scores = r3.get("vislist").elements().asScalaAll.map(_.get("score").asDouble())
+    assert(scores.nonEmpty && scores.forall(_ == 0.0), scores.toString)
+    // and the same charts score > 0 with the default slist
+    val (_, r4) = post("/vis/search", """{"charts": ["bar"]}""")
+    val scores4 = r4.get("vislist").elements().asScalaAll.map(_.get("score").asDouble())
+    assert(scores4.exists(_ > 0.0), scores4.toString)
+  }
+
+  private implicit class IterOps(it: java.util.Iterator[com.fasterxml.jackson.databind.JsonNode]) {
+    def asScalaAll: Seq[com.fasterxml.jackson.databind.JsonNode] =
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
+  }
+
   test("POST /vis/addT extends a lineage; /vis/addV runs a terminal transform") {
     post("/vis/csv", csvBody)
     val (c1, r1) = post("/vis/addT",
