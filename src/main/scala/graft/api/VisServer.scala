@@ -145,6 +145,25 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
 
   private def addV(req: JsonNode): JsonNode = {
     val df = sheet.get().getOrElse(throw new IllegalStateException("POST /vis/csv first"))
+    // the reference's addV form (main.py:132-134): vtype + channel map
+    // → assemble a full chart (search.py:1495-1794 ≙ Engine.buildChart).
+    // The single-(lineage, coret) preview form stays supported below.
+    if (req.has("vtype") && req.has("channels")) {
+      val vtype = req.get("vtype").asText()
+      val channels = req.get("channels").fields().asScala.map { e =>
+        val lineage = Option(e.getValue.get("lineage")).map(_.asText()).getOrElse("[]")
+        val coreT = Option(e.getValue.get("coret")).map(_.asText()).getOrElse("null_num")
+        e.getKey -> (lineage, coreT)
+      }.toMap
+      return engine.buildChart(df, vtype, channels) match {
+        case Some(frame) =>
+          val out = mapper.createObjectNode()
+          out.put("ok", true).put("vtype", vtype)
+          putPreview(out, frame)
+          out
+        case None => mapper.createObjectNode().put("ok", false)
+      }
+    }
     val coreT = req.get("coret").asText()
     engine.addVisualization(df, lineageOf(req), coreT) match {
       case Some(frame) =>

@@ -108,6 +108,25 @@ class VisServerSpec extends SparkSpec {
     assert(r2.get("data").size() == 40)
   }
 
+  test("POST /vis/addV builds a chart from vtype + channels (main.py:132-134)") {
+    post("/vis/csv", csvBody)
+    // sum_bar: x = kmeans categories over the numeric cluster,
+    // y = a summed series — the reference's interactive chart assembly
+    val (code, r) = post("/vis/addV",
+      """{"vtype": "sum_bar", "channels": {
+        |  "x": {"lineage": "[]", "coret": "kmeans"},
+        |  "y": {"lineage": "[]", "coret": "null_num"}
+        |}}""".stripMargin)
+    assert(code == 200, r.toString)
+    assert(r.get("ok").asBoolean(), r.toString)
+    assert(r.get("vtype").asText() == "sum_bar")
+    // grouped output: one row per kmeans category, SUM(...) columns
+    assert(r.get("data").size() >= 2 && r.get("data").size() <= 3, r.toString)
+    val fns = r.get("data").get(0).fieldNames()
+    val fieldNames = Iterator.continually(fns).takeWhile(_.hasNext).map(_.next()).toSeq
+    assert(fieldNames.exists(_.startsWith("SUM(")), fieldNames.toString)
+  }
+
   test("POST /vis/search without a sheet is a clean 400") {
     val fresh = new graft.api.VisServer(spark)
     val p = fresh.start()
