@@ -9,7 +9,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * oracles replay the deterministic fits bit-for-bit ([[TsneOracle]],
   * [[UmapOracle]], [[LdaOracle]], and the builders in [[MLQueries]]) —
   * except q_recommend_charts (the full search pipeline), which keeps a
-  * rows-only check with values pinned by specs.
+  * rows-only check with its exact signature+score set pinned by
+  * RecommendGoldenSpec on the gate fixture.
   */
 object SparkEntry {
 
