@@ -88,7 +88,7 @@ object Similarity {
   /** Explode band columns to (…, band, bucket) rows — one equi-join on
     * (band, bucket) replaces a union of per-band joins, so the sign-bit
     * computation is evaluated once per side. */
-  private def explodeBands(df: DataFrame, bands: Int): DataFrame = {
+  private[graft] def explodeBands(df: DataFrame, bands: Int): DataFrame = {
     val arr = array((0 until bands).map { b =>
       struct(lit(b).as("band"), col(s"band_$b").as("bucket"))
     }: _*)
@@ -109,8 +109,8 @@ object Similarity {
     * contract, so the extra rows cost nothing at corpus scale
     * (Lv et al., "Multi-Probe LSH", VLDB 2007 — the 1-step perturbation
     * set specialized to sign-bit buckets). */
-  private def explodeBandsMultiprobe(df: DataFrame, bands: Int,
-                                     rowsPerBand: Int): DataFrame = {
+  private[graft] def explodeBandsMultiprobe(df: DataFrame, bands: Int,
+                                            rowsPerBand: Int): DataFrame = {
     val arr = array((for {
       b <- 0 until bands
       probe <- -1 until rowsPerBand

@@ -210,6 +210,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((0L until 10L).forall(q => counts.get(q).contains(k)), counts.toString)
   }
 
+  test("multiprobe explode: per band, exactly the home bucket plus its r 1-bit flips") {
+    // the XOR probe math itself, checked bucket-by-bucket: for every
+    // (id, band), the multiprobe bucket set must equal
+    // {home} ∪ {home ^ (1<<i) | i < rowsPerBand} — no more, no less
+    val (bands, r) = (4, 8)
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 31 + j * 3).toFloat))
+    }
+    val df = vecs.toDF("id", "vec")
+    val banded = Similarity.withLshBands(
+      df.select($"id", $"vec".as("__v")), "__v", dim = 16, bands, r)
+    def buckets(frame: org.apache.spark.sql.DataFrame): Map[(Long, Int), Set[Long]] =
+      frame.select($"id", $"band", $"bucket".cast("long"))
+        .as[(Long, Int, Long)].collect()
+        .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).toSet).toMap
+    val home = buckets(Similarity.explodeBands(banded, bands))
+    val multi = buckets(Similarity.explodeBandsMultiprobe(banded, bands, r))
+    home.foreach { case (key, hs) =>
+      assert(hs.size == 1)
+      val h = hs.head
+      val expected = (0 until r).map(i => h ^ (1L << i)).toSet + h
+      assert(multi(key) == expected, s"$key: ${multi(key)} vs $expected")
+    }
+    assert(multi.keySet == home.keySet)
+  }
+
   test("ivfTopK finds the planted nearest neighbor (probes its bucket)") {
     val vecs = (0 until 200).map { i =>
       (i.toLong, Array.tabulate(16)(j => (math.sin(i * 5 + j) + math.cos(i + j * 2)).toFloat))

@@ -43,6 +43,30 @@ class RecommenderSearchSpec extends SparkSpec {
     assert(embedChannels(bounded).isEmpty)
   }
 
+  test("slist: explicit default set scores identically; a subset changes scores only") {
+    val (pdf, profile) = Profiler.profile(fixture)
+    def run(slist: Option[Set[String]]) =
+      Recommender.recommend(pdf, profile, spark,
+        EngineConfig(searchEmbedTs = false), charts = Seq("scatter"), slist = slist)
+    val default = run(None)
+    // explicitly enabling exactly the engine's default metric set must
+    // reproduce the default scores bit for bit (mean-of-enabled identity)
+    val explicit = run(Some(Set("sca_outlying", "sca_skewed", "sca_stringy",
+      "sca_straight", "sca_clumpy", "sca_monotonic", "sca_cdm")))
+    assert(default.visList.map(c => c.signature -> c.score).sortBy(_._1) ==
+      explicit.visList.map(c => c.signature -> c.score).sortBy(_._1))
+    // a strict metric subset changes scores (and may therefore rotate
+    // which charts survive the per-family top-k): on the signatures
+    // both runs kept, the scores must differ
+    val subset = run(Some(Set("sca_monotonic")))
+    val ds = default.visList.map(c => c.signature -> c.score).toMap
+    val ss = subset.visList.map(c => c.signature -> c.score).toMap
+    val shared = ds.keySet & ss.keySet
+    assert(shared.nonEmpty)
+    assert(shared.exists(sig => ds(sig) != ss(sig)),
+      s"single-metric slist left every shared score unchanged: $shared")
+  }
+
   test("tpath execution failure is reported once per coreT, search still completes") {
     val (pdf, profile) = Profiler.profile(fixture)
     // sabotage: the profile promises columns the frame no longer has,
