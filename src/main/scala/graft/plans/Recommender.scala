@@ -399,18 +399,26 @@ object Recommender {
       }
     }
 
-    // ── sort, dedup, top-k per family (search.py:1261-1299) ──────────
-    val caps = Map("num_scatter" -> cfg.maxScatter, "cat_scatter" -> cfg.maxScatter,
-      "ord_line" -> cfg.maxLine, "rel_line" -> cfg.maxLine,
-      "ord_cat_line" -> cfg.maxCatLine, "rel_cat_line" -> cfg.maxCatLine,
-      "sum_bar" -> cfg.maxSumBar, "count_bar" -> cfg.maxCountBar)
+    // ── sort, dedup, top-k per FAMILY buffer (search.py:1261-1299):
+    //    the reference pools num+cat scatter into ONE "scatter" buffer
+    //    (and ord+rel lines into "line", the cat-line kinds into
+    //    "cat_line") before capping, so e.g. MAXSCATTER=10 bounds ALL
+    //    scatters combined, not 10 of each kind. Slice after dedup =
+    //    min(int(len·RECOMMENDPCT)+1, familyCap) (search.py:1274-1278).
+    val family = Map("num_scatter" -> "scatter", "cat_scatter" -> "scatter",
+      "ord_line" -> "line", "rel_line" -> "line",
+      "ord_cat_line" -> "cat_line", "rel_cat_line" -> "cat_line",
+      "sum_bar" -> "sum_bar", "count_bar" -> "count_bar")
+    val famCaps = Map("scatter" -> cfg.maxScatter, "line" -> cfg.maxLine,
+      "cat_line" -> cfg.maxCatLine, "sum_bar" -> cfg.maxSumBar,
+      "count_bar" -> cfg.maxCountBar)
     val seen = mutable.Set[String]()
-    val topk = recs.toSeq.groupBy(_.chartType).toSeq.sortBy(_._1).flatMap {
-      case (ct, group) =>
-        group.sortBy(-_.score)
-          .filter(r => seen.add(r.signature))
-          .take(caps.getOrElse(ct, 3))
-    }
+    val topk = recs.toSeq.groupBy(c => family.getOrElse(c.chartType, c.chartType))
+      .toSeq.sortBy(_._1).flatMap { case (fam, group) =>
+        val deduped = group.sortBy(-_.score).filter(r => seen.add(r.signature))
+        deduped.take(math.min((deduped.size * cfg.recommendPct).toInt + 1,
+          famCaps.getOrElse(fam, 3)))
+      }
 
     Recommendation(topk, ProvenanceGraph.render(topk))
     } finally {

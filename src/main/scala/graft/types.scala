@@ -85,6 +85,9 @@ final case class EngineConfig(
     notCalcuDmT: Boolean = true,
     onlyProcessClusterMoreThan2: Boolean = true,
     catLine: Boolean = false, // CAT_LINE (config.py:22): cat-y line kinds
+    /** RECOMMENDPCT (config.py:13): per-family top-k keeps
+      * min(int(len·pct)+1, familyCap) charts (search.py:1274-1278). */
+    recommendPct: Double = 1.0,
     maxScatter: Int = 10,
     maxLine: Int = 3,
     maxCatLine: Int = 2,

@@ -23,11 +23,11 @@ class RecommendGoldenSpec extends SparkSpec {
     "count_bar::x=kmeans:sum#==#c_custkey,c_acctbal#append#sum: () - select#==#c_custkey,c_acctbal,sum: ()#new_table#" -> 99.99680832557904,
     "num_scatter::color=null_num:select#==#c_acctbal#new_table#|xy=mds:select#==#c_custkey,c_acctbal#new_table#" -> 44.490867844998405,
     "num_scatter::color=null_num:select#==#c_acctbal#new_table#|xy=pca:select#==#c_custkey,c_acctbal#new_table#" -> 44.490839163842985,
+    // line FAMILY cap (search.py:1274-1278): ord+rel lines pool into one
+    // buffer of 3 — the two 0.0-score pca lines fall below the cut
     "ord_line::y=mds:select#==#c_custkey,c_acctbal#new_table#" -> 0.037871429332603235,
     "ord_line::y=null_num:select#==#c_acctbal#new_table#" -> 99.35364251510374,
-    "ord_line::y=pca:select#==#c_custkey,c_acctbal#new_table#" -> 0.0,
     "rel_line::x=null_num:select#==#c_acctbal#new_table#|y=mds:select#==#c_custkey,c_acctbal#new_table#" -> 0.037871429332603235,
-    "rel_line::x=null_num:select#==#c_acctbal#new_table#|y=pca:select#==#c_custkey,c_acctbal#new_table#" -> 0.0,
     "sum_bar::x=kmeans:select#==#c_custkey,c_acctbal#new_table#|y=mds:select#==#c_custkey,c_acctbal#new_table#" -> 99.99821994701999,
     "sum_bar::x=kmeans:select#==#c_custkey,c_acctbal#new_table#|y=null_num:select#==#c_acctbal#new_table#" -> 99.99999999999142,
     "sum_bar::x=kmeans:sum#==#c_custkey,c_acctbal#append#sum: () - select#==#c_custkey,c_acctbal,sum: ()#new_table#|y=null_num:select#==#c_acctbal#new_table#" -> 99.99999999999348)
