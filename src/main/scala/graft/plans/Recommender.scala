@@ -10,13 +10,21 @@ import graft.operators.{ChartAssembly, CoreT, TStep}
 import graft.score.{Scagnostics, Significance}
 
 /** A recommended chart: type, channel descriptions, score, and the
-  * (bounded) data series for rendering. */
+  * (bounded) data series for rendering.
+  *
+  * `signature` identifies the chart exactly (coreT + full tpath
+  * fingerprint per channel); `dedupKey` is the reference's coarser
+  * duplicate-removal identity — chart type + per-channel OPERATOR-NAME
+  * sequence with the column lists ignored (search.py:1280-1299 keys on
+  * `t["t"]`/`t["name"]` only), so two same-shaped derivations over
+  * different column sets count as one chart. */
 final case class ChartRec(
     chartType: String,
     channels: Map[String, String], // channel → "coreT | tpath fingerprint"
     columns: Map[String, Seq[String]], // channel → output columns
     score: Double,
     signature: String,
+    dedupKey: String,
     data: Seq[Map[String, Any]])
 
 final case class Recommendation(visList: Seq[ChartRec], graphJson: String)
@@ -415,7 +423,9 @@ object Recommender {
     val seen = mutable.Set[String]()
     val topk = recs.toSeq.groupBy(c => family.getOrElse(c.chartType, c.chartType))
       .toSeq.sortBy(_._1).flatMap { case (fam, group) =>
-        val deduped = group.sortBy(-_.score).filter(r => seen.add(r.signature))
+        // first-wins on the coarse dedupKey (higher score survives —
+        // the buffer is sorted before removal, search.py:1267-1272)
+        val deduped = group.sortBy(-_.score).filter(r => seen.add(r.dedupKey))
         deduped.take(math.min((deduped.size * cfg.recommendPct).toInt + 1,
           famCaps.getOrElse(fam, 3)))
       }
@@ -435,12 +445,18 @@ object Recommender {
     val columns = chans.map { case (ch, ex) => ch -> ex.outCols }
     val sig = chartType + "::" + chans.toSeq.sortBy(_._1)
       .map { case (ch, ex) => s"$ch=${ex.coreT}:${ex.tpath.fingerprint}" }.mkString("|")
+    // the reference's duplicate-removal key: op names only, per channel
+    // (search.py:1286-1290 joins t["t"]/t["name"], never the columns)
+    val dedupKey = chartType + "::" + chans.toSeq.sortBy(_._1)
+      .map { case (ch, ex) =>
+        s"$ch=${(ex.tpath.steps.map(_.op) :+ ex.coreT).mkString(" ")}"
+      }.mkString("|")
     // bounded sample of the primary channel for rendering
     val primary = chans.head._2
     val sample = primary.df.limit(20).collect().map { r =>
       r.schema.fieldNames.zip(r.toSeq).toMap
     }.toSeq
-    ChartRec(chartType, channels, columns, score, sig, sample)
+    ChartRec(chartType, channels, columns, score, sig, dedupKey, sample)
   }
 }
 
