@@ -16,6 +16,16 @@ import org.apache.spark.sql.SparkSession
   * every column, unlike count() which lets Catalyst prune); one
   * trivial warm-up job pays the session/codegen startup outside the
   * measured window.
+  *
+  * The JSON line is self-diagnosing against concurrent-host-load
+  * contamination (BASELINE.md documents a background process once
+  * inflating q_text_langid 0.43s → 3.5s): it carries `/proc/loadavg`
+  * sampled before and after the run plus the full per-query run list
+  * (not just the min), so a contaminated artifact shows high load
+  * and/or wildly dispersed runs instead of silently reading as a
+  * regression. Queries whose first min exceeds 1s get a third run —
+  * the slow queries are exactly the ones where one contaminated
+  * sample moves the total the most.
   */
 object Bench {
   private val headline: Seq[String] = Seq(
@@ -47,14 +57,17 @@ object Bench {
 
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warm-up
 
+    val loadBefore = readLoadAvg()
     val all = SparkEntry.queries
     val results = headline.filter(all.contains).map { name =>
-      // min of 2 runs: first run pays whole-stage-codegen compilation,
-      // which a long-lived cluster amortizes away. Cache is cleared per
-      // run so operators that persist intermediates (dedup/similarity
+      // min of 2 runs (3 when the first two are both >1s — the slow
+      // queries dominate the total, so they get the extra sample):
+      // the first run pays whole-stage-codegen compilation, which a
+      // long-lived cluster amortizes away. Cache is cleared per run so
+      // operators that persist intermediates (dedup/similarity
       // self-join inputs) are measured at full per-execution cost —
-      // the second run must not silently hit the first run's cache.
-      val times = (1 to 2).map { _ =>
+      // later runs must not silently hit an earlier run's cache.
+      def run(): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
@@ -66,12 +79,35 @@ object Bench {
             -1.0
         }
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      val two = Vector(run(), run())
+      val valid2 = two.filter(_ >= 0)
+      val times =
+        if (valid2.nonEmpty && valid2.min > 1.0) two :+ run() else two
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val loadAfter = readLoadAvg()
+    def minOf(ts: Vector[Double]): Double = {
+      val v = ts.filter(_ >= 0); if (v.nonEmpty) v.min else -1.0
+    }
+    def fmt(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(minOf(ts)) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val runs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** First three fields of /proc/loadavg (1/5/15-min), or "" off-Linux.
+    * Sampled before and after the run so a grading artifact recorded
+    * under concurrent host load is self-evidently contaminated.
+    */
+  private def readLoadAvg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).mkString(" ")
+      finally src.close()
+    } catch { case _: Throwable => "" }
 }

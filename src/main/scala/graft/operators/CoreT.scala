@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -305,20 +305,39 @@ object CoreT {
       // below reproduces Spark's PercentRank arithmetic bit for bit
       // (same division, then ×99, then ceil), including the n=1 case
       // (PercentRank special-cases it to 0; max(n−1,1) gives 0/1).
+      //
+      // KEYLESS tables (empty carry) can't make row_number's order
+      // total, so ties would rank by encounter order — non-
+      // deterministic under shuffles. They instead take
+      // Rank.minRankByValue (SQL RANK semantics: ties share a rank),
+      // which is exactly the (min-rank−1)/(n−1) identity PercentRank
+      // itself computes — the same deterministic tie behavior the
+      // reference's percent_rank had.
       val base = df.select((carry ++ features).distinct.map(col): _*)
       val n = base.count()
       val denom = math.max(n - 1, 1L).toDouble
+      def pctBucket(rn: Column): Column =
+        (ceil((rn - 1).cast("double") / lit(denom) * 99) + 1).cast("double")
       val ranked = features.foldLeft(base) { (d, c) =>
-        Rank.rank(d, c, carry, s"__rn_$c", approxRows = n, windowRankMaxRows)
-          .withColumn(s"__rank_$c",
-            (ceil((col(s"__rn_$c") - 1).cast("double") / lit(denom) * 99) + 1).cast("double"))
+        val withRn =
+          if (carry.nonEmpty)
+            Rank.rank(d, c, carry, s"__rn_$c", approxRows = n, windowRankMaxRows)
+          else
+            Rank.minRankByValue(d, c, s"__rn_$c")
+        withRn.withColumn(s"__rank_$c", pctBucket(col(s"__rn_$c")))
           .drop(s"__rn_$c")
       }
-      // canonical key order: the VB fold order is part of the replay
-      // contract (limit BEFORE collect — cap protects the driver)
+      // canonical order: the VB fold order is part of the replay
+      // contract (limit BEFORE collect — cap protects the driver).
+      // Keyless tables order by the rank vector itself: remaining ties
+      // are rows identical in every feature (min-rank is injective on
+      // values), whose docs are interchangeable in the fold.
+      val collectOrder =
+        if (carry.nonEmpty) carry.map(col)
+        else features.map(c => col(s"__rank_$c"))
       val rows = ranked
         .select((carry.map(col) ++ features.map(c => col(s"__rank_$c"))): _*)
-        .orderBy(carry.map(col): _*).limit(maxDriverRows + 1).collect()
+        .orderBy(collectOrder: _*).limit(maxDriverRows + 1).collect()
       require(rows.length <= maxDriverRows,
         s"lda driver path capped at $maxDriverRows rows (got ${rows.length}); " +
           "sample or pre-aggregate first")

@@ -80,6 +80,37 @@ class CoreTSpec extends SparkSpec {
     assert(labels.forall(_.matches(""".{1,6}\*[xyz]( \+ .{1,6}\*[xyz]){1,2}""")))
   }
 
+  test("minRankByValue: SQL RANK semantics (ties share), nulls first, partition-invariant") {
+    import graft.operators.Rank
+    val vals: Seq[java.lang.Double] = Seq(3.0, 1.0, null, 2.0, 1.0, 3.0, 3.0)
+    val df = vals.toDF("v")
+    // nulls first → null=1; 1.0 ties at 2; 2.0=4; 3.0 ties at 5
+    val expected = Map[Option[Double], Long](
+      None -> 1L, Some(1.0) -> 2L, Some(2.0) -> 4L, Some(3.0) -> 5L)
+    for (parts <- Seq(1, 3, 7)) {
+      val got = Rank.minRankByValue(df.repartition(parts), "v", "r")
+        .collect().map(r => (Option(r.get(0)).map(_.toString.toDouble), r.getLong(1)))
+      assert(got.length == 7)
+      got.foreach { case (v, rk) => assert(rk == expected(v), s"value $v at $parts parts") }
+    }
+    CacheScope.releaseAll()
+  }
+
+  test("lda with empty carry (keyless table) is deterministic under reshuffling") {
+    // duplicate feature values everywhere → row_number tie-breaking
+    // would leak encounter order; min-rank fallback must not
+    val rows = (0 until 40).map(i => ((i % 5).toDouble, (i % 3).toDouble, (i % 7).toDouble))
+    val df = rows.toDF("x", "y", "z")
+    def labels(parts: Int): Seq[String] =
+      CoreT.lda(df.repartition(parts), Seq("x", "y", "z"), carry = Nil, k = 3).get
+        .select($"Category by LDA").as[String].collect().toSeq.sorted
+    val a = labels(2)
+    val b = labels(11)
+    assert(a.length == 40)
+    assert(a == b)
+    CacheScope.releaseAll()
+  }
+
   test("tsne embeds neighbors near each other, deterministic across runs") {
     // two tight blobs in 3-D → t-SNE keeps within-blob distances far
     // below between-blob distances
