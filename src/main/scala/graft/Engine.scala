@@ -32,9 +32,14 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
     *                    passthroughs are always admitted; None = all
     * @param dimClusters client-supplied dimension clusters REPLACING
     *                    the profiled ones (main.py:98); None = keep
-    *                    the computed clusters (the reference's
-    *                    frontend always echoes them back, so absence
-    *                    here means "use what profiling found")
+    *                    the computed clusters. DOCUMENTED DEVIATION:
+    *                    the reference overwrites with [] when the
+    *                    request omits the field (main.py:98-99), but
+    *                    its frontend always echoes the profiled
+    *                    clusters back, so absence never occurs there
+    *                    in practice; keeping the profiled clusters is
+    *                    the useful behavior for raw API clients. Pass
+    *                    Some(Nil) to reproduce the reference literally.
     * @param semClusters client-supplied semantic-name clusters, same
     *                    semantics (main.py:99)
     * @param slist       enabled score metrics (score.py:10-28 names,

@@ -89,20 +89,20 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
 
   private def search(req: JsonNode): JsonNode = {
     val df = sheet.get().getOrElse(throw new IllegalStateException("POST /vis/csv first"))
-    val charts = Option(req.get("charts"))
+    val charts = field(req, "charts")
       .map(_.elements().asScala.map(_.asText()).toSeq)
       .getOrElse(Seq("scatter", "line", "bar"))
-    val beautify = Option(req.get("beautify")).forall(_.asBoolean(true))
+    val beautify = field(req, "beautify").forall(_.asBoolean(true))
     // reference parity (main.py:91-99): optional core-T restriction and
     // client-supplied cluster overrides
-    val tlist = Option(req.get("tlist"))
+    val tlist = field(req, "tlist")
       .map(_.elements().asScala.map(_.asText()).toSet)
-    def clusters(field: String): Option[Seq[Seq[String]]] =
-      Option(req.get(field)).map(_.elements().asScala.map(
+    def clusters(f: String): Option[Seq[Seq[String]]] =
+      field(req, f).map(_.elements().asScala.map(
         _.elements().asScala.map(_.asText()).toSeq).toSeq)
     // slist arrives in the reference's {name: bool} toggle form
     // (score.py:10-28); the engine takes the enabled-name set
-    val slist = Option(req.get("slist")).map { node =>
+    val slist = field(req, "slist").map { node =>
       node.fields().asScala.collect {
         case e if e.getValue.asBoolean(false) => e.getKey
       }.toSet
@@ -131,11 +131,11 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
     val t = req.get("t")
     val step = TStep(
       op = t.get("op").asText(),
-      inType = Option(t.get("intype")).map(_.asText()).getOrElse("=="),
-      inCols = Option(t.get("incols")).map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
-      outMode = Option(t.get("outmode")).map(_.asText()).getOrElse("append"),
-      outName = Option(t.get("outname")).map(_.asText()),
-      castTo = Option(t.get("castto")).map(_.asText()))
+      inType = field(t, "intype").map(_.asText()).getOrElse("=="),
+      inCols = field(t, "incols").map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+      outMode = field(t, "outmode").map(_.asText()).getOrElse("append"),
+      outName = field(t, "outname").map(_.asText()),
+      castTo = field(t, "castto").map(_.asText()))
     val (frame, lineage) = engine.addTransform(df, lineageOf(req), step)
     val out = mapper.createObjectNode()
     out.put("lineage", lineage)
@@ -151,8 +151,8 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
     if (req.has("vtype") && req.has("channels")) {
       val vtype = req.get("vtype").asText()
       val channels = req.get("channels").fields().asScala.map { e =>
-        val lineage = Option(e.getValue.get("lineage")).map(_.asText()).getOrElse("[]")
-        val coreT = Option(e.getValue.get("coret")).map(_.asText()).getOrElse("null_num")
+        val lineage = field(e.getValue, "lineage").map(_.asText()).getOrElse("[]")
+        val coreT = field(e.getValue, "coret").map(_.asText()).getOrElse("null_num")
         e.getKey -> (lineage, coreT)
       }.toMap
       return engine.buildChart(df, vtype, channels) match {
@@ -180,8 +180,15 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
 
   // ---- plumbing ----
 
+  /** Present non-null field. `Option(req.get(f))` alone is wrong for an
+    * explicit JSON null — Jackson returns NullNode, not null, so
+    * `{"tlist": null}` would read as Some(empty) and restrict the
+    * search to nothing instead of falling back to the default. */
+  private def field(req: JsonNode, f: String): Option[JsonNode] =
+    Option(req.get(f)).filterNot(_.isNull)
+
   private def lineageOf(req: JsonNode): String =
-    Option(req.get("lineage")).map(_.asText()).getOrElse("[]")
+    field(req, "lineage").map(_.asText()).getOrElse("[]")
 
   private def putClusters(out: ObjectNode, name: String, cs: Seq[Seq[String]]): Unit = {
     val arr = out.putArray(name)
@@ -216,7 +223,13 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
           case "" => "{}"
           case s => s
         })
-        (200, mapper.writeValueAsString(body(req)))
+        // every endpoint fully materializes its response (collects /
+        // previews) before returning, so frames graft operators persist
+        // on the request's behalf are release-safe at this boundary —
+        // without this, a long-lived server accumulates persisted
+        // frames across requests until executor memory pressure
+        // (CacheScope's scaladoc names this caller obligation)
+        (200, mapper.writeValueAsString(graft.CacheScope.withCached(body(req))))
       } catch {
         case e: Exception =>
           (400, mapper.writeValueAsString(

@@ -112,6 +112,24 @@ object Recommender {
     // safe default on an all-disabled slist
     def enabled(name: String): Boolean = slist.forall(_.contains(name))
     def meanOf(xs: Seq[Double]): Double = if (xs.isEmpty) 0.0 else xs.sum / xs.size
+    // the reference's cs-dict for every line/bar kind (bars
+    // search.py:978-990, ord lines 1073-1084, rel lines 1204-1214):
+    // each enabled metric is computed independently — outno1 and lincor
+    // as per-series means, cor as the mean pairwise correlation over
+    // ≥2 series — and the chart scores their mean. Deviation note: for
+    // ord lines the reference passes the (rows × cols) value matrix to
+    // significance_correlation, pairing ROWS as if they were series —
+    // a numpy-orientation accident its own bar and rel-line paths
+    // don't share (both pair columns explicitly); columns are paired
+    // everywhere here.
+    def lineScore(series: Seq[Array[Double]]): Double = {
+      val cs = Seq.newBuilder[Double]
+      if (enabled("lin_outstanding1")) cs += meanOf(series.map(Significance.outstanding1))
+      if (enabled("lin_linearness")) cs += meanOf(series.map(Significance.linearness))
+      if (series.length >= 2 && enabled("lin_correlation"))
+        cs += Significance.correlation(series.toArray)
+      meanOf(cs.result())
+    }
     val key = profile.keyColumn.toSeq
     // the source frame feeds every (coreT, tpath) execution — keep it hot
     df.persist()
@@ -246,16 +264,18 @@ object Recommender {
         if (pts.length >= Scagnostics.DotNumLimit) {
           val g = new Scagnostics.Graph(pts)
           // per-flag metric selection (search.py:763-792); striated is
-          // opt-in only, so the default set scores exactly as before
+          // in the reference's default slist (score.py:21), so it is
+          // default-enabled here too (round-6 parity fix — the golden
+          // pin was regenerated with it)
           val base = Seq(
             "sca_outlying" -> (() => g.outlying),
             "sca_skewed" -> (() => 100 - g.skewed),
+            "sca_striated" -> (() => g.striated),
             "sca_stringy" -> (() => g.stringy),
             "sca_straight" -> (() => g.straight),
             "sca_clumpy" -> (() => 100 - g.clumpy),
             "sca_monotonic" -> (() => g.monotonic)
-          ).collect { case (n, v) if enabled(n) => v() } ++
-            (if (slist.exists(_.contains("sca_striated"))) Seq(g.striated) else Nil)
+          ).collect { case (n, v) if enabled(n) => v() }
           if (enabledTypes.contains("num_scatter")) {
             for (c <- numColors.filter(aligned(xy, _)).take(3)) {
               recs += chartRec("num_scatter", Map("xy" -> xy, "color" -> c), meanOf(base), maxChartRows)
@@ -306,11 +326,8 @@ object Recommender {
         if (rows.length >= 3) {
           val cols = series.indices.map(i => rows.map(_.getDouble(i)).toArray).toArray
           if (enabledTypes.contains("ord_line")) {
-            val score =
-              if (cols.length >= 2 && enabled("lin_correlation")) Significance.correlation(cols)
-              else if (enabled("lin_linearness")) Significance.linearness(cols(0))
-              else 0.0
-            recs += chartRec("ord_line", Map("y" -> y), score, maxChartRows)
+            recs += chartRec("ord_line", Map("y" -> y),
+              lineScore(cols.toSeq), maxChartRows)
           }
         }
       }
@@ -326,12 +343,9 @@ object Recommender {
             .limit(maxChartRows).collect()
           if (joined.length >= 3) {
             val ySeries = (1 until joined.head.length)
-              .map(i => joined.map(_.getDouble(i)).toArray).toArray
-            val score =
-              if (ySeries.length >= 2 && enabled("lin_correlation")) Significance.correlation(ySeries)
-              else if (enabled("lin_linearness")) Significance.linearness(ySeries(0))
-              else 0.0
-            recs += chartRec("rel_line", Map("x" -> x, "y" -> y), score, maxChartRows)
+              .map(i => joined.map(_.getDouble(i)).toArray).toSeq
+            recs += chartRec("rel_line", Map("x" -> x, "y" -> y),
+              lineScore(ySeries), maxChartRows)
           }
         }
       }
@@ -348,8 +362,7 @@ object Recommender {
         rows.map(codebook(_).toDouble)
       }
       for (y <- catYs.take(3)) {
-        def catLineScore(codes: Array[Double]): Double =
-          if (enabled("lin_linearness")) Significance.linearness(codes) else 0.0
+        def catLineScore(codes: Array[Double]): Double = lineScore(Seq(codes))
         if (enabledTypes.contains("ord_cat_line")) {
           val labels = y.df.select(col(y.outCols.head).cast("string"))
             .na.drop().limit(maxChartRows).collect().map(_.getString(0))
@@ -388,9 +401,8 @@ object Recommender {
             if (agg.length >= 2) {
               val sums = series.indices.map(i =>
                 agg.map(r => Option(r.get(i + 1)).map(_.toString.toDouble).getOrElse(0.0)).toArray)
-              val score = if (enabled("lin_outstanding1"))
-                sums.map(Significance.outstanding1).sum / sums.size else 0.0
-              recs += chartRec("sum_bar", Map("x" -> x, "y" -> y), score, maxChartRows)
+              recs += chartRec("sum_bar", Map("x" -> x, "y" -> y),
+                lineScore(sums), maxChartRows)
             }
           }
         }
@@ -400,8 +412,7 @@ object Recommender {
           if (agg.length >= 2) {
             val counts = agg.map(_.getLong(1).toDouble)
             recs += chartRec("count_bar", Map("x" -> x),
-              if (enabled("lin_outstanding1")) Significance.outstanding1(counts) else 0.0,
-              maxChartRows)
+              lineScore(Seq(counts)), maxChartRows)
           }
         }
       }

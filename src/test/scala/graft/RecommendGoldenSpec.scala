@@ -13,24 +13,30 @@ package graft
   */
 class RecommendGoldenSpec extends SparkSpec {
 
+  // Regenerated round 6 for two deliberate scoring-parity changes:
+  // sca_striated joined the default metric set (the reference's default
+  // slist enables it, score.py:21), and every line/bar kind now scores
+  // the full cs-dict mean — outno1 + lincor as per-series means, cor as
+  // mean pairwise correlation for ≥2 series (search.py:978-990,
+  // 1073-1084, 1204-1214) — instead of a single-metric shortcut.
   private val expected: Map[String, Double] = Map(
-    "cat_scatter::color=dbscan:select#==#c_custkey,c_acctbal#new_table#|xy=mds:select#==#c_custkey,c_acctbal#new_table#" -> 38.135029581427204,
-    "cat_scatter::color=dbscan:select#==#c_custkey,c_acctbal#new_table#|xy=pca:select#==#c_custkey,c_acctbal#new_table#" -> 38.1350049975797,
-    "cat_scatter::color=kmeans:select#==#c_custkey,c_acctbal#new_table#|xy=mds:select#==#c_custkey,c_acctbal#new_table#" -> 51.16360100999863,
-    "cat_scatter::color=kmeans:select#==#c_custkey,c_acctbal#new_table#|xy=pca:select#==#c_custkey,c_acctbal#new_table#" -> 51.32548118805589,
-    "cat_scatter::color=lda:select#==#c_custkey,c_acctbal#new_table#|xy=mds:select#==#c_custkey,c_acctbal#new_table#" -> 51.76677561317324,
-    "cat_scatter::color=lda:select#==#c_custkey,c_acctbal#new_table#|xy=pca:select#==#c_custkey,c_acctbal#new_table#" -> 51.80484626742096,
-    "count_bar::x=kmeans:sum#==#c_custkey,c_acctbal#append#sum: () - select#==#c_custkey,c_acctbal,sum: ()#new_table#" -> 99.99680832557904,
-    "num_scatter::color=null_num:select#==#c_acctbal#new_table#|xy=mds:select#==#c_custkey,c_acctbal#new_table#" -> 44.490867844998405,
-    "num_scatter::color=null_num:select#==#c_acctbal#new_table#|xy=pca:select#==#c_custkey,c_acctbal#new_table#" -> 44.490839163842985,
+    "cat_scatter::color=dbscan:select#==#c_custkey,c_acctbal#new_table#|xy=mds:select#==#c_custkey,c_acctbal#new_table#" -> 41.21358284984889,
+    "cat_scatter::color=dbscan:select#==#c_custkey,c_acctbal#new_table#|xy=pca:select#==#c_custkey,c_acctbal#new_table#" -> 41.21356133897489,
+    "cat_scatter::color=kmeans:select#==#c_custkey,c_acctbal#new_table#|xy=mds:select#==#c_custkey,c_acctbal#new_table#" -> 52.61358284984889,
+    "cat_scatter::color=kmeans:select#==#c_custkey,c_acctbal#new_table#|xy=pca:select#==#c_custkey,c_acctbal#new_table#" -> 52.755228005641555,
+    "cat_scatter::color=lda:select#==#c_custkey,c_acctbal#new_table#|xy=mds:select#==#c_custkey,c_acctbal#new_table#" -> 53.14136062762667,
+    "cat_scatter::color=lda:select#==#c_custkey,c_acctbal#new_table#|xy=pca:select#==#c_custkey,c_acctbal#new_table#" -> 53.17467245008601,
+    "count_bar::x=kmeans:sum#==#c_custkey,c_acctbal#append#sum: () - select#==#c_custkey,c_acctbal,sum: ()#new_table#" -> 99.99353486475039,
+    "num_scatter::color=null_num:select#==#c_acctbal#new_table#|xy=mds:select#==#c_custkey,c_acctbal#new_table#" -> 47.101237542684444,
+    "num_scatter::color=null_num:select#==#c_acctbal#new_table#|xy=pca:select#==#c_custkey,c_acctbal#new_table#" -> 47.10121295882845,
     // line FAMILY cap (search.py:1274-1278): ord+rel lines pool into one
     // buffer of 3 — the two 0.0-score pca lines fall below the cut
-    "ord_line::y=mds:select#==#c_custkey,c_acctbal#new_table#" -> 0.037871429332603235,
-    "ord_line::y=null_num:select#==#c_acctbal#new_table#" -> 99.35364251510374,
-    "rel_line::x=null_num:select#==#c_acctbal#new_table#|y=mds:select#==#c_custkey,c_acctbal#new_table#" -> 0.037871429332603235,
-    "sum_bar::x=kmeans:select#==#c_custkey,c_acctbal#new_table#|y=mds:select#==#c_custkey,c_acctbal#new_table#" -> 99.99821994701999,
-    "sum_bar::x=kmeans:select#==#c_custkey,c_acctbal#new_table#|y=null_num:select#==#c_acctbal#new_table#" -> 99.99999999999142,
-    "sum_bar::x=kmeans:sum#==#c_custkey,c_acctbal#append#sum: () - select#==#c_custkey,c_acctbal,sum: ()#new_table#|y=null_num:select#==#c_acctbal#new_table#" -> 99.99999999999348)
+    "ord_line::y=mds:select#==#c_custkey,c_acctbal#new_table#" -> 0.012623809777534412,
+    "ord_line::y=null_num:select#==#c_acctbal#new_table#" -> 99.3829000550914,
+    "rel_line::x=null_num:select#==#c_acctbal#new_table#|y=mds:select#==#c_custkey,c_acctbal#new_table#" -> 0.012623809777534412,
+    "sum_bar::x=kmeans:select#==#c_custkey,c_acctbal#new_table#|y=null_num:select#==#c_acctbal#new_table#" -> 99.9999999999826,
+    "sum_bar::x=kmeans:select#==#c_custkey,c_acctbal#new_table#|y=pca:select#==#c_custkey,c_acctbal#new_table#" -> 69.30409673660857,
+    "sum_bar::x=kmeans:sum#==#c_custkey,c_acctbal#append#sum: () - select#==#c_custkey,c_acctbal,sum: ()#new_table#|y=null_num:select#==#c_acctbal#new_table#" -> 99.99999999998677)
 
   test("golden: q_recommend_charts gate fixture — exact signature + score set") {
     val df = AssemblyQueries.queries("q_recommend_charts")(spark, "/root/testdata/sf0.01")

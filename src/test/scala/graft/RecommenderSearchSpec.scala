@@ -51,8 +51,8 @@ class RecommenderSearchSpec extends SparkSpec {
     val default = run(None)
     // explicitly enabling exactly the engine's default metric set must
     // reproduce the default scores bit for bit (mean-of-enabled identity)
-    val explicit = run(Some(Set("sca_outlying", "sca_skewed", "sca_stringy",
-      "sca_straight", "sca_clumpy", "sca_monotonic", "sca_cdm")))
+    val explicit = run(Some(Set("sca_outlying", "sca_skewed", "sca_striated",
+      "sca_stringy", "sca_straight", "sca_clumpy", "sca_monotonic", "sca_cdm")))
     assert(default.visList.map(c => c.signature -> c.score).sortBy(_._1) ==
       explicit.visList.map(c => c.signature -> c.score).sortBy(_._1))
     // a strict metric subset changes scores (and may therefore rotate

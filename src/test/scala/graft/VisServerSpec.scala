@@ -127,6 +127,44 @@ class VisServerSpec extends SparkSpec {
     assert(fieldNames.exists(_.startsWith("SUM(")), fieldNames.toString)
   }
 
+  test("explicit JSON nulls fall back to defaults, not empty overrides (Jackson NullNode)") {
+    post("/vis/csv", csvBody)
+    // {"slist": null} once read as Some(empty set) → every metric
+    // disabled → all charts 0.0; {"tlist": null} as Some(empty) → only
+    // null passthroughs. All must behave exactly like absence.
+    val (code, r) = post("/vis/search",
+      """{"charts": ["scatter", "bar"], "tlist": null, "slist": null,
+        |  "dim_clusters": null, "sem_clusters": null, "beautify": null}""".stripMargin)
+    assert(code == 200, r.toString)
+    val (_, rDefault) = post("/vis/search", """{"charts": ["scatter", "bar"]}""")
+    assert(r.get("vislist").size() == rDefault.get("vislist").size(), r.toString)
+    val scores = r.get("vislist").elements().asScalaAll.map(_.get("score").asDouble())
+    assert(scores.exists(_ > 0.0), scores.toString)
+  }
+
+  test("request handling discharges CacheScope: no tracked frames outlive a request") {
+    post("/vis/csv", csvBody)
+    CacheScope.releaseAll() // isolate from frames other suites left behind
+    // the full endpoint surface: search (recommender), addT, addV
+    post("/vis/search", """{"charts": ["scatter", "line", "bar"]}""")
+    post("/vis/addT", """{"lineage": "[]", "t": {"op": "sum", "incols": ["price", "cost"]}}""")
+    post("/vis/addV", """{"lineage": "[]", "coret": "lda"}""")
+    assert(CacheScope.releaseAll() == 0,
+      "a serving request left operator-persisted frames tracked past the request boundary")
+    // and the wrapper the handler uses provably releases frames from an
+    // operator that DOES track (dedup persists its self-join inputs) —
+    // today's endpoints reach no dedup op, but the boundary must hold
+    // when one does
+    import spark.implicits._
+    val docs = (1 to 30).map(i => (i.toLong, s"shared shingle text body number ${i % 7}"))
+      .toDF("id", "text")
+    CacheScope.withCached {
+      val sigs = graft.operators.Dedup.minhashSignatures(docs, "id", "text")
+      graft.operators.Dedup.minhashCandidatePairs(sigs).count()
+    }
+    assert(CacheScope.releaseAll() == 0, "withCached left dedup frames tracked")
+  }
+
   test("POST /vis/search without a sheet is a clean 400") {
     val fresh = new graft.api.VisServer(spark)
     val p = fresh.start()
