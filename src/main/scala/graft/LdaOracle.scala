@@ -63,6 +63,16 @@ object LdaOracle {
     graft.functions.UMAP.drawOffset(graft.operators.CoreT.LdaSeed)
   private val DrawBound = graft.functions.VBLda.InitDrawBound
 
+  /** sstats fixed-point pin (2^36) — derived from the operator's
+    * constant so the SQL cannot drift from the Scala fit. Slots hold
+    * the pinned INTEGER totals (exact in a double while < 2^53; gate
+    * bound: 101 docs × counts ≤ 100 × 2^36 ≈ 6.9e14). */
+  private val Pin = {
+    val p = graft.functions.VBLda.SStatsPinScale
+    require(p == 68719476736.0, s"LdaOracle literal assumes the 2^36 pin (got $p)")
+    "6.8719476736e10"
+  }
+
   private val L = "6.931471805599453e-1"
   private val LHI = "6.93147180369123816490e-01"
   private val LLO = "1.90821492927058770002e-10"
@@ -168,13 +178,18 @@ object LdaOracle {
       5 -> keep((1 to 4).map(i => (24 + i) -> gnew(i)).toMap +
         (33 -> s"(CASE WHEN ($change) / $K.0 < 1e-3 THEN 1.0 ELSE 0.0 END)")),
       10 -> keep(Map(33 -> "0.0")),
+      // sstats accumulate PINNED (floor(contribution·2^36), exact
+      // integer adds — mirrors VBLda.docPinnedStats/addPinned, which
+      // makes the Scala fit order-free and distributable; the replay
+      // keeps its sequential doc order and sums the same integers)
       11 -> keep((for (i <- 1 to 4; j <- 1 to 2) yield {
         val c = if (j == 1) C1 else C2
         (16 + (i - 1) * 2 + j) ->
-          s"(ia[${16 + (i - 1) * 2 + j}] + $c * ${eet(i)} * ${eeb(i, j)} / ${norm(j)})"
+          s"(ia[${16 + (i - 1) * 2 + j}] + floor($c * ${eet(i)} * ${eeb(i, j)} / ${norm(j)} * $Pin))"
       }).toMap),
-      // M-step: λ = η + sstats, η = 1/K like α
-      12 -> keep((1 to 8).map(i => i -> s"($Alpha + ia[${16 + i}])").toMap ++
+      // M-step: λ = η + sstats/2^36 (power-of-2 divide — rounds once,
+      // exactly like VBLda.unpin's single conversion), η = 1/K like α
+      12 -> keep((1 to 8).map(i => i -> s"($Alpha + ia[${16 + i}] / $Pin)").toMap ++
         (1 to 8).map(i => (16 + i) -> "0.0").toMap)
     ) ++ (1 to 4).map { i =>
       val l1 = s"ia[${(i - 1) * 2 + 1}]"; val l2 = s"ia[${(i - 1) * 2 + 2}]"

@@ -275,20 +275,26 @@ object CoreT {
     * vector, so we assemble ranks directly as the count matrix —
     * identical model input, no string blow-up.
     *
-    * The fit is [[graft.functions.VBLda]] — the same batch variational
-    * Bayes sklearn runs, with its random init replaced by deterministic
-    * choices (the reference cannot reproduce its own labels run over
-    * run; this can, on any engine). The ranking stage is distributed;
-    * fit + per-row posteriors run on a bounded canonical-order collect
-    * like the other chart-feeder transforms (dbscan/tsne/mds — the
-    * reference caps sources at 400 rows).
+    * The fit is [[graft.functions.VBLda]]'s math — the same batch
+    * variational Bayes sklearn runs, with its random init replaced by
+    * deterministic choices (the reference cannot reproduce its own
+    * labels run over run; this can, on any engine) — run FULLY
+    * DISTRIBUTED: ranking is distributed, each EM iteration broadcasts
+    * expElogbeta (k×w doubles) and mapPartitions the per-doc mean-field
+    * sweeps, the sufficient statistics reduce as pinned integers
+    * ([[graft.functions.VBLda.SStatsPinScale]] — exact, commutative,
+    * partition-invariant), the M-step is k×w driver arithmetic, and the
+    * labeling pass maps rows without ever collecting them. Nothing
+    * driver-side grows with n, so there is no row cap, and the result
+    * is bit-identical to [[graft.functions.VBLda.fit]] over the same
+    * docs — which is what the DuckDB gate oracle replays.
     *
     * Output: per-row label of the argmax topic, rendered like the
     * reference as "w1*col + w2*col + w3*col" from the normalized
     * topic-term weights → column "Category by LDA".
     */
   def lda(df: DataFrame, features: Seq[String], carry: Seq[String],
-          k: Int = LdaK, seed: Long = LdaSeed, maxDriverRows: Int = 200000,
+          k: Int = LdaK, seed: Long = LdaSeed,
           windowRankMaxRows: Long = 1000000L): Option[DataFrame] =
     guarded(df, features) {
       val spark = df.sparkSession
@@ -327,35 +333,56 @@ object CoreT {
         withRn.withColumn(s"__rank_$c", pctBucket(col(s"__rn_$c")))
           .drop(s"__rn_$c")
       }
-      // canonical order: the VB fold order is part of the replay
-      // contract (limit BEFORE collect — cap protects the driver).
-      // Keyless tables order by the rank vector itself: remaining ties
-      // are rows identical in every feature (min-rank is injective on
-      // values), whose docs are interchangeable in the fold.
-      val collectOrder =
-        if (carry.nonEmpty) carry.map(col)
-        else features.map(c => col(s"__rank_$c"))
-      val rows = ranked
-        .select((carry.map(col) ++ features.map(c => col(s"__rank_$c"))): _*)
-        .orderBy(collectOrder: _*).limit(maxDriverRows + 1).collect()
-      require(rows.length <= maxDriverRows,
-        s"lda driver path capped at $maxDriverRows rows (got ${rows.length}); " +
-          "sample or pre-aggregate first")
-      val docs = rows.map(r => Array.tabulate(features.length) { i =>
-        Option(r.get(carry.length + i)).map(_.toString.toDouble).getOrElse(0.0)
-      })
-      val fit = graft.functions.VBLda.fit(docs, k, seed = seed)
-      // topic labels: top-3 terms by normalized weight (Tfunctions.py:58-73)
-      val desc = graft.functions.VBLda.topTerms(fit, 3).map {
-        _.map { case (i, w) => s"${w.toString.take(6)}*${features(i)}" }.mkString(" + ")
+      require(n > 0, "lda: empty corpus")
+      import graft.functions.VBLda
+      // the EM loop reads the ranked docs 10 times and the labeling
+      // pass once more — persist (caller releases via CacheScope)
+      val proj = graft.CacheScope.track(ranked.select(
+        (carry.map(col) ++ features.map(c => col(s"__rank_$c"))): _*))
+      val docsRdd = proj.rdd
+      val w = features.length
+      val nCarry = carry.length
+      val alpha = 1.0 / k
+      val eta = 1.0 / k
+      def countsOf(r: Row): Array[Double] = Array.tabulate(w)(i =>
+        Option(r.get(nCarry + i)).map(_.toString.toDouble).getOrElse(0.0))
+      val sc = spark.sparkContext
+      val lambda = VBLda.lambdaInit(k, w, seed)
+      var iter = 0
+      while (iter < VBLda.DefaultMaxIter) {
+        // E-step, distributed: per-doc sweeps against the broadcast
+        // topic matrix; pinned-integer stats make the reduce exact and
+        // order-free, so any partitioning yields these exact λ
+        val bEeb = sc.broadcast(VBLda.expElogbetaOf(lambda))
+        val acc = docsRdd.mapPartitions { it =>
+          val local = new Array[Long](2 * k * w)
+          it.foreach(r =>
+            VBLda.addPinned(local, VBLda.docPinnedStats(countsOf(r), bEeb.value, alpha)))
+          Iterator.single(local)
+        }.reduce { (a, b) =>
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        }
+        // M-step: λ = η + sstats (driver, k×w)
+        for (i <- 0 until k; j <- 0 until w)
+          lambda(i)(j) = eta + VBLda.unpin(acc(2 * (i * w + j)), acc(2 * (i * w + j) + 1))
+        bEeb.unpersist()
+        iter += 1
       }
-      val topicOf = graft.functions.VBLda.argmaxTopics(fit)
-      val out = rows.zipWithIndex.map { case (r, i) =>
-        Row.fromSeq(carry.indices.map(r.get) :+ desc(topicOf(i)))
+      // topic labels: top-3 terms by normalized weight (Tfunctions.py:58-73)
+      val desc = VBLda.topTerms(VBLda.Fit(lambda, Array.empty), 3).map {
+        _.map { case (i, wt) => s"${wt.toString.take(6)}*${features(i)}" }.mkString(" + ")
+      }
+      // final posterior + argmax label pass — distributed, no collect
+      val bFinal = sc.broadcast(VBLda.expElogbetaOf(lambda))
+      val bDesc = sc.broadcast(desc)
+      val outRdd = docsRdd.map { r =>
+        val g = VBLda.docEStep(countsOf(r), bFinal.value, alpha)
+        Row.fromSeq((0 until nCarry).map(r.get) :+ bDesc.value(VBLda.argmax(g)))
       }
       val carrySchema = StructType(carry.map(c => ranked.schema(c)))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toIndexedSeq),
+      spark.createDataFrame(outRdd,
         StructType(carrySchema :+ StructField("Category by LDA", StringType, nullable = false)))
     }
 

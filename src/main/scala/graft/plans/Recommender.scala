@@ -149,8 +149,7 @@ object Recommender {
     //    fingerprint share one execution ─────────────────────────────
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.DurationInt
-    val execPool = Executors.newFixedThreadPool(4, (r: Runnable) => {
+    val execPool = Executors.newFixedThreadPool(cfg.searchParallelism, (r: Runnable) => {
       val t = new Thread(r, "graft-recommender")
       t.setDaemon(true)
       t
@@ -229,7 +228,7 @@ object Recommender {
             .take(perT).map(t -> _)
         }
       val gathered = Await.result(
-        Future.sequence(work.map { case (t, tp) => executeF(t, tp) }), 30.minutes)
+        Future.sequence(work.map { case (t, tp) => executeF(t, tp) }), cfg.searchTimeout)
       gathered.flatten.filter { ex =>
         dim.forall(_ == ex.outCols.size) && ex.outCols.nonEmpty
       }.take(maxCandidatesPerChannel)

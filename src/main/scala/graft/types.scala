@@ -123,7 +123,17 @@ final case class EngineConfig(
     searchEmbedTs: Boolean = true,
     /** Row bound above which search skips tsne/umap channel candidates;
       * default = the reference's MAXSOURCEDATAROWS (config.py:1). */
-    searchEmbedMaxRows: Long = 400L
+    searchEmbedMaxRows: Long = 400L,
+    /** Concurrent (coreT, tpath) Spark-job submissions during search —
+      * the analogue of the reference's one-process-per-core-T pool
+      * (search.py:55-63). 4 covers the gate-scale search space; raise
+      * it for wider searches (each slot is a driver thread submitting
+      * jobs on the shared session, so the ceiling is scheduler
+      * fairness, not cores). */
+    searchParallelism: Int = 4,
+    /** Hard wall-clock bound on one search's execution phase. */
+    searchTimeout: scala.concurrent.duration.FiniteDuration =
+      scala.concurrent.duration.Duration(30, "min")
 )
 
 object EngineConfig {

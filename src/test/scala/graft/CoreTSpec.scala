@@ -80,6 +80,20 @@ class CoreTSpec extends SparkSpec {
     assert(labels.forall(_.matches(""".{1,6}\*[xyz]( \+ .{1,6}\*[xyz]){1,2}""")))
   }
 
+  test("lda distributed E-step is partition-count invariant (pinned-integer stats)") {
+    // the EM reduce sums pinned integers — commutative and exact — so
+    // λ, and therefore every label, must not move under reshuffling
+    def out(parts: Int): Seq[(Long, String)] =
+      CoreT.lda(blobs.repartition(parts), Seq("x", "y", "z"), Seq("k"), k = 3).get
+        .orderBy("k").select($"k", $"Category by LDA").as[(Long, String)]
+        .collect().toSeq
+    val a = out(1)
+    val b = out(9)
+    assert(a.length == 60)
+    assert(a == b)
+    CacheScope.releaseAll()
+  }
+
   test("minRankByValue: SQL RANK semantics (ties share), nulls first, partition-invariant") {
     import graft.operators.Rank
     val vals: Seq[java.lang.Double] = Seq(3.0, 1.0, null, 2.0, 1.0, 3.0, 3.0)

@@ -16,6 +16,8 @@ K = 4
 ALPHA = 0.25
 ETA = 0.25
 MAX_ITER = 10
+PIN = 68719476736.0  # 2^36 sstats pin (VBLda.SStatsPinScale)
+PIN_SQL = '6.8719476736e10'
 DOC_ITER = 30
 TOL = 1e-3
 
@@ -108,7 +110,10 @@ def fit(docs):
             for j in range(w)] for i in range(K)]
     for _ in range(MAX_ITER):
         eeb = exp_elog_beta(lam, w)
-        sstats = [[0.0] * w for _ in range(K)]
+        # round 6: sstats accumulate as pinned integers (floor of
+        # contribution * 2^36) — exact, order-free, mirrors
+        # VBLda.docPinnedStats/addPinned and the SQL stage 11
+        sstats = [[0] * w for _ in range(K)]
         for counts in docs:
             gamma = doc_estep(counts, eeb, w)
             sum_g = 0.0
@@ -120,10 +125,10 @@ def fit(docs):
                 for kk in range(K):
                     norm += eet[kk] * eeb[kk][j]
                 for i in range(K):
-                    sstats[i][j] += counts[j] * eet[i] * eeb[i][j] / norm
+                    sstats[i][j] += math.floor(counts[j] * eet[i] * eeb[i][j] / norm * PIN)
         for i in range(K):
             for j in range(w):
-                lam[i][j] = ETA + sstats[i][j]
+                lam[i][j] = ETA + sstats[i][j] / PIN
     eeb = exp_elog_beta(lam, w)
     gammas = [doc_estep(c, eeb, w) for c in docs]
     return lam, gammas
@@ -259,13 +264,13 @@ def lda_stages():
         for j in range(1, 3):
             c = C1 if j == 1 else C2
             supd[16 + (i - 1) * 2 + j] = (f"(ia[{16 + (i - 1) * 2 + j}] + "
-                f"{c} * {eet(i)} * {eeb(i, j)} / {norm(j)})")
+                f"floor({c} * {eet(i)} * {eeb(i, j)} / {norm(j)} * {PIN_SQL}))")
     st[11] = keep(supd)
     # 10: clear done before the unguarded post-loop recompute (codes
     # 1..4 then rerun on the FINAL gamma regardless of convergence)
     st[10] = keep({33: "0.0"})
     # 12: M-step lambda update + sstats reset
-    st[12] = keep({i: f"(0.25 + ia[{16 + i}])" for i in range(1, 9)} |
+    st[12] = keep({i: f"(0.25 + ia[{16 + i}] / {PIN_SQL})" for i in range(1, 9)} |
                   {16 + i: "0.0" for i in range(1, 9)})
     # 13+i (i=1..4): per-topic-row digamma prep: xstar/v/t2 for
     # lambda_i1, lambda_i2, rowsum_i -> slots 39-41 / 44-46 / 49-51
