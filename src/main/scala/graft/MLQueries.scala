@@ -66,13 +66,13 @@ object MLQueries {
         .withColumnRenamed("MDS-1", "mds_1").withColumnRenamed("MDS-2", "mds_2")
     }),
     "q_coret_umap" -> ((s, dir) => {
-      // epochs pinned to UmapOracle.GateEpochs (50) so the oracle's
-      // per-event replay fold stays within the driver's DuckDB budget
-      // (like kmeans pins fitCap=2000); the operator default stays 300.
-      // QUALITY NOTE: 50 epochs is an under-converged embedding relative
-      // to the operator default (umap-learn effectively runs 500 for
-      // ≤10k rows) — the gate checks replay EXACTNESS, not embedding
-      // quality; UmapQualitySpec pins neighborhood preservation at the
+      // epochs pinned to UmapOracle.GateEpochs (150 since round 6 —
+      // measured DuckDB replay: 104s at 50 epochs, 289s at 150, both
+      // bit-exact; the full 300 default extrapolates to ~10 min, past
+      // the correctness-run budget) so the oracle's per-event replay
+      // fold stays affordable (like kmeans pins fitCap=2000); the
+      // operator default stays 300. The gate checks replay EXACTNESS;
+      // UmapQualitySpec pins neighborhood preservation at the
       // 300-epoch default.
       CoreT.umap(Tables.supplier(s, dir),
         features = Seq("s_nationkey", "s_acctbal"),

@@ -61,7 +61,7 @@ object UmapOracle {
     * the driver's DuckDB budget; the operator default stays 300
     * (spec-tested at full strength). 50 epochs = 14,331 firing events
     * over supplier's 867-edge graph at sf0.01. */
-  val GateEpochs = 50
+  val GateEpochs = 150
   private val UA = "1.5769434603113077e0"
   private val UB = "8.950608779109733e-1"
 
