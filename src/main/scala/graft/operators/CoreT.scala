@@ -541,6 +541,91 @@ object CoreT {
           StructField("UMAP-2", DoubleType, nullable = false))))
     }
 
+  /** Sampled-fit out-of-sample embedding — the scale path that lets
+    * search recommend tsne/umap scatters on tables far beyond the
+    * driver-fit bound. Fit: the `sampleCap` rows with the smallest
+    * md5(key…:seed) digest (the kmeans fit-sample selection — a seeded
+    * deterministic pseudo-random subset, no Spark-internal RNG),
+    * embedded exactly like [[tsne]]/[[umap]]. Transform: every row
+    * maps DISTRIBUTED to the inverse-distance-weighted mean of its 3
+    * nearest fitted points in normalized feature space — the standard
+    * out-of-sample extension for non-parametric embeddings (Bengio et
+    * al., "Out-of-Sample Extensions for LLE, Isomap, MDS, Eigenmaps,
+    * and Spectral Clustering", NeurIPS 2003); an exact feature match
+    * takes its fitted embedding directly. Deterministic per row (pure
+    * function of the row + the broadcast sample, fixed iteration
+    * order), so the output is partition-invariant. Nothing driver-side
+    * grows with n: the fit is sampleCap-bounded, the transform is one
+    * mapPartitions scan against a broadcast of ≤sampleCap points.
+    */
+  def embedSampled(df: DataFrame, features: Seq[String], carry: Seq[String],
+                   which: String, sampleCap: Int = 400, seed: Long = 9L,
+                   perplexity: Double = 5.0, nNeighbors: Int = 15,
+                   epochs: Int = 300): Option[DataFrame] =
+    guarded(df, features, minFeatures = 2) {
+      val spark = df.sparkSession
+      val norm = normalized(df, features, carry)
+      val d = features.length
+      // digest-ordered bounded sample (see kmeans for the tie-break
+      // rationale: duplicate keys hash identically, so features extend
+      // the order; full duplicates are interchangeable)
+      val fitRows = norm.na.drop(features)
+        .select(md5(concat_ws(":", carry.map(col) :+ lit(seed): _*)).as("__h")
+          +: features.map(c => col(c)): _*)
+        .orderBy(col("__h") +: features.map(col): _*).limit(sampleCap)
+        .collect()
+      val pts = fitRows.map(r => Array.tabulate(d)(i => r.getDouble(i + 1)))
+      require(pts.nonEmpty, s"$which sampled fit: no rows with complete features")
+      val (emb, names) = which match {
+        case "tsne" => (graft.functions.TSNE.embed(pts, perplexity), ("tSNE-1", "tSNE-2"))
+        case "umap" => (graft.functions.UMAP.embed(pts, nNeighbors, epochs), ("UMAP-1", "UMAP-2"))
+        case other => throw new IllegalArgumentException(s"embedSampled: $other")
+      }
+      val bPts = spark.sparkContext.broadcast(pts)
+      val bEmb = spark.sparkContext.broadcast(emb)
+      val nCarry = carry.length
+      val src = norm.select((carry ++ features).map(col): _*)
+      val outRdd = src.rdd.map { r =>
+        val x = Array.tabulate(d)(i =>
+          Option(r.get(nCarry + i)).map(_.toString.toDouble).getOrElse(0.0))
+        val sample = bPts.value
+        // 3 smallest squared distances, ties to the smaller sample
+        // index (strict < keeps the first-seen on equal distance)
+        val bi = Array(-1, -1, -1)
+        val bd = Array(Double.MaxValue, Double.MaxValue, Double.MaxValue)
+        var s = 0
+        while (s < sample.length) {
+          var dist = 0.0
+          var i = 0
+          while (i < d) { val t = x(i) - sample(s)(i); dist += t * t; i += 1 }
+          if (dist < bd(0)) {
+            bd(2) = bd(1); bi(2) = bi(1); bd(1) = bd(0); bi(1) = bi(0)
+            bd(0) = dist; bi(0) = s
+          } else if (dist < bd(1)) {
+            bd(2) = bd(1); bi(2) = bi(1); bd(1) = dist; bi(1) = s
+          } else if (dist < bd(2)) { bd(2) = dist; bi(2) = s }
+          s += 1
+        }
+        val (e1, e2) =
+          if (bd(0) == 0.0) (bEmb.value(bi(0))(0), bEmb.value(bi(0))(1))
+          else {
+            var w = 0.0; var a1 = 0.0; var a2 = 0.0
+            var q = 0
+            while (q < 3 && bi(q) >= 0) {
+              val wt = 1.0 / bd(q)
+              w += wt; a1 += wt * bEmb.value(bi(q))(0); a2 += wt * bEmb.value(bi(q))(1)
+              q += 1
+            }
+            (a1 / w, a2 / w)
+          }
+        Row.fromSeq((0 until nCarry).map(r.get) ++ Seq(e1, e2))
+      }
+      val carrySchema = StructType(carry.map(c => norm.schema(c)))
+      spark.createDataFrame(outRdd,
+        StructType(carrySchema ++ Seq(StructField(names._1, DoubleType, nullable = false),
+          StructField(names._2, DoubleType, nullable = false))))
+    }
+
   /** Identity pass-throughs null_num/null_num1/null_nom/null_nom1
     * (Tengine.py:202-212): selection is done by the tpath; validity
     * rules live in [[transform]]. */
@@ -556,19 +641,28 @@ object CoreT {
   def transform(df: DataFrame, coreT: String, tpath: Seq[TStep],
                 carry: Seq[String], notCalcuDmT: Boolean = true,
                 approxRows: Long = 0L,
-                windowRankMaxRows: Long = 1000000L): Option[DataFrame] = {
+                windowRankMaxRows: Long = 1000000L,
+                embedSampleAbove: Long = 0L): Option[DataFrame] = {
     val hasArithmetic = tpath.exists(s => arithmeticOps.contains(s.op))
     if (notCalcuDmT && dimensionReducing.contains(coreT) && hasArithmetic) return None
     if (coreT == "null_num1" && !hasArithmetic) return None
     val after = tpath.foldLeft(df)((d, s) =>
       TBasic(d, s, carry, approxRows, windowRankMaxRows))
     val feats = numericCols(after).filterNot(carry.contains)
+    // tsne/umap at scale: above `embedSampleAbove` (0 = off) the
+    // sampled-fit out-of-sample path replaces the exact driver fit —
+    // the search pipeline opts in via EngineConfig.searchEmbedSampleFit
+    def sampledEmbed = embedSampleAbove > 0 && approxRows > embedSampleAbove
     coreT match {
       case "pca"    => pca(after, feats, carry)
       case "kmeans" => kmeans(after, feats, carry)
       case "lda"    => lda(after, feats, carry, windowRankMaxRows = windowRankMaxRows)
       case "dbscan" => dbscan(after, feats, carry)
       case "mds"    => mds(after, feats, carry)
+      case "tsne" if sampledEmbed =>
+        embedSampled(after, feats, carry, "tsne", sampleCap = embedSampleAbove.toInt)
+      case "umap" if sampledEmbed =>
+        embedSampled(after, feats, carry, "umap", sampleCap = embedSampleAbove.toInt)
       case "tsne"   => tsne(after, feats, carry)
       case "umap"   => umap(after, feats, carry)
       case n if n.startsWith("null") || n == "test" => nullT(after)

@@ -164,7 +164,9 @@ object Recommender {
       memo.synchronized {
         memo.getOrElseUpdate(s"$coreT :: ${tp.fingerprint}", Future {
           try CoreT.transform(df, coreT, tp.steps, key, cfg.notCalcuDmT,
-            profile.rows, cfg.windowRankMaxRows).map { out =>
+            profile.rows, cfg.windowRankMaxRows,
+            embedSampleAbove = if (cfg.searchEmbedTs && cfg.searchEmbedSampleFit)
+              cfg.searchEmbedMaxRows else 0L).map { out =>
             val outCols = out.columns.filterNot(key.contains).toSeq
             Executed(coreT, tp, out, outCols)
           } catch {
@@ -212,8 +214,12 @@ object Recommender {
     // T.py:180) and in ours — but they are driver-side fits, so beyond
     // cfg.searchEmbedMaxRows (default: the reference's own 400-row
     // scale) the search skips them rather than collect-and-fit per
-    // candidate; see the EngineConfig scaladoc
-    val embedOk = cfg.searchEmbedTs && profile.rows <= cfg.searchEmbedMaxRows
+    // candidate — unless searchEmbedSampleFit opts into the
+    // sampled-fit out-of-sample path; see the EngineConfig scaladoc
+    val embedSampling = cfg.searchEmbedTs && cfg.searchEmbedSampleFit &&
+      profile.rows > cfg.searchEmbedMaxRows
+    val embedOk = (cfg.searchEmbedTs && profile.rows <= cfg.searchEmbedMaxRows) ||
+      embedSampling
     // client tlist restriction + the always-admitted null passthroughs
     // (main.py:92-94)
     val allowedTs = tlist.map(_ ++ Set("null_num", "null_num1", "null_nom", "null_nom1"))

@@ -124,6 +124,13 @@ final case class EngineConfig(
     /** Row bound above which search skips tsne/umap channel candidates;
       * default = the reference's MAXSOURCEDATAROWS (config.py:1). */
     searchEmbedMaxRows: Long = 400L,
+    /** Scale extension: above [[searchEmbedMaxRows]], search runs
+      * tsne/umap through [[graft.operators.CoreT.embedSampled]] — a
+      * digest-ordered bounded fit + distributed nearest-neighbor
+      * out-of-sample transform — instead of skipping them. Opt-in so
+      * the default search surface (and its golden pin) matches the
+      * reference's scale behavior exactly. */
+    searchEmbedSampleFit: Boolean = false,
     /** Concurrent (coreT, tpath) Spark-job submissions during search —
       * the analogue of the reference's one-process-per-core-T pool
       * (search.py:55-63). 4 covers the gate-scale search space; raise

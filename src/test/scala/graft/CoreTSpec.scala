@@ -80,6 +80,21 @@ class CoreTSpec extends SparkSpec {
     assert(labels.forall(_.matches(""".{1,6}\*[xyz]( \+ .{1,6}\*[xyz]){1,2}""")))
   }
 
+  test("embedSampled: partition-invariant out-of-sample embeddings, 2-d output") {
+    val df = (1 to 500).map(i =>
+      (i.toLong, math.cos(i * 0.1) * 10, math.sin(i * 0.1) * 10, i * 0.5))
+      .toDF("k", "x", "y", "z")
+    def out(parts: Int) =
+      CoreT.embedSampled(df.repartition(parts), Seq("x", "y", "z"), Seq("k"),
+        "umap", sampleCap = 100, epochs = 30).get
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val a = out(2)
+    val b = out(11)
+    assert(a.length == 500)
+    assert(a == b, "sampled embedding moved under reshuffling")
+    assert(a.map(t => (t._2, t._3)).distinct.length > 10, "degenerate embedding")
+  }
+
   test("lda distributed E-step is partition-count invariant (pinned-integer stats)") {
     // the EM reduce sums pinned integers — commutative and exact — so
     // λ, and therefore every label, must not move under reshuffling

@@ -43,6 +43,26 @@ class RecommenderSearchSpec extends SparkSpec {
     assert(embedChannels(bounded).isEmpty)
   }
 
+  test("searchEmbedSampleFit: 10k-row search emits embedding scatters via sampled fit") {
+    // 10k rows — 25× the exact-fit bound. With the opt-in flag, search
+    // must still recommend tsne/umap xy scatters, fitted on a bounded
+    // digest sample and transformed distributed (CoreT.embedSampled);
+    // without it, the scale exclusion stands (golden-pin stability).
+    val big = (1 to 10000).map { i =>
+      (s"id$i", i * 1.0, math.sin(i * 0.05) * 20 + 30, 120.0 - 0.02 * i)
+    }.toDF("name", "a v", "b v", "c v")
+    val (pdf, profile) = Profiler.profile(big)
+    assert(profile.rows > EngineConfig.default.searchEmbedMaxRows)
+    val rec = Recommender.recommend(pdf, profile, spark,
+      EngineConfig(searchEmbedSampleFit = true), charts = Seq("scatter"))
+    assert(rec.visList.exists(c => c.channels.get("xy").exists(v =>
+      v.startsWith("tsne") || v.startsWith("umap"))),
+      s"no sampled-fit embedding scatter in ${rec.visList.map(_.channels)}")
+    val off = Recommender.recommend(pdf, profile, spark, charts = Seq("scatter"))
+    assert(embedChannels(off).isEmpty, "default must keep the scale exclusion")
+    CacheScope.releaseAll()
+  }
+
   test("slist: explicit default set scores identically; a subset changes scores only") {
     val (pdf, profile) = Profiler.profile(fixture)
     def run(slist: Option[Set[String]]) =
