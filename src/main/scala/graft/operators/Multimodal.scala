@@ -36,10 +36,22 @@ object Multimodal {
       (pmod(floor(length(col("media")) / 7), lit(480)) + lit(16)).cast(LongType).as("height"),
       (pmod(length(col("media")), lit(30)) + lit(1)).cast(LongType).as("n_frames"))
 
+  /** The codec seam: the ONE interface a real deployment implements to
+    * replace the stub — everything else (schema, batch shape, frame
+    * explosion) is codec-agnostic. Must be Serializable: instances
+    * ship inside the mapPartitions closure and are reused across a
+    * partition's rows (amortizing real-decoder init).
+    * MultimodalCodecContractSpec pins that ANY implementation slots in
+    * without schema change. */
+  trait MediaCodec extends Serializable {
+    /** One frame's decoded payload (pixels/samples in a real impl). */
+    def decode(media: Array[Byte], frameIdx: Long): Array[Byte]
+  }
+
   /** STUB codec boundary. A real deployment decodes pixels/samples
     * here; the fake returns a deterministic per-frame digest so the
     * pipeline shape (binary → per-frame rows) is testable. */
-  object FakeCodec {
+  object FakeCodec extends MediaCodec {
     def decode(media: Array[Byte], frameIdx: Long): Array[Byte] = {
       // ??? ← real decoder goes here (e.g. javacv FFmpegFrameGrabber);
       // deterministic fake: frame digest = sha-256(media ++ ":" ++ idx).
@@ -108,7 +120,8 @@ object Multimodal {
     * with mapPartitions (the Scala analogue of mapInPandas batches —
     * per-partition codec reuse, streaming iterator, no whole-partition
     * materialization). */
-  def sampleFrames(df: DataFrame, keyCol: String, everyNth: Int = 10): DataFrame = {
+  def sampleFrames(df: DataFrame, keyCol: String, everyNth: Int = 10,
+                   codec: MediaCodec = FakeCodec): DataFrame = {
     val spark = df.sparkSession
     val withMeta = df.select(col(keyCol), col("media"),
       (pmod(length(col("media")), lit(30)) + lit(1)).cast(LongType).as("n_frames"))
@@ -124,7 +137,7 @@ object Multimodal {
         val media = r.getAs[Array[Byte]]("media")
         val n = r.getAs[Long]("n_frames")
         (0L until n by everyNth.toLong).iterator.map { f =>
-          val digest = FakeCodec.decode(media, f)
+          val digest = codec.decode(media, f)
           Row(r.get(keyIdx), f, digest.map("%02x".format(_)).mkString)
         }
       }

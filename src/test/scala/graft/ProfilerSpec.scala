@@ -81,6 +81,23 @@ class ProfilerSpec extends SparkSpec {
     }
   }
 
+  test("approx-distinct boundary re-check holds on a real table (customer sf0.1, 15k rows)") {
+    // the scale path: HLL counts in the main pass, exact re-count only
+    // for columns near a decision boundary (key detection / nominal
+    // threshold). On real data every type/key decision must match the
+    // exact pass — this is the evidence for flipping approxDistinct on
+    // at cluster scale (see ARCHITECTURE.md).
+    val df = graft.sources.Tables.customer(spark, "/root/testdata/sf0.1")
+    val exact = Profiler.profile(df)._2
+    val approx = Profiler.profile(df, EngineConfig(approxDistinct = true))._2
+    assert(approx.rows == exact.rows)
+    assert(approx.keyColumn == exact.keyColumn)
+    exact.columns.zip(approx.columns).foreach { case (e, a) =>
+      assert(a.logicalType == e.logicalType, e.name)
+      assert(a.isKey == e.isKey, e.name)
+    }
+  }
+
   test("quantile signatures drive Wasserstein distances") {
     val df = (1 to 1000).map(i => (i.toLong, i.toDouble, i.toDouble + 100.0, s"n$i"))
       .toDF("id", "a", "b", "nm")
