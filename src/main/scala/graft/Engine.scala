@@ -51,15 +51,20 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
              tlist: Option[Set[String]] = None,
              dimClusters: Option[Seq[Seq[String]]] = None,
              semClusters: Option[Seq[Seq[String]]] = None,
-             slist: Option[Set[String]] = None): Recommendation = {
-    val (pdf, prof0) = Profiler.profile(df, cfg)
-    val prof = prof0.copy(
-      dimClusters = dimClusters.getOrElse(prof0.dimClusters),
-      nameClusters = semClusters.getOrElse(prof0.nameClusters))
-    val rec = Recommender.recommend(pdf, prof, spark, cfg, charts,
-      tlist = tlist, slist = slist)
-    if (beautify) rec.copy(visList = Beautify.reorder(rec.visList)) else rec
-  }
+             slist: Option[Set[String]] = None): Recommendation =
+    // a Recommendation is fully materialized (chart data collected,
+    // graph rendered), so frames operators persisted along the way are
+    // release-safe here — long-lived library callers get the same
+    // cache hygiene the HTTP shim's request boundary provides
+    CacheScope.withCached {
+      val (pdf, prof0) = Profiler.profile(df, cfg)
+      val prof = prof0.copy(
+        dimClusters = dimClusters.getOrElse(prof0.dimClusters),
+        nameClusters = semClusters.getOrElse(prof0.nameClusters))
+      val rec = Recommender.recommend(pdf, prof, spark, cfg, charts,
+        tlist = tlist, slist = slist)
+      if (beautify) rec.copy(visList = Beautify.reorder(rec.visList)) else rec
+    }
 
   /** Interactive lineage extension (§3.3): replay `lineageJson` on the
     * source and apply one more basic step; returns the frame + new id. */
