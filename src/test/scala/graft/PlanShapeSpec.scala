@@ -110,6 +110,21 @@ class PlanShapeSpec extends SparkSpec {
     } finally CacheScope.releaseAll()
   }
 
+  test("minRankByValue plans no Window — keyless ranking stays distributed") {
+    // the keyless-LDA rank fallback must never degrade to a bare
+    // global window (single-partition funnel): the min-rank comes from
+    // a groupBy + range-partitioned prefix sum + join
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 50).toDouble).toDF("v")
+    try {
+      val ranked = graft.operators.Rank.minRankByValue(df, "v", "r")
+      assert(ranked.count() == 1000)
+      val wins = flatten(ranked.queryExecution.executedPlan)
+        .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.isEmpty, s"min-rank must not plan a window:\n${ranked.queryExecution}")
+    } finally CacheScope.releaseAll()
+  }
+
   test("pca projection is a pruned shuffle-free scan; moment sums stay primitive") {
     // the hi/lo long-split exists so the moment aggregate runs as a
     // codegen HashAggregate over LongType buffers — a DECIMAL(38,0)
