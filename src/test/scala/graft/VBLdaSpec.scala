@@ -40,6 +40,19 @@ class VBLdaSpec extends AnyFunSuite {
     assert(fit.gamma.flatten.toSeq == fit2.gamma.flatten.toSeq)
   }
 
+  test("fit is a pure function of the doc MULTISET: permutations give identical lambda") {
+    // the pinned-integer statistics (round 6) make the sstats sum
+    // exact and commutative — the property the distributed E-step's
+    // correctness rests on; reversal + an interleave both must match
+    val docs = Array.tabulate(60)(d =>
+      Array((d % 7 + 1) * 11.0, (d % 5 + 1) * 13.0, (d % 3 + 1) * 17.0))
+    val base = VBLda.fit(docs, k = 4)
+    val rev = VBLda.fit(docs.reverse, k = 4)
+    val shuf = VBLda.fit(docs.indices.sortBy(i => (i * 37) % 60).map(docs).toArray, k = 4)
+    for (f <- Seq(rev, shuf); i <- base.lambda.indices; j <- base.lambda(i).indices)
+      assert(f.lambda(i)(j) == base.lambda(i)(j), s"λ($i)($j) moved under reorder")
+  }
+
   test("docEStep posterior sums to alpha*K + doc mass (VB invariant)") {
     // Σγ = Σα + n_d holds at the mean-field fixed point up to tol
     val docs = Array(Array(30.0, 70.0))
