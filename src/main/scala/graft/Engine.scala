@@ -51,20 +51,22 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
              tlist: Option[Set[String]] = None,
              dimClusters: Option[Seq[Seq[String]]] = None,
              semClusters: Option[Seq[Seq[String]]] = None,
-             slist: Option[Set[String]] = None): Recommendation =
-    // a Recommendation is fully materialized (chart data collected,
-    // graph rendered), so frames operators persisted along the way are
-    // release-safe here — long-lived library callers get the same
-    // cache hygiene the HTTP shim's request boundary provides
-    CacheScope.withCached {
-      val (pdf, prof0) = Profiler.profile(df, cfg)
-      val prof = prof0.copy(
-        dimClusters = dimClusters.getOrElse(prof0.dimClusters),
-        nameClusters = semClusters.getOrElse(prof0.nameClusters))
-      val rec = Recommender.recommend(pdf, prof, spark, cfg, charts,
-        tlist = tlist, slist = slist)
-      if (beautify) rec.copy(visList = Beautify.reorder(rec.visList)) else rec
-    }
+             slist: Option[Set[String]] = None): Recommendation = {
+    // Cache hygiene is the CALLER's scope decision, not wrapped here:
+    // a Recommendation is fully materialized, so a single-threaded
+    // caller can wrap calls in CacheScope.withCached (the HTTP shim's
+    // serial request boundary does exactly that) — but an unconditional
+    // wrap would break CONCURRENT searches on one Engine, because
+    // CacheScope's mark-based scopes interleave destructively across
+    // threads (its scaladoc: prefer releaseAll() at quiesce points).
+    val (pdf, prof0) = Profiler.profile(df, cfg)
+    val prof = prof0.copy(
+      dimClusters = dimClusters.getOrElse(prof0.dimClusters),
+      nameClusters = semClusters.getOrElse(prof0.nameClusters))
+    val rec = Recommender.recommend(pdf, prof, spark, cfg, charts,
+      tlist = tlist, slist = slist)
+    if (beautify) rec.copy(visList = Beautify.reorder(rec.visList)) else rec
+  }
 
   /** Interactive lineage extension (§3.3): replay `lineageJson` on the
     * source and apply one more basic step; returns the frame + new id. */
@@ -73,10 +75,16 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
     Lineage.addStep(pdf, lineageJson, step, prof.keyColumn.toSeq)
   }
 
+  /** Sampled-fit routing for interactive rebuilds — the same decision
+    * search makes, so recommended charts replay identically. */
+  private def embedSampleAbove: Long =
+    if (cfg.searchEmbedTs && cfg.searchEmbedSampleFit) cfg.searchEmbedMaxRows else 0L
+
   /** Interactive terminal transform on a replayed lineage (§3.3). */
   def addVisualization(source: DataFrame, lineageJson: String, coreT: String): Option[DataFrame] = {
     val (pdf, prof) = Profiler.profile(source, cfg)
-    Lineage.addCoreT(pdf, lineageJson, coreT, prof.keyColumn.toSeq, cfg.notCalcuDmT)
+    Lineage.addCoreT(pdf, lineageJson, coreT, prof.keyColumn.toSeq, cfg.notCalcuDmT,
+      approxRows = prof.rows, embedSampleAbove = embedSampleAbove)
   }
 
   /** Build a chart's data frame from user-chosen channel lineages —
@@ -95,7 +103,8 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
     val (pdf, prof) = Profiler.profile(source, cfg)
     val key = prof.keyColumn.toSeq
     val executed = channels.map { case (ch, (json, coreT)) =>
-      ch -> Lineage.addCoreT(pdf, json, coreT, key, cfg.notCalcuDmT)
+      ch -> Lineage.addCoreT(pdf, json, coreT, key, cfg.notCalcuDmT,
+        approxRows = prof.rows, embedSampleAbove = embedSampleAbove)
     }
     if (executed.values.exists(_.isEmpty)) return None
     val frames = executed.view.mapValues(_.get).toMap

@@ -56,11 +56,13 @@ object UmapOracle {
   private val L = "6.931471805599453e-1"
   private val LHI = "6.93147180369123816490e-01"
   private val LLO = "1.90821492927058770002e-10"
-  /** Gate-query epoch count (CoreT.umap's `epochs`): pinned to 50 like
+  /** Gate-query epoch count (CoreT.umap's `epochs`): pinned like
     * kmeans pins fitCap=2000, so the oracle's event fold stays within
     * the driver's DuckDB budget; the operator default stays 300
-    * (spec-tested at full strength). 50 epochs = 14,331 firing events
-    * over supplier's 867-edge graph at sf0.01. */
+    * (spec-tested at full strength, UmapQualitySpec). Raised 50 → 150
+    * in round 6 — measured replay on supplier sf0.01: 104s at 50,
+    * 289s at 150 (the fold is ~linear in epochs: ~287 firing events
+    * per epoch over the 867-edge graph); 300 ≈ 10 min, past budget. */
   val GateEpochs = 150
   private val UA = "1.5769434603113077e0"
   private val UB = "8.950608779109733e-1"

@@ -97,6 +97,31 @@ object VBLda {
   private[graft] def unpin(hi: Long, lo: Long): Double =
     ((BigInt(hi) << PinLoBits) + BigInt(lo)).toDouble / SStatsPinScale
 
+  /** The ONE batch-EM driver both fit paths run: init λ, then maxIter
+    * times — expElogbeta from λ, caller-supplied pinned-stat
+    * accumulation (a sequential fold in [[fit]], a broadcast +
+    * mapPartitions reduce in [[graft.operators.CoreT.lda]]), M-step
+    * λ = η + unpin(stats). Because the arithmetic lives only here,
+    * the distributed operator cannot drift from the fit the DuckDB
+    * oracle replays.
+    * @param accumulate expElogbeta ⇒ hi/lo accumulator (layout of
+    *                   [[addPinned]]) summing every doc's
+    *                   [[docPinnedStats]]
+    */
+  private[graft] def emLoop(k: Int, w: Int, seed: Long, maxIter: Int)(
+      accumulate: Array[Array[Double]] => Array[Long]): Array[Array[Double]] = {
+    val eta = 1.0 / k
+    val lambda = lambdaInit(k, w, seed)
+    var iter = 0
+    while (iter < maxIter) {
+      val acc = accumulate(expElogbetaOf(lambda))
+      for (i <- 0 until k; j <- 0 until w)
+        lambda(i)(j) = eta + unpin(acc(2 * (i * w + j)), acc(2 * (i * w + j) + 1))
+      iter += 1
+    }
+    lambda
+  }
+
   /** expElogbeta (exp(ψ(λ)−ψ(Σ_w λ)) per topic row) from λ — the k×w
     * broadcast the E-step runs against. */
   private[graft] def expElogbetaOf(lambda: Array[Array[Double]]): Array[Array[Double]] = {
@@ -202,20 +227,13 @@ object VBLda {
     require(docs.nonEmpty, "lda: empty corpus")
     val w = docs(0).length
     val alpha = 1.0 / k
-    val eta = 1.0 / k
-    val lambda = lambdaInit(k, w, seed)
-    var iter = 0
-    while (iter < maxIter) {
-      val expElogbeta = expElogbetaOf(lambda)
-      // E-step: per-doc converged posteriors → pinned φ statistics
-      // (φ_dwk ∝ expElogtheta_k · expElogbeta_kw at the converged γ —
-      // the same quantity sklearn accumulates, floored to 2^-36)
+    // E-step: per-doc converged posteriors → pinned φ statistics
+    // (φ_dwk ∝ expElogtheta_k · expElogbeta_kw at the converged γ —
+    // the same quantity sklearn accumulates, floored to 2^-36)
+    val lambda = emLoop(k, w, seed, maxIter) { expElogbeta =>
       val acc = new Array[Long](2 * k * w)
       docs.foreach(counts => addPinned(acc, docPinnedStats(counts, expElogbeta, alpha)))
-      // M-step: λ = η + sstats
-      for (i <- 0 until k; j <- 0 until w)
-        lambda(i)(j) = eta + unpin(acc(2 * (i * w + j)), acc(2 * (i * w + j) + 1))
-      iter += 1
+      acc
     }
     // final-pass posteriors against the final λ (sklearn's transform
     // re-runs the E-step after fit; doing it here keeps one code path)

@@ -343,17 +343,19 @@ object CoreT {
       val w = features.length
       val nCarry = carry.length
       val alpha = 1.0 / k
-      val eta = 1.0 / k
+      // rank columns are cast("double") by pctBucket and never null
+      // (both rank paths produce a rank for every row); the primitive
+      // accessor keeps the ~n×features×11-pass hot loop boxing-free
       def countsOf(r: Row): Array[Double] = Array.tabulate(w)(i =>
-        Option(r.get(nCarry + i)).map(_.toString.toDouble).getOrElse(0.0))
+        if (r.isNullAt(nCarry + i)) 0.0 else r.getDouble(nCarry + i))
       val sc = spark.sparkContext
-      val lambda = VBLda.lambdaInit(k, w, seed)
-      var iter = 0
-      while (iter < VBLda.DefaultMaxIter) {
-        // E-step, distributed: per-doc sweeps against the broadcast
-        // topic matrix; pinned-integer stats make the reduce exact and
-        // order-free, so any partitioning yields these exact λ
-        val bEeb = sc.broadcast(VBLda.expElogbetaOf(lambda))
+      // EM via the ONE shared loop (VBLda.emLoop — same arithmetic the
+      // DuckDB oracle replays); this path supplies only the DISTRIBUTED
+      // accumulate: per-doc sweeps against the broadcast topic matrix,
+      // with pinned-integer stats making the reduce exact and
+      // order-free, so any partitioning yields the exact driver-fit λ
+      val lambda = VBLda.emLoop(k, w, seed, VBLda.DefaultMaxIter) { eeb =>
+        val bEeb = sc.broadcast(eeb)
         val acc = docsRdd.mapPartitions { it =>
           val local = new Array[Long](2 * k * w)
           it.foreach(r =>
@@ -364,11 +366,8 @@ object CoreT {
           while (i < a.length) { a(i) += b(i); i += 1 }
           a
         }
-        // M-step: λ = η + sstats (driver, k×w)
-        for (i <- 0 until k; j <- 0 until w)
-          lambda(i)(j) = eta + VBLda.unpin(acc(2 * (i * w + j)), acc(2 * (i * w + j) + 1))
         bEeb.unpersist()
-        iter += 1
+        acc
       }
       // topic labels: top-3 terms by normalized weight (Tfunctions.py:58-73)
       val desc = VBLda.topTerms(VBLda.Fit(lambda, Array.empty), 3).map {
@@ -651,7 +650,10 @@ object CoreT {
     val feats = numericCols(after).filterNot(carry.contains)
     // tsne/umap at scale: above `embedSampleAbove` (0 = off) the
     // sampled-fit out-of-sample path replaces the exact driver fit —
-    // the search pipeline opts in via EngineConfig.searchEmbedSampleFit
+    // the search pipeline opts in via EngineConfig.searchEmbedSampleFit.
+    // Routing on the SOURCE row count is exact, not an approximation:
+    // every tpath step (select/rank/row-wise arithmetic/astype/
+    // nominalize) is row-wise, so post-tpath cardinality == approxRows
     def sampledEmbed = embedSampleAbove > 0 && approxRows > embedSampleAbove
     coreT match {
       case "pca"    => pca(after, feats, carry)

@@ -60,9 +60,16 @@ object Lineage {
   }
 
   /** /vis/addV-style terminal transform on a replayed lineage. */
+  /** `approxRows`/`embedSampleAbove` must mirror what the SEARCH used
+    * (Engine passes profile.rows + its sampled-fit config): a chart
+    * recommended through the sampled tsne/umap path must rebuild
+    * through the same path, or /vis/addV would crash on (or silently
+    * re-fit differently than) the very chart search just emitted. */
   def addCoreT(source: DataFrame, json: String, coreT: String,
-               carry: Seq[String], notCalcuDmT: Boolean = true): Option[DataFrame] =
-    CoreT.transform(source, coreT, fromJson(json), carry, notCalcuDmT)
+               carry: Seq[String], notCalcuDmT: Boolean = true,
+               approxRows: Long = 0L, embedSampleAbove: Long = 0L): Option[DataFrame] =
+    CoreT.transform(source, coreT, fromJson(json), carry, notCalcuDmT,
+      approxRows, embedSampleAbove = embedSampleAbove)
 }
 
 /** Demo-presentation reorder of the recommendation list

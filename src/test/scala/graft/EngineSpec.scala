@@ -34,6 +34,24 @@ class EngineSpec extends SparkSpec {
     assert(vis.get.columns.contains("Category by KMeans"))
   }
 
+  test("addVisualization rebuilds a sampled-fit embedding chart (search/addV routing parity)") {
+    // a chart search recommended through the sampled tsne/umap path
+    // must rebuild through the SAME path: 3000 rows is past umap's
+    // exact-fit driver cap (2000), so without the routing the rebuild
+    // of a recommended chart would throw
+    val big = Seq.tabulate(3000) { i =>
+      (s"row$i", i * 1.0, math.sin(i * 0.01) * 50, 100.0 - i * 0.03)
+    }.toDF("name", "a val", "b val", "c val")
+    val engine = new Engine(spark, EngineConfig(searchEmbedSampleFit = true))
+    val base = Lineage.toJson(Seq(TStep("select",
+      inCols = Seq("a val", "b val", "c val"), outMode = "new_table")))
+    val vis = engine.addVisualization(big, base, "umap")
+    assert(vis.isDefined)
+    assert(vis.get.columns.toSeq.containsSlice(Seq("UMAP-1", "UMAP-2")))
+    assert(vis.get.count() == 3000)
+    CacheScope.releaseAll()
+  }
+
   test("buildChart assembles bar/scatter data from channel lineages") {
     val engine = new Engine(spark)
     val selNum = Lineage.toJson(Seq(TStep("select",
