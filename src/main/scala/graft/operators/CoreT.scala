@@ -295,7 +295,7 @@ object CoreT {
     */
   def lda(df: DataFrame, features: Seq[String], carry: Seq[String],
           k: Int = LdaK, seed: Long = LdaSeed,
-          windowRankMaxRows: Long = 1000000L): Option[DataFrame] =
+          windowRankMaxRows: Long = 100000L): Option[DataFrame] =
     guarded(df, features) {
       val spark = df.sparkSession
       // rank each feature column (method=first; tie-break = carry key),
@@ -640,7 +640,7 @@ object CoreT {
   def transform(df: DataFrame, coreT: String, tpath: Seq[TStep],
                 carry: Seq[String], notCalcuDmT: Boolean = true,
                 approxRows: Long = 0L,
-                windowRankMaxRows: Long = 1000000L,
+                windowRankMaxRows: Long = 100000L,
                 embedSampleAbove: Long = 0L): Option[DataFrame] = {
     val hasArithmetic = tpath.exists(s => arithmeticOps.contains(s.op))
     if (notCalcuDmT && dimensionReducing.contains(coreT) && hasArithmetic) return None

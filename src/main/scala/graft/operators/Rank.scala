@@ -39,7 +39,7 @@ object Rank {
     * keeps whole-stage codegen for chart-scale frames; zipWithIndex for
     * anything large. */
   def rank(df: DataFrame, valueCol: String, tieCols: Seq[String], outCol: String,
-           approxRows: Long, windowMaxRows: Long = 1000000L): DataFrame =
+           approxRows: Long, windowMaxRows: Long = 100000L): DataFrame =
     if (approxRows <= windowMaxRows)
       df.withColumn(outCol, TBasic.rankWindow(valueCol, tieCols))
     else

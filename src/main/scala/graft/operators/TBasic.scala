@@ -148,7 +148,7 @@ object TBasic {
     *                   single-partition window to [[Rank.zipWithIndexRank]]
     *                   (same semantics, range-partitioned) */
   def apply(df: DataFrame, step: TStep, carryCols: Seq[String] = Nil,
-            approxRows: Long = 0L, windowRankMaxRows: Long = 1000000L): DataFrame = {
+            approxRows: Long = 0L, windowRankMaxRows: Long = 100000L): DataFrame = {
     val ins = resolveInputs(df, step)
     def named(default: String): String = step.outName.getOrElse(default)
 

@@ -26,9 +26,10 @@ object LdaScaleProbe {
         col("l_quantity"), col("l_extendedprice"), col("l_discount"))
     val n = df.count()
     val t0 = System.nanoTime()
+    val windowMax = args.lift(1).map(_.toLong).getOrElse(100000L)
     val out = CoreT.lda(df,
       features = Seq("l_quantity", "l_extendedprice", "l_discount"),
-      carry = Seq("l_orderkey", "l_linenumber")).get
+      carry = Seq("l_orderkey", "l_linenumber"), windowRankMaxRows = windowMax).get
     val byLabel = out.groupBy("Category by LDA").count().collect()
       .map(r => r.getString(0).take(24) -> r.getLong(1)).sortBy(-_._2)
     val dt = (System.nanoTime() - t0) / 1e9
