@@ -434,6 +434,31 @@ object CoreT {
     * bounded collect — sklearn uses SMACOF so
     * coordinates differ, but both are metric embeddings of the same
     * distances; tests assert distance preservation, not values. */
+  /** Classical-MDS (Torgerson) coordinates for a point set: B = −½JD²J,
+    * top-2 eigenpairs by mirrored power iteration + deflation (see
+    * [[graft.functions.JacobiEig.powerTop]] — replayable, unlike
+    * LAPACK). Shared by [[mds]] and the sampled-fit path. */
+  private def mdsFit(pts: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = pts.length
+    val d2 = Array.tabulate(n, n) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < pts(i).length) { val diff = pts(i)(k) - pts(j)(k); s += diff * diff; k += 1 }
+      s
+    }
+    val rowMean = Array.tabulate(n)(i => (0 until n).map(j => d2(i)(j)).sum / n)
+    val grand = rowMean.sum / n
+    val b = Array.tabulate(n, n) { (i, j) =>
+      -0.5 * (d2(i)(j) - rowMean(i) - rowMean(j) + grand)
+    }
+    val (l1, v1) = graft.functions.JacobiEig.powerTop(b)
+    val b2 = Array.tabulate(n, n) { (i, j) => b(i)(j) - l1 * v1(i) * v1(j) }
+    val (l2, v2) = graft.functions.JacobiEig.powerTop(b2)
+    Array.tabulate(n, 2) { (i, c) =>
+      if (c == 0) v1(i) * math.sqrt(math.max(l1, 0.0))
+      else v2(i) * math.sqrt(math.max(l2, 0.0))
+    }
+  }
+
   def mds(df: DataFrame, features: Seq[String], carry: Seq[String],
           maxDriverRows: Int = 5000): Option[DataFrame] =
     guarded(df, features, minFeatures = 2) {
@@ -448,29 +473,9 @@ object CoreT {
         .orderBy(carry.map(col): _*).limit(maxDriverRows + 1).collect()
       require(rows.length <= maxDriverRows,
         s"mds driver path capped at $maxDriverRows rows (got ${rows.length})")
-      val n = rows.length
       val pts = rows.map(r => features.indices.map(i =>
         Option(r.get(carry.length + i)).map(_.toString.toDouble).getOrElse(0.0)).toArray)
-      val d2 = Array.tabulate(n, n) { (i, j) =>
-        var s = 0.0; var k = 0
-        while (k < pts(i).length) { val diff = pts(i)(k) - pts(j)(k); s += diff * diff; k += 1 }
-        s
-      }
-      // B = -1/2 J D² J
-      val rowMean = Array.tabulate(n)(i => (0 until n).map(j => d2(i)(j)).sum / n)
-      val grand = rowMean.sum / n
-      val b = Array.tabulate(n, n) { (i, j) =>
-        -0.5 * (d2(i)(j) - rowMean(i) - rowMean(j) + grand)
-      }
-      // top-2 eigenpairs by mirrored power iteration + deflation (see
-      // JacobiEig.powerTop — replayable, unlike LAPACK)
-      val (l1, v1) = graft.functions.JacobiEig.powerTop(b)
-      val b2 = Array.tabulate(n, n) { (i, j) => b(i)(j) - l1 * v1(i) * v1(j) }
-      val (l2, v2) = graft.functions.JacobiEig.powerTop(b2)
-      val coords = Array.tabulate(n, 2) { (i, c) =>
-        if (c == 0) v1(i) * math.sqrt(math.max(l1, 0.0))
-        else v2(i) * math.sqrt(math.max(l2, 0.0))
-      }
+      val coords = mdsFit(pts)
       val out = rows.zipWithIndex.map { case (r, i) =>
         Row.fromSeq(carry.indices.map(r.get) ++ Seq(coords(i)(0), coords(i)(1)))
       }
@@ -541,7 +546,7 @@ object CoreT {
     }
 
   /** Sampled-fit out-of-sample embedding — the scale path that lets
-    * search recommend tsne/umap scatters on tables far beyond the
+    * search recommend tsne/umap/mds scatters on tables far beyond the
     * driver-fit bound. Fit: the `sampleCap` rows with the smallest
     * md5(key…:seed) digest (the kmeans fit-sample selection — a seeded
     * deterministic pseudo-random subset, no Spark-internal RNG),
@@ -578,6 +583,7 @@ object CoreT {
       val (emb, names) = which match {
         case "tsne" => (graft.functions.TSNE.embed(pts, perplexity), ("tSNE-1", "tSNE-2"))
         case "umap" => (graft.functions.UMAP.embed(pts, nNeighbors, epochs), ("UMAP-1", "UMAP-2"))
+        case "mds"  => (mdsFit(pts), ("MDS-1", "MDS-2"))
         case other => throw new IllegalArgumentException(s"embedSampled: $other")
       }
       val bPts = spark.sparkContext.broadcast(pts)
@@ -660,6 +666,8 @@ object CoreT {
       case "kmeans" => kmeans(after, feats, carry)
       case "lda"    => lda(after, feats, carry, windowRankMaxRows = windowRankMaxRows)
       case "dbscan" => dbscan(after, feats, carry)
+      case "mds" if sampledEmbed =>
+        embedSampled(after, feats, carry, "mds", sampleCap = embedSampleAbove.toInt)
       case "mds"    => mds(after, feats, carry)
       case "tsne" if sampledEmbed =>
         embedSampled(after, feats, carry, "tsne", sampleCap = embedSampleAbove.toInt)

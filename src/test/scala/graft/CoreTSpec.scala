@@ -93,6 +93,10 @@ class CoreTSpec extends SparkSpec {
     assert(a.length == 500)
     assert(a == b, "sampled embedding moved under reshuffling")
     assert(a.map(t => (t._2, t._3)).distinct.length > 10, "degenerate embedding")
+    // mds rides the same seam (Torgerson fit on the sample, NN transform)
+    val m = CoreT.embedSampled(df, Seq("x", "y", "z"), Seq("k"), "mds", sampleCap = 100).get
+    assert(m.columns.toSeq == Seq("k", "MDS-1", "MDS-2"))
+    assert(m.count() == 500)
   }
 
   test("lda distributed E-step is partition-count invariant (pinned-integer stats)") {
