@@ -37,7 +37,10 @@ object Bench {
     "q_text_tokens", "q_text_quality", "q_text_fingerprint", "q_text_langid",
     "q_text_simhash", "q_dedup_exact_docs", "q_dedup_minhash_lsh",
     "q_dedup_simhash", "q_embed_norm", "q_sim_bruteforce_topk",
-    "q_multimodal_meta", "q_events_window")
+    "q_multimodal_meta", "q_events_window",
+    // curation family (round 6): repetition profiling, vocab top-k,
+    // contamination screening, as-of enrichment
+    "q_text_repetition", "q_vocab_topk", "q_contamination", "q_events_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{CorpusPipeline, Dedup, Multimodal, Similarity}
+import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Multimodal, PipelineOps, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -62,6 +62,50 @@ object ExtQueries {
     "q_text_simhash" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
         TextFunctions.simhash(col("text")).as("simhash"))
+    }),
+    "q_text_repetition" -> ((s, dir) => {
+      PipelineOps.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+    }),
+    "q_pii_redact" -> ((s, dir) => {
+      // the synthetic corpus carries no PII, so the fixture injects a
+      // deterministic email + IPv4 per row — the oracle hashes the full
+      // redacted text, so the whole match/replace surface is gated
+      Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("contact user"), col("doc_id"), lit("@example.com from 10."),
+          col("doc_id") % 256, lit(".0.1 "), coalesce(col("text"), lit(""))).as("__pii"))
+        .select(col("doc_id"),
+          TextFunctions.countMatches(col("__pii"), TextFunctions.emailPattern).as("n_emails"),
+          TextFunctions.countMatches(col("__pii"), TextFunctions.ipv4Pattern).as("n_ips"),
+          md5(TextFunctions.redactPii(col("__pii"))).as("redacted_fp"))
+    }),
+    "q_sample_stratified" -> ((s, dir) => {
+      // dyadic fractions so frac·2^32 is integer-exact in any engine
+      PipelineOps.stratifiedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", "lang", Map("en" -> 0.5, "zh" -> 1.0), defaultFrac = 0.75)
+    }),
+    "q_vocab_topk" -> ((s, dir) => {
+      PipelineOps.vocabProfile(Tables.documents(s, dir), "doc_id", "text", k = 50)
+    }),
+    "q_contamination" -> ((s, dir) => {
+      // probe set = every 50th doc standing in for a benchmark; corpus
+      // = the rest, screened for shared word 5-grams
+      val d = Tables.documents(s, dir)
+      PipelineOps.contaminationCheck(d.where(col("doc_id") % 50 =!= 0),
+        d.where(col("doc_id") % 50 === 0), "doc_id", "text", n = 5)
+    }),
+    "q_events_asof" -> ((s, dir) => {
+      // clicks enriched with the user's most recent purchase value at
+      // or before the click (microsecond domain — see q_events_sessionize)
+      val e = Tables.eventsRawNanos(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+          col("event_type"), col("value"))
+      AsofJoin.asofJoin(
+        e.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_us", "value"),
+        e.where(col("event_type") === "purchase"),
+        keyCols = Seq("user_id"), timeCol = "ts_us", tieCol = "event_id",
+        payloadCols = Seq("value"))
     }),
 
     // ── dedup family ───────────────────────────────────────────────
@@ -365,6 +409,104 @@ object ExtQueries {
       """SELECT doc_id,
         | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,
+    // one struct-tagged gram frame → per-(doc, n, gram) counts → two
+    // roll-ups, the exact shape of PipelineOps.repetitionSignals; all
+    // fractions are double divisions of exact integers, thresholds in
+    // e-notation so they parse as DOUBLE (the DECIMAL-literal trap)
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(COALESCE(text,''), '\S+') AS ws
+        |           FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, ws,
+        |        [array_to_string(ws[i:i+1],' ') FOR i IN generate_series(1, len(ws)-1)] AS g2,
+        |        [array_to_string(ws[i:i+4],' ') FOR i IN generate_series(1, len(ws)-4)] AS g5
+        |      FROM t),
+        |g AS (SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM b
+        |      UNION ALL SELECT doc_id, 2, unnest(g2) FROM b
+        |      UNION ALL SELECT doc_id, 5, unnest(g5) FROM b),
+        |c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |a AS (SELECT doc_id, n, MAX(cnt) AS mx, SUM(cnt) AS tot,
+        |        SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+        |      FROM c GROUP BY 1, 2),
+        |p AS (SELECT doc_id,
+        |        MAX(CASE WHEN n = 1 THEN mx END) AS mx1,
+        |        MAX(CASE WHEN n = 2 THEN mx END) AS mx2,
+        |        MAX(CASE WHEN n = 5 THEN dup END) AS dup5,
+        |        MAX(CASE WHEN n = 5 THEN tot END) AS tot5
+        |      FROM a GROUP BY 1),
+        |f AS (SELECT b.doc_id, b.n_words,
+        |        COALESCE(CAST(mx1 AS DOUBLE)
+        |          / CASE WHEN b.n_words = 0 THEN NULL ELSE b.n_words END, 0e0) AS top_word_frac,
+        |        COALESCE(CAST(mx2 * 2 AS DOUBLE)
+        |          / CASE WHEN b.n_words = 0 THEN NULL ELSE b.n_words END, 0e0) AS top_bigram_frac,
+        |        COALESCE(CAST(dup5 AS DOUBLE) / tot5, 0e0) AS dup_ngram_frac
+        |      FROM b LEFT JOIN p USING (doc_id))
+        |SELECT doc_id, n_words, top_word_frac, top_bigram_frac, dup_ngram_frac,
+        |  CAST(CASE WHEN top_word_frac > 3e-1 OR top_bigram_frac > 2e-1
+        |              OR dup_ngram_frac > 15e-2 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+        |FROM f""".stripMargin,
+    "q_pii_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |  'contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.'
+        |    || CAST(doc_id % 256 AS VARCHAR) || '.0.1 ' || COALESCE(text, '') AS pii
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_fp
+        |FROM t""".stripMargin,
+    // dyadic fractions (k/2^m) make frac·2^32 integer-exact whether the
+    // engine folds the literal as DECIMAL or DOUBLE; e-notation keeps
+    // DuckDB in DOUBLE regardless
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8))::BIGINT
+        |  < (CASE lang WHEN 'en' THEN 5e-1 WHEN 'zh' THEN 1e0 ELSE 75e-2 END)
+        |    * 4294967296e0""".stripMargin,
+    // (tf DESC, word) is a total order — words are unique per group —
+    // so the LIMIT cut is deterministic on both engines
+    "q_vocab_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(COALESCE(text,''), '\S+')) AS word
+        |           FROM documents),
+        |pd AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2)
+        |SELECT word, CAST(SUM(n) AS BIGINT) AS tf, COUNT(*) AS doc_freq
+        |FROM pd GROUP BY word
+        |ORDER BY tf DESC, word LIMIT 50""".stripMargin,
+    "q_contamination" ->
+      """WITH pr AS (SELECT list_distinct([array_to_string(ws[i:i+4],' ')
+        |              FOR i IN generate_series(1, len(ws)-4)]) AS gs
+        |            FROM (SELECT regexp_extract_all(COALESCE(text,''), '\S+') AS ws
+        |                  FROM documents WHERE doc_id % 50 = 0)),
+        |pg AS (SELECT DISTINCT unnest(gs) AS gram FROM pr),
+        |co AS (SELECT doc_id, regexp_extract_all(COALESCE(text,''), '\S+') AS ws
+        |       FROM documents WHERE doc_id % 50 <> 0),
+        |cg AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+4],' ')
+        |         FOR i IN generate_series(1, len(ws)-4)])) AS gram FROM co),
+        |h AS (SELECT doc_id, COUNT(*) AS n_overlap FROM cg JOIN pg USING (gram) GROUP BY 1)
+        |SELECT c.doc_id, COALESCE(h.n_overlap, 0) AS n_overlap,
+        |  CAST(CASE WHEN COALESCE(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS contaminated
+        |FROM co c LEFT JOIN h USING (doc_id)""".stripMargin,
+    // the union + running-last twin of AsofJoin.asofJoin: side 0 (right)
+    // sorts before side 1 (left) at equal time, event_id breaks right-
+    // side ties — the same total order the Spark window uses
+    "q_events_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |           FROM events),
+        |u AS (SELECT event_id, user_id, ts_us, value, 1 AS side, NULL::DOUBLE AS pay
+        |      FROM e WHERE event_type = 'click'
+        |      UNION ALL
+        |      SELECT event_id, user_id, ts_us, NULL::DOUBLE, 0, value
+        |      FROM e WHERE event_type = 'purchase'),
+        |w AS (SELECT event_id, user_id, ts_us, value, side,
+        |        LAST_VALUE(pay IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, side, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |      FROM u)
+        |SELECT event_id, user_id, ts_us, value, asof_value FROM w WHERE side = 1""".stripMargin,
     "q_dedup_exact_docs" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         | MIN(doc_id) AS keep_id, COUNT(*) AS n_docs

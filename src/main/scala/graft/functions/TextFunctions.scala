@@ -133,4 +133,30 @@ object TextFunctions {
   /** 60-bit SimHash fingerprint over whitespace tokens (md5-derived
     * per-token hashes — SQL-mirrorable for the oracle gate). */
   def simhash(text: Column): Column = SimHash64.simhash64(tokens(text))
+
+  // ── PII redaction ──────────────────────────────────────────────────
+  // Patterns restricted to the syntax Java regex and RE2 share
+  // (character classes, bounded intervals, \b word boundaries — no
+  // backreferences or lookaround), so a SQL engine replays the exact
+  // match set. ASCII \d ≡ [0-9] in both (Java only widens it under
+  // UNICODE_CHARACTER_CLASS, which Spark does not set).
+
+  /** RFC-ish email address (the pragmatic pattern, not full RFC 5322). */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4, word-bounded (does not range-check octets). */
+  val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Number of non-overlapping matches of `pattern` in `text`. */
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Redact emails then IPv4 addresses (in that order — the emitted
+    * `<EMAIL>` token contains no digits, so it can never create a new
+    * IPv4 match). Replacement is global on both engines: Spark's
+    * `regexp_replace` always replaces all; SQL mirrors need the 'g'
+    * flag. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      ipv4Pattern, "<IP>")
 }

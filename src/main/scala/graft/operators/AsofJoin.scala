@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join: attach to every left row the payload
+  * of the latest right row with the same key and time ≤ the left row's
+  * time. The event-stream enrichment join (trade↔quote, event↔model
+  * checkpoint, click↔last purchase) that plain equi-joins can't
+  * express and range joins explode on.
+  *
+  * Implementation is the union + running-last window, not a range
+  * join: tag right rows side=0 and left rows side=1, union, then
+  * `last(payload, ignoreNulls) OVER (PARTITION BY key ORDER BY time,
+  * side, tie ROWS UNBOUNDED PRECEDING)` and keep the left rows. One
+  * shuffle on the key plus a per-key sort — O(n log n) per key and
+  * streamable, where Spark's own range-join plan for `r.t <= l.t`
+  * degenerates to a per-key cartesian filter (O(n·m)). Ties at equal
+  * time resolve right-before-left (side 0 < 1: a right row AT the left
+  * row's time is visible, "at or before"), and among right rows by
+  * `tieCol` — pass a unique id so the picked payload is deterministic
+  * under any partitioning.
+  *
+  * Skew ceiling is the hottest key (one partition sorts that key's
+  * rows); salt upstream if a single key exceeds a partition's memory —
+  * the window itself spills per ExternalAppendOnlyUnsafeRowArray.
+  */
+object AsofJoin {
+
+  /** @param left      probe rows (kept, one output row each)
+    * @param right      reference rows whose `payloadCols` are attached
+    * @param keyCols    equality keys present in both frames
+    * @param timeCol    ordering column present in both frames
+    * @param tieCol     unique-per-row column present in both frames
+    *                   (deterministic tie-break at equal time)
+    * @param payloadCols right-side columns to carry; emitted as
+    *                    `asof_<name>` (null when no prior right row)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               timeCol: String, tieCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoin needs at least one key column")
+    require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    require(!payloadCols.exists(p => leftCols.contains(s"asof_$p")),
+      "left frame already has an asof_* output column")
+    val meta = keyCols :+ timeCol :+ tieCol
+    val l = left.select(
+      (leftCols.map(col) :+ lit(1).as("__side")) ++
+        payloadCols.map(p => lit(null).cast(right.schema(p).dataType).as(s"__pay_$p")): _*)
+    val r = right.select(
+      (meta.map(col) ++
+        leftCols.filterNot(meta.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        lit(0).as("__side")) ++
+        payloadCols.map(p => col(p).as(s"__pay_$p")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__side").asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r.select(l.columns.toSeq.map(c => col(c)): _*))
+      .select((leftCols.map(col) :+ col("__side")) ++
+        payloadCols.map(p => last(col(s"__pay_$p"), ignoreNulls = true).over(w).as(s"asof_$p")): _*)
+      .where(col("__side") === 1)
+      .drop("__side")
+  }
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, Tokenize}
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingestion and dedup: repetition profiling (Gopher-style
+  * quality signals, Rae et al. 2021 §A1.1), deterministic stratified
+  * sampling (per-stratum hash thresholds), and benchmark-contamination
+  * screening (n-gram overlap against a held-out probe set).
+  *
+  * All three are single-shuffle shapes that survive a 100 TB corpus:
+  * repetition keys every shuffle by (doc, gram) — per-document
+  * cardinality, no global hot key; sampling is a pure filter (no
+  * shuffle at all); contamination broadcasts the (small) benchmark
+  * gram set and never shuffles the corpus side.
+  */
+object PipelineOps {
+
+  // ── repetition signals ─────────────────────────────────────────────
+
+  /** Per-document word-repetition profile:
+    *
+    *   - `n_words`          whitespace token count
+    *   - `top_word_frac`    occurrences of the most frequent word / n_words
+    *   - `top_bigram_frac`  words covered by the most frequent bigram
+    *                        (2 · its count) / n_words — exceeds 1 when
+    *                        its occurrences overlap ("a a a a"), which
+    *                        only ever strengthens the repetition signal
+    *   - `dup_ngram_frac`   fraction of `dupN`-gram positions whose gram
+    *                        occurs more than once in the document
+    *   - `repetitive`       1 when any signal crosses the Gopher-ish
+    *                        thresholds (0.3 / 0.2 / 0.15), else 0
+    *
+    * The reference has no repetition operator (its quality surface is
+    * utils.py's profiling stats); these are the standard LLM-corpus
+    * signals, word-positional because the synthetic corpus has no line
+    * structure. One explode feeds one (id, n, gram) count and two
+    * roll-ups — every shuffle key includes the document id, so the
+    * plan's skew ceiling is the largest single document, not the
+    * vocabulary. Empty/short documents keep a row (left join from the
+    * document spine, fractions coalesced to 0).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        dupN: Int = 5): DataFrame = {
+    require(dupN >= 3, s"dupN must be >= 3 (1 and 2 are already profiled), got $dupN")
+    val toks = df.select(col(idCol),
+      TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+    val base = toks.select(col(idCol), col("__t"),
+      size(col("__t")).cast("long").as("n_words"))
+    // one struct-tagged explode: unigrams, bigrams, dupN-grams
+    def tagged(n: Int, grams: Column): Column =
+      transform(grams, g => struct(lit(n).as("n"), g.as("gram")))
+    val grams = base.select(col(idCol),
+      explode(concat(
+        tagged(1, col("__t")),
+        tagged(2, Tokenize.wordShingles(col("__t"), 2)),
+        tagged(dupN, Tokenize.wordShingles(col("__t"), dupN)))).as("g"))
+      .select(col(idCol), col("g.n"), col("g.gram"))
+    val counted = grams.groupBy(col(idCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    // conditional aggregation straight to one row per doc — no
+    // intermediate per-(doc, n) roll-up, one fewer gram-sized shuffle.
+    // No `otherwise(0)` on the sums: a doc without dupN-grams must
+    // yield NULL (→ coalesced 0 downstream), not 0/0 = NaN.
+    val pivoted = counted.groupBy(col(idCol))
+      .agg(max(when(col("n") === 1, col("cnt"))).as("mx1"),
+        max(when(col("n") === 2, col("cnt"))).as("mx2"),
+        sum(when(col("n") === dupN && col("cnt") > 1, col("cnt"))).as("dupn"),
+        sum(when(col("n") === dupN, col("cnt"))).as("totn"))
+    val spine = base.select(col(idCol), col("n_words"))
+    val safeWords = when(col("n_words") === 0, lit(null)).otherwise(col("n_words"))
+    spine.join(pivoted, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        coalesce(col("mx1").cast("double") / safeWords, lit(0.0)).as("top_word_frac"),
+        coalesce((col("mx2") * 2).cast("double") / safeWords, lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dupn").cast("double") / col("totn"), lit(0.0)).as("dup_ngram_frac"))
+      .withColumn("repetitive",
+        when(col("top_word_frac") > 0.3 || col("top_bigram_frac") > 0.2 ||
+          col("dup_ngram_frac") > 0.15, lit(1L)).otherwise(lit(0L)))
+  }
+
+  // ── deterministic stratified sampling ──────────────────────────────
+
+  /** Keep a row iff a 32-bit md5-derived hash of its id falls under the
+    * stratum's fraction: `hash32(id:salt) < frac(stratum) · 2^32`.
+    *
+    * Pure filter — no shuffle, no RNG state, reproducible across
+    * engines, partitionings, and reruns (the property `rand(seed)`
+    * cannot give: Spark seeds `rand` per partition, so a repartition
+    * changes the sample). Strata missing from `weights` keep
+    * `defaultFrac`. Fractions should be dyadic (k/2^m — e.g. 0.5,
+    * 0.75) when an external SQL engine must reproduce the exact keep
+    * set: `frac · 2^32` is then integer-exact in any numeric tower.
+    *
+    * The weights map becomes a literal CASE chain: strata are
+    * human-curated (languages, sources — tens, not millions), the same
+    * bounded-literal trade as [[Similarity.ivfTopK]]'s nlist cap. For
+    * data-driven strata counts beyond ~1000, join a broadcast weights
+    * table instead.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       weights: Map[String, Double], defaultFrac: Double,
+                       salt: String = "graft"): DataFrame = {
+    require(defaultFrac >= 0.0 && defaultFrac <= 1.0, "defaultFrac in [0,1]")
+    weights.foreach { case (s, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction for stratum '$s' must be in [0,1], got $f") }
+    val hash32 = conv(substring(md5(
+      concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8), 16, 10).cast("long")
+    val frac = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultFrac)) {
+      case (acc, (stratum, f)) => when(col(stratumCol) === stratum, lit(f)).otherwise(acc)
+    }
+    df.where(hash32 < frac * lit(4294967296.0))
+  }
+
+  // ── vocabulary profiling ───────────────────────────────────────────
+
+  /** Corpus-level top-`k` vocabulary: term frequency and document
+    * frequency per word, ordered (tf desc, word asc) so the cut at `k`
+    * is deterministic. The tokenizer/BPE-threshold dashboard query of
+    * a corpus pipeline.
+    *
+    * Two shuffles, both word-keyed: (word, doc) partial counts (map-side
+    * combinable) roll up to per-word tf (sum) and df (count) in one agg;
+    * the final top-k is a TakeOrdered — no global sort materializes.
+    * Word keys skew with Zipf, but a count agg's map-side combine
+    * bounds any reducer's input by the partition count, not the word's
+    * corpus frequency.
+    */
+  def vocabProfile(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val perDoc = df.select(col(idCol),
+      explode(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+        .as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("n"))
+    perDoc.groupBy(col("word"))
+      .agg(sum("n").as("tf"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("tf").desc, col("word").asc)
+      .limit(k)
+  }
+
+  // ── benchmark-contamination screening ──────────────────────────────
+
+  /** Flag corpus documents sharing any word `n`-gram with a benchmark
+    * probe set (the test-set decontamination join every LLM data
+    * pipeline runs; n-gram overlap per GPT-3 appendix C / Dodge et al.
+    * 2021). Returns one row per corpus document:
+    * `(id, n_overlap, contaminated)` where `n_overlap` counts DISTINCT
+    * shared grams.
+    *
+    * Scale shape: benchmarks are small (thousands of questions), so the
+    * probe gram set is distinct-ed and BROADCAST — the corpus side is
+    * one explode + one broadcast-hash semi-pass + a groupBy keyed by
+    * document id. The corpus is never shuffled by gram, so a stopword
+    * gram shared by every document costs map-side lookups, not a hot
+    * reduce key.
+    */
+  def contaminationCheck(corpus: DataFrame, probe: DataFrame,
+                         idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def docGrams(df: DataFrame, cols: Column*) = df.select(cols :+
+      explode(array_distinct(Tokenize.wordShingles(
+        TextFunctions.tokens(coalesce(col(textCol), lit(""))), n))).as("gram"): _*)
+    val probeGrams = docGrams(probe).distinct()
+    val hits = docGrams(corpus, col(idCol))
+      .join(broadcast(probeGrams), Seq("gram"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated",
+        when(col("n_overlap") > 0, lit(1L)).otherwise(lit(0L)))
+  }
+}

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{AsofJoin, PipelineOps}
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── repetition signals ───────────────────────────────────────────
+
+  test("repetitionSignals computes the hand-checked fractions") {
+    val docs = Seq(
+      (1L, "a a a a"),                 // 4 words, all 'a'
+      (2L, "a b a b a b"),             // alternation: top word 3/6, bigram 'a b' ×3
+      (3L, "v w x y z v w x y z"),     // 10 words: every 5-gram position duplicated
+      (4L, "one two three"),           // <5 words: no 5-grams
+      (5L, "")                         // empty: must keep a row of zeros
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double, Long)].collect()
+
+    // 'a a' occurs 3× overlapping → 6 covered word-slots over 4 words:
+    // the ratio is deliberately uncapped (overlap = more repetition)
+    assert(out(0) == ((1L, 4L, 1.0, 1.5, 0.0, 1L)))
+    // doc 2: bigrams = ab ba ab ba ab → top 'a b' 3 of 5 positions → 6/6 words
+    assert(out(1) == ((2L, 6L, 0.5, 1.0, 0.0, 1L)))
+    // doc 3: 6 five-gram positions; 'v w x y z' ×2, the other 4 unique → 2/6
+    assert(out(2)._1 == 3L && out(2)._2 == 10L)
+    assert(math.abs(out(2)._5 - 2.0 / 6.0) < 1e-15)
+    assert(out(2)._6 == 1L) // top_word_frac 0.2 < 0.3 but dup frac 1/3 > 0.15
+    // doc 4: no 5-grams → dup frac 0; top word 1/3, top bigram 2/3 → repetitive
+    assert(out(3) == ((4L, 3L, 1.0 / 3.0, 2.0 / 3.0, 0.0, 1L)))
+    assert(out(4) == ((5L, 0L, 0.0, 0.0, 0.0, 0L)))
+  }
+
+  test("repetitionSignals keeps one row per document at any partitioning") {
+    val docs = (1L to 97L).map(i => (i, s"w${i % 7} x y z q r s t")).toDF("doc_id", "text")
+    val a = PipelineOps.repetitionSignals(docs.repartition(13), "doc_id", "text")
+    assert(a.count() == 97)
+    assert(a.select(countDistinct("doc_id")).as[Long].head() == 97)
+  }
+
+  // ── stratified sampling ──────────────────────────────────────────
+
+  private def strata = (1L to 2000L)
+    .map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "stratum")
+
+  test("stratifiedSample is deterministic and partitioning-invariant") {
+    val w = Map("en" -> 0.25)
+    val a = PipelineOps.stratifiedSample(strata, "id", "stratum", w, 0.75)
+      .select("id").as[Long].collect().toSet
+    val b = PipelineOps.stratifiedSample(strata.repartition(17), "id", "stratum", w, 0.75)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("stratifiedSample hits per-stratum fractions within binomial noise") {
+    val out = PipelineOps.stratifiedSample(strata, "id", "stratum",
+      Map("en" -> 0.25), defaultFrac = 0.75)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    // 1000 trials each; 4σ ≈ 55 for p=.25, ≈ 55 for p=.75
+    assert(math.abs(out("en") - 250L) < 60, s"en kept ${out("en")}")
+    assert(math.abs(out("de") - 750L) < 60, s"de kept ${out("de")}")
+  }
+
+  test("stratifiedSample keeps everything at 1.0 and nothing at 0.0") {
+    assert(PipelineOps.stratifiedSample(strata, "id", "stratum",
+      Map.empty, defaultFrac = 1.0).count() == 2000)
+    assert(PipelineOps.stratifiedSample(strata, "id", "stratum",
+      Map("en" -> 0.0, "de" -> 0.0), defaultFrac = 1.0).count() == 0)
+  }
+
+  // ── vocabulary profiling ─────────────────────────────────────────
+
+  test("vocabProfile counts tf/df and cuts top-k deterministically") {
+    val docs = Seq(
+      (1L, "b b b a c"),
+      (2L, "a b c c"),
+      (3L, "a")
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.vocabProfile(docs, "doc_id", "text", k = 2)
+      .as[(String, Long, Long)].collect()
+    // tf: b=4, a=3, c=3 → top-2 cut ties (a,c) on word asc → a wins
+    assert(out.toSeq == Seq(("b", 4L, 2L), ("a", 3L, 3L)))
+    assert(PipelineOps.vocabProfile(docs.repartition(7), "doc_id", "text", k = 2)
+      .as[(String, Long, Long)].collect().toSeq == out.toSeq)
+  }
+
+  test("vocabProfile plans a TakeOrdered, not a global sort") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = PipelineOps.vocabProfile(docs, "doc_id", "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+  }
+
+  // ── contamination screening ──────────────────────────────────────
+
+  test("contaminationCheck counts distinct shared n-grams, zero-fills the clean") {
+    val probe = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox jumps right here"),  // shares 1 5-gram
+      (2L, "completely unrelated words in this one document"),
+      (3L, "the quick brown fox jumps over the lazy dog again")      // shares 5 5-grams
+    ).toDF("id", "text")
+    val out = PipelineOps.contaminationCheck(corpus, probe, "id", "text", n = 5)
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    assert(out(0) == ((1L, 1L, 1L)))
+    assert(out(1) == ((2L, 0L, 0L)))
+    assert(out(2) == ((3L, 5L, 1L)))
+  }
+
+  test("contaminationCheck broadcasts the probe side") {
+    val probe = Seq((100L, "a b c d e")).toDF("id", "text")
+    val corpus = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val plan = PipelineOps.contaminationCheck(corpus, probe, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"probe join should broadcast:\n$plan")
+  }
+
+  // ── PII redaction ────────────────────────────────────────────────
+
+  test("redactPii masks emails and IPv4s, counts match") {
+    val rows = Seq(
+      "mail me at a.user+tag@sub.example.org or 192.168.0.1 thanks",
+      "no pii here at all",
+      "two ips 10.0.0.1 and 255.255.255.255 one mail x@y.co"
+    ).toDF("t").select(
+      TextFunctions.redactPii($"t").as("red"),
+      TextFunctions.countMatches($"t", TextFunctions.emailPattern).as("ne"),
+      TextFunctions.countMatches($"t", TextFunctions.ipv4Pattern).as("ni"))
+      .as[(String, Long, Long)].collect()
+    assert(rows(0) == (("mail me at <EMAIL> or <IP> thanks", 1L, 1L)))
+    assert(rows(1) == (("no pii here at all", 0L, 0L)))
+    assert(rows(2) == (("two ips <IP> and <IP> one mail <EMAIL>", 1L, 2L)))
+  }
+
+  // ── as-of join ───────────────────────────────────────────────────
+
+  private def purchases = Seq(
+    (10L, 1L, 100L, 5.0), (11L, 1L, 200L, 7.0),
+    (12L, 2L, 150L, 9.0)
+  ).toDF("event_id", "user_id", "ts", "value")
+
+  test("asofJoin attaches the most recent at-or-before payload") {
+    val clicks = Seq(
+      (20L, 1L, 50L, 0.1),   // before any purchase → null
+      (21L, 1L, 100L, 0.2),  // exactly at purchase 10 → 5.0 ("at or before")
+      (22L, 1L, 150L, 0.3),  // between → 5.0
+      (23L, 1L, 999L, 0.4),  // after both → 7.0
+      (24L, 2L, 140L, 0.5),  // user 2, before its purchase → null
+      (25L, 3L, 500L, 0.6)   // user with no purchases → null
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsofJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts", "event_id", Seq("value"))
+      .orderBy("event_id")
+      .select("event_id", "asof_value").as[(Long, Option[Double])].collect()
+    assert(out.toSeq == Seq(20L -> None, 21L -> Some(5.0), 22L -> Some(5.0),
+      23L -> Some(7.0), 24L -> None, 25L -> None))
+  }
+
+  test("asofJoin breaks equal-time right-side ties by tieCol, deterministically") {
+    val right = Seq((1L, 1L, 100L, 1.0), (2L, 1L, 100L, 2.0)).toDF("event_id", "user_id", "ts", "value")
+    val left = Seq((9L, 1L, 100L, 0.0)).toDF("event_id", "user_id", "ts", "value")
+    (1 to 3).foreach { i =>
+      val out = AsofJoin.asofJoin(left.repartition(i), right.repartition(4 - i),
+        Seq("user_id"), "ts", "event_id", Seq("value"))
+        .select("asof_value").as[Double].collect()
+      assert(out.toSeq == Seq(2.0)) // larger event_id sorts last → wins
+    }
+  }
+
+  test("asofJoin plans one shuffle on the key, no cartesian/range join") {
+    val left = Seq((1L, 1L, 10L, 0.0)).toDF("event_id", "user_id", "ts", "value")
+    val plan = AsofJoin.asofJoin(left, purchases, Seq("user_id"), "ts", "event_id", Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"as-of must not plan a product join:\n$plan")
+    assert(plan.contains("Window"), s"expected the running-last window:\n$plan")
+  }
+}
