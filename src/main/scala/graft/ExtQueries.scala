@@ -503,7 +503,7 @@ object ExtQueries {
         |      FROM e WHERE event_type = 'purchase'),
         |w AS (SELECT event_id, user_id, ts_us, value, side,
         |        LAST_VALUE(pay IGNORE NULLS) OVER (PARTITION BY user_id
-        |          ORDER BY ts_us, side, event_id
+        |          ORDER BY ts_us NULLS FIRST, side, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
         |      FROM u)
         |SELECT event_id, user_id, ts_us, value, asof_value FROM w WHERE side = 1""".stripMargin,

@@ -11,9 +11,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * `regexp_extract_all` with an alternation pattern costs ~µs/char on
   * the corpus hot path; these scanners do one linear pass over the
-  * UTF-8 bytes. Semantics exactly match the regex forms (ASCII
-  * whitespace = java/RE2 `\s`, ASCII letter/digit classes), so the
-  * DuckDB oracles stay valid.
+  * UTF-8 bytes. Semantics exactly match the RE2 regex forms (ASCII
+  * whitespace = RE2 `\s` = [ \t\n\f\r], ASCII letter/digit classes),
+  * so the DuckDB oracles stay valid. NOTE the deliberate RE2-over-Java
+  * choice: Java's `\s` additionally contains vertical tab (\x0B), RE2's
+  * does not — the oracle engine defines the contract, so \x0B is NOT
+  * whitespace here (it tokenizes like any other byte).
   *
   * - [[WhitespaceTokens]] ≡ regexp_extract_all(text, "\\S+")
   * - [[BpeishTokens]]     ≡ regexp_extract_all(text,
@@ -22,9 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
 abstract class SinglePassTokenizer extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  // ASCII \s: space, \t, \n, \x0B, \f, \r
+  // RE2 \s: space, \t, \n, \f, \r — deliberately NOT \x0B (Java-only;
+  // see the object scaladoc: the DuckDB oracle defines the contract)
   @inline protected final def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    b == ' ' || b == '\t' || b == '\n' || b == '\f' || b == '\r'
   @inline protected final def isAlpha(b: Byte): Boolean =
     (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
   @inline protected final def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'

@@ -28,7 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** @param left      probe rows (kept, one output row each)
+  /** Null right-side payload values are skipped, not attached: the
+    * window takes the last NON-NULL payload, so a null-valued right row
+    * is invisible and the search continues further back. With several
+    * `payloadCols`, each column independently takes its own last
+    * non-null — columns may therefore come from different right rows
+    * when rights carry nulls in different columns (pack a struct
+    * payload when row-atomicity matters).
+    *
+    * @param left      probe rows (kept, one output row each)
     * @param right      reference rows whose `payloadCols` are attached
     * @param keyCols    equality keys present in both frames
     * @param timeCol    ordering column present in both frames
@@ -45,13 +53,20 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(!payloadCols.exists(p => leftCols.contains(s"asof_$p")),
       "left frame already has an asof_* output column")
+    require(!leftCols.exists(c => c == "__side" || c.startsWith("__pay_")),
+      "left frame uses a reserved internal column name (__side / __pay_*)")
     val meta = keyCols :+ timeCol :+ tieCol
+    // name matching must follow Spark's (default case-insensitive)
+    // resolution, or a differently-cased key would be emitted twice —
+    // once resolved, once as the null filler — and break the union
+    val metaLower = meta.map(_.toLowerCase)
     val l = left.select(
       (leftCols.map(col) :+ lit(1).as("__side")) ++
         payloadCols.map(p => lit(null).cast(right.schema(p).dataType).as(s"__pay_$p")): _*)
     val r = right.select(
       (meta.map(col) ++
-        leftCols.filterNot(meta.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        leftCols.filterNot(c => metaLower.contains(c.toLowerCase))
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         lit(0).as("__side")) ++
         payloadCols.map(p => col(p).as(s"__pay_$p")): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)

@@ -46,14 +46,15 @@ object PipelineOps {
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
                         dupN: Int = 5): DataFrame = {
     require(dupN >= 3, s"dupN must be >= 3 (1 and 2 are already profiled), got $dupN")
+    require(!Set("n", "gram", "cnt", "n_words", "mx1", "mx2", "dupn", "totn", "__t",
+      "top_word_frac", "top_bigram_frac", "dup_ngram_frac", "repetitive")
+      .contains(idCol), s"idCol '$idCol' collides with an internal or output column name")
     val toks = df.select(col(idCol),
       TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__t"))
-    val base = toks.select(col(idCol), col("__t"),
-      size(col("__t")).cast("long").as("n_words"))
     // one struct-tagged explode: unigrams, bigrams, dupN-grams
     def tagged(n: Int, grams: Column): Column =
       transform(grams, g => struct(lit(n).as("n"), g.as("gram")))
-    val grams = base.select(col(idCol),
+    val grams = toks.select(col(idCol),
       explode(concat(
         tagged(1, col("__t")),
         tagged(2, Tokenize.wordShingles(col("__t"), 2)),
@@ -63,17 +64,22 @@ object PipelineOps {
       .agg(count(lit(1)).as("cnt"))
     // conditional aggregation straight to one row per doc — no
     // intermediate per-(doc, n) roll-up, one fewer gram-sized shuffle.
-    // No `otherwise(0)` on the sums: a doc without dupN-grams must
-    // yield NULL (→ coalesced 0 downstream), not 0/0 = NaN.
+    // n_words falls out of the unigram counts, so the spine join below
+    // reads only the id column (a second tokenizer scan would double
+    // the dominant cost). No `otherwise(0)` on the dupN sums: a doc
+    // without dupN-grams must yield NULL (→ coalesced 0 downstream),
+    // not 0/0 = NaN.
     val pivoted = counted.groupBy(col(idCol))
-      .agg(max(when(col("n") === 1, col("cnt"))).as("mx1"),
+      .agg(sum(when(col("n") === 1, col("cnt"))).as("n_words"),
+        max(when(col("n") === 1, col("cnt"))).as("mx1"),
         max(when(col("n") === 2, col("cnt"))).as("mx2"),
         sum(when(col("n") === dupN && col("cnt") > 1, col("cnt"))).as("dupn"),
         sum(when(col("n") === dupN, col("cnt"))).as("totn"))
-    val spine = base.select(col(idCol), col("n_words"))
-    val safeWords = when(col("n_words") === 0, lit(null)).otherwise(col("n_words"))
+    val spine = df.select(col(idCol))
+    val safeWords = when(col("n_words").isNull || col("n_words") === 0, lit(null))
+      .otherwise(col("n_words"))
     spine.join(pivoted, Seq(idCol), "left")
-      .select(col(idCol), col("n_words"),
+      .select(col(idCol), coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("mx1").cast("double") / safeWords, lit(0.0)).as("top_word_frac"),
         coalesce((col("mx2") * 2).cast("double") / safeWords, lit(0.0)).as("top_bigram_frac"),
         coalesce(col("dupn").cast("double") / col("totn"), lit(0.0)).as("dup_ngram_frac"))
@@ -132,6 +138,8 @@ object PipelineOps {
   def vocabProfile(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 100): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(idCol != "word" && idCol != "n",
+      s"idCol '$idCol' collides with an internal column name")
     val perDoc = df.select(col(idCol),
       explode(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
         .as("word"))
@@ -161,9 +169,11 @@ object PipelineOps {
   def contaminationCheck(corpus: DataFrame, probe: DataFrame,
                          idCol: String, textCol: String, n: Int = 5): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    require(idCol != "gram" && idCol != "n_overlap" && idCol != "contaminated",
+      s"idCol '$idCol' collides with an internal column name")
     def docGrams(df: DataFrame, cols: Column*) = df.select(cols :+
-      explode(array_distinct(Tokenize.wordShingles(
-        TextFunctions.tokens(coalesce(col(textCol), lit(""))), n))).as("gram"): _*)
+      explode(TextFunctions.wordShingles(coalesce(col(textCol), lit("")), n))
+        .as("gram"): _*)
     val probeGrams = docGrams(probe).distinct()
     val hits = docGrams(corpus, col(idCol))
       .join(broadcast(probeGrams), Seq("gram"))

@@ -15,6 +15,14 @@ class TextSpec extends SparkSpec {
     assert(r == Map(1L -> 4, 2L -> 0, 3L -> 0))
   }
 
+  test("tokens follow the RE2 whitespace contract: \\x0B is NOT a separator") {
+    // RE2 \s = [ \t\n\f\r]; Java's adds \x0B. The DuckDB oracle (RE2)
+    // defines the contract, so a vertical tab must stay inside a token.
+    val r = one("a\u000Bb c").select(TextFunctions.tokens($"text"))
+      .as[Seq[String]].head()
+    assert(r == Seq("a\u000Bb", "c"))
+  }
+
   test("bpeish tokens split letter/digit/punct runs") {
     val r = one("abc123, def!").select(TextFunctions.bpeishTokens($"text"))
       .as[Seq[String]].head()
