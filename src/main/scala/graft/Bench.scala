@@ -40,7 +40,8 @@ object Bench {
     "q_multimodal_meta", "q_events_window",
     // curation family (round 6): repetition profiling, vocab top-k,
     // contamination screening, as-of enrichment
-    "q_text_repetition", "q_vocab_topk", "q_contamination", "q_events_asof")
+    "q_text_repetition", "q_vocab_topk", "q_contamination", "q_events_asof",
+    "q_text_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -84,6 +84,12 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
         "doc_id", "lang", Map("en" -> 0.5, "zh" -> 1.0), defaultFrac = 0.75)
     }),
+    "q_text_chunks" -> ((s, dir) => {
+      // overlapping windows (stride < chunkSize) exercise the clamp at
+      // the document tail and the sliding-window arithmetic
+      PipelineOps.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+    }),
     "q_vocab_topk" -> ((s, dir) => {
       PipelineOps.vocabProfile(Tables.documents(s, dir), "doc_id", "text", k = 50)
     }),
@@ -466,6 +472,17 @@ object ExtQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8))::BIGINT
         |  < (CASE lang WHEN 'en' THEN 5e-1 WHEN 'zh' THEN 1e0 ELSE 75e-2 END)
         |    * 4294967296e0""".stripMargin,
+    // range() is exclusive-stop (starts while start < n) and DuckDB
+    // list slices are 1-based inclusive, clamped at the tail — both
+    // mirror sequence(0, n-1, stride) + slice(toks, start+1, size)
+    "q_text_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(COALESCE(text,''), '\S+') AS ws
+        |           FROM documents),
+        |s AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS start FROM t)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(len(ws[start+1 : start+64]) AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[start+1 : start+64], ' ') AS chunk_text
+        |FROM s""".stripMargin,
     // (tf DESC, word) is a total order — words are unique per group —
     // so the LIMIT cut is deterministic on both engines
     "q_vocab_topk" ->

@@ -88,6 +88,41 @@ object PipelineOps {
           col("dup_ngram_frac") > 0.15, lit(1L)).otherwise(lit(0L)))
   }
 
+  // ── document chunking ──────────────────────────────────────────────
+
+  /** Split each document into fixed-size token windows — the
+    * tokenize-and-chunk step in front of sequence packing. Chunk `i`
+    * covers tokens `[i·stride, i·stride + chunkSize)`; `stride <
+    * chunkSize` yields overlapping windows (sliding-window training
+    * data), `stride == chunkSize` disjoint ones. The final window
+    * clamps at the document end. Documents with no tokens emit no
+    * chunks.
+    *
+    * Returns `(id, chunk_idx, n_tokens, chunk_text)`, `chunk_idx`
+    * 0-based. Pure per-row expression work (tokenize once, one
+    * posexplode) — no shuffle at all; the natural pre-partitioning of
+    * the corpus carries through to the chunk frame.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(!Set("chunk_idx", "n_tokens", "chunk_text", "__t", "__c")
+      .contains(idCol), s"idCol '$idCol' collides with an output column name")
+    val toks = df.select(col(idCol),
+      TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+    // sequence() with a negative span would DESCEND — guard empty docs
+    val starts = when(size(col("__t")) > 0,
+      sequence(lit(0), size(col("__t")) - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    toks.select(col(idCol),
+        posexplode(transform(starts, s0 => slice(col("__t"), s0 + 1, lit(chunkSize))))
+          .as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   // ── deterministic stratified sampling ──────────────────────────────
 
   /** Keep a row iff a 32-bit md5-derived hash of its id falls under the

@@ -73,6 +73,39 @@ class PipelineOpsSpec extends SparkSpec {
       Map("en" -> 0.0, "de" -> 0.0), defaultFrac = 1.0).count() == 0)
   }
 
+  // ── document chunking ────────────────────────────────────────────
+
+  test("chunkDocuments windows with stride, clamps the tail, skips empty docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),  // 7 tokens
+      (2L, "x y"),            // fits one window
+      (3L, "")                // no tokens → no chunks
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.chunkDocuments(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4L, "a b c d"),
+      (1L, 1L, 4L, "d e f g"),  // overlap of 1 (stride 3 < chunkSize 4)
+      (1L, 2L, 1L, "g"),        // tail clamp
+      (2L, 0L, 2L, "x y")))
+  }
+
+  test("chunkDocuments with stride == chunkSize partitions exactly") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = PipelineOps.chunkDocuments(docs, "doc_id", "text", chunkSize = 5, stride = 5)
+      .orderBy("chunk_idx").as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._3).sum == 10)  // disjoint cover, no overlap
+    assert(out.toSeq.map(_._4) == Seq("t1 t2 t3 t4 t5", "t6 t7 t8 t9 t10"))
+  }
+
+  test("chunkDocuments plans no shuffle") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = PipelineOps.chunkDocuments(docs, "doc_id", "text", 4, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   // ── vocabulary profiling ─────────────────────────────────────────
 
   test("vocabProfile counts tf/df and cuts top-k deterministically") {
