@@ -84,6 +84,13 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
         "doc_id", "lang", Map("en" -> 0.5, "zh" -> 1.0), defaultFrac = 0.75)
     }),
+    "q_sample_weighted" -> ((s, dir) => {
+      // mixture weights with dyadic fractional parts (cross-engine
+      // exact): en 2.5× up, zh 0.25× down, rest unchanged
+      PipelineOps.upsampleByWeight(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", "lang", Map("en" -> 2.5, "zh" -> 0.25))
+    }),
     "q_text_chunks" -> ((s, dir) => {
       // overlapping windows (stride < chunkSize) exercise the clamp at
       // the document tail and the sliding-window arithmetic
@@ -472,6 +479,19 @@ object ExtQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8))::BIGINT
         |  < (CASE lang WHEN 'en' THEN 5e-1 WHEN 'zh' THEN 1e0 ELSE 75e-2 END)
         |    * 4294967296e0""".stripMargin,
+    // floor(w)+bernoulli replication; fractional parts are dyadic so
+    // (w - floor(w))·2^32 is integer-exact in DOUBLE on both engines
+    "q_sample_weighted" ->
+      """WITH w AS (SELECT doc_id, lang, source,
+        |    CASE lang WHEN 'en' THEN 25e-1 WHEN 'zh' THEN 25e-2 ELSE 1e0 END AS wt,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft-mix'), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, source,
+        |    CAST(floor(wt) AS BIGINT)
+        |      + CASE WHEN h < (wt - floor(wt)) * 4294967296e0 THEN 1 ELSE 0 END AS n
+        |  FROM w)
+        |SELECT doc_id, lang, source, CAST(unnest(range(0, n)) AS BIGINT) AS copy_idx
+        |FROM c WHERE n > 0""".stripMargin,
     // range() is exclusive-stop (starts while start < n) and DuckDB
     // list slices are 1-based inclusive, clamped at the tail — both
     // mirror sequence(0, n-1, stride) + slice(toks, start+1, size)

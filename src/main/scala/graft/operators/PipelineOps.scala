@@ -185,6 +185,49 @@ object PipelineOps {
       .limit(k)
   }
 
+  // ── deterministic weighted up/down-sampling (domain mixing) ────────
+
+  /** Replicate each row to hit a per-stratum mixture weight — the
+    * domain-mixing step ("upsample wiki 2.5×, downsample crawl to
+    * 0.25×") expressed deterministically: a row of weight `w` is
+    * emitted `floor(w)` times, plus once more iff
+    * `hash32(id:salt) < frac(w)·2^32`, so expected copies = `w`
+    * exactly and the decision is a pure function of the id (stable
+    * under repartition/rerun — see [[stratifiedSample]] on why
+    * `rand(seed)` is not). `w < 1` downsamples, `w > 1` upsamples;
+    * fractional parts should be dyadic for cross-engine exactness.
+    * Output appends 0-based `copy_idx`; weight-0 strata drop.
+    *
+    * Shuffle-free: a literal CASE weight, one hash, one
+    * `explode(sequence)` — replication happens in place on whatever
+    * partitioning the corpus already has. (Replicas land in the SAME
+    * partition as their source; follow with a repartition only if a
+    * downstream stage is replica-count-sensitive.)
+    *
+    * Uses a different default salt than [[stratifiedSample]] so
+    * composing the two doesn't correlate their keep decisions.
+    */
+  def upsampleByWeight(df: DataFrame, idCol: String, stratumCol: String,
+                       weights: Map[String, Double], defaultWeight: Double = 1.0,
+                       salt: String = "graft-mix"): DataFrame = {
+    require(defaultWeight >= 0.0, "defaultWeight must be >= 0")
+    weights.foreach { case (s, w) =>
+      require(w >= 0.0, s"weight for stratum '$s' must be >= 0, got $w") }
+    require(idCol != "copy_idx" && stratumCol != "copy_idx",
+      "copy_idx is the reserved output column name")
+    val hash32 = conv(substring(md5(
+      concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8), 16, 10).cast("long")
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (stratum, wt)) => when(col(stratumCol) === stratum, lit(wt)).otherwise(acc)
+    }
+    val copies = (floor(w).cast("long") +
+      when(hash32 < (w - floor(w)) * lit(4294967296.0), lit(1L)).otherwise(lit(0L)))
+    // sequence() with a negative span would DESCEND — emit empty instead
+    df.withColumn("copy_idx",
+        explode(when(copies > 0, sequence(lit(0L), copies - 1))
+          .otherwise(array().cast("array<bigint>"))))
+  }
+
   // ── benchmark-contamination screening ──────────────────────────────
 
   /** Flag corpus documents sharing any word `n`-gram with a benchmark

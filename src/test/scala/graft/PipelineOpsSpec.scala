@@ -106,6 +106,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  // ── weighted up/down-sampling ────────────────────────────────────
+
+  test("upsampleByWeight replicates toward the mixture weight deterministically") {
+    val df = strata  // 1000 en (even ids) + 1000 de (odd ids)
+    val out = PipelineOps.upsampleByWeight(df, "id", "stratum",
+      Map("en" -> 2.5, "de" -> 0.25))
+    val counts = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    // en: 1000·2.5 = 2500 expected (binomial ±4σ≈63 on the half-copy);
+    // de: 1000·0.25 = 250 expected (±4σ≈55)
+    assert(math.abs(counts("en") - 2500L) < 70, s"en got ${counts("en")}")
+    assert(math.abs(counts("de") - 250L) < 60, s"de got ${counts("de")}")
+    // every en id appears 2 or 3 times, contiguous copy_idx from 0
+    val perId = out.where($"stratum" === "en").groupBy("id")
+      .agg(count(lit(1)).as("n"), max("copy_idx").as("mx"))
+      .as[(Long, Long, Long)].collect()
+    assert(perId.forall(r => (r._2 == 2L || r._2 == 3L) && r._3 == r._2 - 1))
+    // deterministic under repartition
+    val again = PipelineOps.upsampleByWeight(df.repartition(13), "id", "stratum",
+      Map("en" -> 2.5, "de" -> 0.25))
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
+  test("upsampleByWeight: weight 1 is identity-with-copy_idx-0, weight 0 drops") {
+    val df = strata
+    val id1 = PipelineOps.upsampleByWeight(df, "id", "stratum", Map.empty)
+    assert(id1.count() == 2000 && id1.where($"copy_idx" =!= 0).count() == 0)
+    assert(PipelineOps.upsampleByWeight(df, "id", "stratum",
+      Map("en" -> 0.0, "de" -> 0.0)).count() == 0)
+  }
+
+  test("upsampleByWeight plans no shuffle") {
+    val plan = PipelineOps.upsampleByWeight(strata, "id", "stratum", Map("en" -> 2.0))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"upsampling must not shuffle:\n$plan")
+  }
+
   // ── vocabulary profiling ─────────────────────────────────────────
 
   test("vocabProfile counts tf/df and cuts top-k deterministically") {
