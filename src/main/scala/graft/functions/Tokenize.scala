@@ -113,6 +113,78 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression with 
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** Per-document repetition statistics in ONE pass over the token
+  * array: `struct<n_words, mx1, mx2, dupn, totn>` (long; mx/dup/tot
+  * null when the doc is too short to have that gram size) where mx1 =
+  * max unigram count, mx2 = max bigram count, dupn/totn = duplicated /
+  * total `dupN`-gram positions.
+  *
+  * The load-bearing observation (RepetitionProbe, sf0.1): these counts
+  * are keyed by (document, gram) — grams never cross documents — so
+  * the groupBy spelling shuffles ~175 gram rows per document only to
+  * reduce them straight back to one row per document. Counting inside
+  * the row eliminates the explode, both shuffles, and the spine join
+  * (the operator becomes embarrassingly parallel, partitioning
+  * untouched); the declarative plan measured 1.9 s end-to-end on
+  * sf0.1 vs 0.2 s for this expression. Per-row memory is one count
+  * table over the document's distinct grams — the same worst case the
+  * exploded row set already had. */
+case class RepetitionStats(child: Expression, dupN: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(dupN >= 3, s"dupN must be >= 3, got $dupN")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("mx1", LongType, nullable = true),
+    StructField("mx2", LongType, nullable = true),
+    StructField("dupn", LongType, nullable = true),
+    StructField("totn", LongType, nullable = true)))
+
+  private def joined(toks: Array[UTF8String], s: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      sb.append(toks(s + j).toString)
+      j += 1
+    }
+    sb.toString
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = arr.numElements()
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+
+    def counts(n: Int): java.util.HashMap[String, Long] = {
+      val h = new java.util.HashMap[String, Long]()
+      var s = 0
+      while (s <= m - n) {
+        h.merge(if (n == 1) toks(s).toString else joined(toks, s, n),
+          1L, (a, b) => a + b)
+        s += 1
+      }
+      h
+    }
+    def maxCount(n: Int): Any =
+      if (m < n) null
+      else {
+        var mx = 0L
+        counts(n).values().forEach(v => if (v > mx) mx = v)
+        mx
+      }
+    val short = m < dupN
+    var dup = 0L
+    if (!short) counts(dupN).values().forEach(v => if (v > 1) dup += v)
+    val dupn: Any = if (short) null else dup
+    val totn: Any = if (short) null else (m - dupN + 1).toLong
+    org.apache.spark.sql.catalyst.InternalRow(m.toLong, maxCount(1), maxCount(2), dupn, totn)
+  }
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
+}
+
 object Tokenize {
   import org.apache.spark.sql.GraftSqlBridge
 
@@ -125,4 +197,6 @@ object Tokenize {
     GraftSqlBridge.column(BpeishTokens(toExpr(text)))
   def wordShingles(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(WordShingles(toExpr(tokens), n))
+  def repetitionStats(tokens: Column, dupN: Int): Column =
+    GraftSqlBridge.column(RepetitionStats(toExpr(tokens), dupN))
 }

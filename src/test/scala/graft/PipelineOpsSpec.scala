@@ -35,6 +35,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(4) == ((5L, 0L, 0.0, 0.0, 0.0, 0L)))
   }
 
+  test("repetitionSignals plans no shuffle (row-local counting)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = PipelineOps.repetitionSignals(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetition stats are per-document and must not shuffle:\n$plan")
+  }
+
   test("repetitionSignals keeps one row per document at any partitioning") {
     val docs = (1L to 97L).map(i => (i, s"w${i % 7} x y z q r s t")).toDF("doc_id", "text")
     val a = PipelineOps.repetitionSignals(docs.repartition(13), "doc_id", "text")
