@@ -76,13 +76,41 @@ object Dedup {
 
   /** Deterministic MinHash signature columns s0..s{k-1}: one md5 per
     * shingle seeds a 2-universal affine family h_i = (a + i·b) mod p
-    * (p = 2^31−1, b forced odd), min-aggregated — one groupBy,
-    * map-side combinable. md5 (vs xxhash64) keeps the signatures
-    * recomputable in any SQL engine for the value-exact oracle; the
-    * affine re-hash costs one multiply-add per i instead of k full
-    * hashes per shingle. All arithmetic stays < 2^33 — ANSI-safe. */
+    * (p = 2^31−1, b forced odd), min-taken per slot. md5 (vs xxhash64)
+    * keeps the signatures recomputable in any SQL engine for the
+    * value-exact oracle; the affine re-hash costs one multiply-add per
+    * i instead of k full hashes per shingle.
+    *
+    * Row-local ([[graft.functions.MinhashSignature]]): signatures are
+    * per-document minima, so nothing shuffles — the explode → md5 →
+    * groupBy(id) spelling this replaces is kept as
+    * [[minhashSignaturesAgg]] and spec-pinned value-identical
+    * (DedupSimilaritySpec twin test). Shingle-less documents drop, as
+    * they did from the aggregate (no rows to aggregate). */
   def minhashSignatures(df: DataFrame, keyCol: String, textCol: String,
                         numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val sig = graft.functions.MinhashSig.signature(
+      TextFunctions.wordShingles(col(textCol), shingleSize), numHashes)
+    // the shingle-less filter is a TOKEN-COUNT precondition, not
+    // isNotNull(sig): a predicate on the signature pushes below the
+    // projection and re-evaluates the whole md5 chain per row (the
+    // first cut of this operator measured 1.26× SLOWER than the
+    // aggregate for exactly that reason — MinhashProbe). ≥ shingleSize
+    // tokens ⟺ ≥ 1 shingle ⟺ the aggregate spelling kept the doc.
+    df.where(size(TextFunctions.tokens(col(textCol))) >= shingleSize)
+      .select(col(keyCol).as("id"), sig.as("__sig"))
+      .select(col("id") +: (0 until numHashes).map(i =>
+        element_at(col("__sig"), i + 1).as(s"s$i")): _*)
+  }
+
+  /** The aggregate spelling of [[minhashSignatures]] (explode → md5 →
+    * min-agg, map-side combinable) — superseded by the row-local
+    * expression but kept as its semantic twin: the equivalence spec
+    * re-derives every signature both ways and requires equality, which
+    * pins the custom expression's md5/affine arithmetic to the
+    * SQL-mirrorable form the DuckDB oracle replays. */
+  private[graft] def minhashSignaturesAgg(df: DataFrame, keyCol: String, textCol: String,
+                                          numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
     val p = 2147483647L
     // one hex parse per gram: digits 1-14 as a 56-bit long, then
     // a = digits 1-7 (high 28 bits), b = digits 8-14 (low 28 bits) —

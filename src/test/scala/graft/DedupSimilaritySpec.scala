@@ -30,6 +30,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((2L, 101L)))
   }
 
+  test("row-local minhash signatures equal the aggregate spelling exactly") {
+    val a = Dedup.minhashSignatures(corpus, "id", "text", numHashes = 32, shingleSize = 3)
+      .orderBy("id").collect().map(_.toSeq)
+    val b = Dedup.minhashSignaturesAgg(corpus, "id", "text", numHashes = 32, shingleSize = 3)
+      .orderBy("id").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("minhash signatures drop shingle-less docs, same as the aggregate") {
+    val tiny = Seq((1L, "only two"), (2L, "a full three tokens here")).toDF("id", "text")
+    val ids = Dedup.minhashSignatures(tiny, "id", "text", shingleSize = 3)
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(2L)) // doc 1 has < 3 tokens → no 3-shingles → dropped
+  }
+
   test("minhash LSH recovers the duplicate pairs") {
     val sigs = Dedup.minhashSignatures(corpus, "id", "text", numHashes = 32, shingleSize = 3)
     val pairs = Dedup.minhashCandidatePairs(sigs, numHashes = 32, bands = 8, tau = 0.3)
