@@ -17,15 +17,17 @@ import org.apache.spark.sql.SparkSession
   * trivial warm-up job pays the session/codegen startup outside the
   * measured window.
   *
-  * The JSON line is self-diagnosing against concurrent-host-load
+  * The run is self-diagnosing against concurrent-host-load
   * contamination (BASELINE.md documents a background process once
-  * inflating q_text_langid 0.43s → 3.5s): it carries `/proc/loadavg`
-  * sampled before and after the run plus the full per-query run list
-  * (not just the min), so a contaminated artifact shows high load
-  * and/or wildly dispersed runs instead of silently reading as a
-  * regression. Queries whose first min exceeds 1s get a third run —
-  * the slow queries are exactly the ones where one contaminated
-  * sample moves the total the most.
+  * inflating q_text_langid 0.43s → 3.5s): a `[bench-diag]` STDERR line
+  * carries `/proc/loadavg` sampled before and after the run plus the
+  * full per-query run list (not just the min), so a contaminated
+  * artifact shows high load and/or wildly dispersed runs instead of
+  * silently reading as a regression. Diagnostics are stderr-only: the
+  * driver tail-captures ~2 KB of stdout, and inlining them in the
+  * contract line made round 6's artifact unparseable. Queries whose
+  * first min exceeds 1s get a third run — the slow queries are exactly
+  * the ones where one contaminated sample moves the total the most.
   */
 object Bench {
   private val headline: Seq[String] = Seq(
@@ -100,7 +102,12 @@ object Bench {
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
+    // Contract line stays minimal (~1 KB): the driver tail-captures only
+    // ~2 KB of stdout, and round 6's ~3 KB line (runs + loadavg inline)
+    // was truncated mid-line → BENCH_r06 "parsed": null. Diagnostics go
+    // to STDERR so truncation can only ever eat diagnostics.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.err.println(s"""[bench-diag] {"runs":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
     spark.stop()
   }
 

@@ -21,12 +21,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators persist self-join inputs; don't let ~50 queries
@@ -48,6 +50,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure-loud gate record (VERDICT r6 item 3): an empty driver
+    // correctness artifact must be distinguishable from "Verify never
+    // ran". attempted/succeeded/failed counts + the failing names.
+    val manifest =
+      s"""{"attempted": ${attempted.size}, "succeeded": ${attempted.size - failed.size}, "failed": ${failed.size}, "failed_queries": ${failed.sorted.map(q).mkString("[", ",", "]")}, "epoch_sec": ${System.currentTimeMillis() / 1000}}"""
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
+    System.err.println(s"[verify] manifest: $manifest")
     spark.stop()
   }
 }

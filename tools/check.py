@@ -44,6 +44,16 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
     return "OK"
 
 def main(sf_dir, out_dir):
+    # Failure-loud (VERDICT r6 item 3): a Verify run that never happened
+    # or died mid-flight must not read as a quiet zero-query pass.
+    try:
+        mf = json.load(open(f"{out_dir}/manifest.json"))
+        print(f"manifest: attempted={mf['attempted']} succeeded={mf['succeeded']} "
+              f"failed={mf['failed']} {mf.get('failed_queries', [])}")
+        if mf["attempted"] == 0:
+            print("FATAL: manifest says 0 queries attempted"); return 1
+    except FileNotFoundError:
+        print("FATAL: no manifest.json — Verify did not complete"); return 1
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
