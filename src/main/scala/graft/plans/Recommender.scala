@@ -235,9 +235,16 @@ object Recommender {
         }
       val gathered = Await.result(
         Future.sequence(work.map { case (t, tp) => executeF(t, tp) }), cfg.searchTimeout)
-      gathered.flatten.filter { ex =>
+      val ok = gathered.flatten.filter { ex =>
         dim.forall(_ == ex.outCols.size) && ex.outCols.nonEmpty
-      }.take(maxCandidatesPerChannel)
+      }
+      // Null passthroughs are the reference's always-admitted channels
+      // (main.py:92-94); the scale cap must not crowd them out now that
+      // the embed family alone can fill every slot (4 DM Ts × 3 = 12
+      // since sampled fit became the default). They sit last in
+      // numTl/catTl, so appending keeps the tlist candidate order.
+      val (nulls, rest) = ok.partition(_.coreT.startsWith("null_"))
+      rest.take(maxCandidatesPerChannel) ++ nulls
     }
 
     // alignment rule (ONLYVISUALIZESELECTIONMATCHINGCHANNELS,
@@ -398,7 +405,14 @@ object Recommender {
       for (x <- xs.take(4)) {
         val xCol = x.outCols.head
         if (enabledTypes.contains("sum_bar")) {
-          for (y <- ys.take(3) if aligned(x, y)) {
+          // slice 6, not 3: the reference scores EVERY y candidate
+          // (search.py:930-, utils.py:15 tocontinue filters only
+          // user-given indices) and lets the family top-k decide; our
+          // bounded slice must at least span all six numTl families —
+          // at 3, the default-on embed candidates (pca/tsne/mds/umap
+          // fill the head of the list) crowd out the null passthroughs
+          // that score highest at the gate fixture
+          for (y <- ys.take(6) if aligned(x, y)) {
             val joined = x.df.join(y.df, key)
             val series = y.outColsDerivedFirst.take(cfg.maxBarNumInChart)
             val agg = ChartAssembly.sumBar(joined, xCol, series)

@@ -133,10 +133,14 @@ final case class EngineConfig(
     /** Scale extension: above [[searchEmbedMaxRows]], search runs
       * tsne/umap through [[graft.operators.CoreT.embedSampled]] — a
       * digest-ordered bounded fit + distributed nearest-neighbor
-      * out-of-sample transform — instead of skipping them. Opt-in so
-      * the default search surface (and its golden pin) matches the
-      * reference's scale behavior exactly. */
-    searchEmbedSampleFit: Boolean = false,
+      * out-of-sample transform — instead of skipping them. ON by
+      * default since round 7: embeddings are part of the reference's
+      * default tlist (main.py:91), and the sampled fit is the only way
+      * to keep them at engine scale — a default-off flag made the
+      * public search API silently driver-bound above 400 rows. Set
+      * false to reproduce the reference's hard scale exclusion (and
+      * rounds ≤6 golden pins). */
+    searchEmbedSampleFit: Boolean = true,
     /** Concurrent (coreT, tpath) Spark-job submissions during search —
       * the analogue of the reference's one-process-per-core-T pool
       * (search.py:55-63). 4 covers the gate-scale search space; raise

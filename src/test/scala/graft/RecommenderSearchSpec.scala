@@ -37,29 +37,36 @@ class RecommenderSearchSpec extends SparkSpec {
     val off = Recommender.recommend(pdf, profile, spark,
       EngineConfig(searchEmbedTs = false), charts = Seq("scatter"))
     assert(embedChannels(off).isEmpty)
-    // shrinking the row bound below the table size has the same effect
+    // shrinking the row bound below the table size excludes embeddings
+    // only when the sampled-fit fallback is also off (round 7 default:
+    // above the bound the search switches to the sampled fit instead)
     val bounded = Recommender.recommend(pdf, profile, spark,
-      EngineConfig(searchEmbedMaxRows = 10), charts = Seq("scatter"))
+      EngineConfig(searchEmbedMaxRows = 10, searchEmbedSampleFit = false),
+      charts = Seq("scatter"))
     assert(embedChannels(bounded).isEmpty)
   }
 
   test("searchEmbedSampleFit: 10k-row search emits embedding scatters via sampled fit") {
-    // 10k rows — 25× the exact-fit bound. With the opt-in flag, search
+    // 10k rows — 25× the exact-fit bound. By DEFAULT (round 7), search
     // must still recommend tsne/umap xy scatters, fitted on a bounded
     // digest sample and transformed distributed (CoreT.embedSampled);
-    // without it, the scale exclusion stands (golden-pin stability).
+    // with the flag off, the reference's hard scale exclusion stands.
     val big = (1 to 10000).map { i =>
       (s"id$i", i * 1.0, math.sin(i * 0.05) * 20 + 30, 120.0 - 0.02 * i)
     }.toDF("name", "a v", "b v", "c v")
     val (pdf, profile) = Profiler.profile(big)
     assert(profile.rows > EngineConfig.default.searchEmbedMaxRows)
-    val rec = Recommender.recommend(pdf, profile, spark,
-      EngineConfig(searchEmbedSampleFit = true), charts = Seq("scatter"))
+    assert(EngineConfig.default.searchEmbedSampleFit,
+      "sampled fit must be the default — a default-off flag makes the " +
+        "public search API silently driver-bound above 400 rows")
+    val rec = Recommender.recommend(pdf, profile, spark, charts = Seq("scatter"))
     assert(rec.visList.exists(c => c.channels.get("xy").exists(v =>
       v.startsWith("tsne") || v.startsWith("umap"))),
       s"no sampled-fit embedding scatter in ${rec.visList.map(_.channels)}")
-    val off = Recommender.recommend(pdf, profile, spark, charts = Seq("scatter"))
-    assert(embedChannels(off).isEmpty, "default must keep the scale exclusion")
+    val off = Recommender.recommend(pdf, profile, spark,
+      EngineConfig(searchEmbedSampleFit = false), charts = Seq("scatter"))
+    assert(embedChannels(off).isEmpty,
+      "searchEmbedSampleFit=false must restore the reference's scale exclusion")
     CacheScope.releaseAll()
   }
 
