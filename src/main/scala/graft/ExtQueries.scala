@@ -97,6 +97,22 @@ object ExtQueries {
       PipelineOps.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
         chunkSize = 64, stride = 48)
     }),
+    "q_shard_pack" -> ((s, dir) => {
+      // token-budget shards over the md5-shuffled corpus; budget 1000
+      // gives tens of shards at gate scale so boundaries are exercised
+      PipelineOps.shardPack(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 1000L)
+    }),
+    "q_strip_boilerplate" -> ((s, dir) => {
+      // word granularity (the synthetic docs are single-line);
+      // maxDocFreq 390 drops the ~15 near-ubiquitous words at sf0.01,
+      // keeping the rebuild order-sensitive
+      PipelineOps.stripBoilerplate(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", maxDocFreq = 390L, delim = " ")
+    }),
     "q_vocab_topk" -> ((s, dir) => {
       PipelineOps.vocabProfile(Tables.documents(s, dir), "doc_id", "text", k = 50)
     }),
@@ -503,6 +519,41 @@ object ExtQueries {
         |  CAST(len(ws[start+1 : start+64]) AS BIGINT) AS n_tokens,
         |  array_to_string(ws[start+1 : start+64], ' ') AS chunk_text
         |FROM s""".stripMargin,
+    // exclusive prefix sum over the md5 shuffle order (k, doc_id is a
+    // total order; md5 hex compares identically in both engines), then
+    // integer-floor shard assignment — mirrors shardPack's distributed
+    // prefix sum exactly
+    "q_shard_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(COALESCE(text,''), '\S+')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR) || ':graft-shard') AS k
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM d)
+        |SELECT doc_id, n_tokens, before // 1000 AS shard_id FROM p""".stripMargin,
+    // DISTINCT (doc, word) → doc freq; words above the threshold are
+    // anti-joined out; string_agg ORDER BY the original position
+    // rebuilds the surviving text in place
+    "q_strip_boilerplate" ->
+      """WITH l AS (SELECT doc_id,
+        |    CAST(generate_subscripts(sl, 1) AS BIGINT) AS pos, unnest(sl) AS line
+        |  FROM (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS sl
+        |        FROM documents)),
+        |f AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+        |      GROUP BY line HAVING COUNT(*) > 390),
+        |kp AS (SELECT doc_id, pos, line FROM l ANTI JOIN f USING (line)),
+        |r AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean,
+        |        COUNT(*) AS n_lines_kept
+        |      FROM kp GROUP BY doc_id),
+        |t AS (SELECT doc_id,
+        |        CAST(len(string_split(COALESCE(text,''), ' ')) AS BIGINT) AS n_total
+        |      FROM documents)
+        |SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+        |  COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+        |  t.n_total - COALESCE(r.n_lines_kept, 0) AS n_lines_removed
+        |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
     // (tf DESC, word) is a total order — words are unique per group —
     // so the LIMIT cut is deterministic on both engines
     "q_vocab_topk" ->

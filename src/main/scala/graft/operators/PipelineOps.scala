@@ -209,6 +209,114 @@ object PipelineOps {
           .otherwise(array().cast("array<bigint>"))))
   }
 
+  // ── deterministic token-budget shard packing ───────────────────────
+
+  /** Assign every row to a training shard of ~`budget` weight (token
+    * count, bytes — any non-negative long `weightCol`): rows are laid
+    * out in a deterministic pseudo-random global order (md5 of the id,
+    * ties by id — the seeded corpus shuffle every training run needs,
+    * stable across engines/partitionings/reruns, unlike `rand(seed)`)
+    * and `shard_id = floor(prefix_weight_before / budget)` — the shard
+    * each row STARTS in; a row larger than `budget` spills into
+    * subsequent shards, which stay empty rather than re-balancing
+    * (deterministic beats perfectly level here).
+    *
+    * Scale shape, same as [[Rank.minRankByValue]]'s prefix sum: NO
+    * global-window cumsum (a bare `sum().over(orderBy)` collapses to
+    * one partition — the classic 100 TB killer). Range-partition by the
+    * shuffle key, sort within partitions, collect ONE subtotal per
+    * partition (a few KB), broadcast the exclusive offsets, then a
+    * per-partition running sum assigns shards in a single pass.
+    */
+  def shardPack(df: DataFrame, idCol: String, weightCol: String, budget: Long,
+                salt: String = "graft-shard", numPartitions: Int = 0): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(!df.columns.contains("shard_id"),
+      "shard_id is the reserved output column name")
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sessionState.conf.numShufflePartitions
+    val k = "__shard_k"
+    val w = "__shard_w"
+    // persisted: the subtotal pass and the assignment pass must observe
+    // the same physical layout (see minRankByValue)
+    val sorted = graft.CacheScope.track(
+      df.withColumn(k, md5(concat(col(idCol).cast("string"), lit(":" + salt))))
+        .withColumn(w, coalesce(col(weightCol).cast("long"), lit(0L)))
+        .repartitionByRange(parts, col(k), col(idCol))
+        .sortWithinPartitions(col(k), col(idCol)))
+    val wIdx = sorted.schema.fieldIndex(w)
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _) // weight before partition i
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val packed = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var before = bOff.value(i)
+      it.map { r =>
+        val shard = before / budget
+        before += r.getLong(wIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ shard)
+      }
+    }
+    spark.createDataFrame(packed,
+        org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+          org.apache.spark.sql.types.StructField("shard_id",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      .drop(k, w)
+  }
+
+  // ── boilerplate stripping (cross-document line dedup) ──────────────
+
+  /** Remove the segments that repeat across more than `maxDocFreq`
+    * documents — the CCNet/RefinedWeb-style boilerplate pass (headers,
+    * cookie banners, nav bars appear verbatim in thousands of pages;
+    * real content rarely repeats). Documents are split on `delim`
+    * (newline for real corpora; any separator — the gate query uses
+    * word granularity because the synthetic docs are single-line),
+    * a segment's document frequency is counted over DISTINCT
+    * (document, segment) pairs, and segments with `doc_freq >
+    * maxDocFreq` are dropped before the document is reassembled in
+    * original segment order. Returns
+    * `(id, text_clean, n_lines_kept, n_lines_removed)`.
+    *
+    * Scale shape: the doc-freq agg is segment-keyed with map-side
+    * combine (Zipf skew bounded by partition count, as in
+    * [[vocabProfile]]); the frequent-segment set is by construction
+    * tiny (only segments above the threshold survive), so the removal
+    * join is a broadcast-able left_anti; the rebuild groupBy is keyed
+    * by document id — per-document cardinality, no hot key. Order
+    * recovery uses posexplode positions sorted inside the aggregate
+    * (collect_list order is NOT deterministic under parallel merge).
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       maxDocFreq: Long, delim: String = "\n"): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    require(delim.nonEmpty, "delim must be non-empty")
+    require(!Set("text_clean", "n_lines_kept", "n_lines_removed", "__pos", "__line")
+      .contains(idCol), s"idCol '$idCol' collides with an output column name")
+    val segs = df.select(col(idCol),
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(delim))).as(Seq("__pos", "__line")))
+    val frequent = segs.select(col(idCol), col("__line")).distinct()
+      .groupBy(col("__line")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq).select("__line")
+    val kept = segs.join(broadcast(frequent), Seq("__line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        x => x.getField("__line")), delim).as("text_clean"),
+      count(lit(1)).as("n_lines_kept"))
+    df.select(col(idCol),
+        size(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(delim))).cast("long").as("__n_total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("__n_total") - coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_removed"))
+  }
+
   // ── benchmark-contamination screening ──────────────────────────────
 
   /** Flag corpus documents sharing any word `n`-gram with a benchmark

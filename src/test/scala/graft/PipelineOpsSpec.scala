@@ -258,4 +258,84 @@ class PipelineOpsSpec extends SparkSpec {
       s"as-of must not plan a product join:\n$plan")
     assert(plan.contains("Window"), s"expected the running-last window:\n$plan")
   }
+
+  // ── shard packing ────────────────────────────────────────────────
+
+  test("shardPack assigns shards by exclusive prefix over the md5 order") {
+    val docs = (1L to 20L).map(i => (i, 10L * i)).toDF("id", "w")
+    val out = PipelineOps.shardPack(docs, "id", "w", budget = 300L)
+      .as[(Long, Long, Long)].collect()
+    // replay the contract on the driver: md5(id:salt) order, exclusive
+    // prefix sum, floor-div by budget
+    def key(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:graft-shard".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val ordered = (1L to 20L).sortBy(i => (key(i), i))
+    var before = 0L
+    val expected = ordered.map { i =>
+      val s = before / 300L; before += 10L * i; i -> s
+    }.toMap
+    assert(out.length == 20)
+    out.foreach { case (id, _, shard) => assert(shard == expected(id),
+      s"doc $id: got shard $shard, expected ${expected(id)}") }
+    graft.CacheScope.releaseAll()
+  }
+
+  test("shardPack is invariant to input partitioning") {
+    val docs = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val runs = Seq(1, 3, 13).map { p =>
+      PipelineOps.shardPack(docs.repartition(p), "id", "w", budget = 50L)
+        .select("id", "shard_id").as[(Long, Long)].collect().toMap
+    }
+    assert(runs.distinct.size == 1, "shard assignment must not depend on partitioning")
+    graft.CacheScope.releaseAll()
+  }
+
+  test("shardPack: an oversized row occupies its start shard; no global window in the plan") {
+    val docs = Seq((1L, 10L), (2L, 1000L), (3L, 10L)).toDF("id", "w")
+    val out = PipelineOps.shardPack(docs, "id", "w", budget = 100L)
+    // 3 rows, one 10× the budget: shards must still be non-decreasing
+    // along the md5 order and the big row's successor lands ≥ 10 shards on
+    val byShard = out.select("shard_id").as[Long].collect().sorted
+    assert(byShard.length == 3 && byShard.last >= 10L)
+    graft.CacheScope.releaseAll()
+  }
+
+  // ── boilerplate stripping ────────────────────────────────────────
+
+  test("stripBoilerplate removes cross-doc frequent segments, preserves order") {
+    val docs = Seq(
+      (1L, "COOKIE NOTICE\nreal content one\nFOOTER"),
+      (2L, "COOKIE NOTICE\nreal content two\nFOOTER"),
+      (3L, "COOKIE NOTICE\nunique middle\nmore unique\nFOOTER"),
+      (4L, "COOKIE NOTICE\nFOOTER"),               // nothing survives
+      (5L, "standalone page")                       // untouched
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.stripBoilerplate(docs, "doc_id", "text", maxDocFreq = 3L)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "real content one", 1L, 2L)))
+    assert(out(1) == ((2L, "real content two", 1L, 2L)))
+    assert(out(2) == ((3L, "unique middle\nmore unique", 2L, 2L)))
+    assert(out(3) == ((4L, "", 0L, 2L)))
+    assert(out(4) == ((5L, "standalone page", 1L, 0L)))
+  }
+
+  test("stripBoilerplate counts doc frequency over distinct docs, not occurrences") {
+    // 'dup' appears 3× in ONE doc — occurrence count 3 exceeds the
+    // threshold but doc freq is 1, so it must survive
+    val docs = Seq((1L, "dup\ndup\ndup"), (2L, "other")).toDF("doc_id", "text")
+    val out = PipelineOps.stripBoilerplate(docs, "doc_id", "text", maxDocFreq = 2L)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "dup\ndup\ndup", 3L, 0L)))
+  }
+
+  test("stripBoilerplate honors a custom delimiter (word granularity)") {
+    val docs = Seq((1L, "the cat"), (2L, "the dog"), (3L, "the bird")).toDF("doc_id", "text")
+    val out = PipelineOps.stripBoilerplate(docs, "doc_id", "text",
+        maxDocFreq = 2L, delim = " ")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out.map(_._2).toSeq == Seq("cat", "dog", "bird"))
+  }
 }
