@@ -44,8 +44,9 @@ object Bench {
     // contamination screening, as-of enrichment
     "q_text_repetition", "q_vocab_topk", "q_contamination", "q_events_asof",
     "q_text_chunks",
-    // round 7: shard packing (distributed prefix sum) + boilerplate strip
-    "q_shard_pack", "q_strip_boilerplate")
+    // round 7: shard packing (distributed prefix sum), boilerplate
+    // strip, corpus semantic clustering
+    "q_shard_pack", "q_strip_boilerplate", "q_embed_cluster")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -198,6 +198,13 @@ object ExtQueries {
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, dim = 64, nlist = 16)
     }),
+    "q_embed_cluster" -> ((s, dir) => {
+      // SemDeDup-style corpus clustering — the IVF bucketing stage
+      // first-class; nlist pinned to 16 to stay in lockstep with the
+      // shared DuckDB fit replay
+      Similarity.clusterEmbeddings(Tables.embeddings(s, dir),
+        "vec_id", "embedding", dim = 64, nlist = 16)
+    }),
 
     // ── multimodal plumbing ────────────────────────────────────────
     "q_multimodal_meta" -> ((s, dir) => {
@@ -325,17 +332,16 @@ object ExtQueries {
     * The `vs[1:nlist]` init additionally assumes the corpus has at
     * least nlist=16 vectors (Spark uses min(nlist, max(2, n))); the
     * gate corpus has 500, so the branch never diverges there. */
-  private def ivfOracle: String = {
-    val (nlist, nprobe, k, iters) = (16, 4, 5, 10)
-    def dot(a: String, b: String) =
-      s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
-         |  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
-    def dist(a: String, b: String) =
-      s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
-         |  z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)""".stripMargin
-    def nrm(a: String) = s"sqrt(${dot(a, a)})"
-    s"""WITH RECURSIVE
-       |emb AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  private def sqlDist(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+       |  z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)""".stripMargin
+
+  /** Shared fit-and-assign CTE chain for the IVF family oracles: the
+    * deterministic Lloyd codebook (digest-sample order, init = first
+    * `nlist`, `iters` fixed rounds) and the per-vector nearest-list
+    * assignment, ending at `bucketed(id, v, lst, d2)`. */
+  private def ivfFitCtes(nlist: Int, iters: Int): String =
+    s"""emb AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |        FROM embeddings),
        |sp AS (SELECT (list(v ORDER BY md5(id || ':9')))[1:100000] AS vs,
        |              LEAST(COUNT(*), 100000) AS m FROM emb),
@@ -355,15 +361,33 @@ object ExtQueries {
        |                FOR c IN generate_series(1, $nlist)] AS ixs
        |        FROM (SELECT i, cs, vs, m,
        |                     list_transform(generate_series(1, m), j ->
-       |                       list_position(list_transform(cs, c -> ${dist("vs[j]", "c")}),
-       |                                     list_min(list_transform(cs, c -> ${dist("vs[j]", "c")})))) AS asg
+       |                       list_position(list_transform(cs, c -> ${sqlDist("vs[j]", "c")}),
+       |                                     list_min(list_transform(cs, c -> ${sqlDist("vs[j]", "c")})))) AS asg
        |              FROM it, sp WHERE i < $iters))),
        |fin AS (SELECT cs FROM it WHERE i = $iters),
        |bucketed AS (
        |  SELECT id, v,
-       |    CAST(list_position(list_transform(cs, c -> ${dist("v", "c")}),
-       |                       list_min(list_transform(cs, c -> ${dist("v", "c")}))) - 1 AS INT) AS lst
-       |  FROM emb, fin),
+       |    CAST(list_position(list_transform(cs, c -> ${sqlDist("v", "c")}),
+       |                       list_min(list_transform(cs, c -> ${sqlDist("v", "c")}))) - 1 AS INT) AS lst,
+       |    list_min(list_transform(cs, c -> ${sqlDist("v", "c")})) AS d2
+       |  FROM emb, fin)""".stripMargin
+
+  /** q_embed_cluster oracle: the shared fit/assign chain, projected. */
+  private def clusterOracle: String =
+    s"""WITH RECURSIVE
+       |${ivfFitCtes(16, 10)}
+       |SELECT id AS vec_id, CAST(lst AS BIGINT) AS cluster_id, d2 AS dist2
+       |FROM bucketed""".stripMargin
+
+  private def ivfOracle: String = {
+    val (nlist, nprobe, k, iters) = (16, 4, 5, 10)
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+         |  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
+    def dist = sqlDist _
+    def nrm(a: String) = s"sqrt(${dot(a, a)})"
+    s"""WITH RECURSIVE
+       |${ivfFitCtes(nlist, iters)},
        |probes AS (
        |  SELECT id AS query_id, v AS qv, cidx - 1 AS lst
        |  FROM (SELECT e.id, e.v, u.cidx, ${dist("e.v", "cs[u.cidx]")} AS d
@@ -384,6 +408,7 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q_sim_ivf_topk" -> ivfOracle,
+    "q_embed_cluster" -> clusterOracle,
     "q_text_tokens" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '\S+')) AS n_tokens,

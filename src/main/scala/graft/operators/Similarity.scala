@@ -210,18 +210,13 @@ object Similarity {
     *              (≈ √fit-sample-size) — pass an explicit value to pin
     *              results across corpus growth (the gate query pins 16
     *              so its DuckDB replay stays in lockstep) */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, dim: Int,
-              nlist: Int = 0, nprobe: Int = 4, seed: Long = 9): DataFrame = {
-    val spark = corpus.sparkSession
-
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    // codebook: driver Lloyd on a bounded deterministic sample (same
-    // fit strategy as CoreT.kmeans: top-fitCap by seeded md5 digest,
-    // collected and initialized in digest order — replayable by any
-    // SQL engine, so IVF results are value-exact against the oracle);
-    // corpus bucketing = argmin distance as a pure expression scan.
-    // 10 Lloyd rounds: a codebook doesn't need full convergence.
+  /** Fit the deterministic codebook: driver Lloyd on a bounded seeded
+    * sample (same fit strategy as CoreT.kmeans: top-fitCap by seeded
+    * md5 digest, collected and initialized in digest order —
+    * replayable by any SQL engine, so results are value-exact against
+    * the oracle). 10 Lloyd rounds: a codebook doesn't need full
+    * convergence. */
+  private def fitCodebook(c: DataFrame, nlist: Int, seed: Long): Array[Array[Double]] = {
     val fitCap = 100000
     val fitRows = c
       .select(md5(concat_ws(":", col("neighbor_id"), lit(seed))).as("__h"), col("__cv"))
@@ -232,18 +227,52 @@ object Similarity {
     // nlist = 0 → derive from the fit sample actually collected (≈ √m,
     // see autoNlist) — the sample is what the codebook can resolve
     val effNlist = if (nlist > 0) nlist else autoNlist(pts.length)
-    val centers = CoreT.lloyd(pts, math.min(effNlist, math.max(2, pts.length)), maxIter = 10)
-    // argmin via array_position(min): linear-sized expression — a
-    // when()-fold would copy each distance term exponentially in nlist
-    val centerDists = centers.map { ctr =>
+    CoreT.lloyd(pts, math.min(effNlist, math.max(2, pts.length)), maxIter = 10)
+  }
+
+  /** Per-vector squared distance to every center, as one array column —
+    * argmin via array_position(min): linear-sized expression (a
+    * when()-fold would copy each distance term exponentially in nlist). */
+  private def centerDistArr(centers: Array[Array[Double]], dim: Int) =
+    array(centers.toIndexedSeq.map { ctr =>
       (0 until dim).map { i =>
         val diff = element_at(col("__cv"), i + 1).cast("double") - lit(ctr(i))
         diff * diff
       }.reduce(_ + _)
-    }
-    val distArr = array(centerDists.toIndexedSeq: _*)
+    }: _*)
+
+  /** Corpus semantic clustering — the SemDeDup/coreset-curation
+    * primitive (Abbas et al. 2023): every embedding assigned to its
+    * nearest codebook centroid. Returns
+    * `(idCol, cluster_id, dist2)` — `dist2` the squared distance to
+    * the winning centroid, for picking per-cluster representatives or
+    * pruning outliers.
+    *
+    * Scale shape, identical to [[ivfTopK]]'s bucketing stage (this IS
+    * that stage, first-class): the fit collects a bounded digest
+    * sample; the assignment is a pure expression scan — zero shuffles,
+    * whole-stage codegen, nothing driver-side grows with the corpus.
+    */
+  def clusterEmbeddings(corpus: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, nlist: Int = 0, seed: Long = 9): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val centers = fitCodebook(c, nlist, seed)
+    c.withColumn("__dists", centerDistArr(centers, dim))
+      .select(col("neighbor_id").as(idCol),
+        coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1),
+          lit(0L)).cast("long").as("cluster_id"),
+        array_min(col("__dists")).as("dist2"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, dim: Int,
+              nlist: Int = 0, nprobe: Int = 4, seed: Long = 9): DataFrame = {
+    val spark = corpus.sparkSession
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val centers = fitCodebook(c, nlist, seed)
     val bucketed = c
-      .withColumn("__dists", distArr)
+      .withColumn("__dists", centerDistArr(centers, dim))
       .withColumn("__list",
         coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
           .cast("int"), lit(0)))

@@ -288,6 +288,37 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("clusterEmbeddings: near-copies share a cluster; assignment is nearest-centroid") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(16)(j => (math.sin(i * 5 + j) + math.cos(i + j * 2)).toFloat))
+    }
+    val near = (900L, vecs(7)._2.map(x => x * 1.0005f))
+    val df = (vecs :+ near).toDF("vec_id", "embedding")
+    val out = Similarity.clusterEmbeddings(df, "vec_id", "embedding", dim = 16, nlist = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 201, "every vector must be assigned")
+    val byId = out.map(r => r._1 -> r).toMap
+    // the SemDeDup premise: a near-duplicate lands in its twin's cluster
+    assert(byId(900L)._2 == byId(7L)._2)
+    out.foreach { case (_, c, d2) =>
+      assert(c >= 0 && c < 8); assert(d2 >= 0.0)
+    }
+    // partitioning-invariant: same codebook, same assignment
+    val re = Similarity.clusterEmbeddings(df.repartition(7), "vec_id", "embedding",
+      dim = 16, nlist = 8).as[(Long, Long, Double)].collect()
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
+  test("clusterEmbeddings assignment plans no shuffle (pure expression scan)") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(j => (i * 16 + j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val plan = Similarity.clusterEmbeddings(df, "vec_id", "embedding", dim = 16, nlist = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+
   test("CacheScope: a full dedup pipeline run leaves no cached plans behind") {
     import graft.operators.CorpusPipeline
     import org.apache.spark.sql.GraftSqlBridge
