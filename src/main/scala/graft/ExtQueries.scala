@@ -557,7 +557,8 @@ object ExtQueries {
         |    COALESCE(SUM(n_tokens) OVER (ORDER BY k, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         |  FROM d)
-        |SELECT doc_id, n_tokens, before // 1000 AS shard_id FROM p""".stripMargin,
+        |SELECT doc_id, n_tokens, before // 1000 AS shard_id,
+        |  before % 1000 AS shard_offset FROM p""".stripMargin,
     // DISTINCT (doc, word) → doc freq; words above the threshold are
     // anti-joined out; string_agg ORDER BY the original position
     // rebuilds the surviving text in place

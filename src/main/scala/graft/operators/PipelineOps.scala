@@ -217,9 +217,14 @@ object PipelineOps {
     * ties by id — the seeded corpus shuffle every training run needs,
     * stable across engines/partitionings/reruns, unlike `rand(seed)`)
     * and `shard_id = floor(prefix_weight_before / budget)` — the shard
-    * each row STARTS in; a row larger than `budget` spills into
-    * subsequent shards, which stay empty rather than re-balancing
-    * (deterministic beats perfectly level here).
+    * each row STARTS in — plus `shard_offset = prefix_weight_before %
+    * budget`, the position within that shard, which together make this
+    * the sequence packer: chunk with [[chunkDocuments]], pack chunks
+    * with `budget` = sequence length, and (shard_id, shard_offset) is
+    * each chunk's (sequence, token-position) address. A row larger
+    * than `budget` spills into subsequent shards, which stay empty
+    * rather than re-balancing (deterministic beats perfectly level
+    * here).
     *
     * Scale shape, same as [[Rank.minRankByValue]]'s prefix sum: NO
     * global-window cumsum (a bare `sum().over(orderBy)` collapses to
@@ -231,8 +236,8 @@ object PipelineOps {
   def shardPack(df: DataFrame, idCol: String, weightCol: String, budget: Long,
                 salt: String = "graft-shard", numPartitions: Int = 0): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    require(!df.columns.contains("shard_id"),
-      "shard_id is the reserved output column name")
+    require(!df.columns.contains("shard_id") && !df.columns.contains("shard_offset"),
+      "shard_id / shard_offset are the reserved output column names")
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sessionState.conf.numShufflePartitions
@@ -255,14 +260,17 @@ object PipelineOps {
       var before = bOff.value(i)
       it.map { r =>
         val shard = before / budget
+        val offset = before % budget
         before += r.getLong(wIdx)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ shard)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ shard :+ offset)
       }
     }
     spark.createDataFrame(packed,
-        org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+        org.apache.spark.sql.types.StructType(sorted.schema.fields ++ Seq(
           org.apache.spark.sql.types.StructField("shard_id",
-            org.apache.spark.sql.types.LongType, nullable = false)))
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("shard_offset",
+            org.apache.spark.sql.types.LongType, nullable = false))))
       .drop(k, w)
   }
 

@@ -261,12 +261,12 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ── shard packing ────────────────────────────────────────────────
 
-  test("shardPack assigns shards by exclusive prefix over the md5 order") {
+  test("shardPack assigns (shard, offset) by exclusive prefix over the md5 order") {
     val docs = (1L to 20L).map(i => (i, 10L * i)).toDF("id", "w")
     val out = PipelineOps.shardPack(docs, "id", "w", budget = 300L)
-      .as[(Long, Long, Long)].collect()
+      .as[(Long, Long, Long, Long)].collect()
     // replay the contract on the driver: md5(id:salt) order, exclusive
-    // prefix sum, floor-div by budget
+    // prefix sum, floor-div / mod by budget
     def key(id: Long): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$id:graft-shard".getBytes("UTF-8"))
@@ -275,11 +275,12 @@ class PipelineOpsSpec extends SparkSpec {
     val ordered = (1L to 20L).sortBy(i => (key(i), i))
     var before = 0L
     val expected = ordered.map { i =>
-      val s = before / 300L; before += 10L * i; i -> s
+      val so = (before / 300L, before % 300L); before += 10L * i; i -> so
     }.toMap
     assert(out.length == 20)
-    out.foreach { case (id, _, shard) => assert(shard == expected(id),
-      s"doc $id: got shard $shard, expected ${expected(id)}") }
+    out.foreach { case (id, _, shard, offset) =>
+      assert((shard, offset) == expected(id),
+        s"doc $id: got ($shard, $offset), expected ${expected(id)}") }
     graft.CacheScope.releaseAll()
   }
 
