@@ -167,6 +167,20 @@ object ExtQueries {
         CorpusPipeline.Config(minQuality = 0.3, tau = 0.5,
           minhashBands = 8, minhashHashes = 32, shingleSize = 3))
     }),
+    "q_corpus_to_shards" -> ((s, dir) => {
+      // the FULL corpus→training-shards flow: clean (as above) →
+      // disjoint 64-token chunks → 512-token shard packing, addressed
+      // by composite chunk ids. Every stage is an already-gated
+      // operator; this query proves the composition end to end.
+      val cleaned = CorpusPipeline.clean(nearDupCorpus(s, dir), "id", "text",
+        CorpusPipeline.Config(minQuality = 0.3, tau = 0.5,
+          minhashBands = 8, minhashHashes = 32, shingleSize = 3))
+      val chunks = PipelineOps.chunkDocuments(cleaned, "id", "text",
+          chunkSize = 64, stride = 64)
+        .select(concat_ws(":", col("id"), col("chunk_idx")).as("chunk_id"),
+          col("n_tokens"))
+      PipelineOps.shardPack(chunks, "chunk_id", "n_tokens", budget = 512L)
+    }),
     "q_dedup_embed_cosine" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
       val jittered = e.select((col("id") + ID_OFFSET).as("id"),
@@ -373,6 +387,88 @@ object ExtQueries {
        |  FROM emb, fin)""".stripMargin
 
   /** q_embed_cluster oracle: the shared fit/assign chain, projected. */
+  /** The q_corpus_clean WITH-body (corpus fixture through the `losers`
+    * CTE), shared by q_corpus_clean and q_corpus_to_shards so the two
+    * oracles can never drift. Ends with `gated` (survivor candidates +
+    * quality/lang) and `losers` (near-dup non-keepers). */
+  private def corpusCleanCtes: String =
+    s"""corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS id,
+      |    array_to_string((regexp_extract_all(text, '\\S+'))
+      |      [1:greatest((len(regexp_extract_all(text, '\\S+'))*4)//5, 1)], ' ') AS text
+      |  FROM documents),
+      |fpt AS (SELECT id, text,
+      |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM corpus),
+      |keepex AS (SELECT MIN(id) AS id FROM fpt GROUP BY fp),
+      |exact AS (SELECT f.id, f.text FROM fpt f JOIN keepex k USING (id)),
+      |tq AS (SELECT id, text,
+      |  regexp_extract_all(lower(text), '\\S+') AS toks,
+      |  len(regexp_extract_all(text, '\\S+')) AS ntok FROM exact),
+      |scoredq AS (SELECT id, text, toks,
+      |  (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END * 0.2)
+      |  + (CASE WHEN COALESCE(CAST(list_sum(list_transform(regexp_extract_all(text, '\\S+'), x -> length(x))) AS DOUBLE)
+      |       / CASE WHEN ntok = 0 THEN NULL ELSE ntok END, 0.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END * 0.2)
+      |  + (COALESCE(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |       / CASE WHEN length(text) = 0 THEN NULL ELSE length(text) END, 0.0) * 0.3)
+      |  + (LEAST(COALESCE(CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE)
+      |       / CASE WHEN ntok = 0 THEN NULL ELSE ntok END, 0.0) * 5.0, 1.0) * 0.2)
+      |  + ((1.0 - COALESCE(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+      |       / CASE WHEN length(text) = 0 THEN NULL ELSE length(text) END, 0.0)) * 0.1) AS quality,
+      |  CASE WHEN len(toks) = 0 THEN NULL ELSE CAST(len(toks) AS DOUBLE) END AS total
+      |  FROM tq),
+      |langed AS (SELECT id, text, quality,
+      |  list_sort([
+      |   struct_pack(score := COALESCE(CAST(len(list_filter(toks, x -> x IN
+      |     ('the','and','of','to','in','is','that','it','was','for','with','are','this','have','not'))) AS DOUBLE) / total, 0.0), lang := 'en'),
+      |   struct_pack(score := COALESCE(CAST(len(list_filter(toks, x -> x IN
+      |     ('der','die','das','und','ist','nicht','ein','eine','mit','von','auf','für','sich','dass','werden'))) AS DOUBLE) / total, 0.0), lang := 'de'),
+      |   struct_pack(score := COALESCE(CAST(len(list_filter(toks, x -> x IN
+      |     ('le','la','les','de','des','et','est','une','dans','que','pour','qui','pas','sur','avec'))) AS DOUBLE) / total, 0.0), lang := 'fr'),
+      |   struct_pack(score := COALESCE(CAST(len(list_filter(toks, x -> x IN
+      |     ('el','la','los','las','de','que','y','en','un','una','es','por','con','para','su'))) AS DOUBLE) / total, 0.0), lang := 'es')
+      |  ])[-1] AS best FROM scoredq),
+      |gated AS (SELECT id, text, quality,
+      |  CASE WHEN COALESCE(CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)
+      |         / CASE WHEN length(text) = 0 THEN NULL ELSE length(text) END, 0.0) > 0.3
+      |       THEN 'zh'
+      |       WHEN best.score >= 0.05 THEN best.lang
+      |       ELSE 'und' END AS lang
+      |  FROM langed WHERE quality >= 0.3),
+      |sh AS (
+      |  SELECT id, list_distinct([array_to_string(toks2[i:i+2], ' ')
+      |            for i in generate_series(1, len(toks2)-2)]) AS shingles
+      |  FROM (SELECT id, regexp_extract_all(text, '\\S+') AS toks2 FROM gated)),
+      |ab AS (SELECT id, ('0x'||substr(md5(gram),1,7))::BIGINT AS a,
+      |              (('0x'||substr(md5(gram),8,7))::BIGINT | 1) AS b
+      |       FROM (SELECT id, unnest(shingles) AS gram FROM sh)),
+      |abl AS (SELECT id, list([a, b]) AS abs_ FROM ab GROUP BY id),
+      |sigs AS (SELECT id, list_transform(generate_series(0,31), i ->
+      |           list_min(list_transform(abs_, p -> (p[1] + i*p[2]) % 2147483647))) AS sig
+      |         FROM abl),
+      |bucketed AS (SELECT id, sig, band, sig[band*4+1 : band*4+4] AS bucket
+      |             FROM (SELECT id, sig, unnest(generate_series(0,7)) AS band FROM sigs)
+      |             QUALIFY COUNT(*) OVER (PARTITION BY band, sig[band*4+1 : band*4+4]) <= 100000),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+      |         FROM bucketed a JOIN bucketed b
+      |         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+      |pairs AS (SELECT id_a, id_b FROM (
+      |  SELECT id_a, id_b,
+      |    CAST(CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
+      |      z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) AS BIGINT) AS DOUBLE) / 32
+      |    AS est_jaccard FROM cand) t
+      |  WHERE est_jaccard >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+      |losers AS (SELECT id FROM (
+      |  SELECT id, LEAST(id, MIN(r)) AS keep_id FROM reach GROUP BY id)
+      |  WHERE id <> keep_id)""".stripMargin
+
   private def clusterOracle: String =
     s"""WITH RECURSIVE
        |${ivfFitCtes(16, 10)}
@@ -726,85 +822,33 @@ object ExtQueries {
     // (q_text_quality / q_text_langid), the minhash banding
     // (q_dedup_minhash_lsh, τ=0.5), and the reach-CC survivor collapse
     // (q_dedup_survivors) — chained as CTEs over the same fixture
+    // (shared with q_corpus_to_shards via corpusCleanCtes below)
     "q_corpus_clean" ->
-      s"""WITH RECURSIVE corpus AS (
-        |  SELECT doc_id AS id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS id,
-        |    array_to_string((regexp_extract_all(text, '\\S+'))
-        |      [1:greatest((len(regexp_extract_all(text, '\\S+'))*4)//5, 1)], ' ') AS text
-        |  FROM documents),
-        |fpt AS (SELECT id, text,
-        |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM corpus),
-        |keepex AS (SELECT MIN(id) AS id FROM fpt GROUP BY fp),
-        |exact AS (SELECT f.id, f.text FROM fpt f JOIN keepex k USING (id)),
-        |tq AS (SELECT id, text,
-        |  regexp_extract_all(lower(text), '\\S+') AS toks,
-        |  len(regexp_extract_all(text, '\\S+')) AS ntok FROM exact),
-        |scoredq AS (SELECT id, text, toks,
-        |  (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END * 0.2)
-        |  + (CASE WHEN COALESCE(CAST(list_sum(list_transform(regexp_extract_all(text, '\\S+'), x -> length(x))) AS DOUBLE)
-        |       / CASE WHEN ntok = 0 THEN NULL ELSE ntok END, 0.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END * 0.2)
-        |  + (COALESCE(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-        |       / CASE WHEN length(text) = 0 THEN NULL ELSE length(text) END, 0.0) * 0.3)
-        |  + (LEAST(COALESCE(CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE)
-        |       / CASE WHEN ntok = 0 THEN NULL ELSE ntok END, 0.0) * 5.0, 1.0) * 0.2)
-        |  + ((1.0 - COALESCE(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-        |       / CASE WHEN length(text) = 0 THEN NULL ELSE length(text) END, 0.0)) * 0.1) AS quality,
-        |  CASE WHEN len(toks) = 0 THEN NULL ELSE CAST(len(toks) AS DOUBLE) END AS total
-        |  FROM tq),
-        |langed AS (SELECT id, text, quality,
-        |  list_sort([
-        |   struct_pack(score := COALESCE(CAST(len(list_filter(toks, x -> x IN
-        |     ('the','and','of','to','in','is','that','it','was','for','with','are','this','have','not'))) AS DOUBLE) / total, 0.0), lang := 'en'),
-        |   struct_pack(score := COALESCE(CAST(len(list_filter(toks, x -> x IN
-        |     ('der','die','das','und','ist','nicht','ein','eine','mit','von','auf','für','sich','dass','werden'))) AS DOUBLE) / total, 0.0), lang := 'de'),
-        |   struct_pack(score := COALESCE(CAST(len(list_filter(toks, x -> x IN
-        |     ('le','la','les','de','des','et','est','une','dans','que','pour','qui','pas','sur','avec'))) AS DOUBLE) / total, 0.0), lang := 'fr'),
-        |   struct_pack(score := COALESCE(CAST(len(list_filter(toks, x -> x IN
-        |     ('el','la','los','las','de','que','y','en','un','una','es','por','con','para','su'))) AS DOUBLE) / total, 0.0), lang := 'es')
-        |  ])[-1] AS best FROM scoredq),
-        |gated AS (SELECT id, text, quality,
-        |  CASE WHEN COALESCE(CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)
-        |         / CASE WHEN length(text) = 0 THEN NULL ELSE length(text) END, 0.0) > 0.3
-        |       THEN 'zh'
-        |       WHEN best.score >= 0.05 THEN best.lang
-        |       ELSE 'und' END AS lang
-        |  FROM langed WHERE quality >= 0.3),
-        |sh AS (
-        |  SELECT id, list_distinct([array_to_string(toks2[i:i+2], ' ')
-        |            for i in generate_series(1, len(toks2)-2)]) AS shingles
-        |  FROM (SELECT id, regexp_extract_all(text, '\\S+') AS toks2 FROM gated)),
-        |ab AS (SELECT id, ('0x'||substr(md5(gram),1,7))::BIGINT AS a,
-        |              (('0x'||substr(md5(gram),8,7))::BIGINT | 1) AS b
-        |       FROM (SELECT id, unnest(shingles) AS gram FROM sh)),
-        |abl AS (SELECT id, list([a, b]) AS abs_ FROM ab GROUP BY id),
-        |sigs AS (SELECT id, list_transform(generate_series(0,31), i ->
-        |           list_min(list_transform(abs_, p -> (p[1] + i*p[2]) % 2147483647))) AS sig
-        |         FROM abl),
-        |bucketed AS (SELECT id, sig, band, sig[band*4+1 : band*4+4] AS bucket
-        |             FROM (SELECT id, sig, unnest(generate_series(0,7)) AS band FROM sigs)
-        |             QUALIFY COUNT(*) OVER (PARTITION BY band, sig[band*4+1 : band*4+4]) <= 100000),
-        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-        |         FROM bucketed a JOIN bucketed b
-        |         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-        |pairs AS (SELECT id_a, id_b FROM (
-        |  SELECT id_a, id_b,
-        |    CAST(CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
-        |      z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) AS BIGINT) AS DOUBLE) / 32
-        |    AS est_jaccard FROM cand) t
-        |  WHERE est_jaccard >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
-        |losers AS (SELECT id FROM (
-        |  SELECT id, LEAST(id, MIN(r)) AS keep_id FROM reach GROUP BY id)
-        |  WHERE id <> keep_id)
+      s"""WITH RECURSIVE $corpusCleanCtes
         |SELECT id, text, quality, lang FROM gated
         |WHERE id NOT IN (SELECT id FROM losers)""".stripMargin,
+    // the full corpus→training-shards flow: the clean chain above, then
+    // the q_text_chunks windowing (disjoint 64-token chunks) and the
+    // q_shard_pack prefix-sum packing (budget 512) over composite
+    // chunk ids
+    "q_corpus_to_shards" ->
+      s"""WITH RECURSIVE $corpusCleanCtes,
+        |cleaned AS (SELECT id, text FROM gated
+        |            WHERE id NOT IN (SELECT id FROM losers)),
+        |ch AS (SELECT id, CAST(start // 64 AS BIGINT) AS chunk_idx,
+        |         CAST(len(ws[start+1 : start+64]) AS BIGINT) AS n_tokens
+        |       FROM (SELECT id, ws, unnest(range(0, len(ws), 64)) AS start
+        |             FROM (SELECT id, regexp_extract_all(COALESCE(text,''), '\\S+') AS ws
+        |                   FROM cleaned))),
+        |ck AS (SELECT id || ':' || CAST(chunk_idx AS VARCHAR) AS chunk_id, n_tokens
+        |       FROM ch),
+        |pk AS (SELECT chunk_id, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (
+        |           ORDER BY md5(chunk_id || ':graft-shard'), chunk_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |       FROM ck)
+        |SELECT chunk_id, n_tokens, before // 512 AS shard_id,
+        |  before % 512 AS shard_offset FROM pk""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""WITH $ngramCtes
         |SELECT id_a, id_b,
