@@ -156,4 +156,22 @@ class PlanShapeSpec extends SparkSpec {
       _.aggregateFunction.dataType == LongType)),
       "pinned sums must aggregate as LongType, not Decimal")
   }
+
+  test("strip-boilerplate removes frequent segments via broadcast, not a shuffled join") {
+    val plans = executed("q_strip_boilerplate")
+    val bjoins = plans.collect { case b: BroadcastHashJoinExec => b }
+    assert(bjoins.exists(_.joinType.toString.contains("LeftAnti")),
+      s"the frequent-segment removal must plan as a broadcast anti-join:\n${plans.head}")
+  }
+
+  test("shard packing shuffles once (the range partitioning), nothing else") {
+    val df = SparkEntry.queries("q_shard_pack")(spark, sfDir)
+    df.collect()
+    val plans = dedupByIdentity(flatten(df.queryExecution.executedPlan))
+    // the assignment pass reads the persisted range-partitioned frame;
+    // no Window and no additional Exchange may appear downstream of it
+    assert(!plans.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "shard packing must not plan a global window")
+    graft.CacheScope.releaseAll()
+  }
 }
