@@ -105,6 +105,16 @@ object ExtQueries {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", budget = 1000L)
     }),
+    "q_shard_payload" -> ((s, dir) => {
+      // pack → materialize: the shard file contents a trainer reads
+      val packed = PipelineOps.shardPack(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          col("text")),
+        "doc_id", "n_tokens", budget = 1000L)
+      PipelineOps.shardPayloads(packed, "doc_id", "text")
+        .select(col("shard_id"), col("n_rows"), col("payload"))
+    }),
     "q_strip_boilerplate" -> ((s, dir) => {
       // word granularity (the synthetic docs are single-line);
       // maxDocFreq 390 drops the ~15 near-ubiquitous words at sf0.01,
@@ -655,6 +665,23 @@ object ExtQueries {
         |  FROM d)
         |SELECT doc_id, n_tokens, before // 1000 AS shard_id,
         |  before % 1000 AS shard_offset FROM p""".stripMargin,
+    // the same prefix chain, grouped back into per-shard file contents;
+    // string_agg order (offset, id) mirrors the sort INSIDE Spark's
+    // collect_list aggregate
+    "q_shard_payload" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(COALESCE(text,''), '\S+')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR) || ':graft-shard') AS k
+        |  FROM documents),
+        |p AS (SELECT doc_id, text, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM d),
+        |a AS (SELECT doc_id, text, before // 1000 AS shard_id,
+        |        before % 1000 AS shard_offset FROM p)
+        |SELECT shard_id, COUNT(*) AS n_rows,
+        |  string_agg(text, chr(10) ORDER BY shard_offset, doc_id) AS payload
+        |FROM a GROUP BY shard_id""".stripMargin,
     // DISTINCT (doc, word) → doc freq; words above the threshold are
     // anti-joined out; string_agg ORDER BY the original position
     // rebuilds the surviving text in place

@@ -274,6 +274,34 @@ object PipelineOps {
       .drop(k, w)
   }
 
+  // ── shard payload materialization ──────────────────────────────────
+
+  /** Materialize each shard's training payload: the rows assigned to a
+    * shard by [[shardPack]], concatenated by `sep` in shard order —
+    * the step that turns the (shard_id, shard_offset) layout into the
+    * actual file contents a trainer reads. Returns
+    * `(shard_id, n_rows, payload)`.
+    *
+    * One shuffle, keyed by shard id — and shard ids are uniform by
+    * construction (each covers ~budget weight), so the key
+    * distribution is as level as a shuffle key gets; within-shard
+    * order is recovered by sorting (offset, id) INSIDE the aggregate,
+    * the same collect_list-determinism discipline as
+    * [[stripBoilerplate]]'s rebuild. Payload size ≈ the pack budget —
+    * bounded per group by construction, never by luck.
+    */
+  def shardPayloads(packed: DataFrame, idCol: String, textCol: String,
+                    sep: String = "\n"): DataFrame = {
+    require(packed.columns.contains("shard_id") &&
+      packed.columns.contains("shard_offset"),
+      "shardPayloads expects shardPack output (shard_id, shard_offset)")
+    packed.groupBy(col("shard_id")).agg(
+      count(lit(1)).as("n_rows"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("shard_offset"), col(idCol), col(textCol)))),
+        x => x.getField(textCol)), sep).as("payload"))
+  }
+
   // ── boilerplate stripping (cross-document line dedup) ──────────────
 
   /** Remove the segments that repeat across more than `maxDocFreq`

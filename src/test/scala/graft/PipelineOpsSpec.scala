@@ -304,6 +304,27 @@ class PipelineOpsSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("shardPayloads concatenates in shard order, invariant to partitioning") {
+    val docs = (1L to 30L).map(i => (i, 10L, s"doc$i")).toDF("id", "w", "text")
+    val packed = PipelineOps.shardPack(docs, "id", "w", budget = 100L)
+    val pay = PipelineOps.shardPayloads(packed, "id", "text", sep = "|")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(pay.map(_._2).sum == 30, "every doc lands in exactly one payload")
+    // replay: payload text order == ascending shard_offset
+    val byShard = packed.select("shard_id", "shard_offset", "id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._2, r._3)).map(r => s"doc${r._3}"))
+    pay.foreach { case (sid, _, p) =>
+      assert(p == byShard(sid).mkString("|"), s"shard $sid payload order") }
+    // repartitioned input → identical payloads
+    val pay2 = PipelineOps.shardPayloads(
+        PipelineOps.shardPack(docs.repartition(7), "id", "w", budget = 100L),
+        "id", "text", sep = "|")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(pay2.toSeq == pay.toSeq)
+    graft.CacheScope.releaseAll()
+  }
+
   // ── boilerplate stripping ────────────────────────────────────────
 
   test("stripBoilerplate removes cross-doc frequent segments, preserves order") {
