@@ -217,35 +217,41 @@ object Dedup {
     *         rows absent from `pairs` are their own survivors
     */
   def nearDupSurvivors(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // localCheckpoint, NOT persist: persist caches the physical result
+    // but keeps the full LOGICAL plan, so each loop round nests the
+    // entire upstream tree (minhash self-join, gates, scans) twice
+    // more — Catalyst analysis went super-linear on the composed
+    // corpus→shards pipeline (317 s / OOM on a 1000-doc corpus, round
+    // 7). Eager localCheckpoint materializes the frame AND truncates
+    // lineage to a LogicalRDD, so every round's plan is one small
+    // join over two leaf RDDs regardless of what produced the pairs.
+    // Executor-loss recompute is lost with the lineage — acceptable
+    // here: the label frame is (id, keep_id) pairs, tiny relative to
+    // the corpus, and a lost block fails the job loudly rather than
+    // silently (re-run the batch compaction). Superseded rounds'
+    // blocks are dropped by Spark's ContextCleaner once unreferenced.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
-    var cached = edges.select(col("src").as("id")).distinct()
-      .withColumn("keep_id", col("id")).persist()
-    var labels = cached
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("keep_id", col("id")).localCheckpoint()
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("keep_id").as("__nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__nmin"))
+      // eager checkpoint materializes the round before the convergence
+      // count, which then reads the checkpointed blocks
       val updated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("keep_id").as("__old"),
           least(col("keep_id"), coalesce(col("__nmin"), col("keep_id"))).as("keep_id"))
-        .persist()
-      // count() fully materializes the round's cache before the
-      // superseded one is released
+        .localCheckpoint()
       converged = updated.where(col("keep_id") =!= col("__old")).count() == 0
-      cached.unpersist()
-      cached = updated
       labels = updated.select(col("id"), col("keep_id"))
       it += 1
     }
-    edges.unpersist()
-    // the final round's cache backs the returned labels — register it
-    // so CacheScope.releaseAll()/withCached can reclaim it
-    graft.CacheScope.trackExisting(cached)
     // an unconverged result would silently disagree with the
     // transitive-closure semantics (and the oracle) — fail loudly;
     // real dedup components are near-cliques converging in 2-3 rounds
