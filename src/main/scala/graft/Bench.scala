@@ -45,8 +45,10 @@ object Bench {
     "q_text_repetition", "q_vocab_topk", "q_contamination", "q_events_asof",
     "q_text_chunks",
     // round 7: shard packing (distributed prefix sum), boilerplate
-    // strip, corpus semantic clustering
-    "q_shard_pack", "q_strip_boilerplate", "q_embed_cluster")
+    // strip, corpus semantic clustering, binned range join, Bloom
+    // incremental dedup, corpus-LM rare-token scoring
+    "q_shard_pack", "q_strip_boilerplate", "q_embed_cluster",
+    "q_events_range_join", "q_dedup_incremental", "q_text_rare_tokens")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Multimodal, PipelineOps, Similarity}
+import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Multimodal, PipelineOps, RangeJoin, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -20,6 +20,9 @@ import graft.streaming.StreamingDemo
 object ExtQueries {
 
   private val ID_OFFSET = 1000000L
+
+  /** 24 hours in microseconds — the q_events_range_join window span. */
+  private val DAY_US = 86400000000L
 
   /** documents ∪ near-duplicate copies (first ~80% of tokens). */
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -65,6 +68,11 @@ object ExtQueries {
     }),
     "q_text_repetition" -> ((s, dir) => {
       PipelineOps.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+    }),
+    "q_text_rare_tokens" -> ((s, dir) => {
+      // OOV profile against the corpus's own unigram head (tf >= 10)
+      PipelineOps.rareTokenSignals(Tables.documents(s, dir), "doc_id", "text",
+        minCount = 10L)
     }),
     "q_pii_redact" -> ((s, dir) => {
       // the synthetic corpus carries no PII, so the fixture injects a
@@ -146,10 +154,39 @@ object ExtQueries {
         keyCols = Seq("user_id"), timeCol = "ts_us", tieCol = "event_id",
         payloadCols = Seq("value"))
     }),
+    "q_events_range_join" -> ((s, dir) => {
+      // every click inside the 24h attribution window opened by a
+      // purchase of the same user — the binned point-in-interval join;
+      // binWidth = the window span, so each interval hits ≤2 buckets
+      val e = Tables.eventsRawNanos(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+          col("event_type"), col("value"))
+      RangeJoin.pointInInterval(
+        e.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value")),
+        e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("win_start"),
+            (col("ts_us") + lit(DAY_US)).as("win_end"),
+            col("event_id").as("purchase_id"), col("value").as("purchase_value")),
+        keyCols = Seq("user_id"), pointTimeCol = "ts_us",
+        startCol = "win_start", endCol = "win_end", binWidth = DAY_US)
+    }),
 
     // ── dedup family ───────────────────────────────────────────────
     "q_dedup_exact_docs" -> ((s, dir) => {
       Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+    }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // corpus = 9/10 of documents; increment = the held-out tenth
+      // (genuinely new) + shifted copies of every 7th document (true
+      // duplicates wherever the source doc sits in the corpus)
+      val d = Tables.documents(s, dir)
+      val inc = d.where(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + ID_OFFSET).as("doc_id"), col("text")))
+      Dedup.incrementalDedup(d.where(col("doc_id") % 10 =!= 0), inc,
+          "doc_id", "text")
+        .select(col("doc_id"), col("fp"))
     }),
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(nearDupCorpus(s, dir), "id", "text",
@@ -604,6 +641,22 @@ object ExtQueries {
         |  CAST(CASE WHEN top_word_frac > 3e-1 OR top_bigram_frac > 2e-1
         |              OR dup_ngram_frac > 15e-2 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
         |FROM f""".stripMargin,
+    // the vocabulary head (tf >= 10) joined back to token OCCURRENCES
+    // (not distinct words) — all counts exact integers, rare_frac one
+    // IEEE-exact division, mirroring rareTokenSignals
+    "q_text_rare_tokens" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(COALESCE(text,''), '\S+')) AS word
+        |           FROM documents),
+        |com AS (SELECT word FROM w GROUP BY word HAVING COUNT(*) >= 10),
+        |h AS (SELECT doc_id, COUNT(*) AS n_common FROM w JOIN com USING (word) GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |        CAST(len(regexp_extract_all(COALESCE(text,''), '\S+')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |SELECT b.doc_id, b.n_tokens,
+        |  b.n_tokens - COALESCE(h.n_common, 0) AS n_rare,
+        |  COALESCE(CAST(b.n_tokens - COALESCE(h.n_common, 0) AS DOUBLE)
+        |    / CASE WHEN b.n_tokens = 0 THEN NULL ELSE b.n_tokens END, 0e0) AS rare_frac
+        |FROM b LEFT JOIN h USING (doc_id)""".stripMargin,
     "q_pii_redact" ->
       """WITH t AS (SELECT doc_id,
         |  'contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.'
@@ -744,10 +797,35 @@ object ExtQueries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
         |      FROM u)
         |SELECT event_id, user_id, ts_us, value, asof_value FROM w WHERE side = 1""".stripMargin,
+    // plain BETWEEN join — DuckDB's IEJoin handles it exactly; the
+    // Spark side reaches the same pair set through time-bin bucketing
+    "q_events_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |           FROM events)
+        |SELECT c.user_id, c.event_id, c.ts_us, c.value,
+        |  p.ts_us AS win_start, p.ts_us + 86400000000 AS win_end,
+        |  p.event_id AS purchase_id, p.value AS purchase_value
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND c.ts_us BETWEEN p.ts_us AND p.ts_us + 86400000000""".stripMargin,
     "q_dedup_exact_docs" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         | MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    // exact anti-join semantics — the Bloom filter in incrementalDedup
+    // only prunes, so the oracle needs no sketch replay
+    "q_dedup_incremental" ->
+      """WITH cfp AS (SELECT DISTINCT
+        |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |      FROM documents WHERE doc_id % 10 <> 0),
+        |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |        UNION ALL
+        |        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 1),
+        |i AS (SELECT doc_id,
+        |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |      FROM inc)
+        |SELECT doc_id, fp FROM i ANTI JOIN cfp USING (fp)""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id,
         | sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -306,4 +306,59 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Incremental exact dedup: the increment rows whose normalized-text
+    * fingerprint does NOT already occur in the corpus — the
+    * dedupe-the-new-crawl-against-the-existing-corpus pass a continuously
+    * ingesting pipeline runs daily. Returns every increment column plus
+    * `fp`. (Duplicates WITHIN the increment are out of scope — both
+    * copies are "new" relative to the corpus; follow with [[exactDedup]]
+    * on the result.)
+    *
+    * The naive spelling — `increment ANTI JOIN corpus ON fp` — shuffles
+    * the corpus fingerprints every run, and at 100 TB the corpus side
+    * dwarfs any daily increment by orders of magnitude. This operator
+    * never shuffles the corpus at all:
+    *
+    *  1. one corpus scan tree-aggregates a Bloom filter of corpus
+    *     fingerprints (partial filters OR-merge — commutative, no
+    *     shuffle, deterministic);
+    *  2. the increment probes the broadcast filter — surviving rows are
+    *     the true duplicates plus an `fpp` fraction of false positives,
+    *     so the candidate set is ~|dups| + fpp·|increment|: tiny;
+    *  3. a second corpus scan semi-joins the BROADCAST candidate
+    *     fingerprints to confirm exactly (Bloom false positives die
+    *     here; false negatives are impossible), and the confirmed-dup
+    *     set anti-joins the increment.
+    *
+    * Output is therefore byte-identical to the exact anti-join — the
+    * Bloom filter only prunes, never decides. Two corpus scans (column-
+    * pruned to one md5), zero corpus shuffles, and the only per-row
+    * lambda in the engine's dedup layer runs on the increment side only
+    * (the Bloom probe; the corpus side stays pure codegen).
+    *
+    * @param expectedCorpusDocs sizes the Bloom filter; 0 (default)
+    *        triggers a counting pre-pass — pass the known corpus row
+    *        count to skip it
+    * @param fpp Bloom false-positive rate; tune against increment size
+    *        (candidate overhead = fpp·|increment| extra confirm rows)
+    */
+  def incrementalDedup(corpus: DataFrame, increment: DataFrame,
+                       keyCol: String, textCol: String,
+                       expectedCorpusDocs: Long = 0L,
+                       fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    require(!increment.columns.contains("fp"),
+      "fp is the reserved output column name")
+    val corpusFp = corpus.select(TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val expected = math.max(
+      if (expectedCorpusDocs > 0) expectedCorpusDocs else corpusFp.count(), 1L)
+    val bloom = corpusFp.stat.bloomFilter("fp", expected, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
+    val inc = increment.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+    val candFps = inc.where(mightContain(col("fp"))).select("fp").distinct()
+    val confirmed = corpusFp.join(broadcast(candFps), Seq("fp"), "left_semi").distinct()
+    inc.join(broadcast(confirmed), Seq("fp"), "left_anti")
+  }
 }

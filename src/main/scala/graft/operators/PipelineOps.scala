@@ -386,4 +386,46 @@ object PipelineOps {
       .withColumn("contaminated",
         when(col("n_overlap") > 0, lit(1L)).otherwise(lit(0L)))
   }
+
+  // ── corpus-LM rare-token scoring ───────────────────────────────────
+
+  /** Per-document out-of-vocabulary profile against the corpus's own
+    * unigram statistics: a token is "rare" when its corpus-wide term
+    * frequency is below `minCount`. High `rare_frac` flags the
+    * gibberish / OCR-noise / wrong-tokenizer documents a unigram-LM
+    * perplexity filter would catch — expressed in exact integer counts
+    * (plus one IEEE-exact division), so the score is reproducible
+    * bit-for-bit across engines, unlike a float log-prob sum whose
+    * value depends on reduction order. Returns
+    * `(id, n_tokens, n_rare, rare_frac)`.
+    *
+    * Scale shape: the vocabulary head (tf ≥ minCount) is what gets
+    * broadcast, NOT the rare tail — by Zipf the head is bounded by
+    * `totalTokens / minCount` entries regardless of corpus size (scale
+    * `minCount` with the corpus to keep it inside the broadcast
+    * budget). The corpus-side work is one map-side-combinable word agg
+    * for the head, then one broadcast semi-probe + a document-keyed
+    * count — no corpus shuffle by word except the bounded head agg.
+    */
+  def rareTokenSignals(df: DataFrame, idCol: String, textCol: String,
+                       minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(!Set("n_tokens", "n_rare", "rare_frac", "word", "__n_common")
+      .contains(idCol), s"idCol '$idCol' collides with an output column name")
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(coalesce(col(textCol), lit("")))).as("word"))
+    val common = toks.groupBy(col("word")).agg(count(lit(1)).as("tf"))
+      .where(col("tf") >= minCount).select("word")
+    val hits = toks.join(broadcast(common), Seq("word"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__n_common"))
+    val nRare = col("n_tokens") - coalesce(col("__n_common"), lit(0L))
+    df.select(col(idCol),
+        size(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+          .cast("long").as("n_tokens"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), nRare.as("n_rare"),
+        coalesce(nRare.cast("double") /
+          when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")),
+          lit(0.0)).as("rare_frac"))
+  }
 }

@@ -335,6 +335,36 @@ class DedupSimilaritySpec extends SparkSpec {
       "dedup operators leaked persisted frames past their CacheScope")
   }
 
+  test("incrementalDedup keeps only increment rows new to the corpus") {
+    // increment: one new doc, one exact copy of corpus doc 3, one
+    // whitespace-variant copy of doc 4 (normalization must catch it)
+    val corpusDocs = corpus
+    val inc = Seq(
+      (200L, "a genuinely brand new document"),
+      (201L, corpusDocs.where($"id" === 3L).select("text").as[String].head()),
+      (202L, "  " + corpusDocs.where($"id" === 4L).select("text").as[String].head() + "  ")
+    ).toDF("id", "text")
+    val out = Dedup.incrementalDedup(corpusDocs, inc, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(200L))
+  }
+
+  test("incrementalDedup equals the exact anti-join at every fpp") {
+    val inc = corpus.where($"id" <= 5L)
+      .select(($"id" + 300L).as("id"), $"text")
+      .unionByName(Seq((400L, "only in the increment")).toDF("id", "text"))
+    val exact = inc
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint($"text"))
+      .join(corpus.select(graft.functions.TextFunctions.fingerprint($"text").as("fp")),
+        Seq("fp"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    for (fpp <- Seq(0.5, 0.01)) { // even a half-wrong Bloom must not change output
+      val out = Dedup.incrementalDedup(corpus, inc, "id", "text", fpp = fpp)
+        .select("id").as[Long].collect().toSet
+      assert(out == exact, s"fpp=$fpp diverged from the exact anti-join")
+    }
+  }
+
   test("embeddingNearDupPairs finds the planted near-duplicate") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(j => (math.sin(i * 11 + j * 3) + 2.0).toFloat))

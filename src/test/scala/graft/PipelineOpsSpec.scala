@@ -360,4 +360,35 @@ class PipelineOpsSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
     assert(out.map(_._2).toSeq == Seq("cat", "dog", "bird"))
   }
+
+  // ── rare-token scoring ───────────────────────────────────────────
+
+  test("rareTokenSignals counts OOV occurrences against the corpus head") {
+    // corpus tf: a=3, b=2, c=1, z=1 → head at minCount=2 is {a, b}
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, ""), (4L, "b z"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.rareTokenSignals(docs, "doc_id", "text", minCount = 2L)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out(0) == ((1L, 3L, 0L, 0.0)))
+    assert(out(1) == ((2L, 2L, 1L, 0.5)))
+    assert(out(2) == ((3L, 0L, 0L, 0.0))) // empty doc keeps a zero row
+    assert(out(3) == ((4L, 2L, 1L, 0.5)))
+  }
+
+  test("rareTokenSignals broadcasts the vocabulary head, not the tail") {
+    val docs = Seq((1L, "a a b c")).toDF("doc_id", "text")
+    val plan = PipelineOps.rareTokenSignals(docs, "doc_id", "text", minCount = 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the common-word probe must be a broadcast semi-join:\n$plan")
+  }
+
+  test("rareTokenSignals is partitioning-invariant") {
+    val docs = (1L to 80L).map(i => (i, s"common w$i common")).toDF("doc_id", "text")
+    val a = PipelineOps.rareTokenSignals(docs, "doc_id", "text", minCount = 3L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = PipelineOps.rareTokenSignals(docs.repartition(13), "doc_id", "text", minCount = 3L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
