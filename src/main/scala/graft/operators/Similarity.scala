@@ -231,15 +231,15 @@ object Similarity {
   }
 
   /** Per-vector squared distance to every center, as one array column —
-    * argmin via array_position(min): linear-sized expression (a
-    * when()-fold would copy each distance term exponentially in nlist). */
-  private def centerDistArr(centers: Array[Array[Double]], dim: Int) =
-    array(centers.toIndexedSeq.map { ctr =>
-      (0 until dim).map { i =>
-        val diff = element_at(col("__cv"), i + 1).cast("double") - lit(ctr(i))
-        diff * diff
-      }.reduce(_ + _)
-    }: _*)
+    * argmin via array_position(min). A single tight-loop expression
+    * ([[graft.functions.CentroidDists]]): the k·d-term Column spelling
+    * generated JIT-hostile thousand-node code that cost ~5 s of pure
+    * interpretation on a 2000-row scan (EmbedClusterProbe). */
+  private def centerDistArr(centers: Array[Array[Double]], dim: Int) = {
+    require(centers.forall(_.length == dim),
+      s"codebook dimension ${centers.head.length} != declared dim $dim")
+    graft.functions.CentroidDists.dists(col("__cv"), centers)
+  }
 
   /** Corpus semantic clustering — the SemDeDup/coreset-curation
     * primitive (Abbas et al. 2023): every embedding assigned to its
