@@ -48,7 +48,8 @@ object Bench {
     // strip, corpus semantic clustering, binned range join, Bloom
     // incremental dedup, corpus-LM rare-token scoring
     "q_shard_pack", "q_strip_boilerplate", "q_embed_cluster",
-    "q_events_range_join", "q_dedup_incremental", "q_text_rare_tokens")
+    "q_events_range_join", "q_dedup_incremental", "q_text_rare_tokens",
+    "q_dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -235,6 +235,16 @@ object ExtQueries {
       Similarity.embeddingNearDupPairs(e.unionByName(jittered), "id", "embedding",
         dim = 64, tau = 0.999)
     }),
+    "q_dedup_semantic" -> ((s, dir) => {
+      // SemDeDup end to end on the duplicate-augmented corpus: codebook
+      // clusters block the pairwise cosine, survivors collapse to the
+      // component min id; nlist pinned 16 for the shared Lloyd replay
+      val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      val dup = e.select((col("id") + ID_OFFSET).as("id"), col("embedding"))
+      Dedup.nearDupSurvivors(
+        Similarity.semanticDedupPairs(e.unionByName(dup), "id", "embedding",
+          dim = 64, tau = 0.99, nlist = 16))
+    }),
 
     // ── similarity search ──────────────────────────────────────────
     "q_embed_norm" -> ((s, dir) => {
@@ -397,13 +407,19 @@ object ExtQueries {
     s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
        |  z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)""".stripMargin
 
+  /** The plain-corpus `emb` CTE for [[ivfFitCtes]] — q_dedup_semantic
+    * swaps in a duplicate-augmented corpus instead. */
+  private def plainEmbCte: String =
+    """emb AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM embeddings)""".stripMargin
+
   /** Shared fit-and-assign CTE chain for the IVF family oracles: the
     * deterministic Lloyd codebook (digest-sample order, init = first
     * `nlist`, `iters` fixed rounds) and the per-vector nearest-list
     * assignment, ending at `bucketed(id, v, lst, d2)`. */
-  private def ivfFitCtes(nlist: Int, iters: Int): String =
-    s"""emb AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |        FROM embeddings),
+  private def ivfFitCtes(nlist: Int, iters: Int,
+                         embCte: String = plainEmbCte): String =
+    s"""$embCte,
        |sp AS (SELECT (list(v ORDER BY md5(id || ':9')))[1:100000] AS vs,
        |              LEAST(COUNT(*), 100000) AS m FROM emb),
        |it(i, cs) AS (
@@ -522,6 +538,33 @@ object ExtQueries {
        |SELECT id AS vec_id, CAST(lst AS BIGINT) AS cluster_id, d2 AS dist2
        |FROM bucketed""".stripMargin
 
+  /** q_dedup_semantic oracle: the same fit/assign chain on the
+    * duplicate-augmented corpus, pairwise cosine within each cluster,
+    * then the q_dedup_survivors transitive-closure CTE. */
+  private def semanticDedupOracle: String =
+    s"""WITH RECURSIVE
+       |${ivfFitCtes(16, 10,
+          """emb AS (SELECT vec_id AS id,
+            |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            |        FROM embeddings
+            |        UNION ALL
+            |        SELECT vec_id + 1000000 AS id,
+            |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            |        FROM embeddings)""".stripMargin)},
+       |bb AS (SELECT id, v, lst FROM bucketed
+       |       QUALIFY COUNT(*) OVER (PARTITION BY lst) <= 100000),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+       |         ${sqlDot("a.v", "b.v")} / (${sqlNorm("a.v")} * ${sqlNorm("b.v")}) AS cosine
+       |       FROM bb a JOIN bb b ON a.lst = b.lst AND a.id < b.id),
+       |j AS (SELECT id_a, id_b FROM pr WHERE cosine >= 0.99),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM j
+       |          UNION ALL SELECT id_b, id_a FROM j),
+       |reach(id, r) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+       |SELECT id, LEAST(id, MIN(r)) AS keep_id FROM reach GROUP BY id""".stripMargin
+
   private def ivfOracle: String = {
     val (nlist, nprobe, k, iters) = (16, 4, 5, 10)
     def dot(a: String, b: String) =
@@ -552,6 +595,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "q_sim_ivf_topk" -> ivfOracle,
     "q_embed_cluster" -> clusterOracle,
+    "q_dedup_semantic" -> semanticDedupOracle,
     "q_text_tokens" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -264,6 +264,42 @@ object Similarity {
         array_min(col("__dists")).as("dist2"))
   }
 
+  /** SemDeDup proper (Abbas et al. 2023 §3): near-duplicate candidate
+    * pairs by cosine ≥ `tau` WITHIN each semantic cluster — the
+    * codebook bucketing replaces LSH bands as the blocking key, so
+    * paraphrases that share no hyperplane bucket but sit in the same
+    * semantic region still pair up. Returns `(id_a, id_b, cosine)`;
+    * feed into [[Dedup.nearDupSurvivors]] for the keep set.
+    *
+    * Scale shape: the cluster assignment is the [[clusterEmbeddings]]
+    * expression scan (zero shuffle); the self-join is equi-keyed on
+    * cluster id, and clusters are size-bounded by construction
+    * (≈ m/nlist, with `maxClusterSize` as the loud skew guard — a
+    * degenerate codebook concentrating the corpus into one cluster
+    * would otherwise go quadratic, the same failure mode
+    * [[Dedup.capBuckets]] guards in LSH). Each pair meets in exactly
+    * one cluster, so no pair-dedup pass is needed. The assigned frame
+    * persists once for both join sides.
+    */
+  def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, tau: Double, nlist: Int = 0, seed: Long = 9,
+                         maxClusterSize: Long = 100000L): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1,1], got $tau")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val centers = fitCodebook(c, nlist, seed)
+    val assigned = graft.CacheScope.track(Dedup.capBuckets(
+      c.withColumn("__dists", centerDistArr(centers, dim))
+        .select(col("neighbor_id").as("id"), col("__cv"),
+          coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1),
+            lit(0L)).cast("long").as("__cl")),
+      Seq("__cl"), maxClusterSize))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.__cl") === col("b.__cl") && col("a.id") < col("b.id"))
+      .withColumn("cosine", cosine(col("a.__cv"), col("b.__cv")))
+      .where(col("cosine") >= tau)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
               nlist: Int = 0, nprobe: Int = 4, seed: Long = 9): DataFrame = {

@@ -365,6 +365,32 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupPairs pairs planted duplicates inside their cluster, once") {
+    // primary one-hot slot + a distinct secondary slot: any two distinct
+    // vectors have cosine <= 0.8, so only the planted exact copies can
+    // cross tau (the sin-phase fixture used elsewhere has accidental
+    // near-coincident phases at this tolerance)
+    val vecs = (0 until 40).map { i =>
+      val p = i % 8
+      val s = (i / 8 + p + 1) % 8
+      (i.toLong, Array.tabulate(8)(j =>
+        if (j == p) 1.0f else if (j == s) 0.5f else 0.0f))
+    }
+    val dups = Seq((500L, vecs(3)._2.clone()), (501L, vecs(17)._2.clone()))
+    val df = (vecs ++ dups).toDF("id", "embedding")
+    val pairs = Similarity.semanticDedupPairs(df, "id", "embedding",
+      dim = 8, tau = 0.9999, nlist = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSet.contains((3L, 500L)) && pairs.toSet.contains((17L, 501L)))
+    assert(pairs.length == pairs.distinct.length,
+      "each pair must meet in exactly one cluster")
+    val survivors = Dedup.nearDupSurvivors(
+      Similarity.semanticDedupPairs(df, "id", "embedding",
+        dim = 8, tau = 0.9999, nlist = 4))
+      .as[(Long, Long)].collect().toMap
+    assert(survivors(500L) == 3L && survivors(501L) == 17L)
+  }
+
   test("embeddingNearDupPairs finds the planted near-duplicate") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(j => (math.sin(i * 11 + j * 3) + 2.0).toFloat))
