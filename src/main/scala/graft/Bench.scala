@@ -49,7 +49,9 @@ object Bench {
     // incremental dedup, corpus-LM rare-token scoring
     "q_shard_pack", "q_strip_boilerplate", "q_embed_cluster",
     "q_events_range_join", "q_dedup_incremental", "q_text_rare_tokens",
-    "q_dedup_semantic")
+    "q_dedup_semantic",
+    // real JDK codecs: PNG render+decode round-trip, WAV decode
+    "q_image_histogram", "q_audio_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Multimodal, PipelineOps, RangeJoin, Similarity}
+import graft.operators.{AsofJoin, CorpusPipeline, Dedup, MediaCodecs, Multimodal, PipelineOps, RangeJoin, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -292,6 +292,30 @@ object ExtQueries {
       Multimodal.extractFeatures(
         Multimodal.attachFakeBinary(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id")
+    }),
+    // REAL codecs (JDK ImageIO / AudioSystem) over rendered fixtures
+    // whose pixels/samples follow closed-form integer formulas — the
+    // oracle predicts the decoded values analytically, so the real
+    // encode→decode round-trip is value-gated without DuckDB ever
+    // reading a PNG/WAV (MediaCodecs scaladoc)
+    "q_image_decode" -> ((s, dir) => {
+      MediaCodecs.decodeImageMetadata(
+        MediaCodecs.renderImages(Tables.documents(s, dir), "doc_id"), "doc_id")
+    }),
+    "q_image_histogram" -> ((s, dir) => {
+      MediaCodecs.imageGrayHistogram(
+        MediaCodecs.renderImages(Tables.documents(s, dir), "doc_id"), "doc_id")
+    }),
+    "q_image_resize" -> ((s, dir) => {
+      MediaCodecs.resizeImagesNN(
+        MediaCodecs.renderImages(Tables.documents(s, dir), "doc_id"), "doc_id",
+          dstW = 8, dstH = 8)
+        .select(col("doc_id"), col("decode_ok"), col("width"), col("height"),
+          col("mean_gray")) // resized PNG bytes stay spec-checked, not oracle-able
+    }),
+    "q_audio_decode" -> ((s, dir) => {
+      MediaCodecs.decodeAudioStats(
+        MediaCodecs.renderWavs(Tables.documents(s, dir), "doc_id"), "doc_id")
     }),
 
     // ── streaming twin: tumbling window agg (batch mode) ───────────
@@ -1063,6 +1087,62 @@ object ExtQueries {
          |  FROM (SELECT query_id, neighbor_id,
          |          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine FROM allc) s) t
          |WHERE rank <= 5""".stripMargin,
+    // the real-codec gates: PNG/WAV are lossless and the fixture
+    // pixels/samples are closed-form in (id, x, y), so the oracle
+    // computes what the REAL ImageIO/AudioSystem round-trip must
+    // produce — analytically, without decoding any media
+    "q_image_decode" ->
+      """SELECT doc_id, TRUE AS decode_ok,
+        |  CAST(doc_id % 17 + 8 AS BIGINT) AS width,
+        |  CAST(doc_id % 13 + 8 AS BIGINT) AS height,
+        |  CAST((doc_id % 17 + 8) * (doc_id % 13 + 8) AS BIGINT) AS n_pixels
+        |FROM documents""".stripMargin,
+    "q_image_histogram" ->
+      """WITH d AS (SELECT doc_id, doc_id % 17 + 8 AS w, doc_id % 13 + 8 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(generate_series(0, w*h - 1)) AS p FROM d),
+        |g AS (SELECT doc_id, w*h AS n,
+        |        (((((doc_id*31 + (p % w)*7 + (p // w)*13) % 256) * 299
+        |           + ((doc_id*17 + (p % w)*11 + (p // w)*3) % 256) * 587
+        |           + ((doc_id*23 + (p % w)*5 + (p // w)*19) % 256) * 114) // 1000) // 32) AS b
+        |      FROM px),
+        |c AS (SELECT doc_id, n, b, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3)
+        |SELECT doc_id, TRUE AS decode_ok,
+        |  CAST(COALESCE(MAX(CASE WHEN b = 0 THEN cnt END), 0) AS DOUBLE) / MAX(n) AS h0,
+        |  CAST(COALESCE(MAX(CASE WHEN b = 1 THEN cnt END), 0) AS DOUBLE) / MAX(n) AS h1,
+        |  CAST(COALESCE(MAX(CASE WHEN b = 2 THEN cnt END), 0) AS DOUBLE) / MAX(n) AS h2,
+        |  CAST(COALESCE(MAX(CASE WHEN b = 3 THEN cnt END), 0) AS DOUBLE) / MAX(n) AS h3,
+        |  CAST(COALESCE(MAX(CASE WHEN b = 4 THEN cnt END), 0) AS DOUBLE) / MAX(n) AS h4,
+        |  CAST(COALESCE(MAX(CASE WHEN b = 5 THEN cnt END), 0) AS DOUBLE) / MAX(n) AS h5,
+        |  CAST(COALESCE(MAX(CASE WHEN b = 6 THEN cnt END), 0) AS DOUBLE) / MAX(n) AS h6,
+        |  CAST(COALESCE(MAX(CASE WHEN b = 7 THEN cnt END), 0) AS DOUBLE) / MAX(n) AS h7
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "q_image_resize" ->
+      """WITH d AS (SELECT doc_id, doc_id % 17 + 8 AS w, doc_id % 13 + 8 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS p FROM d),
+        |m AS (SELECT doc_id, ((p % 8) * w) // 8 AS x, ((p // 8) * h) // 8 AS y FROM px),
+        |g AS (SELECT doc_id,
+        |        ((((doc_id*31 + x*7 + y*13) % 256) * 299
+        |          + ((doc_id*17 + x*11 + y*3) % 256) * 587
+        |          + ((doc_id*23 + x*5 + y*19) % 256) * 114) // 1000) AS gr
+        |      FROM m)
+        |SELECT doc_id, TRUE AS decode_ok,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(SUM(gr) AS DOUBLE) / 64 AS mean_gray
+        |FROM g GROUP BY doc_id""".stripMargin,
+    "q_audio_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id % 50 + 20 AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |        ((doc_id*7919 + unnest(generate_series(0, n - 1))*104729) % 65536)
+        |          - 32768 AS v
+        |      FROM d)
+        |SELECT doc_id, TRUE AS decode_ok,
+        |  CAST(MAX(n) AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(MIN(v) AS BIGINT) AS s_min, CAST(MAX(v) AS BIGINT) AS s_max,
+        |  CAST(SUM(v) AS DOUBLE) / MAX(n) AS s_mean
+        |FROM s GROUP BY doc_id""".stripMargin,
     "q_multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text,
         |    (octet_length(encode(text)) % 30) + 1 AS n_frames FROM documents),

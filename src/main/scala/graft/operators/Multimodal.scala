@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * columns with typed metadata.
   *
   * The Spark-side mechanics — schema, partition-sized batches, frame
-  * explosion — are real and tested; the codec itself is STUBBED with a
-  * deterministic fake (this container has no image/audio libraries).
-  * The stub boundary is `FakeCodec.decode`: swap in a real decoder
-  * (javacv / a Pandas-UDF sidecar in PySpark deployments) without
-  * touching the plumbing.
+  * explosion — are real and tested. For the image and audio modalities,
+  * REAL decoders now exist in [[MediaCodecs]] (JDK ImageIO /
+  * AudioSystem — decode, histogram features, NN resize, WAV stats, all
+  * value-gated via analytic oracles); this file keeps the
+  * codec-agnostic plumbing and the deterministic fake for the VIDEO
+  * modality, which the JDK cannot decode. The stub boundary is
+  * `FakeCodec.decode`: swap in a real video decoder (javacv / a
+  * Pandas-UDF sidecar in PySpark deployments) without touching the
+  * plumbing.
   */
 object Multimodal {
 

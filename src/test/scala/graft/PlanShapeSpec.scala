@@ -164,6 +164,19 @@ class PlanShapeSpec extends SparkSpec {
       s"the frequent-segment removal must plan as a broadcast anti-join:\n${plans.head}")
   }
 
+  test("incremental dedup never shuffle-joins the corpus (broadcast joins only)") {
+    // the 100 TB contract: the corpus side is two scans (Bloom build +
+    // confirm probe); all joins carry the tiny candidate/confirmed sets
+    // as broadcasts. A refactor that lands a SortMergeJoin/
+    // ShuffledHashJoin here starts shuffling corpus fingerprints.
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = executed("q_dedup_incremental")
+    assert(!plan.exists(p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]),
+      s"incremental dedup must join by broadcast only:\n${plan.head}")
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty)
+  }
+
   test("shard packing shuffles once (the range partitioning), nothing else") {
     val df = SparkEntry.queries("q_shard_pack")(spark, sfDir)
     df.collect()
