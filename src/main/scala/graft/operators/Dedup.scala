@@ -213,10 +213,19 @@ object Dedup {
     *
     * @param pairs (id_a, id_b) candidate pairs from any of the
     *              near-dup operators
+    * @param driverCap pair-count threshold for the driver union-find
+    *        fast path (long ids only): below it, components resolve in
+    *        one collect + one DSU pass instead of blocking iterative
+    *        jobs — each distributed round costs several full job
+    *        launches, ~5 s of pure scheduling on a 2k-pair graph.
+    *        Dedup pair sets are tiny relative to their corpus (they're
+    *        the duplicates), but a 100 TB worst case can exceed any
+    *        driver, so the distributed loop below stays the big path.
     * @return (id, keep_id) for every id that appears in a pair;
     *         rows absent from `pairs` are their own survivors
     */
-  def nearDupSurvivors(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def nearDupSurvivors(pairs: DataFrame, maxIters: Int = 20,
+                       driverCap: Long = 2000000L): DataFrame = {
     // localCheckpoint, NOT persist: persist caches the physical result
     // but keeps the full LOGICAL plan, so each loop round nests the
     // entire upstream tree (minhash self-join, gates, scans) twice
@@ -230,8 +239,12 @@ object Dedup {
     // the corpus, and a lost block fails the job loudly rather than
     // silently (re-run the batch compaction). Superseded rounds'
     // blocks are dropped by Spark's ContextCleaner once unreferenced.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val idPairs = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val longIds = idPairs.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && idPairs.count() <= driverCap) return driverSurvivors(idPairs)
+    val edges = idPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(idPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("keep_id", col("id")).localCheckpoint()
@@ -259,6 +272,36 @@ object Dedup {
       s"nearDupSurvivors did not converge in $maxIters rounds — " +
         "pathological chain component; raise maxIters")
     labels
+  }
+
+  /** Driver union-find over a collected (long, long) pair list —
+    * semantics identical to the distributed loop: every id appearing
+    * in a pair maps to its connected component's minimum id. */
+  private def driverSurvivors(idPairs: DataFrame): DataFrame = {
+    val spark = idPairs.sparkSession
+    val edges = idPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != root) {
+        val nxt = parent(cur); parent(cur) = root; cur = nxt
+      }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val ids = edges.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+    val compMin = scala.collection.mutable.HashMap.empty[Long, Long]
+    ids.foreach { id =>
+      val r = find(id)
+      compMin(r) = math.min(compMin.getOrElse(r, Long.MaxValue), id)
+    }
+    import spark.implicits._
+    ids.toIndexedSeq.map(id => (id, compMin(find(id)))).toDF("id", "keep_id")
   }
 
   /** Rows surviving near-dedup: keep a row iff its key is a component

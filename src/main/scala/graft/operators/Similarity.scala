@@ -27,7 +27,11 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Single-pass tight-loop kernel, value-identical to
+    * `dot(a,b) / (l2Norm(a) * l2Norm(b))` — see
+    * [[graft.functions.CosineSim]] for why the HOF spelling is ~50×
+    * slower on pairwise joins (interpreted lambda folds). */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim.cosine(a, b)
 
   /** Exact brute-force cosine top-k.
     *

@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off timing for q_dedup_semantic at the bench sf (dev evidence). */
+object SemDedupTime {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (i <- 1 to 2) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries("q_dedup_semantic")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[semtime] run=$i wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      graft.CacheScope.releaseAll()
+    }
+    spark.stop()
+  }
+}
