@@ -51,7 +51,9 @@ object Bench {
     "q_events_range_join", "q_dedup_incremental", "q_text_rare_tokens",
     "q_dedup_semantic",
     // real JDK codecs: PNG render+decode round-trip, WAV decode
-    "q_image_histogram", "q_audio_decode")
+    "q_image_histogram", "q_audio_decode",
+    // product-quantization ANN: 4 subspace codebooks, ADC scan, re-rank
+    "q_sim_pq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -269,6 +269,14 @@ object ExtQueries {
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, dim = 64, nlist = 16)
     }),
+    "q_sim_pq_topk" -> ((s, dir) => {
+      // m=4 subspaces × ksub=16 centroids, 50-candidate ADC short list,
+      // exact cosine re-rank to top-5 — every parameter pinned so the
+      // DuckDB replay (4 per-subspace Lloyd fits) stays in lockstep
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, dim = 64, m = 4, ksub = 16, candidates = 50)
+    }),
     "q_embed_cluster" -> ((s, dir) => {
       // SemDeDup-style corpus clustering — the IVF bucketing stage
       // first-class; nlist pinned to 16 to stay in lockstep with the
@@ -616,8 +624,78 @@ object ExtQueries {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** q_sim_pq_topk oracle: bit-exact DuckDB replay of the PQ pipeline
+    * ([[graft.operators.Similarity.pqTopK]]) — one shared digest-order
+    * fit sample, four per-subspace 16-centroid Lloyd fits (the same
+    * fixed-iteration replay as [[ivfFitCtes]], on 16-dim slices),
+    * argmin encode, the 4-term left-associated ADC sum (the Scala
+    * side's LUT lookup is the same distance arithmetic, computed once
+    * per query instead of per pair — identical values), the
+    * 50-candidate cut ordered (adc, neighbor id), and the exact cosine
+    * re-rank. Assumes ≥ ksub fit vectors, like the IVF replay. */
+  private def pqOracle: String = {
+    val (m, ksub, iters, cand, k, subDim) = (4, 16, 10, 50, 5, 16)
+    def lo(j: Int) = j * subDim + 1
+    def hi(j: Int) = (j + 1) * subDim
+    def fitCtes(j: Int): String =
+      s"""sp$j AS (SELECT list_transform(vs, v -> v[${lo(j)}:${hi(j)}]) AS vs, m FROM sp),
+         |it$j(i, cs) AS (
+         |  SELECT 0, vs[1:$ksub] FROM sp$j
+         |  UNION ALL
+         |  SELECT i + 1,
+         |    [CASE WHEN len(ixs[c]) = 0 THEN cs[c]
+         |          ELSE list_transform(
+         |                 list_reduce(list_prepend(list_transform(generate_series(1, $subDim), z -> 0.0),
+         |                                          [vs[jj] FOR jj IN ixs[c]]),
+         |                             (a, v) -> list_transform(list_zip(a, v), z -> z[1] + z[2])),
+         |                 s -> s / len(ixs[c])) END
+         |     FOR c IN generate_series(1, $ksub)]
+         |  FROM (SELECT i, cs, vs,
+         |               [[jj FOR jj IN generate_series(1, m) IF asg[jj] = c]
+         |                FOR c IN generate_series(1, $ksub)] AS ixs
+         |        FROM (SELECT i, cs, vs, m,
+         |                     list_transform(generate_series(1, m), jj ->
+         |                       list_position(list_transform(cs, c -> ${sqlDist("vs[jj]", "c")}),
+         |                                     list_min(list_transform(cs, c -> ${sqlDist("vs[jj]", "c")})))) AS asg
+         |              FROM it$j, sp$j WHERE i < $iters))),
+         |fin$j AS (SELECT cs AS cs$j FROM it$j WHERE i = $iters)""".stripMargin
+    val codes = (0 until m).map { j =>
+      s"""CAST(list_position(list_transform(cs$j, c -> ${sqlDist(s"v[${lo(j)}:${hi(j)}]", "c")}),
+         |       list_min(list_transform(cs$j, c -> ${sqlDist(s"v[${lo(j)}:${hi(j)}]", "c")}))) - 1 AS INT) AS c$j""".stripMargin
+    }.mkString(",\n    ")
+    val adc = (0 until m).map(j =>
+      sqlDist(s"qv[${lo(j)}:${hi(j)}]", s"cs$j[c$j + 1]")).mkString(" + ")
+    val fins = (0 until m).map(j => s"fin$j").mkString(", ")
+    s"""WITH RECURSIVE
+       |$plainEmbCte,
+       |sp AS (SELECT (list(v ORDER BY md5(id || ':9')))[1:100000] AS vs,
+       |              LEAST(COUNT(*), 100000) AS m FROM emb),
+       |${(0 until m).map(fitCtes).mkString(",\n")},
+       |coded AS (SELECT id,
+       |    $codes
+       |  FROM emb, $fins),
+       |q AS (SELECT id AS query_id, v AS qv FROM emb WHERE id < 5),
+       |scored AS (SELECT q.query_id, t.id AS neighbor_id,
+       |    $adc AS adc
+       |  FROM coded t, q, $fins WHERE t.id <> q.query_id),
+       |cands AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rn
+       |  FROM scored) t WHERE rn <= $cand),
+       |rer AS (SELECT cd.query_id, cd.neighbor_id,
+       |    ${sqlDot("q.qv", "e.v")} / (${sqlNorm("q.qv")} * ${sqlNorm("e.v")}) AS cosine
+       |  FROM cands cd JOIN emb e ON e.id = cd.neighbor_id
+       |  JOIN q ON q.query_id = cd.query_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM rer) t
+       |WHERE rank <= $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_sim_ivf_topk" -> ivfOracle,
+    "q_sim_pq_topk" -> pqOracle,
     "q_embed_cluster" -> clusterOracle,
     "q_dedup_semantic" -> semanticDedupOracle,
     "q_text_tokens" ->

@@ -28,9 +28,11 @@ import org.apache.spark.sql.types._
   * throws (the Column form silently nulled that distance; malformed
   * corpora should be loud).
   */
-case class CentroidDistsExpr(child: Expression, centers: Seq[IndexedSeq[Double]])
+case class CentroidDistsExpr(child: Expression, centers: Seq[IndexedSeq[Double]],
+                             offset: Int = 0)
   extends UnaryExpression with CodegenFallback {
   require(centers.nonEmpty, "empty codebook")
+  require(offset >= 0, s"negative subspace offset $offset")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
@@ -47,9 +49,9 @@ case class CentroidDistsExpr(child: Expression, centers: Seq[IndexedSeq[Double]]
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val d = ctrs(0).length
-    if (arr.numElements() < d)
+    if (arr.numElements() < offset + d)
       throw new IllegalStateException(
-        s"embedding has ${arr.numElements()} elements, codebook dimension is $d")
+        s"embedding has ${arr.numElements()} elements, codebook needs [$offset, ${offset + d})")
     val out = new Array[Double](ctrs.length)
     var c = 0
     while (c < ctrs.length) {
@@ -57,7 +59,7 @@ case class CentroidDistsExpr(child: Expression, centers: Seq[IndexedSeq[Double]]
       var s = 0.0
       var f = 0
       while (f < d) {
-        val x = if (isFloat) arr.getFloat(f).toDouble else arr.getDouble(f)
+        val x = if (isFloat) arr.getFloat(offset + f).toDouble else arr.getDouble(offset + f)
         val diff = x - ctr(f)
         s += diff * diff
         f += 1
@@ -73,8 +75,12 @@ case class CentroidDistsExpr(child: Expression, centers: Seq[IndexedSeq[Double]]
 object CentroidDists {
   import org.apache.spark.sql.GraftSqlBridge
 
-  def dists(vec: Column, centers: Array[Array[Double]]): Column =
+  /** @param offset first input index of the subspace the codebook
+    *                covers — dists over `vec[offset, offset+d)` without
+    *                materializing a per-row `slice()` copy (the PQ
+    *                per-subspace encode path, [[graft.operators.Similarity.pqTopK]]) */
+  def dists(vec: Column, centers: Array[Array[Double]], offset: Int = 0): Column =
     GraftSqlBridge.column(CentroidDistsExpr(
       GraftSqlBridge.expression(org.apache.spark.sql.SparkSession.active, vec),
-      centers.toIndexedSeq.map(_.toIndexedSeq)))
+      centers.toIndexedSeq.map(_.toIndexedSeq), offset))
 }

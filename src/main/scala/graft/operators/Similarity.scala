@@ -220,14 +220,22 @@ object Similarity {
     * replayable by any SQL engine, so results are value-exact against
     * the oracle). 10 Lloyd rounds: a codebook doesn't need full
     * convergence. */
-  private def fitCodebook(c: DataFrame, nlist: Int, seed: Long): Array[Array[Double]] = {
+  /** The bounded seeded fit sample shared by every codebook fit here:
+    * top-fitCap corpus vectors by md5(id:seed) digest, in digest order
+    * — replayable by any SQL engine (`list(v ORDER BY md5(id||':'||seed))`),
+    * so every fit stays value-exact against the oracle. */
+  private def collectFitSample(c: DataFrame, seed: Long): Array[Array[Double]] = {
     val fitCap = 100000
     val fitRows = c
       .select(md5(concat_ws(":", col("neighbor_id"), lit(seed))).as("__h"), col("__cv"))
       .orderBy(col("__h")).limit(fitCap)
       .collect().sortBy(_.getString(0))
-    val pts = fitRows.map(
+    fitRows.map(
       _.getAs[scala.collection.Seq[Float]]("__cv").map(_.toDouble).toArray)
+  }
+
+  private def fitCodebook(c: DataFrame, nlist: Int, seed: Long): Array[Array[Double]] = {
+    val pts = collectFitSample(c, seed)
     // nlist = 0 → derive from the fit sample actually collected (≈ √m,
     // see autoNlist) — the sample is what the codebook can resolve
     val effNlist = if (nlist > 0) nlist else autoNlist(pts.length)
@@ -348,6 +356,104 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Product-quantization (PQ) approximate top-k — the
+    * compressed-corpus scale path (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011).
+    *
+    * The vector space splits into `m` contiguous subspaces of dim/m
+    * dimensions; each gets its own `ksub`-centroid KMeans codebook
+    * (fit on the same bounded seeded digest sample as [[ivfTopK]] —
+    * one driver collect shared by all m fits). Every corpus vector is
+    * encoded as m small codes (one nearest-centroid argmin per
+    * subspace — a pure expression scan, zero shuffle, and the only
+    * thing the scoring scan ever touches again: at dim=64/m=4 the
+    * 256-byte float vector becomes 4 ints, a ~16× scan-bandwidth cut;
+    * real deployments store the codes as bytes for 64×).
+    *
+    * Query time is asymmetric distance computation (ADC): each query
+    * precomputes a ksub-entry lookup table per subspace (distance from
+    * its subvector to every centroid — m·ksub·(dim/m) = dim·ksub work
+    * ONCE per query), then every (query, corpus) pair costs just m
+    * table lookups + m−1 adds instead of dim multiply-adds. The
+    * `candidates` best pairs per query by ADC (ties → neighbor id) are
+    * exact-cosine re-ranked to the final top-k — the re-rank joins the
+    * tiny candidate set BACK to the corpus for its vectors, so the
+    * full-precision vectors never ride through the scoring scan.
+    *
+    * Scale shape: codebooks and query LUTs are plan literals
+    * (broadcast-small by contract); the ADC scan is one pass over the
+    * m-int codes; the re-rank is a broadcast join of nq·candidates
+    * rows against the corpus. No shuffle anywhere except the per-query
+    * top-k windows over nq·corpus → nq·candidates rows.
+    *
+    * Exactness contract (gate): every float op — per-subspace Lloyd,
+    * argmin encode, LUT distances, the m-term ADC sum, the cosine
+    * re-rank — is an ordered fold replayed term-for-term by the DuckDB
+    * oracle (ExtQueries.pqOracle).
+    *
+    * @param m          number of subspaces; must divide `dim`
+    * @param ksub       centroids per subspace codebook
+    * @param candidates ADC short-list size per query (re-ranked exactly)
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int, dim: Int,
+             m: Int = 4, ksub: Int = 16, candidates: Int = 50,
+             seed: Long = 9): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+
+    val sample = collectFitSample(c, seed)
+    val books: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
+      CoreT.lloyd(sample.map(_.slice(j * sub, (j + 1) * sub)),
+        math.min(ksub, math.max(2, sample.length)), maxIter = 10)
+    }
+
+    // corpus → m nearest-centroid codes (argmin = first index of the
+    // min, the same array_position(array_min) spelling as
+    // clusterEmbeddings; offset-addressed kernel, no slice() copies)
+    val coded = (0 until m).foldLeft(c) { (df, j) =>
+      df.withColumn(s"__d$j",
+          graft.functions.CentroidDists.dists(col("__cv"), books(j), offset = j * sub))
+        .withColumn(s"__c$j",
+          coalesce((array_position(col(s"__d$j"), array_min(col(s"__d$j"))) - 1)
+            .cast("int"), lit(0)))
+        .drop(s"__d$j")
+    }.drop("__cv")
+
+    // query → per-subspace LUTs (ksub distances each), computed once
+    // per query row on the broadcast-small side
+    val qluts = (0 until m).foldLeft(q) { (df, j) =>
+      df.withColumn(s"__l$j",
+        graft.functions.CentroidDists.dists(col("__qv"), books(j), offset = j * sub))
+    }.drop("__qv")
+
+    // ADC score: left-to-right m-term sum of LUT lookups (the oracle
+    // replays the same association order)
+    val adc = (0 until m).map(j =>
+      element_at(col(s"__l$j"), col(s"__c$j") + 1)).reduce(_ + _)
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    val cand = coded.crossJoin(broadcast(qluts))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adc)
+      .withColumn("__rn", row_number().over(wCand))
+      .where(col("__rn") <= candidates)
+      .select("query_id", "neighbor_id")
+
+    // exact re-rank: candidate ids (tiny) broadcast back against the
+    // corpus for full-precision vectors, then the usual cosine window
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wTop))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
