@@ -53,7 +53,11 @@ object Bench {
     // real JDK codecs: PNG render+decode round-trip, WAV decode
     "q_image_histogram", "q_audio_decode",
     // product-quantization ANN: 4 subspace codebooks, ADC scan, re-rank
-    "q_sim_pq_topk")
+    "q_sim_pq_topk",
+    // distilled quality model: pinned normal equations + literal-weight scan
+    "q_quality_model",
+    // BPE induction: sample-fit merges + literal-table encode scan
+    "q_bpe_tokenize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

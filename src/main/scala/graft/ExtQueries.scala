@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{AsofJoin, CorpusPipeline, Dedup, MediaCodecs, Multimodal, PipelineOps, RangeJoin, Similarity}
+import graft.operators.{AsofJoin, BpeTokenizer, CorpusPipeline, Dedup, MediaCodecs, Multimodal, PipelineOps, QualityModel, RangeJoin, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -72,6 +72,21 @@ object ExtQueries {
     "q_text_rare_tokens" -> ((s, dir) => {
       // OOV profile against the corpus's own unigram head (tf >= 10)
       PipelineOps.rareTokenSignals(Tables.documents(s, dir), "doc_id", "text",
+        minCount = 10L)
+    }),
+    "q_bpe_tokenize" -> ((s, dir) => {
+      // BPE induction: 20 merges learned on the 2000-doc digest sample
+      // driver-side (the codebook pattern applied to tokenizers), then
+      // one literal-merge-table expression scan encodes every doc; the
+      // fingerprint column gates the exact token stream
+      BpeTokenizer.trainEncode(Tables.documents(s, dir), "doc_id", "text",
+        numMerges = 20)
+    }),
+    "q_quality_model" -> ((s, dir) => {
+      // distilled linear quality model: ridge-fit cheap surface
+      // features onto the OOV rate, score every doc + residual —
+      // fit + solve + scoring all bit-exactly replayed by the oracle
+      QualityModel.distill(Tables.documents(s, dir), "doc_id", "text",
         minCount = 10L)
     }),
     "q_pii_redact" -> ((s, dir) => {
@@ -693,9 +708,148 @@ object ExtQueries {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** q_quality_model oracle: bit-exact replay of
+    * [[graft.operators.QualityModel.distill]] — the proven
+    * q_text_quality / q_text_rare_tokens feature fragments, the proven
+    * 2⁻⁴⁰ pinned moment sums (HUGEINT promotion = Spark's split-long
+    * BigInt reassembly, one DOUBLE rounding each), and a generated
+    * Gaussian-elimination CTE chain whose operation order mirrors
+    * QualityModel.gaussSolve line for line. Each elimination step gets
+    * its own column-name prefix (a1_, a2_, a3_) because DuckDB lateral
+    * column aliases could otherwise shadow the previous step's values
+    * mid-SELECT. No output rounding anywhere. */
+  private def qualityModelOracle: String = {
+    val S = "1099511627776.0"
+    val lam = "0.0009765625e0"
+    val D = 4
+    def xref(i: Int) = if (i == 0) "1.0" else s"x$i"
+    val gsel = ((for (i <- 0 until D; j <- i until D) yield
+        s"CAST(sum(CAST(floor((${xref(i)} * ${xref(j)}) * $S) AS BIGINT)) AS DOUBLE) / $S AS g_${i}_$j") ++
+      (0 until D).map(i =>
+        s"CAST(sum(CAST(floor((${xref(i)} * y) * $S) AS BIGINT)) AS DOUBLE) / $S AS b_$i"))
+      .mkString(",\n    ")
+    // m0: symmetric Gram + ridge, step-0 names a0_i_j / bb0_i
+    val m0 = ((for (i <- 0 until D; j <- 0 until D) yield {
+        val (lo, hi) = (math.min(i, j), math.max(i, j))
+        val e = if (i == j) s"g_${lo}_$hi + $lam" else s"g_${lo}_$hi"
+        s"$e AS a0_${i}_$j"
+      }) ++ (0 until D).map(i => s"b_$i AS bb0_$i")).mkString(", ")
+    // elimination step k: rows > k update cols >= k and their b entry
+    def stepSel(k: Int): String = {
+      val p = s"a$k"; val q = s"a${k + 1}"
+      val pb = s"bb$k"; val qb = s"bb${k + 1}"
+      val as = for (i <- 0 until D; j <- 0 until D) yield {
+        if (i > k && j >= k)
+          s"(${p}_${i}_$j - (${p}_${i}_$k / ${p}_${k}_$k) * ${p}_${k}_$j) AS ${q}_${i}_$j"
+        else s"${p}_${i}_$j AS ${q}_${i}_$j"
+      }
+      val bs = (0 until D).map { i =>
+        if (i > k) s"(${pb}_$i - (${p}_${i}_$k / ${p}_${k}_$k) * ${pb}_$k) AS ${qb}_$i"
+        else s"${pb}_$i AS ${qb}_$i"
+      }
+      (as ++ bs).mkString(", ")
+    }
+    // back substitution, ascending-j subtraction per row (w3 first)
+    val backSub =
+      """ws3 AS (SELECT *, bb3_3 / a3_3_3 AS w3 FROM m3),
+        |ws2 AS (SELECT *, (bb3_2 - a3_2_3 * w3) / a3_2_2 AS w2 FROM ws3),
+        |ws1 AS (SELECT *, (bb3_1 - a3_1_2 * w2 - a3_1_3 * w3) / a3_1_1 AS w1 FROM ws2),
+        |ws AS (SELECT *, (bb3_0 - a3_0_1 * w1 - a3_0_2 * w2 - a3_0_3 * w3) / a3_0_0 AS w0 FROM ws1)""".stripMargin
+    val pred = "ws.w0 * 1.0 + ws.w1 * x1 + ws.w2 * x2 + ws.w3 * x3"
+    s"""WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+       |wtk AS (SELECT doc_id, unnest(regexp_extract_all(t, '\\S+')) AS word FROM base),
+       |com AS (SELECT word FROM wtk GROUP BY word HAVING COUNT(*) >= 10),
+       |h AS (SELECT doc_id, COUNT(*) AS n_common FROM wtk JOIN com USING (word) GROUP BY 1),
+       |feats AS (SELECT b.doc_id,
+       |  COALESCE(CAST(length(regexp_replace(b.t, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |    / CASE WHEN length(b.t) = 0 THEN NULL ELSE length(b.t) END, 0e0) AS x1,
+       |  COALESCE(CAST(len(list_filter(regexp_extract_all(lower(b.t), '\\S+'), x -> x IN ($stop))) AS DOUBLE)
+       |    / CASE WHEN len(regexp_extract_all(lower(b.t), '\\S+')) = 0 THEN NULL
+       |           ELSE len(regexp_extract_all(lower(b.t), '\\S+')) END, 0e0) AS x2,
+       |  LEAST(COALESCE(CAST(list_sum(list_transform(regexp_extract_all(b.t, '\\S+'), x -> length(x))) AS DOUBLE)
+       |    / CASE WHEN len(regexp_extract_all(b.t, '\\S+')) = 0 THEN NULL
+       |           ELSE len(regexp_extract_all(b.t, '\\S+')) END, 0e0) / 20.0, 1.0) AS x3,
+       |  COALESCE(CAST(len(regexp_extract_all(b.t, '\\S+')) - COALESCE(h.n_common, 0) AS DOUBLE)
+       |    / CASE WHEN len(regexp_extract_all(b.t, '\\S+')) = 0 THEN NULL
+       |           ELSE len(regexp_extract_all(b.t, '\\S+')) END, 0e0) AS y
+       |  FROM base b LEFT JOIN h USING (doc_id)),
+       |g AS (SELECT
+       |    $gsel
+       |  FROM feats),
+       |m0 AS (SELECT $m0 FROM g),
+       |m1 AS (SELECT ${stepSel(0)} FROM m0),
+       |m2 AS (SELECT ${stepSel(1)} FROM m1),
+       |m3 AS (SELECT ${stepSel(2)} FROM m2),
+       |$backSub
+       |SELECT f.doc_id, f.y AS rare_frac,
+       |  $pred AS pred,
+       |  f.y - ($pred) AS resid
+       |FROM feats f, ws""".stripMargin
+  }
+
+  /** q_bpe_tokenize oracle: bit-exact replay of
+    * [[graft.operators.BpeTokenizer]] — the digest-order 2000-doc
+    * sample, 20 UNROLLED train stages (pair counts within words →
+    * arg-max merge with the md5(a‖0x01‖b) tie-break → list_reduce
+    * rewrite — the fold is value-equal to leftmost-greedy BPE, see
+    * BpeEncodeExpr), then the same 20 folds chained over every
+    * document's words. A pair-less round COALESCEs to the chr(2)
+    * sentinel, exactly like the Scala trainer, so every stage is
+    * total. Code-point semantics on both sides (substr(w,i,1) ↔
+    * Bpe.codePointSplit). */
+  private def bpeOracle: String = {
+    val n = 20
+    // one merge-application fold; DuckDB list_reduce seeded with [] via
+    // the list_prepend trick (acc and elements both VARCHAR[])
+    def fold(toksRef: String, aRef: String, bRef: String): String =
+      s"""list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform($toksRef, t -> [t])),
+         |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $aRef AND x[1] = $bRef
+         |                       THEN acc[1:len(acc)-1] || [$aRef || $bRef]
+         |                       ELSE acc || x END)""".stripMargin
+    def trainStage(k: Int): String =
+      s"""p$k AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, COUNT(*) AS c FROM (
+         |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                               i -> [toks[i], toks[i+1]])) AS pr
+         |  FROM w${k - 1}) GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT
+         |  COALESCE((SELECT a FROM p$k ORDER BY c DESC, md5(a || chr(1) || b) ASC LIMIT 1), chr(2)) AS a,
+         |  COALESCE((SELECT b FROM p$k ORDER BY c DESC, md5(a || chr(1) || b) ASC LIMIT 1), chr(2)) AS b),
+         |w$k AS MATERIALIZED (SELECT ${fold("toks", s"m$k.a", s"m$k.b")} AS toks
+         |  FROM w${k - 1}, m$k)""".stripMargin
+    def encStage(k: Int): String =
+      s"""e$k AS MATERIALIZED (SELECT doc_id, wpos, ${fold("toks", s"m$k.a", s"m$k.b")} AS toks
+         |  FROM e${k - 1}, m$k)""".stripMargin
+    s"""WITH smp AS MATERIALIZED (SELECT md5(doc_id || ':9') AS h, COALESCE(text, '') AS t
+       |  FROM documents ORDER BY h LIMIT 2000),
+       |w0 AS MATERIALIZED (SELECT list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS toks
+       |  FROM (SELECT unnest(regexp_extract_all(t, '\\S+')) AS w FROM smp)),
+       |${(1 to n).map(trainStage).mkString(",\n")},
+       |dw AS MATERIALIZED (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\\S+') AS words
+       |  FROM documents),
+       |e0p AS MATERIALIZED (SELECT doc_id,
+       |    unnest(generate_series(1, len(words))) AS wpos,
+       |    unnest(words) AS w
+       |  FROM dw),
+       |e0 AS MATERIALIZED (SELECT doc_id, wpos,
+       |    list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS toks
+       |  FROM e0p),
+       |${(1 to n).map(encStage).mkString(",\n")},
+       |agg AS (SELECT doc_id,
+       |    CAST(SUM(len(toks)) AS BIGINT) AS n_bpe_tokens,
+       |    md5(array_to_string(flatten(list(toks ORDER BY wpos)), chr(1))) AS bpe_fp
+       |  FROM e$n GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(d.words) AS BIGINT) AS n_words,
+       |  COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  COALESCE(a.bpe_fp, md5('')) AS bpe_fp
+       |FROM dw d LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_sim_ivf_topk" -> ivfOracle,
     "q_sim_pq_topk" -> pqOracle,
+    "q_quality_model" -> qualityModelOracle,
+    "q_bpe_tokenize" -> bpeOracle,
     "q_embed_cluster" -> clusterOracle,
     "q_dedup_semantic" -> semanticDedupOracle,
     "q_text_tokens" ->

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Bpe, TextFunctions}
+
+/** BPE tokenizer induction over a corpus — the vocabulary-learning
+  * stage of a training-data pipeline (Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units", ACL 2016), done the
+  * way every codebook in this engine is done: FIT on a bounded seeded
+  * digest sample driver-side (deterministic, SQL-replayable), APPLY to
+  * the full corpus as a literal-table expression scan.
+  *
+  * Train: words (RE2 `\S+` runs) split into code points; `numMerges`
+  * rounds of: count adjacent token pairs within words across the
+  * sample → take the most frequent pair (ties broken by
+  * md5(a‖0x01‖b) — hex digests order identically in every engine,
+  * where raw string collation might not) → rewrite the sample with
+  * the merge. A round with no pairs left yields the unmatchable
+  * sentinel pair (0x02, 0x02), keeping the merge table a fixed
+  * `numMerges` long (the oracle's unrolled stages are total).
+  *
+  * Encode: [[graft.functions.BpeEncodeExpr]] applies the merge table
+  * in learned order — one tight-loop pass per row, merge table as plan
+  * literals, zero shuffle, nothing driver-side touches corpus-scale
+  * data. At 100 TB the fit cost is constant (sample-capped) and encode
+  * is a single expression scan.
+  */
+object BpeTokenizer {
+
+  /** RE2-\s word split, byte-identical to
+    * [[graft.functions.WhitespaceTokens]] (NOT Java `\s`: no \x0B). */
+  private[graft] def splitWords(s: String): Array[String] =
+    s.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+
+  private def tieKey(a: String, b: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest((a + "\u0001" + b).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** The sentinel merge emitted when a round finds no pairs — 0x02
+    * can never appear as a token (tokens are non-space code points of
+    * real words, and merged tokens concatenate them). */
+  private[graft] val Sentinel = ("\u0002", "\u0002")
+
+  /** Learn `numMerges` merges from a digest-capped sample.
+    * Deterministic: sample membership and order, pair counting, and
+    * tie-breaks are all engine-replayable. */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+            numMerges: Int, sampleCap: Int = 2000,
+            seed: Long = 9L): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val rows = docs
+      .select(md5(concat_ws(":", col(idCol), lit(seed))).as("__h"),
+        coalesce(col(textCol), lit("")).as("__t"))
+      .orderBy(col("__h")).limit(sampleCap)
+      .collect().sortBy(_.getString(0))
+    // sample words as code-point token arrays
+    var words: Array[Array[String]] =
+      rows.flatMap(r => splitWords(r.getString(1))).map(Bpe.codePointSplit)
+    val merges = new scala.collection.mutable.ArrayBuffer[(String, String)](numMerges)
+    var round = 0
+    while (round < numMerges) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < words.length) {
+        val w = words(wi)
+        var i = 0
+        while (i < w.length - 1) {
+          counts.merge((w(i), w(i + 1)), 1L, _ + _)
+          i += 1
+        }
+        wi += 1
+      }
+      val best =
+        if (counts.isEmpty) Sentinel
+        else {
+          var bestPair: (String, String) = null
+          var bestCount = -1L
+          var bestKey: String = null
+          counts.forEach { (p, c) =>
+            val k = tieKey(p._1, p._2)
+            if (c > bestCount || (c == bestCount && k < bestKey)) {
+              bestPair = p; bestCount = c; bestKey = k
+            }
+          }
+          bestPair
+        }
+      merges += best
+      if (best != Sentinel)
+        words = words.map(Bpe.applyMerge(_, best._1, best._2))
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** Encode the full corpus with a learned merge table:
+    * (idCol, n_words, n_bpe_tokens, bpe_fp) — the fingerprint hashes
+    * the 0x01-joined token stream, so the oracle gates the exact
+    * tokenization, not just its length. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val words = TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    docs.select(col(idCol),
+        words.as("__w"),
+        Bpe.encode(words, merges).as("__bpe"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_words"),
+        size(col("__bpe")).cast("long").as("n_bpe_tokens"),
+        md5(concat_ws("\u0001", col("__bpe"))).as("bpe_fp"))
+  }
+
+  /** Train-and-encode in one call — the gate query surface. */
+  def trainEncode(docs: DataFrame, idCol: String, textCol: String,
+                  numMerges: Int, sampleCap: Int = 2000,
+                  seed: Long = 9L): DataFrame =
+    encode(docs, idCol, textCol,
+      train(docs, idCol, textCol, numMerges, sampleCap, seed))
+}

@@ -86,7 +86,7 @@ object CoreT {
     * integer total is reassembled driver-side in [[pinnedTotal]] and
     * rounded to double once, matching DuckDB's HUGEINT-promoted
     * BIGINT sum + single DOUBLE cast. */
-  private def pinnedParts(e: org.apache.spark.sql.Column, tag: String): Seq[org.apache.spark.sql.Column] = {
+  private[graft] def pinnedParts(e: org.apache.spark.sql.Column, tag: String): Seq[org.apache.spark.sql.Column] = {
     val v = floor(e * lit(PinScale))
     val hi = floor(v / lit(1048576.0))
     val lo = v - hi * lit(1048576.0)
@@ -96,7 +96,7 @@ object CoreT {
   /** Reassemble a [[pinnedParts]] pair: exact integer total (BigInt —
     * half-even rounded to double exactly like DuckDB's HUGEINT→DOUBLE
     * cast), already divided back by the 2^40 pin. */
-  private def pinnedTotal(r: Row, tag: String): Double =
+  private[graft] def pinnedTotal(r: Row, tag: String): Double =
     ((BigInt(r.getAs[Long](s"${tag}_hi")) << 20) + BigInt(r.getAs[Long](s"${tag}_lo"))).toDouble / PinScale
 
   /** PCA(2) → columns PC1, PC2 (Tfunctions.py:12-16, Tengine.py:146-152).
