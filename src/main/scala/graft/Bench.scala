@@ -57,7 +57,9 @@ object Bench {
     // distilled quality model: pinned normal equations + literal-weight scan
     "q_quality_model",
     // BPE induction: sample-fit merges + literal-table encode scan
-    "q_bpe_tokenize")
+    "q_bpe_tokenize",
+    // corpus-LM scoring: broadcast bigram tables, pinned per-doc mean
+    "q_lm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

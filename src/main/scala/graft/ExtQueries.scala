@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{AsofJoin, BpeTokenizer, CorpusPipeline, Dedup, MediaCodecs, Multimodal, PipelineOps, QualityModel, RangeJoin, Similarity}
+import graft.operators.{AsofJoin, BpeTokenizer, CorpusPipeline, Dedup, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, RangeJoin, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -73,6 +73,13 @@ object ExtQueries {
       // OOV profile against the corpus's own unigram head (tf >= 10)
       PipelineOps.rareTokenSignals(Tables.documents(s, dir), "doc_id", "text",
         minCount = 10L)
+    }),
+    "q_lm_score" -> ((s, dir) => {
+      // corpus-LM scoring: bigram add-one model fit on the corpus
+      // itself, docs score the mean transition probability — the
+      // perplexity filter without the log's cross-libm ulp hazard
+      LmScore.score(Tables.documents(s, dir), "doc_id", "text",
+        vocabSize = 2000, bigramCap = 10000)
     }),
     "q_bpe_tokenize" -> ((s, dir) => {
       // BPE induction: 20 merges learned on the 2000-doc digest sample
@@ -850,6 +857,41 @@ object ExtQueries {
     "q_sim_pq_topk" -> pqOracle,
     "q_quality_model" -> qualityModelOracle,
     "q_bpe_tokenize" -> bpeOracle,
+    // mirrors LmScore.score term for term: same caps, same md5
+    // tie-breaks, same exact-ratio probabilities, same pinned mean
+    "q_lm_score" ->
+      """WITH dw AS (SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '\S+') AS ws
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, unnest(ws) AS word
+        |  FROM dw),
+        |vc AS (SELECT word FROM (SELECT word, COUNT(*) AS c FROM tk GROUP BY 1) t
+        |  ORDER BY c DESC, md5(word) ASC LIMIT 2000),
+        |mp AS (SELECT t.doc_id, t.pos,
+        |    CASE WHEN v.word IS NOT NULL THEN t.word ELSE chr(3) END AS m
+        |  FROM tk t LEFT JOIN vc v USING (word)),
+        |un AS (SELECT m, COUNT(*) AS uc FROM mp GROUP BY 1),
+        |nt AS (SELECT COUNT(*) AS n FROM mp),
+        |pr AS (SELECT doc_id, pos, m, lag(m) OVER (PARTITION BY doc_id ORDER BY pos) AS a
+        |  FROM mp),
+        |bg AS (SELECT a, m, COUNT(*) AS bc FROM pr WHERE a IS NOT NULL GROUP BY 1, 2
+        |  ORDER BY bc DESC, md5(a || chr(1) || m) ASC LIMIT 10000),
+        |ps AS (SELECT pr.doc_id,
+        |    CASE WHEN pr.a IS NULL
+        |         THEN CAST(uf.uc + 1 AS DOUBLE) / CAST(nt.n + 2001 AS DOUBLE)
+        |         ELSE CAST(COALESCE(bg.bc, 0) + 1 AS DOUBLE) / CAST(up.uc + 2001 AS DOUBLE)
+        |    END AS p
+        |  FROM pr
+        |  LEFT JOIN bg ON bg.a = pr.a AND bg.m = pr.m
+        |  JOIN un uf ON uf.m = pr.m
+        |  LEFT JOIN un up ON up.m = pr.a
+        |  CROSS JOIN nt),
+        |pd AS (SELECT doc_id,
+        |    CAST(SUM(CAST(floor(p * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+        |      / 1099511627776.0 / COUNT(*) AS lm_score
+        |  FROM ps GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens,
+        |  COALESCE(pd.lm_score, 0e0) AS lm_score
+        |FROM dw d LEFT JOIN pd USING (doc_id)""".stripMargin,
     "q_embed_cluster" -> clusterOracle,
     "q_dedup_semantic" -> semanticDedupOracle,
     "q_text_tokens" ->

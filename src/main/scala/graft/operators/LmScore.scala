@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-LM document scoring — the perplexity-filter stage of a
+  * training-data pipeline (the CCNet/KenLM pattern), re-expressed so
+  * the whole thing is bit-reproducible across engines.
+  *
+  * A bigram LM with add-one smoothing is fit on the corpus itself:
+  * tokens lowercase, vocabulary = top `vocabSize` unigrams, everything
+  * else collapsed to one UNK symbol; transition table = top
+  * `bigramCap` mapped bigrams. Each document scores the mean
+  * transition probability over its token positions —
+  * p(t₁) = (c(t₁)+1)/(N+V), p(tᵢ|tᵢ₋₁) = (c(ab)+1)/(c(a)+V) with
+  * V = vocabSize+1 — i.e. the arithmetic-mean counterpart of
+  * perplexity's geometric mean. Deliberately NOT log-perplexity:
+  * `log()` is not correctly rounded and differs by ulps across libm
+  * implementations, which would poison a value-exact oracle; the
+  * probabilities themselves are exact-integer ratios (one IEEE
+  * division each), and the per-document mean uses the 2⁻⁴⁰ pinned
+  * integer sum, so the score is bit-identical on any engine and any
+  * partitioning. Low score = improbable text under the corpus LM —
+  * the same filter signal, monotone in the same direction.
+  *
+  * Scale shape: one token explode; vocabulary and transition tables
+  * are two map-side-combinable count aggregates cut to deterministic
+  * top-k (count desc, md5 tie-break) and BROADCAST — the corpus-sized
+  * frames never shuffle on token keys for scoring; position adjacency
+  * is a per-document window (doc-partitioned shuffle, the natural
+  * key); the per-doc mean is one groupBy with exact long sums. Caps
+  * keep both tables broadcast-small at any corpus size.
+  *
+  * The per-doc pinned totals reassemble in LONG arithmetic —
+  * hi·2²⁰+lo is exact below 2⁶³, i.e. up to 2²³ ≈ 8M tokens per
+  * document; longer single documents would round the reassembly
+  * (split such documents upstream, [[PipelineOps.chunkDocuments]]).
+  */
+object LmScore {
+  private val Unk = "\u0003"
+  private val PinScale = 1099511627776.0 // 2^40, the shared pin
+
+  /** @return (idCol, n_tokens, lm_score) for every input document;
+    *         empty documents score 0.0 */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            vocabSize: Int = 2000, bigramCap: Int = 10000): DataFrame = {
+    require(vocabSize >= 1 && bigramCap >= 1, "caps must be positive")
+    val v1 = vocabSize + 1 // vocab + UNK, the add-one denominator width
+
+    val words = TextFunctions.tokens(lower(coalesce(col(textCol), lit(""))))
+    val toks = graft.CacheScope.track(
+      docs.select(col(idCol), posexplode(words).as(Seq("pos", "word"))))
+
+    // vocabulary: deterministic top-k unigrams (md5 tie-break — hex
+    // digests order identically in every engine)
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, md5(col("word")).asc).limit(vocabSize)
+      .select(col("word"), lit(1).as("__v"))
+    val mapped = graft.CacheScope.track(
+      toks.join(broadcast(vocab), Seq("word"), "left")
+        .select(col(idCol), col("pos"),
+          when(col("__v").isNotNull, col("word")).otherwise(lit(Unk)).as("m")))
+
+    val uni = mapped.groupBy(col("m")).agg(count(lit(1)).as("uc"))
+    val nTotal = mapped.count()
+
+    val wAdj = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val pairs = mapped.select(col(idCol), col("pos"), col("m"),
+      lag(col("m"), 1).over(wAdj).as("a"))
+    val big = pairs.where(col("a").isNotNull)
+      .groupBy(col("a"), col("m")).agg(count(lit(1)).as("bc"))
+      .orderBy(col("bc").desc,
+        md5(concat(col("a"), lit("\u0001"), col("m"))).asc)
+      .limit(bigramCap)
+
+    // per-position probability: exact-integer ratio, one IEEE division
+    val p = when(col("a").isNull,
+        (col("__uc_first") + 1).cast("double") / lit((nTotal + v1).toDouble))
+      .otherwise(
+        (coalesce(col("bc"), lit(0L)) + 1).cast("double") /
+          (col("__uc_prev") + lit(v1.toLong)).cast("double"))
+    val scoredPos = pairs
+      .join(broadcast(big), Seq("a", "m"), "left")
+      .join(broadcast(uni.select(col("m"), col("uc").as("__uc_first"))), Seq("m"), "left")
+      .join(broadcast(uni.select(col("m").as("a"), col("uc").as("__uc_prev"))),
+        Seq("a"), "left")
+      .select(col(idCol), p.as("__p"))
+
+    // exact pinned mean per document (long-reassembled, see scaladoc)
+    val v = floor(col("__p") * lit(PinScale))
+    val hi = floor(v / lit(1048576.0))
+    val lo = v - hi * lit(1048576.0)
+    val perDoc = scoredPos
+      .select(col(idCol), hi.cast("long").as("__hi"), lo.cast("long").as("__lo"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__hi")).as("__shi"), sum(col("__lo")).as("__slo"),
+        count(lit(1)).as("__n"))
+      .select(col(idCol),
+        ((col("__shi") * lit(1048576L) + col("__slo")).cast("double") /
+          lit(PinScale) / col("__n")).as("lm_score"))
+
+    docs.select(col(idCol), size(words).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+}

@@ -177,6 +177,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty)
   }
 
+  test("PQ ADC scan carries codes, not vectors; re-rank joins by broadcast") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = executed("q_sim_pq_topk")
+    // no corpus-shuffling join anywhere: the candidate cut and re-rank
+    // both carry broadcast-small sides
+    assert(!plan.exists(p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]),
+      s"PQ must never shuffle-join the corpus:\n${plan.head}")
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty)
+  }
+
+  test("BPE encode is a single shuffle-free projection over the scan") {
+    val df = ExtQueries.queries("q_bpe_tokenize")(spark, sfDir)
+    df.collect()
+    val plans = dedupByIdentity(flatten(df.queryExecution.executedPlan))
+    // train happened driver-side before the plan was built; the encode
+    // plan itself must be scan → project, no exchange at all
+    assert(!plans.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"BPE encode must not shuffle:\n${plans.head}")
+  }
+
+  test("LM scoring broadcasts its model tables; the only wide ops are the doc window and doc agg") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = executed("q_lm_score")
+    assert(!plan.exists(p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]),
+      s"LM scoring must join model tables by broadcast:\n${plan.head}")
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.size >= 3,
+      "bigram + two unigram lookups should all be broadcast joins")
+    graft.CacheScope.releaseAll()
+  }
+
+  test("quality-model scoring is literal weights over the cached feature frame — no refit") {
+    val df = ExtQueries.queries("q_quality_model")(spark, sfDir)
+    df.collect()
+    val plans = dedupByIdentity(flatten(df.queryExecution.executedPlan))
+    // the scoring plan reads the persisted feature frame; the Gram
+    // aggregate ran during build (driver solve), so no aggregate may
+    // appear in the scoring plan itself
+    assert(plans.exists(_.isInstanceOf[InMemoryTableScanExec]),
+      "scoring must reuse the request-scoped feature cache")
+    graft.CacheScope.releaseAll()
+  }
+
   test("shard packing shuffles once (the range partitioning), nothing else") {
     val df = SparkEntry.queries("q_shard_pack")(spark, sfDir)
     df.collect()
