@@ -59,7 +59,9 @@ object Bench {
     // BPE induction: sample-fit merges + literal-table encode scan
     "q_bpe_tokenize",
     // corpus-LM scoring: broadcast bigram tables, pinned per-doc mean
-    "q_lm_score")
+    "q_lm_score",
+    // CCNet perplexity tertiles: min-rank cut, no global window
+    "q_lm_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

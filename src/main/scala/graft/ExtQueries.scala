@@ -81,6 +81,12 @@ object ExtQueries {
       LmScore.score(Tables.documents(s, dir), "doc_id", "text",
         vocabSize = 2000, bigramCap = 10000)
     }),
+    "q_lm_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail perplexity tertiles over the corpus-LM
+      // score; min-rank cut, no global window
+      LmScore.buckets(Tables.documents(s, dir), "doc_id", "text",
+        vocabSize = 2000, bigramCap = 10000)
+    }),
     "q_bpe_tokenize" -> ((s, dir) => {
       // BPE induction: 20 merges learned on the 2000-doc digest sample
       // driver-side (the codebook pattern applied to tokenizers), then
@@ -852,16 +858,13 @@ object ExtQueries {
        |FROM dw d LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
-    "q_sim_ivf_topk" -> ivfOracle,
-    "q_sim_pq_topk" -> pqOracle,
-    "q_quality_model" -> qualityModelOracle,
-    "q_bpe_tokenize" -> bpeOracle,
-    // mirrors LmScore.score term for term: same caps, same md5
-    // tie-breaks, same exact-ratio probabilities, same pinned mean
-    "q_lm_score" ->
-      """WITH dw AS (SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '\S+') AS ws
-        |  FROM documents),
+  // mirrors LmScore.score term for term: same caps, same md5
+  // tie-breaks, same exact-ratio probabilities, same pinned mean;
+  // shared CTE chain — q_lm_score selects it directly, q_lm_buckets
+  // layers the min-rank tertile cut on top
+  private val lmScoreCtes =
+    """WITH dw AS (SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '\S+') AS ws
+      |  FROM documents),
         |tk AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, unnest(ws) AS word
         |  FROM dw),
         |vc AS (SELECT word FROM (SELECT word, COUNT(*) AS c FROM tk GROUP BY 1) t
@@ -885,13 +888,33 @@ object ExtQueries {
         |  JOIN un uf ON uf.m = pr.m
         |  LEFT JOIN un up ON up.m = pr.a
         |  CROSS JOIN nt),
-        |pd AS (SELECT doc_id,
-        |    CAST(SUM(CAST(floor(p * 1099511627776.0) AS BIGINT)) AS DOUBLE)
-        |      / 1099511627776.0 / COUNT(*) AS lm_score
-        |  FROM ps GROUP BY doc_id)
-        |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens,
-        |  COALESCE(pd.lm_score, 0e0) AS lm_score
-        |FROM dw d LEFT JOIN pd USING (doc_id)""".stripMargin,
+      |pd AS (SELECT doc_id,
+      |    CAST(SUM(CAST(floor(p * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+      |      / 1099511627776.0 / COUNT(*) AS lm_score
+      |  FROM ps GROUP BY doc_id),
+      |sc AS (SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens,
+      |    COALESCE(pd.lm_score, 0e0) AS lm_score
+      |  FROM dw d LEFT JOIN pd USING (doc_id))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_ivf_topk" -> ivfOracle,
+    "q_sim_pq_topk" -> pqOracle,
+    "q_quality_model" -> qualityModelOracle,
+    "q_bpe_tokenize" -> bpeOracle,
+    "q_lm_score" ->
+      s"""$lmScoreCtes
+        |SELECT doc_id, n_tokens, lm_score FROM sc""".stripMargin,
+    // RANK() = min-rank: ties (bit-identical scores) share a bucket in
+    // both engines with no tie-break column; the tertile index is pure
+    // BIGINT floor division — no double rounding at the boundaries
+    "q_lm_buckets" ->
+      s"""$lmScoreCtes,
+        |rk AS (SELECT *, RANK() OVER (ORDER BY lm_score) AS r,
+        |    COUNT(*) OVER () AS n FROM sc)
+        |SELECT doc_id, n_tokens, lm_score,
+        |  CASE (r - 1) * 3 // n WHEN 2 THEN 'head' WHEN 1 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM rk""".stripMargin,
     "q_embed_cluster" -> clusterOracle,
     "q_dedup_semantic" -> semanticDedupOracle,
     "q_text_tokens" ->

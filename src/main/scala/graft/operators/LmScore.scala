@@ -107,4 +107,33 @@ object LmScore {
       .select(col(idCol), col("n_tokens"),
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    * the corpus with [[score]], then split it into head / middle / tail
+    * tertiles of the global score order — head = most in-distribution
+    * text, the slice CCNet keeps for LM training.
+    *
+    * The tertile cut uses [[Rank.minRankByValue]], NOT a global
+    * `row_number` window: only distinct scores sort (range-partitioned,
+    * no single-partition funnel), and min-rank gives tied scores —
+    * byte-identical documents score bit-identically here — the same
+    * rank, so the bucket label is independent of partitioning and
+    * encounter order with no tie-break column needed. The bucket index
+    * is pure integer arithmetic, `(rank-1)*3 div n`; no double
+    * division whose rounding could flip a boundary document.
+    */
+  def buckets(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int = 2000, bigramCap: Int = 10000): DataFrame = {
+    // persisted: consumed by the count and the rank join, and its
+    // lineage is the whole LM fit
+    val scored = graft.CacheScope.track(
+      score(docs, idCol, textCol, vocabSize, bigramCap))
+    val n = scored.count()
+    val bucketIdx = expr(s"(__rk - 1L) * 3L div ${n}L")
+    Rank.minRankByValue(scored, "lm_score", "__rk")
+      .select(col(idCol), col("n_tokens"), col("lm_score"),
+        when(bucketIdx === 2, lit("head"))
+          .when(bucketIdx === 1, lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
 }

@@ -39,4 +39,29 @@ class LmScoreSpec extends SparkSpec {
     assert(out.length == 43)
     assert(out.filter(_._1 != 102L).forall(r => r._3 > 0.0))
   }
+
+  test("buckets: tied scores share a bucket; labels follow the score order") {
+    val out = LmScore.buckets(corpus, "doc_id", "text", vocabSize = 50, bigramCap = 200)
+      .as[(Long, Long, Double, String)].collect()
+    assert(out.length == 43)
+    val byId = out.map(r => r._1 -> r).toMap
+    // the 40 identical docs score identically → min-rank puts them all
+    // in ONE bucket regardless of partitioning
+    val dupBuckets = (0 until 40).map(i => byId(i.toLong)._4).toSet
+    assert(dupBuckets.size == 1, s"tied docs split across $dupBuckets")
+    // empty doc (score 0.0) and OOV gibberish sit at the bottom: tail
+    assert(byId(102L)._4 == "tail" && byId(101L)._4 == "tail")
+    // bucket label is monotone in score: every head score >= every
+    // middle score >= every tail score
+    def scores(b: String) = out.filter(_._4 == b).map(_._3)
+    for (h <- scores("head"); m <- scores("middle")) assert(h >= m)
+    for (m <- scores("middle"); t <- scores("tail")) assert(m >= t)
+  }
+
+  test("buckets are partitioning-invariant") {
+    def run(d: org.apache.spark.sql.DataFrame) =
+      LmScore.buckets(d, "doc_id", "text", vocabSize = 30, bigramCap = 100)
+        .as[(Long, Long, Double, String)].collect().toSet
+    assert(run(corpus) == run(corpus.repartition(7)))
+  }
 }
