@@ -61,7 +61,9 @@ object Bench {
     // corpus-LM scoring: broadcast bigram tables, pinned per-doc mean
     "q_lm_score",
     // CCNet perplexity tertiles: min-rank cut, no global window
-    "q_lm_buckets")
+    "q_lm_buckets",
+    // IVF-PQ: residual codes + probed-list ADC, broadcast everything
+    "q_sim_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

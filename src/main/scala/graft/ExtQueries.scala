@@ -305,6 +305,15 @@ object ExtQueries {
       Similarity.pqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, dim = 64, m = 4, ksub = 16, candidates = 50)
     }),
+    "q_sim_ivfpq_topk" -> ((s, dir) => {
+      // coarse nlist=16 + residual PQ (m=4 × ksub=16), nprobe=4 lists,
+      // 50-candidate ADC short list, exact cosine re-rank — the FAISS
+      // IVFPQ composition, every parameter pinned for the DuckDB replay
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, dim = 64, nlist = 16, nprobe = 4, m = 4, ksub = 16,
+        candidates = 50)
+    }),
     "q_embed_cluster" -> ((s, dir) => {
       // SemDeDup-style corpus clustering — the IVF bucketing stage
       // first-class; nlist pinned to 16 to stay in lockstep with the
@@ -661,32 +670,42 @@ object ExtQueries {
     * per query instead of per pair — identical values), the
     * 50-candidate cut ordered (adc, neighbor id), and the exact cosine
     * re-rank. Assumes ≥ ksub fit vectors, like the IVF replay. */
+  /** Per-subspace Lloyd-replay CTEs (`sp\$j` / `it\$j` / `fin\$j`) over
+    * subDim-wide slices of a fit-sample CTE `src(vs, m)` — the same
+    * fixed-iteration deterministic replay as [[ivfFitCtes]]. Shared by
+    * [[pqOracle]] (raw-vector sample `sp`) and [[ivfpqOracle]]
+    * (coarse-residual sample `spr`). */
+  private def pqSubFitCtes(src: String, j: Int, ksub: Int, iters: Int,
+                           subDim: Int): String = {
+    val (lo, hi) = (j * subDim + 1, (j + 1) * subDim)
+    s"""sp$j AS (SELECT list_transform(vs, v -> v[$lo:$hi]) AS vs, m FROM $src),
+       |it$j(i, cs) AS (
+       |  SELECT 0, vs[1:$ksub] FROM sp$j
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    [CASE WHEN len(ixs[c]) = 0 THEN cs[c]
+       |          ELSE list_transform(
+       |                 list_reduce(list_prepend(list_transform(generate_series(1, $subDim), z -> 0.0),
+       |                                          [vs[jj] FOR jj IN ixs[c]]),
+       |                             (a, v) -> list_transform(list_zip(a, v), z -> z[1] + z[2])),
+       |                 s -> s / len(ixs[c])) END
+       |     FOR c IN generate_series(1, $ksub)]
+       |  FROM (SELECT i, cs, vs,
+       |               [[jj FOR jj IN generate_series(1, m) IF asg[jj] = c]
+       |                FOR c IN generate_series(1, $ksub)] AS ixs
+       |        FROM (SELECT i, cs, vs, m,
+       |                     list_transform(generate_series(1, m), jj ->
+       |                       list_position(list_transform(cs, c -> ${sqlDist("vs[jj]", "c")}),
+       |                                     list_min(list_transform(cs, c -> ${sqlDist("vs[jj]", "c")})))) AS asg
+       |              FROM it$j, sp$j WHERE i < $iters))),
+       |fin$j AS (SELECT cs AS cs$j FROM it$j WHERE i = $iters)""".stripMargin
+  }
+
   private def pqOracle: String = {
     val (m, ksub, iters, cand, k, subDim) = (4, 16, 10, 50, 5, 16)
     def lo(j: Int) = j * subDim + 1
     def hi(j: Int) = (j + 1) * subDim
-    def fitCtes(j: Int): String =
-      s"""sp$j AS (SELECT list_transform(vs, v -> v[${lo(j)}:${hi(j)}]) AS vs, m FROM sp),
-         |it$j(i, cs) AS (
-         |  SELECT 0, vs[1:$ksub] FROM sp$j
-         |  UNION ALL
-         |  SELECT i + 1,
-         |    [CASE WHEN len(ixs[c]) = 0 THEN cs[c]
-         |          ELSE list_transform(
-         |                 list_reduce(list_prepend(list_transform(generate_series(1, $subDim), z -> 0.0),
-         |                                          [vs[jj] FOR jj IN ixs[c]]),
-         |                             (a, v) -> list_transform(list_zip(a, v), z -> z[1] + z[2])),
-         |                 s -> s / len(ixs[c])) END
-         |     FOR c IN generate_series(1, $ksub)]
-         |  FROM (SELECT i, cs, vs,
-         |               [[jj FOR jj IN generate_series(1, m) IF asg[jj] = c]
-         |                FOR c IN generate_series(1, $ksub)] AS ixs
-         |        FROM (SELECT i, cs, vs, m,
-         |                     list_transform(generate_series(1, m), jj ->
-         |                       list_position(list_transform(cs, c -> ${sqlDist("vs[jj]", "c")}),
-         |                                     list_min(list_transform(cs, c -> ${sqlDist("vs[jj]", "c")})))) AS asg
-         |              FROM it$j, sp$j WHERE i < $iters))),
-         |fin$j AS (SELECT cs AS cs$j FROM it$j WHERE i = $iters)""".stripMargin
+    def fitCtes(j: Int): String = pqSubFitCtes("sp", j, ksub, iters, subDim)
     val codes = (0 until m).map { j =>
       s"""CAST(list_position(list_transform(cs$j, c -> ${sqlDist(s"v[${lo(j)}:${hi(j)}]", "c")}),
          |       list_min(list_transform(cs$j, c -> ${sqlDist(s"v[${lo(j)}:${hi(j)}]", "c")}))) - 1 AS INT) AS c$j""".stripMargin
@@ -714,6 +733,70 @@ object ExtQueries {
        |    ${sqlDot("q.qv", "e.v")} / (${sqlNorm("q.qv")} * ${sqlNorm("e.v")}) AS cosine
        |  FROM cands cd JOIN emb e ON e.id = cd.neighbor_id
        |  JOIN q ON q.query_id = cd.query_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM rer) t
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** q_sim_ivfpq_topk oracle: bit-exact DuckDB replay of the IVF-PQ
+    * pipeline ([[graft.operators.Similarity.ivfPqTopK]]) — the
+    * [[ivfFitCtes]] coarse fit + corpus list assignment, sample
+    * residuals against the nearest coarse centroid (same first-min
+    * argmin), four residual-subspace Lloyd fits via [[pqSubFitCtes]],
+    * the residual argmin encode, the [[ivfOracle]] probe CTE, ADC on
+    * per-(query, list) residuals restricted to probed lists, the
+    * 50-candidate cut and the exact cosine re-rank. The Scala side's
+    * LUT lookup is the same distance arithmetic as the direct
+    * `sqlDist(qr slice, centroid)` here — computed once per probe
+    * instead of per pair, identical values. */
+  private def ivfpqOracle: String = {
+    val (nlist, nprobe, m, ksub, iters, cand, k, subDim) = (16, 4, 4, 16, 10, 50, 5, 16)
+    def lo(j: Int) = j * subDim + 1
+    def hi(j: Int) = (j + 1) * subDim
+    val fins = (0 until m).map(j => s"fin$j").mkString(", ")
+    val codes = (0 until m).map { j =>
+      s"""CAST(list_position(list_transform(cs$j, c -> ${sqlDist(s"r[${lo(j)}:${hi(j)}]", "c")}),
+         |       list_min(list_transform(cs$j, c -> ${sqlDist(s"r[${lo(j)}:${hi(j)}]", "c")}))) - 1 AS INT) AS c$j""".stripMargin
+    }.mkString(",\n    ")
+    val adc = (0 until m).map(j =>
+      sqlDist(s"p.qr[${lo(j)}:${hi(j)}]", s"cs$j[t.c$j + 1]")).mkString(" + ")
+    s"""WITH RECURSIVE
+       |${ivfFitCtes(nlist, iters)},
+       |spr AS (SELECT list_transform(vs, x -> list_transform(list_zip(x,
+       |          cs[list_position(list_transform(cs, c -> ${sqlDist("x", "c")}),
+       |                           list_min(list_transform(cs, c -> ${sqlDist("x", "c")})))]),
+       |          z -> z[1] - z[2])) AS vs, m
+       |        FROM sp, fin),
+       |${(0 until m).map(j => pqSubFitCtes("spr", j, ksub, iters, subDim)).mkString(",\n")},
+       |rv AS (SELECT b.id, b.lst,
+       |    list_transform(list_zip(b.v, cs[b.lst + 1]), z -> z[1] - z[2]) AS r
+       |  FROM bucketed b, fin),
+       |coded AS (SELECT id, lst,
+       |    $codes
+       |  FROM rv, $fins),
+       |probes AS (
+       |  SELECT id AS query_id, v AS qv, cidx - 1 AS lst
+       |  FROM (SELECT e.id, e.v, u.cidx, ${sqlDist("e.v", "cs[u.cidx]")} AS d
+       |        FROM emb e, fin, (SELECT unnest(generate_series(1, $nlist)) AS cidx) u
+       |        WHERE e.id < 5)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cidx) <= $nprobe),
+       |prv AS (SELECT p.query_id, p.lst,
+       |    list_transform(list_zip(p.qv, cs[p.lst + 1]), z -> z[1] - z[2]) AS qr
+       |  FROM probes p, fin),
+       |scored AS (SELECT p.query_id, t.id AS neighbor_id,
+       |    $adc AS adc
+       |  FROM coded t JOIN prv p ON t.lst = p.lst AND t.id <> p.query_id, $fins),
+       |cands AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rn
+       |  FROM scored) t WHERE rn <= $cand),
+       |rer AS (SELECT cd.query_id, cd.neighbor_id,
+       |    ${sqlDot("q.qv", "e.v")} / (${sqlNorm("q.qv")} * ${sqlNorm("e.v")}) AS cosine
+       |  FROM cands cd JOIN emb e ON e.id = cd.neighbor_id
+       |  JOIN (SELECT id AS query_id, v AS qv FROM emb WHERE id < 5) q
+       |    ON q.query_id = cd.query_id)
        |SELECT query_id, neighbor_id, cosine, rank FROM (
        |  SELECT query_id, neighbor_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -899,6 +982,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "q_sim_ivf_topk" -> ivfOracle,
     "q_sim_pq_topk" -> pqOracle,
+    "q_sim_ivfpq_topk" -> ivfpqOracle,
     "q_quality_model" -> qualityModelOracle,
     "q_bpe_tokenize" -> bpeOracle,
     "q_lm_score" ->

@@ -234,13 +234,15 @@ object Similarity {
       _.getAs[scala.collection.Seq[Float]]("__cv").map(_.toDouble).toArray)
   }
 
-  private def fitCodebook(c: DataFrame, nlist: Int, seed: Long): Array[Array[Double]] = {
-    val pts = collectFitSample(c, seed)
+  private def fitFromSample(pts: Array[Array[Double]], nlist: Int): Array[Array[Double]] = {
     // nlist = 0 → derive from the fit sample actually collected (≈ √m,
     // see autoNlist) — the sample is what the codebook can resolve
     val effNlist = if (nlist > 0) nlist else autoNlist(pts.length)
     CoreT.lloyd(pts, math.min(effNlist, math.max(2, pts.length)), maxIter = 10)
   }
+
+  private def fitCodebook(c: DataFrame, nlist: Int, seed: Long): Array[Array[Double]] =
+    fitFromSample(collectFitSample(c, seed), nlist)
 
   /** Per-vector squared distance to every center, as one array column —
     * argmin via array_position(min). A single tight-loop expression
@@ -448,6 +450,151 @@ object Similarity {
 
     // exact re-rank: candidate ids (tiny) broadcast back against the
     // corpus for full-precision vectors, then the usual cosine window
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** IVF-PQ approximate top-k — the coarse-quantizer + residual-PQ
+    * composition (Jégou et al. 2011 §V; the FAISS `IVFPQ` index, and
+    * the architecture every billion-vector deployment actually runs):
+    * an IVF codebook routes each corpus vector to its nearest-centroid
+    * list, the RESIDUAL (vector − coarse centroid) is product-quantized
+    * into m codes, and a query scans only its `nprobe` nearest lists,
+    * scoring candidates by ADC over per-(query, list) residual lookup
+    * tables. Residual encoding is what separates this from
+    * [[pqTopK]]: residuals concentrate near the origin, so the same
+    * ksub centroids quantize them with far less error than raw vectors.
+    *
+    * Scale shape — this is the 100 TB ANN path: the corpus scan after
+    * encode touches `m` ints + one list id per vector (the float
+    * vectors never ride through scoring); probe pruning cuts the
+    * scanned fraction to ≈ nprobe/nlist; both codebooks and the
+    * per-probe LUT frame (nq·nprobe rows, small by the same contract
+    * as [[ivfTopK]]'s probe frame) are broadcast; the candidate cut
+    * joins corpus codes to probes on the list id — an equi-join, no
+    * crossJoin of the corpus. The exact re-rank touches only
+    * nq·candidates full vectors, fetched by broadcast join.
+    *
+    * Exactness contract (gate): coarse Lloyd, sample residual
+    * assignment, the m residual sub-fits, the residual argmin encode
+    * (double subtraction first, then the same ascending-feature fold as
+    * [[graft.functions.CentroidDists]]), the m-term left-associated ADC
+    * sum, and the cosine re-rank are all replayed term-for-term by
+    * DuckDB (ExtQueries.ivfpqOracle). The corpus residual is
+    * materialized as `zip_with(cast(v as double), centroid, _-_)` so
+    * the subtraction widens exactly like the oracle's
+    * `list_zip(v, cs[lst+1])` on already-double `v`.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int, dim: Int,
+                nlist: Int = 0, nprobe: Int = 4,
+                m: Int = 4, ksub: Int = 16, candidates: Int = 50,
+                seed: Long = 9): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val spark = corpus.sparkSession
+    val sub = dim / m
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+
+    val sample = collectFitSample(c, seed)
+    val coarse = fitFromSample(sample, nlist)
+
+    // sample residuals (driver-side, same first-min argmin as the
+    // expression kernel) → m residual sub-codebooks
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var i = 0
+      while (i < coarse.length) {
+        val ctr = coarse(i); var s = 0.0; var f = 0
+        while (f < dim) { val diff = v(f) - ctr(f); s += diff * diff; f += 1 }
+        if (s < bestD) { bestD = s; best = i }
+        i += 1
+      }
+      best
+    }
+    val residSample = sample.map { v =>
+      val ctr = coarse(nearest(v))
+      Array.tabulate(dim)(f => v(f) - ctr(f))
+    }
+    val books: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
+      CoreT.lloyd(residSample.map(_.slice(j * sub, (j + 1) * sub)),
+        math.min(ksub, math.max(2, residSample.length)), maxIter = 10)
+    }
+
+    // corpus: coarse list assignment (expression scan), residual
+    // materialization, m residual argmin codes — zero shuffles
+    val centersLit = array(coarse.toIndexedSeq.map(ctr =>
+      array(ctr.toIndexedSeq.map(lit): _*)): _*)
+    val listed = c
+      .withColumn("__dists", centerDistArr(coarse, dim))
+      .withColumn("__list",
+        coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
+          .cast("int"), lit(0)))
+      .drop("__dists")
+      .withColumn("__rv", zip_with(
+        col("__cv").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+        element_at(centersLit, col("__list") + 1), (a, b) => a - b))
+    val coded = (0 until m).foldLeft(listed) { (df, j) =>
+      df.withColumn(s"__d$j",
+          graft.functions.CentroidDists.dists(col("__rv"), books(j), offset = j * sub))
+        .withColumn(s"__c$j",
+          coalesce((array_position(col(s"__d$j"), array_min(col(s"__d$j"))) - 1)
+            .cast("int"), lit(0)))
+        .drop(s"__d$j")
+    }.drop("__cv", "__rv")
+
+    // probes (driver-side, small by contract): nprobe nearest coarse
+    // centroids per query, with the per-(query, list) residual carried
+    // for the LUT build
+    val qRows = q.collect()
+    val probes = qRows.flatMap { r =>
+      val qv = r.getAs[scala.collection.Seq[Float]]("__qv").map(_.toDouble).toArray
+      coarse.zipWithIndex.map { case (ctr, i) =>
+        var d = 0.0; var j = 0
+        while (j < dim) { val diff = qv(j) - ctr(j); d += diff * diff; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map { case (list, _) =>
+        val ctr = coarse(list)
+        (r.getAs[Any]("query_id"),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            Array.tabulate(dim)(f => qv(f) - ctr(f))), list)
+      }
+    }
+    val probeDF = spark.createDataFrame(
+      spark.sparkContext.parallelize(probes.toIndexedSeq.map(p =>
+        org.apache.spark.sql.Row(p._1, p._2, p._3))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          queries.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("__qrv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("__list",
+          org.apache.spark.sql.types.IntegerType))))
+    val qluts = (0 until m).foldLeft(probeDF) { (df, j) =>
+      df.withColumn(s"__l$j",
+        graft.functions.CentroidDists.dists(col("__qrv"), books(j), offset = j * sub))
+    }.drop("__qrv")
+
+    // ADC over the probed lists only: equi-join on the list id, m LUT
+    // lookups + m−1 adds per surviving pair
+    val adc = (0 until m).map(j =>
+      element_at(col(s"__l$j"), col(s"__c$j") + 1)).reduce(_ + _)
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    val cand = coded.join(broadcast(qluts), Seq("__list"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adc)
+      .withColumn("__rn", row_number().over(wCand))
+      .where(col("__rn") <= candidates)
+      .select("query_id", "neighbor_id")
+
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(broadcast(cand), Seq("neighbor_id"))

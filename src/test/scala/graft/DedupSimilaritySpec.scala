@@ -339,6 +339,55 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK finds the planted nearest neighbor through its probed list") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(16)(j => (math.sin(i * 5 + j) + math.cos(i + j * 2)).toFloat))
+    }
+    val near = (900L, vecs(7)._2.map(x => x * 1.0005f))
+    val df = (vecs :+ near).toDF("vec_id", "embedding")
+    val qs = df.where($"vec_id" < 5 || $"vec_id" === 7)
+    val out = Similarity.ivfPqTopK(df, qs, "vec_id", "embedding",
+      k = 3, dim = 16, nlist = 8, nprobe = 3, m = 4, ksub = 8, candidates = 30)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L, 7L))
+    assert(byQ.values.forall(_.length == 3))
+    // the near-copy shares query 7's coarse list (same direction, same
+    // region) and has ~zero residual quantization distance → short-list
+    // survivor, then re-ranks #1
+    assert(byQ(7L).find(_._4 == 1).map(_._2).contains(900L))
+  }
+
+  test("ivfPqTopK with full probe + full short list equals brute force exactly") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 13 + j * 7).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.where($"vec_id" < 4)
+    // probing every list and short-listing the whole corpus makes both
+    // approximation stages pure routing: the exact re-rank then IS the
+    // brute-force scan — identical tuples, cosines included
+    val ivfpq = Similarity.ivfPqTopK(df, qs, "vec_id", "embedding",
+      k = 5, dim = 16, nlist = 8, nprobe = 8, m = 4, ksub = 8, candidates = 60)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(df, qs, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ivfpq == bf)
+  }
+
+  test("ivfPqTopK is partitioning-invariant") {
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(16)(j => (math.cos(i * 3 + j * 5)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.where($"vec_id" < 3)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopK(d, qs, "vec_id", "embedding",
+        k = 4, dim = 16, nlist = 4, nprobe = 2, m = 2, ksub = 8, candidates = 20)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(run(df) == run(df.repartition(13)))
+  }
+
   test("clusterEmbeddings: near-copies share a cluster; assignment is nearest-centroid") {
     val vecs = (0 until 200).map { i =>
       (i.toLong, Array.tabulate(16)(j => (math.sin(i * 5 + j) + math.cos(i + j * 2)).toFloat))

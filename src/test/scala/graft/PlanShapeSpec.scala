@@ -188,6 +188,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty)
   }
 
+  test("IVF-PQ probes by broadcast list-id join; the corpus never shuffle-joins") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = executed("q_sim_ivfpq_topk")
+    assert(!plan.exists(p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]),
+      s"IVF-PQ must never shuffle-join the corpus:\n${plan.head}")
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty)
+  }
+
   test("BPE encode is a single shuffle-free projection over the scan") {
     val df = ExtQueries.queries("q_bpe_tokenize")(spark, sfDir)
     df.collect()
