@@ -63,7 +63,9 @@ object Bench {
     // CCNet perplexity tertiles: min-rank cut, no global window
     "q_lm_buckets",
     // IVF-PQ: residual codes + probed-list ADC, broadcast everything
-    "q_sim_ivfpq_topk")
+    "q_sim_ivfpq_topk",
+    // temperature mixing: one range shuffle + broadcast offsets
+    "q_sample_temperature")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

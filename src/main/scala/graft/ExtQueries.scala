@@ -127,6 +127,13 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
         "doc_id", "lang", Map("en" -> 2.5, "zh" -> 0.25))
     }),
+    "q_sample_temperature" -> ((s, dir) => {
+      // α=½ temperature mixing over the source domains: budgets
+      // ∝ √count (sqrt is IEEE-exact; pow(c, α) is the libm hazard),
+      // selection in deterministic (md5, id) order
+      PipelineOps.temperatureSample(Tables.documents(s, dir),
+        "doc_id", "source", n = 1000)
+    }),
     "q_text_chunks" -> ((s, dir) => {
       // overlapping windows (stride < chunkSize) exercise the clamp at
       // the document tail and the sliding-window arithmetic
@@ -1128,6 +1135,25 @@ object ExtQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8))::BIGINT
         |  < (CASE lang WHEN 'en' THEN 5e-1 WHEN 'zh' THEN 1e0 ELSE 75e-2 END)
         |    * 4294967296e0""".stripMargin,
+    // α=½ temperature budgets: √count per domain, Σ folded in
+    // domain-name order (one rounding per op, same as the Scala
+    // driver fold), floor(n·w/W) capped at the domain count; ROW_NUMBER
+    // per domain over (md5, id) = the zipWithIndex-minus-offset rank
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        |w AS (SELECT source, cnt, sqrt(CAST(cnt AS DOUBLE)) AS wt FROM c),
+        |tot AS (SELECT list_reduce(list_prepend(0.0, list(wt ORDER BY source)),
+        |    (a, b) -> a + b) AS tw FROM w),
+        |tgt AS (SELECT source, LEAST(CAST(floor(1000 * wt / tw) AS BIGINT), cnt) AS target
+        |  FROM w, tot),
+        |rk AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft-temp'), doc_id)
+        |      AS domain_rank
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.domain_rank
+        |FROM rk r JOIN tgt t USING (source)
+        |WHERE r.domain_rank <= t.target""".stripMargin,
     // floor(w)+bernoulli replication; fractional parts are dyadic so
     // (w - floor(w))·2^32 is integer-exact in DOUBLE on both engines
     "q_sample_weighted" ->

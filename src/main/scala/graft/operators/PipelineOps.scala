@@ -428,4 +428,66 @@ object PipelineOps {
           when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")),
           lit(0.0)).as("rare_frac"))
   }
+
+  // ── temperature-based domain mixing ────────────────────────────────
+
+  /** Sample `n` documents with per-domain budgets ∝ count^α at α = ½ —
+    * the temperature-based mixture reweighting of multilingual /
+    * multi-domain pretraining (mT5 §3.1, XLM-R, Gopher table A5):
+    * α < 1 upweights small domains relative to proportional sampling
+    * so the head domain can't drown the tail. α is PINNED at ½
+    * because `sqrt` is correctly rounded under IEEE-754 — the budget
+    * arithmetic is bit-identical on any engine — while arbitrary
+    * `pow(c, α)` differs by ulps across libm implementations, the same
+    * hazard that keeps [[LmScore]] off log-perplexity. Budgets are
+    * `floor(n·√cᵢ / Σⱼ√cⱼ)` (Σ folded in domain-name order, one
+    * rounding per op, replayable), capped at the domain's actual
+    * count; selection within a domain takes the first `budget`
+    * documents in `(md5(id:salt), id)` order — the deterministic
+    * shuffle order of [[shardPack]], stable across engines,
+    * partitionings and reruns. Returns `(idCol, domainCol,
+    * domain_rank)` for the selected rows.
+    *
+    * Scale shape: domain counts are a map-side-combinable agg collected
+    * to the driver (domains are human-scale — tens, not millions, the
+    * [[stratifiedSample]] contract). The per-domain rank does NOT use a
+    * domain-partitioned window (one giant domain = one giant window
+    * partition, the 100 TB killer): rows range-partition by
+    * `(domain, md5, id)` and [[Rank.zipWithIndexRank]] assigns a global
+    * index in one pass; subtracting each domain's broadcast offset
+    * (cumulative counts of preceding domains, known exactly from the
+    * collected agg) turns it into the per-domain rank. One shuffle
+    * total, no single-partition stage, no hot key.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
+                        n: Long, salt: String = "graft-temp"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(!Set("domain_rank", "__h", "__gidx").contains(idCol) && idCol != domainCol,
+      s"idCol '$idCol' collides with an internal column name")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.nonEmpty, "temperatureSample on an empty corpus")
+    val totalW = counts.foldLeft(0.0) { case (acc, (_, c)) =>
+      acc + math.sqrt(c.toDouble) }
+    val targets = counts.map { case (d, c) =>
+      d -> math.min(math.floor(n.toDouble * math.sqrt(c.toDouble) / totalW).toLong, c)
+    }.toMap
+    // each domain's offset = count-sum of the domains preceding it in
+    // name order — the global (domain, md5, id) index minus this offset
+    // is exactly the within-domain rank
+    val offsets = {
+      var acc = 0L
+      counts.map { case (d, c) => val o = d -> acc; acc += c; o }.toMap
+    }
+    val targetExpr = targets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (e, (d, t)) => when(col(domainCol) === d, lit(t)).otherwise(e) }
+    val offsetExpr = offsets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (e, (d, o)) => when(col(domainCol) === d, lit(o)).otherwise(e) }
+    val keyed = df.select(col(idCol), col(domainCol))
+      .withColumn("__h", md5(concat(col(idCol).cast("string"), lit(":" + salt))))
+    Rank.zipWithIndexRank(keyed, domainCol, Seq("__h", idCol), "__gidx")
+      .withColumn("domain_rank", col("__gidx") - offsetExpr)
+      .where(col("domain_rank") <= targetExpr)
+      .select(col(idCol), col(domainCol), col("domain_rank"))
+  }
 }

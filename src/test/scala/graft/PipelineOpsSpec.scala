@@ -391,4 +391,35 @@ class PipelineOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("temperatureSample: budgets follow sqrt(count), small domains upweighted") {
+    // big: 900 docs, small: 100 docs. Proportional sampling at n=100
+    // would pick 90/10; α=½ gives √900:√100 = 3:1 → 75/25
+    val docs = ((1L to 900L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = PipelineOps.temperatureSample(docs, "doc_id", "source", n = 100)
+      .as[(Long, String, Long)].collect()
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom("big") == 75 && byDom("small") == 25, s"got $byDom")
+    // within-domain ranks are contiguous 1..budget
+    assert(out.filter(_._2 == "small").map(_._3).sorted.toSeq == (1L to 25L))
+  }
+
+  test("temperatureSample budget caps at the domain's actual count") {
+    // tiny domain: √2 share of a large budget would exceed 2 docs
+    val docs = ((1L to 200L).map(i => (i, "big")) ++
+      Seq((900L, "tiny"), (901L, "tiny"))).toDF("doc_id", "source")
+    val out = PipelineOps.temperatureSample(docs, "doc_id", "source", n = 150)
+      .as[(Long, String, Long)].collect()
+    assert(out.count(_._2 == "tiny") == 2)
+  }
+
+  test("temperatureSample is partitioning-invariant (deterministic md5 order)") {
+    val docs = ((1L to 300L).map(i => (i, "a")) ++
+      (501L to 600L).map(i => (i, "b"))).toDF("doc_id", "source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      PipelineOps.temperatureSample(d, "doc_id", "source", n = 80)
+        .as[(Long, String, Long)].collect().toSet
+    assert(run(docs) == run(docs.repartition(11)))
+  }
 }
