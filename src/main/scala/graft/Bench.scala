@@ -65,7 +65,9 @@ object Bench {
     // IVF-PQ: residual codes + probed-list ADC, broadcast everything
     "q_sim_ivfpq_topk",
     // temperature mixing: one range shuffle + broadcast offsets
-    "q_sample_temperature")
+    "q_sample_temperature",
+    // ExactSubstr span dedup: hash-keyed span agg, no raw-text shuffle
+    "q_dedup_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -241,6 +241,12 @@ object ExtQueries {
       Dedup.nearDupSurvivors(Dedup.ngramJaccardPairs(nearDupCorpus(s, dir),
         "id", "text", shingleSize = 3, tau = 0.3, maxDocFreq = 10000))
     }),
+    "q_dedup_spans" -> ((s, dir) => {
+      // ExactSubstr-style duplicated-span removal (Lee et al. 2022)
+      // over the truncated-copy fixture: every repeated 8-token span
+      // keeps exactly its first (id, pos) occurrence
+      Dedup.dedupSpans(nearDupCorpus(s, dir), "id", "text", k = 8)
+    }),
     "q_corpus_clean" -> ((s, dir) => {
       // the composed training-data flow, end to end: exact dedup →
       // quality gate → minhash near-dedup survivor collapse. τ=0.5
@@ -530,14 +536,20 @@ object ExtQueries {
     * CTE), shared by q_corpus_clean and q_corpus_to_shards so the two
     * oracles can never drift. Ends with `gated` (survivor candidates +
     * quality/lang) and `losers` (near-dup non-keepers). */
-  private def corpusCleanCtes: String =
+  /** The duplicate-augmented corpus fixture ([[nearDupCorpus]] in SQL):
+    * documents ∪ first-~80%-of-tokens truncated copies. Shared by the
+    * corpus-clean chain and the span-dedup oracle. */
+  private def corpusFixtureCte: String =
     s"""corpus AS (
       |  SELECT doc_id AS id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS id,
       |    array_to_string((regexp_extract_all(text, '\\S+'))
       |      [1:greatest((len(regexp_extract_all(text, '\\S+'))*4)//5, 1)], ' ') AS text
-      |  FROM documents),
+      |  FROM documents)""".stripMargin
+
+  private def corpusCleanCtes: String =
+    s"""$corpusFixtureCte,
       |fpt AS (SELECT id, text,
       |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM corpus),
       |keepex AS (SELECT MIN(id) AS id FROM fpt GROUP BY fp),
@@ -1403,6 +1415,41 @@ object ExtQueries {
     // (q_dedup_minhash_lsh, τ=0.5), and the reach-CC survivor collapse
     // (q_dedup_survivors) — chained as CTEs over the same fixture
     // (shared with q_corpus_to_shards via corpusCleanCtes below)
+    // span occurrences group on md5(span) like the Scala side (not the
+    // raw gram — identical collision behavior, however unlikely); the
+    // canonical keeper is rank 1 by (id, pos), the same order as
+    // Spark's min(struct(id, pos)); coverage/rebuild positions are
+    // 1-based here vs 0-based in Spark but never leave the query
+    "q_dedup_spans" ->
+      s"""WITH $corpusFixtureCte,
+        |tk AS (SELECT id, regexp_extract_all(COALESCE(text, ''), '\\S+') AS ws
+        |  FROM corpus),
+        |occ AS (SELECT id,
+        |    unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS pos,
+        |    unnest([md5(array_to_string(ws[i:i+7], ' '))
+        |            FOR i IN generate_series(1, greatest(len(ws) - 7, 0))]) AS h
+        |  FROM tk),
+        |marked AS (SELECT id, pos FROM (
+        |    SELECT id, pos,
+        |      COUNT(*) OVER (PARTITION BY h) AS c,
+        |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+        |    FROM occ) t
+        |  WHERE c > 1 AND rn > 1),
+        |cov AS (SELECT DISTINCT id, tp FROM (
+        |    SELECT id, unnest(generate_series(pos, pos + 7)) AS tp FROM marked) t),
+        |alltok AS (SELECT id,
+        |    unnest(generate_series(1, len(ws))) AS tp,
+        |    unnest(ws) AS tok
+        |  FROM tk),
+        |kept AS (SELECT a.id, a.tp, a.tok FROM alltok a
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.id = a.id AND c.tp = a.tp)),
+        |reb AS (SELECT id, string_agg(tok, ' ' ORDER BY tp) AS text_dedup,
+        |    COUNT(*) AS n_tokens_kept
+        |  FROM kept GROUP BY id)
+        |SELECT t.id, COALESCE(r.text_dedup, '') AS text_dedup,
+        |  COALESCE(r.n_tokens_kept, 0) AS n_tokens_kept,
+        |  CAST(len(t.ws) AS BIGINT) - COALESCE(r.n_tokens_kept, 0) AS n_tokens_removed
+        |FROM tk t LEFT JOIN reb r USING (id)""".stripMargin,
     "q_corpus_clean" ->
       s"""WITH RECURSIVE $corpusCleanCtes
         |SELECT id, text, quality, lang FROM gated

@@ -404,4 +404,77 @@ object Dedup {
     val confirmed = corpusFp.join(broadcast(candFps), Seq("fp"), "left_semi").distinct()
     inc.join(broadcast(confirmed), Seq("fp"), "left_anti")
   }
+
+  /** Duplicated-span removal — the ExactSubstr pass of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"
+    * (§3.1): any `k`-token span occurring more than once in the corpus
+    * (across documents OR repeated within one) is removed from every
+    * occurrence EXCEPT the canonical first one — min `(id, pos)` over
+    * the span's occurrences — so exactly one copy of each duplicated
+    * passage survives, matching the paper's one-copy semantics without
+    * its suffix array. Documents are whitespace-tokenized
+    * (case-sensitive: exact means exact); a token is removed when ANY
+    * duplicated non-canonical span covers it, and the document is
+    * rebuilt from the surviving tokens in order (single-space joined).
+    * A canonical occurrence can still lose tokens to a DIFFERENT
+    * overlapping duplicated span — inherent to greedy span marking,
+    * deterministic, and rare at real span lengths (the paper uses
+    * k=50; the gate pins k=8 against its truncated-copy fixture).
+    * Returns `(id, text_dedup, n_tokens_kept, n_tokens_removed)`.
+    *
+    * Scale shape: spans travel as md5 hashes — the raw text NEVER
+    * shuffles. The duplicate detection is one map-side-combinable
+    * groupBy on the span hash carrying `count` + `min(struct(id,
+    * pos))` (the canonical pick costs no window and no second pass);
+    * a boilerplate span shared by millions of documents is a hot KEY
+    * but combines map-side, not a hot partition. The mark join is
+    * hash-keyed on the span hash (duplicate sets can exceed any
+    * broadcast budget at 100 TB — no broadcast assumption; AQE may
+    * still choose one when small). Coverage explodes k positions per
+    * DUPLICATED occurrence only — cost scales with the duplication
+    * rate, not the corpus — and the rebuild groupBy is document-keyed
+    * with order recovered by sorting inside the aggregate
+    * ([[PipelineOps.stripBoilerplate]]'s discipline).
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    require(!Set("text_dedup", "n_tokens_kept", "n_tokens_removed", "__pos",
+      "__tp", "__tok", "__h").contains(idCol),
+      s"idCol '$idCol' collides with an internal column name")
+    val toks = TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    // occurrences of every k-token span, as (id, pos, md5(span))
+    val occ = graft.CacheScope.track(df
+      .select(col(idCol),
+        posexplode(graft.functions.Tokenize.wordShingles(toks, k))
+          .as(Seq("__pos", "__gram")))
+      .select(col(idCol), col("__pos"), md5(col("__gram")).as("__h")))
+    // spans seen >1 time, each with its canonical first occurrence
+    val dup = occ.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol), col("__pos"))).as("__keep"))
+      .where(col("__n") > 1)
+      .select(col("__h"), col(s"__keep.$idCol").as("__kid"),
+        col("__keep.__pos").as("__kpos"))
+    val marked = occ.join(dup, Seq("__h"))
+      .where(!(col(idCol) === col("__kid") && col("__pos") === col("__kpos")))
+    val covered = marked
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__tp"))
+      .distinct()
+    val kept = df.select(col(idCol), posexplode(toks).as(Seq("__tp", "__tok")))
+      .join(covered, Seq(idCol, "__tp"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__tp"), col("__tok")))),
+        x => x.getField("__tok")), " ").as("text_dedup"),
+      count(lit(1)).as("n_tokens_kept"))
+    df.select(col(idCol), size(toks).cast("long").as("__n_total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("__n_total") - coalesce(col("n_tokens_kept"), lit(0L)))
+          .as("n_tokens_removed"))
+  }
 }

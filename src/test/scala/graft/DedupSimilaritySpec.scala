@@ -435,6 +435,56 @@ class DedupSimilaritySpec extends SparkSpec {
       "dedup operators leaked persisted frames past their CacheScope")
   }
 
+  test("dedupSpans removes every duplicated k-span occurrence except the first (id,pos)") {
+    val span = (1 to 4).map(i => s"s$i").mkString(" ") // the shared 4-token span
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma"),       // canonical: first (id,pos) occurrence
+      (2L, s"delta $span epsilon zeta"),     // cross-doc duplicate → span removed
+      (3L, s"unique tokens only here")       // untouched
+    ).toDF("id", "text")
+    val out = Dedup.dedupSpans(docs, "id", "text", k = 4)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == s"alpha beta $span gamma" && out(1L)._4 == 0L)
+    assert(out(2L)._2 == "delta epsilon zeta" && out(2L)._4 == 4L)
+    assert(out(3L)._2 == "unique tokens only here" && out(3L)._4 == 0L)
+  }
+
+  test("dedupSpans catches WITHIN-document repetition too") {
+    val span = (1 to 4).map(i => s"r$i").mkString(" ")
+    val docs = Seq((1L, s"$span filler $span tail")).toDF("id", "text")
+    val out = Dedup.dedupSpans(docs, "id", "text", k = 4)
+      .as[(Long, String, Long, Long)].collect().head
+    // first occurrence survives, the repeat is removed
+    assert(out._2 == s"$span filler tail", out._2)
+    assert(out._3 == 6L && out._4 == 4L)
+  }
+
+  test("dedupSpans: overlapping duplicated spans mark the union of their positions") {
+    // doc 2 copies a 6-token run from doc 1 → three overlapping 4-spans
+    // are all duplicated; their union (all 6 tokens) is removed from
+    // doc 2, not just one window
+    val run = (1 to 6).map(i => s"o$i").mkString(" ")
+    val docs = Seq((1L, s"$run x1"), (2L, s"y1 $run")).toDF("id", "text")
+    val out = Dedup.dedupSpans(docs, "id", "text", k = 4)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == 0L)
+    assert(out(2L)._2 == "y1" && out(2L)._4 == 6L)
+  }
+
+  test("dedupSpans is partitioning-invariant; empty docs survive as empty rows") {
+    val span = (1 to 5).map(i => s"p$i").mkString(" ")
+    val docs = ((1L to 40L).map(i => (i, s"doc$i $span end$i")) :+ (99L, ""))
+      .toDF("id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupSpans(d, "id", "text", k = 5)
+        .as[(Long, String, Long, Long)].collect().toSet
+    val a = run(docs)
+    assert(a == run(docs.repartition(11)))
+    assert(a.find(_._1 == 99L).contains((99L, "", 0L, 0L)))
+    // the span is duplicated 40× → exactly one survivor keeps it
+    assert(a.count(_._2.contains(span)) == 1)
+  }
+
   test("incrementalDedup keeps only increment rows new to the corpus") {
     // increment: one new doc, one exact copy of corpus doc 3, one
     // whitespace-variant copy of doc 4 (normalization must catch it)
