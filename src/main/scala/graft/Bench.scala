@@ -67,7 +67,9 @@ object Bench {
     // temperature mixing: one range shuffle + broadcast offsets
     "q_sample_temperature",
     // ExactSubstr span dedup: hash-keyed span agg, no raw-text shuffle
-    "q_dedup_spans")
+    "q_dedup_spans",
+    // UniMax waterfill: driver alloc + one range shuffle
+    "q_sample_unimax")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

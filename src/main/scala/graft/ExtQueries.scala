@@ -134,6 +134,13 @@ object ExtQueries {
       PipelineOps.temperatureSample(Tables.documents(s, dir),
         "doc_id", "source", n = 1000)
     }),
+    "q_sample_unimax" -> ((s, dir) => {
+      // UniMax budget waterfill: n=3000 docs spread uniformly across
+      // source domains, each capped at 2 epochs — pure LONG arithmetic,
+      // replication + partial epoch in deterministic (md5, id) order
+      PipelineOps.unimaxSample(Tables.documents(s, dir),
+        "doc_id", "source", n = 3000, maxEpochs = 2L)
+    }),
     "q_text_chunks" -> ((s, dir) => {
       // overlapping windows (stride < chunkSize) exercise the clamp at
       // the document tail and the sliding-window arithmetic
@@ -1166,6 +1173,36 @@ object ExtQueries {
         |SELECT r.doc_id, r.source, r.domain_rank
         |FROM rk r JOIN tgt t USING (source)
         |WHERE r.domain_rank <= t.target""".stripMargin,
+    // UniMax waterfill replayed by a recursive CTE over domains sorted
+    // (cap asc, name asc): alloc = min(cap, left // remaining), all
+    // BIGINT — bit-exact by construction; full epochs for every doc +
+    // a partial epoch for the first (alloc % cnt) docs in (md5, id)
+    // order, the same ROW_NUMBER-per-domain rank as the other samplers
+    "q_sample_unimax" ->
+      """WITH RECURSIVE c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        |caps AS (SELECT source, cnt, cnt * 2 AS cap,
+        |    ROW_NUMBER() OVER (ORDER BY cnt * 2, source) AS rn,
+        |    (SELECT COUNT(*) FROM c) AS m
+        |  FROM c),
+        |wf(rn, leftb, alloc) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(3000 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT k.rn, wf.leftb - LEAST(k.cap, wf.leftb // (k.m - wf.rn)),
+        |         LEAST(k.cap, wf.leftb // (k.m - wf.rn))
+        |  FROM wf JOIN caps k ON k.rn = wf.rn + 1),
+        |ep AS (SELECT k.source, k.cnt, wf.alloc // k.cnt AS full_ep,
+        |    wf.alloc % k.cnt AS part
+        |  FROM wf JOIN caps k USING (rn) WHERE wf.rn >= 1),
+        |rk AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft-unimax'), doc_id)
+        |      AS domain_rank
+        |  FROM documents),
+        |cp AS (SELECT r.doc_id, r.source,
+        |    e.full_ep + CASE WHEN r.domain_rank <= e.part THEN 1 ELSE 0 END AS copies
+        |  FROM rk r JOIN ep e USING (source))
+        |SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS copy_idx
+        |FROM cp WHERE copies > 0""".stripMargin,
     // floor(w)+bernoulli replication; fractional parts are dyadic so
     // (w - floor(w))·2^32 is integer-exact in DOUBLE on both engines
     "q_sample_weighted" ->

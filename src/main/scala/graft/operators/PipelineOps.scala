@@ -464,14 +464,39 @@ object PipelineOps {
     require(n >= 1, s"n must be >= 1, got $n")
     require(!Set("domain_rank", "__h", "__gidx").contains(idCol) && idCol != domainCol,
       s"idCol '$idCol' collides with an internal column name")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    require(counts.nonEmpty, "temperatureSample on an empty corpus")
+    val counts = collectDomainCounts(df, domainCol, "temperatureSample")
     val totalW = counts.foldLeft(0.0) { case (acc, (_, c)) =>
       acc + math.sqrt(c.toDouble) }
     val targets = counts.map { case (d, c) =>
       d -> math.min(math.floor(n.toDouble * math.sqrt(c.toDouble) / totalW).toLong, c)
     }.toMap
+    val targetExpr = domainCase(domainCol, targets)
+    domainRanked(df, idCol, domainCol, salt, counts)
+      .where(col("domain_rank") <= targetExpr)
+      .select(col(idCol), col(domainCol), col("domain_rank"))
+  }
+
+  private def collectDomainCounts(df: DataFrame, domainCol: String,
+                                  op: String): Seq[(String, Long)] = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    require(counts.nonEmpty, s"$op on an empty corpus")
+    counts
+  }
+
+  /** Literal CASE chain over the (human-scale) domain set. */
+  private def domainCase(domainCol: String, vals: Map[String, Long]): Column =
+    vals.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (e, (d, v)) => when(col(domainCol) === d, lit(v)).otherwise(e) }
+
+  /** `(idCol, domainCol, domain_rank)` with the 1-based within-domain
+    * rank in deterministic `(md5(id:salt), id)` order — the
+    * zipWithIndex-minus-broadcast-offset construction shared by the
+    * mixture samplers (see [[temperatureSample]]'s scale note on why
+    * this beats a domain-partitioned window). `counts` must be the
+    * collected per-domain counts in domain-name order. */
+  private def domainRanked(df: DataFrame, idCol: String, domainCol: String,
+                           salt: String, counts: Seq[(String, Long)]): DataFrame = {
     // each domain's offset = count-sum of the domains preceding it in
     // name order — the global (domain, md5, id) index minus this offset
     // is exactly the within-domain rank
@@ -479,15 +504,63 @@ object PipelineOps {
       var acc = 0L
       counts.map { case (d, c) => val o = d -> acc; acc += c; o }.toMap
     }
-    val targetExpr = targets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
-      case (e, (d, t)) => when(col(domainCol) === d, lit(t)).otherwise(e) }
-    val offsetExpr = offsets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
-      case (e, (d, o)) => when(col(domainCol) === d, lit(o)).otherwise(e) }
     val keyed = df.select(col(idCol), col(domainCol))
       .withColumn("__h", md5(concat(col(idCol).cast("string"), lit(":" + salt))))
     Rank.zipWithIndexRank(keyed, domainCol, Seq("__h", idCol), "__gidx")
-      .withColumn("domain_rank", col("__gidx") - offsetExpr)
-      .where(col("domain_rank") <= targetExpr)
+      .withColumn("domain_rank", col("__gidx") - domainCase(domainCol, offsets))
       .select(col(idCol), col(domainCol), col("domain_rank"))
+  }
+
+  /** UniMax domain mixing (Chung, Garcia et al. 2023, "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread a total budget of `n` documents as UNIFORMLY
+    * as possible across domains, capping each domain at `maxEpochs`
+    * passes over its data — the allocation that dominates temperature
+    * sampling at scale because no tail domain ever repeats more than
+    * `maxEpochs` times and no head domain is over-drained. The
+    * waterfill processes domains by (cap asc, name asc): each takes
+    * `min(cap, remaining_budget div remaining_domains)` — pure LONG
+    * arithmetic end to end, so the allocation is bit-exact on any
+    * engine and replayed by a recursive CTE in the oracle (integer
+    * division remainders flow to the larger domains later in the
+    * order; deterministic). A domain's allocation splits into
+    * `alloc div count` full epochs for every document plus a partial
+    * epoch for the first `alloc mod count` documents in the
+    * deterministic `(md5(id:salt), id)` order. Returns one row per
+    * emitted copy: `(idCol, domainCol, copy_idx)` (0-based).
+    *
+    * Scale shape: identical to [[temperatureSample]] — driver-side
+    * allocation over the collected domain counts (human-scale), ONE
+    * range shuffle for the within-domain rank (no domain-partitioned
+    * window), then a shuffle-free literal-CASE replication
+    * ([[upsampleByWeight]]'s explode(sequence) spelling).
+    */
+  def unimaxSample(df: DataFrame, idCol: String, domainCol: String,
+                   n: Long, maxEpochs: Long = 4L,
+                   salt: String = "graft-unimax"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(!Set("domain_rank", "copy_idx", "__h", "__gidx").contains(idCol) &&
+      idCol != domainCol,
+      s"idCol '$idCol' collides with an internal column name")
+    val counts = collectDomainCounts(df, domainCol, "unimaxSample")
+    val byCap = counts.map { case (d, c) => (d, c, c * maxEpochs) }
+      .sortBy { case (d, _, cap) => (cap, d) }
+    var left = n
+    var remaining = byCap.length.toLong
+    val alloc = byCap.map { case (d, c, cap) =>
+      val a = math.min(cap, left / remaining)
+      left -= a; remaining -= 1
+      d -> (a / c, a % c) // (full epochs, partial-epoch doc count)
+    }.toMap
+    val fullExpr = domainCase(domainCol, alloc.map { case (d, (f, _)) => d -> f })
+    val partExpr = domainCase(domainCol, alloc.map { case (d, (_, p)) => d -> p })
+    val copies = fullExpr +
+      when(col("domain_rank") <= partExpr, lit(1L)).otherwise(lit(0L))
+    domainRanked(df, idCol, domainCol, salt, counts)
+      .withColumn("copy_idx",
+        explode(when(copies > 0, sequence(lit(0L), copies - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col(idCol), col(domainCol), col("copy_idx"))
   }
 }

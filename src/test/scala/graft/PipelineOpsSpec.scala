@@ -414,6 +414,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.count(_._2 == "tiny") == 2)
   }
 
+  test("unimaxSample: epoch cap binds the tail, remainder flows to the head") {
+    // caps at 2 epochs: a → 20, b → 200. Waterfill n=60 over 2 domains:
+    // a takes min(20, 60/2) = 20 (2 full epochs, every doc twice);
+    // b takes min(200, 40/1) = 40 (0 full epochs, partial = first 40)
+    val docs = ((1L to 10L).map(i => (i, "a")) ++
+      (101L to 200L).map(i => (i, "b"))).toDF("doc_id", "source")
+    val out = PipelineOps.unimaxSample(docs, "doc_id", "source",
+      n = 60, maxEpochs = 2L).as[(Long, String, Long)].collect()
+    assert(out.length == 60)
+    val a = out.filter(_._2 == "a")
+    assert(a.length == 20 && a.groupBy(_._1).forall(_._2.length == 2))
+    assert(a.map(_._3).sorted.toSeq == Seq.fill(10)(Seq(0L, 1L)).flatten.sorted)
+    val b = out.filter(_._2 == "b")
+    assert(b.length == 40 && b.map(_._1).distinct.length == 40)
+    assert(b.forall(_._3 == 0L))
+  }
+
+  test("unimaxSample: uniform split when no cap binds; copies within a domain differ by <= 1") {
+    val docs = ((1L to 50L).map(i => (i, "x")) ++
+      (101L to 150L).map(i => (i, "y"))).toDF("doc_id", "source")
+    val out = PipelineOps.unimaxSample(docs, "doc_id", "source",
+      n = 70, maxEpochs = 3L).as[(Long, String, Long)].collect()
+    assert(out.length == 70)
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom("x") == 35 && byDom("y") == 35)
+    // partial epochs only: no document repeats
+    out.groupBy(r => (r._2, r._1)).values.foreach(c => assert(c.length == 1))
+  }
+
+  test("unimaxSample is partitioning-invariant") {
+    val docs = ((1L to 30L).map(i => (i, "p")) ++
+      (201L to 290L).map(i => (i, "q"))).toDF("doc_id", "source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      PipelineOps.unimaxSample(d, "doc_id", "source", n = 100, maxEpochs = 2L)
+        .as[(Long, String, Long)].collect().toSet
+    assert(run(docs) == run(docs.repartition(9)))
+  }
+
   test("temperatureSample is partitioning-invariant (deterministic md5 order)") {
     val docs = ((1L to 300L).map(i => (i, "a")) ++
       (501L to 600L).map(i => (i, "b"))).toDF("doc_id", "source")
