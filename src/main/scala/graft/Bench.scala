@@ -69,7 +69,9 @@ object Bench {
     // ExactSubstr span dedup: hash-keyed span agg, no raw-text shuffle
     "q_dedup_spans",
     // UniMax waterfill: driver alloc + one range shuffle
-    "q_sample_unimax")
+    "q_sample_unimax",
+    // DSIR: broadcast bucket tables, pinned per-doc ratio mean
+    "q_dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

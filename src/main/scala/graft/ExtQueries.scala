@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{AsofJoin, BpeTokenizer, CorpusPipeline, Dedup, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, RangeJoin, Similarity}
+import graft.operators.{AsofJoin, BpeTokenizer, CorpusPipeline, Dedup, Dsir, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, RangeJoin, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -133,6 +133,14 @@ object ExtQueries {
       // selection in deterministic (md5, id) order
       PipelineOps.temperatureSample(Tables.documents(s, dir),
         "doc_id", "source", n = 1000)
+    }),
+    "q_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights: every 50th doc stands in for the
+      // target corpus (the contamination split), the rest is the raw
+      // corpus being scored
+      val d = Tables.documents(s, dir)
+      Dsir.dsirWeights(d.where(col("doc_id") % 50 =!= 0),
+        d.where(col("doc_id") % 50 === 0), "doc_id", "text")
     }),
     "q_sample_unimax" -> ((s, dir) => {
       // UniMax budget waterfill: n=3000 docs spread uniformly across
@@ -1173,6 +1181,39 @@ object ExtQueries {
         |SELECT r.doc_id, r.source, r.domain_rank
         |FROM rk r JOIN tgt t USING (source)
         |WHERE r.domain_rank <= t.target""".stripMargin,
+    // DSIR replay: unigrams+bigrams → md5-hash32 buckets (the
+    // stratifiedSample hash), add-one bucket distributions, importance
+    // ratio with the exact operand order ((ct+1)·(Nr+B))/((Nt+B)·(cr+1)),
+    // and the 2⁻⁴⁰ pinned per-doc mean (HUGEINT sum = Spark's split-long
+    // reassembly)
+    "q_dsir_weights" ->
+      """WITH rw AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS ws
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |tg AS (SELECT regexp_extract_all(COALESCE(text, ''), '\S+') AS ws
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |rb AS (SELECT doc_id,
+        |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b
+        |  FROM (SELECT doc_id, unnest(ws || [array_to_string(ws[i:i+1], ' ')
+        |          FOR i IN generate_series(1, len(ws) - 1)]) AS gram FROM rw)),
+        |tb AS (SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b
+        |  FROM (SELECT unnest(ws || [array_to_string(ws[i:i+1], ' ')
+        |          FOR i IN generate_series(1, len(ws) - 1)]) AS gram FROM tg)),
+        |rc AS (SELECT b, COUNT(*) AS cr FROM rb GROUP BY 1),
+        |tc AS (SELECT b, COUNT(*) AS ct FROM tb GROUP BY 1),
+        |nr AS (SELECT COUNT(*) AS n FROM rb),
+        |nt AS (SELECT COUNT(*) AS n FROM tb),
+        |ps AS (SELECT rb.doc_id,
+        |    (CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) * (nr.n + 4096)) /
+        |    ((nt.n + 4096) * CAST(COALESCE(rc.cr, 0) + 1 AS DOUBLE)) AS r
+        |  FROM rb LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+        |  CROSS JOIN nr CROSS JOIN nt),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_grams,
+        |    CAST(SUM(CAST(floor(r * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+        |      / 1099511627776.0 / COUNT(*) AS dsir_weight
+        |  FROM ps GROUP BY 1)
+        |SELECT w.doc_id, COALESCE(pd.n_grams, 0) AS n_grams,
+        |  COALESCE(pd.dsir_weight, 0e0) AS dsir_weight
+        |FROM rw w LEFT JOIN pd USING (doc_id)""".stripMargin,
     // UniMax waterfill replayed by a recursive CTE over domains sorted
     // (cap asc, name asc): alloc = min(cap, left // remaining), all
     // BIGINT — bit-exact by construction; full epochs for every doc +

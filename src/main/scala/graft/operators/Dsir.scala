@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, Tokenize}
+
+/** DSIR importance weighting — Data Selection via Importance
+  * Resampling (Xie et al. 2023): score every raw-corpus document by
+  * how much its hashed n-gram profile looks like a TARGET corpus
+  * (the "select pretraining data that looks like Wikipedia" signal).
+  *
+  * Features are unigrams + bigrams hashed into `buckets` slots (the
+  * paper's hashed n-gram model); both corpora get add-one-smoothed
+  * bucket distributions p_target / p_raw, and a document scores the
+  * MEAN importance ratio p_target(b)/p_raw(b) over its gram
+  * positions. The paper averages log-ratios; the mean ratio is the
+  * same signal monotone in the same direction WITHOUT `log()`, whose
+  * rounding differs by ulps across libm implementations — the
+  * [[LmScore]] discipline: each ratio is
+  * `((c_t+1)·(N_r+B)) / ((N_t+B)·(c_r+1))` — integer-exact operands,
+  * one IEEE multiply each side of one IEEE divide, identical on any
+  * engine — and the per-document mean uses the 2⁻⁴⁰ pinned integer
+  * sum, so the weight is bit-identical under any partitioning.
+  *
+  * Scale shape: the bucket tables are ≤ `buckets` rows by construction
+  * — BROADCAST, never a corpus-side shuffle key. The raw corpus is
+  * touched by one gram explode, one broadcast join, and one
+  * document-keyed pinned-mean agg; the gram→bucket hash is the
+  * [[PipelineOps.stratifiedSample]] md5-hash32 expression (exact in
+  * every engine). The bucket-count aggs are map-side combinable; the
+  * target corpus is small by contract (a quality probe set).
+  *
+  * Returns `(idCol, n_grams, dsir_weight)`; gramless documents weigh
+  * 0.0. Long-document bound: the pinned reassembly is exact below
+  * 2⁶³ ≈ hi·2²⁰, and ratios reach `buckets`-ish magnitude, so docs up
+  * to ~2²⁰ gram positions are safe at B=4096 — chunk monsters first
+  * ([[PipelineOps.chunkDocuments]]).
+  */
+object Dsir {
+  private val PinScale = 1099511627776.0 // 2^40, the shared pin
+
+  private def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** (id, bucket) for every unigram+bigram position of every doc. */
+  private def docBuckets(df: DataFrame, idCol: String, textCol: String,
+                         buckets: Int): DataFrame = {
+    val toks = TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    df.select(col(idCol),
+        explode(concat(toks, Tokenize.wordShingles(toks, 2))).as("__gram"))
+      .select(col(idCol), (hash32(col("__gram")) % buckets).as("__b"))
+  }
+
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  idCol: String, textCol: String,
+                  buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(!Set("n_grams", "dsir_weight", "__b", "__gram").contains(idCol),
+      s"idCol '$idCol' collides with an internal column name")
+    val rawB = graft.CacheScope.track(docBuckets(raw, idCol, textCol, buckets))
+    val tgtB = docBuckets(target, idCol, textCol, buckets)
+
+    val rawCnt = rawB.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val tgtCnt = tgtB.groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val nRaw = rawB.count()
+    val nTgt = tgtB.count()
+
+    // importance ratio per position: integer-exact operands, one
+    // multiply each side, one divide — replayed verbatim by the oracle
+    val ratio =
+      ((coalesce(col("__ct"), lit(0L)) + 1).cast("double") *
+        lit((nRaw + buckets).toDouble)) /
+      (lit((nTgt + buckets).toDouble) *
+        (coalesce(col("__cr"), lit(0L)) + 1).cast("double"))
+    val v = floor(ratio * lit(PinScale))
+    val hi = floor(v / lit(1048576.0))
+    val lo = v - hi * lit(1048576.0)
+    val perDoc = rawB
+      .join(broadcast(tgtCnt), Seq("__b"), "left")
+      .join(broadcast(rawCnt), Seq("__b"), "left")
+      .select(col(idCol), hi.cast("long").as("__hi"), lo.cast("long").as("__lo"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__hi")).as("__shi"), sum(col("__lo")).as("__slo"),
+        count(lit(1)).as("__n"))
+      .select(col(idCol),
+        col("__n").as("n_grams"),
+        ((col("__shi") * lit(1048576L) + col("__slo")).cast("double") /
+          lit(PinScale) / col("__n")).as("dsir_weight"))
+    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"))
+  }
+}

@@ -197,6 +197,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty)
   }
 
+  test("DSIR weighting broadcasts both bucket tables; the raw corpus never shuffle-joins") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = executed("q_dsir_weights")
+    assert(!plan.exists(p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]),
+      s"DSIR must join its bucket tables by broadcast:\n${plan.head}")
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.size >= 2,
+      "target and raw bucket-count lookups should both be broadcast joins")
+    graft.CacheScope.releaseAll()
+  }
+
   test("BPE encode is a single shuffle-free projection over the scan") {
     val df = ExtQueries.queries("q_bpe_tokenize")(spark, sfDir)
     df.collect()
