@@ -425,12 +425,19 @@ object Dedup {
     * Scale shape: spans travel as md5 hashes — the raw text NEVER
     * shuffles. The duplicate detection is one map-side-combinable
     * groupBy on the span hash carrying `count` + `min(struct(id,
-    * pos))` (the canonical pick costs no window and no second pass);
-    * a boilerplate span shared by millions of documents is a hot KEY
-    * but combines map-side, not a hot partition. The mark join is
-    * hash-keyed on the span hash (duplicate sets can exceed any
-    * broadcast budget at 100 TB — no broadcast assumption; AQE may
-    * still choose one when small). Coverage explodes k positions per
+    * pos))`, so the canonical pick costs no window and no second
+    * pass. This is a deliberate skew trade, measured by
+    * DedupSpansProbe at 1M docs: a `ROW_NUMBER over (PARTITION BY
+    * hash)` spelling runs ~1.45× faster on a unique-heavy corpus
+    * (sort shuffle beats a 31M-distinct-key hash agg locally), but it
+    * co-locates EVERY occurrence of a span on one task — a
+    * boilerplate span shared by millions of documents becomes a
+    * straggling hot partition at cluster scale, where the agg's
+    * map-side combine caps any reducer's input at one row per map
+    * partition per hash. The mark join is hash-keyed on the span hash
+    * (duplicate sets can exceed any broadcast budget at 100 TB — no
+    * broadcast assumption; AQE broadcasts the usually-tiny dup side
+    * at runtime). Coverage explodes k positions per
     * DUPLICATED occurrence only — cost scales with the duplication
     * rate, not the corpus — and the rebuild groupBy is document-keyed
     * with order recovered by sorting inside the aggregate
@@ -443,7 +450,10 @@ object Dedup {
       "__tp", "__tok", "__h").contains(idCol),
       s"idCol '$idCol' collides with an internal column name")
     val toks = TextFunctions.tokens(coalesce(col(textCol), lit("")))
-    // occurrences of every k-token span, as (id, pos, md5(span))
+    // occurrences of every k-token span, as (id, pos, md5(span));
+    // persisted for its two consumers (the dup agg + the mark join —
+    // measured cheaper than recomputing the shingle expressions,
+    // DedupSpansProbe)
     val occ = graft.CacheScope.track(df
       .select(col(idCol),
         posexplode(graft.functions.Tokenize.wordShingles(toks, k))

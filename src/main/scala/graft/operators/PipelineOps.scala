@@ -457,7 +457,10 @@ object PipelineOps {
     * index in one pass; subtracting each domain's broadcast offset
     * (cumulative counts of preceding domains, known exactly from the
     * collected agg) turns it into the per-domain rank. One shuffle
-    * total, no single-partition stage, no hot key.
+    * total, no single-partition stage, no hot key — measured 3× the
+    * window spelling at 10M rows with a 90% hot domain even on
+    * local[32], where the window's skew is merely a straggler, not an
+    * executor OOM (SamplerProbe: 10.3 s vs 30.7 s).
     */
   def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
                         n: Long, salt: String = "graft-temp"): DataFrame = {
