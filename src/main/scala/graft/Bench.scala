@@ -71,7 +71,9 @@ object Bench {
     // UniMax waterfill: driver alloc + one range shuffle
     "q_sample_unimax",
     // DSIR: broadcast bucket tables, pinned per-doc ratio mean
-    "q_dsir_weights")
+    "q_dsir_weights",
+    // BM25: broadcast query terms cut the corpus scan, pinned term sum
+    "q_bm25_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{AsofJoin, BpeTokenizer, CorpusPipeline, Dedup, Dsir, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, RangeJoin, Similarity}
+import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, Dedup, Dsir, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, RangeJoin, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -133,6 +133,16 @@ object ExtQueries {
       // selection in deterministic (md5, id) order
       PipelineOps.temperatureSample(Tables.documents(s, dir),
         "doc_id", "source", n = 1000)
+    }),
+    "q_bm25_topk" -> ((s, dir) => {
+      // lexical retrieval audit: every 97th doc's first 4 tokens stand
+      // in for an audit query set, retrieving top-5 from the rest
+      val d = Tables.documents(s, dir)
+      val qs = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), array_join(slice(
+          graft.functions.TextFunctions.tokens(coalesce(col("text"), lit(""))),
+          1, 4), " ").as("text"))
+      Bm25.bm25TopK(d.where(col("doc_id") % 97 =!= 0), qs, "doc_id", "text", k = 5)
     }),
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights: every 50th doc stands in for the
@@ -1181,6 +1191,36 @@ object ExtQueries {
         |SELECT r.doc_id, r.source, r.domain_rank
         |FROM rk r JOIN tgt t USING (source)
         |WHERE r.domain_rank <= t.target""".stripMargin,
+    // BM25 replay: quarter-power idf (sqrt∘sqrt — correctly rounded,
+    // unlike ln), literal-for-literal the same constant arithmetic as
+    // the Scala plan, pinned per-(query,doc) term sum
+    "q_bm25_topk" ->
+      """WITH co AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS ws
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |qt AS (SELECT doc_id AS query_id,
+        |    unnest(list_distinct((regexp_extract_all(COALESCE(text, ''), '\S+'))[1:4])) AS term
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM co),
+        |tok AS (SELECT doc_id AS neighbor_id, len(ws) AS len, unnest(ws) AS term FROM co),
+        |po AS (SELECT neighbor_id, term, len, COUNT(*) AS tf FROM tok
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, COUNT(*) AS df FROM po GROUP BY 1),
+        |sc AS (SELECT q.query_id, p.neighbor_id,
+        |    sqrt(sqrt((CAST(st.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)))
+        |      * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |         (CAST(p.tf AS DOUBLE)
+        |           + 1.2 * (1.0 - 0.75 + 0.75 * CAST(p.len AS DOUBLE) / st.avgdl))) AS s
+        |  FROM po p JOIN qt q USING (term) JOIN dfs d USING (term) CROSS JOIN st),
+        |agg AS (SELECT query_id, neighbor_id,
+        |    CAST(SUM(CAST(floor(s * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+        |      / 1099511627776.0 AS bm25
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, bm25, rank FROM (
+        |  SELECT query_id, neighbor_id, bm25,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, neighbor_id ASC) AS rank
+        |  FROM agg) t
+        |WHERE rank <= 5""".stripMargin,
     // DSIR replay: unigrams+bigrams → md5-hash32 buckets (the
     // stratifiedSample hash), add-one bucket distributions, importance
     // ratio with the exact operand order ((ct+1)·(Nr+B))/((Nt+B)·(cr+1)),

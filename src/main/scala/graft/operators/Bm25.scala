@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** BM25-style lexical retrieval top-k (Robertson & Zaragoza 2009) —
+  * the keyword search a data-curation pipeline runs for benchmark
+  * audits, targeted inspection, and retrieval-based decontamination,
+  * complementing the embedding-ANN family ([[Similarity]]).
+  *
+  * One deliberate deviation, for the bit-exact gate: classic BM25
+  * damps document frequency with `ln((N−df+0.5)/(df+0.5))`, and `log`
+  * differs by ulps across libm implementations (the [[LmScore]]
+  * hazard). Here idf = the QUARTER POWER of the same odds ratio —
+  * `sqrt(sqrt(·))`, and IEEE-754 requires correctly-rounded sqrt, so
+  * the damping is bit-identical on every engine. Same monotone
+  * rare-term boost, slightly less damped than ln; the ranking contract
+  * (rare terms dominate, saturating tf, length normalization) is
+  * intact. The per-(query, doc) sum over matched terms uses the 2⁻⁴⁰
+  * pinned integer sum, so scores are independent of join order and
+  * partitioning. Every scalar constant is spelled as the same literal
+  * arithmetic in the Scala plan and the DuckDB oracle — no
+  * pre-folding in one engine only.
+  *
+  * Scale shape: query terms are a broadcast-small frame by contract
+  * (an audit/benchmark query set). The corpus is touched by ONE token
+  * explode that is immediately cut by a broadcast semi-join on the
+  * query-term set — only matching (doc, term) pairs ever shuffle (the
+  * (doc, term) tf agg and the (query, doc) score agg are both over
+  * this filtered subset, proportional to hit volume, not corpus
+  * size). Document frequencies are per-query-term only (≤ |terms|
+  * rows, broadcast). No corpus-wide inverted index is materialized.
+  *
+  * Returns `(query_id, neighbor_id, bm25, rank)`, top-`k` docs per
+  * query; queries whose terms match nothing return no rows.
+  */
+object Bm25 {
+  private val PinScale = 1099511627776.0 // 2^40, the shared pin
+
+  def bm25TopK(corpus: DataFrame, queries: DataFrame,
+               idCol: String, textCol: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, b in [0,1]; got $k1, $b")
+    val toks = TextFunctions.tokens(coalesce(col(textCol), lit("")))
+
+    val qterms = queries.select(col(idCol).as("query_id"),
+      explode(array_distinct(toks)).as("__term"))
+    val termSet = qterms.select("__term").distinct()
+
+    // corpus scalars: exact long counts, ONE division for avgdl —
+    // mirrored by the oracle's CAST(SUM)/COUNT
+    val statsRow = corpus.agg(count(lit(1)), sum(size(toks))).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
+
+    // only query-term postings ever leave the scan
+    val postings = graft.CacheScope.track(
+      corpus.select(col(idCol).as("neighbor_id"),
+          size(toks).as("__len"), explode(toks).as("__term"))
+        .join(broadcast(termSet), Seq("__term"), "left_semi")
+        .groupBy(col("neighbor_id"), col("__term"), col("__len"))
+        .agg(count(lit(1)).as("__tf")))
+    val dfs = postings.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+
+    // idf = ((N - df + 0.5)/(df + 0.5))^(1/4) via two correctly-rounded
+    // sqrts; tf saturation + length norm with literal-for-literal the
+    // same op order as the oracle SQL
+    val idf = sqrt(sqrt(
+      ((lit(nDocs) - col("__df")).cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5))))
+    val denom = col("__tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__len").cast("double") / lit(avgdl))
+    val score = idf * ((col("__tf").cast("double") * (lit(k1) + lit(1.0))) / denom)
+
+    val v = floor(score * lit(PinScale))
+    val hi = floor(v / lit(1048576.0))
+    val lo = v - hi * lit(1048576.0)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("neighbor_id").asc)
+    postings
+      .join(broadcast(qterms), Seq("__term"))
+      .join(broadcast(dfs), Seq("__term"))
+      .select(col("query_id"), col("neighbor_id"),
+        hi.cast("long").as("__hi"), lo.cast("long").as("__lo"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__hi")).as("__shi"), sum(col("__lo")).as("__slo"))
+      .select(col("query_id"), col("neighbor_id"),
+        ((col("__shi") * lit(1048576L) + col("__slo")).cast("double") /
+          lit(PinScale)).as("bm25"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -197,6 +197,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty)
   }
 
+  test("BM25 joins query terms and dfs by broadcast; only filtered postings shuffle") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = executed("q_bm25_topk")
+    assert(!plan.exists(p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]),
+      s"BM25 must keep every join broadcast:\n${plan.head}")
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.size >= 3,
+      "term-set semi-join + qterms + dfs should all be broadcast")
+    graft.CacheScope.releaseAll()
+  }
+
   test("DSIR weighting broadcasts both bucket tables; the raw corpus never shuffle-joins") {
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
     val plan = executed("q_dsir_weights")
