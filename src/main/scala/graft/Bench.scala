@@ -73,7 +73,9 @@ object Bench {
     // DSIR: broadcast bucket tables, pinned per-doc ratio mean
     "q_dsir_weights",
     // BM25: broadcast query terms cut the corpus scan, pinned term sum
-    "q_bm25_topk")
+    "q_bm25_topk",
+    // exact percentiles: distinct-value prefix sums, no global sort
+    "q_profile_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

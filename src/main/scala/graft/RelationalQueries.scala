@@ -224,6 +224,14 @@ object RelationalQueries {
           countDistinct(col("l_partkey")).as("nd_parts")))
     }),
 
+    // ── exact distributed percentiles (profiler extension) ──
+    "q_profile_quantiles" -> ((s, dir) => {
+      // value at position 1 + (n−1)·p div 100 — all-LONG position
+      // arithmetic, distinct-value prefix-sum rank, no global sort
+      graft.operators.Rank.exactPercentiles(
+        Tables.lineitem(s, dir), "l_extendedprice", Seq(1, 25, 50, 75, 99))
+    }),
+
     // ── profiling stats in one agg pass (spreadsheet.py:102-163) ──
     "q_profile_stats" -> ((s, dir) => {
       Tables.lineitem(s, dir).agg(
@@ -238,6 +246,18 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // position = 1 + (n−1)·p // 100, BIGINT end to end — "lower"
+    // interpolation so no fractional-interpolation rounding can differ;
+    // the ROW_NUMBER full sort here is oracle-side only (the engine
+    // sorts distinct values + prefix sums, never rows)
+    "q_profile_quantiles" ->
+      """WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |p AS (SELECT unnest([1, 25, 50, 75, 99]) AS pct),
+        |r AS (SELECT p.pct, 1 + ((n.n - 1) * p.pct) // 100 AS rk FROM p, n),
+        |s AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v)
+        |SELECT r.pct, s.x AS value FROM r JOIN s ON s.rn = r.rk""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

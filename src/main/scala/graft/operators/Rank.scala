@@ -62,19 +62,35 @@ object Rank {
     */
   def minRankByValue(df: DataFrame, valueCol: String, outCol: String,
                      numPartitions: Int = 0): DataFrame = {
+    val valOut = s"${outCol}__val"
+    val ranks = distinctValueRanks(df, valueCol, valOut, outCol,
+      s"${outCol}__dcnt", numPartitions).drop(s"${outCol}__dcnt")
+    // null-safe equality: null feature values form their own rank group
+    df.join(ranks, df(valueCol) <=> ranks(valOut), "left").drop(valOut)
+  }
+
+  /** One row per DISTINCT `valueCol` value (nulls first, like SQL
+    * `ORDER BY`): `(valOut, rankOut, cntOut)` where `rankOut` is the
+    * 1-based min-rank of the value's first occurrence in the sorted
+    * multiset and `cntOut` its multiplicity — so the value covers
+    * sorted positions `[rank, rank + cnt)`. The scale machinery of
+    * [[minRankByValue]]: only distinct values sort (range-partitioned),
+    * the driver collects one subtotal per partition, never a row. */
+  private[graft] def distinctValueRanks(df: DataFrame, valueCol: String,
+                                        valOut: String, rankOut: String,
+                                        cntOut: String,
+                                        numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sessionState.conf.numShufflePartitions
-    val cnt = s"${outCol}__cnt"
-    val valOut = s"${outCol}__val"
     // persisted: the subtotal pass and the rank-assignment pass both
     // read it, and re-running the groupBy between them could otherwise
     // (in principle) observe a different physical row order
     val sorted = graft.CacheScope.track(
-      df.groupBy(col(valueCol)).agg(count(lit(1)).as(cnt))
+      df.groupBy(col(valueCol)).agg(count(lit(1)).as(cntOut))
         .repartitionByRange(parts, col(valueCol))
         .sortWithinPartitions(col(valueCol)))
-    val cntIdx = sorted.schema.fieldIndex(cnt)
+    val cntIdx = sorted.schema.fieldIndex(cntOut)
     val partTotals = sorted.rdd
       .mapPartitionsWithIndex { (i, it) =>
         var s = 0L
@@ -88,13 +104,43 @@ object Rank {
       it.map { r =>
         val rk = next
         next += r.getLong(cntIdx)
-        Row(r.get(0), rk)
+        Row(r.get(0), rk, r.getLong(cntIdx))
       }
     }
-    val ranks = spark.createDataFrame(rankedRdd,
+    spark.createDataFrame(rankedRdd,
       StructType(Seq(sorted.schema(valueCol).copy(name = valOut),
-                     StructField(outCol, LongType, nullable = false))))
-    // null-safe equality: null feature values form their own rank group
-    df.join(ranks, df(valueCol) <=> ranks(valOut), "left").drop(valOut)
+                     StructField(rankOut, LongType, nullable = false),
+                     StructField(cntOut, LongType, nullable = false))))
+  }
+
+  /** Exact percentiles without a global sort OR interpolation: for each
+    * requested integer percentile `p`, the value at 1-based sorted
+    * position `1 + (n−1)·p div 100` — "lower" interpolation, ALL-LONG
+    * arithmetic (`percentile_cont`'s fractional interpolation is a
+    * cross-engine rounding hazard; a position is not). Duplicates are
+    * handled by the distinct-value covering interval `[rank, rank+cnt)`
+    * — no row-level global sort ever happens: only distinct values
+    * range-partition and sort ([[distinctValueRanks]]), and the
+    * requested positions probe them with one broadcast interval join
+    * (|percentiles| rows against |distinct| — a scan, not a shuffle).
+    * Null values are excluded, like SQL aggregates. Returns
+    * `(pct, value)`.
+    */
+  def exactPercentiles(df: DataFrame, valueCol: String,
+                       pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100),
+      s"percentiles must be in [0,100], got $pcts")
+    val spark = df.sparkSession
+    val vals = df.select(col(valueCol)).where(col(valueCol).isNotNull)
+    val n = vals.count()
+    require(n > 0, s"exactPercentiles over zero non-null '$valueCol' rows")
+    val dv = distinctValueRanks(vals, valueCol, "__v", "__rk", "__cnt")
+    import spark.implicits._
+    val targets = pcts.map(p => (p, 1L + ((n - 1L) * p) / 100L))
+      .toDF("pct", "__target")
+    dv.join(broadcast(targets),
+        col("__target") >= col("__rk") &&
+          col("__target") < col("__rk") + col("__cnt"))
+      .select(col("pct"), col("__v").as("value"))
   }
 }

@@ -89,4 +89,27 @@ class TBasicSpec extends SparkSpec {
       .map(t => t._1 -> ((t._2, t._3))).toMap
     assert(r == Map(1L -> ((0.0, 0.0)), 2L -> ((0.5, 0.0)), 3L -> ((1.0, 0.0))))
   }
+
+  test("exactPercentiles returns the value at 1 + (n-1)*p div 100, ties included") {
+    // 1..100 shuffled: position arithmetic is transparent
+    val d = scala.util.Random.shuffle((1 to 100).toList)
+      .map(_.toDouble).toDF("v")
+    val out = Rank.exactPercentiles(d, "v", Seq(0, 1, 25, 50, 99, 100))
+      .as[(Int, Double)].collect().toMap
+    // n=100 → pos = 1 + 99p/100: p0→1, p1→1, p25→25, p50→50, p99→99, p100→100
+    assert(out == Map(0 -> 1.0, 1 -> 1.0, 25 -> 25.0, 50 -> 50.0,
+      99 -> 99.0, 100 -> 100.0))
+    // heavy ties: covering interval picks the duplicated value
+    val ties = (Seq.fill(90)(5.0) ++ Seq.fill(10)(9.0)).toDF("v")
+    val t = Rank.exactPercentiles(ties, "v", Seq(50, 95)).as[(Int, Double)].collect().toMap
+    assert(t == Map(50 -> 5.0, 95 -> 9.0))
+  }
+
+  test("exactPercentiles ignores nulls and is partitioning-invariant") {
+    val d = ((1 to 200).map(i => Some((i % 37).toDouble)) ++ Seq(None, None))
+      .toDF("v")
+    def run(x: org.apache.spark.sql.DataFrame) =
+      Rank.exactPercentiles(x, "v", Seq(10, 50, 90)).as[(Int, Double)].collect().toSet
+    assert(run(d) == run(d.repartition(17)) && run(d).size == 3)
+  }
 }
