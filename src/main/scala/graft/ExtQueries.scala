@@ -1243,8 +1243,9 @@ object ExtQueries {
         |nr AS (SELECT COUNT(*) AS n FROM rb),
         |nt AS (SELECT COUNT(*) AS n FROM tb),
         |ps AS (SELECT rb.doc_id,
-        |    (CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) * (nr.n + 4096)) /
-        |    ((nt.n + 4096) * CAST(COALESCE(rc.cr, 0) + 1 AS DOUBLE)) AS r
+        |    LEAST((CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) * (nr.n + 4096)) /
+        |          ((nt.n + 4096) * CAST(COALESCE(rc.cr, 0) + 1 AS DOUBLE)),
+        |          65536.0) AS r
         |  FROM rb LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
         |  CROSS JOIN nr CROSS JOIN nt),
         |pd AS (SELECT doc_id, COUNT(*) AS n_grams,

@@ -55,6 +55,7 @@ object Bm25 {
     // mirrored by the oracle's CAST(SUM)/COUNT
     val statsRow = corpus.agg(count(lit(1)), sum(size(toks))).collect()(0)
     val nDocs = statsRow.getLong(0)
+    require(nDocs > 0, "bm25TopK over an empty corpus (SUM/avgdl undefined)")
     val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
 
     // only query-term postings ever leave the scan

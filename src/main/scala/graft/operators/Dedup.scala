@@ -447,7 +447,8 @@ object Dedup {
                  k: Int): DataFrame = {
     require(k >= 2, s"span length k must be >= 2, got $k")
     require(!Set("text_dedup", "n_tokens_kept", "n_tokens_removed", "__pos",
-      "__tp", "__tok", "__h").contains(idCol),
+      "__tp", "__tok", "__h", "__gram", "__kid", "__kpos", "__keep", "__n",
+      "__n_total").contains(idCol),
       s"idCol '$idCol' collides with an internal column name")
     val toks = TextFunctions.tokens(coalesce(col(textCol), lit("")))
     // occurrences of every k-token span, as (id, pos, md5(span));

@@ -32,10 +32,13 @@ import graft.functions.{TextFunctions, Tokenize}
   * target corpus is small by contract (a quality probe set).
   *
   * Returns `(idCol, n_grams, dsir_weight)`; gramless documents weigh
-  * 0.0. Long-document bound: the pinned reassembly is exact below
-  * 2⁶³ ≈ hi·2²⁰, and ratios reach `buckets`-ish magnitude, so docs up
-  * to ~2²⁰ gram positions are safe at B=4096 — chunk monsters first
-  * ([[PipelineOps.chunkDocuments]]).
+  * 0.0. Importance ratios are CLIPPED at 2¹⁶ (the paper clips
+  * importance weights for variance control; here the clip also bounds
+  * the pinned arithmetic): per-position `hi ≤ 2³⁶`, so the long
+  * half-sums are exact to 2²⁷ ≈ 134M gram positions per document,
+  * and the per-document reassembly runs in DECIMAL(38,0) — exact
+  * integer, like the oracle's HUGEINT sum — before the single
+  * correctly-rounded cast to double.
   */
 object Dsir {
   private val PinScale = 1099511627776.0 // 2^40, the shared pin
@@ -67,12 +70,14 @@ object Dsir {
     val nTgt = tgtB.count()
 
     // importance ratio per position: integer-exact operands, one
-    // multiply each side, one divide — replayed verbatim by the oracle
-    val ratio =
+    // multiply each side, one divide, then the 2^16 clip — replayed
+    // verbatim by the oracle
+    val ratio = least(
       ((coalesce(col("__ct"), lit(0L)) + 1).cast("double") *
         lit((nRaw + buckets).toDouble)) /
       (lit((nTgt + buckets).toDouble) *
-        (coalesce(col("__cr"), lit(0L)) + 1).cast("double"))
+        (coalesce(col("__cr"), lit(0L)) + 1).cast("double")),
+      lit(65536.0))
     val v = floor(ratio * lit(PinScale))
     val hi = floor(v / lit(1048576.0))
     val lo = v - hi * lit(1048576.0)
@@ -85,7 +90,12 @@ object Dsir {
         count(lit(1)).as("__n"))
       .select(col(idCol),
         col("__n").as("n_grams"),
-        ((col("__shi") * lit(1048576L) + col("__slo")).cast("double") /
+        // exact integer reassembly in DECIMAL(38,0) — a Long multiply
+        // here would wrap for huge in-domain documents; the decimal
+        // total casts to double correctly rounded, exactly like the
+        // oracle's HUGEINT → DOUBLE
+        ((col("__shi").cast("decimal(38,0)") * lit(1048576L) + col("__slo"))
+          .cast("double") /
           lit(PinScale) / col("__n")).as("dsir_weight"))
     raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),

@@ -48,6 +48,10 @@ object LmScore {
   def score(docs: DataFrame, idCol: String, textCol: String,
             vocabSize: Int = 2000, bigramCap: Int = 10000): DataFrame = {
     require(vocabSize >= 1 && bigramCap >= 1, "caps must be positive")
+    require(!Set("pos", "word", "m", "a", "uc", "bc", "n_tokens", "lm_score",
+      "__v", "__c", "__p", "__hi", "__lo", "__shi", "__slo", "__n",
+      "__uc_first", "__uc_prev").contains(idCol),
+      s"idCol '$idCol' collides with an internal column name")
     val v1 = vocabSize + 1 // vocab + UNK, the add-one denominator width
 
     val words = TextFunctions.tokens(lower(coalesce(col(textCol), lit(""))))
@@ -124,6 +128,8 @@ object LmScore {
     */
   def buckets(docs: DataFrame, idCol: String, textCol: String,
               vocabSize: Int = 2000, bigramCap: Int = 10000): DataFrame = {
+    require(idCol != "__rk" && idCol != "ppl_bucket",
+      s"idCol '$idCol' collides with an internal column name")
     // persisted: consumed by the count and the rank join, and its
     // lineage is the whole LM fit
     val scored = graft.CacheScope.track(

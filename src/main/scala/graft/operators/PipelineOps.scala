@@ -479,10 +479,29 @@ object PipelineOps {
       .select(col(idCol), col(domainCol), col("domain_rank"))
   }
 
+  /** UTF-8 BYTE order — Spark's UTF8String binary comparison and
+    * DuckDB's default collation, NOT Scala's UTF-16 code-unit String
+    * order. The three disagree for supplementary-plane characters
+    * (e.g. emoji vs fullwidth letters), and the samplers' broadcast
+    * offsets must be built in exactly the order the range shuffle
+    * sorts, or domain ranks silently land in the wrong domain. */
+  private[graft] val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    var r = 0
+    val n = math.min(x.length, y.length)
+    while (r == 0 && i < n) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+    if (r != 0) r else x.length - y.length
+  }
+
   private def collectDomainCounts(df: DataFrame, domainCol: String,
                                   op: String): Seq[(String, Long)] = {
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val rows = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c")).collect()
+    rows.foreach(r => require(!r.isNullAt(0),
+      s"$op: NULL '$domainCol' value — filter or fill the domain column first"))
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)(utf8Order).toSeq
     require(counts.nonEmpty, s"$op on an empty corpus")
     counts
   }
@@ -547,8 +566,10 @@ object PipelineOps {
       idCol != domainCol,
       s"idCol '$idCol' collides with an internal column name")
     val counts = collectDomainCounts(df, domainCol, "unimaxSample")
+    // stable sort on cap only: `counts` is already in UTF-8 name order,
+    // so ties break exactly like the oracle's ORDER BY cap, source
     val byCap = counts.map { case (d, c) => (d, c, c * maxEpochs) }
-      .sortBy { case (d, _, cap) => (cap, d) }
+      .sortBy(_._3)
     var left = n
     var remaining = byCap.length.toLong
     val alloc = byCap.map { case (d, c, cap) =>

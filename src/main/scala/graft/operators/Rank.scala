@@ -132,9 +132,14 @@ object Rank {
       s"percentiles must be in [0,100], got $pcts")
     val spark = df.sparkSession
     val vals = df.select(col(valueCol)).where(col(valueCol).isNotNull)
-    val n = vals.count()
-    require(n > 0, s"exactPercentiles over zero non-null '$valueCol' rows")
     val dv = distinctValueRanks(vals, valueCol, "__v", "__rk", "__cnt")
+    // total rows from the (cached, distinct-sized) rank frame — not a
+    // second full-column scan
+    val n = dv.agg(sum(col("__cnt"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    require(n > 0, s"exactPercentiles over zero non-null '$valueCol' rows")
     import spark.implicits._
     val targets = pcts.map(p => (p, 1L + ((n - 1L) * p) / 100L))
       .toDF("pct", "__target")

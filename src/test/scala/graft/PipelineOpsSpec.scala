@@ -443,6 +443,41 @@ class PipelineOpsSpec extends SparkSpec {
     out.groupBy(r => (r._2, r._1)).values.foreach(c => assert(c.length == 1))
   }
 
+  test("sampler offsets follow UTF-8 binary order, not UTF-16 (astral-plane domains)") {
+    // 😀 (U+1F600, surrogate pair 0xD83D 0xDE00) sorts BEFORE ａ
+    // (U+FF41) in UTF-16 code units but AFTER it in UTF-8 bytes —
+    // Spark's range sort is UTF-8, so offsets built in String order
+    // would cross-assign the two domains' ranks
+    val emoji = new String(Character.toChars(0x1F600)) + "corp"
+    val full = "ａweb"
+    val docs = ((1L to 40L).map(i => (i, emoji)) ++
+      (101L to 160L).map(i => (i, full))).toDF("doc_id", "source")
+    val out = PipelineOps.temperatureSample(docs, "doc_id", "source", n = 50)
+      .as[(Long, String, Long)].collect()
+    // every rank must be a valid 1-based within-domain rank — a
+    // collation mismatch yields negatives or ranks past the domain size
+    val byDom = out.groupBy(_._2)
+    assert(byDom.keySet == Set(emoji, full))
+    byDom.foreach { case (d, rows) =>
+      val max = if (d == emoji) 40L else 60L
+      assert(rows.forall(r => r._3 >= 1L && r._3 <= max),
+        s"$d ranks out of range: ${rows.map(_._3).sorted.toSeq}")
+      assert(rows.map(_._3).distinct.length == rows.length)
+    }
+    // floor budgets: ⌊50·√40/W⌋=22, ⌊50·√60/W⌋=27 (floors drop the
+    // remainder, so the total is 49, not n)
+    assert(byDom(emoji).length == 22 && byDom(full).length == 27)
+  }
+
+  test("samplers reject NULL domain values loudly") {
+    val docs = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b"))
+      .toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      PipelineOps.temperatureSample(docs, "doc_id", "source", n = 2)
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("unimaxSample is partitioning-invariant") {
     val docs = ((1L to 30L).map(i => (i, "p")) ++
       (201L to 290L).map(i => (i, "q"))).toDF("doc_id", "source")
