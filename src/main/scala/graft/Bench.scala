@@ -75,7 +75,9 @@ object Bench {
     // BM25: broadcast query terms cut the corpus scan, pinned term sum
     "q_bm25_topk",
     // exact percentiles: distinct-value prefix sums, no global sort
-    "q_profile_quantiles")
+    "q_profile_quantiles",
+    // distributed Lloyd: expression scan + (cluster,dim) pinned agg
+    "q_kmeans_refine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -343,6 +343,12 @@ object ExtQueries {
       Similarity.pqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, dim = 64, m = 4, ksub = 16, candidates = 50)
     }),
+    "q_kmeans_refine" -> ((s, dir) => {
+      // the codebook-fit scale seam closed: sample-fit init + 2 full-
+      // corpus distributed Lloyd iterations with pinned component sums
+      Similarity.refineCodebook(Tables.embeddings(s, dir),
+        "vec_id", "embedding", dim = 64, nlist = 16, iters = 2)
+    }),
     "q_sim_ivfpq_topk" -> ((s, dir) => {
       // coarse nlist=16 + residual PQ (m=4 × ksub=16), nprobe=4 lists,
       // 50-candidate ADC short list, exact cosine re-rank — the FAISS
@@ -677,6 +683,46 @@ object ExtQueries {
        |  UNION
        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
        |SELECT id, LEAST(id, MIN(r)) AS keep_id FROM reach GROUP BY id""".stripMargin
+
+  /** q_kmeans_refine oracle: the [[ivfFitCtes]] sample-fit replay as
+    * the init, then two unrolled FULL-corpus Lloyd refinement stages
+    * mirroring [[graft.operators.Similarity.refineCodebook]]: per
+    * (cluster, dim) the 2⁻⁴⁰ pinned component sums are plain BIGINT
+    * SUMs here (order-free integer addition = Spark's split-long
+    * reassembly), each centroid mean takes exactly two double
+    * roundings (HUGEINT→DOUBLE cast, ÷count after the exact ÷2⁴⁰),
+    * and clusters that lose every member COALESCE back to their
+    * previous centroid. */
+  private def kmeansRefineOracle: String = {
+    val (nlist, dim) = (16, 64)
+    def refineStage(src: String, prevCs: String, out: String): String =
+      s"""r$out AS (SELECT b.cl, u.j,
+         |    SUM(CAST(floor(b.v[u.j] * 1099511627776.0) AS BIGINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM $src b, (SELECT unnest(generate_series(1, $dim)) AS j) u
+         |  GROUP BY 1, 2),
+         |a$out AS (SELECT cl, list(CAST(s AS DOUBLE) / 1099511627776.0 / n ORDER BY j) AS ctr
+         |  FROM r$out GROUP BY cl),
+         |m$out AS (SELECT map(list(cl), list(ctr)) AS m FROM a$out),
+         |c$out AS (SELECT [COALESCE(map_extract(m$out.m, c - 1)[1], p.cs[c])
+         |    FOR c IN generate_series(1, $nlist)] AS cs
+         |  FROM $prevCs p, m$out)""".stripMargin
+    def assign(csSrc: String, out: String): String =
+      s"""$out AS (SELECT e.v,
+         |    CAST(list_position(list_transform(p.cs, ct -> ${sqlDist("e.v", "ct")}),
+         |                       list_min(list_transform(p.cs, ct -> ${sqlDist("e.v", "ct")}))) - 1 AS INT) AS cl
+         |  FROM emb e, $csSrc p)""".stripMargin
+    s"""WITH RECURSIVE
+       |${ivfFitCtes(nlist, 10)},
+       |b1 AS (SELECT v, CAST(lst AS INT) AS cl FROM bucketed),
+       |${refineStage("b1", "fin", "1")},
+       |${assign("c1", "b2")},
+       |${refineStage("b2", "c1", "2")}
+       |SELECT cx.c - 1 AS cluster_id, dx.j - 1 AS dim, c2.cs[cx.c][dx.j] AS center
+       |FROM c2,
+       |  (SELECT unnest(generate_series(1, $nlist)) AS c) cx,
+       |  (SELECT unnest(generate_series(1, $dim)) AS j) dx""".stripMargin
+  }
 
   private def ivfOracle: String = {
     val (nlist, nprobe, k, iters) = (16, 4, 5, 10)
@@ -1027,6 +1073,7 @@ object ExtQueries {
     "q_sim_ivf_topk" -> ivfOracle,
     "q_sim_pq_topk" -> pqOracle,
     "q_sim_ivfpq_topk" -> ivfpqOracle,
+    "q_kmeans_refine" -> kmeansRefineOracle,
     "q_quality_model" -> qualityModelOracle,
     "q_bpe_tokenize" -> bpeOracle,
     "q_lm_score" ->

@@ -460,6 +460,72 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Distributed Lloyd refinement — closes the codebook fit's scale
+    * seam: [[fitCodebook]] is driver-Lloyd on a bounded 100k digest
+    * sample, which is the right COST shape at any corpus size but
+    * means centroids only ever see the sample. This operator runs
+    * `iters` full Lloyd iterations over the ENTIRE corpus: each
+    * iteration is one shuffle-free assignment scan
+    * ([[graft.functions.CentroidDists]] argmin, the [[ivfTopK]]
+    * bucketing stage) plus ONE map-side-combinable aggregation of
+    * per-(cluster, dimension) component sums; the k·d aggregate rows
+    * collect to the driver (bounded by the codebook size, never the
+    * corpus) and become the next iteration's plan-literal centers.
+    *
+    * Exactness: the component sums use [[CoreT.pinnedParts]] — the
+    * 2⁻⁴⁰ fixed-point split-long machinery of PCA's moment sums — so
+    * each centroid mean is an ORDER-FREE exact integer total with
+    * exactly two double roundings (BigInt→double, then ÷count after
+    * the exact ÷2⁴⁰), bit-identical under any partitioning and
+    * replayed by the oracle's BIGINT sums. Clusters that lose every
+    * member keep their previous centroid, like the sample fit's
+    * empty-cluster branch. Returns `(cluster_id, dim, center)` —
+    * k·d rows, the refined codebook.
+    *
+    * 100 TB story: per iteration, one expression scan + one agg whose
+    * reducer keys are (cluster, dim) — k·d keys with map-side combine,
+    * no hot key possible; driver traffic is k·d rows per iteration.
+    * The sample fit stays the INIT (deterministic, oracle-replayed);
+    * refinement upgrades it to full-corpus optima at a fixed number of
+    * linear passes.
+    */
+  def refineCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, nlist: Int = 16, iters: Int = 2,
+                     seed: Long = 9): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    var centers = fitCodebook(c, nlist, seed)
+    val k = centers.length
+    for (_ <- 0 until iters) {
+      val assigned = c
+        .withColumn("__dists", centerDistArr(centers, dim))
+        .withColumn("__cl",
+          coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
+            .cast("int"), lit(0)))
+        .drop("__dists")
+      val comps = assigned.select(col("__cl"),
+        posexplode(col("__cv").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))).as(Seq("__j", "__x")))
+      val aggCols = CoreT.pinnedParts(col("__x"), "s") :+ count(lit(1)).as("__n")
+      val rows = comps.groupBy(col("__cl"), col("__j"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+      val next = centers.map(_.clone())
+      rows.foreach { r =>
+        val cl = r.getInt(0); val j = r.getInt(1)
+        val n = r.getLong(r.fieldIndex("__n"))
+        next(cl)(j) = CoreT.pinnedTotal(r, "s") / n.toDouble
+      }
+      // clusters with no members never appear in `rows` → keep old
+      centers = next
+    }
+    import spark.implicits._
+    centers.zipWithIndex.flatMap { case (ctr, cl) =>
+      ctr.zipWithIndex.map { case (x, j) => (cl, j, x) }
+    }.toSeq.toDF("cluster_id", "dim", "center")
+  }
+
   /** IVF-PQ approximate top-k — the coarse-quantizer + residual-PQ
     * composition (Jégou et al. 2011 §V; the FAISS `IVFPQ` index, and
     * the architecture every billion-vector deployment actually runs):

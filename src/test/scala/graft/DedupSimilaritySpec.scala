@@ -388,6 +388,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(run(df) == run(df.repartition(13)))
   }
 
+  test("refineCodebook: full-corpus refinement lowers inertia vs the sample init") {
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(16)(j => (math.sin(i * 5 + j) + math.cos(i + j * 2)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def inertia(centers: Map[(Int, Int), Double], k: Int): Double =
+      vecs.map { case (_, v) =>
+        (0 until k).map { c =>
+          (0 until 16).map { j => val d = v(j) - centers((c, j)); d * d }.sum
+        }.min
+      }.sum
+    val refined = Similarity.refineCodebook(df, "vec_id", "embedding",
+        dim = 16, nlist = 4, iters = 3)
+      .as[(Int, Int, Double)].collect()
+    assert(refined.length == 4 * 16)
+    assert(refined.map(_._1).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+    val after = refined.map(r => (r._1, r._2) -> r._3).toMap
+    val init = Similarity.refineCodebook(df, "vec_id", "embedding",
+        dim = 16, nlist = 4, iters = 1)
+      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // Lloyd iterations never increase inertia (up to the 2^-40 pin)
+    assert(inertia(after, 4) <= inertia(init, 4) + 1e-6)
+  }
+
+  test("refineCodebook is partitioning-invariant (pinned component sums)") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.cos(i * 3 + j * 5).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.refineCodebook(d, "vec_id", "embedding",
+        dim = 16, nlist = 4, iters = 2).as[(Int, Int, Double)].collect().toSet
+    assert(run(df) == run(df.repartition(13)))
+  }
+
   test("clusterEmbeddings: near-copies share a cluster; assignment is nearest-centroid") {
     val vecs = (0 until 200).map { i =>
       (i.toLong, Array.tabulate(16)(j => (math.sin(i * 5 + j) + math.cos(i + j * 2)).toFloat))
