@@ -268,9 +268,13 @@ object Similarity {
     * whole-stage codegen, nothing driver-side grows with the corpus.
     */
   def clusterEmbeddings(corpus: DataFrame, idCol: String, vecCol: String,
-                        dim: Int, nlist: Int = 0, seed: Long = 9): DataFrame = {
+                        dim: Int, nlist: Int = 0, seed: Long = 9,
+                        refineIters: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val centers = fitCodebook(c, nlist, seed)
+    // refineIters > 0 upgrades the sample-fit codebook with full-corpus
+    // Lloyd passes ([[refineCodebook]]) before the assignment scan
+    val centers = if (refineIters > 0) refinedCenters(c, dim, nlist, refineIters, seed)
+                  else fitCodebook(c, nlist, seed)
     c.withColumn("__dists", centerDistArr(centers, dim))
       .select(col("neighbor_id").as(idCol),
         coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1),
@@ -316,11 +320,13 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
-              nlist: Int = 0, nprobe: Int = 4, seed: Long = 9): DataFrame = {
+              nlist: Int = 0, nprobe: Int = 4, seed: Long = 9,
+              refineIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val centers = fitCodebook(c, nlist, seed)
+    val centers = if (refineIters > 0) refinedCenters(c, dim, nlist, refineIters, seed)
+                  else fitCodebook(c, nlist, seed)
     val bucketed = c
       .withColumn("__dists", centerDistArr(centers, dim))
       .withColumn("__list",
@@ -495,8 +501,19 @@ object Similarity {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val centers = refinedCenters(c, dim, nlist, iters, seed)
+    import spark.implicits._
+    centers.zipWithIndex.flatMap { case (ctr, cl) =>
+      ctr.zipWithIndex.map { case (x, j) => (cl, j, x) }
+    }.toSeq.toDF("cluster_id", "dim", "center")
+  }
+
+  /** [[refineCodebook]]'s center matrix, for callers that consume the
+    * codebook directly ([[clusterEmbeddings]]/[[ivfTopK]] with
+    * `refineIters > 0`). `c` must already be `(neighbor_id, __cv)`. */
+  private def refinedCenters(c: DataFrame, dim: Int, nlist: Int,
+                             iters: Int, seed: Long): Array[Array[Double]] = {
     var centers = fitCodebook(c, nlist, seed)
-    val k = centers.length
     for (_ <- 0 until iters) {
       val assigned = c
         .withColumn("__dists", centerDistArr(centers, dim))
@@ -520,10 +537,7 @@ object Similarity {
       // clusters with no members never appear in `rows` → keep old
       centers = next
     }
-    import spark.implicits._
-    centers.zipWithIndex.flatMap { case (ctr, cl) =>
-      ctr.zipWithIndex.map { case (x, j) => (cl, j, x) }
-    }.toSeq.toDF("cluster_id", "dim", "center")
+    centers
   }
 
   /** IVF-PQ approximate top-k — the coarse-quantizer + residual-PQ

@@ -412,6 +412,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(inertia(after, 4) <= inertia(init, 4) + 1e-6)
   }
 
+  test("clusterEmbeddings with refineIters uses the refined codebook (different centers, complete output)") {
+    val vecs = (0 until 250).map { i =>
+      (i.toLong, Array.tabulate(16)(j => (math.sin(i * 5 + j) + math.cos(i + j * 2)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val base = Similarity.clusterEmbeddings(df, "vec_id", "embedding", dim = 16, nlist = 4)
+      .as[(Long, Long, Double)].collect()
+    val refined = Similarity.clusterEmbeddings(df, "vec_id", "embedding", dim = 16,
+        nlist = 4, refineIters = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(base.length == 250 && refined.length == 250)
+    // refinement moved the centroids → total squared distance shrinks
+    assert(refined.map(_._3).sum < base.map(_._3).sum)
+  }
+
   test("refineCodebook is partitioning-invariant (pinned component sums)") {
     val vecs = (0 until 200).map { i =>
       (i.toLong, Array.tabulate(16)(j => math.cos(i * 3 + j * 5).toFloat))
