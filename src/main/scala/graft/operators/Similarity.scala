@@ -493,7 +493,9 @@ object Similarity {
     * no hot key possible; driver traffic is k·d rows per iteration.
     * The sample fit stays the INIT (deterministic, oracle-replayed);
     * refinement upgrades it to full-corpus optima at a fixed number of
-    * linear passes.
+    * linear passes. RefineProbe: 1M×64-dim vectors, 2 iterations,
+    * 37 s on local[32] — the per-iteration cost is the component
+    * explode (64M rows), all map-side combined into 1024 reducer keys.
     */
   def refineCodebook(corpus: DataFrame, idCol: String, vecCol: String,
                      dim: Int, nlist: Int = 16, iters: Int = 2,
