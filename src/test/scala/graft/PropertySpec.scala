@@ -150,6 +150,53 @@ class PropertySpec extends SparkSpec {
     assert(Enumerator.dedupe(once) == once)
     assert(once.map(_.fingerprint).distinct.size == once.size)
   }
+
+  test("exactPercentiles equals the driver-sorted value at 1 + (n-1)*p div 100") {
+    import graft.operators.Rank
+    forAll(Gen.zip(Gen.listOfN(40, Gen.chooseNum(-50, 50)),
+                   Gen.listOfN(3, Gen.chooseNum(0, 100))), n = 8) { case (vs, ps) =>
+      whenever(vs.nonEmpty && ps.nonEmpty) {
+        val df = vs.map(_.toDouble).toDF("v")
+        val got = Rank.exactPercentiles(df, "v", ps.distinct)
+          .as[(Int, Double)].collect().toMap
+        val sorted = vs.map(_.toDouble).sorted
+        val want = ps.distinct.map { p =>
+          p -> sorted(((vs.size - 1).toLong * p / 100L).toInt)
+        }.toMap
+        assert(got == want, s"vs=$vs ps=$ps")
+      }
+    }
+  }
+
+  test("dedupSpans never invents tokens and leaves duplicate-free docs untouched") {
+    import graft.operators.Dedup
+    // tiny vocab forces duplicated spans in some samples but not others
+    val doc = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    forAll(Gen.listOfN(4, doc), n = 8) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val out = Dedup.dedupSpans(df, "id", "text", k = 3)
+        .as[(Long, String, Long, Long)].collect()
+      assert(out.length == docs.size)
+      out.foreach { case (id, text, kept, removed) =>
+        val inToks = docs(id.toInt).split("\\s+").filter(_.nonEmpty)
+        val outToks = if (text.isEmpty) Array.empty[String] else text.split(" ")
+        // kept tokens are a subsequence of the input in order
+        var i = 0
+        outToks.foreach { t =>
+          while (i < inToks.length && inToks(i) != t) i += 1
+          assert(i < inToks.length, s"token $t not in order in doc $id")
+          i += 1
+        }
+        assert(kept == outToks.length && kept + removed == inToks.length)
+      }
+      // a corpus where every 3-gram is globally unique must pass through
+      val uniq = (0 until 3).map(i =>
+        (i.toLong, (0 until 8).map(j => s"u${i}_$j").mkString(" "))).toDF("id", "text")
+      val clean = Dedup.dedupSpans(uniq, "id", "text", k = 3)
+        .as[(Long, String, Long, Long)].collect()
+      assert(clean.forall(_._4 == 0L))
+    }
+  }
 }
 
 object Profilefixture {
