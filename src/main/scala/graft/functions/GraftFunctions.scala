@@ -23,6 +23,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_word_shingles",
       exprs => WordShingles(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSimExpr(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinhashSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_repetition",
+      exprs => RepetitionStats(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 }
 
@@ -47,6 +55,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_word_shingles"),
       info("graft_word_shingles", "n-token shingles of a token array"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "tight-loop cosine similarity of two float/double arrays"),
+      (exprs: Seq[Expression]) => CosineSimExpr(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "row-local k-hash MinHash signature of a shingle array"),
+      (exprs: Seq[Expression]) => MinhashSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("graft_repetition"),
+      info("graft_repetition", "one-pass Gopher repetition stats of a token array"),
+      (exprs: Seq[Expression]) => RepetitionStats(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -99,6 +99,13 @@ class LineageSourcesSpec extends SparkSpec {
     assert(r.getSeq[String](1) == Seq("ab", "12", "!"))
     assert(r.getSeq[String](2) == Seq("x y", "y z"))
     assert(r.getLong(3) != 0L)
+    val r2 = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       graft_minhash_sig(graft_word_shingles(graft_tokens('p q r s'), 2), 8) AS m,
+        |       graft_repetition(graft_tokens('x x x y'), 3) AS rep""".stripMargin).head()
+    assert(r2.getDouble(0) == 1.0)
+    assert(r2.getSeq[Long](1).length == 8)
+    assert(r2.getStruct(2).getAs[Long]("n_words") == 4L)
   }
 
   test("DateSniffer.sparkFormat bridges to distributed to_date parsing") {
