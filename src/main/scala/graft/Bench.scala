@@ -77,7 +77,9 @@ object Bench {
     // exact percentiles: distinct-value prefix sums, no global sort
     "q_profile_quantiles",
     // distributed Lloyd: expression scan + (cluster,dim) pinned agg
-    "q_kmeans_refine")
+    "q_kmeans_refine",
+    // split labeling: one hash + literal CASE, shuffle-free
+    "q_split_assign")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -152,6 +152,12 @@ object ExtQueries {
       Dsir.dsirWeights(d.where(col("doc_id") % 50 =!= 0),
         d.where(col("doc_id") % 50 === 0), "doc_id", "text")
     }),
+    "q_split_assign" -> ((s, dir) => {
+      // deterministic train/val/test labels: dyadic 29/32+3/64+3/64
+      // hash thresholds — a doc's split never changes as others arrive
+      PipelineOps.assignSplits(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+    }),
     "q_sample_unimax" -> ((s, dir) => {
       // UniMax budget waterfill: n=3000 docs spread uniformly across
       // source domains, each capped at 2 epochs — pure LONG arithmetic,
@@ -1302,6 +1308,16 @@ object ExtQueries {
         |SELECT w.doc_id, COALESCE(pd.n_grams, 0) AS n_grams,
         |  COALESCE(pd.dsir_weight, 0e0) AS dsir_weight
         |FROM rw w LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // dyadic thresholds: frac·2^32 is integer-exact in DOUBLE on both
+    // engines (the stratifiedSample argument)
+    "q_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN h < 0.90625 * 4294967296e0 THEN 'train'
+        |       WHEN h < 0.953125 * 4294967296e0 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft-split'), 1, 8))::BIGINT AS h
+        |  FROM documents)""".stripMargin,
     // UniMax waterfill replayed by a recursive CTE over domains sorted
     // (cap asc, name asc): alloc = min(cap, left // remaining), all
     // BIGINT — bit-exact by construction; full epochs for every doc +

@@ -137,6 +137,41 @@ object PipelineOps {
     df.where(hash32 < frac * lit(4294967296.0))
   }
 
+  /** Deterministic train/val/test split assignment: each row gets the
+    * split label whose cumulative hash-threshold interval contains
+    * `hash32(id:salt)` — the labeling twin of [[stratifiedSample]]'s
+    * filter. Fractions should be dyadic (0.9/0.05/0.05 is exact in
+    * double; see stratifiedSample) so the `frac·2³²` thresholds are
+    * integer-exact cross-engine. Stable under repartition, rerun, and
+    * corpus growth: a document's split NEVER changes when other
+    * documents arrive — the property that keeps eval sets
+    * uncontaminated across corpus versions (`rand(seed)` has no such
+    * guarantee). Shuffle-free: one hash + a literal CASE chain.
+    *
+    * @param splits (label, fraction) in order; fractions must sum to
+    *               1.0 exactly (use dyadic fractions)
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)] = Seq(
+                     "train" -> 0.90625, "val" -> 0.046875, "test" -> 0.046875),
+                   salt: String = "graft-split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0),
+      "splits must be non-empty with positive fractions")
+    require(splits.map(_._2).sum == 1.0,
+      s"fractions must sum to exactly 1.0 (use dyadic fractions), got ${splits.map(_._2).sum}")
+    require(!df.columns.contains("split"), "split is the reserved output column name")
+    val hash32 = conv(substring(md5(
+      concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8), 16, 10).cast("long")
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // CASE on ascending cumulative thresholds; the last branch is the
+    // unconditional otherwise so no row can fall through on the 2^32 edge
+    val labeled = splits.init.zip(cum.init).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (e, ((label, _), c)) =>
+        when(hash32 < lit(c) * lit(4294967296.0), lit(label)).otherwise(e)
+      }
+    df.withColumn("split", labeled)
+  }
+
   // ── vocabulary profiling ───────────────────────────────────────────
 
   /** Corpus-level top-`k` vocabulary: term frequency and document

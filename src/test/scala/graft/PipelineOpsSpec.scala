@@ -469,6 +469,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byDom(emoji).length == 22 && byDom(full).length == 27)
   }
 
+  test("assignSplits: every row labeled, stable under corpus growth, fractions roughly hold") {
+    val docs = (1L to 2000L).map(i => Tuple1(i)).toDF("doc_id")
+    val out = PipelineOps.assignSplits(docs, "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 2000)
+    val byLabel = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 1700 && byLabel("val") > 40 && byLabel("test") > 40)
+    // growth stability: the first 500 docs keep their labels exactly
+    // when 1500 more arrive — the eval-contamination guarantee
+    val small = PipelineOps.assignSplits(
+      (1L to 500L).map(Tuple1(_)).toDF("doc_id"), "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(small.forall { case (id, l) => out(id) == l })
+    // fractions that don't sum to 1.0 rejected loudly
+    intercept[IllegalArgumentException] {
+      PipelineOps.assignSplits(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.25))
+    }
+  }
+
   test("samplers reject NULL domain values loudly") {
     val docs = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b"))
       .toDF("doc_id", "source")
