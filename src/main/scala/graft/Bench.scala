@@ -23,14 +23,15 @@ import org.apache.spark.sql.SparkSession
   * carries `/proc/loadavg` sampled before and after the run plus the
   * full per-query run list (not just the min), so a contaminated
   * artifact shows high load and/or wildly dispersed runs instead of
-  * silently reading as a regression. Diagnostics are stderr-only: the
-  * driver tail-captures ~2 KB of stdout, and inlining them in the
-  * contract line made round 6's artifact unparseable. Queries whose
+  * silently reading as a regression. Diagnostics print BEFORE the
+  * contract line: the driver tail-captures ~2 KB of the combined
+  * stdout+stderr stream, so anything emitted after the contract line
+  * evicts it (this zeroed rounds 6 AND 7). Queries whose
   * first min exceeds 1s get a third run — the slow queries are exactly
   * the ones where one contaminated sample moves the total the most.
   */
 object Bench {
-  private val headline: Seq[String] = Seq(
+  private[graft] val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q_select_numeric", "q_rowwise_sum",
     "q_minmax_normalize", "q_histogram2d", "q_rank_first", "q_nominalize",
     "q_sum_bar", "q_count_bar", "q_topk_per_group", "q_dedup_distinct",
@@ -128,23 +129,41 @@ object Bench {
       name -> times
     }
     val loadAfter = readLoadAvg()
-    def minOf(ts: Vector[Double]): Double = {
-      val v = ts.filter(_ >= 0); if (v.nonEmpty) v.min else -1.0
-    }
-    def fmt(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(minOf(ts)) }
-      .mkString("{", ",", "}")
     val runs = results.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
-    // Contract line stays minimal (~1 KB): the driver tail-captures only
-    // ~2 KB of stdout, and round 6's ~3 KB line (runs + loadavg inline)
-    // was truncated mid-line → BENCH_r06 "parsed": null. Diagnostics go
-    // to STDERR so truncation can only ever eat diagnostics.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Output ordering is the contract: the driver tail-captures ~2 KB of
+    // the COMBINED stdout+stderr stream, so ANYTHING printed after the
+    // contract line can evict it from the capture window (that — the
+    // ~3 KB diag line printed after the contract — zeroed BENCH_r06 and
+    // BENCH_r07). Diagnostics therefore print FIRST, the session is
+    // stopped (so shutdown chatter, if any, lands before the contract),
+    // and the one-line JSON contract is the very last thing this
+    // process emits. BenchContractSpec bounds the line at <1.8 KB.
     System.err.println(s"""[bench-diag] {"runs":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
-    spark.stop()
+    System.err.flush()
+    try spark.stop() catch { case _: Throwable => () }
+    println(contractLine(results, sfDir))
+    System.out.flush()
+  }
+
+  private def fmt(d: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, d)
+
+  private def minOf(ts: Vector[Double]): Double = {
+    val v = ts.filter(_ >= 0); if (v.nonEmpty) v.min else -1.0
+  }
+
+  /** The driver-parsed JSON contract line. Factored out so
+    * BenchContractSpec can assert its length stays under the driver's
+    * ~2 KB tail-capture window as the headline list grows.
+    */
+  private[graft] def contractLine(
+      results: Seq[(String, Vector[Double])], sfDir: String): String = {
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(minOf(ts)) }
+      .mkString("{", ",", "}")
+    val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 
   /** First three fields of /proc/loadavg (1/5/15-min), or "" off-Linux.
