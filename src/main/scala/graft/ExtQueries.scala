@@ -527,9 +527,16 @@ object ExtQueries {
        |  z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)""".stripMargin
 
   /** The plain-corpus `emb` CTE for [[ivfFitCtes]] — q_dedup_semantic
-    * swaps in a duplicate-augmented corpus instead. */
+    * swaps in a duplicate-augmented corpus instead.
+    *
+    * MATERIALIZED (here and on every multi-consumer fit CTE below):
+    * DuckDB inlines plain CTEs per reference, so the recursive Lloyd
+    * fit chain re-ran once per consumer — q_sim_ivfpq_topk replayed
+    * its codebook fits ~5× for 21.7-27s of gate time; with the hints
+    * it runs once, 0.94s, value-identical (round-8 gate-budget work;
+    * the BPE oracle already used the same hint for the same reason). */
   private def plainEmbCte: String =
-    """emb AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    """emb AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |        FROM embeddings)""".stripMargin
 
   /** Shared fit-and-assign CTE chain for the IVF family oracles: the
@@ -539,7 +546,7 @@ object ExtQueries {
   private def ivfFitCtes(nlist: Int, iters: Int,
                          embCte: String = plainEmbCte): String =
     s"""$embCte,
-       |sp AS (SELECT (list(v ORDER BY md5(id || ':9')))[1:100000] AS vs,
+       |sp AS MATERIALIZED (SELECT (list(v ORDER BY md5(id || ':9')))[1:100000] AS vs,
        |              LEAST(COUNT(*), 100000) AS m FROM emb),
        |it(i, cs) AS (
        |  SELECT 0, vs[1:$nlist] FROM sp
@@ -560,8 +567,8 @@ object ExtQueries {
        |                       list_position(list_transform(cs, c -> ${sqlDist("vs[j]", "c")}),
        |                                     list_min(list_transform(cs, c -> ${sqlDist("vs[j]", "c")})))) AS asg
        |              FROM it, sp WHERE i < $iters))),
-       |fin AS (SELECT cs FROM it WHERE i = $iters),
-       |bucketed AS (
+       |fin AS MATERIALIZED (SELECT cs FROM it WHERE i = $iters),
+       |bucketed AS MATERIALIZED (
        |  SELECT id, v,
        |    CAST(list_position(list_transform(cs, c -> ${sqlDist("v", "c")}),
        |                       list_min(list_transform(cs, c -> ${sqlDist("v", "c")}))) - 1 AS INT) AS lst,
@@ -669,7 +676,7 @@ object ExtQueries {
   private def semanticDedupOracle: String =
     s"""WITH RECURSIVE
        |${ivfFitCtes(16, 10,
-          """emb AS (SELECT vec_id AS id,
+          """emb AS MATERIALIZED (SELECT vec_id AS id,
             |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             |        FROM embeddings
             |        UNION ALL
@@ -774,7 +781,7 @@ object ExtQueries {
   private def pqSubFitCtes(src: String, j: Int, ksub: Int, iters: Int,
                            subDim: Int): String = {
     val (lo, hi) = (j * subDim + 1, (j + 1) * subDim)
-    s"""sp$j AS (SELECT list_transform(vs, v -> v[$lo:$hi]) AS vs, m FROM $src),
+    s"""sp$j AS MATERIALIZED (SELECT list_transform(vs, v -> v[$lo:$hi]) AS vs, m FROM $src),
        |it$j(i, cs) AS (
        |  SELECT 0, vs[1:$ksub] FROM sp$j
        |  UNION ALL
@@ -794,7 +801,7 @@ object ExtQueries {
        |                       list_position(list_transform(cs, c -> ${sqlDist("vs[jj]", "c")}),
        |                                     list_min(list_transform(cs, c -> ${sqlDist("vs[jj]", "c")})))) AS asg
        |              FROM it$j, sp$j WHERE i < $iters))),
-       |fin$j AS (SELECT cs AS cs$j FROM it$j WHERE i = $iters)""".stripMargin
+       |fin$j AS MATERIALIZED (SELECT cs AS cs$j FROM it$j WHERE i = $iters)""".stripMargin
   }
 
   private def pqOracle: String = {
@@ -811,10 +818,10 @@ object ExtQueries {
     val fins = (0 until m).map(j => s"fin$j").mkString(", ")
     s"""WITH RECURSIVE
        |$plainEmbCte,
-       |sp AS (SELECT (list(v ORDER BY md5(id || ':9')))[1:100000] AS vs,
+       |sp AS MATERIALIZED (SELECT (list(v ORDER BY md5(id || ':9')))[1:100000] AS vs,
        |              LEAST(COUNT(*), 100000) AS m FROM emb),
        |${(0 until m).map(fitCtes).mkString(",\n")},
-       |coded AS (SELECT id,
+       |coded AS MATERIALIZED (SELECT id,
        |    $codes
        |  FROM emb, $fins),
        |q AS (SELECT id AS query_id, v AS qv FROM emb WHERE id < 5),
@@ -860,7 +867,7 @@ object ExtQueries {
       sqlDist(s"p.qr[${lo(j)}:${hi(j)}]", s"cs$j[t.c$j + 1]")).mkString(" + ")
     s"""WITH RECURSIVE
        |${ivfFitCtes(nlist, iters)},
-       |spr AS (SELECT list_transform(vs, x -> list_transform(list_zip(x,
+       |spr AS MATERIALIZED (SELECT list_transform(vs, x -> list_transform(list_zip(x,
        |          cs[list_position(list_transform(cs, c -> ${sqlDist("x", "c")}),
        |                           list_min(list_transform(cs, c -> ${sqlDist("x", "c")})))]),
        |          z -> z[1] - z[2])) AS vs, m
@@ -869,7 +876,7 @@ object ExtQueries {
        |rv AS (SELECT b.id, b.lst,
        |    list_transform(list_zip(b.v, cs[b.lst + 1]), z -> z[1] - z[2]) AS r
        |  FROM bucketed b, fin),
-       |coded AS (SELECT id, lst,
+       |coded AS MATERIALIZED (SELECT id, lst,
        |    $codes
        |  FROM rv, $fins),
        |probes AS (

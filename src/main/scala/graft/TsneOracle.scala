@@ -29,6 +29,19 @@ package graft
   */
 object TsneOracle {
 
+  /** Gate-query input bound (s_suppkey ≤ this), shared with
+    * MLQueries.q_coret_tsne so the Spark query and this SQL cannot
+    * drift independently. The GD fold's per-phase cost is O(n²), so
+    * bounding the points is the quadratic knob the fixed 500-iteration
+    * fit (the operator's semantics — not a parameter) doesn't offer:
+    * unbounded supplier at sf0.01 (100 rows) replayed in 45 s; 64
+    * rows ≈ 18 s. Added in round 8 as part of keeping the whole
+    * oracle gate under ~3 min of DuckDB time (the driver's
+    * correctness window expired twice at ~10 min). Also makes the
+    * gate's replay cost independent of the scale factor, like the
+    * dbscan (≤2000) and lda (≤50) bounds. */
+  val GateKeyBound = 64
+
   private val L = "0.6931471805599453"
   private val LHI = "6.93147180369123816490e-01"
   private val LLO = "1.90821492927058770002e-10"
@@ -175,7 +188,7 @@ object TsneOracle {
   /** The complete oracle SQL for q_coret_tsne (supplier, 2 features). */
   def sql: String = {
     val tgtFold = normFold("least(5.0::DOUBLE, cnt - 1.0::DOUBLE)")
-    s"""WITH src AS (SELECT s_suppkey AS k, CAST(s_nationkey AS DOUBLE) AS f1, CAST(s_acctbal AS DOUBLE) AS f2 FROM supplier),
+    s"""WITH src AS (SELECT s_suppkey AS k, CAST(s_nationkey AS DOUBLE) AS f1, CAST(s_acctbal AS DOUBLE) AS f2 FROM supplier WHERE s_suppkey <= $GateKeyBound),
        |mm AS (SELECT MIN(f1) lo1, MAX(f1) hi1, MIN(f2) lo2, MAX(f2) hi2 FROM src),
        |nn AS (SELECT k,
        |        coalesce(CASE WHEN hi1 = lo1 THEN 0.0 ELSE (f1 - lo1) / (hi1 - lo1) END, 0.0) AS f1,

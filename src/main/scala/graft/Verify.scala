@@ -22,19 +22,25 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val t0 = System.nanoTime()
+    var slowest = ("", 0.0)
     val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     attempted.foreach { case (name, fn) =>
+      val tq = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      val sec = (System.nanoTime() - tq) / 1e9
+      if (sec > slowest._2) slowest = (name, sec)
       // operators persist self-join inputs; don't let ~50 queries
       // accumulate pinned cache in one session
       spark.catalog.clearCache()
     }
+    val dumpSec = (System.nanoTime() - t0) / 1e9
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -53,8 +59,12 @@ object Verify {
     // Failure-loud gate record (VERDICT r6 item 3): an empty driver
     // correctness artifact must be distinguishable from "Verify never
     // ran". attempted/succeeded/failed counts + the failing names.
+    // dump_total_sec / slowest make a Spark-side gate-cost regression
+    // visible in the artifact (the DuckDB-side twin is check.py's
+    // total_oracle_sec) — the r6/r7 correctness windows expired with
+    // no in-artifact evidence of where the time went.
     val manifest =
-      s"""{"attempted": ${attempted.size}, "succeeded": ${attempted.size - failed.size}, "failed": ${failed.size}, "failed_queries": ${failed.sorted.map(q).mkString("[", ",", "]")}, "epoch_sec": ${System.currentTimeMillis() / 1000}}"""
+      s"""{"attempted": ${attempted.size}, "succeeded": ${attempted.size - failed.size}, "failed": ${failed.size}, "failed_queries": ${failed.sorted.map(q).mkString("[", ",", "]")}, "dump_total_sec": ${math.round(dumpSec)}, "slowest_query": ${q(slowest._1)}, "slowest_sec": ${math.round(slowest._2)}, "epoch_sec": ${System.currentTimeMillis() / 1000}}"""
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     System.err.println(s"[verify] manifest: $manifest")
     spark.stop()

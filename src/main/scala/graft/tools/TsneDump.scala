@@ -16,7 +16,9 @@ object TsneDump {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same key bound as the gate query (MLQueries.q_coret_tsne)
     val df = Tables.supplier(spark, dir)
+      .where(col("s_suppkey") <= graft.TsneOracle.GateKeyBound)
     val norm = graft.operators.TBasic.minMaxNormalize(
       df.select("s_suppkey", "s_nationkey", "s_acctbal"), Seq("s_nationkey", "s_acctbal"))
     val rows = norm.orderBy(col("s_suppkey")).limit(2001).collect()

@@ -252,6 +252,21 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("PQ candidate cut group-limits map-side before the per-query shuffle") {
+    // VERDICT r7 #3: with few queries, Window.partitionBy(query_id)
+    // would funnel nq·corpus rows into nq reducers. Spark's
+    // WindowGroupLimit rewrite (row_number + rn <= k filter) must keep
+    // a Partial group-limit upstream of the exchange so each map task
+    // emits at most `candidates` rows per query — the reducer then
+    // sees partitions×candidates rows per query, never the corpus.
+    val plan = executed("q_sim_pq_topk")
+    val limits = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.exists(_.mode == org.apache.spark.sql.execution.window.Partial),
+      s"expected a map-side (Partial) WindowGroupLimit before the candidate shuffle:\n${plan.head}")
+  }
+
   test("shard packing shuffles once (the range partitioning), nothing else") {
     val df = SparkEntry.queries("q_shard_pack")(spark, sfDir)
     df.collect()

@@ -6,7 +6,7 @@ import graft.functions.UMAP
 
 /** Embedding QUALITY at the operator's 300-epoch default — the path the
   * q_coret_umap gate does NOT exercise (the gate pins
-  * [[UmapOracle.GateEpochs]] = 150 for oracle budget and checks replay
+  * [[UmapOracle.GateEpochs]] = 30 for oracle budget and checks replay
   * exactness, not convergence; see the MLQueries comment). This spec
   * pins neighborhood preservation so a regression in the SGD/schedule
   * can't hide behind a still-bit-exact shorter replay.

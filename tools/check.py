@@ -7,7 +7,7 @@ sorts columns by name and rows by all columns, and compares values.
 
 Usage: python3 tools/check.py <sfDir> <outDir>
 """
-import sys, json, glob, math
+import sys, json, glob, math, time
 import duckdb
 import pandas as pd
 
@@ -59,18 +59,24 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    total_oracle_sec = 0.0
+    slowest = []
     for name in sorted(oracles):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"{name:28s} MISSING spark output"); n_bad += 1; continue
+        t0 = time.monotonic()
         try:
             spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
             duck_df = con.execute(oracles[name]).df()
             r = compare(normalize(spark_df), normalize(duck_df))
         except Exception as e:
             r = f"ERROR {e}"
+        sec = time.monotonic() - t0
+        total_oracle_sec += sec
+        slowest.append((sec, name))
         status = "OK" if r == "OK" else r
-        print(f"{name:28s} {status}")
+        print(f"{name:28s} {sec:7.2f}s {status}")
         if r == "OK": n_ok += 1
         else: n_bad += 1
     # rows-only checks for queries without oracle
@@ -84,6 +90,15 @@ def main(sf_dir, out_dir):
         print(f"{name:28s} rows-only: {n} rows {'OK' if n > 0 else 'EMPTY'}")
         if n > 0: n_ok += 1
         else: n_bad += 1
+    # Gate-cost visibility (VERDICT r7 item 3): the driver's correctness
+    # window expired twice because the DuckDB side silently grew past
+    # ~10 min. Surface total + top offenders so a cost regression fails
+    # loudly in-repo before the driver ever sees it.
+    top = ", ".join(f"{n}={s:.1f}s" for s, n in sorted(slowest, reverse=True)[:5])
+    print(f"\ntotal_oracle_sec={total_oracle_sec:.1f}  slowest: {top}")
+    if total_oracle_sec > 180:
+        print(f"WARNING: oracle gate {total_oracle_sec:.0f}s exceeds the "
+              "180s budget — the driver's correctness window may expire")
     print(f"\n{n_ok} ok, {n_bad} bad")
     return 1 if n_bad else 0
 
