@@ -51,8 +51,9 @@ object Bench {
     "q_shard_pack", "q_strip_boilerplate", "q_embed_cluster",
     "q_events_range_join", "q_dedup_incremental", "q_text_rare_tokens",
     "q_dedup_semantic",
-    // real JDK codecs: PNG render+decode round-trip, WAV decode
-    "q_image_histogram", "q_audio_decode",
+    // real JDK codecs: PNG render+decode round-trip, WAV decode,
+    // AVI container walk + raw-DIB frame sampling
+    "q_image_histogram", "q_audio_decode", "q_video_frames",
     // product-quantization ANN: 4 subspace codebooks, ADC scan, re-rank
     "q_sim_pq_topk",
     // distilled quality model: pinned normal equations + literal-weight scan

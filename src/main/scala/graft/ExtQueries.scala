@@ -412,6 +412,19 @@ object ExtQueries {
       MediaCodecs.decodeAudioStats(
         MediaCodecs.renderWavs(Tables.documents(s, dir), "doc_id"), "doc_id")
     }),
+    // REAL video: AVI RIFF container walk + raw-DIB frame decode (the
+    // lossless payload, so the closed-form frame pixels are analytic
+    // SQL); the MJPEG chunk path of the same parser is spec-gated
+    // (JPEG is lossy) in MediaCodecsSpec
+    "q_video_decode" -> ((s, dir) => {
+      MediaCodecs.decodeVideoMetadata(
+        MediaCodecs.renderAvis(Tables.documents(s, dir), "doc_id"), "doc_id")
+    }),
+    "q_video_frames" -> ((s, dir) => {
+      MediaCodecs.sampleVideoFrames(
+        MediaCodecs.renderAvis(Tables.documents(s, dir), "doc_id"), "doc_id",
+        everyNth = 2)
+    }),
 
     // ── streaming twin: tumbling window agg (batch mode) ───────────
     "q_events_window" -> ((s, dir) => {
@@ -1786,6 +1799,27 @@ object ExtQueries {
         |  CAST(MIN(v) AS BIGINT) AS s_min, CAST(MAX(v) AS BIGINT) AS s_max,
         |  CAST(SUM(v) AS DOUBLE) / MAX(n) AS s_mean
         |FROM s GROUP BY doc_id""".stripMargin,
+    "q_video_decode" ->
+      """SELECT doc_id, TRUE AS decode_ok,
+        |  CAST(doc_id % 11 + 8 AS BIGINT) AS width,
+        |  CAST(doc_id % 9 + 8 AS BIGINT) AS height,
+        |  CAST(doc_id % 6 + 2 AS BIGINT) AS n_frames,
+        |  CAST(10 AS DOUBLE) AS fps
+        |FROM documents""".stripMargin,
+    "q_video_frames" ->
+      """WITH d AS (SELECT doc_id, doc_id % 11 + 8 AS w, doc_id % 9 + 8 AS h,
+        |                  doc_id % 6 + 2 AS n FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, n, 2)) AS f FROM d),
+        |px AS (SELECT doc_id, w, h, f, unnest(generate_series(0, w*h - 1)) AS p FROM fr),
+        |g AS (SELECT doc_id, w, h, f,
+        |        ((((doc_id*31 + f*41 + (p % w)*7 + (p // w)*13) % 256) * 299
+        |          + ((doc_id*17 + f*29 + (p % w)*11 + (p // w)*3) % 256) * 587
+        |          + ((doc_id*23 + f*37 + (p % w)*5 + (p // w)*19) % 256) * 114) // 1000) AS gr
+        |      FROM px)
+        |SELECT doc_id, TRUE AS decode_ok, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(gr) AS DOUBLE) / (w*h) AS mean_gray
+        |FROM g GROUP BY doc_id, w, h, f""".stripMargin,
     "q_multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text,
         |    (octet_length(encode(text)) % 30) + 1 AS n_frames FROM documents),

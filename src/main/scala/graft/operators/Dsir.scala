@@ -62,7 +62,11 @@ object Dsir {
     require(!Set("n_grams", "dsir_weight", "__b", "__gram").contains(idCol),
       s"idCol '$idCol' collides with an internal column name")
     val rawB = graft.CacheScope.track(docBuckets(raw, idCol, textCol, buckets))
-    val tgtB = docBuckets(target, idCol, textCol, buckets)
+    // tracked like rawB: consumed twice (tgtCnt aggregation + nTgt
+    // count) — without the cache the target gram explode re-runs.
+    // Cheap either way (the target is broadcast-small by contract),
+    // but symmetry keeps the plan honest if that contract loosens.
+    val tgtB = graft.CacheScope.track(docBuckets(target, idCol, textCol, buckets))
 
     val rawCnt = rawB.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
     val tgtCnt = tgtB.groupBy(col("__b")).agg(count(lit(1)).as("__ct"))

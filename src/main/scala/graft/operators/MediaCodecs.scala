@@ -234,6 +234,311 @@ object MediaCodecs {
     spark.createDataFrame(rows, outSchema)
   }
 
+  // ── real video decode (AVI RIFF container: raw-DIB + MJPEG) ────────
+  //
+  // The JDK ships no video "codec" class, but AVI is a RIFF container
+  // and its two classic payloads are decodable with pure JDK: BI_RGB
+  // (uncompressed bottom-up BGR DIB — byte interpretation) and MJPG
+  // (each frame is a baseline JPEG — ImageIO). Parsing the container
+  // for real (hdrl stream headers, BITMAPINFOHEADER, movi chunk walk,
+  // word alignment) retires the last stubbed modality for these
+  // formats; anything else (H.264/VP9/…) still needs an external
+  // decoder behind [[Multimodal.MediaCodec]].
+  //
+  // Fixture uses raw-DIB frames because BI_RGB is LOSSLESS — the
+  // closed-form (id, frame, x, y) pixel formulas survive the
+  // encode→decode round-trip exactly, so frame stats are analytic SQL
+  // (the PNG trick, one modality over). MJPEG is lossy, so its path is
+  // spec-gated with a tolerance instead (MediaCodecsSpec).
+
+  /** Video geometry/pixel formulas — shared by the renderer and (in
+    * SQL) the oracles. All integer math on non-negative ids. */
+  def vidW(id: Long): Int = (id % 11).toInt + 8
+  def vidH(id: Long): Int = (id % 9).toInt + 8
+  def vidFrames(id: Long): Int = (id % 6).toInt + 2
+  def vpxR(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+  def vpxG(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 17 + f * 29 + x * 11 + y * 3) % 256).toInt
+  def vpxB(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 23 + f * 37 + x * 5 + y * 19) % 256).toInt
+  val VidFps = 10
+
+  private def cc(s: String): Int = {
+    require(s.length == 4)
+    (s(0) & 0xFF) | ((s(1) & 0xFF) << 8) | ((s(2) & 0xFF) << 16) | ((s(3) & 0xFF) << 24)
+  }
+  private val RIFF = cc("RIFF"); private val AVI = cc("AVI ")
+  private val LIST = cc("LIST"); private val HDRL = cc("hdrl")
+  private val STRL = cc("strl"); private val STRH = cc("strh")
+  private val STRF = cc("strf"); private val MOVI = cc("movi")
+  private val VIDS = cc("vids"); private val MJPG = cc("MJPG")
+  private val DB00 = cc("00db"); private val DC00 = cc("00dc")
+
+  /** One AVI file: header lists + `00db`/`00dc` frame chunks, built to
+    * spec (word-aligned chunks, bottom-up DIB strides padded to 4). */
+  private def buildAvi(w: Int, h: Int, framePayloads: Seq[Array[Byte]],
+                       compression: Int, chunkId: Int): Array[Byte] = {
+    def chunk(id: Int, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length % 2
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(id).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(listType: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(LIST).putInt(4 + body.length).putInt(listType).put(body)
+      bb.array()
+    }
+    val n = framePayloads.length
+    val maxFrame = framePayloads.map(_.length).foldLeft(0)(math.max)
+    val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(1000000 / VidFps).putInt(0).putInt(0).putInt(0)
+      .putInt(n).putInt(0).putInt(1).putInt(maxFrame)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val strh = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(VIDS).putInt(if (compression == 0) 0 else compression)
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(VidFps) // dwScale, dwRate → fps = rate/scale
+      .putInt(0).putInt(n).putInt(maxFrame).putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort).array()
+    val strf = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(compression).putInt(((w * 3 + 3) / 4 * 4) * h)
+      .putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val hdrl = list(HDRL, chunk(cc("avih"), avih) ++
+      list(STRL, chunk(STRH, strh) ++ chunk(STRF, strf)))
+    val movi = list(MOVI, framePayloads.flatMap(p => chunk(chunkId, p)).toArray)
+    val body = hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(RIFF).putInt(4 + body.length).putInt(AVI).put(body)
+    bb.array()
+  }
+
+  private def dibPayload(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val row = (h - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < w) {
+        out(row + x * 3) = vpxB(id, f, x, y).toByte
+        out(row + x * 3 + 1) = vpxG(id, f, x, y).toByte
+        out(row + x * 3 + 2) = vpxR(id, f, x, y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Render one raw-DIB AVI per row: `(key, media, media_type)`.
+    * Fixture generator for the video decode gate. */
+  def renderAvis(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(keyCol).cast(LongType).as("__k"))
+    val outSchema = StructType(Seq(
+      StructField(keyCol, LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false),
+      StructField("media_type", StringType, nullable = false)))
+    val rows = in.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = (vidW(id), vidH(id))
+        val frames = (0 until vidFrames(id)).map(f => dibPayload(id, f, w, h))
+        Row(id, buildAvi(w, h, frames, 0, DB00), "video/x-msvideo")
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** MJPEG twin of [[renderAvis]] — every frame ImageIO-JPEG-encoded
+    * into `00dc` chunks. Lossy, so spec-gated, not SQL-gated. */
+  def renderMjpegAvis(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(keyCol).cast(LongType).as("__k"))
+    val outSchema = StructType(Seq(
+      StructField(keyCol, LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false),
+      StructField("media_type", StringType, nullable = false)))
+    val rows = in.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = (vidW(id), vidH(id))
+        val frames = (0 until vidFrames(id)).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (vpxR(id, f, x, y) << 16) |
+                (vpxG(id, f, x, y) << 8) | vpxB(id, f, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        Row(id, buildAvi(w, h, frames, MJPG, DC00), "video/x-msvideo")
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Parsed AVI: geometry, timing, frames as top-down row-major RGB. */
+  private case class AviVideo(width: Int, height: Int, scale: Int, rate: Int,
+                              frames: Vector[Array[Int]])
+
+  /** The real container/codec walk: RIFF envelope → hdrl (strh timing,
+    * strf BITMAPINFOHEADER) → movi frame chunks, decoding BI_RGB DIBs
+    * directly and MJPG chunks through ImageIO. Any structural or codec
+    * failure → None (decode_ok = false downstream). */
+  private def parseAvi(bytes: Array[Byte]): Option[AviVideo] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.remaining() < 12 || bb.getInt() != RIFF) return None
+      bb.getInt() // riff size
+      if (bb.getInt() != AVI) return None
+      var width, height, scale, rate, compression = 0
+      var seenVids = false
+      val frames = Vector.newBuilder[Array[Int]]
+      def walk(end: Int, inStrl: Boolean, inMovi: Boolean): Unit = {
+        while (bb.position() + 8 <= end) {
+          val id = bb.getInt(); val sz = bb.getInt()
+          val next = bb.position() + sz + (sz % 2)
+          if (next > end || sz < 0) throw new IllegalArgumentException("chunk overruns")
+          if (id == LIST) {
+            val lt = bb.getInt()
+            walk(bb.position() + sz - 4,
+              inStrl || lt == STRL, inMovi || lt == MOVI)
+          } else if (inStrl && id == STRH && sz >= 36) {
+            val fccType = bb.getInt()
+            if (fccType == VIDS) seenVids = true
+            bb.getInt(); bb.getInt(); bb.getShort(); bb.getShort(); bb.getInt()
+            val sc = bb.getInt(); val rt = bb.getInt()
+            if (fccType == VIDS) { scale = sc; rate = rt }
+          } else if (inStrl && seenVids && id == STRF && sz >= 40 && width == 0) {
+            bb.getInt() // biSize
+            width = bb.getInt(); height = bb.getInt()
+            bb.getShort(); val bits = bb.getShort()
+            compression = bb.getInt()
+            if (compression == 0 && bits != 24)
+              throw new IllegalArgumentException(s"unsupported DIB depth $bits")
+          } else if (inMovi && (id == DB00 || id == DC00)) {
+            val payload = new Array[Byte](sz)
+            bb.get(payload)
+            frames += decodeFrame(payload, width, height, compression)
+          }
+          bb.position(next)
+        }
+      }
+      walk(bytes.length, inStrl = false, inMovi = false)
+      val fr = frames.result()
+      if (!seenVids || width <= 0 || height <= 0 || fr.isEmpty) None
+      else Some(AviVideo(width, height, scale, rate, fr))
+    } catch { case _: Exception => None }
+
+  private def decodeFrame(payload: Array[Byte], w: Int, h: Int,
+                          compression: Int): Array[Int] =
+    if (compression == MJPG) {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null && img.getWidth == w && img.getHeight == h, "bad MJPG frame")
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = img.getRGB(x, y) & 0xFFFFFF; x += 1 }
+        y += 1
+      }
+      out
+    } else if (compression == 0) {
+      val stride = (w * 3 + 3) / 4 * 4
+      require(payload.length >= stride * h, "short DIB frame")
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * stride // bottom-up
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = ((payload(row + x * 3 + 2) & 0xFF) << 16) |
+            ((payload(row + x * 3 + 1) & 0xFF) << 8) | (payload(row + x * 3) & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else throw new IllegalArgumentException(
+      f"unsupported biCompression 0x$compression%08x")
+
+  /** Decode container + stream metadata through the real parser:
+    * `(key, decode_ok, width, height, n_frames, fps)`. */
+  def decodeVideoMetadata(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(keyCol), col("media"))
+    val outSchema = StructType(Seq(
+      in.schema.fields(0),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("fps", DoubleType, nullable = true)))
+    val rows = in.rdd.mapPartitions { it =>
+      it.map { r =>
+        parseAvi(r.getAs[Array[Byte]]("media")) match {
+          case Some(v) if v.scale > 0 =>
+            Row(r.get(0), true, v.width.toLong, v.height.toLong,
+              v.frames.length.toLong, v.rate.toDouble / v.scale)
+          case _ => Row(r.get(0), false, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Frame sampling through the real decoder — the training-pipeline
+    * shape (decode once per video, emit every `everyNth` frame):
+    * `(key, frame_idx, width, height, mean_gray)` with the same
+    * exact-integer luminance as the image path, so the raw-DIB fixture
+    * is analytically SQL-checkable per frame. Undecodable videos emit
+    * a single `frame_idx = -1` row (decode_ok = false), keeping the
+    * failure visible in the exploded output. */
+  def sampleVideoFrames(df: DataFrame, keyCol: String, everyNth: Int = 2): DataFrame = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    val spark = df.sparkSession
+    val in = df.select(col(keyCol), col("media"))
+    val outSchema = StructType(Seq(
+      in.schema.fields(0),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("mean_gray", DoubleType, nullable = true)))
+    val rows = in.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        parseAvi(r.getAs[Array[Byte]]("media")) match {
+          case Some(v) =>
+            (0 until v.frames.length by everyNth).iterator.map { f =>
+              val px = v.frames(f)
+              var sum = 0L
+              var i = 0
+              while (i < px.length) { sum += gray(px(i)); i += 1 }
+              Row(r.get(0), true, f.toLong, v.width.toLong, v.height.toLong,
+                sum.toDouble / px.length)
+            }
+          case None => Iterator.single(Row(r.get(0), false, -1L, null, null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Decode WAV through the real `javax.sound.sampled` reader and
     * profile the PCM16 stream:
     * `(key, decode_ok, n_samples, sample_rate, s_min, s_max, s_mean)`.

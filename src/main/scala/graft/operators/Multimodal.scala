@@ -8,15 +8,15 @@ import org.apache.spark.sql.types._
   * columns with typed metadata.
   *
   * The Spark-side mechanics — schema, partition-sized batches, frame
-  * explosion — are real and tested. For the image and audio modalities,
-  * REAL decoders now exist in [[MediaCodecs]] (JDK ImageIO /
-  * AudioSystem — decode, histogram features, NN resize, WAV stats, all
-  * value-gated via analytic oracles); this file keeps the
-  * codec-agnostic plumbing and the deterministic fake for the VIDEO
-  * modality, which the JDK cannot decode. The stub boundary is
-  * `FakeCodec.decode`: swap in a real video decoder (javacv / a
-  * Pandas-UDF sidecar in PySpark deployments) without touching the
-  * plumbing.
+  * explosion — are real and tested. REAL decoders exist in
+  * [[MediaCodecs]] for all three modalities: images (JDK ImageIO —
+  * decode, histogram, NN resize), audio (AudioSystem — WAV stats),
+  * and, since round 8, video (AVI RIFF container walk with raw-DIB and
+  * MJPEG frame decode — metadata + frame sampling, SQL-value-gated on
+  * the lossless DIB path). This file keeps the codec-agnostic plumbing
+  * and the deterministic fake as the seam for codecs BEYOND the JDK's
+  * reach (H.264/VP9/…): `FakeCodec.decode` is where a javacv /
+  * Pandas-UDF-sidecar decoder slots in without touching the plumbing.
   */
 object Multimodal {
 
@@ -52,12 +52,14 @@ object Multimodal {
     def decode(media: Array[Byte], frameIdx: Long): Array[Byte]
   }
 
-  /** STUB codec boundary. A real deployment decodes pixels/samples
-    * here; the fake returns a deterministic per-frame digest so the
-    * pipeline shape (binary → per-frame rows) is testable. */
+  /** STUB codec boundary for formats beyond the JDK (AVI raw-DIB and
+    * MJPEG have a real decoder — [[MediaCodecs.sampleVideoFrames]]).
+    * A real deployment decodes pixels/samples here; the fake returns a
+    * deterministic per-frame digest so the pipeline shape (binary →
+    * per-frame rows) is testable. */
   object FakeCodec extends MediaCodec {
     def decode(media: Array[Byte], frameIdx: Long): Array[Byte] = {
-      // ??? ← real decoder goes here (e.g. javacv FFmpegFrameGrabber);
+      // ??? ← H.264/VP9-class decoder goes here (e.g. javacv FFmpegFrameGrabber);
       // deterministic fake: frame digest = sha-256(media ++ ":" ++ idx).
       // The suffix is ASCII decimal (not raw bytes) so the whole digest
       // input stays valid UTF-8 — SQL-mirrorable for the oracle gate.

@@ -140,9 +140,10 @@ object PipelineOps {
   /** Deterministic train/val/test split assignment: each row gets the
     * split label whose cumulative hash-threshold interval contains
     * `hash32(id:salt)` — the labeling twin of [[stratifiedSample]]'s
-    * filter. Fractions should be dyadic (0.9/0.05/0.05 is exact in
-    * double; see stratifiedSample) so the `frac·2³²` thresholds are
-    * integer-exact cross-engine. Stable under repartition, rerun, and
+    * filter. Fractions should be dyadic — the default
+    * 0.90625/0.046875/0.046875 (29/32, 3/64, 3/64) is; 0.9/0.05/0.05
+    * is NOT (those doubles only sum to 1.0 by rounding luck) — so the
+    * `frac·2³²` thresholds are integer-exact cross-engine. Stable under repartition, rerun, and
     * corpus growth: a document's split NEVER changes when other
     * documents arrive — the property that keeps eval sets
     * uncontaminated across corpus versions (`rand(seed)` has no such

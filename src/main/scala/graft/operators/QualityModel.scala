@@ -91,6 +91,11 @@ object QualityModel {
     */
   def distill(docs: DataFrame, idCol: String, textCol: String,
               minCount: Long = 10L, lambda: Double = 1.0 / 1024): DataFrame = {
+    // same internal/output-column collision guard as dedupSpans /
+    // dsirWeights / LmScore.score / temperatureSample
+    require(!(Set("rare_frac", "pred", "resid") ++
+        (0 until D).map(i => s"__x$i")).contains(idCol),
+      s"idCol '$idCol' collides with an internal or output column of distill")
     val y = PipelineOps.rareTokenSignals(docs, idCol, textCol, minCount)
       .select(col(idCol), col("rare_frac"))
     val xs = featureCols(col(textCol))

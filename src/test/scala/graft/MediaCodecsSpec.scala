@@ -82,4 +82,87 @@ class MediaCodecsSpec extends SparkSpec {
     val out = MediaCodecs.decodeAudioStats(corrupt, "doc_id").collect().head
     assert(!out.getBoolean(1) && out.isNullAt(2))
   }
+
+  test("raw-DIB AVI round-trip is lossless: frame stats equal the formula") {
+    val out = MediaCodecs.sampleVideoFrames(
+      MediaCodecs.renderAvis(ids, "doc_id"), "doc_id", everyNth = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    val expected = for {
+      id <- Seq(0L, 7L, 42L, 255L)
+      f <- 0 until MediaCodecs.vidFrames(id) by 2
+    } yield {
+      val (w, h) = (MediaCodecs.vidW(id), MediaCodecs.vidH(id))
+      val sum = (for (y <- 0 until h; x <- 0 until w) yield
+        (MediaCodecs.vpxR(id, f, x, y) * 299 + MediaCodecs.vpxG(id, f, x, y) * 587 +
+          MediaCodecs.vpxB(id, f, x, y) * 114) / 1000).map(_.toLong).sum
+      (id, f.toLong, w.toLong, h.toLong, sum.toDouble / (w * h))
+    }
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, (id, f, w, h, mg)) =>
+      assert(r.getLong(0) == id && r.getBoolean(1) && r.getLong(2) == f)
+      assert(r.getLong(3) == w && r.getLong(4) == h)
+      assert(r.getDouble(5) == mg, s"mean_gray id=$id f=$f")
+    }
+  }
+
+  test("decodeVideoMetadata reads container geometry, frame count and fps") {
+    val out = MediaCodecs.decodeVideoMetadata(
+      MediaCodecs.renderAvis(ids, "doc_id"), "doc_id").orderBy("doc_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(1))
+      assert(r.getLong(2) == MediaCodecs.vidW(id).toLong)
+      assert(r.getLong(3) == MediaCodecs.vidH(id).toLong)
+      assert(r.getLong(4) == MediaCodecs.vidFrames(id).toLong)
+      assert(r.getDouble(5) == MediaCodecs.VidFps.toDouble)
+    }
+  }
+
+  test("MJPEG AVI decodes through the same parser; JPEG loss stays bounded") {
+    // JPEG is lossy, so the MJPG chunk path is gated here (structure
+    // exact, pixels within a tolerance) instead of by the SQL oracle
+    val meta = MediaCodecs.decodeVideoMetadata(
+      MediaCodecs.renderMjpegAvis(ids, "doc_id"), "doc_id").orderBy("doc_id").collect()
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(1), s"MJPG decode failed for id=$id")
+      assert(r.getLong(2) == MediaCodecs.vidW(id).toLong &&
+        r.getLong(3) == MediaCodecs.vidH(id).toLong &&
+        r.getLong(4) == MediaCodecs.vidFrames(id).toLong)
+    }
+    val frames = MediaCodecs.sampleVideoFrames(
+      MediaCodecs.renderMjpegAvis(ids, "doc_id"), "doc_id", everyNth = 1)
+      .orderBy("doc_id", "frame_idx").collect()
+    frames.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getLong(2).toInt)
+      val (w, h) = (MediaCodecs.vidW(id), MediaCodecs.vidH(id))
+      val exact = (for (y <- 0 until h; x <- 0 until w) yield
+        (MediaCodecs.vpxR(id, f, x, y) * 299 + MediaCodecs.vpxG(id, f, x, y) * 587 +
+          MediaCodecs.vpxB(id, f, x, y) * 114) / 1000).map(_.toLong).sum.toDouble / (w * h)
+      // the fixture pixels are high-frequency noise — JPEG's worst
+      // case — but the MEAN luminance survives quantization closely
+      assert(math.abs(r.getDouble(5) - exact) < 16.0,
+        s"MJPG mean_gray drifted ${r.getDouble(5)} vs $exact (id=$id f=$f)")
+    }
+  }
+
+  test("corrupt / truncated AVI bytes flag, not fail") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val goodBytes = MediaCodecs.renderAvis(Seq(7L).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("media")
+    val rows = Seq(
+      Row(1L, "RIFFnope not an avi".getBytes("UTF-8"), "video/x-msvideo"),
+      Row(2L, goodBytes.take(goodBytes.length / 2), "video/x-msvideo"), // truncated
+      Row(3L, Array.emptyByteArray, "video/x-msvideo"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("media", BinaryType, nullable = false),
+        StructField("media_type", StringType, nullable = false))))
+    val meta = MediaCodecs.decodeVideoMetadata(df, "doc_id").collect()
+    assert(meta.length == 3 && meta.forall(r => !r.getBoolean(1) && r.isNullAt(2)))
+    val fr = MediaCodecs.sampleVideoFrames(df, "doc_id").collect()
+    assert(fr.length == 3 && fr.forall(r => !r.getBoolean(1) && r.getLong(2) == -1L))
+  }
 }
