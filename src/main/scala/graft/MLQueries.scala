@@ -80,7 +80,7 @@ object MLQueries {
       // fitCap=2000); the operator default stays 300. The gate checks
       // replay EXACTNESS; UmapQualitySpec pins neighborhood
       // preservation at the 300-epoch default.
-      CoreT.umap(Tables.supplier(s, dir),
+      CoreT.umap(Tables.supplier(s, dir).where(col("s_suppkey") <= UmapOracle.GateKeyBound),
         features = Seq("s_nationkey", "s_acctbal"),
         carry = Seq("s_suppkey"), epochs = UmapOracle.GateEpochs).get
         .withColumnRenamed("UMAP-1", "umap_1").withColumnRenamed("UMAP-2", "umap_2")

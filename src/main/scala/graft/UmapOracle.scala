@@ -70,6 +70,18 @@ object UmapOracle {
     * union, PCA init, schedule, counter draws, SGD kernel) still
     * replays bit-exactly, just over a shorter event stream. */
   val GateEpochs = 30
+
+  /** Gate-query input bound (s_suppkey ≤ this), shared with
+    * MLQueries.q_coret_umap like [[TsneOracle.GateKeyBound]]: the
+    * sigma bisection (cnt×65 fold steps, k exp's each) and PCA init
+    * are epoch-INDEPENDENT — ~39 s of the replay at sf0.01's 100
+    * suppliers survived the epoch re-pin — and the event stream
+    * scales with the kNN edge count (~cnt·k). The bound cuts both,
+    * and makes the gate's replay cost independent of the scale factor
+    * (unbounded supplier at sf0.1 is 1000 points — that replay would
+    * run for hours if the gate ever ran at a larger sf), like the
+    * dbscan (≤2000), lda (≤50) and tsne (≤64) bounds. */
+  val GateKeyBound = 64
   private val UA = "1.5769434603113077e0"
   private val UB = "8.950608779109733e-1"
 
@@ -255,7 +267,7 @@ object UmapOracle {
     val m0 = "(list_reduce(list_prepend(0.0::DOUBLE, fy[1:cnt]), (p, q) -> p + q) / cnt)"
     val m1 = "(list_reduce(list_prepend(0.0::DOUBLE, fy[cnt + 1:2 * cnt]), (p, q) -> p + q) / cnt)"
     val w = expSql("(-greatest(0.0, d - rho)) / sg")
-    s"""WITH src AS (SELECT s_suppkey AS k, CAST(s_nationkey AS DOUBLE) AS f1, CAST(s_acctbal AS DOUBLE) AS f2 FROM supplier),
+    s"""WITH src AS (SELECT s_suppkey AS k, CAST(s_nationkey AS DOUBLE) AS f1, CAST(s_acctbal AS DOUBLE) AS f2 FROM supplier WHERE s_suppkey <= $GateKeyBound),
        |mm AS (SELECT MIN(f1) lo1, MAX(f1) hi1, MIN(f2) lo2, MAX(f2) hi2 FROM src),
        |nn AS (SELECT k,
        |        coalesce(CASE WHEN hi1 = lo1 THEN 0.0 ELSE (f1 - lo1) / (hi1 - lo1) END, 0.0) AS f1,

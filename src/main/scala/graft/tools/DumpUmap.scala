@@ -17,8 +17,10 @@ object DumpUmap {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same key bound as the gate query (MLQueries.q_coret_umap)
     val norm = graft.operators.CoreT.normalizedForTrace(
-      graft.sources.Tables.supplier(spark, dir),
+      graft.sources.Tables.supplier(spark, dir)
+        .where(col("s_suppkey") <= graft.UmapOracle.GateKeyBound),
       Seq("s_nationkey", "s_acctbal"), Seq("s_suppkey"))
     val rows = norm.select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
       .orderBy(col("s_suppkey")).limit(2001).collect()
