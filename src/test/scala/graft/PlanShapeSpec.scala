@@ -267,6 +267,15 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a map-side (Partial) WindowGroupLimit before the candidate shuffle:\n${plan.head}")
   }
 
+  test("brute-force top-k group-limits map-side too (same window shape)") {
+    val plan = executed("q_sim_bruteforce_topk")
+    val limits = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.exists(_.mode == org.apache.spark.sql.execution.window.Partial),
+      s"expected a map-side (Partial) WindowGroupLimit in the brute-force scan:\n${plan.head}")
+  }
+
   test("shard packing shuffles once (the range partitioning), nothing else") {
     val df = SparkEntry.queries("q_shard_pack")(spark, sfDir)
     df.collect()
