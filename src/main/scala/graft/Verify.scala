@@ -10,7 +10,12 @@ object Verify {
     // names — dump only those, for fast local iteration on one oracle
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the real core count (capped at 32, like Bench): at
+    // sf0.01 the dump is per-query-overhead-bound (measured ~86 s at
+    // both local[4] and local[32]), but a larger-sf dump is scan/
+    // shuffle-bound and should not be pinned to 4 threads by default
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
