@@ -423,7 +423,7 @@ object ExtQueries {
     "q_video_frames" -> ((s, dir) => {
       MediaCodecs.sampleVideoFrames(
         MediaCodecs.renderAvis(Tables.documents(s, dir), "doc_id"), "doc_id",
-        everyNth = 2)
+        everyNth = MediaCodecs.GateFrameStride)
     }),
 
     // ── streaming twin: tumbling window agg (batch mode) ───────────
@@ -1807,9 +1807,9 @@ object ExtQueries {
         |  CAST(10 AS DOUBLE) AS fps
         |FROM documents""".stripMargin,
     "q_video_frames" ->
-      """WITH d AS (SELECT doc_id, doc_id % 11 + 8 AS w, doc_id % 9 + 8 AS h,
+      s"""WITH d AS (SELECT doc_id, doc_id % 11 + 8 AS w, doc_id % 9 + 8 AS h,
         |                  doc_id % 6 + 2 AS n FROM documents),
-        |fr AS (SELECT doc_id, w, h, unnest(range(0, n, 2)) AS f FROM d),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, n, ${MediaCodecs.GateFrameStride})) AS f FROM d),
         |px AS (SELECT doc_id, w, h, f, unnest(generate_series(0, w*h - 1)) AS p FROM fr),
         |g AS (SELECT doc_id, w, h, f,
         |        ((((doc_id*31 + f*41 + (p % w)*7 + (p // w)*13) % 256) * 299

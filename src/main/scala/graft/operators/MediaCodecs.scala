@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** REAL media codecs over the multimodal binary-column plumbing —
-  * images via `javax.imageio` (PNG/JPEG/GIF/BMP) and audio via
-  * `javax.sound.sampled` (WAV/PCM), both JDK-built-in: no external
-  * dependency, runs headless. This retires [[Multimodal.FakeCodec]]'s
-  * stub status for the image/audio modalities; video stays stubbed
-  * (the JDK has no video decoder — that seam is still
-  * [[Multimodal.MediaCodec]]).
+  * images via `javax.imageio` (PNG/JPEG/GIF/BMP), audio via
+  * `javax.sound.sampled` (WAV/PCM), and video via a hand-rolled AVI
+  * RIFF container walk (raw-DIB frames decoded directly, MJPEG frames
+  * through ImageIO) — all JDK-built-in: no external dependency, runs
+  * headless. This retires [[Multimodal.FakeCodec]]'s stub status for
+  * every JDK-reachable format; the [[Multimodal.MediaCodec]] seam
+  * remains only for codecs beyond the JDK (H.264/VP9/…).
   *
   * Every operator is batch-shaped (`mapPartitions`, codec state
   * initialized once per partition) and decode-failure-tolerant: at
@@ -263,6 +264,10 @@ object MediaCodecs {
   def vpxB(id: Long, f: Int, x: Int, y: Int): Int =
     ((id * 23 + f * 37 + x * 5 + y * 19) % 256).toInt
   val VidFps = 10
+  /** q_video_frames' sampling stride, shared by the Spark query and
+    * the oracle SQL builder so they cannot drift independently (the
+    * GateKeyBound/GateEpochs convention). */
+  val GateFrameStride = 2
 
   private def cc(s: String): Int = {
     require(s.length == 4)
@@ -392,14 +397,83 @@ object MediaCodecs {
     spark.createDataFrame(rows, outSchema)
   }
 
-  /** Parsed AVI: geometry, timing, frames as top-down row-major RGB. */
-  private case class AviVideo(width: Int, height: Int, scale: Int, rate: Int,
-                              frames: Vector[Array[Int]])
+  /** Test fixture for the stream-indexing contract: an audio+video AVI
+    * with the AUDIO stream declared first (a common mux order), so the
+    * video frames live in `01db` chunks and headers must be taken from
+    * stream 1, not stream 0. Parsing this proves [[parseAvi]] keys on
+    * the video stream's hdrl index rather than assuming stream 0
+    * (MediaCodecsSpec). */
+  private[graft] def buildTestAviAudioFirst(id: Long): Array[Byte] = {
+    def chunk(cid: Int, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length % 2
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(cid).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(listType: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(LIST).putInt(4 + body.length).putInt(listType).put(body)
+      bb.array()
+    }
+    val (w, h) = (vidW(id), vidH(id))
+    val frames = (0 until vidFrames(id)).map(f => dibPayload(id, f, w, h))
+    val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(1000000 / VidFps).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(2).putInt(0)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    // minimal PCM 'auds' stream header (no data chunks needed)
+    val strhA = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(cc("auds")).putInt(0).putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(8000).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(0).putShort(0).array()
+    val strfA = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16).array()
+    val strhV = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(VIDS).putInt(0).putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(VidFps).putInt(0).putInt(frames.length).putInt(0)
+      .putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort).array()
+    val strfV = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(((w * 3 + 3) / 4 * 4) * h)
+      .putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val hdrl = list(HDRL, chunk(cc("avih"), avih) ++
+      list(STRL, chunk(STRH, strhA) ++ chunk(STRF, strfA)) ++
+      list(STRL, chunk(STRH, strhV) ++ chunk(STRF, strfV)))
+    val movi = list(MOVI,
+      frames.flatMap(p => chunk(cc("01db"), p)).toArray)
+    val body = hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(RIFF).putInt(4 + body.length).putInt(AVI).put(body)
+    bb.array()
+  }
 
-  /** The real container/codec walk: RIFF envelope → hdrl (strh timing,
-    * strf BITMAPINFOHEADER) → movi frame chunks, decoding BI_RGB DIBs
-    * directly and MJPG chunks through ImageIO. Any structural or codec
-    * failure → None (decode_ok = false downstream). */
+  /** Parsed AVI STRUCTURE: geometry/timing from the video stream's
+    * headers plus the byte range of each of its frame chunks. Frames
+    * are NOT decoded here — metadata consumers never pay pixel cost,
+    * and the sampler decodes only the frames it emits (a multi-GB
+    * production AVI must never materialize all its pixels per row). */
+  private case class AviVideo(width: Int, height: Int, scale: Int, rate: Int,
+                              compression: Int, bytes: Array[Byte],
+                              frameChunks: Vector[(Int, Int)]) {
+    def nFrames: Int = frameChunks.length
+    /** Decode one frame to top-down row-major RGB (throws on bad data). */
+    def frame(i: Int): Array[Int] = {
+      val (off, len) = frameChunks(i)
+      decodeFrame(bytes, off, len, width, height, compression)
+    }
+  }
+
+  /** The real container walk: RIFF envelope → hdrl (strh timing, strf
+    * BITMAPINFOHEADER) → movi frame-chunk offsets. Streams are indexed
+    * in hdrl declaration order, and frame chunks are matched by the
+    * VIDEO stream's index (`NNdb`/`NNdc`), so audio+video muxes with
+    * the audio stream declared first parse correctly; headers latch on
+    * the FIRST `vids` stream only. Any structural failure → None
+    * (decode_ok = false downstream). */
   private def parseAvi(bytes: Array[Byte]): Option[AviVideo] =
     try {
       val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -407,8 +481,18 @@ object MediaCodecs {
       bb.getInt() // riff size
       if (bb.getInt() != AVI) return None
       var width, height, scale, rate, compression = 0
-      var seenVids = false
-      val frames = Vector.newBuilder[Array[Int]]
+      var streamIdx = -1 // increments per strh, in hdrl order
+      var vidStream = -1 // the FIRST vids stream's index
+      var lastStrhWasVids = false
+      val chunks = Vector.newBuilder[(Int, Int)]
+      def vidChunkId(id: Int): Boolean = {
+        // 'NNdb' / 'NNdc' with NN the video stream's decimal index
+        if (vidStream < 0) return false
+        val d0 = (id & 0xFF) - '0'; val d1 = ((id >> 8) & 0xFF) - '0'
+        val tail = id >>> 16
+        d0 >= 0 && d0 <= 9 && d1 >= 0 && d1 <= 9 && d0 * 10 + d1 == vidStream &&
+          (tail == (DB00 >>> 16) || tail == (DC00 >>> 16))
+      }
       def walk(end: Int, inStrl: Boolean, inMovi: Boolean): Unit = {
         while (bb.position() + 8 <= end) {
           val id = bb.getInt(); val sz = bb.getInt()
@@ -419,36 +503,37 @@ object MediaCodecs {
             walk(bb.position() + sz - 4,
               inStrl || lt == STRL, inMovi || lt == MOVI)
           } else if (inStrl && id == STRH && sz >= 36) {
+            streamIdx += 1
             val fccType = bb.getInt()
-            if (fccType == VIDS) seenVids = true
-            bb.getInt(); bb.getInt(); bb.getShort(); bb.getShort(); bb.getInt()
-            val sc = bb.getInt(); val rt = bb.getInt()
-            if (fccType == VIDS) { scale = sc; rate = rt }
-          } else if (inStrl && seenVids && id == STRF && sz >= 40 && width == 0) {
+            lastStrhWasVids = fccType == VIDS && vidStream < 0
+            if (lastStrhWasVids) {
+              vidStream = streamIdx
+              bb.getInt(); bb.getInt(); bb.getShort(); bb.getShort(); bb.getInt()
+              scale = bb.getInt(); rate = bb.getInt()
+            }
+          } else if (inStrl && lastStrhWasVids && id == STRF && sz >= 40 && width == 0) {
             bb.getInt() // biSize
             width = bb.getInt(); height = bb.getInt()
             bb.getShort(); val bits = bb.getShort()
             compression = bb.getInt()
             if (compression == 0 && bits != 24)
               throw new IllegalArgumentException(s"unsupported DIB depth $bits")
-          } else if (inMovi && (id == DB00 || id == DC00)) {
-            val payload = new Array[Byte](sz)
-            bb.get(payload)
-            frames += decodeFrame(payload, width, height, compression)
+          } else if (inMovi && vidChunkId(id)) {
+            chunks += ((bb.position(), sz))
           }
           bb.position(next)
         }
       }
       walk(bytes.length, inStrl = false, inMovi = false)
-      val fr = frames.result()
-      if (!seenVids || width <= 0 || height <= 0 || fr.isEmpty) None
-      else Some(AviVideo(width, height, scale, rate, fr))
+      val fr = chunks.result()
+      if (vidStream < 0 || width <= 0 || height <= 0 || fr.isEmpty) None
+      else Some(AviVideo(width, height, scale, rate, compression, bytes, fr))
     } catch { case _: Exception => None }
 
-  private def decodeFrame(payload: Array[Byte], w: Int, h: Int,
-                          compression: Int): Array[Int] =
+  private def decodeFrame(bytes: Array[Byte], off: Int, len: Int,
+                          w: Int, h: Int, compression: Int): Array[Int] =
     if (compression == MJPG) {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      val img = ImageIO.read(new ByteArrayInputStream(bytes, off, len))
       require(img != null && img.getWidth == w && img.getHeight == h, "bad MJPG frame")
       val out = new Array[Int](w * h)
       var y = 0
@@ -460,15 +545,15 @@ object MediaCodecs {
       out
     } else if (compression == 0) {
       val stride = (w * 3 + 3) / 4 * 4
-      require(payload.length >= stride * h, "short DIB frame")
+      require(len >= stride * h, "short DIB frame")
       val out = new Array[Int](w * h)
       var y = 0
       while (y < h) {
-        val row = (h - 1 - y) * stride // bottom-up
+        val row = off + (h - 1 - y) * stride // bottom-up
         var x = 0
         while (x < w) {
-          out(y * w + x) = ((payload(row + x * 3 + 2) & 0xFF) << 16) |
-            ((payload(row + x * 3 + 1) & 0xFF) << 8) | (payload(row + x * 3) & 0xFF)
+          out(y * w + x) = ((bytes(row + x * 3 + 2) & 0xFF) << 16) |
+            ((bytes(row + x * 3 + 1) & 0xFF) << 8) | (bytes(row + x * 3) & 0xFF)
           x += 1
         }
         y += 1
@@ -477,8 +562,11 @@ object MediaCodecs {
     } else throw new IllegalArgumentException(
       f"unsupported biCompression 0x$compression%08x")
 
-  /** Decode container + stream metadata through the real parser:
-    * `(key, decode_ok, width, height, n_frames, fps)`. */
+  /** Container + stream metadata through the real parser:
+    * `(key, decode_ok, width, height, n_frames, fps)`. `decode_ok`
+    * here means the CONTAINER parsed (structure, headers, chunk walk)
+    * — no pixel decode is paid; per-frame codec failures surface in
+    * [[sampleVideoFrames]], which does decode. */
   def decodeVideoMetadata(df: DataFrame, keyCol: String): DataFrame = {
     val spark = df.sparkSession
     val in = df.select(col(keyCol), col("media"))
@@ -494,7 +582,7 @@ object MediaCodecs {
         parseAvi(r.getAs[Array[Byte]]("media")) match {
           case Some(v) if v.scale > 0 =>
             Row(r.get(0), true, v.width.toLong, v.height.toLong,
-              v.frames.length.toLong, v.rate.toDouble / v.scale)
+              v.nFrames.toLong, v.rate.toDouble / v.scale)
           case _ => Row(r.get(0), false, null, null, null, null)
         }
       }
@@ -522,16 +610,24 @@ object MediaCodecs {
       StructField("mean_gray", DoubleType, nullable = true)))
     val rows = in.rdd.mapPartitions { it =>
       it.flatMap { r =>
-        parseAvi(r.getAs[Array[Byte]]("media")) match {
-          case Some(v) =>
-            (0 until v.frames.length by everyNth).iterator.map { f =>
-              val px = v.frames(f)
+        // only the SAMPLED frames decode (skipped frames stay raw
+        // chunk offsets); a codec failure on any sampled frame flags
+        // the whole video rather than failing the task
+        val sampled =
+          parseAvi(r.getAs[Array[Byte]]("media")).flatMap { v =>
+            try Some((0 until v.nFrames by everyNth).map { f =>
+              val px = v.frame(f)
               var sum = 0L
               var i = 0
               while (i < px.length) { sum += gray(px(i)); i += 1 }
-              Row(r.get(0), true, f.toLong, v.width.toLong, v.height.toLong,
-                sum.toDouble / px.length)
-            }
+              (f, v.width, v.height, sum.toDouble / px.length)
+            })
+            catch { case _: Exception => None }
+          }
+        sampled match {
+          case Some(frames) => frames.iterator.map { case (f, w, h, mg) =>
+            Row(r.get(0), true, f.toLong, w.toLong, h.toLong, mg)
+          }
           case None => Iterator.single(Row(r.get(0), false, -1L, null, null, null))
         }
       }

@@ -146,6 +146,43 @@ class MediaCodecsSpec extends SparkSpec {
     }
   }
 
+  test("audio-first AVI muxes decode: frames matched by the video stream's index") {
+    // audio stream declared first in hdrl → video frames are '01db'
+    // chunks and its headers are stream 1's; a parser that assumed
+    // stream 0 would return zero frames (decode_ok=false) or pair the
+    // audio stream's timing with the video geometry
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = Seq(7L, 42L).map(id =>
+      Row(id, MediaCodecs.buildTestAviAudioFirst(id), "video/x-msvideo"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("media", BinaryType, nullable = false),
+        StructField("media_type", StringType, nullable = false))))
+    val meta = MediaCodecs.decodeVideoMetadata(df, "doc_id").orderBy("doc_id").collect()
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(1), s"audio-first AVI failed to decode for id=$id")
+      assert(r.getLong(2) == MediaCodecs.vidW(id).toLong &&
+        r.getLong(3) == MediaCodecs.vidH(id).toLong &&
+        r.getLong(4) == MediaCodecs.vidFrames(id).toLong &&
+        r.getDouble(5) == MediaCodecs.VidFps.toDouble)
+    }
+    // frame pixels decode identically to the single-stream layout
+    val fr = MediaCodecs.sampleVideoFrames(df, "doc_id", everyNth = 1)
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(fr.length == MediaCodecs.vidFrames(7L) + MediaCodecs.vidFrames(42L))
+    fr.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getLong(2).toInt)
+      val (w, h) = (MediaCodecs.vidW(id), MediaCodecs.vidH(id))
+      val exact = (for (y <- 0 until h; x <- 0 until w) yield
+        (MediaCodecs.vpxR(id, f, x, y) * 299 + MediaCodecs.vpxG(id, f, x, y) * 587 +
+          MediaCodecs.vpxB(id, f, x, y) * 114) / 1000).map(_.toLong).sum.toDouble / (w * h)
+      assert(r.getBoolean(1) && r.getDouble(5) == exact)
+    }
+  }
+
   test("corrupt / truncated AVI bytes flag, not fail") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
