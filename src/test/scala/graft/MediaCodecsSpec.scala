@@ -183,6 +183,37 @@ class MediaCodecsSpec extends SparkSpec {
     }
   }
 
+  test("JUNK padding and idx1 index chunks are skipped like real-world AVIs need") {
+    // virtually every mux inserts JUNK alignment padding and an idx1
+    // index; the walk must skip unknown chunk ids at any level
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = MediaCodecs.renderAvis(Seq(42L).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("media")
+    def le(i: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(i).array()
+    }
+    val junk = "JUNK".getBytes("US-ASCII") ++ le(16) ++ Array.fill[Byte](16)(0)
+    val idx1 = "idx1".getBytes("US-ASCII") ++ le(16) ++
+      ("00db".getBytes("US-ASCII") ++ le(16) ++ le(4) ++ le(720))
+    // splice JUNK after the RIFF header (before hdrl), idx1 at the end,
+    // and patch the outer RIFF size
+    val spliced = base.take(12) ++ junk ++ base.drop(12) ++ idx1
+    val szBuf = java.nio.ByteBuffer.wrap(spliced, 4, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    szBuf.put(le(spliced.length - 8))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(42L, spliced, "video/x-msvideo"))),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("media", BinaryType, nullable = false),
+        StructField("media_type", StringType, nullable = false))))
+    val meta = MediaCodecs.decodeVideoMetadata(df, "doc_id").collect().head
+    assert(meta.getBoolean(1) && meta.getLong(2) == MediaCodecs.vidW(42L).toLong &&
+      meta.getLong(4) == MediaCodecs.vidFrames(42L).toLong)
+    val fr = MediaCodecs.sampleVideoFrames(df, "doc_id", everyNth = 1).collect()
+    assert(fr.length == MediaCodecs.vidFrames(42L) && fr.forall(_.getBoolean(1)))
+  }
+
   test("corrupt / truncated AVI bytes flag, not fail") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
