@@ -38,7 +38,7 @@ import graft.functions.TextFunctions
   * query; queries whose terms match nothing return no rows.
   */
 object Bm25 {
-  private val PinScale = 1099511627776.0 // 2^40, the shared pin
+  private val PinScale = CoreT.PinScale // 2^40, the shared pin
 
   def bm25TopK(corpus: DataFrame, queries: DataFrame,
                idCol: String, textCol: String, k: Int,
@@ -77,16 +77,14 @@ object Bm25 {
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__len").cast("double") / lit(avgdl))
     val score = idf * ((col("__tf").cast("double") * (lit(k1) + lit(1.0))) / denom)
 
-    val v = floor(score * lit(PinScale))
-    val hi = floor(v / lit(1048576.0))
-    val lo = v - hi * lit(1048576.0)
+    val (hi, lo) = CoreT.pinnedSplit(score)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25").desc, col("neighbor_id").asc)
     postings
       .join(broadcast(qterms), Seq("__term"))
       .join(broadcast(dfs), Seq("__term"))
       .select(col("query_id"), col("neighbor_id"),
-        hi.cast("long").as("__hi"), lo.cast("long").as("__lo"))
+        hi.as("__hi"), lo.as("__lo"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__hi")).as("__shi"), sum(col("__lo")).as("__slo"))
       .select(col("query_id"), col("neighbor_id"),

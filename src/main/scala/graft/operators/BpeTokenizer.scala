@@ -77,13 +77,18 @@ object BpeTokenizer {
       val best =
         if (counts.isEmpty) Sentinel
         else {
-          var bestPair: (String, String) = null
+          // two passes: find the max count first, then hash only the
+          // tied pairs — tieKey is an md5 digest, and hashing every
+          // candidate pair every round made the digest the dominant
+          // fit cost (O(pairs) digests → O(ties), same selection)
           var bestCount = -1L
+          counts.forEach { (_, c) => if (c > bestCount) bestCount = c }
+          var bestPair: (String, String) = null
           var bestKey: String = null
           counts.forEach { (p, c) =>
-            val k = tieKey(p._1, p._2)
-            if (c > bestCount || (c == bestCount && k < bestKey)) {
-              bestPair = p; bestCount = c; bestKey = k
+            if (c == bestCount) {
+              val k = tieKey(p._1, p._2)
+              if (bestKey == null || k < bestKey) { bestPair = p; bestKey = k }
             }
           }
           bestPair

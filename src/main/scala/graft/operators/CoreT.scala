@@ -87,10 +87,23 @@ object CoreT {
     * rounded to double once, matching DuckDB's HUGEINT-promoted
     * BIGINT sum + single DOUBLE cast. */
   private[graft] def pinnedParts(e: org.apache.spark.sql.Column, tag: String): Seq[org.apache.spark.sql.Column] = {
+    val (hi, lo) = pinnedSplit(e)
+    Seq(sum(hi).as(s"${tag}_hi"), sum(lo).as(s"${tag}_lo"))
+  }
+
+  /** The column-level 2^-40 fixed-point split behind [[pinnedParts]]:
+    * (hi, lo) LongType columns with v = floor(e·2^40), hi = floor(
+    * v/2^20), lo = v − hi·2^20. THE one spelling of the split — Bm25 /
+    * LmScore / Dsir reassemble their per-key sums differently (long
+    * multiply vs DECIMAL(38,0) vs driver BigInt) but must quantize
+    * identically, because their DuckDB oracles replay this expression
+    * term for term. */
+  private[graft] def pinnedSplit(e: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val v = floor(e * lit(PinScale))
     val hi = floor(v / lit(1048576.0))
     val lo = v - hi * lit(1048576.0)
-    Seq(sum(hi.cast(LongType)).as(s"${tag}_hi"), sum(lo.cast(LongType)).as(s"${tag}_lo"))
+    (hi.cast(LongType), lo.cast(LongType))
   }
 
   /** Reassemble a [[pinnedParts]] pair: exact integer total (BigInt —
@@ -468,9 +481,13 @@ object CoreT {
       // fire after the full frame is already materialized. Rows are
       // ordered by the carry key so the Gram matrix (and therefore the
       // replayed eigenvectors) has one canonical layout on any
-      // partitioning — and in the DuckDB oracle.
+      // partitioning — and in the DuckDB oracle. Features are appended
+      // as tie-breakers: for a UNIQUE carry key they change nothing,
+      // and for an empty/non-unique carry they keep the collected
+      // layout deterministic (duplicate feature rows are the only
+      // remaining ties, and those are interchangeable).
       val rows = norm.select((carry ++ features).map(col): _*)
-        .orderBy(carry.map(col): _*).limit(maxDriverRows + 1).collect()
+        .orderBy((carry ++ features).map(col): _*).limit(maxDriverRows + 1).collect()
       require(rows.length <= maxDriverRows,
         s"mds driver path capped at $maxDriverRows rows (got ${rows.length})")
       val pts = rows.map(r => features.indices.map(i =>
@@ -499,7 +516,7 @@ object CoreT {
       // key order (like mds) so the pair matrices — and the replayed
       // embedding — have one layout on any partitioning.
       val rows = norm.select((carry ++ features).map(col): _*)
-        .orderBy(carry.map(col): _*).limit(maxDriverRows + 1).collect()
+        .orderBy((carry ++ features).map(col): _*).limit(maxDriverRows + 1).collect()
       require(rows.length <= maxDriverRows,
         s"tsne driver path capped at $maxDriverRows rows (got ${rows.length})")
       val pts = rows.map(r => features.indices.map(i =>
@@ -529,7 +546,7 @@ object CoreT {
       // key order (like tsne) so the kNN graph, edge list, and SGD
       // replay see one layout on any partitioning.
       val rows = norm.select((carry ++ features).map(col): _*)
-        .orderBy(carry.map(col): _*).limit(maxDriverRows + 1).collect()
+        .orderBy((carry ++ features).map(col): _*).limit(maxDriverRows + 1).collect()
       require(rows.length <= maxDriverRows,
         s"umap driver path capped at $maxDriverRows rows (got ${rows.length})")
       val pts = rows.map(r => features.indices.map(i =>

@@ -41,7 +41,7 @@ import graft.functions.{TextFunctions, Tokenize}
   * correctly-rounded cast to double.
   */
 object Dsir {
-  private val PinScale = 1099511627776.0 // 2^40, the shared pin
+  private val PinScale = CoreT.PinScale // 2^40, the shared pin
 
   private def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
@@ -82,13 +82,11 @@ object Dsir {
       (lit((nTgt + buckets).toDouble) *
         (coalesce(col("__cr"), lit(0L)) + 1).cast("double")),
       lit(65536.0))
-    val v = floor(ratio * lit(PinScale))
-    val hi = floor(v / lit(1048576.0))
-    val lo = v - hi * lit(1048576.0)
+    val (hi, lo) = CoreT.pinnedSplit(ratio)
     val perDoc = rawB
       .join(broadcast(tgtCnt), Seq("__b"), "left")
       .join(broadcast(rawCnt), Seq("__b"), "left")
-      .select(col(idCol), hi.cast("long").as("__hi"), lo.cast("long").as("__lo"))
+      .select(col(idCol), hi.as("__hi"), lo.as("__lo"))
       .groupBy(col(idCol))
       .agg(sum(col("__hi")).as("__shi"), sum(col("__lo")).as("__slo"),
         count(lit(1)).as("__n"))

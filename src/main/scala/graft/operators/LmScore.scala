@@ -41,7 +41,7 @@ import graft.functions.TextFunctions
   */
 object LmScore {
   private val Unk = "\u0003"
-  private val PinScale = 1099511627776.0 // 2^40, the shared pin
+  private val PinScale = CoreT.PinScale // 2^40, the shared pin
 
   /** @return (idCol, n_tokens, lm_score) for every input document;
     *         empty documents score 0.0 */
@@ -94,11 +94,9 @@ object LmScore {
       .select(col(idCol), p.as("__p"))
 
     // exact pinned mean per document (long-reassembled, see scaladoc)
-    val v = floor(col("__p") * lit(PinScale))
-    val hi = floor(v / lit(1048576.0))
-    val lo = v - hi * lit(1048576.0)
+    val (hi, lo) = CoreT.pinnedSplit(col("__p"))
     val perDoc = scoredPos
-      .select(col(idCol), hi.cast("long").as("__hi"), lo.cast("long").as("__lo"))
+      .select(col(idCol), hi.as("__hi"), lo.as("__lo"))
       .groupBy(col(idCol))
       .agg(sum(col("__hi")).as("__shi"), sum(col("__lo")).as("__slo"),
         count(lit(1)).as("__n"))

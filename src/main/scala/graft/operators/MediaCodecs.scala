@@ -280,23 +280,37 @@ object MediaCodecs {
   private val VIDS = cc("vids"); private val MJPG = cc("MJPG")
   private val DB00 = cc("00db"); private val DC00 = cc("00dc")
 
+  /** One word-aligned RIFF chunk: id + size + body (+ pad byte). The
+    * single spelling of the alignment/size arithmetic — shared by the
+    * production fixture builder and the test mux builders so they can
+    * never emit differently-shaped envelopes. */
+  private def chunk(id: Int, body: Array[Byte]): Array[Byte] = {
+    val pad = body.length % 2
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(id).putInt(body.length).put(body)
+    bb.array()
+  }
+
+  /** A RIFF LIST envelope around `body` (size covers the 4-byte type). */
+  private def list(listType: Int, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(LIST).putInt(4 + body.length).putInt(listType).put(body)
+    bb.array()
+  }
+
+  private def riff(body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(RIFF).putInt(4 + body.length).putInt(AVI).put(body)
+    bb.array()
+  }
+
   /** One AVI file: header lists + `00db`/`00dc` frame chunks, built to
     * spec (word-aligned chunks, bottom-up DIB strides padded to 4). */
   private def buildAvi(w: Int, h: Int, framePayloads: Seq[Array[Byte]],
                        compression: Int, chunkId: Int): Array[Byte] = {
-    def chunk(id: Int, body: Array[Byte]): Array[Byte] = {
-      val pad = body.length % 2
-      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(id).putInt(body.length).put(body)
-      bb.array()
-    }
-    def list(listType: Int, body: Array[Byte]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(LIST).putInt(4 + body.length).putInt(listType).put(body)
-      bb.array()
-    }
     val n = framePayloads.length
     val maxFrame = framePayloads.map(_.length).foldLeft(0)(math.max)
     val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -316,11 +330,7 @@ object MediaCodecs {
     val hdrl = list(HDRL, chunk(cc("avih"), avih) ++
       list(STRL, chunk(STRH, strh) ++ chunk(STRF, strf)))
     val movi = list(MOVI, framePayloads.flatMap(p => chunk(chunkId, p)).toArray)
-    val body = hdrl ++ movi
-    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.putInt(RIFF).putInt(4 + body.length).putInt(AVI).put(body)
-    bb.array()
+    riff(hdrl ++ movi)
   }
 
   private def dibPayload(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
@@ -404,19 +414,6 @@ object MediaCodecs {
     * the video stream's hdrl index rather than assuming stream 0
     * (MediaCodecsSpec). */
   private[graft] def buildTestAviAudioFirst(id: Long): Array[Byte] = {
-    def chunk(cid: Int, body: Array[Byte]): Array[Byte] = {
-      val pad = body.length % 2
-      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(cid).putInt(body.length).put(body)
-      bb.array()
-    }
-    def list(listType: Int, body: Array[Byte]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(LIST).putInt(4 + body.length).putInt(listType).put(body)
-      bb.array()
-    }
     val (w, h) = (vidW(id), vidH(id))
     val frames = (0 until vidFrames(id)).map(f => dibPayload(id, f, w, h))
     val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -444,11 +441,7 @@ object MediaCodecs {
       list(STRL, chunk(STRH, strhV) ++ chunk(STRF, strfV)))
     val movi = list(MOVI,
       frames.flatMap(p => chunk(cc("01db"), p)).toArray)
-    val body = hdrl ++ movi
-    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.putInt(RIFF).putInt(4 + body.length).putInt(AVI).put(body)
-    bb.array()
+    riff(hdrl ++ movi)
   }
 
   /** Parsed AVI STRUCTURE: geometry/timing from the video stream's

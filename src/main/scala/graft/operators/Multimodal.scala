@@ -128,6 +128,9 @@ object Multimodal {
     * materialization). */
   def sampleFrames(df: DataFrame, keyCol: String, everyNth: Int = 10,
                    codec: MediaCodec = FakeCodec): DataFrame = {
+    // fail at plan time, not per-row inside tasks ('step cannot be 0'):
+    // the module's contract is that decode paths never fail a job
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
     val spark = df.sparkSession
     val withMeta = df.select(col(keyCol), col("media"),
       (pmod(length(col("media")), lit(30)) + lit(1)).cast(LongType).as("n_frames"))

@@ -19,6 +19,16 @@ import graft.functions.{TextFunctions, Tokenize}
   */
 object PipelineOps {
 
+  /** The deterministic 32-bit sampling hash — first 8 hex chars of
+    * md5("id:salt") as a long in [0, 2^32). ONE spelling shared by
+    * stratifiedSample / assignSplits / upsampleByWeight (and replayed
+    * byte-for-byte by their oracles): a drifted separator or substring
+    * width here would desynchronize every deterministic-sampling
+    * operator from its oracle at once, visibly. */
+  private def saltedHash32(id: Column, salt: String): Column =
+    conv(substring(md5(
+      concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10).cast("long")
+
   // ── repetition signals ─────────────────────────────────────────────
 
   /** Per-document word-repetition profile:
@@ -129,8 +139,7 @@ object PipelineOps {
     require(defaultFrac >= 0.0 && defaultFrac <= 1.0, "defaultFrac in [0,1]")
     weights.foreach { case (s, f) =>
       require(f >= 0.0 && f <= 1.0, s"fraction for stratum '$s' must be in [0,1], got $f") }
-    val hash32 = conv(substring(md5(
-      concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8), 16, 10).cast("long")
+    val hash32 = saltedHash32(col(idCol), salt)
     val frac = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultFrac)) {
       case (acc, (stratum, f)) => when(col(stratumCol) === stratum, lit(f)).otherwise(acc)
     }
@@ -161,8 +170,7 @@ object PipelineOps {
     require(splits.map(_._2).sum == 1.0,
       s"fractions must sum to exactly 1.0 (use dyadic fractions), got ${splits.map(_._2).sum}")
     require(!df.columns.contains("split"), "split is the reserved output column name")
-    val hash32 = conv(substring(md5(
-      concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8), 16, 10).cast("long")
+    val hash32 = saltedHash32(col(idCol), salt)
     val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     // CASE on ascending cumulative thresholds; the last branch is the
     // unconditional otherwise so no row can fall through on the 2^32 edge
@@ -232,8 +240,7 @@ object PipelineOps {
       require(w >= 0.0, s"weight for stratum '$s' must be >= 0, got $w") }
     require(idCol != "copy_idx" && stratumCol != "copy_idx",
       "copy_idx is the reserved output column name")
-    val hash32 = conv(substring(md5(
-      concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8), 16, 10).cast("long")
+    val hash32 = saltedHash32(col(idCol), salt)
     val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
       case (acc, (stratum, wt)) => when(col(stratumCol) === stratum, lit(wt)).otherwise(acc)
     }

@@ -62,6 +62,28 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Driver-side probe selection shared by [[ivfTopK]] and
+    * [[ivfPqTopK]]: for each collected query row (columns `query_id`,
+    * `__qv`), the `nprobe` nearest centroids by squared L2, ties
+    * broken by `sortBy`'s stability (centroid declaration order) —
+    * the ONE spelling of the selection both ANN paths and their
+    * oracles must agree on. Returns (row, qv-as-doubles, list index)
+    * triples; callers attach their own payload. Accepts float or
+    * double embedding arrays. */
+  private def probeTriples(qRows: Array[org.apache.spark.sql.Row],
+                           centers: Array[Array[Double]],
+                           dim: Int, nprobe: Int)
+      : Seq[(org.apache.spark.sql.Row, Array[Double], Int)] =
+    qRows.toIndexedSeq.flatMap { r =>
+      val qv = r.getAs[scala.collection.Seq[Any]]("__qv")
+        .map(_.asInstanceOf[Number].doubleValue()).toArray
+      centers.zipWithIndex.map { case (ctr, i) =>
+        var d = 0.0; var j = 0
+        while (j < dim) { val diff = qv(j) - ctr(j); d += diff * diff; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map { case (list, _) => (r, qv, list) }
+    }
+
   /** Deterministic ±1 hyperplanes for `nbits` sign bits over `dim`
     * dimensions: sign(p,d) = parity of the first hex digit of
     * md5("plane:seed:p:d"). md5 (vs a JVM PRNG) makes the planes
@@ -344,19 +366,13 @@ object Similarity {
 
     // queries (small, driver-side): nprobe nearest centroids each
     val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")).collect()
-    val probes = qRows.flatMap { r =>
-      val qv = r.getAs[scala.collection.Seq[Float]]("__qv").map(_.toDouble).toArray
-      centers.zipWithIndex.map { case (ctr, i) =>
-        var d = 0.0; var j = 0
-        while (j < dim) { val diff = qv(j) - ctr(j); d += diff * diff; j += 1 }
-        (i, d)
-      }.sortBy(_._2).take(nprobe).map { case (list, _) =>
-        (r.getAs[Any]("query_id"), r.getAs[scala.collection.Seq[Float]]("__qv"), list)
-      }
+    val probes = probeTriples(qRows, centers, dim, nprobe).map {
+      case (r, _, list) =>
+        (r.getAs[Any]("query_id"), r.getAs[scala.collection.Seq[Any]]("__qv"), list)
     }
     import spark.implicits._
     val probeDF = spark.createDataFrame(
-      spark.sparkContext.parallelize(probes.toIndexedSeq.map(p =>
+      spark.sparkContext.parallelize(probes.map(p =>
         org.apache.spark.sql.Row(p._1, p._2, p._3))),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("query_id",
@@ -648,21 +664,15 @@ object Similarity {
     // centroids per query, with the per-(query, list) residual carried
     // for the LUT build
     val qRows = q.collect()
-    val probes = qRows.flatMap { r =>
-      val qv = r.getAs[scala.collection.Seq[Float]]("__qv").map(_.toDouble).toArray
-      coarse.zipWithIndex.map { case (ctr, i) =>
-        var d = 0.0; var j = 0
-        while (j < dim) { val diff = qv(j) - ctr(j); d += diff * diff; j += 1 }
-        (i, d)
-      }.sortBy(_._2).take(nprobe).map { case (list, _) =>
+    val probes = probeTriples(qRows, coarse, dim, nprobe).map {
+      case (r, qv, list) =>
         val ctr = coarse(list)
         (r.getAs[Any]("query_id"),
           scala.collection.immutable.ArraySeq.unsafeWrapArray(
             Array.tabulate(dim)(f => qv(f) - ctr(f))), list)
-      }
     }
     val probeDF = spark.createDataFrame(
-      spark.sparkContext.parallelize(probes.toIndexedSeq.map(p =>
+      spark.sparkContext.parallelize(probes.map(p =>
         org.apache.spark.sql.Row(p._1, p._2, p._3))),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("query_id",
