@@ -116,7 +116,10 @@ object RelationalQueries {
       val sample = strs.where(col("ds").isNotNull).select(col("ds")).limit(1)
         .head().getString(0)
       val fmt = graft.functions.DateSniffer.sparkFormat(sample).getOrElse("M/d/yyyy")
-      strs.select(year(to_date(col("ds"), fmt)).cast("long").as("y"))
+      // parseDate = to_date + the python 69-99 → 19xx two-digit-year
+      // pivot (a no-op for this 4-digit gate format)
+      strs.select(year(graft.functions.DateSniffer.parseDate(col("ds"), fmt))
+          .cast("long").as("y"))
         .groupBy(col("y")).agg(count(lit(1)).as("n"))
     }),
 

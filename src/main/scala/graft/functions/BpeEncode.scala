@@ -43,7 +43,9 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     val out = new java.util.ArrayList[UTF8String]()
     var w = 0
     while (w < words.numElements()) {
-      val word = words.getUTF8String(w).toString
+      // null slots read as "" (SQL-exposed: must not NPE the task)
+      val u = words.getUTF8String(w)
+      val word = if (u == null) "" else u.toString
       var toks = Bpe.codePointSplit(word)
       var m = 0
       while (m < merges.length) {

@@ -37,12 +37,19 @@ case class CentroidDistsExpr(child: Expression, centers: Seq[IndexedSeq[Double]]
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
 
-  @transient private lazy val isFloat = child.dataType match {
-    case ArrayType(FloatType, _)  => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalStateException(
-      s"CentroidDists expects array<float|double>, got $other")
-  }
+  // analysis-time rejection (the BpeEncodeExpr pattern) instead of an
+  // IllegalStateException mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"centroid_dists expects an array<float|double> argument, got $other")
+    }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   // unwrap once per task, not per row
   @transient private lazy val ctrs: Array[Array[Double]] = centers.map(_.toArray).toArray
 

@@ -31,12 +31,19 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _)  => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalStateException(
-      s"CosineSim expects array<float|double>, got $other")
-  }
+  // analysis-time rejection with a readable message (the BpeEncodeExpr
+  // pattern) instead of an IllegalStateException mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_cosine expects two array<float|double> arguments, got ($l, $r)")
+    }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
   @transient private lazy val lf = isFloat(left)
   @transient private lazy val rf = isFloat(right)
   @transient private lazy val lNulls = left.dataType.asInstanceOf[ArrayType].containsNull
@@ -47,11 +54,16 @@ case class CosineSimExpr(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (y.numElements() != n) return null
-    if ((lNulls || rNulls) && (0 until n).exists(i => x.isNullAt(i) || y.isNullAt(i)))
-      return null
+    // null-element check folded into the accumulation loop: the
+    // separate `(0 until n).exists` pass allocated a Range + boxed
+    // predicate per pair, on the hot path this expression exists to
+    // keep allocation-free (partial sums before a null are discarded
+    // by the return, so semantics are identical)
+    val checkNulls = lNulls || rNulls
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi

@@ -22,11 +22,16 @@ object DBSCAN {
 
   /** @return cluster label per point, -1 for noise; labels are 0-based
     *         in discovery order (same convention as sklearn). */
-  def fit(n: Int, dist: (Int, Int) => Double, eps: Double, minPts: Int): Array[Int] = {
+  def fit(n: Int, dist: (Int, Int) => Double, eps: Double, minPts: Int): Array[Int] =
+    expand(n, i => (0 until n).filter(j => dist(i, j) <= eps), minPts)
+
+  /** The one cluster-expansion BFS behind [[fit]] and [[fitPoints]] —
+    * they differ only in how `neighbors` is produced (distance-function
+    * scan vs eps-grid index). The label-before-enqueue invariant lives
+    * in exactly one place. */
+  private def expand(n: Int, neighbors: Int => IndexedSeq[Int], minPts: Int): Array[Int] = {
     val labels = Array.fill(n)(-2) // -2 = unvisited, -1 = noise
     var cluster = -1
-    def neighbors(i: Int): IndexedSeq[Int] =
-      (0 until n).filter(j => dist(i, j) <= eps)
     for (i <- 0 until n if labels(i) == -2) {
       val ni = neighbors(i)
       if (ni.size < minPts) labels(i) = -1
@@ -99,36 +104,8 @@ object DBSCAN {
   /** Euclidean DBSCAN over dense points (discovery-order labels, same
     * convention as [[fit]]/sklearn). */
   def fitPoints(points: Array[Array[Double]], eps: Double, minPts: Int): Array[Int] = {
-    val n = points.length
-    if (n == 0) return Array.empty
-    val neighbors = neighborFn(points, eps)
-
-    val labels = Array.fill(n)(-2)
-    var cluster = -1
-    for (i <- 0 until n if labels(i) == -2) {
-      val ni = neighbors(i)
-      if (ni.size < minPts) labels(i) = -1
-      else {
-        cluster += 1
-        labels(i) = cluster
-        val queue = mutable.Queue[Int]()
-        ni.foreach { u =>
-          if (labels(u) == -1) labels(u) = cluster
-          else if (labels(u) == -2) { labels(u) = cluster; queue.enqueue(u) }
-        }
-        while (queue.nonEmpty) {
-          val j = queue.dequeue()
-          val nj = neighbors(j)
-          if (nj.size >= minPts) {
-            nj.foreach { u =>
-              if (labels(u) == -1) labels(u) = cluster
-              else if (labels(u) == -2) { labels(u) = cluster; queue.enqueue(u) }
-            }
-          }
-        }
-      }
-    }
-    labels
+    if (points.isEmpty) return Array.empty
+    expand(points.length, neighborFn(points, eps), minPts)
   }
 
   /** Order-independent DBSCAN labeling: a cluster is labeled by the

@@ -75,25 +75,62 @@ object DateSniffer {
 
   /** Spark datetime pattern for a sampled value's detected format —
     * the bridge from driver-side sniffing to a distributed
-    * `to_date(col, fmt)` parse of the whole column. */
+    * `to_date(col, fmt)` parse of the whole column.
+    *
+    * The pattern is built from the MATCHED SPANS: each regex group is
+    * replaced by its field token and the literal text between groups
+    * (the actual separators — '/', '-', ', ', …) is kept verbatim.
+    * The previous single-separator guess could emit a format the
+    * sniffed value itself doesn't parse under ("Mar 5, 2020" sniffed
+    * as a date but got "MMM d yyyy", which to_date then nulls —
+    * classifying a column as dates and failing to parse it). Month
+    * names longer than 3 chars emit "MMMM" (DateTimeFormatter's "MMM"
+    * accepts abbreviations only). */
   def sparkFormat(value: String): Option[String] = {
     if (value == null) return None
     val v = value.trim
     patterns.collectFirst(Function.unlift { case (re, order) =>
       re.findPrefixMatchOf(v).flatMap { m =>
-        val g = m.subgroups
-        val sep = if (v.contains("/")) "/" else if (v.contains("-")) "-" else if (v.contains(".")) "." else " "
         def yr(s: String) = if (s.length == 2) "yy" else "yyyy"
-        order match {
-          case "mdy" => Some(s"M${sep}d$sep${yr(g(2))}")
-          case "ymd" => Some(s"${yr(g(0))}${sep}M${sep}d")
-          case "dmy" => Some(s"d${sep}M$sep${yr(g(2))}")
-          case "dby" => Some(s"d${sep}MMM$sep${yr(g(2))}")
-          case "bdy" => Some(s"MMM${sep}d$sep${yr(g(2))}")
-          case "y4"  => Some("yyyy")
+        def mon(s: String) = if (s.length > 3) "MMMM" else "MMM"
+        // field token per 1-based regex group, in group order
+        val toks: Option[Seq[String]] = order match {
+          case "mdy" => Some(Seq("M", "d", yr(m.group(3))))
+          case "ymd" => Some(Seq(yr(m.group(1)), "M", "d"))
+          case "dmy" => Some(Seq("d", "M", yr(m.group(3))))
+          case "dby" => Some(Seq("d", mon(m.group(2)), yr(m.group(3))))
+          case "bdy" => Some(Seq(mon(m.group(1)), "d", yr(m.group(3))))
+          case "y4"  => Some(Seq("yyyy"))
           case _     => None
+        }
+        toks.map { ts =>
+          val sb = new StringBuilder
+          var pos = m.start
+          var gi = 1
+          while (gi <= ts.length) {
+            sb.append(v.substring(pos, m.start(gi))) // literal separators
+            sb.append(ts(gi - 1))
+            pos = m.end(gi)
+            gi += 1
+          }
+          sb.toString
         }
       }
     })
+  }
+
+  /** Distributed `to_date` with the PYTHON two-digit-year pivot.
+    * [[sniff]] classifies per strptime (69-99 → 19xx), but Spark's
+    * reduced "yy" field bases at 2000 (69-99 → 20xx) — without the
+    * correction the driver-side classification and the full-column
+    * parse disagree by a century on 69-99 years. Exact: every
+    * correctable year is 2069-2099, and −1200 months maps leap years
+    * onto leap years (2072↔1972, …; no century boundary in range). */
+  def parseDate(c: org.apache.spark.sql.Column, fmt: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{functions => F}
+    val d = F.to_date(c, fmt)
+    if (fmt.contains("yy") && !fmt.contains("yyyy"))
+      F.when(F.year(d) >= 2069, F.add_months(d, -1200)).otherwise(d)
+    else d
   }
 }

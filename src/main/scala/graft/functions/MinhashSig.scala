@@ -36,6 +36,15 @@ case class MinhashSignature(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash_sig expects an array<string> argument, got $other")
+    }
+
   // one digest instance per deserialized expression copy (= per task)
   @transient private lazy val md5 = MessageDigest.getInstance("MD5")
 
@@ -44,9 +53,16 @@ case class MinhashSignature(child: Expression, numHashes: Int)
     val m = arr.numElements()
     if (m == 0) return null
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    var seen = 0
     var i = 0
     while (i < m) {
-      val d = md5.digest(arr.getUTF8String(i).getBytes)
+      // skip null grams like SimHash64 (SQL-exposed: a null array slot
+      // must not NPE the task) — an all-null array degrades to null
+      // output like an empty one
+      val u = arr.getUTF8String(i)
+      if (u == null) { i += 1 } else {
+      seen += 1
+      val d = md5.digest(u.getBytes)
       val h56 =
         ((d(0) & 0xFFL) << 48) | ((d(1) & 0xFFL) << 40) | ((d(2) & 0xFFL) << 32) |
           ((d(3) & 0xFFL) << 24) | ((d(4) & 0xFFL) << 16) | ((d(5) & 0xFFL) << 8) |
@@ -61,7 +77,9 @@ case class MinhashSignature(child: Expression, numHashes: Int)
         v = (v + b) % P
       }
       i += 1
+      }
     }
+    if (seen == 0) return null
     new GenericArrayData(mins)
   }
   override protected def withNewChildInternal(c: Expression): MinhashSignature = copy(child = c)

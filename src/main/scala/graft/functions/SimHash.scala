@@ -31,6 +31,17 @@ case class SimHash64(child: Expression)
 
   override def dataType: DataType = LongType
 
+  // analysis-time rejection (the BpeEncodeExpr pattern) instead of a
+  // raw ClassCastException mid-job on e.g. graft_simhash64('abc')
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_simhash64 expects an array<string> argument, got $other")
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val acc = new Array[Int](SimHash64.Bits)

@@ -68,13 +68,11 @@ object TSNE {
       if (sum <= 0) sum = Double.MinPositiveValue
       for (j <- 0 until n if j != i) p(i)(j) = p(i)(j) / sum
     }
-    // symmetrize
+    // symmetrize (each conditional row already sums to 1, so pSym sums
+    // to 1 by construction — no normalization pass follows)
     val pSym = Array.ofDim[Double](n, n)
-    var pTot = 0.0
-    for (i <- 0 until n; j <- 0 until n if i != j) {
+    for (i <- 0 until n; j <- 0 until n if i != j)
       pSym(i)(j) = (p(i)(j) + p(j)(i)) / (2.0 * n)
-      pTot += pSym(i)(j)
-    }
 
     // deterministic PCA init to 2 components (power iteration on the
     // centered covariance — matches init="pca" determinism)
@@ -116,38 +114,17 @@ object TSNE {
     y
   }
 
-  /** Top-2 principal components via deterministic power iteration. */
+  /** Top-2 principal components ([[PowerPca.top2]], the shared
+    * bit-exact core), scaled small — sklearn scales pca init to
+    * 1e-4 std. */
   private def pcaInit(points: Array[Array[Double]]): Array[Array[Double]] = {
-    val n = points.length
-    val d = points(0).length
-    val means = Array.tabulate(d)(k => points.map(_(k)).sum / n)
-    val x = points.map(p => Array.tabulate(d)(k => p(k) - means(k)))
-    def project(v: Array[Double]): Array[Double] = x.map(r => dot(r, v))
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var k = 0
-      while (k < a.length) { s += a(k) * b(k); k += 1 }; s
-    }
-    def powerIter(deflate: Option[Array[Double]]): Array[Double] = {
-      var v = Array.tabulate(d)(k => 1.0 / (k + 1)) // fixed start
-      for (_ <- 0 until 100) {
-        deflate.foreach { u => val c = dot(v, u); for (k <- 0 until d) v(k) -= c * u(k) }
-        val xv = project(v)
-        val next = Array.tabulate(d)(k => x.zip(xv).map { case (r, s) => r(k) * s }.sum)
-        val norm = math.sqrt(dot(next, next))
-        v = if (norm > 0) next.map(_ / norm) else v
-      }
-      v
-    }
-    val v1 = powerIter(None)
-    val v2 = powerIter(Some(v1))
-    // scale init small (sklearn scales pca init to 1e-4 std)
-    val c1 = project(v1); val c2 = project(v2)
+    val (c1, c2) = PowerPca.top2(points)
     def std(a: Array[Double]): Double = {
       val m = a.sum / a.length
       math.sqrt(a.map(v => (v - m) * (v - m)).sum / a.length)
     }
     val s1 = if (std(c1) > 0) 1e-4 / std(c1) else 1.0
     val s2 = if (std(c2) > 0) 1e-4 / std(c2) else 1.0
-    Array.tabulate(n)(i => Array(c1(i) * s1, c2(i) * s2))
+    Array.tabulate(points.length)(i => Array(c1(i) * s1, c2(i) * s2))
   }
 }

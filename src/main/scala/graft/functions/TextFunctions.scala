@@ -24,11 +24,19 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Character n-gram shingles via a transform over positions — stays
-    * inside Catalyst (no UDF), scales linearly with text length. */
-  def charShingles(text: Column, n: Int): Column =
+    * inside Catalyst (no UDF), scales linearly with text length.
+    * Text shorter than `n` (and null text) yields an EMPTY array: the
+    * natural `sequence(1, length - n + 1)` spelling alone would emit
+    * `[1, 0]` for short text (Spark's sequence defaults to step -1
+    * when start > stop) and hand back a phantom whole-text shingle. */
+  def charShingles(text: Column, n: Int): Column = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
     array_distinct(expr(
-      s"transform(sequence(1, greatest(length(__t) - ${n - 1}, 0)), i -> substring(__t, i, $n))"
+      (s"CASE WHEN length(__t) >= $n THEN " +
+        s"transform(sequence(1, length(__t) - ${n - 1}), i -> substring(__t, i, $n)) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END")
         .replace("__t", sqlRef(text))))
+  }
 
   /** Word n-gram shingles from the whitespace tokens (distinct, in
     * first-occurrence order). Single-pass native expressions — the

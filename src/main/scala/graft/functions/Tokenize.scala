@@ -89,7 +89,19 @@ case class BpeishTokens(child: Expression) extends SinglePassTokenizer {
   * token child once per element (O(tokens²) scans); this expression
   * evaluates its child once. Output order matches the lambda form. */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+  // like MinhashSignature's numHashes require: n = 0 would silently
+  // emit m+1 empty-string shingles into the dedup signatures
+  require(n >= 1, s"shingle width must be >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_word_shingles expects an array<string> argument, got $other")
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -102,7 +114,9 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression with 
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        sb.append(arr.getUTF8String(i + j).toString)
+        // null slots read as "" (SQL-exposed: must not NPE the task)
+        val u = arr.getUTF8String(i + j)
+        if (u != null) sb.append(u.toString)
         j += 1
       }
       out(i) = UTF8String.fromString(sb.toString)
@@ -133,6 +147,15 @@ case class RepetitionStats(child: Expression, dupN: Int)
   extends UnaryExpression with CodegenFallback {
   require(dupN >= 3, s"dupN must be >= 3, got $dupN")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_repetition expects an array<string> argument, got $other")
+    }
+
   override def dataType: DataType = StructType(Seq(
     StructField("n_words", LongType, nullable = false),
     StructField("mx1", LongType, nullable = true),
@@ -156,7 +179,12 @@ case class RepetitionStats(child: Expression, dupN: Int)
     val m = arr.numElements()
     val toks = new Array[UTF8String](m)
     var i = 0
-    while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+    // null slots read as "" (SQL-exposed: must not NPE the task)
+    while (i < m) {
+      val u = arr.getUTF8String(i)
+      toks(i) = if (u == null) UTF8String.EMPTY_UTF8 else u
+      i += 1
+    }
 
     def counts(n: Int): java.util.HashMap[String, Long] = {
       val h = new java.util.HashMap[String, Long]()

@@ -197,32 +197,11 @@ object UMAP {
     Trace(knn, rhos, sigmas, edges, maxW, init, drawT / negRate, y)
   }
 
-  /** Top-2 PCA projection via deterministic power iteration, scaled so
-    * the widest component spans ~[-scale, scale]. */
+  /** Top-2 PCA projection ([[PowerPca.top2]], the shared bit-exact
+    * core), scaled so the widest component spans ~[-scale, scale]. */
   private def pcaInit(points: Array[Array[Double]], scale: Double): Array[Array[Double]] = {
-    val n = points.length
-    val d = points(0).length
-    val means = Array.tabulate(d)(c => points.map(_(c)).sum / n)
-    val x = points.map(p => Array.tabulate(d)(c => p(c) - means(c)))
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var c = 0
-      while (c < a.length) { s += a(c) * b(c); c += 1 }; s
-    }
-    def powerIter(deflate: Option[Array[Double]]): Array[Double] = {
-      var v = Array.tabulate(d)(c => 1.0 / (c + 1))
-      for (_ <- 0 until 100) {
-        deflate.foreach { u => val co = dot(v, u); for (c <- 0 until d) v(c) -= co * u(c) }
-        val xv = x.map(r => dot(r, v))
-        val next = Array.tabulate(d)(c => x.zip(xv).map { case (r, s) => r(c) * s }.sum)
-        val norm = math.sqrt(dot(next, next))
-        v = if (norm > 0) next.map(_ / norm) else v
-      }
-      v
-    }
-    val v1 = powerIter(None)
-    val v2 = powerIter(Some(v1))
-    val c1 = x.map(r => dot(r, v1)); val c2 = x.map(r => dot(r, v2))
+    val (c1, c2) = PowerPca.top2(points)
     val span = math.max(c1.map(math.abs).max, math.max(c2.map(math.abs).max, 1e-12))
-    Array.tabulate(n)(i => Array(c1(i) / span * scale, c2(i) / span * scale))
+    Array.tabulate(points.length)(i => Array(c1(i) / span * scale, c2(i) / span * scale))
   }
 }

@@ -114,6 +114,36 @@ class LineageSourcesSpec extends SparkSpec {
     assert(DateSniffer.sparkFormat("2019-12-24").contains("yyyy-M-d"))
     assert(DateSniffer.sparkFormat("1/24/20").contains("M/d/yy"))
     assert(DateSniffer.sparkFormat("not a date").isEmpty)
+    // span-built formats: actual separators survive (commas, mixed
+    // space+comma), full month names emit MMMM
+    assert(DateSniffer.sparkFormat("12,31,2020").contains("M,d,yyyy"))
+    assert(DateSniffer.sparkFormat("Mar 5, 2020").contains("MMM d, yyyy"))
+    assert(DateSniffer.sparkFormat("January 5, 2020").contains("MMMM d, yyyy"))
+  }
+
+  test("every sniffed value parses under its own emitted format, sniff-equal") {
+    import graft.functions.DateSniffer
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // every sample FULL-matches its pattern: sniff is prefix-anchored
+    // (python re.match) but to_date is whole-string, so a
+    // prefix-only match (e.g. ymd stealing "25-12-1999" as "25-12-19")
+    // is out of scope for the distributed-parse agreement contract
+    val samples = Seq("12/24/2019", "2019-12-24", "1/24/20", "12,31,2020",
+      "Mar 5, 2020", "January 5, 2020",
+      "12/31/70", "6/1/69", "6/1/68")
+    samples.foreach { s =>
+      val sniffed = DateSniffer.sniff(s)
+      val fmt = DateSniffer.sparkFormat(s)
+      assert(sniffed.isDefined && fmt.isDefined, s"'$s' must sniff AND format")
+      // the distributed parse (with the python 69-99 → 19xx pivot)
+      // must agree with the driver-side classification — including
+      // '12/31/70' → 1970 (Spark's bare 'yy' would say 2070)
+      val parsed = Seq(s).toDF("ds")
+        .select(DateSniffer.parseDate(col("ds"), fmt.get).as("d"))
+        .head().getDate(0).toLocalDate
+      assert(parsed == sniffed.get, s"'$s': distributed $parsed vs sniffed ${sniffed.get}")
+    }
   }
 
   test("csv / json / in-memory sources round-trip with optional row cap") {
