@@ -111,15 +111,12 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
     def outCols(ch: String): Seq[String] =
       frames(ch).columns.filterNot(key.contains).toSeq
 
-    // user-chosen lineages can produce overlapping column names; rename
-    // right-side collisions so the key-join stays unambiguous
+    // user-chosen lineages can produce overlapping column names; the
+    // collision-renaming key join is the search pipeline's spelling
+    // (Recommender.joinOnKey) so the two paths cannot diverge
     def joinOn(left: DataFrame, right: DataFrame,
-               rightCols: Seq[String]): (DataFrame, Seq[String]) = {
-      val leftSet = left.columns.toSet
-      val renames = rightCols.filter(leftSet.contains).map(c => c -> (c + "__y")).toMap
-      val r2 = renames.foldLeft(right) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
-      (left.join(r2, key), rightCols.map(c => renames.getOrElse(c, c)))
-    }
+               rightCols: Seq[String]): (DataFrame, Seq[String]) =
+      graft.plans.Recommender.joinOnKey(key)(left, right, rightCols)
 
     chartType match {
       case "sum_bar" =>

@@ -33,7 +33,9 @@ import graft.functions.DBSCAN
 object CoreT {
 
   val dimensionReducing = Set("pca", "tsne", "mds", "umap") // dmTl (T.py)
-  private val arithmeticOps = Set("sum", "sub", "mul", "div")
+  // shared with Recommender.candidates' static-validity filter, which
+  // must mirror transform's arithmetic-based rejections exactly
+  private[graft] val arithmeticOps = Set("sum", "sub", "mul", "div")
 
   /** LDA defaults (Tfunctions.py:46-77: n_components=4; seed 9 is the
     * engine-wide deterministic seed). Shared with [[graft.LdaOracle]],

@@ -90,6 +90,20 @@ object Recommender {
     * alignment rule. */
   private val dmTs = Set("pca", "mds", "tsne", "umap", "kmeans", "dbscan", "lda")
 
+  /** Collision-renaming key join of two channel frames — the ONE
+    * spelling shared by the search pipeline and Engine.buildChart's
+    * interactive rebuild, so the two paths cannot diverge: right-side
+    * columns that collide with the left get a `__y` suffix, and the
+    * returned column list reflects the renames. */
+  private[graft] def joinOnKey(key: Seq[String])(
+      left: DataFrame, right: DataFrame,
+      rightCols: Seq[String]): (DataFrame, Seq[String]) = {
+    val leftSet = left.columns.toSet
+    val renames = rightCols.filter(leftSet.contains).map(c => c -> (c + "__y")).toMap
+    val r2 = renames.foldLeft(right) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+    (left.join(r2, key), rightCols.map(c => renames.getOrElse(c, c)))
+  }
+
   /** @param tlist restrict core transforms considered for channels —
     *        the /vis/search "tlist" parameter (main.py:91-94). The four
     *        null passthroughs are always admitted, exactly like the
@@ -97,9 +111,10 @@ object Recommender {
     * @param slist enabled score metrics — the /vis/search "slist"
     *        toggles (score.py:10-28, main.py:97): a chart's score is
     *        the unweighted mean of its ENABLED metrics (search.py:792).
-    *        None = this engine's default metric set (identical scores
-    *        to every previous round); an explicit set filters it and
-    *        can additionally enable "sca_striated" (off by default). */
+    *        None = this engine's default metric set — which INCLUDES
+    *        "sca_striated", matching the reference's default slist
+    *        (score.py:21); an explicit set filters the default
+    *        metrics down to the named ones. */
   def recommend(df: DataFrame, profile: TableProfile, spark: SparkSession,
                 cfg: EngineConfig = EngineConfig.default,
                 charts: Seq[String] = Seq("scatter", "line", "bar"),
@@ -180,12 +195,8 @@ object Recommender {
       * on the right so downstream references stay unambiguous. Returns
       * the joined frame + the (possibly renamed) right column names. */
     def joinChannels(left: DataFrame, right: DataFrame,
-                     rightCols: Seq[String]): (DataFrame, Seq[String]) = {
-      val leftSet = left.columns.toSet
-      val renames = rightCols.filter(leftSet.contains).map(c => c -> (c + "__y")).toMap
-      val r2 = renames.foldLeft(right) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
-      (left.join(r2, key), rightCols.map(c => renames.getOrElse(c, c)))
-    }
+                     rightCols: Seq[String]): (DataFrame, Seq[String]) =
+      joinOnKey(key)(left, right, rightCols)
 
     // static output-dimension prediction, so only dimension-compatible
     // tpaths are ever executed (channel dim == T output dim,
@@ -223,13 +234,40 @@ object Recommender {
     // client tlist restriction + the always-admitted null passthroughs
     // (main.py:92-94)
     val allowedTs = tlist.map(_ ++ Set("null_num", "null_num1", "null_nom", "null_nom1"))
-    def candidates(dim: Option[Int], ctype: String): Seq[Executed] = {
+    // Statically-doomed candidates must not occupy pre-execution
+    // slots: CoreT.transform rejects null_num1 tpaths WITHOUT
+    // arithmetic (Tengine.py:65-67) and notCalcuDmT rejects
+    // dimension-reducing tpaths WITH it. The reference executes its
+    // whole pool, so its execution-time rejections cost nothing; our
+    // take(perT) scale cap slices BEFORE execution, and on a wide
+    // table the (always-rejected) null_num1 single-selects alone
+    // filled every slot — silently eliminating the arithmetic
+    // null_num1 charts the reference produces (WideTableSearchSpec
+    // pins the fix). The filter mirrors the execution rule exactly,
+    // so the slice only ever spends slots on candidates that can
+    // actually run.
+    def staticallyViable(t: String, tp: TPathCandidate): Boolean = {
+      lazy val hasArith = tp.steps.exists(s => CoreT.arithmeticOps.contains(s.op))
+      if (t == "null_num1") hasArith
+      else if (cfg.notCalcuDmT && CoreT.dimensionReducing.contains(t)) !hasArith
+      else true
+    }
+    // memoized per (dim, ctype): the line/bar families re-request the
+    // same candidate lists (rel_cat_line once per cat-y candidate) and
+    // each rebuild re-ran enumeration + dedup + the gather, all
+    // deterministic — pure wasted driver CPU (execution itself was
+    // always memoized by fingerprint)
+    val candCache = mutable.Map[(Option[Int], String), Seq[Executed]]()
+    def candidates(dim: Option[Int], ctype: String): Seq[Executed] =
+      candCache.getOrElseUpdate((dim, ctype), candidatesUncached(dim, ctype))
+    def candidatesUncached(dim: Option[Int], ctype: String): Seq[Executed] = {
       val ts = if (ctype == "num") Enumerator.numTl else Enumerator.catTl
       val work: Seq[(String, TPathCandidate)] =
         ts.filter(t => allowedTs.forall(_.contains(t)))
           .filter(t => embedOk || (t != "tsne" && t != "umap")).flatMap { t =>
           val perT = if (dmTs.contains(t)) 3 else maxCandidatesPerChannel
           pool(t)
+            .filter(tp => staticallyViable(t, tp))
             .filter(tp => predictedDim(t, tp).forall(d => dim.forall(_ == d)))
             .take(perT).map(t -> _)
         }
@@ -290,10 +328,10 @@ object Recommender {
           ).collect { case (n, v) if enabled(n) => v() }
           if (enabledTypes.contains("num_scatter")) {
             for (c <- numColors.filter(aligned(xy, _)).take(3)) {
-              recs += chartRec("num_scatter", Map("xy" -> xy, "color" -> c), meanOf(base), maxChartRows)
+              recs += chartRec("num_scatter", Map("xy" -> xy, "color" -> c), meanOf(base), maxChartRows, key)
             }
             if (numColors.isEmpty)
-              recs += chartRec("num_scatter", Map("xy" -> xy), meanOf(base), maxChartRows)
+              recs += chartRec("num_scatter", Map("xy" -> xy), meanOf(base), maxChartRows, key)
           }
           if (enabledTypes.contains("cat_scatter")) {
             for (c <- catColors.filter(aligned(xy, _)).take(3)) {
@@ -319,7 +357,7 @@ object Recommender {
                 val withCdm =
                   if (enabled("sca_cdm")) base :+ Scagnostics.cdm(pts2, labels) else base
                 recs += chartRec("cat_scatter", Map("xy" -> xy, "color" -> c),
-                  meanOf(withCdm), maxChartRows)
+                  meanOf(withCdm), maxChartRows, key)
               }
             }
           }
@@ -339,7 +377,7 @@ object Recommender {
           val cols = series.indices.map(i => rows.map(_.getDouble(i)).toArray).toArray
           if (enabledTypes.contains("ord_line")) {
             recs += chartRec("ord_line", Map("y" -> y),
-              lineScore(cols.toSeq), maxChartRows)
+              lineScore(cols.toSeq), maxChartRows, key)
           }
         }
       }
@@ -357,7 +395,7 @@ object Recommender {
             val ySeries = (1 until joined.head.length)
               .map(i => joined.map(_.getDouble(i)).toArray).toSeq
             recs += chartRec("rel_line", Map("x" -> x, "y" -> y),
-              lineScore(ySeries), maxChartRows)
+              lineScore(ySeries), maxChartRows, key)
           }
         }
       }
@@ -380,7 +418,7 @@ object Recommender {
             .na.drop().limit(maxChartRows).collect().map(_.getString(0))
           if (labels.length >= 3) {
             recs += chartRec("ord_cat_line", Map("y" -> y),
-              catLineScore(codesOf(labels)), maxChartRows)
+              catLineScore(codesOf(labels)), maxChartRows, key)
           }
         }
         if (enabledTypes.contains("rel_cat_line")) {
@@ -391,7 +429,7 @@ object Recommender {
               .limit(maxChartRows).collect().map(_.getString(0))
             if (joined.length >= 3) {
               recs += chartRec("rel_cat_line", Map("x" -> x, "y" -> y),
-                catLineScore(codesOf(joined)), maxChartRows)
+                catLineScore(codesOf(joined)), maxChartRows, key)
             }
           }
         }
@@ -421,7 +459,7 @@ object Recommender {
               val sums = series.indices.map(i =>
                 agg.map(r => Option(r.get(i + 1)).map(_.toString.toDouble).getOrElse(0.0)).toArray)
               recs += chartRec("sum_bar", Map("x" -> x, "y" -> y),
-                lineScore(sums), maxChartRows)
+                lineScore(sums), maxChartRows, key)
             }
           }
         }
@@ -431,7 +469,7 @@ object Recommender {
           if (agg.length >= 2) {
             val counts = agg.map(_.getLong(1).toDouble)
             recs += chartRec("count_bar", Map("x" -> x),
-              lineScore(Seq(counts)), maxChartRows)
+              lineScore(Seq(counts)), maxChartRows, key)
           }
         }
       }
@@ -470,7 +508,7 @@ object Recommender {
   }
 
   private def chartRec(chartType: String, chans: Map[String, Executed],
-                       score: Double, maxRows: Int): ChartRec = {
+                       score: Double, maxRows: Int, key: Seq[String]): ChartRec = {
     val channels = chans.map { case (ch, ex) => ch -> s"${ex.coreT} | ${ex.tpath.fingerprint}" }
     val columns = chans.map { case (ch, ex) => ch -> ex.outCols }
     val sig = chartType + "::" + chans.toSeq.sortBy(_._1)
@@ -481,11 +519,23 @@ object Recommender {
       .map { case (ch, ex) =>
         s"$ch=${(ex.tpath.steps.map(_.op) :+ ex.coreT).mkString(" ")}"
       }.mkString("|")
-    // bounded sample of the primary channel for rendering
-    val primary = chans.head._2
-    val sample = primary.df.limit(20).collect().map { r =>
-      r.schema.fieldNames.zip(r.toSeq).toMap
-    }.toSeq
+    // data = the JOINED all-channels frame (key + every channel's
+    // output columns, right-side collisions renamed `__y` like
+    // Engine.buildChart), capped at maxRows — previously this was 20
+    // raw rows of the FIRST channel only (no y values for a bar/line
+    // chart) and the maxRows argument was dead, so ChartRec.data
+    // could not render the chart it described
+    val chanSeq = chans.toSeq
+    val (joined, dataCols) = chanSeq.tail.foldLeft(
+        (chanSeq.head._2.df, chanSeq.head._2.outCols)) { case ((l, acc), (_, ex)) =>
+      val (j, rc) = joinOnKey(key)(l, ex.df, ex.outCols)
+      (j, acc ++ rc)
+    }
+    val sample = joined
+      .select((key ++ dataCols).distinct.map(org.apache.spark.sql.functions.col): _*)
+      .limit(maxRows).collect().map { r =>
+        r.schema.fieldNames.zip(r.toSeq).toMap
+      }.toSeq
     ChartRec(chartType, channels, columns, score, sig, dedupKey, sample)
   }
 }

@@ -31,6 +31,16 @@ object Profiler {
     * synthetic `defaultindex` key column is appended when no natural
     * key exists (spreadsheet.py:168-177) — plus the TableProfile.
     */
+  /** Column reference by LITERAL name: bare `col(name)` parses dots as
+    * nested-field access, so a table with a column literally named
+    * "No." or "price.usd" (dotted names are anticipated —
+    * cfg.potentialIdx contains "no.") would abort the whole profile
+    * with an AnalysisException. Backtick-quoting (with doubling for
+    * embedded backticks) resolves the flat name; identical to col()
+    * for plain names. */
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   def profile(df0: DataFrame, cfg: EngineConfig = EngineConfig.default): (DataFrame, TableProfile) = {
     val df = cfg.maxSourceRows.fold(df0)(df0.limit)
     val fields = df.schema.fields.toSeq
@@ -40,7 +50,7 @@ object Profiler {
     //    countDistinct is an expand-based plan that multiplies the scan
     //    by #columns — the approx pass keeps it one linear scan ──────
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: fields.flatMap { f =>
-      val c = col(f.name)
+      val c = qcol(f.name)
       val numish = f.dataType match {
         case _: NumericType => Some(c.cast(DoubleType))
         case DateType       => Some(datediff(c, lit("1970-01-01")).cast(DoubleType))
@@ -74,7 +84,7 @@ object Profiler {
         }
         if (boundary.isEmpty) Map.empty
         else {
-          val exactAggs = boundary.map(f => countDistinct(col(f.name)).as(s"__xnd_${f.name}"))
+          val exactAggs = boundary.map(f => countDistinct(qcol(f.name)).as(s"__xnd_${f.name}"))
           val r2 = df.agg(exactAggs.head, exactAggs.tail: _*).head()
           boundary.map(f => f.name -> r2.getAs[Long](s"__xnd_${f.name}")).toMap
         }
@@ -161,8 +171,12 @@ object Profiler {
     val quantiles: Map[String, Array[Double]] =
       if (numericCols.isEmpty || rows == 0) Map.empty
       else {
-        val casted = out.select(numericCols.map(c => col(c).cast(DoubleType).as(c)): _*)
-        numericCols.zip(casted.stat.approxQuantile(numericCols.toArray, probs, 0.001)).toMap
+        // sanitized aliases: approxQuantile resolves its column names
+        // through the same dot-ambiguous path as col()
+        val safe = numericCols.zipWithIndex.map { case (c, i) => c -> s"__q$i" }.toMap
+        val casted = out.select(numericCols.map(c => qcol(c).cast(DoubleType).as(safe(c))): _*)
+        numericCols.zip(
+          casted.stat.approxQuantile(numericCols.map(safe).toArray, probs, 0.001)).toMap
       }
 
     // Wasserstein-1 via quantile signatures: W1(A,B) = ∫|F_A⁻¹-F_B⁻¹|

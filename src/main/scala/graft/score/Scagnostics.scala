@@ -163,8 +163,14 @@ object Scagnostics {
       // — so the normalization floor is 0, not the shortest edge
       val minEdge = 0.0
       val maxEdge = edgeLengthsSorted.last
+      // REFERENCE QUIRKS, both deliberate (score.py:187-221): lastCut
+      // is recorded BEFORE the component-size bounds check (tmp_cut is
+      // assigned before the `.all()` test, so a failing cut's length
+      // still normalizes the score), and previous cuts are RE-ADDED
+      // when components are computed (tmpTreeAdjmaxCut is summed back
+      // into the graph) — componentsWithout therefore skips only the
+      // current edge. Do not "fix" either.
       var lastCut = -1.0
-      val removed = scala.collection.mutable.Set[Int]() // indices into sortedEdges
       val loBound = math.max(0.05 * n, 1.0)
       val hiBound = math.min(n - 1.0, 0.95 * n)
       var continue = true
@@ -173,14 +179,10 @@ object Scagnostics {
         val (a, b, len) = sortedEdges(i)
         if (len > 0) {
           lastCut = len
-          // components with ONLY this edge removed (previous cuts are
-          // re-added as weight-1 connectors in the reference)
           val comp = componentsWithout(i, sortedEdges)
           val sizes = comp.groupBy(identity).values.map(_.size)
-          if (sizes.forall(s => s > loBound && s < hiBound)) {
-            removed += i
-            i += 1
-          } else continue = false
+          if (sizes.forall(s => s > loBound && s < hiBound)) i += 1
+          else continue = false
         } else continue = false
       }
       if (lastCut < 0) 0

@@ -145,4 +145,16 @@ class ProfilerSpec extends SparkSpec {
     val off = Profiler.profile(df)._2
     assert(off.nameClusters == on.nameClusters.distinct)
   }
+
+  test("dotted column names profile instead of parsing as nested-field access") {
+    // bare col("price.usd") is struct access in Spark; the profiler
+    // must backtick-quote (cfg.potentialIdx even anticipates "no.")
+    import spark.implicits._
+    val df = (1 to 40).map(i => (s"r$i", i * 1.5, i % 7))
+      .toDF("No.", "price.usd", "qty.ordered")
+    val (_, prof) = Profiler.profile(df)
+    assert(prof.columns.map(_.name).toSet == Set("No.", "price.usd", "qty.ordered"))
+    val priceCol = prof.columns.find(_.name == "price.usd").get
+    assert(priceCol.max.contains(60.0), s"numeric stats must profile: $priceCol")
+  }
 }
