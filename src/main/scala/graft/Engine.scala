@@ -24,6 +24,15 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
     * the profile that drives the search (§3.1). */
   def profile(df: DataFrame): (DataFrame, TableProfile) = Profiler.profile(df, cfg)
 
+  /** Reuse a profile the caller already computed (every entry point
+    * accepts one): profiling is a full-table scan + quantile pass, and
+    * a serving flow that profiled at ingest (/vis/csv) must not
+    * re-scan the identical sheet on every /vis/search, /vis/addT,
+    * /vis/addV. None → profile now. */
+  private def profileOr(df: DataFrame,
+                        pre: Option[(DataFrame, TableProfile)]): (DataFrame, TableProfile) =
+    pre.getOrElse(Profiler.profile(df, cfg))
+
   /** The main search query (§3.2): profile → enumerate → execute →
     * score → top-k (+ optional beautify reorder, utils.py:215-222).
     *
@@ -51,7 +60,8 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
              tlist: Option[Set[String]] = None,
              dimClusters: Option[Seq[Seq[String]]] = None,
              semClusters: Option[Seq[Seq[String]]] = None,
-             slist: Option[Set[String]] = None): Recommendation = {
+             slist: Option[Set[String]] = None,
+             profiled: Option[(DataFrame, TableProfile)] = None): Recommendation = {
     // Cache hygiene is the CALLER's scope decision, not wrapped here:
     // a Recommendation is fully materialized, so a single-threaded
     // caller can wrap calls in CacheScope.withCached (the HTTP shim's
@@ -59,7 +69,7 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
     // wrap would break CONCURRENT searches on one Engine, because
     // CacheScope's mark-based scopes interleave destructively across
     // threads (its scaladoc: prefer releaseAll() at quiesce points).
-    val (pdf, prof0) = Profiler.profile(df, cfg)
+    val (pdf, prof0) = profileOr(df, profiled)
     val prof = prof0.copy(
       dimClusters = dimClusters.getOrElse(prof0.dimClusters),
       nameClusters = semClusters.getOrElse(prof0.nameClusters))
@@ -70,9 +80,15 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
 
   /** Interactive lineage extension (§3.3): replay `lineageJson` on the
     * source and apply one more basic step; returns the frame + new id. */
-  def addTransform(source: DataFrame, lineageJson: String, step: TStep): (DataFrame, String) = {
-    val (pdf, prof) = Profiler.profile(source, cfg)
-    Lineage.addStep(pdf, lineageJson, step, prof.keyColumn.toSeq)
+  def addTransform(source: DataFrame, lineageJson: String, step: TStep,
+                   profiled: Option[(DataFrame, TableProfile)] = None): (DataFrame, String) = {
+    val (pdf, prof) = profileOr(source, profiled)
+    // approxRows + windowRankMaxRows forwarded so interactive
+    // rank/nominalize replays route through the same scale path the
+    // search used (a 600k-row rank must not funnel through one
+    // partition just because it arrived via /vis/addT)
+    Lineage.addStep(pdf, lineageJson, step, prof.keyColumn.toSeq,
+      approxRows = prof.rows, windowRankMaxRows = cfg.windowRankMaxRows)
   }
 
   /** Sampled-fit routing for interactive rebuilds — the same decision
@@ -81,10 +97,12 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
     if (cfg.searchEmbedTs && cfg.searchEmbedSampleFit) cfg.searchEmbedMaxRows else 0L
 
   /** Interactive terminal transform on a replayed lineage (§3.3). */
-  def addVisualization(source: DataFrame, lineageJson: String, coreT: String): Option[DataFrame] = {
-    val (pdf, prof) = Profiler.profile(source, cfg)
+  def addVisualization(source: DataFrame, lineageJson: String, coreT: String,
+                       profiled: Option[(DataFrame, TableProfile)] = None): Option[DataFrame] = {
+    val (pdf, prof) = profileOr(source, profiled)
     Lineage.addCoreT(pdf, lineageJson, coreT, prof.keyColumn.toSeq, cfg.notCalcuDmT,
-      approxRows = prof.rows, embedSampleAbove = embedSampleAbove)
+      approxRows = prof.rows, embedSampleAbove = embedSampleAbove,
+      windowRankMaxRows = cfg.windowRankMaxRows)
   }
 
   /** Build a chart's data frame from user-chosen channel lineages —
@@ -98,13 +116,15 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
     *                 scatter: xy+color, lines: x?/y, bars: x(+y)
     */
   def buildChart(source: DataFrame, chartType: String,
-                 channels: Map[String, (String, String)]): Option[DataFrame] = {
+                 channels: Map[String, (String, String)],
+                 profiled: Option[(DataFrame, TableProfile)] = None): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
-    val (pdf, prof) = Profiler.profile(source, cfg)
+    val (pdf, prof) = profileOr(source, profiled)
     val key = prof.keyColumn.toSeq
     val executed = channels.map { case (ch, (json, coreT)) =>
       ch -> Lineage.addCoreT(pdf, json, coreT, key, cfg.notCalcuDmT,
-        approxRows = prof.rows, embedSampleAbove = embedSampleAbove)
+        approxRows = prof.rows, embedSampleAbove = embedSampleAbove,
+        windowRankMaxRows = cfg.windowRankMaxRows)
     }
     if (executed.values.exists(_.isEmpty)) return None
     val frames = executed.view.mapValues(_.get).toMap

@@ -40,7 +40,9 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
 
   private val engine = new Engine(spark, cfg)
   private val mapper = new ObjectMapper()
-  private val sheet = new AtomicReference[Option[DataFrame]](None)
+  // the profiled pair is cached at ingest: search/addT/addV reuse it
+  // instead of re-scanning the identical sheet per request
+  private val sheet = new AtomicReference[Option[(DataFrame, graft.TableProfile)]](None)
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/vis/csv", handler(csv))
@@ -58,8 +60,11 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
     val headers = req.get("headers").elements().asScala.map(_.asText()).toVector
     val body = req.get("body").elements().asScala.map(_.elements().asScala.toVector).toVector
     // column-type sniff: all-numeric columns land as DOUBLE, the rest
-    // as STRING (the profiler handles date/nominal refinement)
-    val numeric = headers.indices.map(c => body.forall(r => r(c).isNumber))
+    // as STRING (the profiler handles date/nominal refinement). JSON
+    // nulls are type-neutral: one null in a numeric column must not
+    // demote it to Str/Nominal and silently drop it from every
+    // numeric chart (the profiler never re-sniffs numeric strings)
+    val numeric = headers.indices.map(c => body.forall(r => r(c).isNumber || r(c).isNull))
     val schema = StructType(headers.zipWithIndex.map { case (h, c) =>
       StructField(h, if (numeric(c)) DoubleType else StringType, nullable = true)
     })
@@ -70,12 +75,15 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
     }))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
     val (pdf, prof) = engine.profile(df)
-    sheet.set(Some(pdf))
+    sheet.set(Some((pdf, prof)))
     val out = mapper.createObjectNode()
     val cols = out.putArray("columns")
     prof.columns.foreach { c =>
       val r = cols.addArray()
-      r.add(c.name).add(c.logicalType.toString).add(c.distinctCount)
+      // .name = the protocol's lowercase tags ("int"/"str"/"date"/
+      // "nominal"/"real"), like Profiler.profileStatsDF — NOT the
+      // case-object toString ("Int"/"Str"/...)
+      r.add(c.name).add(c.logicalType.name).add(c.distinctCount)
       c.max.fold[ArrayNode](r.addNull())(v => r.add(v))
       c.min.fold[ArrayNode](r.addNull())(v => r.add(v))
       r.add(c.isKey)
@@ -88,7 +96,8 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
   }
 
   private def search(req: JsonNode): JsonNode = {
-    val df = sheet.get().getOrElse(throw new IllegalStateException("POST /vis/csv first"))
+    val pair = sheet.get().getOrElse(throw new IllegalStateException("POST /vis/csv first"))
+    val df = pair._1
     val charts = field(req, "charts")
       .map(_.elements().asScala.map(_.asText()).toSeq)
       .getOrElse(Seq("scatter", "line", "bar"))
@@ -108,7 +117,8 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
       }.toSet
     }
     val rec = engine.search(df, charts, beautify, tlist,
-      clusters("dim_clusters"), clusters("sem_clusters"), slist)
+      clusters("dim_clusters"), clusters("sem_clusters"), slist,
+      profiled = Some(pair))
     val out = mapper.createObjectNode()
     val vis = out.putArray("vislist")
     rec.visList.foreach { c =>
@@ -127,7 +137,8 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
   }
 
   private def addT(req: JsonNode): JsonNode = {
-    val df = sheet.get().getOrElse(throw new IllegalStateException("POST /vis/csv first"))
+    val pair = sheet.get().getOrElse(throw new IllegalStateException("POST /vis/csv first"))
+    val df = pair._1
     val t = req.get("t")
     val step = TStep(
       op = t.get("op").asText(),
@@ -136,7 +147,7 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
       outMode = field(t, "outmode").map(_.asText()).getOrElse("append"),
       outName = field(t, "outname").map(_.asText()),
       castTo = field(t, "castto").map(_.asText()))
-    val (frame, lineage) = engine.addTransform(df, lineageOf(req), step)
+    val (frame, lineage) = engine.addTransform(df, lineageOf(req), step, profiled = Some(pair))
     val out = mapper.createObjectNode()
     out.put("lineage", lineage)
     putPreview(out, frame)
@@ -144,7 +155,8 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
   }
 
   private def addV(req: JsonNode): JsonNode = {
-    val df = sheet.get().getOrElse(throw new IllegalStateException("POST /vis/csv first"))
+    val pair = sheet.get().getOrElse(throw new IllegalStateException("POST /vis/csv first"))
+    val df = pair._1
     // the reference's addV form (main.py:132-134): vtype + channel map
     // → assemble a full chart (search.py:1495-1794 ≙ Engine.buildChart).
     // The single-(lineage, coret) preview form stays supported below.
@@ -155,7 +167,7 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
         val coreT = field(e.getValue, "coret").map(_.asText()).getOrElse("null_num")
         e.getKey -> (lineage, coreT)
       }.toMap
-      return engine.buildChart(df, vtype, channels) match {
+      return engine.buildChart(df, vtype, channels, profiled = Some(pair)) match {
         case Some(frame) =>
           val out = mapper.createObjectNode()
           out.put("ok", true).put("vtype", vtype)
@@ -165,7 +177,7 @@ final class VisServer(spark: SparkSession, cfg: EngineConfig = EngineConfig.defa
       }
     }
     val coreT = req.get("coret").asText()
-    engine.addVisualization(df, lineageOf(req), coreT) match {
+    engine.addVisualization(df, lineageOf(req), coreT, profiled = Some(pair)) match {
       case Some(frame) =>
         val out = mapper.createObjectNode()
         out.put("ok", true)

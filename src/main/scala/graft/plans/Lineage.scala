@@ -53,10 +53,17 @@ object Lineage {
 
   /** /vis/addT: extend a lineage with one more basic step; returns the
     * new frame and the new lineage id. */
+  /** `approxRows`/`windowRankMaxRows` must mirror what the SEARCH used
+    * (Engine forwards profile.rows + cfg.windowRankMaxRows): without
+    * them every interactive rank/nominalize replay took the
+    * single-partition global-window path regardless of table size —
+    * exactly the funnel windowRankMaxRows exists to route around. */
   def addStep(source: DataFrame, json: String, step: TStep,
-              carry: Seq[String]): (DataFrame, String) = {
+              carry: Seq[String], approxRows: Long = 0L,
+              windowRankMaxRows: Long = 100000L): (DataFrame, String) = {
     val steps = fromJson(json) :+ step
-    (steps.foldLeft(source)((d, s) => TBasic(d, s, carry)), toJson(steps))
+    (steps.foldLeft(source)((d, s) =>
+      TBasic(d, s, carry, approxRows, windowRankMaxRows)), toJson(steps))
   }
 
   /** /vis/addV-style terminal transform on a replayed lineage. */
@@ -67,9 +74,11 @@ object Lineage {
     * re-fit differently than) the very chart search just emitted. */
   def addCoreT(source: DataFrame, json: String, coreT: String,
                carry: Seq[String], notCalcuDmT: Boolean = true,
-               approxRows: Long = 0L, embedSampleAbove: Long = 0L): Option[DataFrame] =
+               approxRows: Long = 0L, embedSampleAbove: Long = 0L,
+               windowRankMaxRows: Long = 100000L): Option[DataFrame] =
     CoreT.transform(source, coreT, fromJson(json), carry, notCalcuDmT,
-      approxRows, embedSampleAbove = embedSampleAbove)
+      approxRows, windowRankMaxRows = windowRankMaxRows,
+      embedSampleAbove = embedSampleAbove)
 }
 
 /** Demo-presentation reorder of the recommendation list

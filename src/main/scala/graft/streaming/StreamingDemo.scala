@@ -37,15 +37,28 @@ object StreamingDemo {
     * (KeyValueGroupedDataset.flatMapGroupsWithState): a session closes
     * after `gapMinutes` of inactivity; emits (user_id, session_start,
     * session_end, n_events). Demonstrates the arbitrary-state API the
-    * window aggregation can't express. */
+    * window aggregation can't express.
+    *
+    * Streaming runs use an EVENT-TIME TIMEOUT bound to a `gapMinutes`
+    * watermark: when the watermark passes a session's end + gap, the
+    * session is emitted and its state freed — without this (round-8
+    * fix) a user who went quiet forever never emitted their final
+    * session and the state store grew without bound. Rows with a null
+    * user_id or null/uncastable ts are dropped (they have no
+    * session identity; the gate oracle's contract assumes non-null
+    * keys). */
   def sessionize(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                  gapMinutes: Int = 30): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    val picked = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+    val wm = if (events.isStreaming)
+      picked.withWatermark("ts", s"$gapMinutes minutes") else picked
     sessionizeCore(
-      events.select(col("user_id").cast("long"), col("ts").cast("timestamp"))
-        .as[(Long, java.sql.Timestamp)]
-        .map { case (u, t) => Ev(u, t.getTime) },
+      wm.as[(Long, java.sql.Timestamp)].map { case (u, t) => Ev(u, t.getTime) },
       gapMinutes, events.isStreaming)
   }
 
@@ -56,8 +69,15 @@ object StreamingDemo {
   def sessionizeMillis(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    val picked = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts_ms").cast("long").as("ts_ms"),
+        timestamp_millis(col("ts_ms").cast("long")).as("__ts"))
+      .where(col("user_id").isNotNull && col("ts_ms").isNotNull)
+    val wm = if (events.isStreaming)
+      picked.withWatermark("__ts", s"$gapMinutes minutes") else picked
     sessionizeCore(
-      events.select(col("user_id").cast("long"), col("ts_ms").cast("long"))
+      wm.select(col("user_id"), col("ts_ms"))
         .as[(Long, Long)].map { case (u, m) => Ev(u, m) },
       gapMinutes, events.isStreaming)
   }
@@ -71,13 +91,27 @@ object StreamingDemo {
     val gapMs = gapMinutes * 60000L
 
     def fn(userId: Long, evs: Iterator[Ev], state: GroupState[Sess]): Iterator[Sess] = {
+      if (streaming && state.hasTimedOut) {
+        // watermark passed end + gap: the session is definitively over
+        val out = state.getOption.toSeq
+        state.remove()
+        return out.iterator
+      }
       val sorted = evs.toSeq.sortBy(_.tsMillis)
       var cur = state.getOption
       val closed = Seq.newBuilder[Sess]
       sorted.foreach { e =>
         cur match {
           case Some(s) if e.tsMillis - s.end <= gapMs =>
-            cur = Some(s.copy(end = e.tsMillis, n = s.n + 1))
+            // min/max, not blind overwrite: a cross-batch late event
+            // (e.tsMillis < s.end, still within gap) must extend the
+            // session backwards-in-start at most — never move `end`
+            // backwards, which corrupted start/end ordering and could
+            // spuriously split the next on-time event off. No-op for
+            // the sorted batch path (e >= s.end always), so the
+            // oracle-gated batch twin is unchanged.
+            cur = Some(s.copy(start = math.min(s.start, e.tsMillis),
+              end = math.max(s.end, e.tsMillis), n = s.n + 1))
           case Some(s) =>
             closed += s
             cur = Some(Sess(userId, e.tsMillis, e.tsMillis, 1))
@@ -87,14 +121,22 @@ object StreamingDemo {
       }
       cur match {
         case Some(s) if !streaming => state.remove(); closed += s // batch: flush
-        case Some(s) => state.update(s)
+        case Some(s) =>
+          state.update(s)
+          // fire once the watermark clears the inactivity gap; clamp
+          // to the watermark (setTimeoutTimestamp rejects the past)
+          state.setTimeoutTimestamp(
+            math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
         case None =>
       }
       closed.result().iterator
     }
 
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     typed.groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(fn)
       .toDF("user_id", "session_start_ms", "session_end_ms", "n_events")
   }
 
@@ -134,7 +176,14 @@ object StreamingDemo {
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // fail loudly on timeout — an unchecked false here would hand back
+    // a silently-partial memory sink and leak the running query
+    val finished = q.awaitTermination(120000)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query '$queryName' did not finish within 120s")
+    }
     spark.table(queryName)
   }
 }
