@@ -81,7 +81,13 @@ object Bench {
     // distributed Lloyd: expression scan + (cluster,dim) pinned agg
     "q_kmeans_refine",
     // split labeling: one hash + literal CASE, shuffle-free
-    "q_split_assign")
+    "q_split_assign",
+    // round 8: Gopher/C4 rule scans (shuffle-free projections),
+    // per-domain cap (map-side WindowGroupLimit), int8 quantization
+    // (one-pass min/max fit + literal-scale encode scan)
+    "q_gopher_quality", "q_c4_clean", "q_domain_cap", "q_embed_int8",
+    // exact-length training windows via the distributed prefix sum
+    "q_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

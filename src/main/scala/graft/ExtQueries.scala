@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, Dedup, Dsir, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, RangeJoin, Similarity}
+import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, Dedup, Dsir, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, Quantize, RangeJoin, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -23,6 +23,58 @@ object ExtQueries {
 
   /** 24 hours in microseconds — the q_events_range_join window span. */
   private val DAY_US = 86400000000L
+
+  /** Line-structured corpus fixture for the Gopher/C4 rule gates: the
+    * synthetic documents are single-line word soup (no '\n', no
+    * punctuation), so the line-level rules would be degenerate on the
+    * raw table. The fixture deterministically rebuilds each document
+    * as 10-word lines and decorates line j of doc d by (d + j) mod
+    * classes — bullets, ellipses, a javascript-terminated line, a
+    * fixed duplicate line (which also carries the 'the/of/that'
+    * stop-words and terminal '.'), a plain terminal-punctuation line —
+    * plus rare doc-level '{' / "lorem ipsum" tails. The oracle SQL
+    * rebuilds the identical fixture (same CASE order, same integer
+    * arithmetic), so the whole rule surface is value-gated; same
+    * pattern as q_pii_redact's injected emails.
+    */
+  private def lineFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val ws = TextFunctions.tokens(col("text"))
+    val lines = transform(sequence(lit(1), greatest(size(ws), lit(1)), lit(10)), i => {
+      val j = ((i - 1) / 10).cast("long") // nonneg: truncation = floor
+      val chunk = array_join(slice(ws, i, lit(10)), " ")
+      val k = col("doc_id") + j
+      when(k % 5 === 0, concat(lit("- "), chunk))
+        .when(k % 7 === 0, concat(chunk, lit("...")))
+        .when(k % 7 === 3, concat(chunk, lit(" javascript.")))
+        .when(k % 4 === 0, lit("the dup line of that corpus."))
+        .when(k % 4 === 2, concat(chunk, lit(".")))
+        .otherwise(chunk)
+    })
+    d.select(col("doc_id"),
+      concat(array_join(lines, "\n"),
+        when(col("doc_id") % 31 === 0, lit("\ntail {"))
+          .when(col("doc_id") % 37 === 0, lit("\nlorem ipsum"))
+          .otherwise(lit(""))).as("text"))
+  }
+
+  /** The lineFixture as a DuckDB CTE body (view name `fx`), shared by
+    * the q_gopher_quality and q_c4_clean oracles. */
+  private val lineFixtureSql: String =
+    """fx AS (
+      |  SELECT doc_id,
+      |    array_to_string([
+      |      CASE WHEN (doc_id + (i-1)//10) % 5 = 0 THEN '- ' || array_to_string(ws[i:i+9], ' ')
+      |           WHEN (doc_id + (i-1)//10) % 7 = 0 THEN array_to_string(ws[i:i+9], ' ') || '...'
+      |           WHEN (doc_id + (i-1)//10) % 7 = 3 THEN array_to_string(ws[i:i+9], ' ') || ' javascript.'
+      |           WHEN (doc_id + (i-1)//10) % 4 = 0 THEN 'the dup line of that corpus.'
+      |           WHEN (doc_id + (i-1)//10) % 4 = 2 THEN array_to_string(ws[i:i+9], ' ') || '.'
+      |           ELSE array_to_string(ws[i:i+9], ' ') END
+      |      FOR i IN generate_series(1, greatest(len(ws), 1), 10)], chr(10)) ||
+      |    CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'tail {'
+      |         WHEN doc_id % 37 = 0 THEN chr(10) || 'lorem ipsum'
+      |         ELSE '' END AS text
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents))""".stripMargin
 
   /** documents ∪ near-duplicate copies (first ~80% of tokens). */
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -462,6 +514,44 @@ object ExtQueries {
       val dups = e.where(col("event_id") % 5 === 0)
         .withColumn("ts_us", col("ts_us") + lit(180000000L))
       StreamingDemo.dedupEvents(e.unionByName(dups), "event_id", "ts_us")
+    }),
+
+    // ── named curation rule sets (round 8) ─────────────────────────
+    // Gopher quality+repetition rules over the line fixture: every
+    // signal and the combined pass flag value-gated
+    "q_gopher_quality" -> ((s, dir) => {
+      CurationRules.gopherSignals(lineFixture(s, dir), "doc_id", "text")
+    }),
+    // C4 cleaning pass: line filter + doc-level drops, rebuilt text gated
+    "q_c4_clean" -> ((s, dir) => {
+      CurationRules.c4Clean(lineFixture(s, dir), "doc_id", "text")
+    }),
+    // per-domain cap (RefinedWeb-style): deterministic hash-order
+    // survivors, map-side-bounded by the WindowGroupLimit rewrite
+    "q_domain_cap" -> ((s, dir) => {
+      PipelineOps.domainCap(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", cap = 7)
+    }),
+    // GPT-style sequence packing: every 512-token window exactly full,
+    // documents split across boundaries, per-window segment map gated
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("n_toks"))
+      PipelineOps.packSequences(d, "doc_id", "n_toks", seqLen = 512L)
+    }),
+    // int8 scalar quantization: exact min/max fit + integer-exact
+    // codes (gated via fingerprint + ordered-sum) + bit-exact
+    // reconstruction error
+    "q_embed_int8" -> ((s, dir) => {
+      Quantize.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64)
+        .select(col("vec_id"),
+          md5(array_join(transform(col("codes"), c => c.cast("string")), ","))
+            .as("codes_fp"),
+          aggregate(col("codes"), lit(0L), (a, b) => a + b.cast("long"))
+            .as("code_sum"),
+          col("recon_err"))
     })
   )
 
@@ -1867,6 +1957,127 @@ object ExtQueries {
         |SELECT event_id, ts_us, user_id, event_type, value FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts_us) AS rn
         |  FROM u) t
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    // Gopher rule set over the shared line fixture: every ratio is one
+    // double division of two exact integers, so the thresholds compare
+    // identically on both sides; list_distinct's order/NULL quirks are
+    // harmless (only its length and char sum are used, lines are never
+    // NULL). COALESCE guards the empty-list list_sum → NULL trap.
+    "q_gopher_quality" ->
+      s"""WITH $lineFixtureSql,
+        |t AS (SELECT doc_id, text,
+        |    regexp_extract_all(text, '\\S+') AS toks,
+        |    regexp_extract_all(lower(text), '\\S+') AS ltoks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM fx),
+        |m AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    COALESCE(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))), 0) AS tok_chars,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      + (length(text) - length(replace(text, '…', ''))) AS symbols,
+        |    CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS BIGINT) AS ellipsis_lines,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(list_filter(ltoks, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stopword_count,
+        |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines,
+        |    COALESCE(list_sum(list_transform(lines, l -> CAST(length(l) AS BIGINT))), 0) AS line_chars,
+        |    COALESCE(list_sum(list_transform(list_distinct(lines), l -> CAST(length(l) AS BIGINT))), 0) AS dline_chars
+        |  FROM t),
+        |r AS (SELECT doc_id, n_words,
+        |    COALESCE(CAST(tok_chars AS DOUBLE) / CASE WHEN n_words = 0 THEN NULL ELSE n_words END, 0.0) AS mean_word_len,
+        |    COALESCE(CAST(symbols AS DOUBLE) / CASE WHEN n_words = 0 THEN NULL ELSE n_words END, 0.0) AS symbol_word_ratio,
+        |    COALESCE(CAST(bullet_lines AS DOUBLE) / CASE WHEN n_lines = 0 THEN NULL ELSE n_lines END, 0.0) AS bullet_line_frac,
+        |    COALESCE(CAST(ellipsis_lines AS DOUBLE) / CASE WHEN n_lines = 0 THEN NULL ELSE n_lines END, 0.0) AS ellipsis_line_frac,
+        |    COALESCE(CAST(alpha_words AS DOUBLE) / CASE WHEN n_words = 0 THEN NULL ELSE n_words END, 0.0) AS alpha_word_frac,
+        |    stopword_count,
+        |    COALESCE(CAST(dup_lines AS DOUBLE) / CASE WHEN n_lines = 0 THEN NULL ELSE n_lines END, 0.0) AS dup_line_frac,
+        |    COALESCE(CAST(line_chars - dline_chars AS DOUBLE) / CASE WHEN line_chars = 0 THEN NULL ELSE line_chars END, 0.0) AS dup_line_char_frac
+        |  FROM m)
+        |SELECT *,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_word_ratio <= 0.1
+        |    AND bullet_line_frac <= 0.9
+        |    AND ellipsis_line_frac <= 0.3
+        |    AND alpha_word_frac >= 0.8
+        |    AND stopword_count >= 2
+        |    AND dup_line_frac <= 0.3
+        |    AND dup_line_char_frac <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+        |FROM r""".stripMargin,
+    // C4 cleaning over the same fixture; list_filter preserves order so
+    // the rejoined clean_text matches Spark's filter + array_join
+    "q_c4_clean" ->
+      s"""WITH $lineFixtureSql,
+        |t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM fx),
+        |k AS (SELECT doc_id, text, lines,
+        |    list_filter(lines, l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
+        |      AND len(regexp_extract_all(l, '\\S+')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{')
+        |    OR len(kept) < 2 THEN 0 ELSE 1 END AS BIGINT) AS doc_kept,
+        |  CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{')
+        |    OR len(kept) < 2 THEN '' ELSE array_to_string(kept, chr(10)) END AS clean_text
+        |FROM k""".stripMargin,
+    // per-domain cap: identical md5-prefix hash order as
+    // PipelineOps.saltedHash32 (the q_split_assign spelling)
+    "q_domain_cap" ->
+      """SELECT doc_id, source, domain_rank FROM (
+        |  SELECT doc_id, source, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft-domain'), 1, 8))::BIGINT ASC,
+        |             doc_id ASC) AS BIGINT) AS domain_rank
+        |  FROM documents) t
+        |WHERE domain_rank <= 7""".stripMargin,
+    // sequence packing: the q_shard_pack prefix chain (fine at gate
+    // scale as a SQL window) + a row-local window explode; pure BIGINT
+    // arithmetic throughout, so every segment address is bit-exact
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(COALESCE(text,''), '\S+')) AS BIGINT) AS w,
+        |    md5(CAST(doc_id AS VARCHAR) || ':graft-seq') AS k
+        |  FROM documents),
+    |p AS (SELECT doc_id, w,
+        |    CAST(COALESCE(SUM(w) OVER (ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS g0
+        |  FROM d),
+        |e AS (SELECT doc_id, w, g0,
+        |    unnest(generate_series(g0 // 512, (g0 + w - 1) // 512)) AS window_id
+        |  FROM p WHERE w > 0)
+        |SELECT doc_id, window_id,
+        |  greatest(g0, window_id * 512) - g0 AS tok_start,
+        |  greatest(g0, window_id * 512) - window_id * 512 AS seg_start,
+        |  least(g0 + w, window_id * 512 + 512) - greatest(g0, window_id * 512) AS seg_len
+        |FROM e""".stripMargin,
+    // int8 quantization: the oracle recomputes the per-dim min/max fit
+    // itself (min/max are combine-order-insensitive, so both engines
+    // agree exactly); encode and reconstruction replay Spark's exact
+    // association order — ((v-mn)/rng*255)+0.5 and ((c+128)/255*rng)+mn
+    // — and the error is the usual list_prepend ordered fold
+    "q_embed_int8" ->
+      """WITH u AS (SELECT unnest(embedding) AS v,
+        |    unnest(generate_series(1, len(embedding))) AS j FROM embeddings),
+        |s AS (SELECT j, MIN(CAST(v AS DOUBLE)) AS mn,
+        |    MAX(CAST(v AS DOUBLE)) - MIN(CAST(v AS DOUBLE)) AS rng
+        |  FROM u GROUP BY j),
+        |fit AS (SELECT list(mn ORDER BY j) AS mns, list(rng ORDER BY j) AS rngs FROM s),
+        |coded AS (SELECT vec_id, embedding, mns, rngs,
+        |    [CASE WHEN rngs[j] = 0.0 THEN 0
+        |          ELSE CAST(floor((CAST(embedding[j] AS DOUBLE) - mns[j]) / rngs[j] * 255.0 + 0.5) AS INT) - 128 END
+        |     FOR j IN generate_series(1, 64)] AS codes
+        |  FROM embeddings, fit)
+        |SELECT vec_id,
+        |  md5(array_to_string(codes, ',')) AS codes_fp,
+        |  CAST(COALESCE(list_sum(codes), 0) AS BIGINT) AS code_sum,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    [(CAST(embedding[j] AS DOUBLE) - ((CAST(codes[j] + 128 AS DOUBLE) / 255.0) * rngs[j] + mns[j]))
+        |     * (CAST(embedding[j] AS DOUBLE) - ((CAST(codes[j] + 128 AS DOUBLE) / 255.0) * rngs[j] + mns[j]))
+        |     FOR j IN generate_series(1, 64)]), (acc, x) -> acc + x) AS recon_err
+        |FROM coded""".stripMargin
   )
 }

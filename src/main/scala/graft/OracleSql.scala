@@ -127,9 +127,21 @@ object OracleSql {
   def scoreExpr: String =
     "CASE WHEN degenerate THEN 0.0 ELSE 100.0 * (1.0 - fcdf) END"
 
-  /** Round-trip through DECIMAL(p,2) → DOUBLE (the gate's parity pin). */
+  /** Round-trip through DECIMAL(p,2) → DOUBLE (the gate's parity pin).
+    *
+    * The decimal conversion goes through VARCHAR deliberately: DuckDB's
+    * direct double→DECIMAL cast computes `d · 10^scale` in DOUBLE and
+    * rounds THAT, so a large-magnitude value whose scaled product lands
+    * exactly on an ulp .5 tie rounds to even and disagrees with Spark
+    * (seen at sf0.001: dispersion 38851901883905.2265625 → .22 direct
+    * vs Spark's .23). Spark's Cast(double→decimal) parses the shortest
+    * round-trip string (`BigDecimal.valueOf`), then HALF_UP; DuckDB's
+    * VARCHAR→DECIMAL parse of the same shortest repr also rounds half
+    * away from zero, so the string route is value-identical on both
+    * engines for every magnitude.
+    */
   def dec2(expr: String, p: Int = 18): String =
-    s"CAST(CAST(($expr) AS DECIMAL($p,2)) AS DOUBLE)"
+    s"CAST(CAST(CAST(CAST(($expr) AS DOUBLE) AS VARCHAR) AS DECIMAL($p,2)) AS DOUBLE)"
 
   /** q_scagnostics oracle: bit-exact DuckDB replay of the MST scatter
     * metrics ([[graft.score.Scagnostics.Graph]]) over the deduped,

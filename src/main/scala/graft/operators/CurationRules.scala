@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Named rule-set quality filters from the published LLM-corpus
+  * curation literature, as pure expression scans.
+  *
+  * - [[gopherSignals]] — the Gopher paper's quality + repetition rule
+  *   set (Rae et al. 2021, "Scaling Language Models", table A1):
+  *   word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+  *   bullet-start / ellipsis-end line ratios, alphabetic-word ratio,
+  *   stop-word floor, and the duplicate-line / duplicate-line-char
+  *   fractions.
+  * - [[c4Clean]] — the C4 cleaning pass (Raffel et al. 2020, §2.2):
+  *   keep only lines ending in terminal punctuation with a minimum
+  *   word count, drop lines mentioning javascript, drop whole
+  *   documents containing "lorem ipsum" or '{', or with too few
+  *   surviving lines.
+  *
+  * Scale shape (both): zero shuffle — every signal is keyed by the
+  * document and computed inside the row with collection expressions
+  * (split / filter / transform / aggregate), so the operators are pure
+  * projections that preserve the input partitioning and stay inside
+  * whole-stage codegen. At 100 TB they are scan-bandwidth-bound, which
+  * is the floor.
+  *
+  * Cross-engine exactness: every ratio is a single double division of
+  * two exact integers (correctly rounded, so bit-identical in any
+  * IEEE-754 engine), which makes the rule thresholds safe to compare
+  * on both sides of the gate.
+  *
+  * The reference has no corpus-filter surface (its quality signals are
+  * utils.py's per-column profiling stats); these are the standard
+  * training-data rule sets, added as first-class pipeline operators.
+  */
+object CurationRules {
+
+  /** Gopher's stop-word list (the rule: a quality document contains at
+    * least [[stopwordFloor]] occurrences of these). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document Gopher rule signals + the combined pass flag.
+    *
+    * Output columns:
+    *   - `n_words`             whitespace token count
+    *   - `mean_word_len`       mean token length (0.0 for empty docs)
+    *   - `symbol_word_ratio`   ('#' chars + '...'/'…' occurrences) / words
+    *   - `bullet_line_frac`    lines starting "- " / "* " / "• "
+    *   - `ellipsis_line_frac`  lines ending "..." or "…"
+    *   - `alpha_word_frac`     words containing an [A-Za-z] char
+    *   - `stopword_count`      occurrences of [[GopherStopwords]]
+    *   - `dup_line_frac`       beyond-first-occurrence lines / lines
+    *   - `dup_line_char_frac`  chars in beyond-first lines / line chars
+    *   - `gopher_pass`         1 when every rule passes, else 0
+    *
+    * Duplicate counting uses the beyond-first-occurrence convention
+    * (n − distinct): the second and later copies of a line are the
+    * duplicates, matching how the published filters count them.
+    *
+    * Thresholds are the paper's: 50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10,
+    * symbols ≤ 0.1, bullets ≤ 0.9, ellipses ≤ 0.3, alpha ≥ 0.8,
+    * stopwords ≥ 2, dup lines ≤ 0.3, dup line chars ≤ 0.2.
+    */
+  def gopherSignals(df: DataFrame, idCol: String, textCol: String,
+                    lineDelim: String = "\n",
+                    minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    require(lineDelim.nonEmpty, "lineDelim must be non-empty")
+    require(!Set("n_words", "mean_word_len", "symbol_word_ratio",
+      "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+      "stopword_count", "dup_line_frac", "dup_line_char_frac",
+      "gopher_pass", "__text", "__toks", "__ltoks", "__lines")
+      .contains(idCol),
+      s"idCol '$idCol' collides with an internal or output column name")
+
+    val base = df.select(col(idCol),
+      coalesce(col(textCol), lit("")).as("__text"))
+    val withArrs = base.select(col(idCol), col("__text"),
+      TextFunctions.tokens(col("__text")).as("__toks"),
+      TextFunctions.tokens(lower(col("__text"))).as("__ltoks"),
+      split(col("__text"), java.util.regex.Pattern.quote(lineDelim)).as("__lines"))
+
+    val nWords = size(col("__toks")).cast("long")
+    val nLines = size(col("__lines")).cast("long")
+    // null-safe denominators: empty docs get ratio 0.0 (they fail the
+    // word-count rule regardless, so the zero never flips the verdict)
+    val safeWords = when(nWords === 0L, lit(null)).otherwise(nWords)
+    val safeLines = when(nLines === 0L, lit(null)).otherwise(nLines)
+
+    def charSum(lines: Column): Column =
+      aggregate(transform(lines, l => length(l).cast("long")),
+        lit(0L), (a, b) => a + b)
+
+    val hashCount = (length(col("__text")) -
+      length(replace(col("__text"), lit("#"), lit("")))).cast("long")
+    // non-overlapping left-to-right replace in both engines, so the
+    // '...' count is (len − len(replaced)) / 3 exactly
+    val dots3Count = ((length(col("__text")) -
+      length(replace(col("__text"), lit("..."), lit("")))) / 3).cast("long")
+    val hellipCount = (length(col("__text")) -
+      length(replace(col("__text"), lit("…"), lit("")))).cast("long")
+
+    val bulletLines = size(filter(col("__lines"), l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• "))).cast("long")
+    val ellipsisLines = size(filter(col("__lines"), l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alphaWords = size(filter(col("__toks"), t =>
+      t.rlike("[A-Za-z]"))).cast("long")
+    val stopCount = size(filter(col("__ltoks"), t =>
+      t.isInCollection(GopherStopwords))).cast("long")
+
+    val distinctLines = array_distinct(col("__lines"))
+    val totLineChars = charSum(col("__lines"))
+    val dupLineChars = totLineChars - charSum(distinctLines)
+    val safeLineChars = when(totLineChars === 0L, lit(null)).otherwise(totLineChars)
+
+    withArrs.select(col(idCol),
+        nWords.as("n_words"),
+        coalesce(charSum(col("__toks")).cast("double") / safeWords, lit(0.0))
+          .as("mean_word_len"),
+        coalesce((hashCount + dots3Count + hellipCount).cast("double") / safeWords,
+          lit(0.0)).as("symbol_word_ratio"),
+        coalesce(bulletLines.cast("double") / safeLines, lit(0.0))
+          .as("bullet_line_frac"),
+        coalesce(ellipsisLines.cast("double") / safeLines, lit(0.0))
+          .as("ellipsis_line_frac"),
+        coalesce(alphaWords.cast("double") / safeWords, lit(0.0))
+          .as("alpha_word_frac"),
+        stopCount.as("stopword_count"),
+        coalesce((nLines - size(distinctLines).cast("long")).cast("double") / safeLines,
+          lit(0.0)).as("dup_line_frac"),
+        coalesce(dupLineChars.cast("double") / safeLineChars, lit(0.0))
+          .as("dup_line_char_frac"))
+      .withColumn("gopher_pass",
+        when(col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("stopword_count") >= 2L &&
+          col("dup_line_frac") <= 0.3 &&
+          col("dup_line_char_frac") <= 0.2, lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** C4-style cleaning: line filter + document-level drops.
+    *
+    * A line survives when it ends in terminal punctuation
+    * ('.', '!', '?', '"'), has at least `minWordsPerLine` whitespace
+    * tokens, and does not mention "javascript" (case-insensitive). A
+    * document is dropped entirely when it contains "lorem ipsum"
+    * (case-insensitive) or '{', or when fewer than `minLinesKept`
+    * lines survive.
+    *
+    * Output: (idCol, n_lines, n_lines_kept, doc_kept, clean_text) —
+    * every input document appears once; dropped documents carry
+    * `doc_kept = 0` and an empty `clean_text` so the caller chooses
+    * between filtering and auditing. Kept lines are rejoined with
+    * `lineDelim` in original order (filter preserves array order — no
+    * explode/rebuild round-trip needed, unlike the corpus-keyed
+    * boilerplate strip).
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minWordsPerLine: Int = 3, minLinesKept: Int = 2,
+              lineDelim: String = "\n"): DataFrame = {
+    require(lineDelim.nonEmpty, "lineDelim must be non-empty")
+    require(minWordsPerLine >= 1, s"minWordsPerLine must be >= 1, got $minWordsPerLine")
+    require(!Set("n_lines", "n_lines_kept", "doc_kept", "clean_text",
+      "__text", "__lines", "__kept").contains(idCol),
+      s"idCol '$idCol' collides with an internal or output column name")
+
+    val base = df.select(col(idCol),
+      coalesce(col(textCol), lit("")).as("__text"))
+    val withKept = base.select(col(idCol), col("__text"),
+      split(col("__text"), java.util.regex.Pattern.quote(lineDelim)).as("__lines"))
+      .withColumn("__kept", filter(col("__lines"), l =>
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+          size(TextFunctions.tokens(l)) >= minWordsPerLine &&
+          !lower(l).contains("javascript")))
+
+    val nKept = size(col("__kept")).cast("long")
+    val docKept = when(lower(col("__text")).contains("lorem ipsum") ||
+      col("__text").contains("{") || nKept < minLinesKept, lit(0L)).otherwise(lit(1L))
+
+    withKept.select(col(idCol),
+      size(col("__lines")).cast("long").as("n_lines"),
+      nKept.as("n_lines_kept"),
+      docKept.as("doc_kept"),
+      when(docKept === 1L, array_join(col("__kept"), lineDelim))
+        .otherwise(lit("")).as("clean_text"))
+  }
+}

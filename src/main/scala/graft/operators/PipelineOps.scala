@@ -181,6 +181,37 @@ object PipelineOps {
     df.withColumn("split", labeled)
   }
 
+  /** Per-domain document cap (the RefinedWeb/web-corpus move: no
+    * single site may contribute more than `cap` documents). Keeps the
+    * `cap` documents with the smallest `(hash32(id:salt), id)` per
+    * domain — deterministic, partitioning-invariant, and stable in
+    * WHICH documents survive as long as the survivors' ids don't
+    * change (new crawl docs can displace old ones within a domain;
+    * that is the point of a cap, unlike [[assignSplits]]' per-row
+    * stability guarantee).
+    *
+    * Scale shape: the `row_number <= cap` pattern triggers Spark's
+    * WindowGroupLimit rewrite — a Partial group-limit runs upstream of
+    * the exchange, so each map task pre-trims to `cap` rows per domain
+    * and the shuffle carries at most tasks×cap rows for even the
+    * hottest domain, never the domain's full row count (PlanShapeSpec
+    * pins the Partial node; same mechanism as the ANN top-k windows).
+    *
+    * @return input columns + `domain_rank` (1-based hash-order rank
+    *         within the domain) for the surviving rows
+    */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+                cap: Int, salt: String = "graft-domain"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(!df.columns.contains("domain_rank"),
+      "domain_rank is the reserved output column name")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(saltedHash32(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("domain_rank", row_number().over(w).cast("long"))
+      .where(col("domain_rank") <= cap)
+  }
+
   // ── vocabulary profiling ───────────────────────────────────────────
 
   /** Corpus-level top-`k` vocabulary: term frequency and document
@@ -315,6 +346,52 @@ object PipelineOps {
           org.apache.spark.sql.types.StructField("shard_offset",
             org.apache.spark.sql.types.LongType, nullable = false))))
       .drop(k, w)
+  }
+
+  /** GPT-style sequence packing: lay the corpus out in [[shardPack]]'s
+    * deterministic pseudo-random order, concatenate, and cut into
+    * training windows of EXACTLY `seqLen` tokens — documents split
+    * across window boundaries, and every window (except the last) is
+    * full. Emits one row per (document, window) overlap:
+    *
+    *   - `window_id`   the training sequence index
+    *   - `tok_start`   first token of this segment within the document
+    *   - `seg_start`   position of the segment within the window
+    *   - `seg_len`     segment length (Σ per window = seqLen)
+    *
+    * — the segment map a trainer needs to rebuild windows and mask
+    * cross-document attention. Zero-weight documents emit no segments.
+    *
+    * Scale shape: [[shardPack]]'s distributed prefix sum (range
+    * partition + per-partition subtotals — no global window) gives
+    * each document its global token offset; the window explode is then
+    * row-local, replicating a document only once per ⌈w/seqLen⌉
+    * windows it actually touches. All window arithmetic is pure LONG
+    * (the `(x − x mod L) / L` spelling keeps the division exact in any
+    * engine — corpus token counts stay far below 2^53, but the mod
+    * form doesn't even rely on that).
+    */
+  def packSequences(df: DataFrame, idCol: String, weightCol: String,
+                    seqLen: Long, salt: String = "graft-seq"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(!Set("window_id", "tok_start", "seg_start", "seg_len", "__g0", "__w")
+      .exists(df.columns.contains),
+      "window_id/tok_start/seg_start/seg_len/__g0/__w are reserved column names")
+    val packed = shardPack(df, idCol, weightCol, budget = seqLen, salt = salt)
+    def fdiv(x: Column): Column = ((x - pmod(x, lit(seqLen))) / seqLen).cast("long")
+    val staged = packed
+      .withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
+      .withColumn("__g0", col("shard_id") * seqLen + col("shard_offset"))
+      .withColumn("window_id",
+        explode(when(col("__w") > 0L,
+            sequence(col("shard_id"), fdiv(col("__g0") + col("__w") - 1)))
+          .otherwise(array().cast("array<bigint>"))))
+    val winStart = col("window_id") * seqLen
+    val segFrom = greatest(col("__g0"), winStart)
+    staged.select(col(idCol), col("window_id"),
+      (segFrom - col("__g0")).as("tok_start"),
+      (segFrom - winStart).as("seg_start"),
+      (least(col("__g0") + col("__w"), winStart + seqLen) - segFrom).as("seg_len"))
   }
 
   // ── shard payload materialization ──────────────────────────────────

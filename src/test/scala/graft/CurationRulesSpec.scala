@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationRules, PipelineOps, Quantize}
+
+/** Unit fixtures for the round-8 curation operators: Gopher rule
+  * signals, C4 cleaning, per-domain caps, int8 quantization. The
+  * corpus-scale value gates live in ExtQueries (q_gopher_quality /
+  * q_c4_clean / q_domain_cap / q_embed_int8); these specs pin the
+  * hand-computable edge semantics the gate fixture doesn't isolate.
+  */
+class CurationRulesSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def docs(rows: (Long, String)*) = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      rows.map { case (i, t) => Row(i, t) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+  }
+
+  // ── gopherSignals ──────────────────────────────────────────────────
+
+  test("gopher: clean long doc with stopwords passes") {
+    val words = Seq.fill(20)("the cat sat") :+ "with milk"
+    val out = CurationRules.gopherSignals(docs(1L -> words.mkString(" ")), "id", "text")
+      .collect().head
+    assert(out.getAs[Long]("n_words") === 62)
+    assert(out.getAs[Long]("stopword_count") === 21) // 20× the + 1× with
+    assert(out.getAs[Double]("alpha_word_frac") === 1.0)
+    assert(out.getAs[Double]("bullet_line_frac") === 0.0)
+    assert(out.getAs[Long]("gopher_pass") === 1L)
+  }
+
+  test("gopher: bullet and ellipsis line fractions") {
+    val out = CurationRules.gopherSignals(
+      docs(1L -> "- one\n- two\nplain", 2L -> "x...\ny…"), "id", "text")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("bullet_line_frac") === 2.0 / 3.0)
+    assert(out(1).getAs[Double]("ellipsis_line_frac") === 1.0)
+    // doc 2: one '...' occurrence + one '…', 2 words
+    assert(out(1).getAs[Double]("symbol_word_ratio") === 1.0)
+  }
+
+  test("gopher: duplicate-line fractions use beyond-first counting") {
+    val out = CurationRules.gopherSignals(
+      docs(1L -> "same line here\nsame line here\nother"), "id", "text")
+      .collect().head
+    assert(out.getAs[Double]("dup_line_frac") === 1.0 / 3.0)
+    // chars: 14 + 14 + 5 = 33 total, 14 beyond-first
+    assert(out.getAs[Double]("dup_line_char_frac") === 14.0 / 33.0)
+  }
+
+  test("gopher: empty and null docs fail with zeroed ratios") {
+    val out = CurationRules.gopherSignals(docs(1L -> "", 2L -> null), "id", "text")
+      .orderBy("id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_words") === 0L)
+      assert(r.getAs[Double]("mean_word_len") === 0.0)
+      assert(r.getAs[Long]("gopher_pass") === 0L)
+    }
+  }
+
+  test("gopher: '#' symbols counted against words") {
+    val out = CurationRules.gopherSignals(docs(1L -> "a # b # c"), "id", "text")
+      .collect().head
+    assert(out.getAs[Double]("symbol_word_ratio") === 2.0 / 5.0)
+  }
+
+  // ── c4Clean ────────────────────────────────────────────────────────
+
+  test("c4: line filter keeps terminal-punctuated, wordy, js-free lines") {
+    val text = Seq(
+      "This is a good line.",      // kept
+      "short.",                    // < 3 words
+      "no terminal punct here",    // no punctuation
+      "This one has JavaScript in it.", // javascript (case-insensitive)
+      "Another good line here!"    // kept
+    ).mkString("\n")
+    val out = CurationRules.c4Clean(docs(1L -> text), "id", "text").collect().head
+    assert(out.getAs[Long]("n_lines") === 5L)
+    assert(out.getAs[Long]("n_lines_kept") === 2L)
+    assert(out.getAs[Long]("doc_kept") === 1L)
+    assert(out.getAs[String]("clean_text") ===
+      "This is a good line.\nAnother good line here!")
+  }
+
+  test("c4: doc-level drops — lorem ipsum, brace, too few survivors") {
+    val good = "One fine line stays._\nAnother fine line stays._".replace("_", "")
+    val out = CurationRules.c4Clean(docs(
+      1L -> (good + "\nwith Lorem Ipsum inside."),
+      2L -> (good + "\nhas a { brace."),
+      3L -> "Only one good line here.\nnope"), "id", "text")
+      .orderBy("id").collect()
+    assert(out.forall(_.getAs[Long]("doc_kept") === 0L))
+    assert(out.forall(_.getAs[String]("clean_text") === ""))
+  }
+
+  // ── domainCap ──────────────────────────────────────────────────────
+
+  test("domainCap keeps at most cap rows per domain, deterministically") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i => (i, s"dom${i % 4}")).toDF("id", "domain")
+    val capped = PipelineOps.domainCap(df, "id", "domain", cap = 3)
+    val out = capped.collect()
+    assert(out.length === 12)
+    assert(capped.groupBy("domain").count().collect().forall(_.getLong(1) === 3L))
+    assert(out.forall(r => r.getAs[Long]("domain_rank") >= 1L &&
+      r.getAs[Long]("domain_rank") <= 3L))
+    // partitioning-invariant: same survivors under a different layout
+    val again = PipelineOps.domainCap(df.repartition(7), "id", "domain", cap = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === out.map(_.getAs[Long]("id")).toSet)
+  }
+
+  test("domainCap rejects a reserved output column collision") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 2L)).toDF("id", "domain", "domain_rank")
+    intercept[IllegalArgumentException] {
+      PipelineOps.domainCap(df, "id", "domain", cap = 1)
+    }
+  }
+
+  // ── quantizeInt8 ───────────────────────────────────────────────────
+
+  test("int8 quantization: exact codes at the corpus min/mid/max") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.0f, 10.0f)),
+      (2L, Seq(5.0f, 10.0f)),
+      (3L, Seq(10.0f, 10.0f))).toDF("id", "vec")
+    val out = Quantize.quantizeInt8(df, "id", "vec", dim = 2)
+      .orderBy("id").collect()
+    // dim 1: mn=0 rng=10 → 0→-128, 5→0 (floor(127.5+0.5)=128), 10→127
+    // dim 2: rng=0 → code 0 everywhere
+    assert(out(0).getAs[Seq[Int]]("codes") === Seq(-128, 0))
+    assert(out(1).getAs[Seq[Int]]("codes") === Seq(0, 0))
+    assert(out(2).getAs[Seq[Int]]("codes") === Seq(127, 0))
+    // reconstruction: dequant(-128)=0 exact; degenerate dim dequants to
+    // mn exactly; midpoint dequant = 128/255*10
+    val mid = 128.0 / 255.0 * 10.0
+    assert(out(0).getAs[Double]("recon_err") === 0.0)
+    assert(out(1).getAs[Double]("recon_err") === (5.0 - mid) * (5.0 - mid))
+    assert(out(2).getAs[Double]("recon_err") ===
+      (10.0 - (255.0 / 255.0 * 10.0)) * (10.0 - (255.0 / 255.0 * 10.0)))
+  }
+
+  test("int8 quantization codes stay in [-128, 127]") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i =>
+      (i, Seq((i * 37 % 101).toFloat - 50f, (i * 13 % 7).toFloat))).toDF("id", "vec")
+    val out = Quantize.quantizeInt8(df, "id", "vec", dim = 2).collect()
+    out.foreach { r =>
+      r.getAs[Seq[Int]]("codes").foreach(c => assert(c >= -128 && c <= 127))
+    }
+  }
+}

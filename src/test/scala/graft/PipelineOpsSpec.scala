@@ -284,6 +284,42 @@ class PipelineOpsSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("packSequences tiles every window exactly and every doc exactly") {
+    val docs = (1L to 30L).map(i => (i, i % 9)).toDF("id", "w") // some zero-weight
+    val out = PipelineOps.packSequences(docs, "id", "w", seqLen = 10L).collect()
+    val total = (1L to 30L).map(_ % 9).sum
+    // Σ seg_len over everything = corpus tokens
+    assert(out.map(_.getAs[Long]("seg_len")).sum === total)
+    // every window except the last is exactly full and gap-free
+    val lastWin = (total - 1) / 10
+    out.groupBy(_.getAs[Long]("window_id")).foreach { case (win, rows) =>
+      val lens = rows.map(_.getAs[Long]("seg_len")).sum
+      if (win < lastWin) assert(lens === 10L, s"window $win not full: $lens")
+      val covered = rows.map(r => (r.getAs[Long]("seg_start"),
+        r.getAs[Long]("seg_start") + r.getAs[Long]("seg_len"))).sortBy(_._1)
+      covered.sliding(2).foreach {
+        case Array((_, e0), (s1, _)) => assert(e0 === s1, s"gap in window $win")
+        case _ =>
+      }
+      assert(covered.head._1 === 0L)
+    }
+    // every doc's segments tile the doc: tok_start runs 0..w contiguously
+    out.groupBy(_.getAs[Long]("id")).foreach { case (id, rows) =>
+      val w = id % 9
+      val sorted = rows.sortBy(_.getAs[Long]("tok_start"))
+      assert(sorted.head.getAs[Long]("tok_start") === 0L)
+      assert(sorted.map(_.getAs[Long]("seg_len")).sum === w)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Long]("tok_start") +
+          a.getAs[Long]("seg_len") === b.getAs[Long]("tok_start"))
+        case _ =>
+      }
+    }
+    // zero-weight docs emit nothing
+    assert(!out.exists(r => r.getAs[Long]("id") % 9 === 0L))
+    graft.CacheScope.releaseAll()
+  }
+
   test("shardPack is invariant to input partitioning") {
     val docs = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("id", "w")
     val runs = Seq(1, 3, 13).map { p =>

@@ -276,6 +276,38 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a map-side (Partial) WindowGroupLimit in the brute-force scan:\n${plan.head}")
   }
 
+  test("domain cap group-limits map-side — a hot domain never funnels its full row count") {
+    // same WindowGroupLimit contract as the ANN windows: each map task
+    // pre-trims to `cap` rows per domain before the exchange, so a
+    // domain with 10^9 documents still ships only tasks×cap rows
+    val plan = executed("q_domain_cap")
+    val limits = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.exists(_.mode == org.apache.spark.sql.execution.window.Partial),
+      s"expected a map-side (Partial) WindowGroupLimit in the domain-cap scan:\n${plan.head}")
+  }
+
+  test("int8 quantization encode is a pure projection — no shuffle after the fit") {
+    // the fit is a separate one-pass min/max agg collected at plan
+    // time; the returned frame must be scan → project only
+    val df = SparkEntry.queries("q_embed_int8")(spark, sfDir)
+    df.collect()
+    val plans = dedupByIdentity(flatten(df.queryExecution.executedPlan))
+    assert(!plans.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"quantization encode must not shuffle:\n${plans.head}")
+  }
+
+  test("gopher/c4 rule scans are shuffle-free projections") {
+    Seq("q_gopher_quality", "q_c4_clean").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val plans = dedupByIdentity(flatten(df.queryExecution.executedPlan))
+      assert(!plans.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"$q must be a pure projection, found a shuffle:\n${plans.head}")
+    }
+  }
+
   test("shard packing shuffles once (the range partitioning), nothing else") {
     val df = SparkEntry.queries("q_shard_pack")(spark, sfDir)
     df.collect()
