@@ -108,6 +108,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L))
   }
 
+  test("gopher/c4 rule filters run unchanged on a true stream (stateless projections)") {
+    // the round-8 rule sets are zero-shuffle row-local scans, so they
+    // must be directly streamable — no watermark, no state store
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.CurationRules
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, "A good first line stays.\nshort.\nAnother good line stays!"),
+      (2L, "- bullet\n- bullet\nlorem ipsum here"))
+    val src = mem.toDF().toDF("doc_id", "text")
+    val q1 = CurationRules.c4Clean(src, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("c4_stream_test").trigger(Trigger.AvailableNow()).start()
+    val q2 = CurationRules.gopherSignals(src, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gopher_stream_test").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000); q2.awaitTermination(120000)
+    val c4 = spark.table("c4_stream_test")
+      .select($"doc_id", $"doc_kept").as[(Long, Long)].collect().toMap
+    assert(c4 === Map(1L -> 1L, 2L -> 0L))
+    val gopher = spark.table("gopher_stream_test")
+      .select($"doc_id", $"bullet_line_frac").as[(Long, Double)].collect().toMap
+    assert(gopher(2L) === 2.0 / 3.0)
+  }
+
   test("multimodal frame sampling: one row per sampled frame, deterministic digests") {
     val docs = Seq((1L, "some media payload text"), (2L, "x")).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(
