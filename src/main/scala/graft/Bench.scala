@@ -87,7 +87,9 @@ object Bench {
     // (one-pass min/max fit + literal-scale encode scan)
     "q_gopher_quality", "q_c4_clean", "q_domain_cap", "q_embed_int8",
     // exact-length training windows via the distributed prefix sum
-    "q_pack_sequences")
+    "q_pack_sequences",
+    // perceptual image dedup: real-codec dHash + hash-equality groupBy
+    "q_image_dhash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

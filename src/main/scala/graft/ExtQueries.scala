@@ -533,6 +533,19 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("source")),
         "doc_id", "source", cap = 7)
     }),
+    // perceptual image dedup: dHash through the REAL PNG codec; seeds
+    // doc_id % 100 so every rendered image has 5 copies at sf0.01 —
+    // the groupBy proves hash-equality dedup, not just hashing
+    "q_image_dhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 100).as("img_seed"))
+      val hashed = MediaCodecs.imageDHash(
+        MediaCodecs.renderImages(docs.select(col("img_seed")).distinct(), "img_seed"),
+        "img_seed")
+      docs.join(broadcast(hashed), Seq("img_seed"))
+        .groupBy(col("dhash"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
+    }),
     // GPT-style sequence packing: every 512-token window exactly full,
     // documents split across boundaries, per-window segment map gated
     "q_pack_sequences" -> ((s, dir) => {
@@ -2034,6 +2047,32 @@ object ExtQueries {
         |             doc_id ASC) AS BIGINT) AS domain_rank
         |  FROM documents) t
         |WHERE domain_rank <= 7""".stripMargin,
+    // dHash: replay the 9×8 truncating-NN grayscale grid from the
+    // pixel formulas (all integer math), MSB-first bits p = y·8+x with
+    // x = p%8 / y = p//8, nibbles to lowercase hex, then the dedup
+    // groupBy over the doc_id % 100 seed join
+    "q_image_dhash" ->
+      """WITH seeds AS (SELECT DISTINCT doc_id % 100 AS s FROM documents),
+        |geom AS (SELECT s, s % 17 + 8 AS w, s % 13 + 8 AS h FROM seeds),
+        |pb AS (SELECT s, w, h, unnest(generate_series(0, 63)) AS p FROM geom),
+        |b AS (SELECT s, p,
+        |    CASE WHEN
+        |      (((s*31 + ((p%8)*w//9)*7 + ((p//8)*h//8)*13) % 256) * 299
+        |       + ((s*17 + ((p%8)*w//9)*11 + ((p//8)*h//8)*3) % 256) * 587
+        |       + ((s*23 + ((p%8)*w//9)*5 + ((p//8)*h//8)*19) % 256) * 114) // 1000
+        |      >
+        |      (((s*31 + (((p%8)+1)*w//9)*7 + ((p//8)*h//8)*13) % 256) * 299
+        |       + ((s*17 + (((p%8)+1)*w//9)*11 + ((p//8)*h//8)*3) % 256) * 587
+        |       + ((s*23 + (((p%8)+1)*w//9)*5 + ((p//8)*h//8)*19) % 256) * 114) // 1000
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM pb),
+        |hx AS (SELECT s, list(bit ORDER BY p) AS bits FROM b GROUP BY s),
+        |hex AS (SELECT s, array_to_string([substr('0123456789abcdef',
+        |    CAST(bits[4*n+1]*8 + bits[4*n+2]*4 + bits[4*n+3]*2 + bits[4*n+4] + 1 AS INT), 1)
+        |    FOR n IN generate_series(0, 15)], '') AS dhash FROM hx)
+        |SELECT dhash, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
+        |FROM documents d JOIN hex ON d.doc_id % 100 = hex.s
+        |GROUP BY dhash""".stripMargin,
     // sequence packing: the q_shard_pack prefix chain (fine at gate
     // scale as a SQL window) + a row-local window explode; pure BIGINT
     // arithmetic throughout, so every segment address is bit-exact

@@ -193,6 +193,63 @@ object MediaCodecs {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** Perceptual difference-hash (dHash) through the real decoder: the
+    * standard near-dup primitive for image corpora. Decode → 9×8
+    * grayscale grid by the same truncating nearest-neighbor resample
+    * as [[resizeImagesNN]] (`sx = x·srcW/9`, `sy = y·srcH/8`) and the
+    * same integer luminance — so the whole hash is exact-integer and
+    * SQL-mirrorable — then 64 bits, row-major MSB-first, bit (x,y) set
+    * iff `gray(x,y) > gray(x+1,y)`, emitted as 16 lowercase hex chars.
+    *
+    * Identical images always collide; near-identical images (resize /
+    * re-encode / small edits) usually collide or sit within a few bits
+    * — exact-match dedup on the hash is the conservative corpus-scale
+    * policy (a Hamming-radius join would reuse the SimHash pigeonhole
+    * machinery, `Dedup.simhashCandidates`).
+    *
+    * Returns `(key, decode_ok, dhash)`; undecodable bytes get
+    * `decode_ok = false` and a null hash (never a colliding sentinel).
+    */
+  def imageDHash(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(keyCol), col("media"))
+    val outSchema = StructType(Seq(
+      in.schema.fields(0),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("dhash", StringType, nullable = true)))
+    val rows = in.rdd.mapPartitions { it =>
+      it.map { r =>
+        readImage(r.getAs[Array[Byte]]("media")) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val g = Array.ofDim[Int](9, 8)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 9) {
+                g(x)(y) = gray(img.getRGB(x * w / 9, y * h / 8))
+                x += 1
+              }
+              y += 1
+            }
+            var acc = 0L
+            y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                acc = (acc << 1) | (if (g(x)(y) > g(x + 1)(y)) 1L else 0L)
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.get(0), true, f"$acc%016x")
+          case None => Row(r.get(0), false, null)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   // ── real audio decode (WAV / PCM16) ────────────────────────────────
 
   /** Audio sample formulas — shared with the oracle: PCM16 mono 8 kHz,

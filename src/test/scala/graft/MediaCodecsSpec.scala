@@ -61,6 +61,36 @@ class MediaCodecsSpec extends SparkSpec {
     }
   }
 
+  test("imageDHash: identical images collide, distinct differ, uniform hashes to zero") {
+    // duplicates by construction: two keys rendering the same pixel seed
+    val rendered = MediaCodecs.renderImages(ids, "doc_id")
+    val dup = MediaCodecs.renderImages(Seq(42L).toDF("doc_id"), "doc_id")
+      .withColumn("doc_id", lit(1042L))
+    val out = MediaCodecs.imageDHash(rendered.unionByName(dup), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(42L) === out(1042L), "same pixels must produce the same dhash")
+    assert(out.values.toSeq.distinct.size >= 4, "distinct images should mostly differ")
+    assert(out.values.forall(_.matches("[0-9a-f]{16}")))
+
+    // a uniform image has no left-right gradients anywhere → all-zero hash
+    val uniform = {
+      val img = new java.awt.image.BufferedImage(10, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 10).foreach(y => (0 until 10).foreach(x => img.setRGB(x, y, 0x808080)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Seq((1L, bos.toByteArray, "image/png")).toDF("doc_id", "media", "media_type")
+    }
+    assert(MediaCodecs.imageDHash(uniform, "doc_id").collect().head.getString(2)
+      === "0000000000000000")
+
+    // corrupt bytes: flagged, null hash (never a colliding sentinel)
+    val corrupt = Seq((999L, Array[Byte](1, 2, 3), "image/png"))
+      .toDF("doc_id", "media", "media_type")
+    val bad = MediaCodecs.imageDHash(corrupt, "doc_id").collect().head
+    assert(!bad.getBoolean(1) && bad.isNullAt(2))
+  }
+
   test("decodeAudioStats reads the real WAV stream; stats match the formula") {
     val out = MediaCodecs.decodeAudioStats(
       MediaCodecs.renderWavs(ids, "doc_id"), "doc_id").orderBy("doc_id").collect()
