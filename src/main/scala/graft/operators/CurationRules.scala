@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
-
 /** Named rule-set quality filters from the published LLM-corpus
   * curation literature, as pure expression scans.
   *
@@ -21,11 +19,16 @@ import graft.functions.TextFunctions
   *   surviving lines.
   *
   * Scale shape (both): zero shuffle — every signal is keyed by the
-  * document and computed inside the row with collection expressions
-  * (split / filter / transform / aggregate), so the operators are pure
-  * projections that preserve the input partitioning and stay inside
-  * whole-stage codegen. At 100 TB they are scan-bandwidth-bound, which
-  * is the floor.
+  * document and computed inside the row, so the operators are pure
+  * projections that preserve the input partitioning. The per-row
+  * counting runs in single-sweep byte kernels
+  * ([[graft.functions.GopherStats]] / [[graft.functions.C4Stats]])
+  * rather than collection-lambda expressions: Spark evaluates
+  * higher-order-function lambdas interpreted (CodegenFallback), and
+  * the declarative spelling costs two tokenizations, a line split and
+  * five lambda passes per document (CurationProbe records the gap).
+  * At 100 TB the operators are scan-bandwidth-bound, which is the
+  * floor.
   *
   * Cross-engine exactness: every ratio is a single double division of
   * two exact integers (correctly rounded, so bit-identical in any
@@ -76,63 +79,41 @@ object CurationRules {
       .contains(idCol),
       s"idCol '$idCol' collides with an internal or output column name")
 
-    val base = df.select(col(idCol),
-      coalesce(col(textCol), lit("")).as("__text"))
-    val withArrs = base.select(col(idCol), col("__text"),
-      TextFunctions.tokens(col("__text")).as("__toks"),
-      TextFunctions.tokens(lower(col("__text"))).as("__ltoks"),
-      split(col("__text"), java.util.regex.Pattern.quote(lineDelim)).as("__lines"))
+    // one byte-level sweep per document (graft.functions.GopherStats)
+    // — the declarative spelling (two tokenizations + line split +
+    // five interpreted collection lambdas) is what the DuckDB oracle
+    // replays; the kernel computes the identical integer counts
+    // (CurationKernels scaladoc lists the parity obligations) and the
+    // ratio layer below divides them
+    val stats = df.select(col(idCol),
+      graft.functions.CurationKernels.gopherStats(
+        coalesce(col(textCol), lit("")), lineDelim).as("__s"))
 
-    val nWords = size(col("__toks")).cast("long")
-    val nLines = size(col("__lines")).cast("long")
+    val nWords = col("__s.n_words")
+    val nLines = col("__s.n_lines")
     // null-safe denominators: empty docs get ratio 0.0 (they fail the
     // word-count rule regardless, so the zero never flips the verdict)
     val safeWords = when(nWords === 0L, lit(null)).otherwise(nWords)
     val safeLines = when(nLines === 0L, lit(null)).otherwise(nLines)
+    val safeLineChars =
+      when(col("__s.line_chars") === 0L, lit(null)).otherwise(col("__s.line_chars"))
 
-    def charSum(lines: Column): Column =
-      aggregate(transform(lines, l => length(l).cast("long")),
-        lit(0L), (a, b) => a + b)
-
-    val hashCount = (length(col("__text")) -
-      length(replace(col("__text"), lit("#"), lit("")))).cast("long")
-    // non-overlapping left-to-right replace in both engines, so the
-    // '...' count is (len − len(replaced)) / 3 exactly
-    val dots3Count = ((length(col("__text")) -
-      length(replace(col("__text"), lit("..."), lit("")))) / 3).cast("long")
-    val hellipCount = (length(col("__text")) -
-      length(replace(col("__text"), lit("…"), lit("")))).cast("long")
-
-    val bulletLines = size(filter(col("__lines"), l =>
-      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• "))).cast("long")
-    val ellipsisLines = size(filter(col("__lines"), l =>
-      l.endsWith("...") || l.endsWith("…"))).cast("long")
-    val alphaWords = size(filter(col("__toks"), t =>
-      t.rlike("[A-Za-z]"))).cast("long")
-    val stopCount = size(filter(col("__ltoks"), t =>
-      t.isInCollection(GopherStopwords))).cast("long")
-
-    val distinctLines = array_distinct(col("__lines"))
-    val totLineChars = charSum(col("__lines"))
-    val dupLineChars = totLineChars - charSum(distinctLines)
-    val safeLineChars = when(totLineChars === 0L, lit(null)).otherwise(totLineChars)
-
-    withArrs.select(col(idCol),
+    stats.select(col(idCol),
         nWords.as("n_words"),
-        coalesce(charSum(col("__toks")).cast("double") / safeWords, lit(0.0))
+        coalesce(col("__s.tok_chars").cast("double") / safeWords, lit(0.0))
           .as("mean_word_len"),
-        coalesce((hashCount + dots3Count + hellipCount).cast("double") / safeWords,
-          lit(0.0)).as("symbol_word_ratio"),
-        coalesce(bulletLines.cast("double") / safeLines, lit(0.0))
+        coalesce(col("__s.symbols").cast("double") / safeWords, lit(0.0))
+          .as("symbol_word_ratio"),
+        coalesce(col("__s.bullet_lines").cast("double") / safeLines, lit(0.0))
           .as("bullet_line_frac"),
-        coalesce(ellipsisLines.cast("double") / safeLines, lit(0.0))
+        coalesce(col("__s.ellipsis_lines").cast("double") / safeLines, lit(0.0))
           .as("ellipsis_line_frac"),
-        coalesce(alphaWords.cast("double") / safeWords, lit(0.0))
+        coalesce(col("__s.alpha_words").cast("double") / safeWords, lit(0.0))
           .as("alpha_word_frac"),
-        stopCount.as("stopword_count"),
-        coalesce((nLines - size(distinctLines).cast("long")).cast("double") / safeLines,
-          lit(0.0)).as("dup_line_frac"),
-        coalesce(dupLineChars.cast("double") / safeLineChars, lit(0.0))
+        col("__s.stop_count").as("stopword_count"),
+        coalesce(col("__s.dup_lines").cast("double") / safeLines, lit(0.0))
+          .as("dup_line_frac"),
+        coalesce(col("__s.dup_line_chars").cast("double") / safeLineChars, lit(0.0))
           .as("dup_line_char_frac"))
       .withColumn("gopher_pass",
         when(col("n_words").between(minWords, maxWords) &&
@@ -172,24 +153,21 @@ object CurationRules {
       "__text", "__lines", "__kept").contains(idCol),
       s"idCol '$idCol' collides with an internal or output column name")
 
-    val base = df.select(col(idCol),
-      coalesce(col(textCol), lit("")).as("__text"))
-    val withKept = base.select(col(idCol), col("__text"),
-      split(col("__text"), java.util.regex.Pattern.quote(lineDelim)).as("__lines"))
-      .withColumn("__kept", filter(col("__lines"), l =>
-        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
-          size(TextFunctions.tokens(l)) >= minWordsPerLine &&
-          !lower(l).contains("javascript")))
+    // one byte-level sweep per document (graft.functions.C4Stats);
+    // the q_c4_clean oracle replays the declarative line-lambda
+    // spelling these counts must match
+    val stats = df.select(col(idCol),
+      graft.functions.CurationKernels.c4Stats(
+        coalesce(col(textCol), lit("")), lineDelim, minWordsPerLine).as("__s"))
 
-    val nKept = size(col("__kept")).cast("long")
-    val docKept = when(lower(col("__text")).contains("lorem ipsum") ||
-      col("__text").contains("{") || nKept < minLinesKept, lit(0L)).otherwise(lit(1L))
+    val docKept = when(col("__s.has_drop_marker") ||
+      col("__s.n_kept") < minLinesKept, lit(0L)).otherwise(lit(1L))
 
-    withKept.select(col(idCol),
-      size(col("__lines")).cast("long").as("n_lines"),
-      nKept.as("n_lines_kept"),
+    stats.select(col(idCol),
+      col("__s.n_lines").as("n_lines"),
+      col("__s.n_kept").as("n_lines_kept"),
       docKept.as("doc_kept"),
-      when(docKept === 1L, array_join(col("__kept"), lineDelim))
+      when(docKept === 1L, col("__s.kept_text"))
         .otherwise(lit("")).as("clean_text"))
   }
 }
