@@ -89,7 +89,9 @@ object Bench {
     // exact-length training windows via the distributed prefix sum
     "q_pack_sequences",
     // perceptual image dedup: real-codec dHash + hash-equality groupBy
-    "q_image_dhash")
+    "q_image_dhash",
+    // composed curation flow: clean → gate → dedup → cap → split
+    "q_corpus_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

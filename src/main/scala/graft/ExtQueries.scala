@@ -76,6 +76,77 @@ object ExtQueries {
       |         ELSE '' END AS text
       |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents))""".stripMargin
 
+  /** C4 stage CTEs over `(doc_id, text)` view `src`: emits `${p}c4` =
+    * (doc_id, n_lines, n_lines_kept, doc_kept, clean_text). Shared by
+    * the standalone q_c4_clean oracle and the composed q_corpus_curate
+    * chain so the two replays cannot drift. list_filter preserves
+    * order, so the rejoined clean_text matches Spark's kernel rebuild. */
+  private def c4SqlChain(src: String, p: String): String =
+    s"""${p}ct AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM $src),
+       |${p}ck AS (SELECT doc_id, text, lines,
+       |    list_filter(lines, l ->
+       |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
+       |      AND len(regexp_extract_all(l, '\\S+')) >= 3
+       |      AND NOT contains(lower(l), 'javascript')) AS kept
+       |  FROM ${p}ct),
+       |${p}c4 AS (SELECT doc_id,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       |    CAST(CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{')
+       |      OR len(kept) < 2 THEN 0 ELSE 1 END AS BIGINT) AS doc_kept,
+       |    CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{')
+       |      OR len(kept) < 2 THEN '' ELSE array_to_string(kept, chr(10)) END AS clean_text
+       |  FROM ${p}ck)""".stripMargin
+
+  /** Gopher stage CTEs over `(doc_id, text)` view `src`: emits `${p}g`
+    * with every signal column + gopher_pass. Same sharing contract as
+    * [[c4SqlChain]]. Every ratio is one double division of two exact
+    * integers; list_distinct's order/NULL quirks are harmless (only
+    * its length and char sum are used, lines are never NULL);
+    * COALESCE guards the empty-list list_sum → NULL trap. */
+  private def gopherSqlChain(src: String, p: String, minWords: Long): String =
+    s"""${p}gt AS (SELECT doc_id, text,
+       |    regexp_extract_all(text, '\\S+') AS toks,
+       |    regexp_extract_all(lower(text), '\\S+') AS ltoks,
+       |    string_split(text, chr(10)) AS lines
+       |  FROM $src),
+       |${p}gm AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    COALESCE(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))), 0) AS tok_chars,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |      + (length(text) - length(replace(text, '...', ''))) // 3
+       |      + (length(text) - length(replace(text, '…', ''))) AS symbols,
+       |    CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS bullet_lines,
+       |    CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS BIGINT) AS ellipsis_lines,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+       |    CAST(len(list_filter(ltoks, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stopword_count,
+       |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines,
+       |    COALESCE(list_sum(list_transform(lines, l -> CAST(length(l) AS BIGINT))), 0) AS line_chars,
+       |    COALESCE(list_sum(list_transform(list_distinct(lines), l -> CAST(length(l) AS BIGINT))), 0) AS dline_chars
+       |  FROM ${p}gt),
+       |${p}gr AS (SELECT doc_id, n_words,
+       |    COALESCE(CAST(tok_chars AS DOUBLE) / CASE WHEN n_words = 0 THEN NULL ELSE n_words END, 0.0) AS mean_word_len,
+       |    COALESCE(CAST(symbols AS DOUBLE) / CASE WHEN n_words = 0 THEN NULL ELSE n_words END, 0.0) AS symbol_word_ratio,
+       |    COALESCE(CAST(bullet_lines AS DOUBLE) / CASE WHEN n_lines = 0 THEN NULL ELSE n_lines END, 0.0) AS bullet_line_frac,
+       |    COALESCE(CAST(ellipsis_lines AS DOUBLE) / CASE WHEN n_lines = 0 THEN NULL ELSE n_lines END, 0.0) AS ellipsis_line_frac,
+       |    COALESCE(CAST(alpha_words AS DOUBLE) / CASE WHEN n_words = 0 THEN NULL ELSE n_words END, 0.0) AS alpha_word_frac,
+       |    stopword_count,
+       |    COALESCE(CAST(dup_lines AS DOUBLE) / CASE WHEN n_lines = 0 THEN NULL ELSE n_lines END, 0.0) AS dup_line_frac,
+       |    COALESCE(CAST(line_chars - dline_chars AS DOUBLE) / CASE WHEN line_chars = 0 THEN NULL ELSE line_chars END, 0.0) AS dup_line_char_frac
+       |  FROM ${p}gm),
+       |${p}g AS (SELECT *,
+       |    CAST(CASE WHEN n_words BETWEEN $minWords AND 100000
+       |      AND mean_word_len BETWEEN 3.0 AND 10.0
+       |      AND symbol_word_ratio <= 0.1
+       |      AND bullet_line_frac <= 0.9
+       |      AND ellipsis_line_frac <= 0.3
+       |      AND alpha_word_frac >= 0.8
+       |      AND stopword_count >= 2
+       |      AND dup_line_frac <= 0.3
+       |      AND dup_line_char_frac <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+       |  FROM ${p}gr)""".stripMargin
+
   /** documents ∪ near-duplicate copies (first ~80% of tokens). */
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
@@ -532,6 +603,30 @@ object ExtQueries {
       PipelineOps.domainCap(
         Tables.documents(s, dir).select(col("doc_id"), col("source")),
         "doc_id", "source", cap = 7)
+    }),
+    // composed end-to-end curation: C4 clean → Gopher gate → exact
+    // dedup → per-domain cap → split assignment, one flow — the
+    // oracle chains the same shared CTE builders as the standalone
+    // stage gates, so composition can't drift from the pieces
+    "q_corpus_curate" -> ((s, dir) => {
+      val fx = lineFixture(s, dir)
+      val cleaned = CurationRules.c4Clean(fx, "doc_id", "text")
+        .where(col("doc_kept") === 1L)
+        .select(col("doc_id"), col("clean_text").as("text"), col("n_lines_kept"))
+      // the cleaned fixture docs run ~30-50 words, so the composed
+      // pass uses the 20-word floor (the operator's minWords knob);
+      // every other Gopher threshold is the published default
+      val gopher = CurationRules.gopherSignals(cleaned, "doc_id", "text",
+        minWords = 20L)
+      val passed = cleaned.join(
+        gopher.where(col("gopher_pass") === 1L).select(col("doc_id"), col("n_words")),
+        Seq("doc_id"))
+      val deduped = Dedup.exactDedup(passed, "doc_id", "text")
+      val withSource = deduped.join(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      val capped = PipelineOps.domainCap(withSource, "doc_id", "source", cap = 10)
+      PipelineOps.assignSplits(capped, "doc_id")
+        .select("doc_id", "source", "n_lines_kept", "n_words", "domain_rank", "split")
     }),
     // perceptual image dedup: dHash through the REAL PNG codec; seeds
     // doc_id % 100 so every rendered image has 5 copies at sf0.01 —
@@ -1971,73 +2066,18 @@ object ExtQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts_us) AS rn
         |  FROM u) t
         |WHERE rn = 1""".stripMargin,
-    // Gopher rule set over the shared line fixture: every ratio is one
-    // double division of two exact integers, so the thresholds compare
-    // identically on both sides; list_distinct's order/NULL quirks are
-    // harmless (only its length and char sum are used, lines are never
-    // NULL). COALESCE guards the empty-list list_sum → NULL trap.
+    // Gopher rule set over the shared line fixture, via the shared
+    // CTE builder (gopherSqlChain) the composed q_corpus_curate also
+    // replays — the two oracles cannot drift
     "q_gopher_quality" ->
       s"""WITH $lineFixtureSql,
-        |t AS (SELECT doc_id, text,
-        |    regexp_extract_all(text, '\\S+') AS toks,
-        |    regexp_extract_all(lower(text), '\\S+') AS ltoks,
-        |    string_split(text, chr(10)) AS lines
-        |  FROM fx),
-        |m AS (SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    CAST(len(lines) AS BIGINT) AS n_lines,
-        |    COALESCE(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))), 0) AS tok_chars,
-        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-        |      + (length(text) - length(replace(text, '...', ''))) // 3
-        |      + (length(text) - length(replace(text, '…', ''))) AS symbols,
-        |    CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS bullet_lines,
-        |    CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS BIGINT) AS ellipsis_lines,
-        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
-        |    CAST(len(list_filter(ltoks, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stopword_count,
-        |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines,
-        |    COALESCE(list_sum(list_transform(lines, l -> CAST(length(l) AS BIGINT))), 0) AS line_chars,
-        |    COALESCE(list_sum(list_transform(list_distinct(lines), l -> CAST(length(l) AS BIGINT))), 0) AS dline_chars
-        |  FROM t),
-        |r AS (SELECT doc_id, n_words,
-        |    COALESCE(CAST(tok_chars AS DOUBLE) / CASE WHEN n_words = 0 THEN NULL ELSE n_words END, 0.0) AS mean_word_len,
-        |    COALESCE(CAST(symbols AS DOUBLE) / CASE WHEN n_words = 0 THEN NULL ELSE n_words END, 0.0) AS symbol_word_ratio,
-        |    COALESCE(CAST(bullet_lines AS DOUBLE) / CASE WHEN n_lines = 0 THEN NULL ELSE n_lines END, 0.0) AS bullet_line_frac,
-        |    COALESCE(CAST(ellipsis_lines AS DOUBLE) / CASE WHEN n_lines = 0 THEN NULL ELSE n_lines END, 0.0) AS ellipsis_line_frac,
-        |    COALESCE(CAST(alpha_words AS DOUBLE) / CASE WHEN n_words = 0 THEN NULL ELSE n_words END, 0.0) AS alpha_word_frac,
-        |    stopword_count,
-        |    COALESCE(CAST(dup_lines AS DOUBLE) / CASE WHEN n_lines = 0 THEN NULL ELSE n_lines END, 0.0) AS dup_line_frac,
-        |    COALESCE(CAST(line_chars - dline_chars AS DOUBLE) / CASE WHEN line_chars = 0 THEN NULL ELSE line_chars END, 0.0) AS dup_line_char_frac
-        |  FROM m)
-        |SELECT *,
-        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-        |    AND mean_word_len BETWEEN 3.0 AND 10.0
-        |    AND symbol_word_ratio <= 0.1
-        |    AND bullet_line_frac <= 0.9
-        |    AND ellipsis_line_frac <= 0.3
-        |    AND alpha_word_frac >= 0.8
-        |    AND stopword_count >= 2
-        |    AND dup_line_frac <= 0.3
-        |    AND dup_line_char_frac <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
-        |FROM r""".stripMargin,
-    // C4 cleaning over the same fixture; list_filter preserves order so
-    // the rejoined clean_text matches Spark's filter + array_join
+        |${gopherSqlChain("fx", "", minWords = 50L)}
+        |SELECT * FROM g""".stripMargin,
+    // C4 cleaning over the same fixture via the shared builder
     "q_c4_clean" ->
       s"""WITH $lineFixtureSql,
-        |t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM fx),
-        |k AS (SELECT doc_id, text, lines,
-        |    list_filter(lines, l ->
-        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
-        |      AND len(regexp_extract_all(l, '\\S+')) >= 3
-        |      AND NOT contains(lower(l), 'javascript')) AS kept
-        |  FROM t)
-        |SELECT doc_id,
-        |  CAST(len(lines) AS BIGINT) AS n_lines,
-        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
-        |  CAST(CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{')
-        |    OR len(kept) < 2 THEN 0 ELSE 1 END AS BIGINT) AS doc_kept,
-        |  CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{')
-        |    OR len(kept) < 2 THEN '' ELSE array_to_string(kept, chr(10)) END AS clean_text
-        |FROM k""".stripMargin,
+        |${c4SqlChain("fx", "")}
+        |SELECT * FROM c4""".stripMargin,
     // per-domain cap: identical md5-prefix hash order as
     // PipelineOps.saltedHash32 (the q_split_assign spelling)
     "q_domain_cap" ->
@@ -2047,6 +2087,33 @@ object ExtQueries {
         |             doc_id ASC) AS BIGINT) AS domain_rank
         |  FROM documents) t
         |WHERE domain_rank <= 7""".stripMargin,
+    // composed curation: the SAME c4/gopher CTE builders as the
+    // standalone gates, chained, then the exact-dedup min-id pick, the
+    // q_domain_cap rank and the q_split_assign thresholds
+    "q_corpus_curate" ->
+      s"""WITH $lineFixtureSql,
+        |${c4SqlChain("fx", "a")},
+        |cleaned AS (SELECT doc_id, clean_text AS text, n_lines_kept
+        |  FROM ac4 WHERE doc_kept = 1),
+        |${gopherSqlChain("cleaned", "b", minWords = 20L)},
+        |passed AS (SELECT cl.doc_id, cl.text, cl.n_lines_kept, g.n_words
+        |  FROM cleaned cl JOIN bg g USING (doc_id) WHERE g.gopher_pass = 1),
+        |fpd AS (SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fpr
+        |  FROM passed),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM fpd GROUP BY fpr),
+        |ded AS (SELECT f.* FROM fpd f SEMI JOIN keep USING (doc_id)),
+        |dom AS (SELECT ded.doc_id, d.source, ded.n_lines_kept, ded.n_words
+        |  FROM ded JOIN documents d USING (doc_id)),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft-domain'), 1, 8))::BIGINT ASC,
+        |             doc_id ASC) AS BIGINT) AS domain_rank FROM dom),
+        |capped AS (SELECT * FROM ranked WHERE domain_rank <= 10)
+        |SELECT doc_id, source, n_lines_kept, n_words, domain_rank,
+        |  CASE WHEN h < 0.90625 * 4294967296e0 THEN 'train'
+        |       WHEN h < 0.953125 * 4294967296e0 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft-split'), 1, 8))::BIGINT AS h
+        |      FROM capped)""".stripMargin,
     // dHash: replay the 9×8 truncating-NN grayscale grid from the
     // pixel formulas (all integer math), MSB-first bits p = y·8+x with
     // x = p%8 / y = p//8, nibbles to lowercase hex, then the dedup
