@@ -615,12 +615,13 @@ object ExtQueries {
         .select(col("doc_id"), col("clean_text").as("text"), col("n_lines_kept"))
       // the cleaned fixture docs run ~30-50 words, so the composed
       // pass uses the 20-word floor (the operator's minWords knob);
-      // every other Gopher threshold is the published default
-      val gopher = CurationRules.gopherSignals(cleaned, "doc_id", "text",
-        minWords = 20L)
-      val passed = cleaned.join(
-        gopher.where(col("gopher_pass") === 1L).select(col("doc_id"), col("n_words")),
-        Seq("doc_id"))
+      // every other Gopher threshold is the published default. The
+      // augment form appends the signals row-locally — no
+      // corpus-corpus join back onto the id
+      val passed = CurationRules.gopherAugment(cleaned, "doc_id", "text",
+          minWords = 20L)
+        .where(col("gopher_pass") === 1L)
+        .select(col("doc_id"), col("text"), col("n_lines_kept"), col("n_words"))
       val deduped = Dedup.exactDedup(passed, "doc_id", "text")
       val withSource = deduped.join(
         Tables.documents(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))

@@ -70,14 +70,30 @@ object CurationRules {
     */
   def gopherSignals(df: DataFrame, idCol: String, textCol: String,
                     lineDelim: String = "\n",
+                    minWords: Long = 50L, maxWords: Long = 100000L): DataFrame =
+    gopherAugment(df.select(col(idCol), col(textCol)), idCol, textCol,
+      lineDelim, minWords, maxWords).drop(textCol)
+
+  /** The signal names [[gopherAugment]] appends (plus `gopher_pass`). */
+  val GopherSignalColumns: Seq[String] = Seq("n_words", "mean_word_len",
+    "symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
+    "alpha_word_frac", "stopword_count", "dup_line_frac", "dup_line_char_frac")
+
+  /** [[gopherSignals]] as an augmentation: every input column is kept
+    * and the signal + `gopher_pass` columns are appended. This is the
+    * composition-friendly form — a pipeline that gates on the rules
+    * and keeps processing the text would otherwise need a
+    * corpus-corpus self-join back onto the id (a SortMergeJoin of two
+    * full scans at 100 TB); the signals are row-local, so appending
+    * them is free. */
+  def gopherAugment(df: DataFrame, idCol: String, textCol: String,
+                    lineDelim: String = "\n",
                     minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
     require(lineDelim.nonEmpty, "lineDelim must be non-empty")
-    require(!Set("n_words", "mean_word_len", "symbol_word_ratio",
-      "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
-      "stopword_count", "dup_line_frac", "dup_line_char_frac",
-      "gopher_pass", "__text", "__toks", "__ltoks", "__lines")
-      .contains(idCol),
-      s"idCol '$idCol' collides with an internal or output column name")
+    val reserved = GopherSignalColumns.toSet ++ Set("gopher_pass", "__s")
+    val clash = df.columns.filter(c => c != textCol && reserved.contains(c))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with gopher signal columns")
 
     // one byte-level sweep per document (graft.functions.GopherStats)
     // — the declarative spelling (two tokenizations + line split +
@@ -85,9 +101,9 @@ object CurationRules {
     // replays; the kernel computes the identical integer counts
     // (CurationKernels scaladoc lists the parity obligations) and the
     // ratio layer below divides them
-    val stats = df.select(col(idCol),
+    val stats = df.withColumn("__s",
       graft.functions.CurationKernels.gopherStats(
-        coalesce(col(textCol), lit("")), lineDelim).as("__s"))
+        coalesce(col(textCol), lit("")), lineDelim))
 
     val nWords = col("__s.n_words")
     val nLines = col("__s.n_lines")
@@ -98,23 +114,23 @@ object CurationRules {
     val safeLineChars =
       when(col("__s.line_chars") === 0L, lit(null)).otherwise(col("__s.line_chars"))
 
-    stats.select(col(idCol),
-        nWords.as("n_words"),
-        coalesce(col("__s.tok_chars").cast("double") / safeWords, lit(0.0))
-          .as("mean_word_len"),
-        coalesce(col("__s.symbols").cast("double") / safeWords, lit(0.0))
-          .as("symbol_word_ratio"),
-        coalesce(col("__s.bullet_lines").cast("double") / safeLines, lit(0.0))
-          .as("bullet_line_frac"),
-        coalesce(col("__s.ellipsis_lines").cast("double") / safeLines, lit(0.0))
-          .as("ellipsis_line_frac"),
-        coalesce(col("__s.alpha_words").cast("double") / safeWords, lit(0.0))
-          .as("alpha_word_frac"),
-        col("__s.stop_count").as("stopword_count"),
-        coalesce(col("__s.dup_lines").cast("double") / safeLines, lit(0.0))
-          .as("dup_line_frac"),
-        coalesce(col("__s.dup_line_chars").cast("double") / safeLineChars, lit(0.0))
-          .as("dup_line_char_frac"))
+    stats
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len",
+        coalesce(col("__s.tok_chars").cast("double") / safeWords, lit(0.0)))
+      .withColumn("symbol_word_ratio",
+        coalesce(col("__s.symbols").cast("double") / safeWords, lit(0.0)))
+      .withColumn("bullet_line_frac",
+        coalesce(col("__s.bullet_lines").cast("double") / safeLines, lit(0.0)))
+      .withColumn("ellipsis_line_frac",
+        coalesce(col("__s.ellipsis_lines").cast("double") / safeLines, lit(0.0)))
+      .withColumn("alpha_word_frac",
+        coalesce(col("__s.alpha_words").cast("double") / safeWords, lit(0.0)))
+      .withColumn("stopword_count", col("__s.stop_count"))
+      .withColumn("dup_line_frac",
+        coalesce(col("__s.dup_lines").cast("double") / safeLines, lit(0.0)))
+      .withColumn("dup_line_char_frac",
+        coalesce(col("__s.dup_line_chars").cast("double") / safeLineChars, lit(0.0)))
       .withColumn("gopher_pass",
         when(col("n_words").between(minWords, maxWords) &&
           col("mean_word_len").between(3.0, 10.0) &&
@@ -125,6 +141,7 @@ object CurationRules {
           col("stopword_count") >= 2L &&
           col("dup_line_frac") <= 0.3 &&
           col("dup_line_char_frac") <= 0.2, lit(1L)).otherwise(lit(0L)))
+      .drop("__s")
   }
 
   /** C4-style cleaning: line filter + document-level drops.
