@@ -163,28 +163,41 @@ object CurationRules {
     */
   def c4Clean(df: DataFrame, idCol: String, textCol: String,
               minWordsPerLine: Int = 3, minLinesKept: Int = 2,
-              lineDelim: String = "\n"): DataFrame = {
+              lineDelim: String = "\n"): DataFrame =
+    c4Augment(df.select(col(idCol), col(textCol)), idCol, textCol,
+      minWordsPerLine, minLinesKept, lineDelim).drop(textCol)
+
+  /** [[c4Clean]] as an augmentation: every input column is kept and
+    * `(n_lines, n_lines_kept, doc_kept, clean_text)` are appended —
+    * the composition-friendly form, same rationale as
+    * [[gopherAugment]] (the counts are row-local; joining them back
+    * onto the corpus would be a full self-join at scale). */
+  def c4Augment(df: DataFrame, idCol: String, textCol: String,
+                minWordsPerLine: Int = 3, minLinesKept: Int = 2,
+                lineDelim: String = "\n"): DataFrame = {
     require(lineDelim.nonEmpty, "lineDelim must be non-empty")
     require(minWordsPerLine >= 1, s"minWordsPerLine must be >= 1, got $minWordsPerLine")
-    require(!Set("n_lines", "n_lines_kept", "doc_kept", "clean_text",
-      "__text", "__lines", "__kept").contains(idCol),
-      s"idCol '$idCol' collides with an internal or output column name")
+    val reserved = Set("n_lines", "n_lines_kept", "doc_kept", "clean_text", "__s")
+    val clash = df.columns.filter(c => c != textCol && reserved.contains(c))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with c4 output columns")
 
     // one byte-level sweep per document (graft.functions.C4Stats);
     // the q_c4_clean oracle replays the declarative line-lambda
     // spelling these counts must match
-    val stats = df.select(col(idCol),
+    val stats = df.withColumn("__s",
       graft.functions.CurationKernels.c4Stats(
-        coalesce(col(textCol), lit("")), lineDelim, minWordsPerLine).as("__s"))
+        coalesce(col(textCol), lit("")), lineDelim, minWordsPerLine))
 
     val docKept = when(col("__s.has_drop_marker") ||
       col("__s.n_kept") < minLinesKept, lit(0L)).otherwise(lit(1L))
 
-    stats.select(col(idCol),
-      col("__s.n_lines").as("n_lines"),
-      col("__s.n_kept").as("n_lines_kept"),
-      docKept.as("doc_kept"),
-      when(docKept === 1L, col("__s.kept_text"))
-        .otherwise(lit("")).as("clean_text"))
+    stats
+      .withColumn("n_lines", col("__s.n_lines"))
+      .withColumn("n_lines_kept", col("__s.n_kept"))
+      .withColumn("doc_kept", docKept)
+      .withColumn("clean_text",
+        when(docKept === 1L, col("__s.kept_text")).otherwise(lit("")))
+      .drop("__s")
   }
 }

@@ -98,6 +98,29 @@ class CurationRulesSpec extends SparkSpec {
     assert(out.forall(_.getAs[String]("clean_text") === ""))
   }
 
+  test("augment forms keep input columns and agree with the thin forms") {
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      Row(1L, "Keep this fine line.\nAnother keeper stays here!", "web"),
+      Row(2L, "- bullet\nno punct", "books"))
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("extra", StringType))))
+    val ga = CurationRules.gopherAugment(df, "id", "text")
+    assert(ga.columns.startsWith(Array("id", "text", "extra")))
+    val thin = CurationRules.gopherSignals(df, "id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_words")).toMap
+    ga.collect().foreach { r =>
+      assert(r.getAs[Long]("n_words") === thin(r.getAs[Long]("id")))
+      assert(r.getAs[String]("extra") != null)
+    }
+    val ca = CurationRules.c4Augment(df, "id", "text")
+    assert(ca.columns.contains("extra") && ca.columns.contains("clean_text"))
+    val caOut = ca.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("n_lines_kept")).toMap
+    assert(caOut === Map(1L -> 2L, 2L -> 0L))
+  }
+
   // ── domainCap ──────────────────────────────────────────────────────
 
   test("domainCap keeps at most cap rows per domain, deterministically") {
