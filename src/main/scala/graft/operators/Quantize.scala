@@ -46,6 +46,9 @@ object Quantize {
         max(element_at(col(vecCol), j + 1).cast("double")).as(s"__mx$j"))
     }
     val fit = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!fit.isNullAt(0),
+      "quantizeInt8 fit found no vectors — the corpus is empty or the " +
+        s"first dimension of '$vecCol' is null everywhere")
     val mins = (0 until dim).map(j => fit.getAs[Double](s"__mn$j"))
     val rngs = (0 until dim).map(j =>
       fit.getAs[Double](s"__mx$j") - fit.getAs[Double](s"__mn$j"))

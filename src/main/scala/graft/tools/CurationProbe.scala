@@ -98,6 +98,18 @@ object CurationProbe {
     best("c4 via CurationRules")(noop(CurationRules.c4Clean(fixture, "doc_id", "text")))
     best("full gopherSignals")(noop(CurationRules.gopherSignals(fixture, "doc_id", "text")))
 
+    // scaled phase: 500k line-structured docs (fixture ×100 with
+    // distinct ids) — the linear-throughput data point behind the
+    // "scan-bandwidth-bound at any corpus size" claim
+    import spark.implicits._
+    val big = (0 until 100).map(i =>
+        fixture.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).persist()
+    val nBig = big.count()
+    best(s"gopher kernel ${nBig / 1000}k docs")(noop(kernelGopher(big)))
+    best(s"c4 kernel ${nBig / 1000}k docs")(
+      noop(CurationRules.c4Clean(big, "doc_id", "text")))
+    big.unpersist()
     fixture.unpersist()
     spark.stop()
   }
