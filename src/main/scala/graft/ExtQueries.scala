@@ -618,10 +618,14 @@ object ExtQueries {
       // every other Gopher threshold is the published default. The
       // augment form appends the signals row-locally — no
       // corpus-corpus join back onto the id
-      val passed = CurationRules.gopherAugment(cleaned, "doc_id", "text",
-          minWords = 20L)
-        .where(col("gopher_pass") === 1L)
-        .select(col("doc_id"), col("text"), col("n_lines_kept"), col("n_words"))
+      // persisted before exactDedup's self-join (keep-frame groupBy +
+      // left_semi evaluate the input subtree once per side): without
+      // this the fixture + both rule kernels run twice — the same
+      // discipline as the dedup family's persisted signature frames
+      val passed = graft.CacheScope.track(
+        CurationRules.gopherAugment(cleaned, "doc_id", "text", minWords = 20L)
+          .where(col("gopher_pass") === 1L)
+          .select(col("doc_id"), col("text"), col("n_lines_kept"), col("n_words")))
       val deduped = Dedup.exactDedup(passed, "doc_id", "text")
       val withSource = deduped.join(
         Tables.documents(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
