@@ -37,7 +37,10 @@ object ExtQueries {
     * arithmetic), so the whole rule surface is value-gated; same
     * pattern as q_pii_redact's injected emails.
     */
-  private def lineFixture(s: SparkSession, dir: String): DataFrame = {
+  /** package-private: graft.tools.CurationProbe measures the kernels
+    * over this exact fixture — sharing the builder keeps the probe's
+    * recorded numbers and parity check on the gate's corpus. */
+  private[graft] def lineFixture(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val ws = TextFunctions.tokens(col("text"))
     val lines = transform(sequence(lit(1), greatest(size(ws), lit(1)), lit(10)), i => {
@@ -81,21 +84,22 @@ object ExtQueries {
     * the standalone q_c4_clean oracle and the composed q_corpus_curate
     * chain so the two replays cannot drift. list_filter preserves
     * order, so the rejoined clean_text matches Spark's kernel rebuild. */
-  private def c4SqlChain(src: String, p: String): String =
+  private def c4SqlChain(src: String, p: String,
+                         minWordsPerLine: Int = 3, minLinesKept: Int = 2): String =
     s"""${p}ct AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM $src),
        |${p}ck AS (SELECT doc_id, text, lines,
        |    list_filter(lines, l ->
        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
-       |      AND len(regexp_extract_all(l, '\\S+')) >= 3
+       |      AND len(regexp_extract_all(l, '\\S+')) >= $minWordsPerLine
        |      AND NOT contains(lower(l), 'javascript')) AS kept
        |  FROM ${p}ct),
        |${p}c4 AS (SELECT doc_id,
        |    CAST(len(lines) AS BIGINT) AS n_lines,
        |    CAST(len(kept) AS BIGINT) AS n_lines_kept,
        |    CAST(CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{')
-       |      OR len(kept) < 2 THEN 0 ELSE 1 END AS BIGINT) AS doc_kept,
+       |      OR len(kept) < $minLinesKept THEN 0 ELSE 1 END AS BIGINT) AS doc_kept,
        |    CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{')
-       |      OR len(kept) < 2 THEN '' ELSE array_to_string(kept, chr(10)) END AS clean_text
+       |      OR len(kept) < $minLinesKept THEN '' ELSE array_to_string(kept, chr(10)) END AS clean_text
        |  FROM ${p}ck)""".stripMargin
 
   /** Gopher stage CTEs over `(doc_id, text)` view `src`: emits `${p}g`
@@ -639,9 +643,13 @@ object ExtQueries {
     "q_image_dhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), (col("doc_id") % 100).as("img_seed"))
+      // decode_ok filter: a failed decode yields a null hash, and an
+      // unfiltered groupBy would coalesce every undecodable image into
+      // one spurious null-keyed "duplicate" group — exactly the
+      // colliding-sentinel hazard imageDHash's null contract avoids
       val hashed = MediaCodecs.imageDHash(
         MediaCodecs.renderImages(docs.select(col("img_seed")).distinct(), "img_seed"),
-        "img_seed")
+        "img_seed").where(col("decode_ok"))
       docs.join(broadcast(hashed), Seq("img_seed"))
         .groupBy(col("dhash"))
         .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))

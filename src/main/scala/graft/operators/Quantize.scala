@@ -46,9 +46,11 @@ object Quantize {
         max(element_at(col(vecCol), j + 1).cast("double")).as(s"__mx$j"))
     }
     val fit = df.agg(aggs.head, aggs.tail: _*).head()
-    require(!fit.isNullAt(0),
-      "quantizeInt8 fit found no vectors — the corpus is empty or the " +
-        s"first dimension of '$vecCol' is null everywhere")
+    val nullDims = (0 until dim).filter(j => fit.isNullAt(2 * j))
+    require(nullDims.isEmpty,
+      s"quantizeInt8 fit found no values for dimension(s) ${nullDims.mkString(", ")} " +
+        s"of '$vecCol' — the corpus is empty, vectors are shorter than dim=$dim, " +
+        "or those dimensions are null everywhere")
     val mins = (0 until dim).map(j => fit.getAs[Double](s"__mn$j"))
     val rngs = (0 until dim).map(j =>
       fit.getAs[Double](s"__mx$j") - fit.getAs[Double](s"__mn$j"))

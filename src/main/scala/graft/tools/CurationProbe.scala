@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{CurationKernels, TextFunctions}
 import graft.operators.CurationRules
-import graft.sources.Tables
 
 /** Scratch probe backing the CurationRules kernel claim: the
   * declarative Gopher spelling (two tokenizations + a line split +
@@ -33,21 +32,10 @@ object CurationProbe {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // the gate's line fixture (ExtQueries.lineFixture shape)
-    val ws = TextFunctions.tokens(col("text"))
-    val lines = transform(sequence(lit(1), greatest(size(ws), lit(1)), lit(10)), i => {
-      val j = ((i - 1) / 10).cast("long")
-      val chunk = array_join(slice(ws, i, lit(10)), " ")
-      val k = col("doc_id") + j
-      when(k % 5 === 0, concat(lit("- "), chunk))
-        .when(k % 7 === 0, concat(chunk, lit("...")))
-        .when(k % 7 === 3, concat(chunk, lit(" javascript.")))
-        .when(k % 4 === 0, lit("the dup line of that corpus."))
-        .when(k % 4 === 2, concat(chunk, lit(".")))
-        .otherwise(chunk)
-    })
-    val fixture = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_join(lines, "\n").as("text"))
+    // the gate's OWN line fixture (shared builder — the probe measures
+    // and parity-checks the exact q_gopher_quality corpus)
+    val fixture = graft.ExtQueries.lineFixture(spark, dir)
+      .select(col("doc_id"), col("text"))
       .persist()
     println(s"fixture rows: ${fixture.count()}")
 
