@@ -91,7 +91,9 @@ object Bench {
     // perceptual image dedup: real-codec dHash + hash-equality groupBy
     "q_image_dhash",
     // composed curation flow: clean → gate → dedup → cap → split
-    "q_corpus_curate")
+    "q_corpus_curate",
+    // z-order layout: morton key + range shuffle + local sort
+    "q_zorder_key")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, Dedup, Dsir, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, Quantize, RangeJoin, Similarity}
+import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, Dedup, Dsir, Layout, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, Quantize, RangeJoin, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -607,6 +607,15 @@ object ExtQueries {
       PipelineOps.domainCap(
         Tables.documents(s, dir).select(col("doc_id"), col("source")),
         "doc_id", "source", cap = 7)
+    }),
+    // Z-order layout: Morton key over (user_id, event_id) low bits +
+    // the range-partition/sort pre-write shape; the key math is
+    // bit-exact SQL, the layout shape is pinned by PlanShapeSpec
+    "q_zorder_key" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+      Layout.zorderLayout(e,
+          Seq(col("user_id") % 1024, col("event_id") % 1024), bits = 10)
+        .select(col("event_id"), col("z_key"))
     }),
     // composed end-to-end curation: C4 clean → Gopher gate → exact
     // dedup → per-domain cap → split assignment, one flow — the
@@ -2100,6 +2109,14 @@ object ExtQueries {
         |             doc_id ASC) AS BIGINT) AS domain_rank
         |  FROM documents) t
         |WHERE domain_rank <= 7""".stripMargin,
+    // Morton interleave replayed term-for-term: bit b of dim j lands
+    // at position b·2 + j, pure BIGINT shifts/masks on both engines
+    "q_zorder_key" -> {
+      val terms = (0 until 10).flatMap(b => Seq(
+        s"((((user_id % 1024) >> $b) & 1) << ${2 * b})",
+        s"((((event_id % 1024) >> $b) & 1) << ${2 * b + 1})"))
+      s"SELECT event_id, ${terms.mkString(" | ")} AS z_key FROM events"
+    },
     // composed curation: the SAME c4/gopher CTE builders as the
     // standalone gates, chained, then the exact-dedup min-id pick, the
     // q_domain_cap rank and the q_split_assign thresholds

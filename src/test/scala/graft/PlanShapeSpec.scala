@@ -298,6 +298,23 @@ class PlanShapeSpec extends SparkSpec {
       s"quantization encode must not shuffle:\n${plans.head}")
   }
 
+  test("z-order layout is one range shuffle + in-partition sort, nothing global") {
+    val df = SparkEntry.queries("q_zorder_key")(spark, sfDir)
+    df.collect()
+    val plans = dedupByIdentity(flatten(df.queryExecution.executedPlan))
+    val shuffles = plans.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size === 1, s"expected exactly one exchange:\n${plans.head}")
+    assert(shuffles.head.outputPartitioning.getClass.getSimpleName
+      .contains("RangePartitioning"),
+      s"layout exchange must be range-partitioned: ${shuffles.head.outputPartitioning}")
+    // the sort must be partition-local (no global ordering exchange)
+    val sorts = plans.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.nonEmpty && sorts.forall(!_.global),
+      "z-order sort must be within partitions, not global")
+  }
+
   test("gopher/c4 rule scans are shuffle-free projections") {
     Seq("q_gopher_quality", "q_c4_clean").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
