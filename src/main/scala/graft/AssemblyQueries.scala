@@ -88,6 +88,35 @@ object AssemblyQueries {
         StructField("chart_type", StringType), StructField("score", DoubleType),
         StructField("signature", StringType), StructField("channels", StringType)))
       s.createDataFrame(java.util.List.of(rows: _*), schema)
+    }),
+
+    // chart color math (search.py:850-873), distributively: the ramp
+    // over min-max normalized values and the muted nominal palette —
+    // previously spec-only (ColorMappingSpec golden tuples); now the
+    // full RGB surface is DuckDB-value-exact on a real table
+    "q_color_ramp" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"), col("value"))
+      // mn/mxs collected as plan literals; MAX(v) − mn equals the
+      // reference's max-of-shifted (subtraction and rounding are both
+      // monotone), so the one-agg fit is value-identical
+      val fit = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx")).head()
+      val mn = fit.getDouble(0)
+      val mxs = fit.getDouble(1) - mn
+      val norm = if (mxs == 0.0) col("value") - lit(mn)
+                 else (col("value") - lit(mn)) / lit(mxs)
+      val (r, g, b) = graft.functions.ColorMapping.rampChannels(norm)
+      e.select(col("event_id"), r.as("r"), g.as("g"), b.as("b"))
+    }),
+    // nominal palette over sorted-distinct codes (the nominalize
+    // convention); the distinct domain is human-scale by contract, so
+    // the global ordering window ranks a tiny frame
+    "q_color_nominal" -> ((s, dir) => {
+      val types = Tables.events(s, dir).select(col("event_type")).distinct()
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))
+      val coded = types.withColumn("code",
+        (row_number().over(w) - 1).cast("long"))
+      val (r, g, b) = graft.functions.ColorMapping.nominalChannels(col("code"))
+      coded.select(col("event_type"), col("code"), r.as("r"), g.as("g"), b.as("b"))
     })
   )
 
@@ -164,6 +193,31 @@ object AssemblyQueries {
          |SELECT o_orderpriority, ${dec2(scoreExpr)} AS outstanding1, fulln AS n
          |FROM g0_x_cdf
          |""".stripMargin
-    }
+    },
+    // ramp: (hi−lo)·v + lo with the 8/48/107 ↔ 222/235/247 constants
+    // computed as the same correctly-rounded divisions on both sides;
+    // the mx = 0 degenerate keeps the unnormalized shift, matching
+    // ColorMapping.numericColors
+    "q_color_ramp" ->
+      """WITH f AS (SELECT MIN(value) AS mn, MAX(value) - MIN(value) AS mxs FROM events),
+        |n AS (SELECT event_id,
+        |    CASE WHEN mxs = 0.0 THEN value - mn ELSE (value - mn) / mxs END AS v
+        |  FROM events, f)
+        |SELECT event_id,
+        |  (8/255.0 - 222/255.0) * v + 222/255.0 AS r,
+        |  (48/255.0 - 235/255.0) * v + 235/255.0 AS g,
+        |  (107/255.0 - 247/255.0) * v + 247/255.0 AS b
+        |FROM n""".stripMargin,
+    // seaborn muted palette, cycled by sorted-distinct code
+    "q_color_nominal" ->
+      """WITH t AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT event_type,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS BIGINT) AS code FROM t),
+        |p AS (SELECT *, CAST(code % 10 AS INT) AS i FROM c)
+        |SELECT event_type, code,
+        |  ([72,238,106,214,149,140,220,121,213,130])[i+1] / 255.0 AS r,
+        |  ([120,133,204,95,108,97,126,121,187,198])[i+1] / 255.0 AS g,
+        |  ([208,74,100,95,180,60,192,121,103,226])[i+1] / 255.0 AS b
+        |FROM p""".stripMargin
   )
 }

@@ -58,6 +58,33 @@ object ColorMapping {
   def numericLegend: Map[String, (Double, Double, Double)] =
     Map("__Min" -> rampLo, "__Max" -> rampHi)
 
+  /** Distributed twin of [[numericColors]]'s ramp: channel columns for
+    * an already-normalized value column, `(hi−lo)·v + lo` with the
+    * identical constants and association order — so a corpus-scale
+    * color assignment reproduces the driver-side chart math exactly
+    * (and a SQL engine computing `8/255.0 − 222/255.0` lands on the
+    * same doubles, both operations being correctly rounded). */
+  def rampChannels(norm: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.lit
+    def ch(hi: Double, lo: Double) = lit(hi - lo) * norm + lit(lo)
+    (ch(rampHi._1, rampLo._1), ch(rampHi._2, rampLo._2), ch(rampHi._3, rampLo._3))
+  }
+
+  /** Distributed twin of [[nominalColor]] for NON-NEGATIVE codes: the
+    * `k`-dependence of the palette cancels (`palette(code % (k+1)) =
+    * muted(code % 10)` whenever `0 ≤ code < k`), so the muted palette
+    * cycles directly — outlier (−1) handling stays with the
+    * driver-side [[nominalColor]], which the chart path uses. */
+  def nominalChannels(code: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.{array, element_at, lit, pmod}
+    def arr(pick: ((Int, Int, Int)) => Int) =
+      array(mutedHex.map(c => lit(pick(c) / 255.0)): _*)
+    val idx = (pmod(code, lit(mutedHex.length)) + 1).cast("int")
+    (element_at(arr(_._1), idx), element_at(arr(_._2), idx), element_at(arr(_._3), idx))
+  }
+
   /** The reference's 4-bucket quantization of a numeric color channel
     * for CDM scoring (search.py:845-846): int(v·4) clamped to 3, after
     * dividing by the max. */
