@@ -47,6 +47,17 @@ object RelationalQueries {
       TBasic(Tables.lineitem(s, dir), TStep("select", inType = "num"))
     }),
 
+    // ── select, "like" dtype families (str + date) and "all" ──
+    // previously spec-only (TBasicSpec): the oracle's explicit column
+    // list gates exactly which columns each family resolves to
+    "q_select_like" -> ((s, dir) => {
+      TBasic(Tables.lineitem(s, dir),
+        TStep("select", inType = "like", inCols = Seq("str", "date")))
+    }),
+    "q_select_all" -> ((s, dir) => {
+      TBasic(Tables.lineitem(s, dir), TStep("select", inType = "all"))
+    }),
+
     // ── row-wise arithmetic (Tengine.py:97-104) ──
     "q_rowwise_sum" -> ((s, dir) => {
       TBasic(Tables.lineitem(s, dir),
@@ -273,6 +284,9 @@ object RelationalQueries {
     "q_select_numeric" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         | l_extendedprice, l_discount, l_tax FROM lineitem""".stripMargin,
+    "q_select_like" ->
+      "SELECT l_returnflag, l_linestatus, l_shipdate FROM lineitem",
+    "q_select_all" -> "SELECT * FROM lineitem",
     "q_rowwise_sum" ->
       """SELECT l_orderkey, l_linenumber,
         | ((COALESCE(l_quantity, 0) + COALESCE(l_tax, 0)) + COALESCE(l_discount, 0)) AS rowsum

@@ -58,7 +58,11 @@ object TBasic {
         ((fams.contains("real") || fams.contains("float")) && isReal(f.dataType)) ||
         (fams.contains("int") && isInt(f.dataType)) ||
         (fams.contains("str") && f.dataType == StringType) ||
-        (fams.contains("date") && (f.dataType == DateType || f.dataType == TimestampType))
+        // TimestampNTZType included: Spark 4 reads parquet timestamps
+        // without UTC adjustment as NTZ (inferTimestampNTZ default on),
+        // and a date-family select must not silently drop them
+        (fams.contains("date") && (f.dataType == DateType ||
+          f.dataType == TimestampType || f.dataType == TimestampNTZType))
       }.map(_.name).toSeq
     case other => throw new IllegalArgumentException(s"unknown i_type: $other")
   }
