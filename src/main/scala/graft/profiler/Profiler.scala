@@ -55,6 +55,9 @@ object Profiler {
         case _: NumericType => Some(c.cast(DoubleType))
         case DateType       => Some(datediff(c, lit("1970-01-01")).cast(DoubleType))
         case TimestampType  => Some(unix_timestamp(c).cast(DoubleType))
+        // NTZ wall-clock → epoch seconds under the pinned UTC session
+        // TZ (same value the TZ branch yields for UTC-stored data)
+        case TimestampNTZType => Some(unix_timestamp(c.cast(TimestampType)).cast(DoubleType))
         case _              => None
       }
       val nd = if (cfg.approxDistinct) approx_count_distinct(c, 0.01) else countDistinct(c)

@@ -25,7 +25,10 @@ object LogicalType {
   def fromSpark(dt: DataType): LogicalType = dt match {
     case LongType | IntegerType | ShortType | ByteType => Int
     case DoubleType | FloatType | _: DecimalType       => Real
-    case DateType | TimestampType                      => Date
+    // TimestampNTZType included: Spark 4's parquet reader infers NTZ
+    // for non-UTC-adjusted timestamps (inferTimestampNTZ default on) —
+    // without this branch such columns profiled as Str
+    case DateType | TimestampType | TimestampNTZType   => Date
     case _                                             => Str
   }
 }
