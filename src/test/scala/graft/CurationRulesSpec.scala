@@ -121,6 +121,93 @@ class CurationRulesSpec extends SparkSpec {
     assert(caOut === Map(1L -> 2L, 2L -> 0L))
   }
 
+  test("kernel ≡ declarative spelling on adversarial unicode corpora (fuzz parity)") {
+    // the byte kernels promise exact parity with the collection-HOF
+    // semantics the oracles replay; this drives both over generated
+    // nasty inputs — multibyte chars, bullets/ellipses at boundaries,
+    // empty lines, whitespace runs, nulls — and compares every raw
+    // count (integers and strings only: the derived ratios divide the
+    // same integers on both sides by construction)
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{filter => ffilter, _}
+    import graft.functions.{CurationKernels, TextFunctions}
+    val rnd = new scala.util.Random(20260814L)
+    val atoms = Vector("the", "be", "of", "…", "...", "....", "#", "##x",
+      "- x", "-x", "* ", "•", "• b", "日本語", "café", "🎉🎉", "{", "}",
+      "lorem", "ipsum", "Lorem Ipsum", "JavaScript", "javascript", "It.",
+      "end!", "why?", "q\"", "", " ", "\t", "a.b.c", "x...", "…end", "A")
+    def line(): String =
+      Seq.fill(rnd.nextInt(6))(atoms(rnd.nextInt(atoms.length))).mkString(" ")
+    def text(): String =
+      Seq.fill(rnd.nextInt(6))(line()).mkString("\n")
+    val rows = (0 until 60).map(i =>
+      Row(i.toLong, if (i % 17 == 0) null else text()))
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("id", LongType), StructField("text", StringType))))
+      .select(col("id"), coalesce(col("text"), lit("")).as("t"))
+
+    // declarative gopher counts (the oracle's semantics)
+    def charSum(c: org.apache.spark.sql.Column) =
+      aggregate(transform(c, l => length(l).cast("long")), lit(0L), (a, b) => a + b)
+    val toks = TextFunctions.tokens(col("t"))
+    val ltoks = TextFunctions.tokens(lower(col("t")))
+    val lines = split(col("t"), java.util.regex.Pattern.quote("\n"))
+    val declarative = df.select(col("id"),
+      size(toks).cast("long").as("n_words"),
+      charSum(toks).as("tok_chars"),
+      ((length(col("t")) - length(replace(col("t"), lit("#"), lit("")))).cast("long") +
+        ((length(col("t")) - length(replace(col("t"), lit("..."), lit("")))) / 3).cast("long") +
+        (length(col("t")) - length(replace(col("t"), lit("…"), lit("")))).cast("long"))
+        .as("symbols"),
+      size(ffilter(lines, l => l.startsWith("- ") || l.startsWith("* ") ||
+        l.startsWith("• "))).cast("long").as("bullet_lines"),
+      size(ffilter(lines, l => l.endsWith("...") || l.endsWith("…"))).cast("long")
+        .as("ellipsis_lines"),
+      size(ffilter(toks, x => x.rlike("[A-Za-z]"))).cast("long").as("alpha_words"),
+      size(ffilter(ltoks, x => x.isInCollection(CurationRules.GopherStopwords)))
+        .cast("long").as("stop_count"),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(array_distinct(lines))).cast("long").as("dup_lines"),
+      charSum(lines).as("line_chars"),
+      (charSum(lines) - charSum(array_distinct(lines))).as("dup_line_chars"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val kernel = df.select(col("id"),
+        CurationKernels.gopherStats(col("t"), "\n").as("s"))
+      .select(col("id"), col("s.*")).collect()
+    assert(kernel.length === 60)
+    kernel.foreach { k =>
+      val d = declarative(k.getLong(0))
+      (1 until k.length).foreach { i =>
+        assert(k.get(i) === d.get(i),
+          s"gopher field ${k.schema.fields(i).name} diverges for id ${k.getLong(0)}: " +
+            s"kernel ${k.get(i)} vs declarative ${d.get(i)}\ntext: ${rows(k.getLong(0).toInt).get(1)}")
+      }
+    }
+
+    // declarative c4 (line filter + rebuild + drop markers)
+    val kept = ffilter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+        size(TextFunctions.tokens(l)) >= 3 && !lower(l).contains("javascript"))
+    val c4Decl = df.select(col("id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("kept_text"),
+      (lower(col("t")).contains("lorem ipsum") || col("t").contains("{"))
+        .as("has_drop_marker"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c4Kernel = df.select(col("id"),
+        CurationKernels.c4Stats(col("t"), "\n", 3).as("s"))
+      .select(col("id"), col("s.*")).collect()
+    c4Kernel.foreach { k =>
+      val d = c4Decl(k.getLong(0))
+      (1 until k.length).foreach { i =>
+        assert(k.get(i) === d.get(i),
+          s"c4 field ${k.schema.fields(i).name} diverges for id ${k.getLong(0)}: " +
+            s"kernel ${k.get(i)} vs declarative ${d.get(i)}")
+      }
+    }
+  }
+
   // ── domainCap ──────────────────────────────────────────────────────
 
   test("domainCap keeps at most cap rows per domain, deterministically") {
