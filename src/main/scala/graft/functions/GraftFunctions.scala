@@ -31,7 +31,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_repetition",
       exprs => RepetitionStats(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_gopher_stats",
+      exprs => GopherStats(exprs.head, evalString(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_c4_stats",
+      exprs => C4Stats(exprs.head, evalString(exprs(1)),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
+
+  private[functions] def evalString(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+    e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
 }
 
 /** `SparkSessionExtensions` hook (spark.sql.extensions). */
@@ -67,5 +76,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_repetition", "one-pass Gopher repetition stats of a token array"),
       (exprs: Seq[Expression]) => RepetitionStats(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("graft_gopher_stats"),
+      info("graft_gopher_stats", "single-sweep Gopher rule counts of a document"),
+      (exprs: Seq[Expression]) =>
+        GopherStats(exprs.head, GraftFunctions.evalString(exprs(1)))))
+    e.injectFunction((FunctionIdentifier("graft_c4_stats"),
+      info("graft_c4_stats", "single-sweep C4 line cleaning of a document"),
+      (exprs: Seq[Expression]) => C4Stats(exprs.head,
+        GraftFunctions.evalString(exprs(1)),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
   }
 }

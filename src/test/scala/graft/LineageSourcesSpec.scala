@@ -106,6 +106,14 @@ class LineageSourcesSpec extends SparkSpec {
     assert(r2.getDouble(0) == 1.0)
     assert(r2.getSeq[Long](1).length == 8)
     assert(r2.getStruct(2).getAs[Long]("n_words") == 4L)
+    val r3 = spark.sql(
+      """SELECT graft_gopher_stats('the cat\n- b', '\n') AS g,
+        |       graft_c4_stats('Nice long line here.\nnope', '\n', 3) AS c""".stripMargin)
+      .head()
+    assert(r3.getStruct(0).getAs[Long]("n_words") === 4L)
+    assert(r3.getStruct(0).getAs[Long]("bullet_lines") === 1L)
+    assert(r3.getStruct(1).getAs[Long]("n_kept") === 1L)
+    assert(r3.getStruct(1).getAs[String]("kept_text") === "Nice long line here.")
   }
 
   test("DateSniffer.sparkFormat bridges to distributed to_date parsing") {
