@@ -100,18 +100,31 @@ object AssemblyQueries {
       // reference's max-of-shifted (subtraction and rounding are both
       // monotone), so the one-agg fit is value-identical
       val fit = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx")).head()
-      val mn = fit.getDouble(0)
-      val mxs = fit.getDouble(1) - mn
-      val norm = if (mxs == 0.0) col("value") - lit(mn)
-                 else (col("value") - lit(mn)) / lit(mxs)
-      val (r, g, b) = graft.functions.ColorMapping.rampChannels(norm)
-      e.select(col("event_id"), r.as("r"), g.as("g"), b.as("b"))
+      if (fit.isNullAt(0)) {
+        // empty table / all-null values: the oracle's CASE yields NULL
+        // colors per surviving row (none when empty) — mirror that
+        // instead of NPE-ing on the null fit
+        e.select(col("event_id"),
+          lit(null).cast("double").as("r"), lit(null).cast("double").as("g"),
+          lit(null).cast("double").as("b"))
+      } else {
+        val mn = fit.getDouble(0)
+        val mxs = fit.getDouble(1) - mn
+        val norm = if (mxs == 0.0) col("value") - lit(mn)
+                   else (col("value") - lit(mn)) / lit(mxs)
+        val (r, g, b) = graft.functions.ColorMapping.rampChannels(norm)
+        e.select(col("event_id"), r.as("r"), g.as("g"), b.as("b"))
+      }
     }),
     // nominal palette over sorted-distinct codes (the nominalize
     // convention); the distinct domain is human-scale by contract, so
     // the global ordering window ranks a tiny frame
     "q_color_nominal" -> ((s, dir) => {
-      val types = Tables.events(s, dir).select(col("event_type")).distinct()
+      // isNotNull: Spark windows sort NULLS FIRST, DuckDB NULLS LAST —
+      // one null category would shift every code (nominalize applies
+      // the same discipline)
+      val types = Tables.events(s, dir).select(col("event_type"))
+        .where(col("event_type").isNotNull).distinct()
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))
       val coded = types.withColumn("code",
         (row_number().over(w) - 1).cast("long"))
@@ -210,7 +223,8 @@ object AssemblyQueries {
         |FROM n""".stripMargin,
     // seaborn muted palette, cycled by sorted-distinct code
     "q_color_nominal" ->
-      """WITH t AS (SELECT DISTINCT event_type FROM events),
+      """WITH t AS (SELECT DISTINCT event_type FROM events
+        |           WHERE event_type IS NOT NULL),
         |c AS (SELECT event_type,
         |    CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS BIGINT) AS code FROM t),
         |p AS (SELECT *, CAST(code % 10 AS INT) AS i FROM c)

@@ -38,8 +38,9 @@ object Profiler {
     * with an AnalysisException. Backtick-quoting (with doubling for
     * embedded backticks) resolves the flat name; identical to col()
     * for plain names. */
-  private def qcol(name: String): Column =
-    col("`" + name.replace("`", "``") + "`")
+  private def quotedSql(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+  private def qcol(name: String): Column = col(quotedSql(name))
 
   def profile(df0: DataFrame, cfg: EngineConfig = EngineConfig.default): (DataFrame, TableProfile) = {
     val df = cfg.maxSourceRows.fold(df0)(df0.limit)
@@ -55,9 +56,12 @@ object Profiler {
         case _: NumericType => Some(c.cast(DoubleType))
         case DateType       => Some(datediff(c, lit("1970-01-01")).cast(DoubleType))
         case TimestampType  => Some(unix_timestamp(c).cast(DoubleType))
-        // NTZ wall-clock → epoch seconds under the pinned UTC session
-        // TZ (same value the TZ branch yields for UTC-stored data)
-        case TimestampNTZType => Some(unix_timestamp(c.cast(TimestampType)).cast(DoubleType))
+        // NTZ wall-clock → epoch seconds via TZ-FREE arithmetic (the
+        // eventsRawNanos precedent): casting through TimestampType
+        // would shift the stats by the caller session's timezone
+        case TimestampNTZType => Some(expr(
+          s"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ${quotedSql(f.name)})")
+          .cast(DoubleType))
         case _              => None
       }
       val nd = if (cfg.approxDistinct) approx_count_distinct(c, 0.01) else countDistinct(c)
@@ -260,7 +264,8 @@ object Profiler {
     val (_, prof) = profile(df, cfg)
     import scala.jdk.CollectionConverters._
     val rows = prof.columns
-      .filter(c => c.min.isDefined && (c.sparkType != "date" && c.sparkType != "timestamp"))
+      .filter(c => c.min.isDefined && (c.sparkType != "date" &&
+        c.sparkType != "timestamp" && c.sparkType != "timestamp_ntz"))
       .map(c => Row(c.name, c.logicalType.name, c.distinctCount, c.nullCount,
         c.min.get, c.max.get, c.isKey))
     val schema = StructType(Seq(

@@ -89,7 +89,6 @@ object CurationProbe {
     // scaled phase: 500k line-structured docs (fixture ×100 with
     // distinct ids) — the linear-throughput data point behind the
     // "scan-bandwidth-bound at any corpus size" claim
-    import spark.implicits._
     val big = (0 until 100).map(i =>
         fixture.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
       .reduce(_ unionByName _).persist()

@@ -21,8 +21,10 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("mortonKey uses only the low `bits` bits of each dimension") {
+    // raw high-bit input on the LEFT side: the kernel itself must
+    // ignore bits >= `bits`, no external masking
     val out = Seq((1024L + 3L, 1L)).toDF("x", "y")
-      .select(Layout.mortonKey(Seq(col("x") % 1024, col("y")), bits = 10).as("z"))
+      .select(Layout.mortonKey(Seq(col("x"), col("y")), bits = 10).as("z"))
       .head().getLong(0)
     val base = Seq((3L, 1L)).toDF("x", "y")
       .select(Layout.mortonKey(Seq(col("x"), col("y")), bits = 10).as("z"))
