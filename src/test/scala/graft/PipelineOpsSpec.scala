@@ -320,6 +320,42 @@ class PipelineOpsSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("packSequences tiling invariants hold for random weights incl. giant docs") {
+    // randomized twin of the fixed-weight test: weights up to 3×
+    // seqLen force multi-window documents through the explode
+    val rnd = new scala.util.Random(8L)
+    val weights = (1L to 40L).map(i => i -> (rnd.nextInt(31)).toLong) // 0..30, seqLen 10
+    val docs = weights.toDF("id", "w")
+    val out = PipelineOps.packSequences(docs, "id", "w", seqLen = 10L).collect()
+    val wMap = weights.toMap
+    val total = wMap.values.sum
+    assert(out.map(_.getAs[Long]("seg_len")).sum === total)
+    assert(out.forall(r => r.getAs[Long]("seg_len") >= 1L &&
+      r.getAs[Long]("seg_len") <= 10L))
+    // per doc: contiguous tok_start tiling, segment count = #windows touched
+    out.groupBy(_.getAs[Long]("id")).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("tok_start"))
+      assert(sorted.head.getAs[Long]("tok_start") === 0L)
+      assert(sorted.map(_.getAs[Long]("seg_len")).sum === wMap(id))
+      // windows a doc touches are consecutive integers
+      val wins = sorted.map(_.getAs[Long]("window_id"))
+      assert(wins === (wins.head to wins.last))
+    }
+    // per window: gap-free from 0, full except possibly the last
+    val lastWin = (total - 1) / 10
+    out.groupBy(_.getAs[Long]("window_id")).foreach { case (win, rows) =>
+      val covered = rows.map(r => (r.getAs[Long]("seg_start"),
+        r.getAs[Long]("seg_start") + r.getAs[Long]("seg_len"))).sortBy(_._1)
+      assert(covered.head._1 === 0L)
+      covered.sliding(2).foreach {
+        case Array((_, e0), (s1, _)) => assert(e0 === s1, s"gap in window $win")
+        case _ =>
+      }
+      if (win < lastWin) assert(rows.map(_.getAs[Long]("seg_len")).sum === 10L)
+    }
+    graft.CacheScope.releaseAll()
+  }
+
   test("shardPack is invariant to input partitioning") {
     val docs = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("id", "w")
     val runs = Seq(1, 3, 13).map { p =>
