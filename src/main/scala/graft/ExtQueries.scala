@@ -324,6 +324,14 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", maxDocFreq = 390L, delim = " ")
     }),
+    "q_dedup_lines" -> ((s, dir) => {
+      // word granularity (same single-line synthetic corpus as the
+      // strip query): every occurrence of a word beyond the corpus-wide
+      // first (smallest doc_id, then position) is removed
+      PipelineOps.dedupLines(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", delim = " ")
+    }),
     "q_vocab_topk" -> ((s, dir) => {
       PipelineOps.vocabProfile(Tables.documents(s, dir), "doc_id", "text", k = 50)
     }),
@@ -1664,6 +1672,26 @@ object ExtQueries {
         |SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean,
         |  COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
         |  t.n_total - COALESCE(r.n_lines_kept, 0) AS n_lines_removed
+        |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
+    // corpus-wide first occurrence = ROW_NUMBER over (doc_id, pos) —
+    // the same total order as Spark's min(struct(doc_id, pos)) winner
+    // aggregate (the Spark side keys on md5(line); injective here)
+    "q_dedup_lines" ->
+      """WITH l AS (SELECT doc_id,
+        |    CAST(generate_subscripts(sl, 1) AS BIGINT) AS pos, unnest(sl) AS line
+        |  FROM (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS sl
+        |        FROM documents)),
+        |k AS (SELECT doc_id, pos, line,
+        |        ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |      FROM l),
+        |r AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_dedup,
+        |        COUNT(*) AS n_lines_kept
+        |      FROM k WHERE rn = 1 GROUP BY doc_id),
+        |t AS (SELECT doc_id,
+        |        CAST(len(string_split(COALESCE(text,''), ' ')) AS BIGINT) AS n_lines
+        |      FROM documents)
+        |SELECT t.doc_id, COALESCE(r.text_dedup, '') AS text_dedup, t.n_lines,
+        |  CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
         |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
     // (tf DESC, word) is a total order — words are unique per group —
     // so the LIMIT cut is deterministic on both engines

@@ -348,6 +348,55 @@ object PipelineOps {
       .drop(k, w)
   }
 
+  /** Global first-occurrence line dedup (the CCNet/Dolma line-level
+    * move): every occurrence of a line beyond the corpus-wide FIRST —
+    * smallest (document, position) — is removed. Complements
+    * [[stripBoilerplate]]: that drops lines frequent across many
+    * documents ENTIRELY (boilerplate), this keeps exactly one copy of
+    * every line (dedup).
+    *
+    * Scale shape: raw text NEVER shuffles by line content and never
+    * shuffles twice. The exploded frame ships only (hash, id, pos) —
+    * ~40 bytes/occurrence — into a map-side-combinable
+    * `min(struct(id, pos))` winner aggregate; the winning positions
+    * then re-aggregate id-keyed into tiny per-document position
+    * arrays, and the rebuild is a row-local `transform` over the
+    * original document row (`element_at` into the re-split segments —
+    * O(kept), not an `array_contains` scan per segment). A line
+    * duplicated a billion times costs one combined row per map task,
+    * not a hot reducer; the only wide row movement is the single
+    * id-keyed join of the position arrays back to the input.
+    *
+    * @return (idCol, text_dedup, n_lines, n_lines_kept) — one row per
+    *         input document; a document whose every line lost keeps an
+    *         empty `text_dedup`
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 delim: String = "\n"): DataFrame = {
+    require(delim.nonEmpty, "delim must be non-empty")
+    require(!Set("text_dedup", "n_lines", "n_lines_kept", "__pos", "__line", "__h", "__w", "__kp")
+      .contains(idCol),
+      s"idCol '$idCol' collides with an internal or output column name")
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val resplit = split(coalesce(col(textCol), lit("")), quoted)
+    val winners = df.select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), quoted))
+          .as(Seq("__pos", "__line")))
+      .groupBy(md5(col("__line")).as("__h"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__w"))
+      .select(col(s"__w.$idCol").as(idCol), col("__w.__pos").as("__pos"))
+    val keptPos = winners.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__kp"))
+    df.join(keptPos, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          transform(coalesce(col("__kp"), array().cast("array<int>")),
+            p => element_at(resplit, p + 1)),
+          delim).as("text_dedup"),
+        size(resplit).cast("long").as("n_lines"),
+        coalesce(size(col("__kp")), lit(0)).cast("long").as("n_lines_kept"))
+  }
+
   /** GPT-style sequence packing: lay the corpus out in [[shardPack]]'s
     * deterministic pseudo-random order, concatenate, and cut into
     * training windows of EXACTLY `seqLen` tokens — documents split

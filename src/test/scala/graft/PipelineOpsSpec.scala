@@ -433,6 +433,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_._2).toSeq == Seq("cat", "dog", "bird"))
   }
 
+  // ── global first-occurrence line dedup ───────────────────────────
+
+  test("dedupLines keeps exactly the corpus-wide first occurrence of each line") {
+    val docs = Seq(
+      (1L, "alpha\nshared\nbeta"),
+      (2L, "shared\ngamma"),
+      (3L, "shared\nalpha")                         // every line lost
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "alpha\nshared\nbeta", 3L, 3L)))
+    assert(out(1) == ((2L, "gamma", 2L, 1L)))
+    assert(out(2) == ((3L, "", 2L, 0L)))
+  }
+
+  test("dedupLines collapses intra-document repeats to the first position") {
+    // unlike stripBoilerplate (doc-frequency gate), dedup is over raw
+    // occurrences: repeats INSIDE one document lose to its first copy
+    val docs = Seq((1L, "dup dup dup unique"), (2L, "dup x")).toDF("doc_id", "text")
+    val out = PipelineOps.dedupLines(docs, "doc_id", "text", delim = " ")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "dup unique", 4L, 2L)))
+    assert(out(1) == ((2L, "x", 2L, 1L)))
+  }
+
+  test("dedupLines rejects colliding idCol names") {
+    val docs = Seq((1L, "a")).toDF("n_lines", "text")
+    assertThrows[IllegalArgumentException] {
+      PipelineOps.dedupLines(docs, "n_lines", "text")
+    }
+  }
+
   // ── rare-token scoring ───────────────────────────────────────────
 
   test("rareTokenSignals counts OOV occurrences against the corpus head") {
