@@ -458,6 +458,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1) == ((2L, "x", 2L, 1L)))
   }
 
+  test("dedupLines is partitioning-invariant (winner = total order on (id, pos))") {
+    val docs = (1L to 60L).map(i => (i, s"w${i % 7} common w${i % 11}"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      PipelineOps.dedupLines(d, "doc_id", "text", delim = " ")
+        .as[(Long, String, Long, Long)].collect().toSet
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+
   test("dedupLines rejects colliding idCol names") {
     val docs = Seq((1L, "a")).toDF("n_lines", "text")
     assertThrows[IllegalArgumentException] {

@@ -325,6 +325,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_lines never shuffles line content; document text moves at most once") {
+    // the winner agg's exchange must carry (hash, partial-min struct)
+    // — map-side combine happens before it — and the rebuild must join
+    // position arrays back to the ORIGINAL rows, so the full text
+    // column crosses at most one exchange (zero when AQE broadcasts
+    // the position side)
+    val plan = executed("q_dedup_lines")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(!shuffles.exists(_.output.exists(_.name == "__line")),
+      s"exploded line content must never shuffle:\n${plan.head}")
+    assert(shuffles.count(_.output.exists(_.name == "text")) <= 1,
+      s"document text must cross at most one exchange:\n${plan.head}")
+  }
+
   test("shard packing shuffles once (the range partitioning), nothing else") {
     val df = SparkEntry.queries("q_shard_pack")(spark, sfDir)
     df.collect()
