@@ -203,13 +203,19 @@ object Dedup {
   /** Collapse near-dup candidate pairs into survivor sets: every
     * connected component of the pair graph keeps its minimum id.
     *
-    * Min-label propagation — iterate label(x) ← min(label(x),
-    * min label over neighbors) to fixpoint. Each round is one
-    * join + map-side-combinable min-agg; rounds needed = component
-    * diameter, and dedup components are shallow (a cluster of copies
-    * is near-clique), so this converges in 2-3 rounds at any corpus
-    * size. `maxIters` bounds adversarial chains; the driver-side loop
-    * only ever sees a converged/not count, never data.
+    * Min-label propagation with pointer jumping — each round,
+    * label(x) ← min(label(x), min label over neighbors,
+    * label(label(x))). The neighbor term alone needs
+    * component-diameter rounds; the shortcut term halves every
+    * label chain's remaining depth per round once propagation starts,
+    * so convergence is O(log diameter) — a million-node transitive
+    * chain (A~B~C…, natural in span/near-dup graphs) resolves within
+    * the default `maxIters` instead of hard-failing. Dedup components
+    * are usually near-cliques (2-3 rounds either way); the jump join
+    * is what makes the pathological shape safe at corpus scale. Each
+    * round is two joins + a map-side-combinable min-agg; the
+    * driver-side loop only ever sees a converged/not count, never
+    * data.
     *
     * @param pairs (id_a, id_b) candidate pairs from any of the
     *              near-dup operators
@@ -254,12 +260,21 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("keep_id").as("__nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__nmin"))
-      // eager checkpoint materializes the round before the convergence
-      // count, which then reads the checkpointed blocks
-      val updated = labels
+      val half = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("keep_id").as("__old"),
-          least(col("keep_id"), coalesce(col("__nmin"), col("keep_id"))).as("keep_id"))
+          least(col("keep_id"), coalesce(col("__nmin"), col("keep_id"))).as("__mid"))
+      // pointer jumping: a label IS a node id (labels start as own ids
+      // and only ever take other in-component ids), so following the
+      // candidate label one more hop — label(label(x)) — halves chain
+      // depth each round. labels(x) ≤ x invariant makes least() exact.
+      // Eager checkpoint materializes the round before the convergence
+      // count, which then reads the checkpointed blocks.
+      val updated = half
+        .join(labels.select(col("id").as("__mid"), col("keep_id").as("__jl")),
+          Seq("__mid"), "left")
+        .select(col("id"), col("__old"),
+          least(col("__mid"), coalesce(col("__jl"), col("__mid"))).as("keep_id"))
         .localCheckpoint()
       converged = updated.where(col("keep_id") =!= col("__old")).count() == 0
       labels = updated.select(col("id"), col("keep_id"))
@@ -267,10 +282,12 @@ object Dedup {
     }
     // an unconverged result would silently disagree with the
     // transitive-closure semantics (and the oracle) — fail loudly;
-    // real dedup components are near-cliques converging in 2-3 rounds
+    // with pointer jumping the default 20 rounds covers component
+    // diameters past 10^5, so hitting this means something is broken,
+    // not merely deep
     require(converged,
       s"nearDupSurvivors did not converge in $maxIters rounds — " +
-        "pathological chain component; raise maxIters")
+        "component diameter beyond ~2^(maxIters-2); raise maxIters")
     labels
   }
 

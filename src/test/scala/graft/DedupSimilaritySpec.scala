@@ -103,6 +103,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 10L, 99L))
   }
 
+  test("nearDupSurvivors resolves a deep chain within default rounds (distributed path)") {
+    // a 200-edge path has diameter 200 — neighbor-min alone would need
+    // 200 rounds and trip the maxIters guard; pointer jumping halves
+    // the remaining depth each round, so the default 20 suffice.
+    // driverCap = 0 forces the distributed loop (the driver union-find
+    // fast path would hide it).
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val surv = Dedup.nearDupSurvivors(pairs, driverCap = 0L)
+      .as[(Long, Long)].collect()
+    assert(surv.length == 200)
+    assert(surv.forall(_._2 == 1L))
+  }
+
   test("CorpusPipeline.clean: exact dup, near dup, junk, and off-language all removed") {
     import graft.operators.CorpusPipeline
     val good = (1 to 40).map(i => if (i % 5 == 0) "the" else s"token$i").mkString(" ") +
