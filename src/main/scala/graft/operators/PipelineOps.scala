@@ -374,11 +374,11 @@ object PipelineOps {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  delim: String = "\n"): DataFrame = {
     require(delim.nonEmpty, "delim must be non-empty")
-    require(!Set("text_dedup", "n_lines", "n_lines_kept", "__pos", "__line", "__h", "__w", "__kp")
+    require(!Set("text_dedup", "n_lines", "n_lines_kept", "__pos", "__line", "__h", "__w",
+        "__kp", "__segs")
       .contains(idCol),
       s"idCol '$idCol' collides with an internal or output column name")
     val quoted = java.util.regex.Pattern.quote(delim)
-    val resplit = split(coalesce(col(textCol), lit("")), quoted)
     val winners = df.select(col(idCol),
         posexplode(split(coalesce(col(textCol), lit("")), quoted))
           .as(Seq("__pos", "__line")))
@@ -387,13 +387,18 @@ object PipelineOps {
       .select(col(s"__w.$idCol").as(idCol), col("__w.__pos").as("__pos"))
     val keptPos = winners.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__pos"))).as("__kp"))
-    df.join(keptPos, Seq(idCol), "left")
+    // the split array is materialized ONCE per row before the rebuild:
+    // expressions inside a `transform` lambda are re-evaluated per
+    // element (no CSE across lambda invocations), so inlining the
+    // split would make the rebuild O(kept × doc_length), not O(doc)
+    df.withColumn("__segs", split(coalesce(col(textCol), lit("")), quoted))
+      .join(keptPos, Seq(idCol), "left")
       .select(col(idCol),
         array_join(
           transform(coalesce(col("__kp"), array().cast("array<int>")),
-            p => element_at(resplit, p + 1)),
+            p => element_at(col("__segs"), p + 1)),
           delim).as("text_dedup"),
-        size(resplit).cast("long").as("n_lines"),
+        size(col("__segs")).cast("long").as("n_lines"),
         coalesce(size(col("__kp")), lit(0)).cast("long").as("n_lines_kept"))
   }
 
