@@ -598,6 +598,15 @@ object ExtQueries {
         .withColumn("ts_us", col("ts_us") + lit(180000000L))
       StreamingDemo.dedupEvents(e.unionByName(dups), "event_id", "ts_us")
     }),
+    "q_stream_dedup_lines" -> ((s, dir) => {
+      // batch twin of the streaming line dedup: the corpus-wide winner
+      // segment per distinct word (same granularity as q_dedup_lines)
+      StreamingDemo.dedupLinesStream(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", delim = " ")
+        .select(col("docId").as("doc_id"), col("pos").cast("long").as("pos"),
+          col("line"))
+    }),
 
     // ── named curation rule sets (round 8) ─────────────────────────
     // Gopher quality+repetition rules over the line fixture: every
@@ -2116,6 +2125,17 @@ object ExtQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts_us) AS rn
         |  FROM u) t
         |WHERE rn = 1""".stripMargin,
+    // same winner total order as q_dedup_lines, emitted as segments;
+    // pos is 0-based on both sides (posexplode vs subscripts - 1)
+    "q_stream_dedup_lines" ->
+      """WITH l AS (SELECT doc_id,
+        |    CAST(generate_subscripts(sl, 1) AS BIGINT) - 1 AS pos, unnest(sl) AS line
+        |  FROM (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS sl
+        |        FROM documents)),
+        |k AS (SELECT doc_id, pos, line,
+        |        ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |      FROM l)
+        |SELECT doc_id, pos, line FROM k WHERE rn = 1""".stripMargin,
     // Gopher rule set over the shared line fixture, via the shared
     // CTE builder (gopherSqlChain) the composed q_corpus_curate also
     // replays — the two oracles cannot drift

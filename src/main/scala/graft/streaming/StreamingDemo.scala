@@ -19,6 +19,9 @@ object StreamingDemo {
   final case class Ev(userId: Long, tsMillis: Long)
   final case class Sess(userId: Long, start: Long, end: Long, n: Long)
 
+  /** A surviving line segment from [[dedupLinesStream]]. */
+  final case class Seg(docId: Long, pos: Int, line: String)
+
   /** Tumbling 1-hour window aggregation with a 10-minute watermark.
     * Works on a streaming OR batch frame with columns (ts, event_type,
     * value). */
@@ -163,6 +166,56 @@ object StreamingDemo {
       events.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn")
     }
+
+  /** Streaming twin of [[graft.operators.PipelineOps.dedupLines]]'s
+    * winner set: documents explode into (doc, pos, line) segments and
+    * each DISTINCT line survives exactly once. First arrival wins;
+    * ties inside one micro-batch break on the (doc, pos) total order,
+    * so a single-batch replay emits exactly the batch winners. Emits
+    * kept SEGMENTS rather than rebuilt documents — Structured
+    * Streaming restricts a second stateful re-aggregation after
+    * flatMapGroupsWithState, and the segment set is what a downstream
+    * compaction joins back anyway (the batch operator's rebuild).
+    *
+    * State is one boolean per distinct line, NoTimeout: global dedup
+    * memory is the operator's point. If the line universe outgrows the
+    * state store, re-shard the store or restart from a batch re-dedup
+    * — the bounded-state trade [[dedupEvents]] makes with its
+    * watermark deliberately does not apply here, because a line's
+    * duplicate can arrive arbitrarily late.
+    *
+    * Batch frames take the aggregate path (min-struct winner per
+    * line, map-side combinable — no per-group iterators). */
+  def dedupLinesStream(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       delim: String = "\n"): org.apache.spark.sql.Dataset[Seg] = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val segs = docs.select(col(idCol).cast("long").as("docId"),
+        posexplode(split(coalesce(col(textCol), lit("")), quoted))
+          .as(Seq("pos", "line")))
+      .as[Seg]
+    if (docs.isStreaming) {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      segs.groupByKey(_.line)
+        .flatMapGroupsWithState[Boolean, Seg](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator(it.minBy(s => (s.docId, s.pos)))
+          }
+        }
+    } else {
+      // (docId, pos) is unique, so the struct comparison never reaches
+      // the line field — it rides along to avoid a recovery join
+      segs.groupBy(md5(col("line")))
+        .agg(min(struct(col("docId"), col("pos"), col("line"))).as("__w"))
+        .select(col("__w.docId"), col("__w.pos"), col("__w.line"))
+        .as[Seg]
+    }
+  }
 
   /** Drive the streaming query synchronously from a bounded source and
     * return the materialized result (memory sink). Used by tests and

@@ -56,6 +56,35 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingDemo.dedupEvents(batch).count() == 2)
   }
 
+  test("dedupLinesStream: first arrival wins across micro-batches; agrees with the batch winner set") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDemo.dedupLinesStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lines_stream_test").start()
+    try {
+      mem.addData((1L, "a\nb"), (2L, "b\nc"))
+      q.processAllAvailable()
+      mem.addData((3L, "c\nd"), (4L, "a\nd"))  // only d is new, and doc 3 beats doc 4
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("lines_stream_test")
+      .as[(Long, Int, String)].collect().toSet
+    assert(out == Set((1L, 0, "a"), (1L, 1, "b"), (2L, 1, "c"), (3L, 1, "d")))
+    // batch twin on the full input: arrival order here follows doc id,
+    // so the winner sets must coincide exactly
+    val batch = Seq((1L, "a\nb"), (2L, "b\nc"), (3L, "c\nd"), (4L, "a\nd"))
+      .toDF("doc_id", "text")
+    val bw = StreamingDemo.dedupLinesStream(batch).collect()
+      .map(s => (s.docId, s.pos, s.line)).toSet
+    assert(bw == out)
+    // and the winners are exactly dedupLines' kept positions
+    val kept = graft.operators.PipelineOps.dedupLines(batch, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2)).toMap
+    assert(kept == Map(1L -> "a\nb", 2L -> "c", 3L -> "d", 4L -> ""))
+  }
+
   test("sessionizeMillis: 30-min gap splits sessions, counts and bounds exact") {
     val evs = Seq(
       (1L, 0L), (1L, 60000L),      // session A: two events a minute apart
