@@ -208,9 +208,12 @@ object Dedup {
     * label(label(x))). The neighbor term alone needs
     * component-diameter rounds; the shortcut term halves every
     * label chain's remaining depth per round once propagation starts,
-    * so convergence is O(log diameter) — a million-node transitive
-    * chain (A~B~C…, natural in span/near-dup graphs) resolves within
-    * the default `maxIters` instead of hard-failing. Dedup components
+    * so convergence is O(log diameter) — a transitive chain
+    * (A~B~C…, natural in span/near-dup graphs) half a million deep
+    * resolves within the default `maxIters` (label depth reaches
+    * 2^r − 1 after r rounds, plus one no-change round to detect the
+    * fixpoint → max diameter ≈ 2^(maxIters−1) − 1) instead of
+    * hard-failing after 20 hops. Dedup components
     * are usually near-cliques (2-3 rounds either way); the jump join
     * is what makes the pathological shape safe at corpus scale. Each
     * round is two joins + a map-side-combinable min-agg; the
@@ -283,11 +286,11 @@ object Dedup {
     // an unconverged result would silently disagree with the
     // transitive-closure semantics (and the oracle) — fail loudly;
     // with pointer jumping the default 20 rounds covers component
-    // diameters past 10^5, so hitting this means something is broken,
-    // not merely deep
+    // diameters to ~2^19 (≈524k), so hitting this means something is
+    // broken, not merely deep
     require(converged,
       s"nearDupSurvivors did not converge in $maxIters rounds — " +
-        "component diameter beyond ~2^(maxIters-2); raise maxIters")
+        "component diameter beyond ~2^(maxIters-1); raise maxIters")
     labels
   }
 

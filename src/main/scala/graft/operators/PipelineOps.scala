@@ -374,12 +374,16 @@ object PipelineOps {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  delim: String = "\n"): DataFrame = {
     require(delim.nonEmpty, "delim must be non-empty")
-    require(!Set("text_dedup", "n_lines", "n_lines_kept", "__pos", "__line", "__h", "__w",
-        "__kp", "__segs")
-      .contains(idCol),
-      s"idCol '$idCol' collides with an internal or output column name")
+    val reserved = Set("text_dedup", "n_lines", "n_lines_kept", "__pos", "__line", "__h",
+      "__w", "__kp", "__segs")
+    require(!reserved.contains(idCol) && !reserved.contains(textCol) && idCol != textCol,
+      s"idCol '$idCol' / textCol '$textCol' collides with an internal or output column name")
+    // prune to the two input columns up front: extra input columns
+    // named like the internals (__kp, __segs) would otherwise turn the
+    // rebuild join ambiguous
+    val base = df.select(col(idCol), col(textCol))
     val quoted = java.util.regex.Pattern.quote(delim)
-    val winners = df.select(col(idCol),
+    val winners = base.select(col(idCol),
         posexplode(split(coalesce(col(textCol), lit("")), quoted))
           .as(Seq("__pos", "__line")))
       .groupBy(md5(col("__line")).as("__h"))
@@ -391,7 +395,7 @@ object PipelineOps {
     // expressions inside a `transform` lambda are re-evaluated per
     // element (no CSE across lambda invocations), so inlining the
     // split would make the rebuild O(kept × doc_length), not O(doc)
-    df.withColumn("__segs", split(coalesce(col(textCol), lit("")), quoted))
+    base.withColumn("__segs", split(coalesce(col(textCol), lit("")), quoted))
       .join(keptPos, Seq(idCol), "left")
       .select(col(idCol),
         array_join(

@@ -191,6 +191,16 @@ object StreamingDemo {
                        delim: String = "\n"): org.apache.spark.sql.Dataset[Seg] = {
     val session = docs.sparkSession
     import session.implicits._
+    // Seg.docId is a primitive Long: a lossy cast from a string id
+    // would deserialize null → NPE (streaming) or collapse every doc
+    // into one null winner (batch) — reject non-integral ids up front
+    val idType = docs.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+        .contains(idType),
+      s"dedupLinesStream needs an integral $idCol (got $idType); " +
+        "the batch PipelineOps.dedupLines accepts any id type")
     val quoted = java.util.regex.Pattern.quote(delim)
     val segs = docs.select(col(idCol).cast("long").as("docId"),
         posexplode(split(coalesce(col(textCol), lit("")), quoted))

@@ -26,12 +26,15 @@ object DedupLinesProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // line pool of docs/2 distinct lines → every line has ~2 claimants
-    // on average, with a hot head (mod-skewed) to exercise the winner
-    // agg's map-side combine
+    // 30% of documents draw each line position from a 100-value hot
+    // pool (≈ docs×0.3/100 claimants per hot line — ~900 at the
+    // default size), the rest from a wide pool with ~2 claimants per
+    // line: the hot head exercises the winner agg's map-side combine,
+    // the tail exercises volume
     val df = spark.range(docs).select(col("id").as("doc_id"),
       concat_ws("\n", (0 until 40).map { i =>
-        val pool = pmod(col("id") * 40 + i * 7919, lit(docs * 20))
+        val pool = when(col("id") % 10 < 3, pmod(col("id") + i * 7, lit(100)))
+          .otherwise(pmod(col("id") * 40 + i * 7919, lit(docs * 20)) + 1000)
         concat(lit(s"line-$i-"), pool, lit("-" + "x" * 40))
       }: _*).as("text"))
     val t0 = System.nanoTime()

@@ -328,15 +328,24 @@ class PlanShapeSpec extends SparkSpec {
   test("q_dedup_lines never shuffles line content; document text moves at most once") {
     // the winner agg's exchange must carry (hash, partial-min struct)
     // — map-side combine happens before it — and the rebuild must join
-    // position arrays back to the ORIGINAL rows, so the full text
-    // column crosses at most one exchange (zero when AQE broadcasts
-    // the position side)
+    // position arrays back to the ORIGINAL rows. Column pruning drops
+    // the raw `text` column before any exchange (the content travels
+    // as the `__segs` split array), so the content carriers to count
+    // are __segs and text together: at most one exchange total (zero
+    // when AQE broadcasts the position side).
     val plan = executed("q_dedup_lines")
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
     assert(!shuffles.exists(_.output.exists(_.name == "__line")),
       s"exploded line content must never shuffle:\n${plan.head}")
-    assert(shuffles.count(_.output.exists(_.name == "text")) <= 1,
-      s"document text must cross at most one exchange:\n${plan.head}")
+    val contentCarriers = shuffles.count(
+      _.output.exists(a => a.name == "text" || a.name == "__segs"))
+    assert(contentCarriers <= 1,
+      s"document content must cross at most one exchange:\n${plan.head}")
+    // guard the guard: the split array must actually exist somewhere in
+    // the plan — if the rebuild stops using __segs this test must break
+    assert(plan.exists(_.output.exists(_.name == "__segs")) ||
+      plan.exists(_.expressions.exists(_.references.exists(_.name == "__segs"))),
+      "expected the __segs split array in the executed plan")
   }
 
   test("shard packing shuffles once (the range partitioning), nothing else") {
