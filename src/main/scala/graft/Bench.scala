@@ -96,7 +96,9 @@ object Bench {
     "q_zorder_key",
     // global first-occurrence line dedup: hash-keyed winner agg +
     // full-triple equi-join (no hot-line reducer)
-    "q_dedup_lines")
+    "q_dedup_lines",
+    // crawl-vs-corpus near-dedup: cross-side band join, no self-join
+    "q_dedup_minhash_incr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -393,6 +393,24 @@ object ExtQueries {
       Dedup.ngramJaccardPairs(nearDupCorpus(s, dir), "id", "text",
         shingleSize = 3, tau = 0.3, maxDocFreq = 10000)
     }),
+    "q_dedup_minhash_incr" -> ((s, dir) => {
+      // crawl-vs-corpus: corpus = all documents; increment = truncated
+      // (80%-token) copies of every 3rd doc — near-dups the cross join
+      // must surface without ever pairing corpus×corpus
+      val d = Tables.documents(s, dir)
+      val corpusSigs = Dedup.minhashSignatures(
+        d.select(col("doc_id").as("id"), col("text")), "id", "text",
+        numHashes = 32, shingleSize = 3)
+      val inc = d.where(col("doc_id") % 3 === 0).select(
+        (col("doc_id") + ID_OFFSET).as("id"),
+        array_join(slice(TextFunctions.tokens(col("text")), lit(1),
+          greatest((size(TextFunctions.tokens(col("text"))) * 4) / 5, lit(1)).cast("int")),
+          " ").as("text"))
+      val incSigs = Dedup.minhashSignatures(inc, "id", "text",
+        numHashes = 32, shingleSize = 3)
+      Dedup.minhashIncrementalPairs(corpusSigs, incSigs,
+        numHashes = 32, bands = 8, tau = 0.3)
+    }),
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(nearDupCorpus(s, dir), "id", "text",
         numHashes = 32, shingleSize = 3)
@@ -1863,6 +1881,44 @@ object ExtQueries {
         |         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
         |SELECT id_a, id_b, est_jaccard FROM (
         |  SELECT id_a, id_b,
+        |    CAST(CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
+        |      z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) AS BIGINT) AS DOUBLE) / 32
+        |    AS est_jaccard FROM cand) t
+        |WHERE est_jaccard >= 0.3""".stripMargin,
+    // the cross-side twin of q_dedup_minhash_lsh: the identical
+    // signature chain runs over the side-tagged union, the bucket cap
+    // partitions per side, and the candidate join requires a.side=1
+    // (increment) × b.side=0 (corpus) — corpus×corpus never pairs
+    "q_dedup_minhash_incr" ->
+      """WITH corpus AS (SELECT doc_id AS id, text, 0 AS side FROM documents),
+        |inc AS (
+        |  SELECT doc_id + 1000000 AS id,
+        |    array_to_string((regexp_extract_all(text, '\S+'))
+        |      [1:greatest((len(regexp_extract_all(text, '\S+'))*4)//5, 1)], ' ') AS text,
+        |    1 AS side
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |u AS (SELECT * FROM corpus UNION ALL SELECT * FROM inc),
+        |sh AS (
+        |  SELECT id, side, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |            for i in generate_series(1, len(toks)-2)]) AS shingles
+        |  FROM (SELECT id, side, regexp_extract_all(text, '\S+') AS toks FROM u)),
+        |ab AS (SELECT id, side, ('0x'||substr(md5(gram),1,7))::BIGINT AS a,
+        |              (('0x'||substr(md5(gram),8,7))::BIGINT | 1) AS b
+        |       FROM (SELECT id, side, unnest(shingles) AS gram FROM sh)),
+        |abl AS (SELECT id, side, list([a, b]) AS abs_ FROM ab GROUP BY id, side),
+        |sigs AS (SELECT id, side, list_transform(generate_series(0,31), i ->
+        |           list_min(list_transform(abs_, p -> (p[1] + i*p[2]) % 2147483647))) AS sig
+        |         FROM abl),
+        |bucketed AS (SELECT id, side, sig, band, sig[band*4+1 : band*4+4] AS bucket
+        |             FROM (SELECT id, side, sig, unnest(generate_series(0,7)) AS band FROM sigs)
+        |             QUALIFY COUNT(*) OVER (PARTITION BY side, band, sig[band*4+1 : band*4+4]) <= 100000),
+        |cand AS (SELECT DISTINCT a.id AS inc_id, b.id AS corpus_id,
+        |                a.sig AS sig_a, b.sig AS sig_b
+        |         FROM bucketed a JOIN bucketed b
+        |         ON a.band = b.band AND a.bucket = b.bucket
+        |         AND a.side = 1 AND b.side = 0)
+        |SELECT inc_id, corpus_id, est_jaccard FROM (
+        |  SELECT inc_id, corpus_id,
         |    CAST(CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
         |      z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) AS BIGINT) AS DOUBLE) / 32
         |    AS est_jaccard FROM cand) t

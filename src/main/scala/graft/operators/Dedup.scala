@@ -166,12 +166,6 @@ object Dedup {
     // re-runs only the trivial band explode (r4 driver bench: 7.13s
     // without this persist vs ~4s with the agg run once).
     val sigsC = graft.CacheScope.track(sigs)
-    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
-    // bucket = the band's signature slice itself (equi-joinable array;
-    // no re-hash needed, and SQL engines can mirror it exactly)
-    val bandStructs = array((0 until bands).map { b =>
-      struct(lit(b).as("band"), slice(sigArr, b * r + 1, r).as("bucket"))
-    }: _*)
     // persist the CAPPED banded frame: a self-join evaluates its
     // subtree once per side, and this subtree carries BOTH the
     // shingle→signature aggregation and the hot-bucket groupBy shuffle
@@ -182,8 +176,7 @@ object Dedup {
     // cache is bands×n rows of (id, sig, band, bucket); default
     // MEMORY_AND_DISK spills rather than OOMs at scale.
     val banded = graft.CacheScope.track(capBuckets(
-      sigsC.select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bb"))
-        .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket")),
+      bandExplode(sigsC, numHashes, bands),
       Seq("band", "bucket"), maxBucketSize))
     // est_jaccard is computed inside the join projection and the τ
     // filter applied BEFORE the pair dedup: the distinct shuffle then
@@ -198,6 +191,63 @@ object Dedup {
           .cast("double") / lit(numHashes)).as("est_jaccard"))
       .where(col("est_jaccard") >= tau)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Band-explode a [[minhashSignatures]] frame into (id, sig, band,
+    * bucket) rows; the bucket is the band's signature slice itself
+    * (equi-joinable array — no re-hash needed, and SQL engines can
+    * mirror it exactly). */
+  private def bandExplode(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"), slice(sigArr, b * r + 1, r).as("bucket"))
+    }: _*)
+    sigs.select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Crawl-vs-corpus MinHash LSH: candidate near-dup pairs ACROSS two
+    * signature frames — which increment documents near-duplicate the
+    * existing corpus — the near-dup sibling of [[incrementalDedup]]
+    * (which answers the same question for exact copies). Completes the
+    * {exact, near} × {batch-self, incremental} dedup matrix.
+    *
+    * Scale shape: NO self-join and no corpus×corpus pairing — each
+    * side band-explodes once and the only join is the cross-side
+    * (band, bucket) equi-join, so an unchanged corpus never pairs with
+    * itself and the pair volume is bounded by the increment's bucket
+    * collisions. Both sides keep the [[capBuckets]] hot-bucket guard
+    * (a viral duplicate cluster in EITHER frame would otherwise make
+    * one bucket quadratic); est_jaccard is computed in the join
+    * projection and τ-filtered before the pair distinct, so
+    * sub-threshold collisions never shuffle.
+    *
+    * @return (inc_id, corpus_id, est_jaccard) candidate pairs at
+    *         est_jaccard ≥ tau
+    */
+  def minhashIncrementalPairs(corpusSigs: DataFrame, incSigs: DataFrame,
+                              numHashes: Int = 32, bands: Int = 8,
+                              tau: Double = 0.5,
+                              maxBucketSize: Long = 100000L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // persist the signature frames, not the capped band frames: with
+    // no self-join each capped frame feeds exactly one join side, but
+    // capBuckets itself evaluates its input twice (hot groupBy +
+    // anti-join probe) and the subtree below the explode carries the
+    // expensive shingle→md5→min signature work
+    val cS = graft.CacheScope.track(corpusSigs)
+    val iS = graft.CacheScope.track(incSigs)
+    val c = capBuckets(bandExplode(cS, numHashes, bands), Seq("band", "bucket"), maxBucketSize)
+    val i = capBuckets(bandExplode(iS, numHashes, bands), Seq("band", "bucket"), maxBucketSize)
+    i.as("a").join(c.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("inc_id"), col("b.id").as("corpus_id"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / lit(numHashes)).as("est_jaccard"))
+      .where(col("est_jaccard") >= tau)
+      .dropDuplicates("inc_id", "corpus_id")
   }
 
   /** Collapse near-dup candidate pairs into survivor sets: every

@@ -103,6 +103,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 10L, 99L))
   }
 
+  test("minhashIncrementalPairs pairs increment against corpus only, never corpus x corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely different document about spark pipelines at scale"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again")  // corpus dup of 1
+    ).toDF("id", "text")
+    val inc = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and"),  // near-dup of 1 and 3
+      (101L, "totally novel content nothing shares these exact words here")
+    ).toDF("id", "text")
+    val out = Dedup.minhashIncrementalPairs(
+      Dedup.minhashSignatures(corpus, "id", "text"),
+      Dedup.minhashSignatures(inc, "id", "text"), tau = 0.3)
+      .as[(Long, Long, Double)].collect()
+    val hits = out.map(p => (p._1, p._2)).toSet
+    assert(hits.contains((100L, 1L)) && hits.contains((100L, 3L)))
+    assert(!out.exists(_._1 == 101L))
+    // the corpus-side exact duplicates (1,3) must never surface as a pair
+    assert(out.forall(_._1 >= 100L) && out.forall(_._2 < 100L))
+    graft.CacheScope.releaseAll()
+  }
+
   test("nearDupSurvivors resolves a deep chain within default rounds (distributed path)") {
     // a 200-edge path has diameter 200 — neighbor-min alone would need
     // 200 rounds and trip the maxIters guard; pointer jumping halves
