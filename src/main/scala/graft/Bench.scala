@@ -98,7 +98,9 @@ object Bench {
     // full-triple equi-join (no hot-line reducer)
     "q_dedup_lines",
     // crawl-vs-corpus near-dedup: cross-side band join, no self-join
-    "q_dedup_minhash_incr")
+    "q_dedup_minhash_incr",
+    // sketch profiling: HLL + GK quantiles, one pass, fixed memory
+    "q_profile_sketch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -246,6 +246,17 @@ object RelationalQueries {
         Tables.lineitem(s, dir), "l_extendedprice", Seq(1, 25, 50, 75, 99))
     }),
 
+    "q_profile_sketch" -> ((s, dir) => {
+      // the unbounded-cardinality profiling path: HLL++ distinct +
+      // GK approx quantiles, one pass, fixed sketch memory per column.
+      // Rows-only gate by design — no SQL engine replays another
+      // engine's sketch internals; SketchProfileSpec bounds the error
+      // against the exact profilers instead
+      graft.operators.SketchProfile.sketchProfile(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
+
     // ── profiling stats in one agg pass (spreadsheet.py:102-163) ──
     "q_profile_stats" -> ((s, dir) => {
       Tables.lineitem(s, dir).agg(

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch-based numeric profiling — the unbounded-cardinality twin of
+  * the exact profilers.
+  *
+  * [[Rank.exactPercentiles]] sorts only DISTINCT values, which is
+  * exact and cheap while domains are bounded; but a unique-valued
+  * column (ids, timestamps, prices at 100 TB) makes "distinct" the
+  * full corpus and the sort a corpus-wide shuffle. This pass instead
+  * uses the two classic fixed-memory sketches, both exposed as
+  * codegen'd Catalyst aggregates:
+  *   - `approx_count_distinct` — HyperLogLog++, ~`1.04/sqrt(2^p)`
+  *     relative error, a few KB of sketch per column,
+  *   - `percentile_approx` — Greenwald-Khanna quantile summaries,
+  *     positional error ≤ 1/accuracy.
+  * One aggregation over all requested columns → one scan, one
+  * (empty-keyed) exchange of a few KB of sketch state per column,
+  * regardless of row count or cardinality.
+  *
+  * Caveats, by construction: HLL++ is merge-order-insensitive (the
+  * estimate is partition-invariant for a fixed input); GK summaries
+  * are NOT — quantile estimates can move within their error bound
+  * under a different partitioning. That is why this operator is
+  * gated rows-only with an error-bound spec against the exact
+  * profilers, not a value-exact DuckDB compare (no SQL engine
+  * replays another engine's sketch internals).
+  *
+  * @return one row per profiled column:
+  *         (column, n_nonnull, approx_distinct, min, max, approx_pcts)
+  *         with `approx_pcts` aligned to `pcts`
+  */
+object SketchProfile {
+
+  def sketchProfile(df: DataFrame, cols: Seq[String],
+                    pcts: Seq[Int] = Seq(25, 50, 75),
+                    rsd: Double = 0.05, accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "sketchProfile needs at least one column")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100),
+      s"percentiles must be in [0,100], got $pcts")
+    val pctArr = array(pcts.map(p => lit(p / 100.0)): _*)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        percentile_approx(col(c).cast("double"), pctArr, lit(accuracy))
+          .as(s"__p_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // pivot the single sketch row into one row per column — constant
+    // driver-free reshaping (the explode is over a literal-sized array)
+    val rows = array(cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_nonnull"),
+        col(s"__nd_$c").as("approx_distinct"),
+        col(s"__min_$c").as("min"), col(s"__max_$c").as("max"),
+        col(s"__p_$c").as("approx_pcts"))
+    }: _*)
+    one.select(explode(rows).as("r")).select(col("r.*"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SketchProfile
+
+/** The sketch profiler has no value-exact oracle by design (sketch
+  * internals are engine-specific) — these specs are its correctness
+  * contract instead: error bounds against the exact statistics, and
+  * partition invariance where the sketch guarantees it.
+  */
+class SketchProfileSpec extends SparkSpec {
+
+  private def fixture = spark.range(10000).select(
+    col("id").cast("double").as("unique_col"),          // 10k distinct
+    (col("id") % 97).cast("double").as("mod_col"),      // 97 distinct
+    when(col("id") % 10 === 0, lit(null).cast("double"))
+      .otherwise(col("id") % 5).as("nullable_col"))     // nulls + 5 distinct
+
+  test("approx_distinct lands within 3x the configured relative error") {
+    val out = SketchProfile.sketchProfile(fixture,
+        Seq("unique_col", "mod_col", "nullable_col"), rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def check(c: String, exact: Long): Unit = {
+      val est = out(c).getLong(2)
+      assert(math.abs(est - exact) <= math.max(1L, (3 * 0.05 * exact).toLong),
+        s"$c: estimate $est vs exact $exact outside 3x rsd")
+    }
+    check("unique_col", 10000L)
+    check("mod_col", 97L)
+    check("nullable_col", 5L)
+  }
+
+  test("counts, min, max are exact; nulls excluded") {
+    val out = SketchProfile.sketchProfile(fixture, Seq("nullable_col"))
+      .collect()(0)
+    assert(out.getLong(1) == 9000L)           // n_nonnull
+    assert(out.getDouble(3) == 0.0)           // min (e.g. id=5 → 5%5=0, not nulled)
+    assert(out.getDouble(4) == 4.0)           // max
+  }
+
+  test("approx quantiles respect the positional error bound vs the exact order statistic") {
+    // accuracy 10000 on 10000 rows → positional error ≤ n/accuracy = 1
+    val out = SketchProfile.sketchProfile(fixture, Seq("unique_col"),
+        pcts = Seq(25, 50, 75), accuracy = 10000)
+      .collect()(0).getSeq[Double](5)
+    val bounds = Seq(2500.0, 5000.0, 7500.0)
+    out.zip(bounds).foreach { case (est, target) =>
+      assert(math.abs(est - target) <= 2.0, s"quantile $est vs ~$target")
+    }
+  }
+
+  test("HLL distinct estimate is partition-invariant") {
+    def run(parts: Int) = SketchProfile.sketchProfile(
+        fixture.repartition(parts), Seq("unique_col", "mod_col"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(run(3) == run(17))
+  }
+
+  test("rejects empty column list and out-of-range percentiles") {
+    assertThrows[IllegalArgumentException] {
+      SketchProfile.sketchProfile(fixture, Seq.empty)
+    }
+    assertThrows[IllegalArgumentException] {
+      SketchProfile.sketchProfile(fixture, Seq("mod_col"), pcts = Seq(101))
+    }
+  }
+}
