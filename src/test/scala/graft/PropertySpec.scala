@@ -143,6 +143,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupLines equals the brute-force first-occurrence reference on random corpora") {
+    // small alphabet forces heavy cross-document and intra-document
+    // collisions; empty docs exercise the ['']-segment edge
+    val genCorpus = for {
+      nDocs <- Gen.choose(1, 20)
+      texts <- Gen.listOfN(nDocs, for {
+        nLines <- Gen.choose(0, 6)
+        ws <- Gen.listOfN(nLines, Gen.choose(0, 7).map(i => s"w$i"))
+      } yield ws.mkString(" "))
+    } yield texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+    forAll(genCorpus, n = 6) { docs =>
+      val got = graft.operators.PipelineOps.dedupLines(
+          docs.toDF("doc_id", "text"), "doc_id", "text", delim = " ")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expect = docs.sortBy(_._1).map { case (id, text) =>
+        val segs = text.split(" ", -1).toSeq   // "" splits to [""], like Spark
+        val kept = segs.filter(s => seen.add(s))
+        (id, kept.mkString(" "), segs.size.toLong, kept.size.toLong)
+      }
+      assert(got == expect, s"docs=$docs")
+    }
+  }
+
   test("enumerator dedupe is idempotent and order-preserving") {
     val p = Profilefixture.profile(spark)
     val pool = Enumerator.enumerate(p, "pca")
