@@ -348,6 +348,29 @@ class PlanShapeSpec extends SparkSpec {
       "expected the __segs split array in the executed plan")
   }
 
+  test("q_profile_sketch is one pruned scan, one exchange of sketch state") {
+    val plan = executed("q_profile_sketch")
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1 &&
+      scans.head.requiredSchema.fieldNames.toSet ==
+        Set("l_quantity", "l_extendedprice", "l_discount"),
+      s"expected one 3-column lineitem scan:\n${plan.head}")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"sketch profiling must be a single-aggregation pass:\n${plan.head}")
+    graft.CacheScope.releaseAll()
+  }
+
+  test("q_dedup_minhash_incr never shuffles document text (signatures only)") {
+    val plan = executed("q_dedup_minhash_incr")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty)
+    assert(!shuffles.exists(_.output.exists(a =>
+        a.name == "text" || a.name == "gram" || a.name == "__line")),
+      s"raw text/shingles must never cross an exchange:\n${plan.head}")
+    graft.CacheScope.releaseAll()
+  }
+
   test("shard packing shuffles once (the range partitioning), nothing else") {
     val df = SparkEntry.queries("q_shard_pack")(spark, sfDir)
     df.collect()
