@@ -100,7 +100,9 @@ object Bench {
     // crawl-vs-corpus near-dedup: cross-side band join, no self-join
     "q_dedup_minhash_incr",
     // sketch profiling: HLL + GK quantiles, one pass, fixed memory
-    "q_profile_sketch")
+    "q_profile_sketch",
+    // priority sampling: one hash projection + map-side group limit
+    "q_sample_priority")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

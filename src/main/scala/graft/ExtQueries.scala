@@ -261,6 +261,14 @@ object ExtQueries {
       PipelineOps.temperatureSample(Tables.documents(s, dir),
         "doc_id", "source", n = 1000)
     }),
+    "q_sample_priority" -> ((s, dir) => {
+      // weighted sample WITHOUT replacement, 16 docs per source by
+      // n_chars-weighted priority w/u — the Horvitz-Thompson
+      // est_weight column sums unbiasedly to each source's total
+      PipelineOps.prioritySample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "n_chars", k = 16, strataCol = Some("source"))
+    }),
     "q_bm25_topk" -> ((s, dir) => {
       // lexical retrieval audit: every 97th doc's first 4 tokens stand
       // in for an audit query set, retrieving top-5 from the rest
@@ -1504,6 +1512,23 @@ object ExtQueries {
     // domain-name order (one rounding per op, same as the Scala
     // driver fold), floor(n·w/W) capped at the domain count; ROW_NUMBER
     // per domain over (md5, id) = the zipWithIndex-minus-offset rank
+    // priority sampling: u = (h32+1)/2^32 dyadic-exact, priority = w/u
+    // is ONE IEEE division — replayed with the identical expression
+    // tree (w / (…/2^32)), so doubles compare bit-equal
+    "q_sample_priority" ->
+      """WITH w AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS weight,
+        |    CAST(n_chars AS DOUBLE) /
+        |      ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft-prio'), 1, 8))::BIGINT + 1)
+        |        / 4294967296e0) AS priority
+        |  FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY priority DESC, doc_id ASC) AS rn FROM w),
+        |t AS (SELECT source,
+        |        coalesce(max(CASE WHEN rn = 17 THEN priority END), 0e0) AS tau
+        |      FROM r WHERE rn <= 17 GROUP BY source)
+        |SELECT r.doc_id, r.source, r.weight, r.priority, t.tau,
+        |       greatest(r.weight, t.tau) AS est_weight
+        |FROM r JOIN t USING (source) WHERE r.rn <= 16""".stripMargin,
     "q_sample_temperature" ->
       """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
         |w AS (SELECT source, cnt, sqrt(CAST(cnt AS DOUBLE)) AS wt FROM c),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, Tokenize}
@@ -764,5 +765,73 @@ object PipelineOps {
         explode(when(copies > 0, sequence(lit(0L), copies - 1))
           .otherwise(array().cast("array<bigint>"))))
       .select(col(idCol), col(domainCol), col("copy_idx"))
+  }
+
+  // ── weighted sampling without replacement: priority sampling ──────
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 54(6) 2007) —
+    * a fixed-size weighted sample WITHOUT replacement whose
+    * Horvitz-Thompson estimator `Σ est_weight` is unbiased for the
+    * stratum's total weight: each row draws a deterministic uniform
+    * `u = (hash32(id:salt)+1) / 2^32 ∈ (0,1]`, gets priority `w/u`,
+    * and the k highest priorities per stratum are the sample; the
+    * (k+1)-th priority is the stratum threshold `tau`, and every
+    * sampled row's weight estimator is `max(w, tau)` (rows with
+    * `w ≥ tau` are certainties, estimated by their own weight). The
+    * alternatives both lose: A-ES/A-ExpJ weighted reservoirs need
+    * `pow`/`log` keys — cross-engine libm ulp hazards (the
+    * [[graft.operators.LmScore]] rule) — while priority keys cost ONE
+    * IEEE division, bit-replayable by any engine; and Bernoulli
+    * weighted sampling can't hit an exact per-stratum k.
+    *
+    * Scale shape: the uniform is the shared [[saltedHash32]] spelling
+    * (pure projection, partitioning-invariant, stable under corpus
+    * growth of OTHER strata); per-stratum top-(k+1) goes through a
+    * rank window whose `row_number ≤ k+1` filter triggers Spark's
+    * WindowGroupLimit rewrite — each map task pre-trims to k+1 rows
+    * per stratum, so the exchange carries partitions·(k+1) rows per
+    * stratum, never the corpus (the [[Similarity.pqTopK]] argument;
+    * a giant stratum is map-side-bounded, unlike the samplers above
+    * whose keep-sets are a large FRACTION of the stratum and
+    * therefore use the zipWithIndex path instead). `tau` is a second
+    * window over the already-trimmed ≤ k+1 rows — constant work.
+    *
+    * @param strataCol stratify by this column; None = one global sample
+    * @return sampled rows: (idCol[, strataCol], weight, priority,
+    *         tau, est_weight), ≤ k per stratum (fewer when the
+    *         stratum has ≤ k rows — then tau = 0 and est = w exactly)
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     strataCol: Option[String] = None,
+                     salt: String = "graft-prio"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val reserved = Set("weight", "priority", "tau", "est_weight", "__rn")
+    require(!reserved.contains(idCol) && !strataCol.contains(idCol) &&
+      !strataCol.exists(reserved.contains),
+      s"idCol '$idCol'/strataCol $strataCol collide with an output column name")
+    val stratum = strataCol.map(col).getOrElse(lit(0))
+    // u ∈ (0,1]: dyadic (h+1)/2^32 — exact in any IEEE tower; w/u is
+    // then ONE division, bit-identical across engines. w must be > 0
+    // for the estimator to be meaningful — fail loudly, not silently.
+    val u = (saltedHash32(col(idCol), salt) + 1) / lit(4294967296.0)
+    val w = col("weight")
+    val priority = when(w.isNull || w <= 0, raise_error(concat(
+        lit(s"prioritySample: non-positive or NULL weight in '$weightCol' for id "),
+        col(idCol).cast("string")))).otherwise(w / u)
+    val wRank = Window.partitionBy(stratum)
+      .orderBy(col("priority").desc, col(idCol).asc)
+    val wTau = Window.partitionBy(stratum)
+    val trimmed = df
+      .select((col(idCol) +: strataCol.map(col).toSeq) :+
+        col(weightCol).cast("double").as("weight"): _*)
+      .withColumn("priority", priority)
+      .withColumn("__rn", row_number().over(wRank))
+      .where(col("__rn") <= k + 1)
+    trimmed
+      .withColumn("tau", coalesce(
+        max(when(col("__rn") === k + 1, col("priority"))).over(wTau), lit(0.0)))
+      .where(col("__rn") <= k)
+      .withColumn("est_weight", greatest(col("weight"), col("tau")))
+      .drop("__rn")
   }
 }

@@ -628,4 +628,89 @@ class PipelineOpsSpec extends SparkSpec {
         .as[(Long, String, Long)].collect().toSet
     assert(run(docs) == run(docs.repartition(11)))
   }
+
+  // ── priority sampling ────────────────────────────────────────────
+
+  /** The operator's exact uniform, replayed: first 8 md5 hex chars of
+    * "id:salt" as an unsigned 32-bit value. */
+  private def h32(id: Long, salt: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:$salt".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+  private def prio(id: Long, w: Double, salt: String): Double =
+    w / ((h32(id, salt) + 1) / 4294967296.0)
+
+  test("prioritySample matches the brute-force DLT definition per stratum") {
+    val salt = "graft-prio"
+    val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      (i % 13 + 1).toDouble))
+    val df = rows.toDF("id", "stratum", "w")
+    val k = 16
+    val out = PipelineOps.prioritySample(df, "id", "w", k, Some("stratum"))
+      .as[(Long, String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+    rows.groupBy(_._2).foreach { case (stratum, g) =>
+      val ranked = g.map { case (i, _, w) => (i, w, prio(i, w, salt)) }
+        .sortBy { case (i, _, p) => (-p, i) }
+      val expTau = ranked(k)._3 // all strata have 100 > k+1 rows
+      val kept = out.values.filter(_._2 == stratum)
+      assert(kept.size == k)
+      ranked.take(k).foreach { case (i, w, p) =>
+        val r = out(i)
+        assert(r._3 == w && r._4 == p, s"weight/priority for id $i")
+        assert(r._5 == expTau, s"tau for id $i in $stratum")
+        assert(r._6 == math.max(w, expTau), s"est_weight for id $i")
+        assert(p >= expTau)
+      }
+    }
+  }
+
+  test("prioritySample: a stratum with <= k rows keeps all rows, tau 0, est = weight") {
+    val df = ((1L to 5L).map(i => (i, "tiny", 2.0)) ++
+      (101L to 160L).map(i => (i, "big", 1.0))).toDF("id", "stratum", "w")
+    val out = PipelineOps.prioritySample(df, "id", "w", k = 8, Some("stratum"))
+      .as[(Long, String, Double, Double, Double, Double)].collect()
+    val tiny = out.filter(_._2 == "tiny")
+    assert(tiny.length == 5)
+    assert(tiny.forall(r => r._5 == 0.0 && r._6 == r._3))
+    assert(out.count(_._2 == "big") == 8)
+    assert(out.filter(_._2 == "big").forall(r => r._5 > 0.0))
+  }
+
+  test("prioritySample: global (unstratified) sample is exactly k rows, partitioning-invariant") {
+    val df = (1L to 500L).map(i => (i, (i % 7 + 1).toDouble)).toDF("id", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      PipelineOps.prioritySample(d, "id", "w", k = 25)
+        .as[(Long, Double, Double, Double, Double)].collect().toSet
+    val a = run(df)
+    assert(a.size == 25)
+    assert(a == run(df.repartition(13)))
+  }
+
+  test("prioritySample estimator is unbiased: salt-averaged totals approach the true total") {
+    // Σ est_weight is unbiased for the stratum total (DLT theorem 1);
+    // averaging over 48 independent salts shrinks the spread enough to
+    // pin a 5% band. Deterministic — fixed salts, no RNG.
+    val rows = (1L to 200L).map(i => (i, (i % 13 + 1).toDouble))
+    val truth = rows.map(_._2).sum
+    val df = rows.toDF("id", "w")
+    val ests = (1 to 48).map { s =>
+      PipelineOps.prioritySample(df, "id", "w", k = 16, None, salt = s"u$s")
+        .agg(sum("est_weight")).as[Double].head()
+    }
+    val mean = ests.sum / ests.size
+    assert(math.abs(mean - truth) / truth < 0.05,
+      s"salt-averaged estimate $mean vs true total $truth")
+  }
+
+  test("prioritySample rejects non-positive weights loudly") {
+    val df = Seq((1L, 1.0), (2L, 0.0), (3L, 2.0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      PipelineOps.prioritySample(df, "id", "w", k = 2).collect()
+    }
+    assert(e.getMessage.contains("non-positive") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-positive")))
+  }
 }

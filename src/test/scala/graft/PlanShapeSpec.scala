@@ -371,6 +371,19 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("priority sample group-limits map-side — a giant stratum never funnels whole") {
+    // same WindowGroupLimit contract as the ANN/domain-cap windows:
+    // each map task pre-trims to k+1 rows per stratum before the
+    // exchange, so the per-stratum reducer sees tasks·(k+1) rows of a
+    // 10^9-row stratum, never the stratum
+    val plan = executed("q_sample_priority")
+    val limits = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.exists(_.mode == org.apache.spark.sql.execution.window.Partial),
+      s"expected a map-side (Partial) WindowGroupLimit in the priority rank:\n${plan.head}")
+  }
+
   test("shard packing shuffles once (the range partitioning), nothing else") {
     val df = SparkEntry.queries("q_shard_pack")(spark, sfDir)
     df.collect()
