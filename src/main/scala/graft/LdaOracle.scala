@@ -36,10 +36,11 @@ package graft
   * The gate bounds its input to p_partkey ≤ [[GateKeyBound]] (like
   * dbscan's gate; the reference caps sources at 400 rows) — the replay
   * runs all 10×30 sweeps per doc, so its cost is linear in docs.
-  * Round 8 halved the bound 100 → 50 (81 s → ~40 s): the whole oracle
-  * gate must stay under ~3 min of DuckDB time or the driver's
-  * correctness window expires (it did, twice — r6/r7); every VB
-  * stage still replays bit-exactly, over half the docs.
+  * Round 8 cut the bound 100 → 50 → 32 (81 s → ~40 s → ~25 s): the
+  * whole oracle gate must stay under ~3 min of DuckDB time or the
+  * driver's correctness window expires (it did, twice — r6/r7), and
+  * the LDA replay was still the single largest line item at 50; every
+  * VB stage still replays bit-exactly, over fewer docs.
   * tools/lda_oracle_dev.py is the dev twin (python bit-exact replayer
   * + stage checks, all OK against graft.tools.DumpLda's trace).
   */
@@ -48,7 +49,7 @@ object LdaOracle {
   /** Gate-query shape, shared with MLQueries.q_coret_lda so the Spark
     * query and this SQL cannot drift independently. */
   val GateFeatures: Seq[String] = Seq("p_size", "p_retailprice")
-  val GateKeyBound = 50
+  val GateKeyBound = 32
 
   /** Topic count / seed / priors come from the operator's own
     * constants ([[graft.operators.CoreT.LdaK]]/LdaSeed,

@@ -39,8 +39,10 @@ object TsneOracle {
     * oracle gate under ~3 min of DuckDB time (the driver's
     * correctness window expired twice at ~10 min). Also makes the
     * gate's replay cost independent of the scale factor, like the
-    * dbscan (≤2000) and lda (≤50) bounds. */
-  val GateKeyBound = 64
+    * dbscan (≤2000) and lda (≤32) bounds. 64 → 48 later in round 8
+    * (measured ~30 s idle at 64; O(n²) makes 48 ≈ 17 s) to hold the
+    * whole gate comfortably under the 180 s budget. */
+  val GateKeyBound = 48
 
   private val L = "0.6931471805599453"
   private val LHI = "6.93147180369123816490e-01"

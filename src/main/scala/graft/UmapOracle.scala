@@ -80,8 +80,11 @@ object UmapOracle {
     * and makes the gate's replay cost independent of the scale factor
     * (unbounded supplier at sf0.1 is 1000 points — that replay would
     * run for hours if the gate ever ran at a larger sf), like the
-    * dbscan (≤2000), lda (≤50) and tsne (≤64) bounds. */
-  val GateKeyBound = 64
+    * dbscan (≤2000), lda (≤32) and tsne (≤48) bounds. 64 → 48 later
+    * in round 8: the 64-point replay still measured ~45 s idle and
+    * the three manifold replays together held ~140 s of the ~180 s
+    * budget; at 48 points every stage still replays bit-exactly. */
+  val GateKeyBound = 48
   private val UA = "1.5769434603113077e0"
   private val UB = "8.950608779109733e-1"
 
