@@ -102,7 +102,9 @@ object Bench {
     // sketch profiling: HLL + GK quantiles, one pass, fixed memory
     "q_profile_sketch",
     // priority sampling: one hash projection + map-side group limit
-    "q_sample_priority")
+    "q_sample_priority",
+    // span decontamination: broadcast probe grams, hit-only rebuild
+    "q_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

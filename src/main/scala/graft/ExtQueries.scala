@@ -269,6 +269,13 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
         "doc_id", "n_chars", k = 16, strataCol = Some("source"))
     }),
+    "q_decontaminate" -> ((s, dir) => {
+      // span excision twin of q_contamination: same probe split, but
+      // overlapping 5-gram spans are cut out and the text rebuilt
+      val d = Tables.documents(s, dir)
+      PipelineOps.decontaminateSpans(d.where(col("doc_id") % 50 =!= 0),
+        d.where(col("doc_id") % 50 === 0), "doc_id", "text", n = 5)
+    }),
     "q_bm25_topk" -> ((s, dir) => {
       // lexical retrieval audit: every 97th doc's first 4 tokens stand
       // in for an audit query set, retrieving top-5 from the rest
@@ -1769,6 +1776,29 @@ object ExtQueries {
         |  CAST(CASE WHEN COALESCE(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
         |    AS contaminated
         |FROM co c LEFT JOIN h USING (doc_id)""".stripMargin,
+    // span decontamination: 1-based SQL positions mirror the 0-based
+    // Spark token indices one-for-one (start s covers s..s+n-1 in both)
+    "q_decontaminate" ->
+      """WITH pr AS (SELECT list_distinct([array_to_string(ws[i:i+4],' ')
+        |              FOR i IN generate_series(1, len(ws)-4)]) AS gs
+        |            FROM (SELECT regexp_extract_all(COALESCE(text,''), '\S+') AS ws
+        |                  FROM documents WHERE doc_id % 50 = 0)),
+        |pg AS (SELECT DISTINCT unnest(gs) AS gram FROM pr),
+        |co AS (SELECT doc_id, regexp_extract_all(COALESCE(text,''), '\S+') AS ws
+        |       FROM documents WHERE doc_id % 50 <> 0),
+        |cg AS (SELECT doc_id, unnest([{'s': i, 'g': array_to_string(ws[i:i+4],' ')}
+        |         FOR i IN generate_series(1, len(ws)-4)], recursive := false) AS sg FROM co),
+        |m AS (SELECT doc_id, sg.s AS s FROM cg JOIN pg ON sg.g = pg.gram),
+        |cov AS (SELECT doc_id, unnest(range(s, s+5)) AS p FROM m),
+        |cl AS (SELECT doc_id, list_sort(list(DISTINCT p)) AS cov FROM cov GROUP BY 1),
+        |fin AS (SELECT c.doc_id, c.ws, COALESCE(cl.cov, []) AS cov
+        |        FROM co c LEFT JOIN cl USING (doc_id))
+        |SELECT doc_id,
+        |  array_to_string([ws[i] FOR i IN generate_series(1, len(ws))
+        |                   IF NOT list_contains(cov, i)], ' ') AS text_clean,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(cov) AS BIGINT) AS n_removed
+        |FROM fin""".stripMargin,
     // the union + running-last twin of AsofJoin.asofJoin: side 0 (right)
     // sorts before side 1 (left) at equal time, event_id breaks right-
     // side ties — the same total order the Spark window uses

@@ -834,4 +834,68 @@ object PipelineOps {
       .withColumn("est_weight", greatest(col("weight"), col("tau")))
       .drop("__rn")
   }
+
+  // ── benchmark-span decontamination ─────────────────────────────────
+
+  /** Excise benchmark-overlapping spans instead of dropping whole
+    * documents: every corpus token covered by a word `n`-gram that
+    * also appears in the probe (benchmark) set is removed, and the
+    * document is rebuilt from the surviving tokens (GPT-3 appendix C
+    * removes a window AROUND each collision; the exact-covered-span
+    * variant here is the conservative core of that — extend `n` to
+    * widen the excision). The rebuild canonicalizes whitespace (single
+    * spaces), the same contract as [[dedupLines]]' rebuilt text.
+    * Returns `(id, text_clean, n_tokens, n_removed)` — `n_removed`
+    * counts removed token POSITIONS, so `n_removed = n_tokens` marks a
+    * fully-contaminated document (emitted with empty `text_clean`, not
+    * dropped: the caller decides the drop policy).
+    *
+    * Scale shape: [[contaminationCheck]]'s — the probe gram set is
+    * distinct-ed and BROADCAST (benchmarks are thousands of rows), the
+    * corpus side is one non-distinct shingle posexplode + broadcast
+    * semi-join, and only HIT positions flow into the doc-keyed
+    * covered-set aggregate (uncontaminated documents — the vast
+    * majority — never shuffle at all and rebuild via the left join's
+    * null arm). The per-token `array_contains` in the rebuild is
+    * O(covered) per token but only on contaminated documents, whose
+    * covered sets the benchmark's size bounds. The token array is
+    * materialized once per row before the rebuild lambda (the
+    * [[dedupLines]] no-CSE rule).
+    */
+  def decontaminateSpans(corpus: DataFrame, probe: DataFrame,
+                         idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val reserved = Set("text_clean", "n_tokens", "n_removed", "gram",
+      "__start", "__p", "__cov", "__toks")
+    require(!reserved.contains(idCol) && !reserved.contains(textCol) && idCol != textCol,
+      s"idCol '$idCol' / textCol '$textCol' collides with an internal or output column name")
+    val base = corpus.select(col(idCol), col(textCol))
+    val probeGrams = probe.select(
+        explode(TextFunctions.wordShingles(coalesce(col(textCol), lit("")), n))
+          .as("gram")).distinct()
+    // non-distinct shingles: posexplode's 0-based position IS the
+    // gram's start token index (wordShingles would dedup repeats and
+    // lose positions)
+    val hitStarts = base.select(col(idCol),
+        posexplode(Tokenize.wordShingles(
+          TextFunctions.tokens(coalesce(col(textCol), lit(""))), n))
+          .as(Seq("__start", "gram")))
+      .join(broadcast(probeGrams), Seq("gram"))
+    val covered = hitStarts
+      .select(col(idCol),
+        explode(sequence(col("__start"), col("__start") + lit(n - 1))).as("__p"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__p"))).as("__cov"))
+    base
+      .withColumn("__toks", TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .select(col(idCol),
+        array_join(transform(
+          filter(transform(col("__toks"), (t, i) => struct(t.as("t"), i.as("i"))),
+            s => !array_contains(col("__cov"), s.getField("i"))),
+          s => s.getField("t")), " ").as("text_clean"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__cov")).cast("long").as("n_removed"))
+  }
 }

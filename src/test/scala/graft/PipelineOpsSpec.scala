@@ -705,6 +705,38 @@ class PipelineOpsSpec extends SparkSpec {
       s"salt-averaged estimate $mean vs true total $truth")
   }
 
+  // ── span decontamination ─────────────────────────────────────────
+
+  test("decontaminateSpans cuts exactly the covered token positions") {
+    val probe = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // 3-gram hit at start 2: tokens 2,3,4 removed
+      (1L, "aa bb alpha beta gamma cc dd"),
+      // two overlapping hits (starts 0 and 1 share tokens): merged cover
+      (2L, "alpha beta gamma alpha beta gamma zz"),
+      // fully contaminated: exact probe text
+      (3L, "alpha beta gamma"),
+      // clean, with messy whitespace to show canonicalization
+      (4L, "  hello   world "),
+      (5L, "")).toDF("doc_id", "text")
+    val out = PipelineOps.decontaminateSpans(corpus, probe, "doc_id", "text", n = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "aa bb cc dd", 7L, 3L)))
+    // starts 0..3 all match (positions 0-2,1-3,2-4,3-5) → only zz survives
+    assert(out(2L) == ((2L, "zz", 7L, 6L)))
+    assert(out(3L) == ((3L, "", 3L, 3L)))
+    assert(out(4L) == ((4L, "hello world", 2L, 0L)))
+    assert(out(5L) == ((5L, "", 0L, 0L)))
+  }
+
+  test("decontaminateSpans: interior repeat of a probe gram is excised everywhere") {
+    val probe = Seq((1L, "x y")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a x y b x y c")).toDF("doc_id", "text")
+    val out = PipelineOps.decontaminateSpans(corpus, probe, "doc_id", "text", n = 2)
+      .as[(Long, String, Long, Long)].head()
+    assert(out == ((1L, "a b c", 7L, 4L)))
+  }
+
   test("prioritySample rejects non-positive weights loudly") {
     val df = Seq((1L, 1.0), (2L, 0.0), (3L, 2.0)).toDF("id", "w")
     val e = intercept[Exception] {

@@ -384,6 +384,15 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a map-side (Partial) WindowGroupLimit in the priority rank:\n${plan.head}")
   }
 
+  test("decontamination joins probe grams by broadcast; the corpus never shuffles by gram") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = executed("q_decontaminate")
+    assert(!plan.exists(p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]),
+      s"decontaminate must never shuffle-join by gram:\n${plan.head}")
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty)
+  }
+
   test("shard packing shuffles once (the range partitioning), nothing else") {
     val df = SparkEntry.queries("q_shard_pack")(spark, sfDir)
     df.collect()
