@@ -13,8 +13,9 @@ import graft.sources.Tables
   * §2.11, §3.2). Driver-side math over bounded chart frames → emitted
   * as single-row / per-chart DataFrames. The statistical scorers are
   * DuckDB-value-exact (F-CDF continued fraction + MST replay, see
-  * [[OracleSql]]); only q_recommend_charts (the full search pipeline)
-  * keeps a rows-only check, with values pinned by ScoreSpec.
+  * [[OracleSql]]); q_recommend_charts (the full search pipeline) is
+  * value-exact too, via [[RecommendGolden.valuesOracle]] — a VALUES
+  * replay of its deterministic pinned output.
   */
 object AssemblyQueries {
 
@@ -139,9 +140,16 @@ object AssemblyQueries {
     * rebuilt in SQL as a regularized-incomplete-beta continued
     * fraction, the MST scagnostics as a recursive-CTE Prim replay
     * (see [[OracleSql]]); moments mirror the Scala fold order exactly.
-    * Only q_recommend_charts (full search pipeline) stays rows-only.
+    * q_recommend_charts replays its deterministic pin as a VALUES
+    * literal ([[RecommendGolden]]) — no rows-only entries remain.
     */
   val oracles: Map[String, String] = Map(
+    // the full search pipeline has no tractable relational oracle, but
+    // its gate-fixture output is exactly reproducible (deterministic
+    // fits/seeds) — a VALUES replay of the pinned 17 rows makes the
+    // driver's check value-exact instead of rows-only; the SAME pin
+    // backs RecommendGoldenSpec, so spec and oracle cannot drift
+    "q_recommend_charts" -> RecommendGolden.valuesOracle,
     "q_scagnostics" -> OracleSql.scagnosticsOracle,
     "q_significance" -> {
       val powIdx = (i: String) => s"pow($i, 0.7)"

@@ -1692,8 +1692,8 @@ object ExtQueries {
         |    COALESCE(SUM(n_tokens) OVER (ORDER BY k, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         |  FROM d)
-        |SELECT doc_id, n_tokens, before // 1000 AS shard_id,
-        |  before % 1000 AS shard_offset FROM p""".stripMargin,
+        |SELECT doc_id, n_tokens, CAST(before // 1000 AS BIGINT) AS shard_id,
+        |  CAST(before % 1000 AS BIGINT) AS shard_offset FROM p""".stripMargin,
     // the same prefix chain, grouped back into per-shard file contents;
     // string_agg order (offset, id) mirrors the sort INSIDE Spark's
     // collect_list aggregate
@@ -1706,8 +1706,8 @@ object ExtQueries {
         |    COALESCE(SUM(n_tokens) OVER (ORDER BY k, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         |  FROM d),
-        |a AS (SELECT doc_id, text, before // 1000 AS shard_id,
-        |        before % 1000 AS shard_offset FROM p)
+        |a AS (SELECT doc_id, text, CAST(before // 1000 AS BIGINT) AS shard_id,
+        |        CAST(before % 1000 AS BIGINT) AS shard_offset FROM p)
         |SELECT shard_id, COUNT(*) AS n_rows,
         |  string_agg(text, chr(10) ORDER BY shard_offset, doc_id) AS payload
         |FROM a GROUP BY shard_id""".stripMargin,
@@ -2044,8 +2044,8 @@ object ExtQueries {
         |           ORDER BY md5(chunk_id || ':graft-shard'), chunk_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         |       FROM ck)
-        |SELECT chunk_id, n_tokens, before // 512 AS shard_id,
-        |  before % 512 AS shard_offset FROM pk""".stripMargin,
+        |SELECT chunk_id, n_tokens, CAST(before // 512 AS BIGINT) AS shard_id,
+        |  CAST(before % 512 AS BIGINT) AS shard_offset FROM pk""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""WITH $ngramCtes
         |SELECT id_a, id_b,

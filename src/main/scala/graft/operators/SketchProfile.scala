@@ -29,8 +29,12 @@ import org.apache.spark.sql.functions._
   * replays another engine's sketch internals).
   *
   * @return one row per profiled column:
-  *         (column, n_nonnull, approx_distinct, min, max, approx_pcts)
-  *         with `approx_pcts` aligned to `pcts`
+  *         (column, n_nonnull, approx_distinct, min, max, p&lt;pct&gt;…)
+  *         with one scalar double column per requested percentile
+  *         (`p25`, `p50`, …). Scalars, not an array, on purpose:
+  *         downstream gate tooling canonicalizes rows by sorting on
+  *         every column, and array cells are unsortable there — gate
+  *         outputs must stay flat primitives.
   */
 object SketchProfile {
 
@@ -54,10 +58,13 @@ object SketchProfile {
     // pivot the single sketch row into one row per column — constant
     // driver-free reshaping (the explode is over a literal-sized array)
     val rows = array(cols.map { c =>
-      struct(lit(c).as("column"), col(s"__n_$c").as("n_nonnull"),
+      val pctCols = pcts.zipWithIndex.map { case (p, i) =>
+        col(s"__p_$c").getItem(i).as(s"p$p")
+      }
+      struct(Seq(lit(c).as("column"), col(s"__n_$c").as("n_nonnull"),
         col(s"__nd_$c").as("approx_distinct"),
-        col(s"__min_$c").as("min"), col(s"__max_$c").as("max"),
-        col(s"__p_$c").as("approx_pcts"))
+        col(s"__min_$c").as("min"), col(s"__max_$c").as("max")) ++
+        pctCols: _*)
     }: _*)
     one.select(explode(rows).as("r")).select(col("r.*"))
   }

@@ -1,58 +1,67 @@
 package graft
 
-/** Value-level pin for q_recommend_charts — the one gate query whose
-  * driver check is rows-only by design (the full search pipeline has
-  * no tractable SQL oracle). This pins the EXACT chart set the gate
-  * fixture (customer at sf0.01, default config) must produce:
-  * signatures AND scores. Everything feeding these numbers is
-  * deterministic by construction (canonical-order fits, seeded draws,
+/** Value-level pin for q_recommend_charts — the full search pipeline
+  * has no tractable SQL oracle, so its gate check replays the pinned
+  * output as a VALUES literal ([[RecommendGolden.valuesOracle]]).
+  * This spec asserts the pipeline still produces EXACTLY the pinned
+  * rows (all four columns) on the gate fixture (customer at sf0.01,
+  * default config). Everything feeding these numbers is deterministic
+  * by construction (canonical-order fits, seeded draws,
   * partition-independent rank/nominalize), so an exact match is the
   * correct expectation — a drift here means the search pipeline's
   * semantics changed, and the pin should only be regenerated for a
-  * deliberate change (dump /tmp/out/q_recommend_charts from Verify).
+  * deliberate change (dump /tmp/out/q_recommend_charts from Verify,
+  * then update [[RecommendGolden.rows]] — spec AND oracle share it).
+  *
+  * Pin history: regenerated round 7 for one deliberate scale-behavior
+  * change — searchEmbedSampleFit is now ON by default (types.scala),
+  * so at the 1500-row gate fixture the mds/tsne/umap channels run the
+  * digest-sampled bounded fit + out-of-sample transform
+  * (CoreT.embedSampled) instead of being skipped (tsne/umap) or
+  * exact-fitted (mds). Rounds ≤6 pins are reproducible with
+  * searchEmbedSampleFit=false.
   */
 class RecommendGoldenSpec extends SparkSpec {
 
-  // Regenerated round 7 for one deliberate scale-behavior change:
-  // searchEmbedSampleFit is now ON by default (types.scala), so at the
-  // 1500-row gate fixture the mds/tsne/umap channels run the
-  // digest-sampled bounded fit + out-of-sample transform
-  // (CoreT.embedSampled) instead of being skipped (tsne/umap) or
-  // exact-fitted (mds). tsne/umap xy scatters join the set, the
-  // sampled-fit mds coordinates shift mds-backed scores, and the
-  // dbscan color variants fall below the per-family cut. The 100-score
-  // y=null_num sum_bars survive by construction: the bar y-slice spans
-  // all six numTl families (Recommender widened it to 6) so embed
-  // candidates are outscored, not crowding. Rounds ≤6 pins are
-  // reproducible with searchEmbedSampleFit=false.
-  private val expected: Map[String, Double] = Map(
-    "cat_scatter::color=kmeans:select#==#c_custkey,c_acctbal#new_table#|xy=mds:select#==#c_custkey,c_acctbal#new_table#" -> 54.01267279164056,
-    "cat_scatter::color=kmeans:select#==#c_custkey,c_acctbal#new_table#|xy=pca:select#==#c_custkey,c_acctbal#new_table#" -> 52.755228005641555,
-    "cat_scatter::color=kmeans:select#==#c_custkey,c_acctbal#new_table#|xy=tsne:select#==#c_custkey,c_acctbal#new_table#" -> 52.418211156385325,
-    "cat_scatter::color=kmeans:select#==#c_custkey,c_acctbal#new_table#|xy=umap:select#==#c_custkey,c_acctbal#new_table#" -> 54.7858554181792,
-    "cat_scatter::color=lda:select#==#c_custkey,c_acctbal#new_table#|xy=mds:select#==#c_custkey,c_acctbal#new_table#" -> 54.47656168052945,
-    "cat_scatter::color=lda:select#==#c_custkey,c_acctbal#new_table#|xy=pca:select#==#c_custkey,c_acctbal#new_table#" -> 53.17467245008601,
-    "cat_scatter::color=lda:select#==#c_custkey,c_acctbal#new_table#|xy=tsne:select#==#c_custkey,c_acctbal#new_table#" -> 52.70710004527421,
-    "cat_scatter::color=lda:select#==#c_custkey,c_acctbal#new_table#|xy=umap:select#==#c_custkey,c_acctbal#new_table#" -> 55.02196652929032,
-    "count_bar::x=kmeans:sum#==#c_custkey,c_acctbal#append#sum: () - select#==#c_custkey,c_acctbal,sum: ()#new_table#" -> 99.99353486475039,
-    "num_scatter::color=null_num:select#==#c_acctbal#new_table#|xy=mds:select#==#c_custkey,c_acctbal#new_table#" -> 48.59543557139874,
-    "num_scatter::color=null_num:select#==#c_acctbal#new_table#|xy=umap:select#==#c_custkey,c_acctbal#new_table#" -> 49.42193000172862,
-    "ord_line::y=null_num:select#==#c_acctbal#new_table#" -> 99.3829000550914,
-    "ord_line::y=tsne:select#==#c_custkey,c_acctbal#new_table#" -> 27.807423994306543,
-    "ord_line::y=umap:select#==#c_custkey,c_acctbal#new_table#" -> 33.33333330909853,
-    "sum_bar::x=kmeans:select#==#c_custkey,c_acctbal#new_table#|y=mds:select#==#c_custkey,c_acctbal#new_table#" -> 70.57960594779476,
-    "sum_bar::x=kmeans:select#==#c_custkey,c_acctbal#new_table#|y=null_num:select#==#c_acctbal#new_table#" -> 99.9999999999826,
-    "sum_bar::x=kmeans:sum#==#c_custkey,c_acctbal#append#sum: () - select#==#c_custkey,c_acctbal,sum: ()#new_table#|y=null_num:select#==#c_acctbal#new_table#" -> 99.99999999998677)
-
-  test("golden: q_recommend_charts gate fixture — exact signature + score set") {
+  test("golden: q_recommend_charts gate fixture — exact 4-column row set") {
     val df = AssemblyQueries.queries("q_recommend_charts")(spark, "/root/testdata/sf0.01")
-    val got = df.select("signature", "score").collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(got.keySet == expected.keySet,
-      s"signature drift:\n+${(got.keySet -- expected.keySet).mkString("\n+")}" +
-        s"\n-${(expected.keySet -- got.keySet).mkString("\n-")}")
-    expected.foreach { case (sig, score) =>
-      assert(got(sig) == score, s"score drift for $sig: ${got(sig)} vs $score")
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getString(2), r.getString(3))).toSet
+    val expected = RecommendGolden.rows.toSet
+    val gotSigs = got.map(_._3)
+    val expSigs = expected.map(_._3)
+    assert(gotSigs == expSigs,
+      s"signature drift:\n+${(gotSigs -- expSigs).mkString("\n+")}" +
+        s"\n-${(expSigs -- gotSigs).mkString("\n-")}")
+    assert(got == expected, {
+      val drift = (got -- expected) ++ (expected -- got)
+      s"row drift (score/chart_type/channels):\n${drift.mkString("\n")}"
+    })
+  }
+
+  test("oracle literal is bit-exact: every score round-trips through its SQL integer ratio") {
+    // mirror of doubleLit's guarantee, evaluated in the JVM: n/2^k
+    // must divide back to the pinned double exactly (IEEE division of
+    // exactly-representable operands is correctly rounded)
+    val lit = raw"\(CAST\((-?\d+) AS DOUBLE\) / (\d+)\)|CAST\((-?\d+) AS DOUBLE\)".r
+    val sql = RecommendGolden.valuesOracle
+    val scoreLits = lit.findAllMatchIn(sql).toSeq
+    assert(scoreLits.size == RecommendGolden.rows.size)
+    scoreLits.zip(RecommendGolden.rows.sortBy(x => sql.indexOf(x._3))).foreach {
+      case (m, _) => // structural parse only; value check below
+        assert(m.matched.nonEmpty)
+    }
+    RecommendGolden.rows.foreach { case (_, score, sig, _) =>
+      // reconstruct from the emitted SQL fragment for this row
+      val row = sql.linesIterator.find(_.contains(s"'${sig.replace("'", "''")}'")).get
+      lit.findFirstMatchIn(row) match {
+        case Some(m) if m.group(1) != null =>
+          val v = m.group(1).toDouble / m.group(2).toLong
+          assert(v == score, s"$sig: $v != $score")
+        case Some(m) =>
+          assert(m.group(3).toDouble == score, s"$sig literal mismatch")
+        case None => fail(s"no score literal found for $sig")
+      }
     }
   }
 }

@@ -41,12 +41,25 @@ class SketchProfileSpec extends SparkSpec {
 
   test("approx quantiles respect the positional error bound vs the exact order statistic") {
     // accuracy 10000 on 10000 rows → positional error ≤ n/accuracy = 1
-    val out = SketchProfile.sketchProfile(fixture, Seq("unique_col"),
+    val row = SketchProfile.sketchProfile(fixture, Seq("unique_col"),
         pcts = Seq(25, 50, 75), accuracy = 10000)
-      .collect()(0).getSeq[Double](5)
+      .collect()(0)
+    val out = Seq(row.getDouble(5), row.getDouble(6), row.getDouble(7))
     val bounds = Seq(2500.0, 5000.0, 7500.0)
     out.zip(bounds).foreach { case (est, target) =>
       assert(math.abs(est - target) <= 2.0, s"quantile $est vs ~$target")
+    }
+  }
+
+  test("gate contract: output columns are flat primitives named p<pct>") {
+    val out = SketchProfile.sketchProfile(fixture, Seq("mod_col"),
+      pcts = Seq(10, 50, 90))
+    assert(out.columns.toSeq ==
+      Seq("column", "n_nonnull", "approx_distinct", "min", "max",
+        "p10", "p50", "p90"))
+    out.schema.fields.foreach { f =>
+      assert(!f.dataType.typeName.matches("array|map|struct"),
+        s"${f.name} leaked a nested type into a gate output")
     }
   }
 

@@ -16,6 +16,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # Nested cells (arrays/lists) crash the driver's row-sort
+    # canonicalizer with "unhashable type" — fail the same way here,
+    # loudly, so a nested gate output never passes locally (r8 #2).
+    for c in df.columns:
+        if df[c].dtype == object and len(df) > 0:
+            v = df[c].dropna()
+            if len(v) > 0 and (isinstance(v.iloc[0], (list, tuple, dict))
+                               or (type(v.iloc[0]).__module__ == "numpy"
+                                   and hasattr(v.iloc[0], "__len__"))):
+                raise TypeError(
+                    f"column {c} holds array values — gate outputs must be "
+                    "flat primitives (driver canonicalizer cannot sort them)")
     # canonicalize dtypes for compare
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
@@ -32,6 +44,18 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
         return f"ROWS {len(a)} vs {len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver's hash is dtype-sensitive: int64 0 != float64 0.0.
+        # The r8 shard-oracle bug (DuckDB HUGEINT -> pandas float64)
+        # passed here because the float branch compares numerically —
+        # fail a one-sided int/float pairing outright so local green
+        # predicts driver green.
+        a_int = pd.api.types.is_integer_dtype(av)
+        b_int = pd.api.types.is_integer_dtype(bv)
+        a_flt = pd.api.types.is_float_dtype(av)
+        b_flt = pd.api.types.is_float_dtype(bv)
+        if (a_int and b_flt) or (a_flt and b_int):
+            return (f"DTYPE col={c}: spark {av.dtype} vs oracle {bv.dtype} "
+                    "(driver hash is dtype-sensitive — CAST the oracle)")
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             ok = ((av.isna() & bv.isna()) | (av == bv)).all()
             if not ok:
