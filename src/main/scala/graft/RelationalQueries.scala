@@ -249,12 +249,20 @@ object RelationalQueries {
     "q_profile_sketch" -> ((s, dir) => {
       // the unbounded-cardinality profiling path: HLL++ distinct +
       // GK approx quantiles, one pass, fixed sketch memory per column.
-      // Rows-only gate by design — no SQL engine replays another
-      // engine's sketch internals; SketchProfileSpec bounds the error
-      // against the exact profilers instead
+      // The gate checks the columns that are bit-deterministic under
+      // ANY partitioning: n_nonnull/min/max are exact, and HLL++'s
+      // register-max merge is commutative so its estimate is
+      // partition-invariant for a fixed input (SketchDeterminism probe:
+      // identical bits across parts∈{1,3,13,32}×AQE on/off at sf0.01).
+      // The GK percentile columns are NOT merge-order-invariant (same
+      // probe: p50/p75/p99 of the near-unique l_extendedprice move
+      // within their error bound with partition count), so they stay
+      // out of the hash gate and are bounded by SketchProfileSpec
+      // against the exact order statistics instead.
       graft.operators.SketchProfile.sketchProfile(
-        Tables.lineitem(s, dir),
-        Seq("l_quantity", "l_extendedprice", "l_discount"))
+          Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select("column", "n_nonnull", "approx_distinct", "min", "max")
     }),
 
     // ── profiling stats in one agg pass (spreadsheet.py:102-163) ──
@@ -283,6 +291,31 @@ object RelationalQueries {
         |r AS (SELECT p.pct, 1 + ((n.n - 1) * p.pct) // 100 AS rk FROM p, n),
         |s AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v)
         |SELECT r.pct, s.x AS value FROM r JOIN s ON s.rn = r.rk""".stripMargin,
+    // n_nonnull/min/max are computed exactly by DuckDB; only the HLL++
+    // estimate is pinned (VALUES join) — it is partition-invariant for
+    // a fixed input (register-max merge is commutative; verified bitwise
+    // across parts×AQE by the SketchDeterminism probe), so the pin is a
+    // constant of the sf0.01 gate fixture, not of any partitioning.
+    // check.py skips pinned oracles when run off the sf0.01 fixture.
+    "q_profile_sketch" ->
+      """WITH s AS (
+        |  SELECT 'l_quantity' AS "column", count(l_quantity) AS n_nonnull,
+        |    CAST(min(l_quantity) AS DOUBLE) AS "min",
+        |    CAST(max(l_quantity) AS DOUBLE) AS "max" FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(l_extendedprice),
+        |    CAST(min(l_extendedprice) AS DOUBLE),
+        |    CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(l_discount),
+        |    CAST(min(l_discount) AS DOUBLE),
+        |    CAST(max(l_discount) AS DOUBLE) FROM lineitem),
+        |hll(c, approx_distinct) AS (VALUES
+        |  ('l_quantity', CAST(47 AS BIGINT)),
+        |  ('l_extendedprice', CAST(58565 AS BIGINT)),
+        |  ('l_discount', CAST(11 AS BIGINT)))
+        |SELECT s."column", s.n_nonnull, hll.approx_distinct, s."min", s."max"
+        |FROM s JOIN hll ON s."column" = hll.c""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

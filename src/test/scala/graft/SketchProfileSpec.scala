@@ -70,12 +70,53 @@ class SketchProfileSpec extends SparkSpec {
     assert(run(3) == run(17))
   }
 
-  test("rejects empty column list and out-of-range percentiles") {
+  test("gate pin: sf0.01 fixture HLL estimates match the DuckDB oracle's VALUES") {
+    // The q_profile_sketch oracle pins these three HLL++ estimates as
+    // fixture constants (RelationalQueries.oracles). This spec is the
+    // in-repo twin: it recomputes them from the real gate fixture at
+    // TWO partition counts and asserts both runs land on the pinned
+    // values — so an approx_count_distinct behavior change, a fixture
+    // regeneration, or a lost partition-invariance breaks HERE before
+    // the driver's gate ever sees a red row.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists(),
+      "sf0.01 gate fixture not present")
+    val pinned = Map("l_quantity" -> 47L, "l_extendedprice" -> 58565L,
+      "l_discount" -> 11L)
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    Seq(5, 32).foreach { parts =>
+      val got = SparkEntryHelpersSketch.gateRows(li.repartition(parts))
+      assert(got.map { case (c, r) => c -> r.getLong(2) }.toMap == pinned,
+        s"HLL pin drift at parts=$parts")
+      // exact columns agree with a direct exact aggregate of the fixture
+      got.foreach { case (c, r) =>
+        val exact = li.agg(count(col(c)), min(col(c)).cast("double"),
+          max(col(c)).cast("double")).collect()(0)
+        assert(r.getLong(1) == exact.getLong(0), s"$c n_nonnull")
+        assert(r.getDouble(3) == exact.getDouble(1), s"$c min")
+        assert(r.getDouble(4) == exact.getDouble(2), s"$c max")
+      }
+    }
+  }
+
+  test("rejects empty column list, out-of-range and duplicate percentiles") {
     assertThrows[IllegalArgumentException] {
       SketchProfile.sketchProfile(fixture, Seq.empty)
     }
     assertThrows[IllegalArgumentException] {
       SketchProfile.sketchProfile(fixture, Seq("mod_col"), pcts = Seq(101))
     }
+    assertThrows[IllegalArgumentException] {
+      SketchProfile.sketchProfile(fixture, Seq("mod_col"), pcts = Seq(50, 50))
+    }
   }
+}
+
+/** The gate-query projection, factored for the pin spec. */
+private object SparkEntryHelpersSketch {
+  def gateRows(df: org.apache.spark.sql.DataFrame): Seq[(String, org.apache.spark.sql.Row)] =
+    SketchProfile.sketchProfile(df,
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .select("column", "n_nonnull", "approx_distinct", "min", "max")
+      .collect().toSeq.map(r => r.getString(0) -> r)
 }
