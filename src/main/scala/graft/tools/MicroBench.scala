@@ -122,7 +122,12 @@ object MicroBench {
   private def tailStability(spark: SparkSession, dir: String): Unit = {
     val tail = Seq("q_nominalize", "q_multimodal_meta", "q_text_fingerprint",
       "q_text_langid", // langid: the round-4 concurrent-load false alarm
-      "q_vocab_topk")  // round-6 judge saw 2.9s vs 0.60s recorded — dispersion watch
+      "q_vocab_topk",  // round-6 judge saw 2.9s vs 0.60s recorded — dispersion watch
+      // round-9 watch set: now the two slowest headline queries, both
+      // with multi-second recorded spikes adjudicated as load
+      // contamination (BASELINE.md "q_dedup_semantic cross-round
+      // dispersion") — keep their n=5 medians one command away
+      "q_dedup_semantic", "q_dedup_spans")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
     val all = graft.SparkEntry.queries
     tail.foreach { name =>
@@ -130,7 +135,9 @@ object MicroBench {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         all(name)(spark, dir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        graft.CacheScope.releaseAll() // drop scoped persists outside the window
+        wall
       }
       val med = times.sorted.apply(times.size / 2)
       println(f"$name%-24s median=$med%.3f s  runs=${times.map(t => f"$t%.3f").mkString(", ")}")

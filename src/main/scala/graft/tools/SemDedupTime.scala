@@ -12,7 +12,8 @@ object SemDedupTime {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    for (i <- 1 to 2) {
+    val n = args.headOption.map(_.toInt).getOrElse(2)
+    for (i <- 1 to n) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries("q_dedup_semantic")(spark, dir)
