@@ -88,8 +88,20 @@ object RecommendGolden {
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** VALUES-literal DuckDB oracle for q_recommend_charts. */
-  def valuesOracle: String =
-    rows.map { case (ct, score, sig, ch) =>
+  def valuesOracle: String = oracleFor(rows)
+
+  /** The same oracle with row `i`'s score moved by exactly 1 ulp —
+    * test hook for RecommendGoldenSpec's end-to-end exactness probe:
+    * if the gate compare still passes against a 1-ulp-perturbed
+    * oracle, the doubleLit path is silently tolerant and the pin is
+    * not actually value-exact. */
+  private[graft] def perturbedOracle(i: Int): String = {
+    val (ct, score, sig, ch) = rows(i)
+    oracleFor(rows.updated(i, (ct, Math.nextUp(score), sig, ch)))
+  }
+
+  private def oracleFor(rs: Seq[(String, Double, String, String)]): String =
+    rs.map { case (ct, score, sig, ch) =>
       s"  (${sqlStr(ct)}, ${doubleLit(score)}, ${sqlStr(sig)}, ${sqlStr(ch)})"
     }.mkString("SELECT * FROM (VALUES\n", ",\n",
       ") AS t(chart_type, score, signature, channels)")

@@ -45,12 +45,7 @@ class RecommendGoldenSpec extends SparkSpec {
     // exactly-representable operands is correctly rounded)
     val lit = raw"\(CAST\((-?\d+) AS DOUBLE\) / (\d+)\)|CAST\((-?\d+) AS DOUBLE\)".r
     val sql = RecommendGolden.valuesOracle
-    val scoreLits = lit.findAllMatchIn(sql).toSeq
-    assert(scoreLits.size == RecommendGolden.rows.size)
-    scoreLits.zip(RecommendGolden.rows.sortBy(x => sql.indexOf(x._3))).foreach {
-      case (m, _) => // structural parse only; value check below
-        assert(m.matched.nonEmpty)
-    }
+    assert(lit.findAllMatchIn(sql).size == RecommendGolden.rows.size)
     RecommendGolden.rows.foreach { case (_, score, sig, _) =>
       // reconstruct from the emitted SQL fragment for this row
       val row = sql.linesIterator.find(_.contains(s"'${sig.replace("'", "''")}'")).get
@@ -63,5 +58,55 @@ class RecommendGoldenSpec extends SparkSpec {
         case None => fail(s"no score literal found for $sig")
       }
     }
+  }
+
+  test("oracle is exact END TO END: DuckDB parses the pin bit-for-bit and a 1-ulp perturbation fails the gate compare") {
+    // The JVM round-trip above proves doubleLit's arithmetic; this
+    // drives the actual gate machinery: DuckDB executes the VALUES
+    // SQL, tools/check.py's compare/normalize judge it against the
+    // pinned doubles (reconstructed from raw IEEE bits, no text
+    // round-trip), and the same compare must REJECT an oracle whose
+    // one score moved by a single ulp. Skipped when the driver-side
+    // python/duckdb stack is absent (it is not a library dependency).
+    import scala.sys.process._
+    val py = try ("python3 -c \"import duckdb, pandas, numpy\"".! == 0)
+             catch { case _: Throwable => false }
+    assume(py, "python3+duckdb not available")
+    assume(new java.io.File("tools/check.py").exists(), "tools/check.py not found")
+    val dir = java.nio.file.Files.createTempDirectory("pinprobe")
+    def put(name: String, s: String) =
+      java.nio.file.Files.writeString(dir.resolve(name), s)
+    put("oracle.sql", RecommendGolden.valuesOracle)
+    put("perturbed.sql", RecommendGolden.perturbedOracle(0))
+    put("pins.json", RecommendGolden.rows.map { case (ct, score, sig, ch) =>
+      val esc = (x: String) => x.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""["${esc(ct)}", ${java.lang.Double.doubleToLongBits(score)}, "${esc(sig)}", "${esc(ch)}"]"""
+    }.mkString("[", ",", "]"))
+    put("probe.py",
+      """import sys, json
+        |sys.path.insert(0, "tools")
+        |import duckdb, numpy as np, pandas as pd
+        |import check
+        |d = sys.argv[1]
+        |pins = json.load(open(d + "/pins.json"))
+        |df_p = pd.DataFrame({
+        |    "chart_type": [r[0] for r in pins],
+        |    "score": np.array([r[1] for r in pins], dtype=np.int64).view(np.float64),
+        |    "signature": [r[2] for r in pins],
+        |    "channels": [r[3] for r in pins]})
+        |df_o = duckdb.sql(open(d + "/oracle.sql").read()).df()
+        |print("R1=" + check.compare(check.normalize(df_p.copy()), check.normalize(df_o)))
+        |df_q = duckdb.sql(open(d + "/perturbed.sql").read()).df()
+        |print("R2=" + check.compare(check.normalize(df_p.copy()), check.normalize(df_q)))
+        |""".stripMargin)
+    val out = new StringBuilder
+    val code = Process(Seq("python3", dir.resolve("probe.py").toString,
+      dir.toString), new java.io.File(".")) ! ProcessLogger(l => out.append(l).append('\n'))
+    assert(code == 0, s"probe failed:\n$out")
+    val lines = out.toString.linesIterator.toSeq
+    assert(lines.exists(_ == "R1=OK"),
+      s"pinned oracle did not reproduce the doubles bit-for-bit:\n$out")
+    assert(lines.exists(l => l.startsWith("R2=VAL col=score")),
+      s"1-ulp perturbation was NOT rejected — gate compare is tolerant:\n$out")
   }
 }
