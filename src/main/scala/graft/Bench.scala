@@ -126,6 +126,19 @@ object Bench {
 
     val loadBefore = readLoadAvg()
     val all = SparkEntry.queries
+    // Contamination self-labeling (two straight rounds recorded
+    // multi-second spikes on multi-second queries under driver loadavg
+    // 1.85–2.33, each costing a judge session to adjudicate): when the
+    // PRE-RUN 1-min loadavg exceeds 1.5, every query gets n=4 runs
+    // (min-of-4 rejects a transient far more reliably than min-of-2)
+    // and the contract line carries "hot_start":true — so a number
+    // recorded under load is self-evidently suspect instead of
+    // silently reading as a regression. The gate must be the PRE-run
+    // sample: once local[32] is crunching, loadavg measures the bench
+    // itself, not external load.
+    val hotStart = load1(loadBefore) > 1.5
+    if (hotStart) System.err.println(
+      s"[bench-diag] CONTAMINATED-START loadavg=$loadBefore > 1.5 — n=4/query, minima still suspect")
     val results = headline.filter(all.contains).map { name =>
       // min of 2 runs (3 when the first two are both >1s — the slow
       // queries dominate the total, so they get the extra sample):
@@ -149,7 +162,9 @@ object Bench {
       val two = Vector(run(), run())
       val valid2 = two.filter(_ >= 0)
       val times =
-        if (valid2.nonEmpty && valid2.min > 1.0) two :+ run() else two
+        if (hotStart) two ++ Vector(run(), run())
+        else if (valid2.nonEmpty && valid2.min > 1.0) two :+ run()
+        else two
       name -> times
     }
     val loadAfter = readLoadAvg()
@@ -167,7 +182,7 @@ object Bench {
     System.err.println(s"""[bench-diag] {"runs":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
     System.err.flush()
     try spark.stop() catch { case _: Throwable => () }
-    println(contractLine(results, sfDir))
+    println(contractLine(results, sfDir, loadBefore, loadAfter, hotStart))
     System.out.flush()
   }
 
@@ -191,15 +206,25 @@ object Bench {
 
   /** The driver-parsed JSON contract line. Factored out so
     * BenchContractSpec can assert its length stays under the driver's
-    * ~2 KB tail-capture window as the headline list grows.
+    * ~2 KB tail-capture window as the headline list grows. The
+    * artifact self-labels its validity: "load" carries the pre/post
+    * 1/5/15-min loadavg samples and "hot_start" is true when the
+    * pre-run 1-min loadavg exceeded 1.5 — per BASELINE.md's noise
+    * protocol such a run's minima are suspect even at n=4.
     */
   private[graft] def contractLine(
-      results: Seq[(String, Vector[Double])], sfDir: String): String = {
+      results: Seq[(String, Vector[Double])], sfDir: String,
+      loadBefore: String = "", loadAfter: String = "",
+      hotStart: Boolean = false): String = {
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt2(minOf(ts)) }
       .mkString("{", ",", "}")
     val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":"$loadBefore;$loadAfter","hot_start":$hotStart}"""
   }
+
+  /** 1-min field of a readLoadAvg() sample, -1 when unavailable. */
+  private def load1(sample: String): Double =
+    try sample.split("\\s+").head.toDouble catch { case _: Throwable => -1.0 }
 
   /** First three fields of /proc/loadavg (1/5/15-min), or "" off-Linux.
     * Sampled before and after the run so a grading artifact recorded

@@ -17,9 +17,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchContractSpec extends AnyFunSuite {
 
   test("contract line stays under the driver's ~2KB tail-capture window") {
-    // Worst case: every query slow (4 integer digits) and 3 runs each.
-    val worst = Bench.headline.map(n => n -> Vector(9999.999, 9999.999, 9999.999))
-    val line = Bench.contractLine(worst, "/root/testdata/sf0.1")
+    // Worst case: every query slow (4 integer digits), hot-start n=4,
+    // and full-width loadavg fields.
+    val worst = Bench.headline.map(n =>
+      n -> Vector(9999.999, 9999.999, 9999.999, 9999.999))
+    val line = Bench.contractLine(worst, "/root/testdata/sf0.1",
+      "99.99 99.99 99.99", "99.99 99.99 99.99", hotStart = true)
     assert(line.length < 1800,
       s"contract line is ${line.length} bytes; driver tail-captures ~2KB — " +
         "trim query names or split the headline list")
