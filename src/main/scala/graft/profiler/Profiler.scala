@@ -178,12 +178,18 @@ object Profiler {
     val quantiles: Map[String, Array[Double]] =
       if (numericCols.isEmpty || rows == 0) Map.empty
       else {
-        // sanitized aliases: approxQuantile resolves its column names
-        // through the same dot-ambiguous path as col()
+        // sanitized aliases: the GK agg resolves its column names
+        // through the same dot-ambiguous path as col(). One
+        // declarative percentile_approx pass over ALL columns
+        // (SketchProfile.quantileSignatures, accuracy 1000 = the
+        // former stat.approxQuantile relativeError 0.001) — same GK
+        // summaries, but inside codegen'd aggregation instead of an
+        // opaque RDD aggregate.
         val safe = numericCols.zipWithIndex.map { case (c, i) => c -> s"__q$i" }.toMap
         val casted = out.select(numericCols.map(c => qcol(c).cast(DoubleType).as(safe(c))): _*)
-        numericCols.zip(
-          casted.stat.approxQuantile(numericCols.map(safe).toArray, probs, 0.001)).toMap
+        val sigs = graft.operators.SketchProfile.quantileSignatures(
+          casted, numericCols.map(safe), probs.toSeq)
+        numericCols.map(c => c -> sigs(safe(c))).toMap
       }
 
     // Wasserstein-1 via quantile signatures: W1(A,B) = ∫|F_A⁻¹-F_B⁻¹|
