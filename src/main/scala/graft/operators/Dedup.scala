@@ -509,9 +509,14 @@ object Dedup {
     * broadcast assumption; AQE broadcasts the usually-tiny dup side
     * at runtime). Coverage explodes k positions per
     * DUPLICATED occurrence only — cost scales with the duplication
-    * rate, not the corpus — and the rebuild groupBy is document-keyed
-    * with order recovered by sorting inside the aggregate
-    * ([[PipelineOps.stripBoilerplate]]'s discipline).
+    * rate, not the corpus — collapsed to one covered-position set per
+    * affected document, and the text is rebuilt DOC-LOCALLY
+    * (array_except over a position sequence, then an indexed
+    * transform): the corpus tokens are never re-exploded and never
+    * cross a shuffle, so the rebuild's shuffle volume is also
+    * duplication-scaled, not corpus-scaled (round-10 rewrite; the
+    * previous corpus-wide posexplode → anti-join → collect_list
+    * rebuild shuffled every token of every document).
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
                  k: Int): DataFrame = {
@@ -539,23 +544,35 @@ object Dedup {
         col("__keep.__pos").as("__kpos"))
     val marked = occ.join(dup, Seq("__h"))
       .where(!(col(idCol) === col("__kid") && col("__pos") === col("__kpos")))
-    val covered = marked
+    // per-document covered positions — volume scales with the
+    // duplication rate, not the corpus (a duplicate-free document
+    // never appears); collect_set dedups overlapping spans inside the
+    // map-side partial agg, and the set is bounded by the document's
+    // own length
+    val coveredPerDoc = marked
       .select(col(idCol),
         explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__tp"))
-      .distinct()
-    val kept = df.select(col(idCol), posexplode(toks).as(Seq("__tp", "__tok")))
-      .join(covered, Seq(idCol, "__tp"), "left_anti")
-    val rebuilt = kept.groupBy(col(idCol)).agg(
-      array_join(transform(
-        array_sort(collect_list(struct(col("__tp"), col("__tok")))),
-        x => x.getField("__tok")), " ").as("text_dedup"),
-      count(lit(1)).as("n_tokens_kept"))
-    df.select(col(idCol), size(toks).cast("long").as("__n_total"))
-      .join(rebuilt, Seq(idCol), "left")
+      .groupBy(col(idCol)).agg(collect_set(col("__tp")).as("__cov"))
+    // doc-local rebuild: array_except (hash-set membership) filters
+    // the covered positions out of [0, n) keeping ascending order —
+    // the corpus tokens are never exploded a second time and never
+    // cross a shuffle. The join between the two projections is the
+    // barrier that keeps the tokenizer out of the transform lambda
+    // (CollapseProject cannot inline through a join — without it the
+    // split would re-run per kept token).
+    val emptyPos = array().cast("array<int>")
+    df.select(col(idCol), toks.as("__toks"))
+      .join(coveredPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        array_except(
+          when(size(col("__toks")) === 0, emptyPos)
+            .otherwise(sequence(lit(0), size(col("__toks")) - 1)),
+          coalesce(col("__cov"), emptyPos)).as("__keep"))
       .select(col(idCol),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
-        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
-        (col("__n_total") - coalesce(col("n_tokens_kept"), lit(0L)))
+        array_join(transform(col("__keep"),
+          p => element_at(col("__toks"), p + 1)), " ").as("text_dedup"),
+        size(col("__keep")).cast("long").as("n_tokens_kept"),
+        (size(col("__toks")) - size(col("__keep"))).cast("long")
           .as("n_tokens_removed"))
   }
 }
