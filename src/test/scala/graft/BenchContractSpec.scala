@@ -22,7 +22,8 @@ class BenchContractSpec extends AnyFunSuite {
     val worst = Bench.headline.map(n =>
       n -> Vector(9999.999, 9999.999, 9999.999, 9999.999))
     val line = Bench.contractLine(worst, "/root/testdata/sf0.1",
-      "99.99 99.99 99.99", "99.99 99.99 99.99", hotStart = true)
+      "99.99 99.99 99.99", "99.99 99.99 99.99", hotStart = true,
+      busyFrac = -1.0)
     assert(line.length < 1800,
       s"contract line is ${line.length} bytes; driver tail-captures ~2KB — " +
         "trim query names or split the headline list")
