@@ -100,13 +100,19 @@ object LmScore {
       .groupBy(col(idCol))
       .agg(sum(col("__hi")).as("__shi"), sum(col("__lo")).as("__slo"),
         count(lit(1)).as("__n"))
-      .select(col(idCol),
+      .select(col(idCol), col("__n"),
         ((col("__shi") * lit(1048576L) + col("__slo")).cast("double") /
           lit(PinScale) / col("__n")).as("lm_score"))
 
-    docs.select(col(idCol), size(words).cast("long").as("n_tokens"))
+    // n_tokens = the scored-position count (every token scores exactly
+    // one position), so the corpus is NOT tokenized a second time for
+    // the count — the base side of the join prunes to the id column
+    // alone, and token-less documents fall out of the left join to a
+    // (0, 0.0) row
+    docs.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
   }
 
