@@ -591,16 +591,18 @@ object PipelineOps {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(!Set("n_tokens", "n_rare", "rare_frac", "word", "__n_common")
       .contains(idCol), s"idCol '$idCol' collides with an output column name")
-    val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(coalesce(col(textCol), lit("")))).as("word"))
+    // tokenize ONCE into a scoped persist: the head agg, the
+    // semi-probe, and the n_tokens projection previously each re-ran
+    // the tokenizer over the corpus (3 full parse passes)
+    val tokenized = graft.CacheScope.track(df.select(col(idCol),
+      TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__toks")))
+    val toks = tokenized.select(col(idCol), explode(col("__toks")).as("word"))
     val common = toks.groupBy(col("word")).agg(count(lit(1)).as("tf"))
       .where(col("tf") >= minCount).select("word")
     val hits = toks.join(broadcast(common), Seq("word"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("__n_common"))
     val nRare = col("n_tokens") - coalesce(col("__n_common"), lit(0L))
-    df.select(col(idCol),
-        size(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
-          .cast("long").as("n_tokens"))
+    tokenized.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"), nRare.as("n_rare"),
         coalesce(nRare.cast("double") /
@@ -852,15 +854,13 @@ object PipelineOps {
     *
     * Scale shape: [[contaminationCheck]]'s — the probe gram set is
     * distinct-ed and BROADCAST (benchmarks are thousands of rows), the
-    * corpus side is one non-distinct shingle posexplode + broadcast
-    * semi-join, and only HIT positions flow into the doc-keyed
-    * covered-set aggregate (uncontaminated documents — the vast
-    * majority — never shuffle at all and rebuild via the left join's
-    * null arm). The per-token `array_contains` in the rebuild is
-    * O(covered) per token but only on contaminated documents, whose
-    * covered sets the benchmark's size bounds. The token array is
-    * materialized once per row before the rebuild lambda (the
-    * [[dedupLines]] no-CSE rule).
+    * corpus is tokenized ONCE into a scoped persist shared by the
+    * shingle probe and the rebuild, and only HIT positions flow into
+    * the doc-keyed covered-set aggregate (uncontaminated documents —
+    * the vast majority — never shuffle at all and rebuild via the
+    * left join's null arm). The rebuild is doc-local with
+    * [[Dedup.dedupSpans]]' array_except idiom: hash-set membership,
+    * O(tokens) per document rather than O(tokens × covered).
     */
   def decontaminateSpans(corpus: DataFrame, probe: DataFrame,
                          idCol: String, textCol: String, n: Int = 5): DataFrame = {
@@ -869,33 +869,41 @@ object PipelineOps {
       "__start", "__p", "__cov", "__toks")
     require(!reserved.contains(idCol) && !reserved.contains(textCol) && idCol != textCol,
       s"idCol '$idCol' / textCol '$textCol' collides with an internal or output column name")
-    val base = corpus.select(col(idCol), col(textCol))
     val probeGrams = probe.select(
         explode(TextFunctions.wordShingles(coalesce(col(textCol), lit("")), n))
           .as("gram")).distinct()
+    // tokenize the corpus ONCE: the shingle probe and the rebuild
+    // share the scoped persist (previously two full parse passes)
+    val tokenized = graft.CacheScope.track(corpus.select(col(idCol),
+      TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__toks")))
     // non-distinct shingles: posexplode's 0-based position IS the
     // gram's start token index (wordShingles would dedup repeats and
     // lose positions)
-    val hitStarts = base.select(col(idCol),
-        posexplode(Tokenize.wordShingles(
-          TextFunctions.tokens(coalesce(col(textCol), lit(""))), n))
+    val hitStarts = tokenized.select(col(idCol),
+        posexplode(Tokenize.wordShingles(col("__toks"), n))
           .as(Seq("__start", "gram")))
       .join(broadcast(probeGrams), Seq("gram"))
     val covered = hitStarts
       .select(col(idCol),
         explode(sequence(col("__start"), col("__start") + lit(n - 1))).as("__p"))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("__p"))).as("__cov"))
-    base
-      .withColumn("__toks", TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+      .agg(collect_set(col("__p")).as("__cov"))
+    // doc-local rebuild, the [[graft.operators.Dedup.dedupSpans]]
+    // idiom: array_except over a [0,n) position sequence keeps
+    // ascending order with hash-set membership cost — O(tokens), not
+    // O(tokens × covered)
+    val emptyPos = array().cast("array<int>")
+    tokenized
       .join(covered, Seq(idCol), "left")
-      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .withColumn("__keep", array_except(
+        when(size(col("__toks")) === 0, emptyPos)
+          .otherwise(sequence(lit(0), size(col("__toks")) - 1)),
+        coalesce(col("__cov"), emptyPos)))
       .select(col(idCol),
-        array_join(transform(
-          filter(transform(col("__toks"), (t, i) => struct(t.as("t"), i.as("i"))),
-            s => !array_contains(col("__cov"), s.getField("i"))),
-          s => s.getField("t")), " ").as("text_clean"),
+        array_join(transform(col("__keep"),
+          p => element_at(col("__toks"), p + 1)), " ").as("text_clean"),
         size(col("__toks")).cast("long").as("n_tokens"),
-        size(col("__cov")).cast("long").as("n_removed"))
+        (size(col("__toks")) - size(col("__keep"))).cast("long")
+          .as("n_removed"))
   }
 }
