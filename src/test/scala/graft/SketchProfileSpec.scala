@@ -99,6 +99,25 @@ class SketchProfileSpec extends SparkSpec {
     }
   }
 
+  test("quantileSignatures: one-agg signatures hit the error bound; all-null column yields empty") {
+    val withNull = fixture.withColumn("all_null", lit(null).cast("double"))
+    val sigs = SketchProfile.quantileSignatures(withNull,
+      Seq("unique_col", "all_null"), probs = Seq(0.25, 0.5, 0.75),
+      accuracy = 10000)
+    assert(sigs("all_null").isEmpty)
+    // accuracy 10000 on 10000 rows → positional error ≤ 1
+    sigs("unique_col").zip(Seq(2500.0, 5000.0, 7500.0)).foreach {
+      case (est, target) =>
+        assert(math.abs(est - target) <= 2.0, s"quantile $est vs ~$target")
+    }
+    assertThrows[IllegalArgumentException] {
+      SketchProfile.quantileSignatures(fixture, Seq("unique_col"), Seq(1.5))
+    }
+    assertThrows[IllegalArgumentException] {
+      SketchProfile.quantileSignatures(fixture, Seq.empty, Seq(0.5))
+    }
+  }
+
   test("rejects empty column list, out-of-range and duplicate percentiles") {
     assertThrows[IllegalArgumentException] {
       SketchProfile.sketchProfile(fixture, Seq.empty)
