@@ -220,9 +220,10 @@ object Bench {
     * BenchContractSpec can assert its length stays under the driver's
     * ~2 KB tail-capture window as the headline list grows. The
     * artifact self-labels its validity: "load" carries the pre/post
-    * 1/5/15-min loadavg samples and "hot_start" is true when the
-    * pre-run 1-min loadavg exceeded 1.5 — per BASELINE.md's noise
-    * protocol such a run's minima are suspect even at n=4.
+    * 1-min loadavg, "busy_frac" the entry-time external CPU share,
+    * and "hot_start" is true when that share exceeded 0.25 — per
+    * BASELINE.md's noise protocol such a run's minima are suspect
+    * even at n=4.
     */
   private[graft] def contractLine(
       results: Seq[(String, Vector[Double])], sfDir: String,

@@ -525,14 +525,18 @@ object Dedup {
       "__tp", "__tok", "__h", "__gram", "__kid", "__kpos", "__keep", "__n",
       "__n_total").contains(idCol),
       s"idCol '$idCol' collides with an internal column name")
-    val toks = TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    // tokenize ONCE: the shingle pass and the rebuild share this
+    // scoped persist instead of each re-running the tokenizer over
+    // the corpus
+    val tokenized = graft.CacheScope.track(df.select(col(idCol),
+      TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__toks")))
     // occurrences of every k-token span, as (id, pos, md5(span));
     // persisted for its two consumers (the dup agg + the mark join —
     // measured cheaper than recomputing the shingle expressions,
     // DedupSpansProbe)
-    val occ = graft.CacheScope.track(df
+    val occ = graft.CacheScope.track(tokenized
       .select(col(idCol),
-        posexplode(graft.functions.Tokenize.wordShingles(toks, k))
+        posexplode(graft.functions.Tokenize.wordShingles(col("__toks"), k))
           .as(Seq("__pos", "__gram")))
       .select(col(idCol), col("__pos"), md5(col("__gram")).as("__h")))
     // spans seen >1 time, each with its canonical first occurrence
@@ -561,7 +565,7 @@ object Dedup {
     // (CollapseProject cannot inline through a join — without it the
     // split would re-run per kept token).
     val emptyPos = array().cast("array<int>")
-    df.select(col(idCol), toks.as("__toks"))
+    tokenized
       .join(coveredPerDoc, Seq(idCol), "left")
       .select(col(idCol), col("__toks"),
         array_except(
