@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -26,13 +25,15 @@ import graft.functions.TextFunctions
   * partitioning. Low score = improbable text under the corpus LM —
   * the same filter signal, monotone in the same direction.
   *
-  * Scale shape: one token explode; vocabulary and transition tables
-  * are two map-side-combinable count aggregates cut to deterministic
-  * top-k (count desc, md5 tie-break) and BROADCAST — the corpus-sized
-  * frames never shuffle on token keys for scoring; position adjacency
-  * is a per-document window (doc-partitioned shuffle, the natural
-  * key); the per-doc mean is one groupBy with exact long sums. Caps
-  * keep both tables broadcast-small at any corpus size.
+  * Scale shape: one token explode carrying each position's
+  * predecessor ROW-LOCALLY (element_at over the materialized token
+  * array — no doc-keyed window/sort ever touches the corpus);
+  * vocabulary and transition tables are two map-side-combinable count
+  * aggregates cut to deterministic top-k (count desc, md5 tie-break)
+  * and BROADCAST — the corpus-sized frames never shuffle on token
+  * keys for scoring, and both bigram ends map through the same
+  * broadcast vocab; the per-doc mean is one groupBy with exact long
+  * sums. Caps keep both tables broadcast-small at any corpus size.
   *
   * The per-doc pinned totals reassemble in LONG arithmetic —
   * hi·2²⁰+lo is exact below 2⁶³, i.e. up to 2²³ ≈ 8M tokens per
@@ -55,25 +56,45 @@ object LmScore {
     val v1 = vocabSize + 1 // vocab + UNK, the add-one denominator width
 
     val words = TextFunctions.tokens(lower(coalesce(col(textCol), lit(""))))
-    val toks = graft.CacheScope.track(
-      docs.select(col(idCol), posexplode(words).as(Seq("pos", "word"))))
+    // token adjacency is ROW-LOCAL: the previous word rides along in
+    // the same exploded struct (element_at over the materialized token
+    // array, 1-based = the 0-based predecessor), so NO doc-keyed
+    // window/sort ever touches the corpus — a `lag` spelling would
+    // shuffle and sort every token position by document, the one
+    // corpus-position-scaled exchange this operator would otherwise
+    // have. The persisted token array is the lambda's CSE barrier.
+    val tokenized = graft.CacheScope.track(
+      docs.select(col(idCol), words.as("__t")))
+    val pairs0 = graft.CacheScope.track(
+      tokenized.select(col(idCol),
+          posexplode(transform(col("__t"), (t, i) => struct(t.as("w"),
+            when(i > 0, element_at(col("__t"), i)).otherwise(lit(null))
+              .as("pw")))).as(Seq("pos", "__s")))
+        .select(col(idCol), col("pos"),
+          col("__s.w").as("word"), col("__s.pw").as("__pw")))
 
     // vocabulary: deterministic top-k unigrams (md5 tie-break — hex
     // digests order identically in every engine)
-    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("__c"))
+    val vocab = pairs0.groupBy(col("word")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, md5(col("word")).asc).limit(vocabSize)
       .select(col("word"), lit(1).as("__v"))
+    // both ends of the bigram map through the SAME broadcast vocab —
+    // the predecessor's mapped symbol depends only on its word, never
+    // on cross-row state
     val mapped = graft.CacheScope.track(
-      toks.join(broadcast(vocab), Seq("word"), "left")
+      pairs0.join(broadcast(vocab), Seq("word"), "left")
+        .join(broadcast(vocab.select(col("word").as("__pw"),
+          col("__v").as("__v2"))), Seq("__pw"), "left")
         .select(col(idCol), col("pos"),
-          when(col("__v").isNotNull, col("word")).otherwise(lit(Unk)).as("m")))
+          when(col("__v").isNotNull, col("word")).otherwise(lit(Unk)).as("m"),
+          when(col("__pw").isNull, lit(null))
+            .otherwise(when(col("__v2").isNotNull, col("__pw"))
+              .otherwise(lit(Unk))).as("a")))
 
     val uni = mapped.groupBy(col("m")).agg(count(lit(1)).as("uc"))
     val nTotal = mapped.count()
 
-    val wAdj = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val pairs = mapped.select(col(idCol), col("pos"), col("m"),
-      lag(col("m"), 1).over(wAdj).as("a"))
+    val pairs = mapped
     val big = pairs.where(col("a").isNotNull)
       .groupBy(col("a"), col("m")).agg(count(lit(1)).as("bc"))
       .orderBy(col("bc").desc,
