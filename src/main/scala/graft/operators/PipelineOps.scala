@@ -495,41 +495,52 @@ object PipelineOps {
     * original segment order. Returns
     * `(id, text_clean, n_lines_kept, n_lines_removed)`.
     *
-    * Scale shape: the doc-freq agg is segment-keyed with map-side
-    * combine (Zipf skew bounded by partition count, as in
-    * [[vocabProfile]]); the frequent-segment set is by construction
-    * tiny (only segments above the threshold survive), so the removal
-    * join is a broadcast-able left_anti; the rebuild groupBy is keyed
-    * by document id — per-document cardinality, no hot key. Order
-    * recovery uses posexplode positions sorted inside the aggregate
-    * (collect_list order is NOT deterministic under parallel merge).
+    * Scale shape: the document is split ONCE into a scoped persist
+    * shared by the explode and the rebuild; the doc-freq agg is
+    * segment-keyed with map-side combine (Zipf skew bounded by
+    * partition count, as in [[vocabProfile]]); the frequent-segment
+    * set is by construction tiny (only segments above the threshold
+    * survive) and BROADCAST, so only boilerplate HITS flow into the
+    * doc-keyed removed-position aggregate — boilerplate-scaled, not
+    * corpus-scaled — and the text is rebuilt DOC-LOCALLY with the
+    * [[Dedup.dedupSpans]] array_except idiom (clean documents rebuild
+    * via the left join's null arm; no corpus-wide line shuffle).
     */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
                        maxDocFreq: Long, delim: String = "\n"): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     require(delim.nonEmpty, "delim must be non-empty")
-    require(!Set("text_clean", "n_lines_kept", "n_lines_removed", "__pos", "__line")
+    require(!Set("text_clean", "n_lines_kept", "n_lines_removed", "__pos",
+      "__line", "__segs", "__rm", "__keep")
       .contains(idCol), s"idCol '$idCol' collides with an output column name")
-    val segs = df.select(col(idCol),
-      posexplode(split(coalesce(col(textCol), lit("")),
-        java.util.regex.Pattern.quote(delim))).as(Seq("__pos", "__line")))
+    // split ONCE: the explode and the rebuild share the scoped
+    // persist (previously three parse passes: explode consumed twice
+    // unpersisted + a size() re-split for the total)
+    val segd = graft.CacheScope.track(df.select(col(idCol),
+      split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(delim)).as("__segs")))
+    val segs = segd.select(col(idCol),
+      posexplode(col("__segs")).as(Seq("__pos", "__line")))
     val frequent = segs.select(col(idCol), col("__line")).distinct()
       .groupBy(col("__line")).agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq).select("__line")
-    val kept = segs.join(broadcast(frequent), Seq("__line"), "left_anti")
-    val rebuilt = kept.groupBy(col(idCol)).agg(
-      array_join(transform(
-        array_sort(collect_list(struct(col("__pos"), col("__line")))),
-        x => x.getField("__line")), delim).as("text_clean"),
-      count(lit(1)).as("n_lines_kept"))
-    df.select(col(idCol),
-        size(split(coalesce(col(textCol), lit("")),
-          java.util.regex.Pattern.quote(delim))).cast("long").as("__n_total"))
-      .join(rebuilt, Seq(idCol), "left")
+    // only boilerplate hits reach the doc-keyed aggregate — volume
+    // scales with the boilerplate rate, not the corpus
+    val removedPerDoc = segs.join(broadcast(frequent), Seq("__line"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_set(col("__pos")).as("__rm"))
+    // doc-local rebuild, the [[Dedup.dedupSpans]] array_except idiom
+    val emptyPos = array().cast("array<int>")
+    segd.join(removedPerDoc, Seq(idCol), "left")
+      .withColumn("__keep", array_except(
+        when(size(col("__segs")) === 0, emptyPos)
+          .otherwise(sequence(lit(0), size(col("__segs")) - 1)),
+        coalesce(col("__rm"), emptyPos)))
       .select(col(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
-        (col("__n_total") - coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_removed"))
+        array_join(transform(col("__keep"),
+          p => element_at(col("__segs"), p + 1)), delim).as("text_clean"),
+        size(col("__keep")).cast("long").as("n_lines_kept"),
+        (size(col("__segs")) - size(col("__keep"))).cast("long")
+          .as("n_lines_removed"))
   }
 
   // ── benchmark-contamination screening ──────────────────────────────

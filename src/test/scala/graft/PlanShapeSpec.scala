@@ -158,10 +158,19 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("strip-boilerplate removes frequent segments via broadcast, not a shuffled join") {
+    // round-10 shape: the broadcast SEMI join selects only boilerplate
+    // HITS into the doc-keyed removed-position aggregate (clean
+    // documents rebuild via the left join's null arm); any shuffled
+    // join here would mean lines crossing an exchange by content
     val plans = executed("q_strip_boilerplate")
     val bjoins = plans.collect { case b: BroadcastHashJoinExec => b }
-    assert(bjoins.exists(_.joinType.toString.contains("LeftAnti")),
-      s"the frequent-segment removal must plan as a broadcast anti-join:\n${plans.head}")
+    assert(bjoins.exists(_.joinType.toString.contains("LeftSemi")),
+      s"the boilerplate-hit selection must plan as a broadcast semi-join:\n${plans.head}")
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    assert(!plans.exists(p => (p.isInstanceOf[SortMergeJoinExec] ||
+        p.isInstanceOf[ShuffledHashJoinExec]) &&
+        p.output.exists(_.name == "__line")),
+      s"lines must never cross a shuffled join:\n${plans.head}")
   }
 
   test("incremental dedup never shuffle-joins the corpus (broadcast joins only)") {
