@@ -168,6 +168,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stripBoilerplate equals the brute-force doc-frequency reference on random corpora") {
+    // small line alphabet drives lines over the doc-frequency
+    // threshold; repeated lines WITHIN a doc exercise the
+    // distinct-docs (not occurrences) counting rule and the
+    // duplicate-position rebuild; empty docs the ['']-segment edge
+    val genCorpus = for {
+      nDocs <- Gen.choose(1, 16)
+      texts <- Gen.listOfN(nDocs, for {
+        nLines <- Gen.choose(0, 6)
+        ws <- Gen.listOfN(nLines, Gen.choose(0, 5).map(i => s"L$i"))
+      } yield ws.mkString("\n"))
+    } yield texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+    forAll(genCorpus, n = 6) { docs =>
+      val maxDf = 2L
+      val got = graft.operators.PipelineOps.stripBoilerplate(
+          docs.toDF("doc_id", "text"), "doc_id", "text", maxDocFreq = maxDf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val docFreq = docs.flatMap { case (_, t) => t.split("\n", -1).distinct }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expect = docs.sortBy(_._1).map { case (id, text) =>
+        val segs = text.split("\n", -1).toSeq   // "" splits to [""], like Spark
+        val kept = segs.filter(s => docFreq(s) <= maxDf)
+        (id, kept.mkString("\n"), kept.size.toLong, (segs.size - kept.size).toLong)
+      }
+      assert(got == expect, s"docs=$docs")
+    }
+  }
+
   test("enumerator dedupe is idempotent and order-preserving") {
     val p = Profilefixture.profile(spark)
     val pool = Enumerator.enumerate(p, "pca")
