@@ -1794,8 +1794,8 @@ object ExtQueries {
         |fin AS (SELECT c.doc_id, c.ws, COALESCE(cl.cov, []) AS cov
         |        FROM co c LEFT JOIN cl USING (doc_id))
         |SELECT doc_id,
-        |  array_to_string([ws[i] FOR i IN generate_series(1, len(ws))
-        |                   IF NOT list_contains(cov, i)], ' ') AS text_clean,
+        |  COALESCE(array_to_string([ws[i] FOR i IN generate_series(1, len(ws))
+        |                   IF NOT list_contains(cov, i)], ' '), '') AS text_clean,
         |  CAST(len(ws) AS BIGINT) AS n_tokens,
         |  CAST(len(cov) AS BIGINT) AS n_removed
         |FROM fin""".stripMargin,
