@@ -42,7 +42,12 @@ object ExtQueries {
     * recorded numbers and parity check on the gate's corpus. */
   private[graft] def lineFixture(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val ws = TextFunctions.tokens(col("text"))
+    // NULL text ≡ '' in the fixture: without the coalesce a NULL doc's
+    // chunk lines NULL-propagate through concat and are silently
+    // DROPPED by array_join's null-skip while '' docs keep their
+    // decorated lines — and the SQL twin (which can't reproduce that
+    // null-skip) would diverge on every token-less document
+    val ws = TextFunctions.tokens(coalesce(col("text"), lit("")))
     val lines = transform(sequence(lit(1), greatest(size(ws), lit(1)), lit(10)), i => {
       val j = ((i - 1) / 10).cast("long") // nonneg: truncation = floor
       val chunk = array_join(slice(ws, i, lit(10)), " ")
@@ -67,17 +72,18 @@ object ExtQueries {
     """fx AS (
       |  SELECT doc_id,
       |    array_to_string([
-      |      CASE WHEN (doc_id + (i-1)//10) % 5 = 0 THEN '- ' || array_to_string(ws[i:i+9], ' ')
-      |           WHEN (doc_id + (i-1)//10) % 7 = 0 THEN array_to_string(ws[i:i+9], ' ') || '...'
-      |           WHEN (doc_id + (i-1)//10) % 7 = 3 THEN array_to_string(ws[i:i+9], ' ') || ' javascript.'
+      |      CASE WHEN (doc_id + (i-1)//10) % 5 = 0 THEN '- ' || COALESCE(array_to_string(ws[i:i+9], ' '), '')
+      |           WHEN (doc_id + (i-1)//10) % 7 = 0 THEN COALESCE(array_to_string(ws[i:i+9], ' '), '') || '...'
+      |           WHEN (doc_id + (i-1)//10) % 7 = 3 THEN COALESCE(array_to_string(ws[i:i+9], ' '), '') || ' javascript.'
       |           WHEN (doc_id + (i-1)//10) % 4 = 0 THEN 'the dup line of that corpus.'
-      |           WHEN (doc_id + (i-1)//10) % 4 = 2 THEN array_to_string(ws[i:i+9], ' ') || '.'
-      |           ELSE array_to_string(ws[i:i+9], ' ') END
+      |           WHEN (doc_id + (i-1)//10) % 4 = 2 THEN COALESCE(array_to_string(ws[i:i+9], ' '), '') || '.'
+      |           ELSE COALESCE(array_to_string(ws[i:i+9], ' '), '') END
       |      FOR i IN generate_series(1, greatest(len(ws), 1), 10)], chr(10)) ||
       |    CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'tail {'
       |         WHEN doc_id % 37 = 0 THEN chr(10) || 'lorem ipsum'
       |         ELSE '' END AS text
-      |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents))""".stripMargin
+      |  FROM (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS ws
+      |        FROM documents))""".stripMargin
 
   /** C4 stage CTEs over `(doc_id, text)` view `src`: emits `${p}c4` =
     * (doc_id, n_lines, n_lines_kept, doc_kept, clean_text). Shared by
@@ -151,12 +157,17 @@ object ExtQueries {
        |      AND dup_line_char_frac <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
        |  FROM ${p}gr)""".stripMargin
 
-  /** documents ∪ near-duplicate copies (first ~80% of tokens). */
+  /** documents ∪ near-duplicate copies (first ~80% of tokens). The
+    * truncated twin coalesces NULL text to '' so a token-less document
+    * gets an ''-text twin on both engines (Spark's array_join(NULL)
+    * is NULL but DuckDB's array_to_string([]) is ALSO NULL — only the
+    * shared ''-convention keeps the twins identical). */
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+    val toks = TextFunctions.tokens(coalesce(col("text"), lit("")))
     val truncated = d.select((col("id") + ID_OFFSET).as("id"),
-      array_join(slice(TextFunctions.tokens(col("text")), lit(1),
-        greatest((size(TextFunctions.tokens(col("text"))) * 4) / 5, lit(1)).cast("int")), " ").as("text"))
+      array_join(slice(toks, lit(1),
+        greatest((size(toks) * 4) / 5, lit(1)).cast("int")), " ").as("text"))
     d.unionByName(truncated)
   }
 
@@ -416,10 +427,12 @@ object ExtQueries {
       val corpusSigs = Dedup.minhashSignatures(
         d.select(col("doc_id").as("id"), col("text")), "id", "text",
         numHashes = 32, shingleSize = 3)
+      // same ''-twin convention as nearDupCorpus for token-less docs
+      val incToks = TextFunctions.tokens(coalesce(col("text"), lit("")))
       val inc = d.where(col("doc_id") % 3 === 0).select(
         (col("doc_id") + ID_OFFSET).as("id"),
-        array_join(slice(TextFunctions.tokens(col("text")), lit(1),
-          greatest((size(TextFunctions.tokens(col("text"))) * 4) / 5, lit(1)).cast("int")),
+        array_join(slice(incToks, lit(1),
+          greatest((size(incToks) * 4) / 5, lit(1)).cast("int")),
           " ").as("text"))
       val incSigs = Dedup.minhashSignatures(inc, "id", "text",
         numHashes = 32, shingleSize = 3)
@@ -746,6 +759,12 @@ object ExtQueries {
   private def sqlNorm(a: String): String =
     s"""sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |  list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))""".stripMargin
+  /** Cosine with [[graft.functions.CosineSimExpr]]'s zero-norm arm:
+    * a zero vector scores 0.0 against everything (NOT 0/0 = NaN,
+    * whose ordering/comparison rules differ across engines). */
+  private def sqlCosine(a: String, b: String): String =
+    s"""CASE WHEN ${sqlNorm(a)} = 0 OR ${sqlNorm(b)} = 0 THEN 0.0
+       |  ELSE ${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}) END""".stripMargin
 
   /** The md5-derived ±1 hyperplanes of [[Similarity.withLshBands]]
     * (seed 20220901, 32 planes × 64 dims), recomputed in SQL: the
@@ -765,8 +784,8 @@ object ExtQueries {
       |  SELECT doc_id AS id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS id,
-      |    array_to_string((regexp_extract_all(text, '\S+'))
-      |      [1:greatest((len(regexp_extract_all(text, '\S+'))*4)//5, 1)], ' ') AS text
+      |    COALESCE(array_to_string((regexp_extract_all(COALESCE(text, ''), '\S+'))
+      |      [1:greatest((len(regexp_extract_all(COALESCE(text, ''), '\S+'))*4)//5, 1)], ' '), '') AS text
       |  FROM documents),
       |sh AS (
       |  SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -871,8 +890,8 @@ object ExtQueries {
       |  SELECT doc_id AS id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS id,
-      |    array_to_string((regexp_extract_all(text, '\\S+'))
-      |      [1:greatest((len(regexp_extract_all(text, '\\S+'))*4)//5, 1)], ' ') AS text
+      |    COALESCE(array_to_string((regexp_extract_all(COALESCE(text, ''), '\\S+'))
+      |      [1:greatest((len(regexp_extract_all(COALESCE(text, ''), '\\S+'))*4)//5, 1)], ' '), '') AS text
       |  FROM documents)""".stripMargin
 
   private def corpusCleanCtes: String =
@@ -969,7 +988,7 @@ object ExtQueries {
        |bb AS (SELECT id, v, lst FROM bucketed
        |       QUALIFY COUNT(*) OVER (PARTITION BY lst) <= 100000),
        |pr AS (SELECT a.id AS id_a, b.id AS id_b,
-       |         ${sqlDot("a.v", "b.v")} / (${sqlNorm("a.v")} * ${sqlNorm("b.v")}) AS cosine
+       |         ${sqlCosine("a.v", "b.v")} AS cosine
        |       FROM bb a JOIN bb b ON a.lst = b.lst AND a.id < b.id),
        |j AS (SELECT id_a, id_b FROM pr WHERE cosine >= 0.99),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM j
@@ -1116,7 +1135,7 @@ object ExtQueries {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rn
        |  FROM scored) t WHERE rn <= $cand),
        |rer AS (SELECT cd.query_id, cd.neighbor_id,
-       |    ${sqlDot("q.qv", "e.v")} / (${sqlNorm("q.qv")} * ${sqlNorm("e.v")}) AS cosine
+       |    ${sqlCosine("q.qv", "e.v")} AS cosine
        |  FROM cands cd JOIN emb e ON e.id = cd.neighbor_id
        |  JOIN q ON q.query_id = cd.query_id)
        |SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -1179,7 +1198,7 @@ object ExtQueries {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rn
        |  FROM scored) t WHERE rn <= $cand),
        |rer AS (SELECT cd.query_id, cd.neighbor_id,
-       |    ${sqlDot("q.qv", "e.v")} / (${sqlNorm("q.qv")} * ${sqlNorm("e.v")}) AS cosine
+       |    ${sqlCosine("q.qv", "e.v")} AS cosine
        |  FROM cands cd JOIN emb e ON e.id = cd.neighbor_id
        |  JOIN (SELECT id AS query_id, v AS qv FROM emb WHERE id < 5) q
        |    ON q.query_id = cd.query_id)
@@ -1389,8 +1408,10 @@ object ExtQueries {
     "q_embed_cluster" -> clusterOracle,
     "q_dedup_semantic" -> semanticDedupOracle,
     "q_text_tokens" ->
+      // n_tokens mirrors tokenCount's NULL≡'' convention (0, not NULL);
+      // n_bpeish stays raw-null-propagating like the bare tokenizer
       """SELECT doc_id,
-        | len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        | len(regexp_extract_all(COALESCE(text, ''), '\S+')) AS n_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
         |FROM documents""".stripMargin,
     "q_text_quality" ->
@@ -1852,15 +1873,9 @@ object ExtQueries {
         |   (acc, v) -> acc + v)) AS l2norm
         |FROM embeddings""".stripMargin,
     "q_sim_bruteforce_topk" ->
-      """WITH dots AS (
+      s"""WITH dots AS (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |    list_transform(list_zip(q.embedding, c.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)
-        |  / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |       list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))
-        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |       list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))) AS cosine
+        |  ${sqlCosine("q.embedding", "c.embedding")} AS cosine
         | FROM embeddings q, embeddings c
         | WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
         |SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -1871,11 +1886,11 @@ object ExtQueries {
       """SELECT doc_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
         |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
-        | octet_length(encode(text)) AS byte_len,
-        | sha256(text) AS sha256,
-        | CAST((octet_length(encode(text)) % 640) + 16 AS BIGINT) AS width,
-        | CAST((floor(octet_length(encode(text)) / 7) % 480) + 16 AS BIGINT) AS height,
-        | CAST((octet_length(encode(text)) % 30) + 1 AS BIGINT) AS n_frames
+        | octet_length(encode(COALESCE(text, ''))) AS byte_len,
+        | sha256(COALESCE(text, '')) AS sha256,
+        | CAST((octet_length(encode(COALESCE(text, ''))) % 640) + 16 AS BIGINT) AS width,
+        | CAST((floor(octet_length(encode(COALESCE(text, ''))) / 7) % 480) + 16 AS BIGINT) AS height,
+        | CAST((octet_length(encode(COALESCE(text, ''))) % 30) + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
     "q_text_simhash" ->
       """WITH t AS (SELECT doc_id,
@@ -1892,8 +1907,8 @@ object ExtQueries {
         |  SELECT doc_id AS id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS id,
-        |    array_to_string((regexp_extract_all(text, '\S+'))
-        |      [1:greatest((len(regexp_extract_all(text, '\S+'))*4)//5, 1)], ' ') AS text
+        |    COALESCE(array_to_string((regexp_extract_all(COALESCE(text, ''), '\S+'))
+        |      [1:greatest((len(regexp_extract_all(COALESCE(text, ''), '\S+'))*4)//5, 1)], ' '), '') AS text
         |  FROM documents),
         |t AS (SELECT id, list_transform(regexp_extract_all(text, '\S+'),
         |        w -> ('0x'||substr(md5(w),1,15))::BIGINT) AS hs FROM corpus),
@@ -1914,8 +1929,8 @@ object ExtQueries {
         |  SELECT doc_id AS id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS id,
-        |    array_to_string((regexp_extract_all(text, '\S+'))
-        |      [1:greatest((len(regexp_extract_all(text, '\S+'))*4)//5, 1)], ' ') AS text
+        |    COALESCE(array_to_string((regexp_extract_all(COALESCE(text, ''), '\S+'))
+        |      [1:greatest((len(regexp_extract_all(COALESCE(text, ''), '\S+'))*4)//5, 1)], ' '), '') AS text
         |  FROM documents),
         |sh AS (
         |  SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -1948,8 +1963,8 @@ object ExtQueries {
       """WITH corpus AS (SELECT doc_id AS id, text, 0 AS side FROM documents),
         |inc AS (
         |  SELECT doc_id + 1000000 AS id,
-        |    array_to_string((regexp_extract_all(text, '\S+'))
-        |      [1:greatest((len(regexp_extract_all(text, '\S+'))*4)//5, 1)], ' ') AS text,
+        |    COALESCE(array_to_string((regexp_extract_all(COALESCE(text, ''), '\S+'))
+        |      [1:greatest((len(regexp_extract_all(COALESCE(text, ''), '\S+'))*4)//5, 1)], ' '), '') AS text,
         |    1 AS side
         |  FROM documents WHERE doc_id % 3 = 0),
         |u AS (SELECT * FROM corpus UNION ALL SELECT * FROM inc),
@@ -2079,7 +2094,7 @@ object ExtQueries {
          |           a.embedding AS va, b.embedding AS vb
          |         FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
          |SELECT id_a, id_b, cosine FROM (
-         |  SELECT id_a, id_b, ${sqlDot("va", "vb")} / (${sqlNorm("va")} * ${sqlNorm("vb")}) AS cosine
+         |  SELECT id_a, id_b, ${sqlCosine("va", "vb")} AS cosine
          |  FROM cand) t
          |WHERE cosine >= 0.999""".stripMargin,
     // mirrors lshTopK incl. the recall floor: queries with < k bucket
@@ -2109,7 +2124,7 @@ object ExtQueries {
          |  SELECT query_id, neighbor_id, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
          |  FROM (SELECT query_id, neighbor_id,
-         |          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine FROM allc) s) t
+         |          ${sqlCosine("qv", "cv")} AS cosine FROM allc) s) t
          |WHERE rank <= 5""".stripMargin,
     // the real-codec gates: PNG/WAV are lossless and the fixture
     // pixels/samples are closed-form in (id, x, y), so the oracle
@@ -2189,15 +2204,15 @@ object ExtQueries {
         |  CAST(SUM(gr) AS DOUBLE) / (w*h) AS mean_gray
         |FROM g GROUP BY doc_id, w, h, f""".stripMargin,
     "q_multimodal_frames" ->
-      """WITH f AS (SELECT doc_id, text,
-        |    (octet_length(encode(text)) % 30) + 1 AS n_frames FROM documents),
+      """WITH f AS (SELECT doc_id, COALESCE(text, '') AS text,
+        |    (octet_length(encode(COALESCE(text, ''))) % 30) + 1 AS n_frames FROM documents),
         |fr AS (SELECT doc_id, text, unnest(range(0, n_frames, 10)) AS frame_idx FROM f)
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  sha256(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_digest
         |FROM fr""".stripMargin,
     "q_multimodal_features" ->
       ("""SELECT doc_id, """ + (0 until 8).map(i =>
-        s"('0x'||substr(sha256(text || ':feat'), ${i * 8 + 1}, 8))::BIGINT / 4294967296.0 AS f$i")
+        s"('0x'||substr(sha256(COALESCE(text, '') || ':feat'), ${i * 8 + 1}, 8))::BIGINT / 4294967296.0 AS f$i")
         .mkString(", ") + " FROM documents"),
     "q_events_window" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,

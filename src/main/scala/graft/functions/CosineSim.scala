@@ -24,6 +24,16 @@ import org.apache.spark.sql.types._
   * Float elements widen to double exactly as `cast(double)` does.
   * Null inputs, null elements, or length mismatch → null (the HOF
   * spelling's zip_with null-padding likewise nulls the result).
+  *
+  * Zero-norm inputs → 0.0, NOT the raw 0/0 = NaN: real corpora carry
+  * zero embeddings (failed encodes, padding rows), and NaN similarity
+  * is poison downstream — Spark orders NaN as the LARGEST double, so
+  * a single zero vector would outrank every true neighbor in a
+  * `.desc` top-k and pass every `>= tau` gate, while other engines'
+  * NaN comparison rules differ (the cross-engine edge-fixture sweep
+  * caught exactly this divergence). 0.0 means "never a neighbor, never
+  * a duplicate" deterministically on every engine; the DuckDB oracles
+  * mirror it with an explicit zero-norm CASE arm.
   */
 case class CosineSimExpr(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
@@ -71,7 +81,8 @@ case class CosineSimExpr(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
     copy(left = l, right = r)

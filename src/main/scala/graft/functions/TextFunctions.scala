@@ -21,7 +21,13 @@ object TextFunctions {
     * expression. */
   def bpeishTokens(text: Column): Column = Tokenize.bpeishTokens(text)
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count with the document-signal null convention: NULL text
+    * counts as an absent document — 0 tokens, not NULL (`size(NULL)`
+    * would be NULL and poison downstream LONG arithmetic like shard
+    * packing; the DuckDB oracles spell this `len(regexp_extract_all(
+    * COALESCE(text,''), …))`). The raw [[tokens]] stays
+    * null-propagating, mirroring `regexp_extract_all` exactly. */
+  def tokenCount(text: Column): Column = size(tokens(coalesce(text, lit(""))))
 
   /** Character n-gram shingles via a transform over positions — stays
     * inside Catalyst (no UDF), scales linearly with text length.
@@ -139,8 +145,14 @@ object TextFunctions {
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
   /** 60-bit SimHash fingerprint over whitespace tokens (md5-derived
-    * per-token hashes — SQL-mirrorable for the oracle gate). */
-  def simhash(text: Column): Column = SimHash64.simhash64(tokens(text))
+    * per-token hashes — SQL-mirrorable for the oracle gate). NULL text
+    * hashes like the empty document (0) rather than propagating NULL:
+    * a NULL simhash never equi-joins, so null-text duplicates would
+    * silently escape the [[graft.operators.Dedup.dedupSimhash]] piece
+    * join while the oracle's COALESCE(...,0) pairs them — token-less
+    * docs all collide at 0 by design (they ARE mutual duplicates). */
+  def simhash(text: Column): Column =
+    SimHash64.simhash64(tokens(coalesce(text, lit(""))))
 
   // ── PII redaction ──────────────────────────────────────────────────
   // Patterns restricted to the syntax Java regex and RE2 share

@@ -23,8 +23,11 @@ object Multimodal {
   /** Derive a binary media column from text (test stand-in for real
     * media bytes: utf-8 payload + a deterministic media_type tag). */
   def attachFakeBinary(df: DataFrame, keyCol: String, textCol: String): DataFrame =
+    // NULL text → zero-byte payload, not NULL media: a NULL media cell
+    // would NPE the digest update inside every mapPartitions consumer
+    // (the module contract is that decode paths never fail a job)
     df.select(col(keyCol),
-      encode(col(textCol), "UTF-8").as("media"),
+      encode(coalesce(col(textCol), lit("")), "UTF-8").as("media"),
       element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
         (pmod(col(keyCol), lit(3)) + 1).cast(IntegerType)).as("media_type"))
 
@@ -86,7 +89,10 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("SHA-256")
       it.map { r =>
         md.reset()
-        md.update(r.getAs[Array[Byte]]("media"))
+        // defensive for direct callers: a NULL media cell digests as
+        // the zero-byte payload instead of NPE-ing the task
+        val media = r.getAs[Array[Byte]]("media")
+        md.update(if (media == null) Array.emptyByteArray else media)
         md.update(s":resize:$targetW:$targetH".getBytes(java.nio.charset.StandardCharsets.UTF_8))
         Row(r.get(0), r.get(2), md.digest(), targetW.toLong, targetH.toLong)
       }
@@ -111,7 +117,10 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("SHA-256") // "model" init, once per batch
       it.map { r =>
         md.reset()
-        md.update(r.getAs[Array[Byte]]("media"))
+        // defensive for direct callers: a NULL media cell digests as
+        // the zero-byte payload instead of NPE-ing the task
+        val media = r.getAs[Array[Byte]]("media")
+        md.update(if (media == null) Array.emptyByteArray else media)
         md.update(":feat".getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val hex = md.digest().map("%02x".format(_)).mkString
         val feats = (0 until 8).map(i =>
@@ -143,7 +152,9 @@ object Multimodal {
       // one codec instance per partition (the expensive init a real
       // decoder would amortize across the batch)
       it.flatMap { r =>
-        val media = r.getAs[Array[Byte]]("media")
+        // same defensive convention: NULL media decodes as zero bytes
+        val raw = r.getAs[Array[Byte]]("media")
+        val media = if (raw == null) Array.emptyByteArray else raw
         val n = r.getAs[Long]("n_frames")
         (0L until n by everyNth.toLong).iterator.map { f =>
           val digest = codec.decode(media, f)

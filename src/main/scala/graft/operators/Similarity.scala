@@ -28,7 +28,9 @@ object Similarity {
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Single-pass tight-loop kernel, value-identical to
-    * `dot(a,b) / (l2Norm(a) * l2Norm(b))` — see
+    * `dot(a,b) / (l2Norm(a) * l2Norm(b))` except on zero-norm inputs,
+    * which score 0.0 instead of NaN (NaN ordering is engine-specific
+    * and Spark ranks it above every real neighbor) — see
     * [[graft.functions.CosineSim]] for why the HOF spelling is ~50×
     * slower on pairwise joins (interpreted lambda folds). */
   def cosine(a: Column, b: Column): Column = graft.functions.CosineSim.cosine(a, b)
