@@ -137,19 +137,33 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warm-up
 
     val all = SparkEntry.queries
-    // Contamination self-labeling (two straight rounds recorded
+    // Contamination self-labeling (THREE straight rounds recorded
     // multi-second spikes on multi-second queries under external load,
-    // each costing a judge session to adjudicate): when >25% of the
-    // machine's CPU time is going to OTHER work at process entry
-    // (8 of 32 cores), every query gets n=4 runs (min-of-4 rejects a
-    // transient far more reliably than min-of-2) and the contract line
-    // carries "hot_start":true — so a number recorded under load is
-    // self-evidently suspect instead of silently reading as a
-    // regression. The gate must be the entry sample: once local[32]
-    // is crunching, any system-wide measure reads the bench itself.
-    val hotStart = busyFrac > 0.25
+    // each costing a judge session to adjudicate): the run relabels as
+    // hot when EITHER
+    //  (a) >25% of the machine's CPU time is going to OTHER work at
+    //      process entry (max over three 150 ms windows — a single
+    //      window let r10's bursty load read 0.01), or
+    //  (b) the entry 1-min loadavg exceeds 1.0 — the r10 artifact's
+    //      signature was exactly busy_frac≈0 with a 2.28-decaying
+    //      loadavg: recently-loaded boxes disperse multi-second
+    //      queries even when the 450 ms entry window happens to be
+    //      quiet. (An idle box reads well under 1.0 at Bench entry —
+    //      r10 judge measured 0.74 through the same sbt launch path —
+    //      so the occasional launcher-burst false positive just costs
+    //      n=4 runs, never a silently-contaminated artifact.)
+    // Hot runs get n=4/query (min-of-4 rejects a transient far more
+    // reliably than min-of-2) and the contract line carries
+    // "hot_start":true — a number recorded under load is self-evidently
+    // suspect instead of silently reading as a regression. Mid-run the
+    // system-wide measures read the bench itself, so busy_frac is
+    // re-sampled once more AFTER the run (post spark.stop quiesce) and
+    // the label ORs both samples.
+    val l1Before = loadBefore.split("\\s+").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+    val hotStart = busyFrac > 0.25 || l1Before > 1.0
     if (hotStart) System.err.println(
-      f"[bench-diag] CONTAMINATED-START busy_frac=$busyFrac%.2f > 0.25 — n=4/query, minima still suspect")
+      f"[bench-diag] CONTAMINATED-START busy_frac=$busyFrac%.2f loadavg1=$l1Before%.2f (gate: busy>0.25 or load>1.0) — n=4/query, minima still suspect")
     val results = headline.filter(all.contains).map { name =>
       // min of 2 runs (3 when the first two are both >1s — the slow
       // queries dominate the total, so they get the extra sample):
@@ -168,6 +182,13 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
+        } finally {
+          // drop the CacheScope registry every run, not just the SQL
+          // cache: clearCache alone leaves the tracked ArrayBuffer
+          // holding strong refs to every persisted Dataset (and its
+          // analyzed plan) across ~69 queries × up to 4 runs — the
+          // same leak MicroBench.tailStability already releases
+          graft.CacheScope.releaseAll()
         }
       }
       val two = Vector(run(), run())
@@ -193,8 +214,19 @@ object Bench {
     System.err.println(s"""[bench-diag] {"runs":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
     System.err.flush()
     try spark.stop() catch { case _: Throwable => () }
-    println(contractLine(results, sfDir, loadBefore, loadAfter, hotStart,
-      busyFrac))
+    // exit-side external-load sample: mid-run any system-wide measure
+    // reads the bench itself, but post-stop this JVM is quiescent
+    // again, so a high reading here means external load ran INTO the
+    // bench window (the entry-only gate's residual hole — r10's
+    // loadavg rose 2.28→2.93 across the run while entry busy_frac
+    // read 0.01). The label ORs both samples.
+    val busyAfter = cpuBusyFraction()
+    val hotLabel = hotStart || busyAfter > 0.25
+    if (!hotStart && hotLabel) System.err.println(
+      f"[bench-diag] CONTAMINATED-EXIT busy_after=$busyAfter%.2f > 0.25 — external load entered mid-run; minima suspect")
+    System.err.flush()
+    println(contractLine(results, sfDir, loadBefore, loadAfter, hotLabel,
+      busyFrac, busyAfter))
     System.out.flush()
   }
 
@@ -220,45 +252,58 @@ object Bench {
     * BenchContractSpec can assert its length stays under the driver's
     * ~2 KB tail-capture window as the headline list grows. The
     * artifact self-labels its validity: "load" carries the pre/post
-    * 1-min loadavg, "busy_frac" the entry-time external CPU share,
-    * and "hot_start" is true when that share exceeded 0.25 — per
-    * BASELINE.md's noise protocol such a run's minima are suspect
-    * even at n=4.
+    * 1-min loadavg, "busy_frac" the "entry;exit" external CPU shares
+    * (exit sampled post spark.stop, same before;after convention as
+    * "load"), and "hot_start" is true when either share exceeded 0.25
+    * OR the entry 1-min loadavg exceeded 1.0 — per BASELINE.md's noise
+    * protocol such a run's minima are suspect even at n=4.
     */
   private[graft] def contractLine(
       results: Seq[(String, Vector[Double])], sfDir: String,
       loadBefore: String = "", loadAfter: String = "",
-      hotStart: Boolean = false, busyFrac: Double = -1.0): String = {
+      hotStart: Boolean = false, busyFrac: Double = -1.0,
+      busyAfter: Double = -1.0): String = {
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt2(minOf(ts)) }
       .mkString("{", ",", "}")
     val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
-    val busy = "%.2f".formatLocal(java.util.Locale.ROOT, busyFrac)
+    def b(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    val busy = b(busyFrac) + ";" + b(busyAfter)
     // 1-min loadavg fields only — the full 1/5/15-min samples ride the
     // stderr diag line; every contract byte competes with the query
     // map for the driver's tail-capture window
     def l1(s: String) = s.split("\\s+").headOption.getOrElse("")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":"${l1(loadBefore)};${l1(loadAfter)}","busy_frac":$busy,"hot_start":$hotStart}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":"${l1(loadBefore)};${l1(loadAfter)}","busy_frac":"$busy","hot_start":$hotStart}"""
   }
 
-  /** Fraction of system-wide CPU time spent non-idle across a 250 ms
-    * window (two /proc/stat samples). Taken at process entry, while
-    * this JVM is quiescent, it measures CONCURRENT external load —
-    * unlike loadavg, which still carries recently-finished work
-    * (including our own launcher's startup burst). -1 off-Linux.
+  /** Fraction of system-wide CPU time spent non-idle, the MAX over
+    * three 150 ms /proc/stat windows. Taken while this JVM is
+    * quiescent, it measures CONCURRENT external load — unlike loadavg,
+    * which still carries recently-finished work (including our own
+    * launcher's startup burst). Max-of-3 because a single window lets
+    * bursty external load duck under the threshold between bursts
+    * (the r10 artifact: busy_frac 0.01 at entry, loadavg RISING
+    * 2.28→2.93 across the run). Only the first 8 /proc/stat fields
+    * (user..steal) are summed — the kernel already folds guest/
+    * guest_nice into user/nice, so including them double-counts idle's
+    * denominator and deflates the fraction. -1 off-Linux.
     */
   private def cpuBusyFraction(): Double =
     try {
       def sample(): (Long, Long) = {
         val src = scala.io.Source.fromFile("/proc/stat")
-        val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        val f = try src.getLines().next().trim.split("\\s+").drop(1)
+                      .take(8).map(_.toLong)
                 finally src.close()
-        (f.sum, f(3) + f(4)) // total, idle+iowait
+        (f.sum, f(3) + f(4)) // total(user..steal), idle+iowait
       }
-      val (t0, i0) = sample()
-      Thread.sleep(250)
-      val (t1, i1) = sample()
-      val dt = (t1 - t0).toDouble
-      if (dt <= 0) -1.0 else 1.0 - (i1 - i0) / dt
+      val fracs = (1 to 3).map { _ =>
+        val (t0, i0) = sample()
+        Thread.sleep(150)
+        val (t1, i1) = sample()
+        val dt = (t1 - t0).toDouble
+        if (dt <= 0) -1.0 else 1.0 - (i1 - i0) / dt
+      }
+      fracs.max
     } catch { case _: Throwable => -1.0 }
 
   /** First three fields of /proc/loadavg (1/5/15-min), or "" off-Linux.

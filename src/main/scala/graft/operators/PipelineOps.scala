@@ -499,10 +499,17 @@ object PipelineOps {
     * shared by the explode and the rebuild; the doc-freq agg is
     * segment-keyed with map-side combine (Zipf skew bounded by
     * partition count, as in [[vocabProfile]]); the frequent-segment
-    * set is by construction tiny (only segments above the threshold
-    * survive) and BROADCAST, so only boilerplate HITS flow into the
-    * doc-keyed removed-position aggregate — boilerplate-scaled, not
-    * corpus-scaled — and the text is rebuilt DOC-LOCALLY with the
+    * set scales with the corpus's LINE VOCABULARY (template-heavy web
+    * text can push it past any broadcast budget at 100 TB), so the
+    * semi-join carries NO forced broadcast hint — AQE broadcasts it
+    * at runtime when it is actually small and shuffles when not, the
+    * same no-broadcast-assumption standard as [[Dedup.dedupSpans]].
+    * Only boilerplate HITS flow into the doc-keyed removed-position
+    * aggregate — boilerplate-scaled, not corpus-scaled — and each
+    * document's `__rm` position set is bounded by that document's own
+    * line count (a collect_set keyed by doc id can never exceed the
+    * doc's segments), so no per-group state grows with the corpus.
+    * The text is rebuilt DOC-LOCALLY with the
     * [[Dedup.dedupSpans]] array_except idiom (clean documents rebuild
     * via the left join's null arm; no corpus-wide line shuffle).
     */
@@ -525,8 +532,10 @@ object PipelineOps {
       .groupBy(col("__line")).agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq).select("__line")
     // only boilerplate hits reach the doc-keyed aggregate — volume
-    // scales with the boilerplate rate, not the corpus
-    val removedPerDoc = segs.join(broadcast(frequent), Seq("__line"), "left_semi")
+    // scales with the boilerplate rate, not the corpus. NO broadcast
+    // hint: `frequent` scales with line vocabulary, so the join
+    // strategy is AQE's runtime call (Dedup.dedupSpans standard)
+    val removedPerDoc = segs.join(frequent, Seq("__line"), "left_semi")
       .groupBy(col(idCol)).agg(collect_set(col("__pos")).as("__rm"))
     // doc-local rebuild, the [[Dedup.dedupSpans]] array_except idiom
     val emptyPos = array().cast("array<int>")
@@ -590,12 +599,16 @@ object PipelineOps {
     * `(id, n_tokens, n_rare, rare_frac)`.
     *
     * Scale shape: the vocabulary head (tf ≥ minCount) is what gets
-    * broadcast, NOT the rare tail — by Zipf the head is bounded by
-    * `totalTokens / minCount` entries regardless of corpus size (scale
-    * `minCount` with the corpus to keep it inside the broadcast
-    * budget). The corpus-side work is one map-side-combinable word agg
-    * for the head, then one broadcast semi-probe + a document-keyed
-    * count — no corpus shuffle by word except the bounded head agg.
+    * probed, NOT the rare tail — by Zipf the head is bounded by
+    * `totalTokens / minCount` entries, but that bound GROWS with the
+    * corpus unless `minCount` is scaled with it, so the semi-join
+    * carries NO forced broadcast hint: AQE broadcasts the head at
+    * runtime when it fits and falls back to a shuffle join when it
+    * doesn't (the [[Dedup.dedupSpans]] no-broadcast-assumption
+    * standard — a Heaps-law set is not a constant). The corpus-side
+    * work is one map-side-combinable word agg for the head, then one
+    * semi-probe + a document-keyed count — no corpus shuffle by word
+    * except the bounded head agg.
     */
   def rareTokenSignals(df: DataFrame, idCol: String, textCol: String,
                        minCount: Long = 5L): DataFrame = {
@@ -610,7 +623,9 @@ object PipelineOps {
     val toks = tokenized.select(col(idCol), explode(col("__toks")).as("word"))
     val common = toks.groupBy(col("word")).agg(count(lit(1)).as("tf"))
       .where(col("tf") >= minCount).select("word")
-    val hits = toks.join(broadcast(common), Seq("word"), "left_semi")
+    // NO broadcast hint — `common` is Heaps-law corpus-scaled; AQE
+    // picks broadcast only when the head actually fits
+    val hits = toks.join(common, Seq("word"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("__n_common"))
     val nRare = col("n_tokens") - coalesce(col("__n_common"), lit(0L))
     tokenized.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))

@@ -58,7 +58,12 @@ object SketchProfile {
         approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
         min(col(c)).cast("double").as(s"__min_$c"),
         max(col(c)).cast("double").as(s"__max_$c"),
-        percentile_approx(col(c).cast("double"), pctArr, lit(accuracy))
+        // NaN→null before the GK summary (nulls are ignored by the
+        // aggregate): percentile_approx ranks NaN above every double,
+        // so an unfiltered NaN column would report NaN upper quantiles
+        // — stat.approxQuantile, which this path replaced, ignored NaN
+        percentile_approx(when(!isnan(col(c).cast("double")),
+            col(c).cast("double")), pctArr, lit(accuracy))
           .as(s"__p_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
@@ -77,6 +82,13 @@ object SketchProfile {
     * `accuracy = 1000` matches the reference profiler's former
     * relativeError 0.001. A column with no non-null values yields an
     * empty signature (the stat.approxQuantile convention).
+    *
+    * NaN values are filtered BEFORE the sketch: `percentile_approx`,
+    * unlike the `stat.approxQuantile` it replaced, would otherwise
+    * rank NaN above every double in the GK summary, turning the upper
+    * quantiles of any NaN-bearing column into NaN and poisoning every
+    * W1 distance that touches it. NaN→null here (nulls are ignored by
+    * the aggregate) pins the old ignore-NaN semantics.
     */
   def quantileSignatures(df: DataFrame, cols: Seq[String],
                          probs: Seq[Double], accuracy: Int = 1000)
@@ -86,7 +98,8 @@ object SketchProfile {
       s"probabilities must be in [0,1], got $probs")
     val pArr = array(probs.map(lit): _*)
     val aggs = cols.zipWithIndex.map { case (c, i) =>
-      percentile_approx(col(c).cast("double"), pArr, lit(accuracy)).as(s"__q$i")
+      val d = col(c).cast("double")
+      percentile_approx(when(!isnan(d), d), pArr, lit(accuracy)).as(s"__q$i")
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     cols.zipWithIndex.map { case (c, i) =>

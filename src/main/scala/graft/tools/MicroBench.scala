@@ -123,11 +123,13 @@ object MicroBench {
     val tail = Seq("q_nominalize", "q_multimodal_meta", "q_text_fingerprint",
       "q_text_langid", // langid: the round-4 concurrent-load false alarm
       "q_vocab_topk",  // round-6 judge saw 2.9s vs 0.60s recorded — dispersion watch
-      // round-9 watch set: now the two slowest headline queries, both
-      // with multi-second recorded spikes adjudicated as load
-      // contamination (BASELINE.md "q_dedup_semantic cross-round
+      // round-9 watch set: multi-second recorded spikes adjudicated as
+      // load contamination (BASELINE.md "q_dedup_semantic cross-round
       // dispersion") — keep their n=5 medians one command away
-      "q_dedup_semantic", "q_dedup_spans")
+      "q_dedup_semantic", "q_dedup_spans",
+      // round-10 watch set: the two slowest headline queries in the
+      // r10 idle run (2.57 / 2.70 s) — next dispersion candidates
+      "q_dedup_minhash_lsh", "q_lm_buckets")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
     val all = graft.SparkEntry.queries
     tail.foreach { name =>

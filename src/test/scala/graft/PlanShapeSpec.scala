@@ -157,20 +157,43 @@ class PlanShapeSpec extends SparkSpec {
       "pinned sums must aggregate as LongType, not Decimal")
   }
 
-  test("strip-boilerplate removes frequent segments via broadcast, not a shuffled join") {
-    // round-10 shape: the broadcast SEMI join selects only boilerplate
-    // HITS into the doc-keyed removed-position aggregate (clean
-    // documents rebuild via the left join's null arm); any shuffled
-    // join here would mean lines crossing an exchange by content
+  test("strip-boilerplate: AQE broadcasts the small frequent set at runtime (no forced hint)") {
+    // round-11 shape: the semi join that selects boilerplate HITS into
+    // the doc-keyed removed-position aggregate carries NO broadcast
+    // hint (the frequent-line set scales with corpus line vocabulary —
+    // a forced broadcast is the Dedup.dedupSpans-rejected assumption).
+    // At gate scale the set IS tiny, so AQE must still land the
+    // broadcast semi-join on its own — this pins that the hint removal
+    // didn't regress the executed plan where broadcast is right.
     val plans = executed("q_strip_boilerplate")
     val bjoins = plans.collect { case b: BroadcastHashJoinExec => b }
     assert(bjoins.exists(_.joinType.toString.contains("LeftSemi")),
-      s"the boilerplate-hit selection must plan as a broadcast semi-join:\n${plans.head}")
+      s"AQE should broadcast the tiny frequent set at this scale:\n${plans.head}")
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
     assert(!plans.exists(p => (p.isInstanceOf[SortMergeJoinExec] ||
         p.isInstanceOf[ShuffledHashJoinExec]) &&
         p.output.exists(_.name == "__line")),
-      s"lines must never cross a shuffled join:\n${plans.head}")
+      s"lines must never cross a shuffled join at this scale:\n${plans.head}")
+  }
+
+  test("vocabulary-scaled semi-join sets carry no forced broadcast hint") {
+    // VERDICT r10 finding #1: stripBoilerplate's frequent-line set and
+    // rareTokenSignals' common-token set both scale with corpus
+    // vocabulary (template lines / Heaps-law head), so a broadcast()
+    // hint — which FORCES the broadcast regardless of runtime size —
+    // is an OOM at 100 TB. The join strategy must be AQE's runtime
+    // call. This walks the ANALYZED logical plan (hints are erased by
+    // the optimizer) and fails on any ResolvedHint anywhere in either
+    // query tree.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (name <- Seq("q_strip_boilerplate", "q_text_rare_tokens")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      try {
+        val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+        assert(hints.isEmpty,
+          s"$name carries a forced join hint on a vocabulary-scaled set:\n${hints.mkString("\n")}")
+      } finally CacheScope.releaseAll()
+    }
   }
 
   test("incremental dedup never shuffle-joins the corpus (broadcast joins only)") {

@@ -118,6 +118,30 @@ class SketchProfileSpec extends SparkSpec {
     }
   }
 
+  test("quantileSignatures ignores NaN — upper quantiles stay finite (ADVICE r10)") {
+    // percentile_approx ranks NaN above every double, so before the
+    // round-11 NaN→null filter a 10%-NaN column reported NaN for its
+    // upper quantiles and poisoned every W1 distance touching it; the
+    // stat.approxQuantile path this replaced silently dropped NaN.
+    val nanCol = fixture.select(
+      when(col("unique_col") % 10 === 0, lit(Double.NaN))
+        .otherwise(col("unique_col")).as("x"),
+      lit(Double.NaN).as("all_nan"))
+    val sigs = SketchProfile.quantileSignatures(nanCol, Seq("x", "all_nan"),
+      probs = Seq(0.5, 0.9, 1.0), accuracy = 10000)
+    assert(sigs("x").forall(v => !v.isNaN),
+      s"NaN leaked into the signature: ${sigs("x").mkString(",")}")
+    // p=1.0 over the 9000 non-NaN values is their exact max, 9999
+    assert(sigs("x").last == 9999.0, s"p1.0 should be the non-NaN max, got ${sigs("x").last}")
+    // a column that is ENTIRELY NaN behaves like all-null: empty signature
+    assert(sigs("all_nan").isEmpty)
+    // same convention on the sketchProfile GK path
+    val row = SketchProfile.sketchProfile(nanCol, Seq("x"), pcts = Seq(50, 75))
+      .collect()(0)
+    assert(!row.getDouble(5).isNaN && !row.getDouble(6).isNaN,
+      "sketchProfile percentiles must ignore NaN")
+  }
+
   test("rejects empty column list, out-of-range and duplicate percentiles") {
     assertThrows[IllegalArgumentException] {
       SketchProfile.sketchProfile(fixture, Seq.empty)

@@ -88,7 +88,7 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_skip = 0
     total_oracle_sec = 0.0
     slowest = []
     on_gate_fixture = os.path.basename(os.path.normpath(sf_dir)) == "sf0.01"
@@ -97,9 +97,11 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"{name:28s} MISSING spark output"); n_bad += 1; continue
         if name in PINNED_SF001 and not on_gate_fixture:
+            # counted as SKIPPED, not ok: an off-fixture sweep must not
+            # report pinned-oracle queries as verified when they never ran
             print(f"{name:28s} SKIP — oracle pins sf0.01 fixture values; "
                   f"re-run against sf0.01 for a real verdict")
-            n_ok += 1; continue
+            n_skip += 1; continue
         t0 = time.monotonic()
         try:
             spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
@@ -134,7 +136,7 @@ def main(sf_dir, out_dir):
     if total_oracle_sec > 180:
         print(f"WARNING: oracle gate {total_oracle_sec:.0f}s exceeds the "
               "180s budget — the driver's correctness window may expire")
-    print(f"\n{n_ok} ok, {n_bad} bad")
+    print(f"\n{n_ok} ok, {n_skip} skipped, {n_bad} bad")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
