@@ -24,6 +24,8 @@ object SearchScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
 
+    spark.range(1000000).selectExpr("sum(id)").collect() // codegen warm-up
+
     // the reference's spreadsheet shape: a handful of nominal dims +
     // numeric measures; lineitem's mixed-dtype slice exercises the
     // dim-cluster, nominalize, rank and chart-assembly paths at once
@@ -32,18 +34,25 @@ object SearchScaleProbe {
       "l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val nRows = df.count()
 
-    val engine = new Engine(spark)
-    val t0 = System.nanoTime()
-    val (pdf, prof) = engine.profile(df)
-    val tProfile = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    val rec = graft.CacheScope.withCached {
-      engine.search(df, profiled = Some((pdf, prof)))
+    // both profiler paths: exact countDistinct (default — an
+    // expand-based plan that multiplies the scan by #columns) and the
+    // documented 100 TB path (HLL distinct + boundary re-count)
+    for ((label, cfg) <- Seq(
+        ("exact-nd", graft.EngineConfig.default),
+        ("approx-nd", graft.EngineConfig.default.copy(approxDistinct = true)))) {
+      val engine = new Engine(spark, cfg)
+      val t0 = System.nanoTime()
+      val (pdf, prof) = engine.profile(df)
+      val tProfile = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val rec = graft.CacheScope.withCached {
+        engine.search(df, profiled = Some((pdf, prof)))
+      }
+      val tSearch = (System.nanoTime() - t1) / 1e9
+      println(f"[search-scale] cfg=$label rows=$nRows vis=${rec.visList.size} " +
+        f"profile=$tProfile%.1f s search=$tSearch%.1f s " +
+        f"total=${tProfile + tSearch}%.1f s graph_bytes=${rec.graphJson.length}")
     }
-    val tSearch = (System.nanoTime() - t1) / 1e9
-    println(f"[search-scale] rows=$nRows vis=${rec.visList.size} " +
-      f"profile=$tProfile%.1f s search=$tSearch%.1f s " +
-      f"total=${tProfile + tSearch}%.1f s graph_bytes=${rec.graphJson.length}")
     spark.stop()
   }
 }
