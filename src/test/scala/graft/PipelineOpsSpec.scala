@@ -496,6 +496,42 @@ class PipelineOpsSpec extends SparkSpec {
       s"the common-word probe must be a broadcast semi-join:\n$plan")
   }
 
+  test("de-hinted semi-joins are strategy-invariant: forced shuffle == broadcast") {
+    // Round 11 removed the forced broadcast() hints from
+    // stripBoilerplate's frequent-line set and rareTokenSignals'
+    // common-token set (both corpus-vocabulary-scaled — an OOM at
+    // 100 TB). The claim "AQE shuffles when the set doesn't fit" is
+    // only safe if the shuffle arm is actually exercised and agrees:
+    // this disables BOTH broadcast thresholds (static + adaptive) so
+    // the semi-joins MUST plan as shuffled joins, and pins the results
+    // equal to the default-path (broadcast) results.
+    val docs = (1L to 50L).map(i =>
+      (i, s"COMMON w${i % 7} COMMON w$i w${i % 11}")).toDF("doc_id", "text")
+    def stripped() = PipelineOps.stripBoilerplate(docs, "doc_id", "text",
+        maxDocFreq = 6L, delim = " ")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    def rare() = PipelineOps.rareTokenSignals(docs, "doc_id", "text", minCount = 4L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val (sB, rB) = (stripped(), rare())
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k =>
+      k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      // sanity: the shuffle arm is really the one running now
+      val plan = PipelineOps.rareTokenSignals(docs, "doc_id", "text", minCount = 4L)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"thresholds at -1 should force the shuffle arm:\n$plan")
+      assert(stripped() == sB, "stripBoilerplate diverged under forced shuffle")
+      assert(rare() == rB, "rareTokenSignals diverged under forced shuffle")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("rareTokenSignals is partitioning-invariant") {
     val docs = (1L to 80L).map(i => (i, s"common w$i common")).toDF("doc_id", "text")
     val a = PipelineOps.rareTokenSignals(docs, "doc_id", "text", minCount = 3L)
