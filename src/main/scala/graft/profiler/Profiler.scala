@@ -46,6 +46,15 @@ object Profiler {
     val df = cfg.maxSourceRows.fold(df0)(df0.limit)
     val fields = df.schema.fields.toSeq
 
+    // scale auto-route: the exact multi-column countDistinct below is
+    // an expand-based plan (scan × #columns) — fine at fixture scale,
+    // catastrophic on a large ingest. When Catalyst's size estimate
+    // says the input is big, take the HLL + boundary-re-count path
+    // regardless of the flag; decisions stay exact either way.
+    val useApprox = cfg.approxDistinct ||
+      df.queryExecution.optimizedPlan.stats.sizeInBytes >
+        BigInt(cfg.approxDistinctAboveBytes)
+
     // ── pass 1: one agg over everything. At scale (cfg.approxDistinct)
     //    distinct counts use HLL sketches; exact multi-column
     //    countDistinct is an expand-based plan that multiplies the scan
@@ -64,7 +73,7 @@ object Profiler {
           .cast(DoubleType))
         case _              => None
       }
-      val nd = if (cfg.approxDistinct) approx_count_distinct(c, 0.01) else countDistinct(c)
+      val nd = if (useApprox) approx_count_distinct(c, 0.01) else countDistinct(c)
       Seq(
         nd.as(s"__nd_${f.name}"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_${f.name}"),
@@ -80,7 +89,7 @@ object Profiler {
     // (distinct == rows) or the nominal threshold (distinct ≤ 5%·rows).
     // Typically a handful of columns, one cheap agg.
     val exactNd: Map[String, Long] =
-      if (!cfg.approxDistinct || rows == 0) Map.empty
+      if (!useApprox || rows == 0) Map.empty
       else {
         val boundary = fields.filter { f =>
           val approx = row.getAs[Long](s"__nd_${f.name}")

@@ -114,6 +114,18 @@ final case class EngineConfig(
       * count lands near a decision boundary (key detection, nominal
       * threshold). Off by default — exact counts at test scale. */
     approxDistinct: Boolean = false,
+    /** Auto-route to the [[approxDistinct]] path when Catalyst's size
+      * estimate for the profiled plan exceeds this many bytes, even if
+      * the flag is off. The exact path's multi-column countDistinct is
+      * an expand-based plan that multiplies the scan by #columns — a
+      * silent catastrophe on a 100 TB ingest that no caller should
+      * have to know to configure away. Misestimates are benign in both
+      * directions: over-estimate → approx + boundary re-count (every
+      * key/nominal decision stays exact; measured bit-identical
+      * recommendations, BASELINE.md round 11); under-estimate → the
+      * exact path, slow but correct. 1 GiB keeps every test fixture
+      * and gate table on the exact path. */
+    approxDistinctAboveBytes: Long = 1L << 30,
     /** w2v semantic name clustering (spreadsheet.py:231-253). Off by
       * default, mirroring the reference's gitignored GoogleNews asset;
       * on, [[graft.profiler.SemClusters]] uses `semEmbeddingPath`

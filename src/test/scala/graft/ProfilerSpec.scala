@@ -98,6 +98,30 @@ class ProfilerSpec extends SparkSpec {
     }
   }
 
+  test("approx-distinct auto-routes on plan size; fixtures stay exact (round 11)") {
+    // A caller who never heard of approxDistinct must not hit the
+    // expand-based exact countDistinct on a 100 TB ingest: when
+    // Catalyst's size estimate exceeds approxDistinctAboveBytes the
+    // profiler takes the HLL + boundary-re-count path on its own.
+    val df = (1 to 2000).map(i => (i.toLong, s"name_$i", s"seg${i % 5}", i * 1.5))
+      .toDF("id", "name", "seg", "v")
+    val exact = Profiler.profile(df)._2
+    // threshold 0 forces the auto-route even on this tiny frame; every
+    // decision must still match the exact pass (boundary re-count)
+    val routed = Profiler.profile(df,
+      EngineConfig(approxDistinctAboveBytes = 0L))._2
+    assert(routed.keyColumn == exact.keyColumn)
+    exact.columns.zip(routed.columns).foreach { case (e, a) =>
+      assert(a.logicalType == e.logicalType, e.name)
+      assert(a.isKey == e.isKey, e.name)
+    }
+    // and the default 1 GiB threshold keeps this fixture on the exact
+    // path: non-boundary distinct counts are exact, not HLL estimates
+    // (seg has 5 distinct — far from both decision boundaries, so an
+    // HLL pass would have had no exact re-count to correct it)
+    assert(exact.column("seg").get.distinctCount == 5L)
+  }
+
   test("quantile signatures drive Wasserstein distances") {
     val df = (1 to 1000).map(i => (i.toLong, i.toDouble, i.toDouble + 100.0, s"n$i"))
       .toDF("id", "a", "b", "nm")
