@@ -444,6 +444,19 @@ object ExtQueries {
         numHashes = 32, shingleSize = 3)
       Dedup.minhashCandidatePairs(sigs, numHashes = 32, bands = 8, tau = 0.3)
     }),
+    "q_dedup_stream_verdicts" -> ((s, dir) => {
+      // the BATCH path of the streaming near-dedup operator
+      // (StreamingDemo.minhashDedupStream) over the same
+      // planted-duplicate corpus as q_dedup_minhash_lsh: one
+      // first-arrival verdict per document (dup iff a τ-similar
+      // smaller id shares an LSH bucket; winner = highest sim, ties
+      // to smallest id). Stream/batch twin equivalence across
+      // micro-batch boundaries is spec-pinned in StreamingSpec.
+      graft.streaming.StreamingDemo.collapseNearDupVerdicts(
+        graft.streaming.StreamingDemo.minhashDedupStream(
+          nearDupCorpus(s, dir), "id", "text",
+          numHashes = 32, bands = 8, shingleSize = 3, tau = 0.3).toDF())
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(nearDupCorpus(s, dir), "id", "text", maxHamming = 12)
     }),
@@ -1955,6 +1968,45 @@ object ExtQueries {
         |      z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) AS BIGINT) AS DOUBLE) / 32
         |    AS est_jaccard FROM cand) t
         |WHERE est_jaccard >= 0.3""".stripMargin,
+    // the per-document collapse of the SAME pair machinery: doc b is
+    // a dup iff some a < b shares a bucket at est ≥ τ; winner = max
+    // est, ties to min a. Every signature-bearing corpus doc gets a
+    // row (the left join's null arm is the not-a-dup verdict).
+    "q_dedup_stream_verdicts" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id,
+        |    COALESCE(array_to_string((regexp_extract_all(COALESCE(text, ''), '\S+'))
+        |      [1:greatest((len(regexp_extract_all(COALESCE(text, ''), '\S+'))*4)//5, 1)], ' '), '') AS text
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |            for i in generate_series(1, len(toks)-2)]) AS shingles
+        |  FROM (SELECT id, regexp_extract_all(text, '\S+') AS toks FROM corpus)),
+        |ab AS (SELECT id, ('0x'||substr(md5(gram),1,7))::BIGINT AS a,
+        |              (('0x'||substr(md5(gram),8,7))::BIGINT | 1) AS b
+        |       FROM (SELECT id, unnest(shingles) AS gram FROM sh)),
+        |abl AS (SELECT id, list([a, b]) AS abs_ FROM ab GROUP BY id),
+        |sigs AS (SELECT id, list_transform(generate_series(0,31), i ->
+        |           list_min(list_transform(abs_, p -> (p[1] + i*p[2]) % 2147483647))) AS sig
+        |         FROM abl),
+        |bucketed AS (SELECT id, sig, band, sig[band*4+1 : band*4+4] AS bucket
+        |             FROM (SELECT id, sig, unnest(generate_series(0,7)) AS band FROM sigs)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        |         FROM bucketed a JOIN bucketed b
+        |         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |hits AS (SELECT id_b AS did, id_a AS dup_of,
+        |    CAST(CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
+        |      z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) AS BIGINT) AS DOUBLE) / 32
+        |    AS est FROM cand),
+        |best AS (SELECT did, dup_of, est FROM hits WHERE est >= 0.3
+        |         QUALIFY ROW_NUMBER() OVER (PARTITION BY did ORDER BY est DESC, dup_of ASC) = 1)
+        |SELECT s.id AS doc_id,
+        |  CAST(CASE WHEN b.did IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+        |  CAST(COALESCE(b.dup_of, -1) AS BIGINT) AS dup_of,
+        |  CAST(COALESCE(b.est, -1.0) AS DOUBLE) AS best_sim
+        |FROM sigs s LEFT JOIN best b ON b.did = s.id""".stripMargin,
     // the cross-side twin of q_dedup_minhash_lsh: the identical
     // signature chain runs over the side-tagged union, the bucket cap
     // partitions per side, and the candidate join requires a.side=1

@@ -22,6 +22,15 @@ object StreamingDemo {
   /** A surviving line segment from [[dedupLinesStream]]. */
   final case class Seg(docId: Long, pos: Int, line: String)
 
+  /** A per-bucket verdict from [[minhashDedupStream]]: `dupOf` is the
+    * best previously-seen near-duplicate found in this LSH bucket
+    * (-1 / sim -1.0 when none reached τ). */
+  final case class NearDupVerdict(docId: Long, band: Int, dupOf: Long, sim: Double)
+  /** Bucket-state entry: a previously-seen document's full signature. */
+  final case class SigEntry(docId: Long, sig: Seq[Long])
+  /** One banded signature row keyed by its LSH bucket. */
+  final case class BandRow(docId: Long, band: Int, key: String, sig: Seq[Long])
+
   /** Tumbling 1-hour window aggregation with a 10-minute watermark.
     * Works on a streaming OR batch frame with columns (ts, event_type,
     * value). */
@@ -226,6 +235,125 @@ object StreamingDemo {
         .as[Seg]
     }
   }
+
+  /** Streaming near-duplicate detection: MinHash-LSH dedup of a
+    * continuous document stream against EVERYTHING seen before it —
+    * the streaming sibling of [[graft.operators.Dedup.
+    * minhashIncrementalPairs]], where the "corpus" is the stream's own
+    * past (continuous crawl ingestion: each arriving page is checked
+    * against all previously-crawled pages).
+    *
+    * Shape: signatures are ROW-LOCAL ([[graft.functions.MinhashSig]]),
+    * so the stream needs no pre-aggregation; each document then fans
+    * out to its `bands` LSH buckets and the per-bucket state
+    * (flatMapGroupsWithState keyed by (band, bucket-slice)) holds the
+    * signatures of every document that ever hit the bucket. An
+    * arriving document is compared ONLY against its own buckets'
+    * residents — exactly the candidate set the batch LSH join
+    * produces — and emits one [[NearDupVerdict]] per band; collapse
+    * per document with [[collapseNearDupVerdicts]]. First-arrival
+    * wins; within one micro-batch, ties break by ascending id (the
+    * deterministic stand-in for arrival order inside a batch).
+    * Duplicates also join the bucket state, so transitive chains
+    * (A≈B≈C with C∼B but C≁A) flag the way the batch pair graph's
+    * connected components do.
+    *
+    * State: one signature list per OCCUPIED bucket, NoTimeout — like
+    * [[dedupLinesStream]], global dedup memory is the operator's
+    * point (a near-dup can arrive arbitrarily late). `maxBucket` is
+    * the hot-bucket skew guard (the state-side analogue of
+    * [[graft.operators.Dedup]]'s capBuckets): a bucket at capacity
+    * stops ADMITTING new residents but still answers probes, so a
+    * viral duplicate cluster costs bounded memory and its members
+    * still pair through their other bands.
+    *
+    * Batch frames run the identical per-bucket logic without state
+    * (one group pass, ascending-id order) — value-parity with the
+    * batch LSH candidate pairs is oracle-gated (q_dedup_stream_verdicts)
+    * and the stream/batch twin equivalence is spec-pinned. */
+  def minhashDedupStream(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", numHashes: Int = 32,
+                         bands: Int = 8, shingleSize: Int = 3,
+                         tau: Double = 0.5, maxBucket: Int = 100000)
+      : org.apache.spark.sql.Dataset[NearDupVerdict] = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    val session = docs.sparkSession
+    import session.implicits._
+    val idType = docs.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+        .contains(idType),
+      s"minhashDedupStream needs an integral $idCol (got $idType)")
+    val r = numHashes / bands
+    val sigCol = graft.functions.MinhashSig.signature(
+      graft.functions.TextFunctions.wordShingles(col(textCol), shingleSize),
+      numHashes)
+    // same shingle-less precondition as Dedup.minhashSignatures: a
+    // token-count filter, not isNotNull(sig) (which would re-evaluate
+    // the md5 chain below the projection)
+    val sigs = docs
+      .where(size(graft.functions.TextFunctions.tokens(col(textCol))) >= shingleSize)
+      .select(col(idCol).cast("long").as("docId"), sigCol.as("sig"))
+      .as[(Long, Seq[Long])]
+    val bandRows = sigs.flatMap { case (id, s) =>
+      (0 until bands).map { b =>
+        BandRow(id, b, s"$b:${s.slice(b * r, (b + 1) * r).mkString(",")}", s)
+      }
+    }
+    def simOf(a: Seq[Long], b: Seq[Long]): Double = {
+      var k = 0; var eq = 0
+      while (k < numHashes) { if (a(k) == b(k)) eq += 1; k += 1 }
+      eq.toDouble / numHashes
+    }
+    // shared by the stateful and batch paths: judge `rows` (ascending
+    // id) against the bucket's residents, admitting each doc as it goes
+    def judge(rows: Seq[BandRow], seen0: Seq[SigEntry])
+        : (Seq[NearDupVerdict], Seq[SigEntry]) = {
+      var seen = seen0
+      val out = rows.sortBy(_.docId).map { row =>
+        var bestId = -1L; var bestSim = -1.0
+        seen.foreach { e =>
+          val sim = simOf(e.sig, row.sig)
+          if (sim >= tau && (sim > bestSim || (sim == bestSim && e.docId < bestId)))
+            { bestId = e.docId; bestSim = sim }
+        }
+        if (seen.size < maxBucket) seen = seen :+ SigEntry(row.docId, row.sig)
+        NearDupVerdict(row.docId, row.band, bestId, bestSim)
+      }
+      (out, seen)
+    }
+    if (docs.isStreaming) {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      bandRows.groupByKey(_.key)
+        .flatMapGroupsWithState[Seq[SigEntry], NearDupVerdict](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
+          val (out, seen) = judge(it.toSeq, state.getOption.getOrElse(Seq.empty))
+          state.update(seen)
+          out.iterator
+        }
+    } else {
+      bandRows.groupByKey(_.key).flatMapGroups { (_, it) =>
+        judge(it.toSeq, Seq.empty)._1.iterator
+      }
+    }
+  }
+
+  /** Collapse [[minhashDedupStream]]'s per-band verdicts to one row
+    * per document: `(doc_id, is_dup, dup_of, best_sim)` — dup iff ANY
+    * bucket found a τ-similar predecessor; the winner is the highest
+    * similarity, ties to the smallest predecessor id. A batch
+    * DataFrame op (run it on the memory sink / output table). */
+  def collapseNearDupVerdicts(verdicts: DataFrame): DataFrame =
+    verdicts
+      .groupBy(col("docId"))
+      .agg(max(struct(col("sim").as("s"), (-col("dupOf")).as("negDup"))).as("__w"))
+      .select(col("docId").as("doc_id"),
+        when(col("__w.s") >= 0, 1L).otherwise(0L).as("is_dup"),
+        when(col("__w.s") >= 0, -col("__w.negDup")).otherwise(-1L).as("dup_of"),
+        when(col("__w.s") >= 0, col("__w.s")).otherwise(-1.0).as("best_sim"))
 
   /** Drive the streaming query synchronously from a bounded source and
     * return the materialized result (memory sink). Used by tests and

@@ -195,4 +195,56 @@ class StreamingSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(media, "doc_id").where($"doc_id" === 1).collect().head
     assert(row1 == again)
   }
+
+  test("minhashDedupStream: near-dups flagged across micro-batches; stream == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsSeq = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about spark streaming state"),
+      (3L, "the quick brown fox jumps over the lazy dog today"), // exact copy of 1
+      (4L, "the quick brown fox jumps over the lazy dog"),       // near-dup of 1/3
+      (5L, "yet another unrelated text with its own words only"))
+    // split the stream MID-duplicate: 1 and 2 arrive in batch one, the
+    // copies in batch two — the bucket state must carry doc 1 across
+    // the micro-batch boundary
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDemo.minhashDedupStream(
+        mem.toDF().toDF("doc_id", "text"), tau = 0.3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("minhash_stream_test").start()
+    try {
+      mem.addData(docsSeq.take(2): _*); q.processAllAvailable()
+      mem.addData(docsSeq.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = StreamingDemo.collapseNearDupVerdicts(
+        spark.table("minhash_stream_test"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // arrival order here follows doc id, so the batch twin (one group
+    // pass, ascending id) must produce the identical verdict set —
+    // micro-batch boundaries must not matter
+    val batch = StreamingDemo.collapseNearDupVerdicts(
+        StreamingDemo.minhashDedupStream(
+          docsSeq.toDF("doc_id", "text"), tau = 0.3).toDF())
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    val byId = streamed.map(t => t._1 -> t).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // firsts and unrelated docs are not dups
+    assert(Seq(1L, 2L, 5L).forall(id => byId(id) == ((id, 0L, -1L, -1.0))))
+    // the exact copy: identical signature, sim 1.0, predecessor 1
+    assert(byId(3L) == ((3L, 1L, 1L, 1.0)))
+    // the near-dup ties between the identical 1 and 3 → smallest id
+    assert(byId(4L)._2 == 1L && byId(4L)._3 == 1L && byId(4L)._4 >= 0.3)
+  }
+
+  test("minhashDedupStream rejects a non-integral id and bad band split") {
+    val d = Seq(("a", "x y z")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException] {
+      StreamingDemo.minhashDedupStream(d)
+    }
+    assertThrows[IllegalArgumentException] {
+      StreamingDemo.minhashDedupStream(
+        Seq((1L, "x y z")).toDF("doc_id", "text"), bands = 7)
+    }
+  }
 }
