@@ -36,6 +36,31 @@ object MicroBench {
       return
     }
 
+    // `runMain graft.tools.MicroBench q <name> [n]` — n-run medians
+    // for ANY registered query, Bench's protocol (clearCache + noop
+    // sink + CacheScope release per run). The one-command answer to
+    // "is this recorded number dispersion or a regression?"
+    if (args.headOption.contains("q")) {
+      val name = args.lift(1).getOrElse(
+        sys.error("usage: MicroBench q <queryName> [n]"))
+      val n = args.lift(2).map(_.toInt).getOrElse(5)
+      val all = graft.SparkEntry.queries
+      require(all.contains(name), s"unknown query '$name'")
+      spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
+      val times = (1 to n).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        all(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        graft.CacheScope.releaseAll()
+        wall
+      }
+      val med = times.sorted.apply(times.size / 2)
+      println(f"$name%-24s median=$med%.3f s  runs=${times.map(t => f"$t%.3f").mkString(", ")}")
+      spark.stop()
+      return
+    }
+
     def corpus = {
       val d = Tables.documents(spark, dir).select(col("doc_id").as("id"), col("text"))
       val truncated = d.select((col("id") + 1000000L).as("id"),
