@@ -265,7 +265,14 @@ object StreamingDemo {
     * [[graft.operators.Dedup]]'s capBuckets): a bucket at capacity
     * stops ADMITTING new residents but still answers probes, so a
     * viral duplicate cluster costs bounded memory and its members
-    * still pair through their other bands.
+    * still pair through their other bands. Total state =
+    * `bands × (8·numHashes + ~16)` bytes per admitted document
+    * (~2 KB/doc at the defaults); past executor-heap scale, run the
+    * query with `spark.sql.streaming.stateStore.providerClass` set to
+    * the RocksDB provider — state then lives off-heap/on-disk and the
+    * per-bucket lists page in on probe, which is the 100 TB-stream
+    * posture (the default HDFS-backed store keeps every bucket in
+    * executor memory).
     *
     * Batch frames run the identical per-bucket logic without state
     * (one group pass, ascending-id order) — value-parity with the
