@@ -108,15 +108,17 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     // FIRST thing in main: the external-load sample must precede
-    // session init + the warm-up job. Loadavg alone cannot make the
-    // call — sbt's own startup burst puts even an idle box's 1-min
-    // figure at ~1.9 (measured: 0.48 immediately before launch), and
-    // a driver pipeline's just-finished steps leave the same residue —
-    // so the hot gate uses an instantaneous measure instead: the
-    // fraction of CPU time spent non-idle across a 250 ms /proc/stat
-    // window taken while THIS process is quiescent. Recent-but-done
-    // work reads ~0; genuinely concurrent load reads its true core
-    // share.
+    // session init + the warm-up job. The primary hot gate is an
+    // instantaneous measure — the fraction of CPU time spent non-idle
+    // across three 150 ms /proc/stat windows taken while THIS process
+    // is quiescent: recent-but-done work reads ~0, genuinely
+    // concurrent load reads its true core share. Loadavg is the
+    // SECONDARY gate (see hotStart below): a round-5 note recorded
+    // ~1.9 at entry through a post-compile sbt launch, but the
+    // pre-compiled `sbt -batch runMain` path the driver and judge
+    // actually use enters well under 1.0 on an idle box (r10 judge:
+    // 0.74; r11 measured: 0.16), so an entry 1-min figure above 1.0
+    // is real recent load, not launcher residue.
     val loadBefore = readLoadAvg()
     val busyFrac = cpuBusyFraction()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -148,10 +150,10 @@ object Bench {
     //      signature was exactly busy_frac≈0 with a 2.28-decaying
     //      loadavg: recently-loaded boxes disperse multi-second
     //      queries even when the 450 ms entry window happens to be
-    //      quiet. (An idle box reads well under 1.0 at Bench entry —
-    //      r10 judge measured 0.74 through the same sbt launch path —
-    //      so the occasional launcher-burst false positive just costs
-    //      n=4 runs, never a silently-contaminated artifact.)
+    //      quiet. (An idle box reads well under 1.0 at Bench entry
+    //      through this exact launch path — r10 judge 0.74, r11
+    //      measured 0.16 — so a rare launcher-burst false positive
+    //      just costs n=4 runs, never a silently-hot artifact.)
     // Hot runs get n=4/query (min-of-4 rejects a transient far more
     // reliably than min-of-2) and the contract line carries
     // "hot_start":true — a number recorded under load is self-evidently
@@ -222,11 +224,18 @@ object Bench {
     // read 0.01). The label ORs both samples.
     val busyAfter = cpuBusyFraction()
     val hotLabel = hotStart || busyAfter > 0.25
-    if (!hotStart && hotLabel) System.err.println(
+    // the exit sample rides the stderr diag (always) and flips
+    // hot_start when high; busy_frac in the CONTRACT stays the entry
+    // sample as a plain JSON number — r10 and earlier artifacts carry
+    // a number there, and a silent number→string type change breaks
+    // any cross-round comparator that reads it numerically
+    System.err.println(
+      f"""[bench-diag] {"busy_after":$busyAfter%.2f,"hot_exit":${busyAfter > 0.25}}""")
+    if (!hotStart && busyAfter > 0.25) System.err.println(
       f"[bench-diag] CONTAMINATED-EXIT busy_after=$busyAfter%.2f > 0.25 — external load entered mid-run; minima suspect")
     System.err.flush()
     println(contractLine(results, sfDir, loadBefore, loadAfter, hotLabel,
-      busyFrac, busyAfter))
+      busyFrac))
     System.out.flush()
   }
 
@@ -252,27 +261,26 @@ object Bench {
     * BenchContractSpec can assert its length stays under the driver's
     * ~2 KB tail-capture window as the headline list grows. The
     * artifact self-labels its validity: "load" carries the pre/post
-    * 1-min loadavg, "busy_frac" the "entry;exit" external CPU shares
-    * (exit sampled post spark.stop, same before;after convention as
-    * "load"), and "hot_start" is true when either share exceeded 0.25
-    * OR the entry 1-min loadavg exceeded 1.0 — per BASELINE.md's noise
+    * 1-min loadavg, "busy_frac" the entry-time external CPU share (a
+    * plain JSON NUMBER for cross-round comparator compatibility — the
+    * post-stop exit sample rides the stderr diag line instead), and
+    * "hot_start" is true when EITHER busy sample exceeded 0.25 OR the
+    * entry 1-min loadavg exceeded 1.0 — per BASELINE.md's noise
     * protocol such a run's minima are suspect even at n=4.
     */
   private[graft] def contractLine(
       results: Seq[(String, Vector[Double])], sfDir: String,
       loadBefore: String = "", loadAfter: String = "",
-      hotStart: Boolean = false, busyFrac: Double = -1.0,
-      busyAfter: Double = -1.0): String = {
+      hotStart: Boolean = false, busyFrac: Double = -1.0): String = {
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt2(minOf(ts)) }
       .mkString("{", ",", "}")
     val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
-    def b(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
-    val busy = b(busyFrac) + ";" + b(busyAfter)
+    val busy = "%.2f".formatLocal(java.util.Locale.ROOT, busyFrac)
     // 1-min loadavg fields only — the full 1/5/15-min samples ride the
     // stderr diag line; every contract byte competes with the query
     // map for the driver's tail-capture window
     def l1(s: String) = s.split("\\s+").headOption.getOrElse("")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":"${l1(loadBefore)};${l1(loadAfter)}","busy_frac":"$busy","hot_start":$hotStart}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":"${l1(loadBefore)};${l1(loadAfter)}","busy_frac":$busy,"hot_start":$hotStart}"""
   }
 
   /** Fraction of system-wide CPU time spent non-idle, the MAX over

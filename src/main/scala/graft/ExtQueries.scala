@@ -162,7 +162,13 @@ object ExtQueries {
     * gets an ''-text twin on both engines (Spark's array_join(NULL)
     * is NULL but DuckDB's array_to_string([]) is ALSO NULL — only the
     * shared ''-convention keeps the twins identical). */
-  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+  /** The planted-duplicate fixture every near-dup gate query runs on
+    * (documents + 80%-token truncated twins at id+ID_OFFSET). Shared
+    * with the measurement probes (StreamDedupProbe) so their recorded
+    * equivalence evidence is over the SAME corpus the oracle gates —
+    * a probe with its own hand-rolled copy would silently diverge if
+    * this convention ever changed. */
+  private[graft] def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
     val toks = TextFunctions.tokens(coalesce(col("text"), lit("")))
     val truncated = d.select((col("id") + ID_OFFSET).as("id"),

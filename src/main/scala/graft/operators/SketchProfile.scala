@@ -53,15 +53,27 @@ object SketchProfile {
       s"duplicate percentiles would emit duplicate p<pct> columns: $pcts")
     val pctArr = array(pcts.map(p => lit(p / 100.0)): _*)
     val aggs = cols.flatMap { c =>
+      // NaN handling, applied consistently across the row: a float/
+      // double column's NaN values are excluded from min/max AND the
+      // GK percentiles (Spark orders NaN greatest, so an unfiltered
+      // max — or upper quantile — of any NaN-bearing column reads NaN;
+      // stat.approxQuantile, which the GK path replaced, ignored NaN).
+      // Non-float columns keep their NATIVE-type min/max (a lexical
+      // string min cast to double, exactly as before) — isnan is a
+      // float concern only, and min-of-cast would silently change
+      // their semantics. NaN still counts in n_nonnull (it is not
+      // null), matching every SQL engine's COUNT.
+      val floaty = df.schema.find(_.name == c).map(_.dataType).exists {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => true
+        case _ => false
+      }
+      val mm = if (floaty) when(!isnan(col(c)), col(c)) else col(c)
       Seq(
         count(col(c)).as(s"__n_$c"),
         approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
-        min(col(c)).cast("double").as(s"__min_$c"),
-        max(col(c)).cast("double").as(s"__max_$c"),
-        // NaN→null before the GK summary (nulls are ignored by the
-        // aggregate): percentile_approx ranks NaN above every double,
-        // so an unfiltered NaN column would report NaN upper quantiles
-        // — stat.approxQuantile, which this path replaced, ignored NaN
+        min(mm).cast("double").as(s"__min_$c"),
+        max(mm).cast("double").as(s"__max_$c"),
         percentile_approx(when(!isnan(col(c).cast("double")),
             col(c).cast("double")), pctArr, lit(accuracy))
           .as(s"__p_$c"))

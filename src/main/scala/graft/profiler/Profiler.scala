@@ -42,6 +42,22 @@ object Profiler {
     "`" + name.replace("`", "``") + "`"
   private def qcol(name: String): Column = col(quotedSql(name))
 
+  /** The approx-distinct routing decision, factored out so the spec
+    * can probe it against stat-less sources directly. True when the
+    * flag forces it, or when Catalyst's size estimate is both KNOWN
+    * (strictly below the spark.sql.defaultSizeInBytes placeholder a
+    * stat-less LogicalRDD/V2 relation reports — at or past it means
+    * "unknown", not "huge") and above the configured threshold. */
+  private[graft] def shouldApproxDistinct(df: DataFrame, cfg: EngineConfig): Boolean = {
+    val sizeEst = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val unknownSentinel = BigInt(scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.defaultSizeInBytes").toLong)
+      .getOrElse(Long.MaxValue))
+    cfg.approxDistinct ||
+      (sizeEst < unknownSentinel &&
+        sizeEst > BigInt(cfg.approxDistinctAboveBytes))
+  }
+
   def profile(df0: DataFrame, cfg: EngineConfig = EngineConfig.default): (DataFrame, TableProfile) = {
     val df = cfg.maxSourceRows.fold(df0)(df0.limit)
     val fields = df.schema.fields.toSeq
@@ -51,9 +67,14 @@ object Profiler {
     // catastrophic on a large ingest. When Catalyst's size estimate
     // says the input is big, take the HLL + boundary-re-count path
     // regardless of the flag; decisions stay exact either way.
-    val useApprox = cfg.approxDistinct ||
-      df.queryExecution.optimizedPlan.stats.sizeInBytes >
-        BigInt(cfg.approxDistinctAboveBytes)
+    // Stat-LESS sources (LogicalRDD, many V2 relations) report
+    // spark.sql.defaultSizeInBytes = Long.MaxValue as a conservative
+    // placeholder, and joins multiply it further — an estimate at or
+    // past that sentinel means UNKNOWN, not huge, so it must not flip
+    // a 100-row RDD-backed frame onto HLL counts. Unknown keeps the
+    // exact path (slow-but-correct is the right failure direction for
+    // a size the planner cannot see).
+    val useApprox = shouldApproxDistinct(df, cfg)
 
     // ── pass 1: one agg over everything. At scale (cfg.approxDistinct)
     //    distinct counts use HLL sketches; exact multi-column

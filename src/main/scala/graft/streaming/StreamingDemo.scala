@@ -319,7 +319,10 @@ object StreamingDemo {
     // id) against the bucket's residents, admitting each doc as it goes
     def judge(rows: Seq[BandRow], seen0: Seq[SigEntry])
         : (Seq[NearDupVerdict], Seq[SigEntry]) = {
-      var seen = seen0
+      // ArrayBuffer, not `seen :+ e` per row: an immutable append
+      // copies the whole resident list each admission, turning the
+      // hot-bucket scenario maxBucket exists for into O(m²) copying
+      val seen = scala.collection.mutable.ArrayBuffer.from(seen0)
       val out = rows.sortBy(_.docId).map { row =>
         var bestId = -1L; var bestSim = -1.0
         seen.foreach { e =>
@@ -327,10 +330,10 @@ object StreamingDemo {
           if (sim >= tau && (sim > bestSim || (sim == bestSim && e.docId < bestId)))
             { bestId = e.docId; bestSim = sim }
         }
-        if (seen.size < maxBucket) seen = seen :+ SigEntry(row.docId, row.sig)
+        if (seen.size < maxBucket) seen += SigEntry(row.docId, row.sig)
         NearDupVerdict(row.docId, row.band, bestId, bestSim)
       }
-      (out, seen)
+      (out, seen.toSeq)
     }
     if (docs.isStreaming) {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}

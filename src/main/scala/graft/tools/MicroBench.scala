@@ -43,20 +43,9 @@ object MicroBench {
     if (args.headOption.contains("q")) {
       val name = args.lift(1).getOrElse(
         sys.error("usage: MicroBench q <queryName> [n]"))
-      val n = args.lift(2).map(_.toInt).getOrElse(5)
-      val all = graft.SparkEntry.queries
-      require(all.contains(name), s"unknown query '$name'")
+      require(graft.SparkEntry.queries.contains(name), s"unknown query '$name'")
       spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
-      val times = (1 to n).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        all(name)(spark, dir).write.format("noop").mode("overwrite").save()
-        val wall = (System.nanoTime() - t0) / 1e9
-        graft.CacheScope.releaseAll()
-        wall
-      }
-      val med = times.sorted.apply(times.size / 2)
-      println(f"$name%-24s median=$med%.3f s  runs=${times.map(t => f"$t%.3f").mkString(", ")}")
+      measureQuery(spark, dir, name, args.lift(2).map(_.toInt).getOrElse(5))
       spark.stop()
       return
     }
@@ -142,6 +131,25 @@ object MicroBench {
     spark.stop()
   }
 
+  /** THE measurement protocol, shared by q-mode and the tail sweep so
+    * a protocol change (like round 11 adding the CacheScope release)
+    * lands once: clearCache per run, noop sink, release scoped
+    * persists outside the window, print per-run times + median. */
+  private def measureQuery(spark: SparkSession, dir: String,
+                           name: String, n: Int): Unit = {
+    val all = graft.SparkEntry.queries
+    val times = (1 to n).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      all(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      graft.CacheScope.releaseAll() // drop scoped persists outside the window
+      wall
+    }
+    val med = times.sorted.apply(times.size / 2)
+    println(f"$name%-24s median=$med%.3f s  runs=${times.map(t => f"$t%.3f").mkString(", ")}")
+  }
+
   /** n=5 per query, Bench's own measurement protocol (clearCache per
     * run, noop sink), per-run times + median printed. */
   private def tailStability(spark: SparkSession, dir: String): Unit = {
@@ -156,18 +164,6 @@ object MicroBench {
       // r10 idle run (2.57 / 2.70 s) — next dispersion candidates
       "q_dedup_minhash_lsh", "q_lm_buckets")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
-    val all = graft.SparkEntry.queries
-    tail.foreach { name =>
-      val times = (1 to 5).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        all(name)(spark, dir).write.format("noop").mode("overwrite").save()
-        val wall = (System.nanoTime() - t0) / 1e9
-        graft.CacheScope.releaseAll() // drop scoped persists outside the window
-        wall
-      }
-      val med = times.sorted.apply(times.size / 2)
-      println(f"$name%-24s median=$med%.3f s  runs=${times.map(t => f"$t%.3f").mkString(", ")}")
-    }
+    tail.foreach(measureQuery(spark, dir, _, 5))
   }
 }

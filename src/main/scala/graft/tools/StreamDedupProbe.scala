@@ -28,13 +28,11 @@ object StreamDedupProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
 
-    val d = graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id").as("id"), col("text"))
-    val toks = graft.functions.TextFunctions.tokens(coalesce(col("text"), lit("")))
-    val truncated = d.select((col("id") + 1000000L).as("id"),
-      array_join(slice(toks, lit(1),
-        greatest((size(toks) * 4) / 5, lit(1)).cast("int")), " ").as("text"))
-    val corpus = d.unionByName(truncated)
+    // the SAME planted-duplicate fixture the oracle gate runs on —
+    // shared builder, so this probe's equivalence evidence cannot
+    // silently drift from q_dedup_stream_verdicts' corpus
+    val corpus = graft.ExtQueries.nearDupCorpus(spark, dir)
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)].collect().sortBy(_._1)
     println(s"[stream-dedup] corpus=${corpus.length} docs, $nBatches micro-batches")
 

@@ -120,6 +120,21 @@ class ProfilerSpec extends SparkSpec {
     // (seg has 5 distinct — far from both decision boundaries, so an
     // HLL pass would have had no exact re-count to correct it)
     assert(exact.column("seg").get.distinctCount == 5L)
+    // routing decision, probed directly: known-small stays exact,
+    // threshold-0 routes, and a STAT-LESS source (LogicalRDD reports
+    // the spark.sql.defaultSizeInBytes placeholder) must NOT route —
+    // at-or-past the sentinel means unknown, not huge
+    assert(!Profiler.shouldApproxDistinct(df, EngineConfig()))
+    assert(Profiler.shouldApproxDistinct(df,
+      EngineConfig(approxDistinctAboveBytes = 0L)))
+    val rddDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1 to 100).map(i => org.apache.spark.sql.Row(i.toLong))),
+      new org.apache.spark.sql.types.StructType()
+        .add("v", org.apache.spark.sql.types.LongType))
+    assert(!Profiler.shouldApproxDistinct(rddDf,
+      EngineConfig(approxDistinctAboveBytes = 0L)),
+      "a stat-less source must keep the exact path even at threshold 0")
   }
 
   test("quantile signatures drive Wasserstein distances") {

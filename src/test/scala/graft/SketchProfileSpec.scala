@@ -135,9 +135,15 @@ class SketchProfileSpec extends SparkSpec {
     assert(sigs("x").last == 9999.0, s"p1.0 should be the non-NaN max, got ${sigs("x").last}")
     // a column that is ENTIRELY NaN behaves like all-null: empty signature
     assert(sigs("all_nan").isEmpty)
-    // same convention on the sketchProfile GK path
+    // same convention across the whole sketchProfile row: percentiles
+    // AND min/max ignore NaN (an unfiltered max reads NaN — Spark
+    // orders NaN greatest — which would contradict the row's own
+    // finite quantiles); NaN still counts in n_nonnull
     val row = SketchProfile.sketchProfile(nanCol, Seq("x"), pcts = Seq(50, 75))
       .collect()(0)
+    assert(row.getLong(1) == 10000L, "NaN is not null — n_nonnull counts it")
+    assert(row.getDouble(3) == 1.0, s"min must skip NaN, got ${row.getDouble(3)}")
+    assert(row.getDouble(4) == 9999.0, s"max must skip NaN, got ${row.getDouble(4)}")
     assert(!row.getDouble(5).isNaN && !row.getDouble(6).isNaN,
       "sketchProfile percentiles must ignore NaN")
   }
