@@ -324,13 +324,22 @@ object StreamingDemo {
       // hot-bucket scenario maxBucket exists for into O(m²) copying
       val seen = scala.collection.mutable.ArrayBuffer.from(seen0)
       val out = rows.sortBy(_.docId).map { row =>
-        var bestId = -1L; var bestSim = -1.0
+        var bestId = -1L; var bestSim = -1.0; var present = false
         seen.foreach { e =>
-          val sim = simOf(e.sig, row.sig)
-          if (sim >= tau && (sim > bestSim || (sim == bestSim && e.docId < bestId)))
-            { bestId = e.docId; bestSim = sim }
+          // a resident with the SAME id is a redelivery of this very
+          // document (at-least-once sources replay), not a duplicate
+          // of it — skip the comparison and don't re-admit, so the
+          // operator is idempotent under replay and a doc can never
+          // be flagged dup-of-itself (the oracle's a.id < b.id pair
+          // contract excludes self-pairs for the same reason)
+          if (e.docId == row.docId) present = true
+          else {
+            val sim = simOf(e.sig, row.sig)
+            if (sim >= tau && (sim > bestSim || (sim == bestSim && e.docId < bestId)))
+              { bestId = e.docId; bestSim = sim }
+          }
         }
-        if (seen.size < maxBucket) seen += SigEntry(row.docId, row.sig)
+        if (!present && seen.size < maxBucket) seen += SigEntry(row.docId, row.sig)
         NearDupVerdict(row.docId, row.band, bestId, bestSim)
       }
       (out, seen.toSeq)

@@ -237,6 +237,33 @@ class StreamingSpec extends SparkSpec {
     assert(byId(4L)._2 == 1L && byId(4L)._3 == 1L && byId(4L)._4 >= 0.3)
   }
 
+  test("minhashDedupStream is idempotent under at-least-once redelivery") {
+    // a source that replays a document (same id, same text) must not
+    // flag the replay as a duplicate of its own first arrival — and
+    // redelivery must not change anyone ELSE's verdict
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDemo.minhashDedupStream(
+        mem.toDF().toDF("doc_id", "text"), tau = 0.3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("minhash_redelivery_test").start()
+    try {
+      mem.addData((1L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      // redeliver doc 1, then a genuine near-dup arrives
+      mem.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog today"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = StreamingDemo.collapseNearDupVerdicts(
+        spark.table("minhash_redelivery_test"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out.contains((1L, 0L, -1L, -1.0)),
+      s"a redelivered doc must never be dup-of-itself: $out")
+    val d2 = out.find(_._1 == 2L).get
+    assert(d2._2 == 1L && d2._3 == 1L, s"doc 2 must still dup to doc 1: $d2")
+  }
+
   test("minhashDedupStream rejects a non-integral id and bad band split") {
     val d = Seq(("a", "x y z")).toDF("doc_id", "text")
     assertThrows[IllegalArgumentException] {
