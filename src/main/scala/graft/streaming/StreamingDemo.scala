@@ -272,7 +272,8 @@ object StreamingDemo {
     * the RocksDB provider — state then lives off-heap/on-disk and the
     * per-bucket lists page in on probe, which is the 100 TB-stream
     * posture (the default HDFS-backed store keeps every bucket in
-    * executor memory).
+    * executor memory). The RocksDB round-trip of this state schema is
+    * spec-verified (StreamingSpec "RocksDB state store").
     *
     * Batch frames run the identical per-bucket logic without state
     * (one group pass, ascending-id order) — value-parity with the

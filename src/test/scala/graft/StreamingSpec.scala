@@ -264,6 +264,39 @@ class StreamingSpec extends SparkSpec {
     assert(d2._2 == 1L && d2._3 == 1L, s"doc 2 must still dup to doc 1: $d2")
   }
 
+  test("minhashDedupStream runs on the RocksDB state store (the past-heap posture)") {
+    // the operator's scaladoc tells 100 TB-stream deployments to move
+    // bucket state to RocksDB; this pins that the state schema
+    // (Seq[SigEntry]) actually round-trips through that provider —
+    // advice backed by a run, not an assertion
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingDemo.minhashDedupStream(
+          mem.toDF().toDF("doc_id", "text"), tau = 0.3)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("minhash_rocksdb_test").start()
+      try {
+        mem.addData((1L, "the quick brown fox jumps over the lazy dog"))
+        q.processAllAvailable()
+        mem.addData((2L, "the quick brown fox jumps over the lazy dog today"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = StreamingDemo.collapseNearDupVerdicts(
+          spark.table("minhash_rocksdb_test"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(out.exists(t => t._1 == 2L && t._2 == 1L && t._3 == 1L),
+        s"cross-batch dup must survive RocksDB state round-trip: $out")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("minhashDedupStream rejects a non-integral id and bad band split") {
     val d = Seq(("a", "x y z")).toDF("doc_id", "text")
     assertThrows[IllegalArgumentException] {
