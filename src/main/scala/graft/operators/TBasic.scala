@@ -126,20 +126,37 @@ object TBasic {
   }
 
   /** Category → 0-based integer code by sorted distinct values
-    * (Tengine.py:109-114). Implemented as a broadcast join against the
-    * ranked distinct-value table — scales to any row count because only
-    * the distinct set (bounded by the nominal rule: ≤5% of rows, in
-    * practice small) is sorted. `dense_rank` over a bare window would
+    * (Tengine.py:109-114), implemented as a join against the ranked
+    * distinct-value table. `dense_rank` over a bare window would
     * single-partition the full table; StringIndexer orders by frequency
-    * (wrong order). */
-  def nominalize(df: DataFrame, c: String, outName: String): DataFrame = {
-    // the bare Window.orderBy here runs over the DISTINCT CODES frame
-    // only — broadcast-small by construction (it is broadcast two lines
-    // down), so the single-partition sort is bounded at any table size
-    val codes = df.select(col(c)).where(col(c).isNotNull).distinct()
-      .withColumn(outName,
+    * (wrong order).
+    *
+    * Two value-identical paths, the [[Rank.rank]] contract: at chart
+    * scale (`approxRows ≤ windowMaxRows`) the distinct set is ranked by
+    * one tiny single-partition window and force-broadcast — a JUSTIFIED
+    * hint, capped by the caller's own row bound. Above it, the nominal
+    * rule only bounds distinct values at ~5% of ROWS — corpus-scaled,
+    * the same hazard class as the round-11 de-hinted vocabulary sets —
+    * so the scale path ranks the distinct set with the range-partitioned
+    * [[Rank.zipWithIndexRank]] (no global window) and leaves the join
+    * strategy to AQE, which broadcasts when the code table actually
+    * fits and shuffles when it doesn't. */
+  def nominalize(df: DataFrame, c: String, outName: String,
+                 approxRows: Long = 0L,
+                 windowMaxRows: Long = 100000L): DataFrame = {
+    val distinctVals = df.select(col(c)).where(col(c).isNotNull).distinct()
+    if (approxRows <= windowMaxRows) {
+      // the bare Window.orderBy runs over the DISTINCT CODES frame
+      // only — bounded by the caller's row estimate, so the
+      // single-partition sort and the broadcast are both capped
+      val codes = distinctVals.withColumn(outName,
         (row_number().over(Window.orderBy(col(c))) - 1).cast(LongType))
-    df.join(broadcast(codes), Seq(c), "left")
+      df.join(broadcast(codes), Seq(c), "left")
+    } else {
+      val codes = Rank.zipWithIndexRank(distinctVals, c, Nil, outName)
+        .withColumn(outName, col(outName) - 1)
+      df.join(codes, Seq(c), "left")
+    }
   }
 
   /** Execute one basic step with the reference's output modes
@@ -179,7 +196,8 @@ object TBasic {
         ins.foldLeft(df)((d, c) =>
           Rank.rank(d, c, carryCols, "rank " + c, approxRows, windowRankMaxRows))
       case "nominalize" =>
-        ins.foldLeft(df)((d, c) => nominalize(d, c, named("nominalize " + c)))
+        ins.foldLeft(df)((d, c) => nominalize(d, c, named("nominalize " + c),
+          approxRows, windowRankMaxRows))
       case other =>
         throw new IllegalArgumentException(s"unknown basic T: $other")
     }

@@ -71,6 +71,30 @@ class TBasicSpec extends SparkSpec {
     assert(r == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
   }
 
+  test("nominalize scale path: zipWithIndex codes == window codes, no Window, no hint") {
+    // above windowMaxRows the code table is ranked by the
+    // range-partitioned zipWithIndex path (the nominal rule bounds
+    // distinct values at ~5% of ROWS — corpus-scaled, so neither the
+    // single-partition window nor a forced broadcast survives scale);
+    // both paths must assign identical codes
+    val wide = spark.range(2000).selectExpr("id", "concat('c', id % 137) AS cat")
+    def codesOf(approxRows: Long) = graft.operators.TBasic
+      .nominalize(wide, "cat", "code", approxRows = approxRows)
+      .select("cat", "code").distinct().as[(String, Long)].collect().toMap
+    val small = codesOf(approxRows = 0L)       // window + broadcast path
+    val large = codesOf(approxRows = 1000000L) // zipWithIndex path
+    assert(small.size == 137 && small == large)
+    // and the scale path's plan carries neither a Window nor a hint
+    val scaled = graft.operators.TBasic
+      .nominalize(wide, "cat", "code", approxRows = 1000000L)
+    val analyzed = scaled.queryExecution.analyzed
+    import org.apache.spark.sql.catalyst.plans.logical.{ResolvedHint, Window => LWindow}
+    assert(analyzed.collect { case h: ResolvedHint => h }.isEmpty,
+      "scale path must not force a broadcast of the corpus-scaled code table")
+    assert(analyzed.collect { case w: LWindow => w }.isEmpty,
+      "scale path must not plan a single-partition window")
+  }
+
   test("select by dtype family and output modes") {
     val num = TBasic(df, TStep("select", inType = "num"))
     assert(num.columns.toSeq == Seq("k", "x", "y"))
