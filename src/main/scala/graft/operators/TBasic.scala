@@ -131,21 +131,22 @@ object TBasic {
     * single-partition the full table; StringIndexer orders by frequency
     * (wrong order).
     *
-    * Two value-identical paths, the [[Rank.rank]] contract: at chart
-    * scale (`approxRows ≤ windowMaxRows`) the distinct set is ranked by
-    * one tiny single-partition window and force-broadcast — a JUSTIFIED
-    * hint, capped by the caller's own row bound. Above it, the nominal
-    * rule only bounds distinct values at ~5% of ROWS — corpus-scaled,
-    * the same hazard class as the round-11 de-hinted vocabulary sets —
-    * so the scale path ranks the distinct set with the range-partitioned
-    * [[Rank.zipWithIndexRank]] (no global window) and leaves the join
-    * strategy to AQE, which broadcasts when the code table actually
-    * fits and shuffles when it doesn't. */
+    * Two value-identical paths, the [[Rank.rank]] contract — but the
+    * window/broadcast here only ever touch the DISTINCT set, which the
+    * nominal rule bounds at ~5% of rows (1/20), so the routing
+    * compares `approxRows / 20` against `windowMaxRows`: a 600k-row
+    * search-scale table (≤30k codes) rightly keeps the codegen'd tiny
+    * window + broadcast, while a table whose code bound itself passes
+    * `windowMaxRows` — corpus-scaled vocabulary, the same hazard class
+    * as the round-11 de-hinted sets — ranks its distinct values with
+    * the range-partitioned [[Rank.zipWithIndexRank]] (no global
+    * window) and leaves the join strategy to AQE, which broadcasts
+    * when the code table actually fits and shuffles when it doesn't. */
   def nominalize(df: DataFrame, c: String, outName: String,
                  approxRows: Long = 0L,
                  windowMaxRows: Long = 100000L): DataFrame = {
     val distinctVals = df.select(col(c)).where(col(c).isNotNull).distinct()
-    if (approxRows <= windowMaxRows) {
+    if (approxRows / 20 <= windowMaxRows) {
       // the bare Window.orderBy runs over the DISTINCT CODES frame
       // only — bounded by the caller's row estimate, so the
       // single-partition sort and the broadcast are both capped

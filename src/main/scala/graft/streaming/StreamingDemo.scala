@@ -327,12 +327,15 @@ object StreamingDemo {
       val out = rows.sortBy(_.docId).map { row =>
         var bestId = -1L; var bestSim = -1.0; var present = false
         seen.foreach { e =>
-          // a resident with the SAME id is a redelivery of this very
-          // document (at-least-once sources replay), not a duplicate
-          // of it — skip the comparison and don't re-admit, so the
-          // operator is idempotent under replay and a doc can never
-          // be flagged dup-of-itself (the oracle's a.id < b.id pair
-          // contract excludes self-pairs for the same reason)
+          // a resident with the SAME id means this row is a REDELIVERY
+          // of an already-judged document (at-least-once sources
+          // replay) — it must not be re-admitted, and its whole
+          // verdict must be discarded below: comparing a replay
+          // against residents admitted AFTER its first arrival would
+          // flag the ORIGINAL as dup-of-its-own-later-duplicate (and
+          // collapse's max-sim merge would make that permanent),
+          // violating both idempotency and the oracle's a.id < b.id
+          // pair direction
           if (e.docId == row.docId) present = true
           else {
             val sim = simOf(e.sig, row.sig)
@@ -340,8 +343,14 @@ object StreamingDemo {
               { bestId = e.docId; bestSim = sim }
           }
         }
-        if (!present && seen.size < maxBucket) seen += SigEntry(row.docId, row.sig)
-        NearDupVerdict(row.docId, row.band, bestId, bestSim)
+        if (present) NearDupVerdict(row.docId, row.band, -1L, -1.0)
+        else {
+          // (a doc that was REJECTED at the cap on first arrival is
+          // indistinguishable from new here and re-judges — the
+          // documented hot-bucket degradation, bounded by maxBucket)
+          if (seen.size < maxBucket) seen += SigEntry(row.docId, row.sig)
+          NearDupVerdict(row.docId, row.band, bestId, bestSim)
+        }
       }
       (out, seen.toSeq)
     }

@@ -254,12 +254,18 @@ class StreamingSpec extends SparkSpec {
       mem.addData((1L, "the quick brown fox jumps over the lazy dog"),
         (2L, "the quick brown fox jumps over the lazy dog today"))
       q.processAllAvailable()
+      // the adversarial direction: redeliver doc 1 AFTER its own
+      // near-duplicate was admitted — the replay must not compare
+      // against doc 2 and flag the ORIGINAL dup-of-its-own-duplicate
+      // (collapse's max-sim merge would make that permanent)
+      mem.addData((1L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
     } finally q.stop()
     val out = StreamingDemo.collapseNearDupVerdicts(
         spark.table("minhash_redelivery_test"))
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(out.contains((1L, 0L, -1L, -1.0)),
-      s"a redelivered doc must never be dup-of-itself: $out")
+      s"a redelivered doc must never be flagged dup (of itself OR of a later duplicate): $out")
     val d2 = out.find(_._1 == 2L).get
     assert(d2._2 == 1L && d2._3 == 1L, s"doc 2 must still dup to doc 1: $d2")
   }

@@ -81,12 +81,15 @@ class TBasicSpec extends SparkSpec {
     def codesOf(approxRows: Long) = graft.operators.TBasic
       .nominalize(wide, "cat", "code", approxRows = approxRows)
       .select("cat", "code").distinct().as[(String, Long)].collect().toMap
-    val small = codesOf(approxRows = 0L)       // window + broadcast path
-    val large = codesOf(approxRows = 1000000L) // zipWithIndex path
+    // routing keys on the DISTINCT bound (~rows/20, the nominal rule),
+    // not raw rows: 1M rows → ≤50k codes → still the window path;
+    // 10M rows → the code bound itself passes windowMaxRows → scale
+    val small = codesOf(approxRows = 1000000L)  // window + broadcast path
+    val large = codesOf(approxRows = 10000000L) // zipWithIndex path
     assert(small.size == 137 && small == large)
     // and the scale path's plan carries neither a Window nor a hint
     val scaled = graft.operators.TBasic
-      .nominalize(wide, "cat", "code", approxRows = 1000000L)
+      .nominalize(wide, "cat", "code", approxRows = 10000000L)
     val analyzed = scaled.queryExecution.analyzed
     import org.apache.spark.sql.catalyst.plans.logical.{ResolvedHint, Window => LWindow}
     assert(analyzed.collect { case h: ResolvedHint => h }.isEmpty,
