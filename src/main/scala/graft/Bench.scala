@@ -146,14 +146,22 @@ object Bench {
     //  (a) >25% of the machine's CPU time is going to OTHER work at
     //      process entry (max over three 150 ms windows — a single
     //      window let r10's bursty load read 0.01), or
-    //  (b) the entry 1-min loadavg exceeds 1.0 — the r10 artifact's
-    //      signature was exactly busy_frac≈0 with a 2.28-decaying
-    //      loadavg: recently-loaded boxes disperse multi-second
-    //      queries even when the 450 ms entry window happens to be
-    //      quiet. (An idle box reads well under 1.0 at Bench entry
-    //      through this exact launch path — r10 judge 0.74, r11
-    //      measured 0.16 — so a rare launcher-burst false positive
-    //      just costs n=4 runs, never a silently-hot artifact.)
+    //  (b) the entry 1-min loadavg exceeds max(1.0, cores/16) — the
+    //      r10 artifact's signature was exactly busy_frac≈0 with a
+    //      2.28-decaying loadavg: recently-loaded boxes disperse
+    //      multi-second queries even when the 450 ms entry window
+    //      happens to be quiet. The threshold SCALES with core count
+    //      (r11 advice): a flat 1.0 is ~3% utilization on a 32-core
+    //      box, and the r11 artifact proved it chronically
+    //      false-positive — entry 1.95 (the driver's own just-finished
+    //      compile+verify decaying, ~6% of 32 cores) was labeled hot,
+    //      yet the judge's per-query diff found ZERO dispersion. The
+    //      earlier "idle entry reads 0.16/0.74" figures were bare
+    //      runMain launches with nothing before them — both regimes
+    //      are real, so the gate needs the cores-scaled margin
+    //      (2.0 on this box: r11's benign 1.95 passes, r10's
+    //      dispersive 2.28 still flags). Flat 1.0 is kept for ≤16
+    //      cores, where 1.0 is a meaningful share of the machine.
     // Hot runs get n=4/query (min-of-4 rejects a transient far more
     // reliably than min-of-2) and the contract line carries
     // "hot_start":true — a number recorded under load is self-evidently
@@ -163,9 +171,10 @@ object Bench {
     // the label ORs both samples.
     val l1Before = loadBefore.split("\\s+").headOption
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
-    val hotStart = busyFrac > 0.25 || l1Before > 1.0
+    val loadThresh = math.max(1.0, Runtime.getRuntime.availableProcessors() / 16.0)
+    val hotStart = busyFrac > 0.25 || l1Before > loadThresh
     if (hotStart) System.err.println(
-      f"[bench-diag] CONTAMINATED-START busy_frac=$busyFrac%.2f loadavg1=$l1Before%.2f (gate: busy>0.25 or load>1.0) — n=4/query, minima still suspect")
+      f"[bench-diag] CONTAMINATED-START busy_frac=$busyFrac%.2f loadavg1=$l1Before%.2f (gate: busy>0.25 or load>$loadThresh%.1f) — n=4/query, minima still suspect")
     val results = headline.filter(all.contains).map { name =>
       // min of 2 runs (3 when the first two are both >1s — the slow
       // queries dominate the total, so they get the extra sample):

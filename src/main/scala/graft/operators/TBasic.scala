@@ -132,21 +132,39 @@ object TBasic {
     * (wrong order).
     *
     * Two value-identical paths, the [[Rank.rank]] contract — but the
-    * window/broadcast here only ever touch the DISTINCT set, which the
-    * nominal rule bounds at ~5% of rows (1/20), so the routing
-    * compares `approxRows / 20` against `windowMaxRows`: a 600k-row
-    * search-scale table (≤30k codes) rightly keeps the codegen'd tiny
-    * window + broadcast, while a table whose code bound itself passes
-    * `windowMaxRows` — corpus-scaled vocabulary, the same hazard class
-    * as the round-11 de-hinted sets — ranks its distinct values with
-    * the range-partitioned [[Rank.zipWithIndexRank]] (no global
-    * window) and leaves the join strategy to AQE, which broadcasts
-    * when the code table actually fits and shuffles when it doesn't. */
+    * window/broadcast here only ever touch the DISTINCT set, so the
+    * routing keys on a DISTINCT bound, not raw rows:
+    *  - `distinctEstimate ≥ 0` (a caller with a profile, e.g. the
+    *    engine's per-column distinctCount) is trusted outright;
+    *  - `approxRows ≤ windowMaxRows`: distinct ≤ rows, window safe
+    *    with no assumption at all;
+    *  - the mid band (`windowMaxRows < approxRows ≤ 20·windowMaxRows`)
+    *    is where the old nominal-rule heuristic (distinct ≤ rows/20)
+    *    was the ONLY thing keeping the window path — but TBasic
+    *    'nominalize' steps run on arbitrary spec-named columns with no
+    *    cardinality guarantee, and a near-unique 2M-row column would
+    *    have taken a 2M-value single-partition sort plus a forced 2M
+    *    broadcast. One `approx_count_distinct` scan (cheap next to the
+    *    sort it guards at this size) MEASURES the bound instead;
+    *  - above the band, the measurement itself would be a corpus-wide
+    *    scan, so the range-partitioned scale path is taken outright:
+    *    [[Rank.zipWithIndexRank]] over the distinct values (no global
+    *    window) with the join strategy left to AQE, which broadcasts
+    *    when the code table actually fits and shuffles when it
+    *    doesn't — always correct, and at corpus scale the tiny-window
+    *    codegen it forgoes is noise. */
   def nominalize(df: DataFrame, c: String, outName: String,
                  approxRows: Long = 0L,
-                 windowMaxRows: Long = 100000L): DataFrame = {
+                 windowMaxRows: Long = 100000L,
+                 distinctEstimate: Long = -1L): DataFrame = {
     val distinctVals = df.select(col(c)).where(col(c).isNotNull).distinct()
-    if (approxRows / 20 <= windowMaxRows) {
+    val distinctBound: Long =
+      if (distinctEstimate >= 0L) distinctEstimate
+      else if (approxRows <= windowMaxRows) approxRows
+      else if (approxRows <= 20L * windowMaxRows)
+        df.select(approx_count_distinct(col(c)).as("__nd")).head().getLong(0)
+      else Long.MaxValue
+    if (distinctBound <= windowMaxRows) {
       // the bare Window.orderBy runs over the DISTINCT CODES frame
       // only — bounded by the caller's row estimate, so the
       // single-partition sort and the broadcast are both capped

@@ -45,17 +45,33 @@ object Profiler {
   /** The approx-distinct routing decision, factored out so the spec
     * can probe it against stat-less sources directly. True when the
     * flag forces it, or when Catalyst's size estimate is both KNOWN
-    * (strictly below the spark.sql.defaultSizeInBytes placeholder a
-    * stat-less LogicalRDD/V2 relation reports — at or past it means
-    * "unknown", not "huge") and above the configured threshold. */
+    * and above the configured threshold.
+    *
+    * "Known" is decided at the LEAVES, not the top of the plan: a
+    * stat-less leaf (LogicalRDD, many V2 relations) reports the
+    * spark.sql.defaultSizeInBytes placeholder, but Catalyst SCALES
+    * that placeholder through projections/filters/limits (column-size
+    * and selectivity ratios), so a top-of-plan estimate below the
+    * sentinel can still be placeholder-derived fiction — a 100-row
+    * RDD-backed frame with any projection would read as known-huge
+    * and silently route to HLL, violating the stat-less-stays-exact
+    * invariant. Any leaf at-or-past the sentinel (or with no row
+    * count either) means UNKNOWN; unknown keeps the exact path
+    * (slow-but-correct is the right failure direction for a size the
+    * planner cannot see). */
   private[graft] def shouldApproxDistinct(df: DataFrame, cfg: EngineConfig): Boolean = {
-    val sizeEst = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = df.queryExecution.optimizedPlan
     val unknownSentinel = BigInt(scala.util.Try(
       df.sparkSession.conf.get("spark.sql.defaultSizeInBytes").toLong)
       .getOrElse(Long.MaxValue))
+    val anyStatlessLeaf = plan.collectLeaves().exists { leaf =>
+      val s = leaf.stats
+      s.sizeInBytes >= unknownSentinel ||
+        (s.sizeInBytes == 0 && s.rowCount.isEmpty && leaf.output.nonEmpty)
+    }
     cfg.approxDistinct ||
-      (sizeEst < unknownSentinel &&
-        sizeEst > BigInt(cfg.approxDistinctAboveBytes))
+      (!anyStatlessLeaf &&
+        plan.stats.sizeInBytes > BigInt(cfg.approxDistinctAboveBytes))
   }
 
   def profile(df0: DataFrame, cfg: EngineConfig = EngineConfig.default): (DataFrame, TableProfile) = {

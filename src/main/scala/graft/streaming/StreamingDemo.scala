@@ -264,10 +264,16 @@ object StreamingDemo {
     * the hot-bucket skew guard (the state-side analogue of
     * [[graft.operators.Dedup]]'s capBuckets): a bucket at capacity
     * stops ADMITTING new residents but still answers probes, so a
-    * viral duplicate cluster costs bounded memory and its members
-    * still pair through their other bands. Total state =
-    * `bands × (8·numHashes + ~16)` bytes per admitted document
-    * (~2 KB/doc at the defaults); past executor-heap scale, run the
+    * viral duplicate cluster costs bounded signature memory and its
+    * members still pair through their other bands. Documents judged
+    * past the cap leave an id-only TOMBSTONE (a [[SigEntry]] with an
+    * empty signature, ~16 bytes vs ~8·numHashes for a resident) so
+    * the redelivery present-check covers them too — a capped doc's
+    * replay is discarded like any other, never re-judged or
+    * re-emitted. Total state = `bands × (8·numHashes + ~16)` bytes
+    * per admitted document (~2 KB/doc at the defaults) plus
+    * `bands × ~16` bytes per capped document; past executor-heap
+    * scale, run the
     * query with `spark.sql.streaming.stateStore.providerClass` set to
     * the RocksDB provider — state then lives off-heap/on-disk and the
     * per-bucket lists page in on probe, which is the 100 TB-stream
@@ -324,10 +330,18 @@ object StreamingDemo {
       // copies the whole resident list each admission, turning the
       // hot-bucket scenario maxBucket exists for into O(m²) copying
       val seen = scala.collection.mutable.ArrayBuffer.from(seen0)
+      // residents = entries carrying a signature; a capped bucket also
+      // holds id-only TOMBSTONES (sig = empty) for documents judged
+      // after the cap, so the redelivery check below covers EVERY
+      // previously-judged document, not just admitted residents —
+      // without them, a doc rejected at the cap would be invisible to
+      // the present-check and an at-least-once replay would be
+      // re-judged (and re-emit a verdict) as if new
+      var residents = seen.count(_.sig.nonEmpty)
       val out = rows.sortBy(_.docId).map { row =>
         var bestId = -1L; var bestSim = -1.0; var present = false
         seen.foreach { e =>
-          // a resident with the SAME id means this row is a REDELIVERY
+          // an entry with the SAME id means this row is a REDELIVERY
           // of an already-judged document (at-least-once sources
           // replay) — it must not be re-admitted, and its whole
           // verdict must be discarded below: comparing a replay
@@ -337,7 +351,7 @@ object StreamingDemo {
           // violating both idempotency and the oracle's a.id < b.id
           // pair direction
           if (e.docId == row.docId) present = true
-          else {
+          else if (e.sig.nonEmpty) {
             val sim = simOf(e.sig, row.sig)
             if (sim >= tau && (sim > bestSim || (sim == bestSim && e.docId < bestId)))
               { bestId = e.docId; bestSim = sim }
@@ -345,10 +359,14 @@ object StreamingDemo {
         }
         if (present) NearDupVerdict(row.docId, row.band, -1L, -1.0)
         else {
-          // (a doc that was REJECTED at the cap on first arrival is
-          // indistinguishable from new here and re-judges — the
-          // documented hot-bucket degradation, bounded by maxBucket)
-          if (seen.size < maxBucket) seen += SigEntry(row.docId, row.sig)
+          if (residents < maxBucket) {
+            seen += SigEntry(row.docId, row.sig); residents += 1
+          } else {
+            // cap reached: record the id alone (no signature — ~16
+            // bytes vs ~8·numHashes) so a replay of this doc is still
+            // recognized as already-judged; it never answers probes
+            seen += SigEntry(row.docId, Seq.empty)
+          }
           NearDupVerdict(row.docId, row.band, bestId, bestSim)
         }
       }

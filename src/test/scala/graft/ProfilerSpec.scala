@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.functions.{DBSCAN, DateSniffer}
 import graft.profiler.{Profiler, SemClusters}
 
@@ -135,6 +137,24 @@ class ProfilerSpec extends SparkSpec {
     assert(!Profiler.shouldApproxDistinct(rddDf,
       EngineConfig(approxDistinctAboveBytes = 0L)),
       "a stat-less source must keep the exact path even at threshold 0")
+    // the porous-guard case: Catalyst SCALES the placeholder through
+    // projections (output-row-size / input-row-size ratio), so the
+    // top-of-plan estimate of a NARROWING projection over a stat-less
+    // frame drops BELOW the sentinel and a top-level check would read
+    // it as known-huge. Unknown-ness must be decided at the leaves
+    val rddWide = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1 to 100).map(i => org.apache.spark.sql.Row(i.toLong, "x" * 50))),
+      new org.apache.spark.sql.types.StructType()
+        .add("v", org.apache.spark.sql.types.LongType)
+        .add("s", org.apache.spark.sql.types.StringType))
+    val projected = rddWide.select(col("v"))
+    assert(projected.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(Long.MaxValue),
+      "precondition: the narrowing projection scales the placeholder below the sentinel")
+    assert(!Profiler.shouldApproxDistinct(projected,
+      EngineConfig(approxDistinctAboveBytes = 0L)),
+      "a PROJECTED stat-less frame must keep the exact path (leaf-level detection)")
   }
 
   test("quantile signatures drive Wasserstein distances") {

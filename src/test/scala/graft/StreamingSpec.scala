@@ -270,6 +270,42 @@ class StreamingSpec extends SparkSpec {
     assert(d2._2 == 1L && d2._3 == 1L, s"doc 2 must still dup to doc 1: $d2")
   }
 
+  test("a doc judged past the maxBucket cap is still redelivery-protected (id tombstone)") {
+    // with maxBucket=1 the first resident saturates every bucket it
+    // occupies; doc 2 is then judged AT the cap (dup-of-1, never
+    // admitted). Its replay must be discarded by the present-check —
+    // the id-only tombstone — not re-judged: a re-judge would emit a
+    // second positive verdict row for an already-decided document
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDemo.minhashDedupStream(
+        mem.toDF().toDF("doc_id", "text"), tau = 0.3, maxBucket = 1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("minhash_cap_tombstone_test").start()
+    try {
+      mem.addData((1L, base))
+      q.processAllAvailable()
+      mem.addData((2L, base + " today"))
+      q.processAllAvailable()
+      val positive = spark.table("minhash_cap_tombstone_test")
+        .where($"docId" === 2L && $"dupOf" =!= -1L).count()
+      assert(positive > 0, "doc 2 must judge dup-of-1 on first arrival")
+      mem.addData((2L, base + " today")) // at-least-once replay of the CAPPED doc
+      q.processAllAvailable()
+      val afterReplay = spark.table("minhash_cap_tombstone_test")
+        .where($"docId" === 2L && $"dupOf" =!= -1L).count()
+      assert(afterReplay == positive,
+        s"a capped doc's replay must be discarded, not re-judged ($positive -> $afterReplay)")
+    } finally q.stop()
+    val out = StreamingDemo.collapseNearDupVerdicts(
+        spark.table("minhash_cap_tombstone_test"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out.contains((1L, 0L, -1L, -1.0)), s"doc 1 stays first: $out")
+    val d2 = out.find(_._1 == 2L).get
+    assert(d2._2 == 1L && d2._3 == 1L, s"doc 2 keeps its dup-of-1 verdict: $d2")
+  }
+
   test("minhashDedupStream runs on the RocksDB state store (the past-heap posture)") {
     // the operator's scaladoc tells 100 TB-stream deployments to move
     // bucket state to RocksDB; this pins that the state schema

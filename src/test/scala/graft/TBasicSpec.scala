@@ -81,9 +81,10 @@ class TBasicSpec extends SparkSpec {
     def codesOf(approxRows: Long) = graft.operators.TBasic
       .nominalize(wide, "cat", "code", approxRows = approxRows)
       .select("cat", "code").distinct().as[(String, Long)].collect().toMap
-    // routing keys on the DISTINCT bound (~rows/20, the nominal rule),
-    // not raw rows: 1M rows → ≤50k codes → still the window path;
-    // 10M rows → the code bound itself passes windowMaxRows → scale
+    // routing keys on a DISTINCT bound, not raw rows: in the mid band
+    // (1M rows) the bound is MEASURED (approx_count_distinct → 137 →
+    // window path); above the band (10M rows) the measurement itself
+    // would be a corpus scan, so the scale path is taken outright
     val small = codesOf(approxRows = 1000000L)  // window + broadcast path
     val large = codesOf(approxRows = 10000000L) // zipWithIndex path
     assert(small.size == 137 && small == large)
@@ -96,6 +97,36 @@ class TBasicSpec extends SparkSpec {
       "scale path must not force a broadcast of the corpus-scaled code table")
     assert(analyzed.collect { case w: LWindow => w }.isEmpty,
       "scale path must not plan a single-partition window")
+  }
+
+  test("nominalize mid-band routing measures cardinality — a near-unique column scales") {
+    // the old heuristic ASSUMED distinct ≤ rows/20 (the nominal rule),
+    // but 'nominalize' steps run on arbitrary spec-named columns: a
+    // near-unique column in the mid band (windowMaxRows < rows ≤
+    // 20·windowMaxRows) must be routed by the MEASURED distinct count,
+    // not funneled through a single-partition window sort
+    import org.apache.spark.sql.catalyst.plans.logical.{ResolvedHint, Window => LWindow}
+    val nearUnique = spark.range(2000).selectExpr("id", "concat('u', id) AS cat")
+    val scaled = graft.operators.TBasic.nominalize(
+      nearUnique, "cat", "code", approxRows = 2000L, windowMaxRows = 100L)
+    val analyzed = scaled.queryExecution.analyzed
+    assert(analyzed.collect { case w: LWindow => w }.isEmpty,
+      "a measured near-unique mid-band column must take the scale path")
+    assert(analyzed.collect { case h: ResolvedHint => h }.isEmpty)
+    // value parity with the window path on the same frame
+    val viaWindow = graft.operators.TBasic
+      .nominalize(nearUnique, "cat", "code")
+      .select("cat", "code").distinct().as[(String, Long)].collect().toMap
+    val viaScale = scaled
+      .select("cat", "code").distinct().as[(String, Long)].collect().toMap
+    assert(viaWindow.size == 2000 && viaWindow == viaScale)
+    // and a caller-supplied profiled estimate overrides the measurement
+    val forced = graft.operators.TBasic.nominalize(
+      nearUnique, "cat", "code", approxRows = 2000L, windowMaxRows = 100L,
+      distinctEstimate = 50L)
+    assert(forced.queryExecution.analyzed
+      .collect { case w: LWindow => w }.nonEmpty,
+      "a trusted small distinctEstimate keeps the window path")
   }
 
   test("select by dtype family and output modes") {
