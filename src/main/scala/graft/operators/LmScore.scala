@@ -142,29 +142,58 @@ object LmScore {
     * tertiles of the global score order — head = most in-distribution
     * text, the slice CCNet keeps for LM training.
     *
-    * The tertile cut uses [[Rank.minRankByValue]], NOT a global
-    * `row_number` window: only distinct scores sort (range-partitioned,
-    * no single-partition funnel), and min-rank gives tied scores —
-    * byte-identical documents score bit-identically here — the same
-    * rank, so the bucket label is independent of partitioning and
-    * encounter order with no tie-break column needed. The bucket index
-    * is pure integer arithmetic, `(rank-1)*3 div n`; no double
-    * division whose rounding could flip a boundary document.
+    * The tertile cut uses min-rank semantics — tied scores
+    * (byte-identical documents score bit-identically here) share the
+    * rank of their first sorted position, so the bucket label is
+    * independent of partitioning and encounter order with no tie-break
+    * column needed. The bucket index is pure integer arithmetic,
+    * `(rank-1)*3 div n`; no double division whose rounding could flip
+    * a boundary document.
+    *
+    * Scale shape (round 12): bucket(v) is MONOTONE in the score, so
+    * the whole cut reduces to two boundary SCORES — the smallest
+    * score whose min-rank reaches each tertile, read off the
+    * distinct-value rank frame ([[Rank.distinctValueRanks]], the
+    * [[Rank.exactPercentiles]] machinery: only DISTINCT scores sort,
+    * range-partitioned). The corpus itself is then labeled by one
+    * literal-comparison projection. The earlier spelling
+    * ([[Rank.minRankByValue]]) joined the full corpus against the
+    * rank table — with real-valued scores distinct ≈ rows, i.e. a
+    * corpus-sized shuffle join — and paid a separate `count()` pass;
+    * both are gone: after the score fit, the only corpus-wide work is
+    * the distinct groupBy and the final scan.
     */
   def buckets(docs: DataFrame, idCol: String, textCol: String,
               vocabSize: Int = 2000, bigramCap: Int = 10000): DataFrame = {
     require(idCol != "__rk" && idCol != "ppl_bucket",
       s"idCol '$idCol' collides with an internal column name")
-    // persisted: consumed by the count and the rank join, and its
-    // lineage is the whole LM fit
+    // persisted: consumed by the rank groupBy and the final labeling
+    // scan, and its lineage is the whole LM fit
     val scored = graft.CacheScope.track(
       score(docs, idCol, textCol, vocabSize, bigramCap))
-    val n = scored.count()
-    val bucketIdx = expr(s"(__rk - 1L) * 3L div ${n}L")
-    Rank.minRankByValue(scored, "lm_score", "__rk")
-      .select(col(idCol), col("n_tokens"), col("lm_score"),
-        when(bucketIdx === 2, lit("head"))
-          .when(bucketIdx === 1, lit("middle"))
-          .otherwise(lit("tail")).as("ppl_bucket"))
+    // n rides along with the rank frame (summed from the prefix-sum
+    // subtotals) — neither a corpus count() pass nor an extra agg job
+    val (dv, n) = Rank.distinctValueRanksWithTotal(
+      scored, "lm_score", "__v", "__rk", "__cnt")
+    // smallest min-rank inside tertile k: 3·(r−1) ≥ k·n, all-long
+    def tertileRank(k: Long): Long = (k * n + 2L) / 3L + 1L
+    val (s1, s2) =
+      if (n == 0L) (None, None)
+      else {
+        val r = dv.agg(
+          min(when(col("__rk") >= tertileRank(1), col("__v"))).as("__s1"),
+          min(when(col("__rk") >= tertileRank(2), col("__v"))).as("__s2")).head()
+        (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+         if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+      }
+    // boundary scores are exact doubles FROM the data, re-embedded as
+    // literals — the >= cuts reproduce the rank cut bit-for-bit
+    val tail: Column = lit("tail")
+    val withMid = s1.fold(tail)(v =>
+      when(col("lm_score") >= v, lit("middle")).otherwise(tail))
+    val label = s2.fold(withMid)(v =>
+      when(col("lm_score") >= v, lit("head")).otherwise(withMid))
+    scored.select(col(idCol), col("n_tokens"), col("lm_score"),
+      label.as("ppl_bucket"))
   }
 }

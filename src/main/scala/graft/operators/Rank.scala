@@ -79,7 +79,17 @@ object Rank {
   private[graft] def distinctValueRanks(df: DataFrame, valueCol: String,
                                         valOut: String, rankOut: String,
                                         cntOut: String,
-                                        numPartitions: Int = 0): DataFrame = {
+                                        numPartitions: Int = 0): DataFrame =
+    distinctValueRanksWithTotal(df, valueCol, valOut, rankOut, cntOut,
+      numPartitions)._1
+
+  /** [[distinctValueRanks]] plus the TOTAL row count (Σ cnt) — free
+    * from the per-partition subtotals the prefix sum already collects,
+    * so callers that need `n` (the percentile / tertile cuts) skip a
+    * whole extra aggregation job. */
+  private[graft] def distinctValueRanksWithTotal(
+      df: DataFrame, valueCol: String, valOut: String, rankOut: String,
+      cntOut: String, numPartitions: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sessionState.conf.numShufflePartitions
@@ -107,10 +117,11 @@ object Rank {
         Row(r.get(0), rk, r.getLong(cntIdx))
       }
     }
-    spark.createDataFrame(rankedRdd,
+    (spark.createDataFrame(rankedRdd,
       StructType(Seq(sorted.schema(valueCol).copy(name = valOut),
                      StructField(rankOut, LongType, nullable = false),
-                     StructField(cntOut, LongType, nullable = false))))
+                     StructField(cntOut, LongType, nullable = false)))),
+      partTotals.sum)
   }
 
   /** Exact percentiles without a global sort OR interpolation: for each
@@ -132,13 +143,10 @@ object Rank {
       s"percentiles must be in [0,100], got $pcts")
     val spark = df.sparkSession
     val vals = df.select(col(valueCol)).where(col(valueCol).isNotNull)
-    val dv = distinctValueRanks(vals, valueCol, "__v", "__rk", "__cnt")
-    // total rows from the (cached, distinct-sized) rank frame — not a
-    // second full-column scan
-    val n = dv.agg(sum(col("__cnt"))).collect()(0) match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
+    // total rows ride along with the rank frame (summed from the
+    // prefix-sum subtotals) — neither a second full-column scan nor an
+    // extra aggregation job
+    val (dv, n) = distinctValueRanksWithTotal(vals, valueCol, "__v", "__rk", "__cnt")
     require(n > 0, s"exactPercentiles over zero non-null '$valueCol' rows")
     import spark.implicits._
     val targets = pcts.map(p => (p, 1L + ((n - 1L) * p) / 100L))

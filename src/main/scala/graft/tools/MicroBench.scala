@@ -162,7 +162,11 @@ object MicroBench {
       "q_dedup_semantic", "q_dedup_spans",
       // round-10 watch set: the two slowest headline queries in the
       // r10 idle run (2.57 / 2.70 s) — next dispersion candidates
-      "q_dedup_minhash_lsh", "q_lm_buckets")
+      "q_dedup_minhash_lsh", "q_lm_buckets",
+      // round-12: the streaming near-dedup's oracle-gated batch twin —
+      // new multi-second-class stateful operator, exactly the shape
+      // that drifts; its n=5 median stays one command away
+      "q_dedup_stream_verdicts")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
     tail.foreach(measureQuery(spark, dir, _, 5))
   }
