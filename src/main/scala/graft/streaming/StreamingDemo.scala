@@ -70,7 +70,7 @@ object StreamingDemo {
     val wm = if (events.isStreaming)
       picked.withWatermark("ts", s"$gapMinutes minutes") else picked
     sessionizeCore(
-      wm.as[(Long, java.sql.Timestamp)].map { case (u, t) => Ev(u, t.getTime) },
+      wm.withColumn("ts_ms", unix_millis(col("ts"))),
       gapMinutes, events.isStreaming)
   }
 
@@ -88,28 +88,39 @@ object StreamingDemo {
       .where(col("user_id").isNotNull && col("ts_ms").isNotNull)
     val wm = if (events.isStreaming)
       picked.withWatermark("__ts", s"$gapMinutes minutes") else picked
-    sessionizeCore(
-      wm.select(col("user_id"), col("ts_ms"))
-        .as[(Long, Long)].map { case (u, m) => Ev(u, m) },
-      gapMinutes, events.isStreaming)
+    sessionizeCore(wm, gapMinutes, events.isStreaming)
   }
 
-  private def sessionizeCore(typed: org.apache.spark.sql.Dataset[Ev],
+  /** @param input frame with `user_id` (long) and `ts_ms` (long) —
+    *               plus, when streaming, the WATERMARK-TAGGED event
+    *               time column it was derived from. The grouping is on
+    *               untyped rows deliberately: an object-typed `.map`
+    *               before the stateful operator re-serializes the
+    *               frame and STRIPS the watermark column, and the
+    *               analyzer then rejects EventTimeTimeout outright
+    *               ("Event-time timeout not supported without
+    *               watermark") — caught by the RocksDB sessionize spec
+    *               in round 12; every earlier spec exercised only the
+    *               batch path, which never reaches that check. */
+  private def sessionizeCore(input: DataFrame,
                              gapMinutes: Int, streaming: Boolean): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val spark = typed.sparkSession
+    val spark = input.sparkSession
     import spark.implicits._
 
     val gapMs = gapMinutes * 60000L
 
-    def fn(userId: Long, evs: Iterator[Ev], state: GroupState[Sess]): Iterator[Sess] = {
+    def fn(userId: Long, rows: Iterator[org.apache.spark.sql.Row],
+           state: GroupState[Sess]): Iterator[Sess] = {
       if (streaming && state.hasTimedOut) {
         // watermark passed end + gap: the session is definitively over
         val out = state.getOption.toSeq
         state.remove()
         return out.iterator
       }
-      val sorted = evs.toSeq.sortBy(_.tsMillis)
+      val sorted = rows.map(r =>
+        Ev(r.getAs[Long]("user_id"), r.getAs[Long]("ts_ms")))
+        .toSeq.sortBy(_.tsMillis)
       var cur = state.getOption
       val closed = Seq.newBuilder[Sess]
       sorted.foreach { e =>
@@ -147,7 +158,7 @@ object StreamingDemo {
     val timeout =
       if (streaming) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    typed.groupByKey(_.userId)
+    input.groupByKey(_.getAs[Long]("user_id"))
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(fn)
       .toDF("user_id", "session_start_ms", "session_end_ms", "n_events")
   }

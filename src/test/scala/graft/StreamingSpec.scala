@@ -339,6 +339,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionize Sess state round-trips the RocksDB provider; timeout emits the session") {
+    // closes the streaming family's off-heap posture (r11 stretch):
+    // the near-dedup's Seq[SigEntry] pin generalizes — this asserts
+    // sessionizeCore's Sess state (a) survives a cross-batch RocksDB
+    // round-trip (the batch-2 event must EXTEND the stored session,
+    // not start a fresh one) and (b) is emitted + freed when the
+    // event-time timeout fires after the watermark clears end + gap
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1700000000000L
+      def tsAt(min: Long) = new Timestamp(t0 + min * 60000L)
+      val mem = MemoryStream[(Long, Timestamp)]
+      val q = StreamingDemo.sessionize(mem.toDF().toDF("user_id", "ts"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sessionize_rocksdb_test").start()
+      try {
+        mem.addData((1L, tsAt(0)), (1L, tsAt(1)))
+        q.processAllAvailable()
+        mem.addData((1L, tsAt(10))) // within gap: extends the STORED session
+        q.processAllAvailable()
+        // user 2 far ahead advances the watermark past end+gap; the
+        // extra batch lets the (next-batch-applied) watermark fire
+        // the timeout
+        mem.addData((2L, tsAt(120)))
+        q.processAllAvailable()
+        mem.addData((2L, tsAt(121)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("sessionize_rocksdb_test")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(out == Set((1L, t0, t0 + 10L * 60000L, 3L)),
+        s"user 1's whole 3-event session must emit once on timeout: $out")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("minhashDedupStream rejects a non-integral id and bad band split") {
     val d = Seq(("a", "x y z")).toDF("doc_id", "text")
     assertThrows[IllegalArgumentException] {
