@@ -91,8 +91,16 @@ object LmScore {
             .otherwise(when(col("__v2").isNotNull, col("__pw"))
               .otherwise(lit(Unk))).as("a")))
 
-    val uni = mapped.groupBy(col("m")).agg(count(lit(1)).as("uc"))
-    val nTotal = mapped.count()
+    // persisted: read three times below (nTotal + both score-side
+    // broadcast joins) — and nTotal comes from the ≤(vocabSize+1)-row
+    // unigram table's own counts, NOT a second corpus-wide count()
+    // pass over `mapped`
+    val uni = graft.CacheScope.track(
+      mapped.groupBy(col("m")).agg(count(lit(1)).as("uc")))
+    val nTotal = uni.agg(sum(col("uc"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
 
     val pairs = mapped
     val big = pairs.where(col("a").isNotNull)
