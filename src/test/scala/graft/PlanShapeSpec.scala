@@ -272,6 +272,39 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("LM tertile bucketing labels by literal cuts — no rank join back onto the corpus") {
+    // round 12: the cut is two boundary scores read off the
+    // distinct-value rank frame; the corpus-facing output must be a
+    // pure projection over the cached scored frame. A join here means
+    // the old corpus-sized rank join came back (real-valued scores →
+    // distinct ≈ rows, so that join shuffles the whole corpus).
+    // the scored frame's BUILD plan (inside the InMemoryTableScan)
+    // legitimately holds the LM fit's broadcast joins — the guard is
+    // on everything ABOVE the cache, so descent stops there
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def above(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case _: InMemoryTableScanExec => Seq.empty
+        case other                    => other.children
+      }
+      p +: inner.flatMap(above)
+    }
+    val df = SparkEntry.queries("q_lm_buckets")(spark, sfDir)
+    df.collect()
+    val plan = above(df.queryExecution.executedPlan)
+    assert(plan.exists(_.isInstanceOf[InMemoryTableScanExec]),
+      "labeling must read the persisted scored frame")
+    assert(!plan.exists(p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec] ||
+        p.isInstanceOf[BroadcastHashJoinExec]),
+      s"bucket labeling must be join-free over the scored cache:\n${plan.head}")
+    graft.CacheScope.releaseAll()
+  }
+
   test("quality-model scoring is literal weights over the cached feature frame — no refit") {
     val df = ExtQueries.queries("q_quality_model")(spark, sfDir)
     df.collect()
