@@ -339,6 +339,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupLinesStream's per-line state round-trips the RocksDB provider") {
+    // completes the off-heap posture across ALL custom-state streaming
+    // operators (near-dedup r11, sessionize r12): the cross-batch
+    // suppression below only works if the Boolean first-arrival state
+    // written in batch 1 is read back through RocksDB in batch 2
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingDemo.dedupLinesStream(mem.toDF().toDF("doc_id", "text"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("lines_rocksdb_test").start()
+      try {
+        mem.addData((1L, "a\nb"))
+        q.processAllAvailable()
+        mem.addData((2L, "b\nc")) // b must be suppressed by batch-1 state
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("lines_rocksdb_test")
+        .as[(Long, Int, String)].collect().toSet
+      assert(out == Set((1L, 0, "a"), (1L, 1, "b"), (2L, 1, "c")),
+        s"first arrival must win across a RocksDB state round-trip: $out")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("sessionize Sess state round-trips the RocksDB provider; timeout emits the session") {
     // closes the streaming family's off-heap posture (r11 stretch):
     // the near-dedup's Seq[SigEntry] pin generalizes — this asserts
