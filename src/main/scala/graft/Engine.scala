@@ -88,7 +88,8 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
     // search used (a 600k-row rank must not funnel through one
     // partition just because it arrived via /vis/addT)
     Lineage.addStep(pdf, lineageJson, step, prof.keyColumn.toSeq,
-      approxRows = prof.rows, windowRankMaxRows = cfg.windowRankMaxRows)
+      approxRows = prof.rows, windowRankMaxRows = cfg.windowRankMaxRows,
+      distincts = prof.distinctCounts)
   }
 
   /** Sampled-fit routing for interactive rebuilds — the same decision
@@ -102,7 +103,8 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
     val (pdf, prof) = profileOr(source, profiled)
     Lineage.addCoreT(pdf, lineageJson, coreT, prof.keyColumn.toSeq, cfg.notCalcuDmT,
       approxRows = prof.rows, embedSampleAbove = embedSampleAbove,
-      windowRankMaxRows = cfg.windowRankMaxRows)
+      windowRankMaxRows = cfg.windowRankMaxRows,
+      distincts = prof.distinctCounts)
   }
 
   /** Build a chart's data frame from user-chosen channel lineages —
@@ -124,7 +126,8 @@ final class Engine(spark: SparkSession, cfg: EngineConfig = EngineConfig.default
     val executed = channels.map { case (ch, (json, coreT)) =>
       ch -> Lineage.addCoreT(pdf, json, coreT, key, cfg.notCalcuDmT,
         approxRows = prof.rows, embedSampleAbove = embedSampleAbove,
-        windowRankMaxRows = cfg.windowRankMaxRows)
+        windowRankMaxRows = cfg.windowRankMaxRows,
+        distincts = prof.distinctCounts)
     }
     if (executed.values.exists(_.isEmpty)) return None
     val frames = executed.view.mapValues(_.get).toMap

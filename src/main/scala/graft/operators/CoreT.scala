@@ -666,12 +666,13 @@ object CoreT {
                 carry: Seq[String], notCalcuDmT: Boolean = true,
                 approxRows: Long = 0L,
                 windowRankMaxRows: Long = 100000L,
-                embedSampleAbove: Long = 0L): Option[DataFrame] = {
+                embedSampleAbove: Long = 0L,
+                distincts: Map[String, Long] = Map.empty): Option[DataFrame] = {
     val hasArithmetic = tpath.exists(s => arithmeticOps.contains(s.op))
     if (notCalcuDmT && dimensionReducing.contains(coreT) && hasArithmetic) return None
     if (coreT == "null_num1" && !hasArithmetic) return None
     val after = tpath.foldLeft(df)((d, s) =>
-      TBasic(d, s, carry, approxRows, windowRankMaxRows))
+      TBasic(d, s, carry, approxRows, windowRankMaxRows, distincts))
     val feats = numericCols(after).filterNot(carry.contains)
     // tsne/umap at scale: above `embedSampleAbove` (0 = off) the
     // sampled-fit out-of-sample path replaces the exact driver fit —

@@ -186,9 +186,14 @@ object TBasic {
     * @param approxRows caller's row-count estimate; above
     *                   `windowRankMaxRows` the rank op switches from the
     *                   single-partition window to [[Rank.zipWithIndexRank]]
-    *                   (same semantics, range-partitioned) */
+    *                   (same semantics, range-partitioned)
+    * @param distincts  profiled per-column distinct counts, forwarded
+    *                   to [[nominalize]]'s routing so a replay behind a
+    *                   profile never re-measures cardinality (columns
+    *                   created mid-tpath are absent and measure) */
   def apply(df: DataFrame, step: TStep, carryCols: Seq[String] = Nil,
-            approxRows: Long = 0L, windowRankMaxRows: Long = 100000L): DataFrame = {
+            approxRows: Long = 0L, windowRankMaxRows: Long = 100000L,
+            distincts: Map[String, Long] = Map.empty): DataFrame = {
     val ins = resolveInputs(df, step)
     def named(default: String): String = step.outName.getOrElse(default)
 
@@ -216,7 +221,7 @@ object TBasic {
           Rank.rank(d, c, carryCols, "rank " + c, approxRows, windowRankMaxRows))
       case "nominalize" =>
         ins.foldLeft(df)((d, c) => nominalize(d, c, named("nominalize " + c),
-          approxRows, windowRankMaxRows))
+          approxRows, windowRankMaxRows, distincts.getOrElse(c, -1L)))
       case other =>
         throw new IllegalArgumentException(s"unknown basic T: $other")
     }

@@ -60,10 +60,11 @@ object Lineage {
     * exactly the funnel windowRankMaxRows exists to route around. */
   def addStep(source: DataFrame, json: String, step: TStep,
               carry: Seq[String], approxRows: Long = 0L,
-              windowRankMaxRows: Long = 100000L): (DataFrame, String) = {
+              windowRankMaxRows: Long = 100000L,
+              distincts: Map[String, Long] = Map.empty): (DataFrame, String) = {
     val steps = fromJson(json) :+ step
     (steps.foldLeft(source)((d, s) =>
-      TBasic(d, s, carry, approxRows, windowRankMaxRows)), toJson(steps))
+      TBasic(d, s, carry, approxRows, windowRankMaxRows, distincts)), toJson(steps))
   }
 
   /** /vis/addV-style terminal transform on a replayed lineage. */
@@ -75,10 +76,11 @@ object Lineage {
   def addCoreT(source: DataFrame, json: String, coreT: String,
                carry: Seq[String], notCalcuDmT: Boolean = true,
                approxRows: Long = 0L, embedSampleAbove: Long = 0L,
-               windowRankMaxRows: Long = 100000L): Option[DataFrame] =
+               windowRankMaxRows: Long = 100000L,
+               distincts: Map[String, Long] = Map.empty): Option[DataFrame] =
     CoreT.transform(source, coreT, fromJson(json), carry, notCalcuDmT,
       approxRows, windowRankMaxRows = windowRankMaxRows,
-      embedSampleAbove = embedSampleAbove)
+      embedSampleAbove = embedSampleAbove, distincts = distincts)
 }
 
 /** Demo-presentation reorder of the recommendation list

@@ -181,7 +181,8 @@ object Recommender {
           try CoreT.transform(df, coreT, tp.steps, key, cfg.notCalcuDmT,
             profile.rows, cfg.windowRankMaxRows,
             embedSampleAbove = if (cfg.searchEmbedTs && cfg.searchEmbedSampleFit)
-              cfg.searchEmbedMaxRows else 0L).map { out =>
+              cfg.searchEmbedMaxRows else 0L,
+            distincts = profile.distinctCounts).map { out =>
             val outCols = out.columns.filterNot(key.contains).toSeq
             Executed(coreT, tp, out, outCols)
           } catch {

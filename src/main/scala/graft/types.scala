@@ -73,6 +73,14 @@ final case class TableProfile(
   def categoricalColumns: Seq[String] =
     columns.filter(c => LogicalType.isCategorical(c.logicalType)).map(_.name)
   def column(name: String): Option[ColumnProfile] = columns.find(_.name == name)
+  /** name → profiled distinct count, for routing decisions downstream
+    * of the profile (nominalize's window-vs-scale path): the profile
+    * already paid for these counts, so replays must not re-measure.
+    * In approx mode boundary-critical columns were re-counted exactly;
+    * the rest may be HLL estimates — fine for ROUTING (both arms are
+    * value-identical), never used for values. */
+  def distinctCounts: Map[String, Long] =
+    columns.map(c => c.name -> c.distinctCount).toMap
 }
 
 /** Engine configuration constants carried over from the reference
