@@ -601,6 +601,14 @@ object ExtQueries {
       MediaCodecs.imageGrayHistogram(
         MediaCodecs.renderImages(Tables.documents(s, dir), "doc_id"), "doc_id")
     }),
+    // the STREAMING decode twin run in batch mode — the typed
+    // mapPartitions spelling executes identically on both, so this
+    // value-gates it against the closed-form pixel fixture while the
+    // true-stream run + stream==batch parity live in StreamingSpec
+    "q_image_meta_stream" -> ((s, dir) => {
+      MediaCodecs.decodeImageMetadataStream(
+        MediaCodecs.renderImages(Tables.documents(s, dir), "doc_id"), "doc_id")
+    }),
     "q_image_resize" -> ((s, dir) => {
       MediaCodecs.resizeImagesNN(
         MediaCodecs.renderImages(Tables.documents(s, dir), "doc_id"), "doc_id",
@@ -2214,6 +2222,12 @@ object ExtQueries {
         |  CAST(COALESCE(MAX(CASE WHEN b = 6 THEN cnt END), 0) AS DOUBLE) / MAX(n) AS h6,
         |  CAST(COALESCE(MAX(CASE WHEN b = 7 THEN cnt END), 0) AS DOUBLE) / MAX(n) AS h7
         |FROM c GROUP BY doc_id""".stripMargin,
+    "q_image_meta_stream" ->
+      """SELECT doc_id, TRUE AS decode_ok,
+        |  CAST(doc_id % 17 + 8 AS BIGINT) AS width,
+        |  CAST(doc_id % 13 + 8 AS BIGINT) AS height,
+        |  CAST((doc_id % 17 + 8) * (doc_id % 13 + 8) AS BIGINT) AS n_pixels
+        |FROM documents""".stripMargin,
     "q_image_resize" ->
       """WITH d AS (SELECT doc_id, doc_id % 17 + 8 AS w, doc_id % 13 + 8 AS h
         |           FROM documents),

@@ -115,6 +115,47 @@ object MediaCodecs {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** One decoded-metadata row — the typed twin of
+    * [[decodeImageMetadata]]'s schema (the streaming spelling needs an
+    * Encoder, so the generic Row path can't be reused there). */
+  final case class ImageMetaRow(key: Long, decode_ok: Boolean,
+      width: Option[Long], height: Option[Long], n_pixels: Option[Long])
+
+  /** Streaming-capable twin of [[decodeImageMetadata]] — the crawl
+    * ingestion shape, where image payloads arrive on a continuous
+    * stream. The batch op runs the JDK decoder through `.rdd`, which
+    * is illegal on a streaming frame; this spells the IDENTICAL
+    * per-row decode as a typed `Dataset.mapPartitions`, which
+    * Structured Streaming executes as a stateless projection — no
+    * watermark, no state store, one decode per arriving row, corrupt
+    * bytes still yield `decode_ok = false` rows. Works on batch frames
+    * too (value parity with the batch op is spec-pinned), and the same
+    * spelling lifts any decode op in this module onto a stream.
+    * Integral key contract (the Encoder fixes the key type — the same
+    * rule as the streaming dedup ops). */
+  def decodeImageMetadataStream(df: DataFrame, keyCol: String): DataFrame = {
+    val idType = df.schema(keyCol).dataType
+    require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+        .contains(idType),
+      s"decodeImageMetadataStream needs an integral $keyCol (got $idType); " +
+        "the batch decodeImageMetadata accepts any key type")
+    val session = df.sparkSession
+    import session.implicits._
+    df.select(col(keyCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (k, media) =>
+          readImage(media) match {
+            case Some(img) => ImageMetaRow(k, decode_ok = true,
+              Some(img.getWidth.toLong), Some(img.getHeight.toLong),
+              Some(img.getWidth.toLong * img.getHeight))
+            case None => ImageMetaRow(k, decode_ok = false, None, None, None)
+          }
+        }
+      }
+      .toDF(keyCol, "decode_ok", "width", "height", "n_pixels")
+  }
+
   /** Grayscale distribution through the real decoder: 8 bins of 32
     * gray levels, as exact fractions `(key, decode_ok, h0..h7)`. */
   def imageGrayHistogram(df: DataFrame, keyCol: String): DataFrame = {

@@ -339,6 +339,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("image metadata decode runs on a true stream; rows equal the batch decoder's") {
+    // the crawl-ingestion shape: real PNG payloads (plus one corrupt
+    // row) arrive over two micro-batches; the typed-mapPartitions
+    // streaming twin must produce exactly the batch decoder's rows —
+    // stateless projection, no watermark, decode failures flagged
+    import graft.operators.MediaCodecs
+    implicit val sqlCtx = spark.sqlContext
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val rendered = MediaCodecs.renderImages(ids, "doc_id")
+      .select($"doc_id", $"media").as[(Long, Array[Byte])].collect()
+    val corrupt = (99L, "not a png".getBytes("UTF-8"))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = MediaCodecs.decodeImageMetadataStream(
+        mem.toDF().toDF("doc_id", "media"), "doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("image_meta_stream_test").start()
+    try {
+      mem.addData(rendered.take(2).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rendered.drop(2).toSeq :+ corrupt: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("image_meta_stream_test")
+      .as[(Long, Boolean, Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+    val batch = MediaCodecs.decodeImageMetadata(
+        (rendered :+ corrupt).toSeq.toDF("doc_id", "media"), "doc_id")
+      .as[(Long, Boolean, Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+    assert(streamed == batch && streamed.size == 4,
+      s"stream and batch decoders must agree: $streamed vs $batch")
+    assert(streamed.exists(r => r._1 == 99L && !r._2),
+      "corrupt bytes must flag decode_ok=false, not fail the stream")
+  }
+
   test("dedupLinesStream's per-line state round-trips the RocksDB provider") {
     // completes the off-heap posture across ALL custom-state streaming
     // operators (near-dedup r11, sessionize r12): the cross-batch
