@@ -339,6 +339,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("near-dedup verdicts are replay-invariant under random redelivery (seeded, capped)") {
+    // property form of the tombstone guarantee: a run WITH randomly
+    // interleaved at-least-once replays (including docs judged past a
+    // tiny maxBucket cap) must collapse to exactly the verdicts of the
+    // clean run — one verdict per doc, none flipped by a replay
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(12021)
+    val base = Seq("alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine ten",
+      "the quick brown fox jumps over the lazy dog today")
+    val docs = (1L to 30L).map { id =>
+      val b = base((id % 3).toInt)
+      // every third doc is a near-copy of an earlier one
+      if (id > 3 && id % 3 == 0) (id, b + " tail" + (id / 3 % 2))
+      else (id, b + s" unique$id marker$id")
+    }
+    def collapsed(feed: Seq[Seq[(Long, String)]], name: String) = {
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingDemo.minhashDedupStream(
+          mem.toDF().toDF("doc_id", "text"), tau = 0.3, maxBucket = 2)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try feed.foreach { chunk =>
+        if (chunk.nonEmpty) { mem.addData(chunk: _*); q.processAllAvailable() }
+      } finally q.stop()
+      StreamingDemo.collapseNearDupVerdicts(spark.table(name))
+        .as[(Long, Long, Long, Double)].collect().toSet
+    }
+    val clean = collapsed(docs.grouped(7).toSeq, "nd_replay_clean")
+    // same arrival order, but after each batch replay a random sample
+    // of everything already delivered (ascending id inside a batch is
+    // the operator's intra-batch order; replays ride later batches)
+    val withReplays = docs.grouped(7).toSeq.foldLeft(
+        (Seq.empty[Seq[(Long, String)]], Seq.empty[(Long, String)])) {
+      case ((batches, seen), chunk) =>
+        val replay = rnd.shuffle(seen).take(rnd.nextInt(seen.size + 1))
+        (batches :+ chunk :+ replay, seen ++ chunk)
+    }._1
+    val replayed = collapsed(withReplays, "nd_replay_dirty")
+    assert(clean.map(_._1) == docs.map(_._1).toSet && clean.size == docs.size,
+      "clean run must emit exactly one collapsed verdict per doc")
+    assert(replayed == clean,
+      s"replays changed verdicts:\nonly-clean=${clean.diff(replayed)}\nonly-replayed=${replayed.diff(clean)}")
+  }
+
   test("image metadata decode runs on a true stream; rows equal the batch decoder's") {
     // the crawl-ingestion shape: real PNG payloads (plus one corrupt
     // row) arrive over two micro-batches; the typed-mapPartitions
