@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, TextNormalize}
 import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, Dedup, Dsir, Layout, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, Quantize, RangeJoin, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
@@ -23,6 +23,14 @@ object ExtQueries {
 
   /** 24 hours in microseconds — the q_events_range_join window span. */
   private val DAY_US = 86400000000L
+
+  /** q_text_normalize dirty fixture prefix: every pinned mojibake
+    * entry (built FROM the map, so a future entry is exercised
+    * automatically), an NFC-composable sequence (e + U+0301), a
+    * control byte, tab runs, NBSP, a zero-width space, and a BOM. */
+  private val DIRTY_PREFIX: String =
+    "  " + TextNormalize.mojibake.map(_._1).mkString(" ") +
+      " e\u0301 a\u0001b\t\t x\u00A0y\u200Bz\uFEFF "
 
   /** Line-structured corpus fixture for the Gopher/C4 rule gates: the
     * synthetic documents are single-line word soup (no '\n', no
@@ -363,6 +371,26 @@ object ExtQueries {
       PipelineOps.dedupLines(
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", delim = " ")
+    }),
+    "q_dedup_intradoc" -> ((s, dir) => {
+      // word granularity (single-line synthetic corpus): repeats of a
+      // word WITHIN a document collapse to the doc-local first
+      // occurrence; zero-shuffle row-local projection
+      PipelineOps.dedupLinesInDoc(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", delim = " ")
+    }),
+    "q_text_normalize" -> ((s, dir) => {
+      // each document decorated with the dirty fixture prefix (every
+      // pinned mojibake entry + NFC + control/zero-width/NBSP + tab
+      // runs) and trailing spaces, then normalized; the oracle builds
+      // the IDENTICAL dirty text and runs TextNormalize.oracleExpr
+      val raw = concat(lit(DIRTY_PREFIX),
+        coalesce(col("text"), lit("")), lit("  "))
+      Tables.documents(s, dir).select(col("doc_id"),
+          TextNormalize.normalizeText(raw).as("text_norm"),
+          length(raw).cast("long").as("len_raw"))
+        .withColumn("len_norm", length(col("text_norm")).cast("long"))
     }),
     "q_vocab_topk" -> ((s, dir) => {
       PipelineOps.vocabProfile(Tables.documents(s, dir), "doc_id", "text", k = 50)
@@ -1800,6 +1828,35 @@ object ExtQueries {
         |SELECT t.doc_id, COALESCE(r.text_dedup, '') AS text_dedup, t.n_lines,
         |  CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
         |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
+    // doc-local first occurrence = ROW_NUMBER over pos within
+    // (doc_id, line) — the same order array_distinct keeps
+    "q_dedup_intradoc" ->
+      """WITH l AS (SELECT doc_id,
+        |    CAST(generate_subscripts(sl, 1) AS BIGINT) AS pos, unnest(sl) AS line
+        |  FROM (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS sl
+        |        FROM documents)),
+        |k AS (SELECT doc_id, pos, line,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+        |      FROM l),
+        |r AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_dedup,
+        |        COUNT(*) AS n_lines_kept
+        |      FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(r.text_dedup, '') AS text_dedup,
+        |  CAST(len(string_split(COALESCE(d.text,''), ' ')) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
+        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
+    // the dirty fixture and the normalization chain are BOTH generated
+    // from TextNormalize's pinned tables (sqlLit/oracleExpr), so the
+    // Spark query and this oracle cannot drift
+    "q_text_normalize" -> {
+      val dirty = s"${TextNormalize.sqlLit(DIRTY_PREFIX)} || " +
+        "COALESCE(text,'') || '  '"
+      val norm = TextNormalize.oracleExpr(dirty)
+      s"""SELECT doc_id, $norm AS text_norm,
+         |  CAST(length($dirty) AS BIGINT) AS len_raw,
+         |  CAST(length($norm) AS BIGINT) AS len_norm
+         |FROM documents""".stripMargin
+    },
     // (tf DESC, word) is a total order — words are unique per group —
     // so the LIMIT cut is deterministic on both engines
     "q_vocab_topk" ->

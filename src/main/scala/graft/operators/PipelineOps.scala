@@ -349,6 +349,36 @@ object PipelineOps {
       .drop(k, w)
   }
 
+  /** Intra-document first-occurrence line dedup: every repeat of a
+    * line WITHIN its own document is removed (the Dolma
+    * `dedupe_by_paragraph`-within-doc move — repeated nav bars,
+    * cookie banners, chorus lines). Complements [[dedupLines]]
+    * (corpus-global first occurrence) and `repetitionSignals` (which
+    * MEASURES repetition; this removes it).
+    *
+    * Scale shape: zero shuffle — one row-local projection per
+    * document (`split` → `array_distinct`, which keeps first
+    * occurrence in order → `array_join`), so the operator is
+    * scan-bound at any corpus size and pushes through AQE unchanged.
+    * The repeated `split`/`array_distinct` subtrees below are
+    * eliminated at runtime by codegen subexpression elimination (one
+    * projection, no lambda re-evaluation hazard — nothing here is a
+    * higher-order function).
+    *
+    * @return (idCol, text_dedup, n_lines, n_lines_kept) — one row per
+    *         input document, same contract as [[dedupLines]]
+    */
+  def dedupLinesInDoc(df: DataFrame, idCol: String, textCol: String,
+                      delim: String = "\n"): DataFrame = {
+    require(delim.nonEmpty, "delim must be non-empty")
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val segs = split(coalesce(col(textCol), lit("")), quoted)
+    df.select(col(idCol),
+      array_join(array_distinct(segs), delim).as("text_dedup"),
+      size(segs).cast("long").as("n_lines"),
+      size(array_distinct(segs)).cast("long").as("n_lines_kept"))
+  }
+
   /** Global first-occurrence line dedup (the CCNet/Dolma line-level
     * move): every occurrence of a line beyond the corpus-wide FIRST —
     * smallest (document, position) — is removed. Complements
