@@ -36,6 +36,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_c4_stats",
       exprs => C4Stats(exprs.head, evalString(exprs(1)),
         exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_nfc_normalize",
+      exprs => NfcNormalize(exprs.head), "scala_udf")
   }
 
   private[functions] def evalString(
@@ -85,5 +87,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => C4Stats(exprs.head,
         GraftFunctions.evalString(exprs(1)),
         exprs(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("graft_nfc_normalize"),
+      info("graft_nfc_normalize", "Unicode NFC composition (codegen'd scalar)"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
   }
 }

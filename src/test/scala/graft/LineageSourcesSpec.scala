@@ -99,6 +99,11 @@ class LineageSourcesSpec extends SparkSpec {
     assert(r.getSeq[String](1) == Seq("ab", "12", "!"))
     assert(r.getSeq[String](2) == Seq("x y", "y z"))
     assert(r.getLong(3) != 0L)
+    // Spark's chr() wraps mod 256, so the combining acute rides in
+    // from the Scala side as a literal
+    val nfc = spark.sql(
+      s"SELECT graft_nfc_normalize('e\u0301') AS n").head().getString(0)
+    assert(nfc == "\u00E9")
     val r2 = spark.sql(
       """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
         |       graft_minhash_sig(graft_word_shingles(graft_tokens('p q r s'), 2), 8) AS m,
