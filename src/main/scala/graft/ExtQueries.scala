@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, TextNormalize}
-import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, Dedup, Dsir, Layout, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, Quantize, RangeJoin, Similarity}
+import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, Dedup, Dsir, FuzzyJoin, Layout, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, Quantize, RangeJoin, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -371,6 +371,14 @@ object ExtQueries {
       PipelineOps.dedupLines(
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", delim = " ")
+    }),
+    "q_fuzzy_join" -> ((s, dir) => {
+      // record linkage on customer names: every pair within edit
+      // distance 1 (the zero-padded ids make one-digit substitutions
+      // dense — ~19.5k pairs at sf0.01), found via deletion-key
+      // blocking, never a pairwise scan
+      FuzzyJoin.editDist1SelfJoin(
+        Tables.customer(s, dir), "c_custkey", "c_name")
     }),
     "q_dedup_intradoc" -> ((s, dir) => {
       // word granularity (single-line synthetic corpus): repeats of a
@@ -1828,6 +1836,27 @@ object ExtQueries {
         |SELECT t.doc_id, COALESCE(r.text_dedup, '') AS text_dedup, t.n_lines,
         |  CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
         |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
+    // FastSS/SymSpell deletion-neighborhood blocking replayed in SQL:
+    // identity ∪ single-deletion keys, key equi-join, exact
+    // levenshtein confirm (both engines' substr is 1-based
+    // character-semantics length-clamped; both levenshteins are
+    // unit-cost DP)
+    "q_fuzzy_join" ->
+      """WITH n AS (SELECT c_custkey AS id, c_name AS name FROM customer
+        |           WHERE c_name IS NOT NULL),
+        |keys AS (
+        |  SELECT id, name AS key FROM n
+        |  UNION ALL
+        |  SELECT id, substr(name, 1, CAST(i-1 AS INT)) ||
+        |         substr(name, CAST(i+1 AS INT)) AS key
+        |  FROM (SELECT id, name, unnest(range(1, length(name)+1)) AS i FROM n)
+        |),
+        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |          FROM keys a JOIN keys b ON a.key = b.key AND a.id < b.id)
+        |SELECT p.id_a, p.id_b, x.name AS name_a, y.name AS name_b,
+        |  CAST(levenshtein(x.name, y.name) AS BIGINT) AS dist
+        |FROM pairs p JOIN n x ON x.id = p.id_a JOIN n y ON y.id = p.id_b
+        |WHERE levenshtein(x.name, y.name) <= 1""".stripMargin,
     // doc-local first occurrence = ROW_NUMBER over pos within
     // (doc_id, line) — the same order array_distinct keeps
     "q_dedup_intradoc" ->
