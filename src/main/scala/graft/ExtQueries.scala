@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, TextNormalize}
-import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, Dedup, Dsir, FuzzyJoin, Layout, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, Quantize, RangeJoin, Similarity}
+import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, Dedup, Dsir, FuzzyJoin, HeavyHitters, Layout, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, Quantize, RangeJoin, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -371,6 +371,13 @@ object ExtQueries {
       PipelineOps.dedupLines(
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", delim = " ")
+    }),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // every word above 1/32 of the corpus token mass, exact counts:
+      // MG sketch pass (bounded state, complete candidates) + confirm
+      // pass over the ≤k candidates only — the full vocabulary never
+      // shuffles
+      HeavyHitters.frequentTokens(Tables.documents(s, dir), "text", k = 32)
     }),
     "q_fuzzy_join" -> ((s, dir) => {
       // record linkage on customer names: every pair within edit
@@ -1836,6 +1843,15 @@ object ExtQueries {
         |SELECT t.doc_id, COALESCE(r.text_dedup, '') AS text_dedup, t.n_lines,
         |  CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
         |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
+    // the sketch is candidates-only machinery; the RESULT contract is
+    // the plain frequent-items definition, which SQL states directly
+    "q_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(COALESCE(text,''), '\S+')) AS value
+        |           FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM w)
+        |SELECT w.value, CAST(count(*) AS BIGINT) AS cnt, t.total
+        |FROM w, t GROUP BY w.value, t.total
+        |HAVING count(*) * 32 > t.total""".stripMargin,
     // FastSS/SymSpell deletion-neighborhood blocking replayed in SQL:
     // identity ∪ single-deletion keys, key equi-join, exact
     // levenshtein confirm (both engines' substr is 1-based
