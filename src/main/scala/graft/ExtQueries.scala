@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, TextNormalize}
-import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, Dedup, Dsir, FuzzyJoin, HeavyHitters, Layout, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, Quantize, RangeJoin, Similarity}
+import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Dsir, FuzzyJoin, HeavyHitters, Layout, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, Quantize, RangeJoin, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -371,6 +371,24 @@ object ExtQueries {
       PipelineOps.dedupLines(
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", delim = " ")
+    }),
+    "q_changelog_apply" -> ((s, dir) => {
+      // CDC apply on the orders snapshot: keys %7==0 get two versioned
+      // re-prices (v1 +1000, v2 +2000 — v2 must win), keys %11==0 get a
+      // v3 delete (overriding the upserts on %77 keys); the changelog
+      // is derived from the table itself so the oracle rebuilds it
+      // exactly
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val snap = Tables.orders(s, dir).select(cols.map(col): _*)
+      val ups = snap.where(col("o_orderkey") % 7 === 0)
+        .withColumn("version", explode(array(lit(1L), lit(2L))))
+        .withColumn("o_totalprice",
+          col("o_totalprice") + lit(1000.0) * col("version"))
+        .withColumn("op", lit("U"))
+      val dels = snap.where(col("o_orderkey") % 11 === 0)
+        .withColumn("version", lit(3L)).withColumn("op", lit("D"))
+      ChangeApply.applyChangelog(snap, ups.unionByName(dels),
+        Seq("o_orderkey"), "version", "op")
     }),
     "q_heavy_hitters" -> ((s, dir) => {
       // every word above 1/32 of the corpus token mass, exact counts:
@@ -1843,6 +1861,27 @@ object ExtQueries {
         |SELECT t.doc_id, COALESCE(r.text_dedup, '') AS text_dedup, t.n_lines,
         |  CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
         |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
+    // (key, version) is unique in the fixture, so ROW_NUMBER over
+    // version DESC is the same winner the Spark max(struct) picks;
+    // +1000.0*v is per-row double arithmetic, identical bits on both
+    // engines (no reduction order in play)
+    "q_changelog_apply" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    CAST(-1 AS BIGINT) AS version, 'U' AS op FROM orders),
+        |ups AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 1000.0 * v AS o_totalprice,
+        |    CAST(v AS BIGINT) AS version, 'U' AS op
+        |  FROM orders, (VALUES (1), (2)) t(v) WHERE o_orderkey % 7 = 0),
+        |dels AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    CAST(3 AS BIGINT) AS version, 'D' AS op
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM ups
+        |      UNION ALL SELECT * FROM dels),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |        ORDER BY version DESC) AS rn FROM u)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  version AS last_version
+        |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
     // the sketch is candidates-only machinery; the RESULT contract is
     // the plain frequent-items definition, which SQL states directly
     "q_heavy_hitters" ->
