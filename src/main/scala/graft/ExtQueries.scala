@@ -372,6 +372,25 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", delim = " ")
     }),
+    "q_changelog_stream_state" -> ((s, dir) => {
+      // the streaming CDC twin's batch path: fold the same derived
+      // changelog (v0 baseline, v1/v2 re-prices on %7 keys, v3 deletes
+      // on %11 keys) to one winner row per key, tombstones included
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority").as("pri"))
+      def mk(f: DataFrame, v: Long, op: String,
+             pay: org.apache.spark.sql.Column): DataFrame =
+        f.select(col("okey"), lit(v).as("version"), lit(op).as("op"),
+          pay.as("payload"))
+      val chg = mk(base, 0L, "U", col("pri"))
+        .unionByName(mk(base.where(col("okey") % 7 === 0), 1L, "U",
+          concat(lit("re-"), col("pri"))))
+        .unionByName(mk(base.where(col("okey") % 7 === 0), 2L, "U",
+          concat(lit("re2-"), col("pri"))))
+        .unionByName(mk(base.where(col("okey") % 11 === 0), 3L, "D", lit("")))
+      StreamingDemo.applyChangelogStream(chg, keyCol = "okey")
+        .toDF("okey", "version", "op", "payload")
+    }),
     "q_changelog_apply" -> ((s, dir) => {
       // CDC apply on the orders snapshot: keys %7==0 get two versioned
       // re-prices (v1 +1000, v2 +2000 — v2 must win), keys %11==0 get a
@@ -1861,6 +1880,21 @@ object ExtQueries {
         |SELECT t.doc_id, COALESCE(r.text_dedup, '') AS text_dedup, t.n_lines,
         |  CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
         |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
+    // same winner order as the stream's fold: version DESC, then op
+    // ('U' > 'D'), then payload — (okey, version) is unique here so
+    // version alone decides
+    "q_changelog_stream_state" ->
+      """WITH base AS (SELECT o_orderkey AS okey, o_orderpriority AS pri
+        |              FROM orders),
+        |chg AS (
+        |  SELECT okey, CAST(0 AS BIGINT) AS version, 'U' AS op, pri AS payload
+        |  FROM base
+        |  UNION ALL SELECT okey, 1, 'U', 're-' || pri FROM base WHERE okey % 7 = 0
+        |  UNION ALL SELECT okey, 2, 'U', 're2-' || pri FROM base WHERE okey % 7 = 0
+        |  UNION ALL SELECT okey, 3, 'D', '' FROM base WHERE okey % 11 = 0),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY okey
+        |        ORDER BY version DESC, op DESC, payload DESC) AS rn FROM chg)
+        |SELECT okey, version, op, payload FROM w WHERE rn = 1""".stripMargin,
     // (key, version) is unique in the fixture, so ROW_NUMBER over
     // version DESC is the same winner the Spark max(struct) picks;
     // +1000.0*v is per-row double arithmetic, identical bits on both

@@ -31,6 +31,12 @@ object StreamingDemo {
   /** One banded signature row keyed by its LSH bucket. */
   final case class BandRow(docId: Long, band: Int, key: String, sig: Seq[Long])
 
+  /** One changelog row / emitted current-state row for
+    * [[applyChangelogStream]]. */
+  final case class ChgRow(key: Long, version: Long, op: String, payload: String)
+  /** Per-key winner state: the highest (version, op, payload) change. */
+  final case class ChangeState(version: Long, op: String, payload: String)
+
   /** Tumbling 1-hour window aggregation with a 10-minute watermark.
     * Works on a streaming OR batch frame with columns (ts, event_type,
     * value). */
@@ -395,6 +401,77 @@ object StreamingDemo {
     } else {
       bandRows.groupByKey(_.key).flatMapGroups { (_, it) =>
         judge(it.toSeq, Seq.empty)._1.iterator
+      }
+    }
+  }
+
+  /** Continuous CDC apply — the streaming twin of
+    * [[graft.operators.ChangeApply]]: per-key state holds the winning
+    * (version, op, payload) change seen so far, and a trigger emits
+    * the key's NEW current row only when the winner changes. The same
+    * total order as the batch operator's `max(struct(version, op,
+    * payload))` decides the winner, so:
+    *
+    *  - out-of-order delivery is safe — a late lower-version change
+    *    never overwrites and never emits;
+    *  - at-least-once redelivery is idempotent — replaying the current
+    *    winner compares equal and emits nothing;
+    *  - same-version ties resolve 'U' over 'D' ('U' > 'D' in the
+    *    binary string order BOTH engines use; payloads in the gate
+    *    fixture are ASCII, where UTF-16 and UTF-8 byte orders agree).
+    *
+    * Deletes emit as 'D' tombstone rows (downstream needs them);
+    * the last emission per key therefore always equals the batch
+    * operator's winner for that key (spec-pinned across micro-batch
+    * splits, arrival orders, and a redelivered changelog). State is
+    * one ~(8+8+op+payload)-byte entry per live key, NoTimeout by
+    * design (a CDC state IS the table); past heap, the RocksDB
+    * provider holds it off-heap like the near-dedup's bucket state.
+    *
+    * Batch frames run the identical fold with no prior state — one
+    * winner row per key, oracle-gated (q_changelog_stream_state). */
+  def applyChangelogStream(changes: DataFrame, keyCol: String = "key",
+                           versionCol: String = "version", opCol: String = "op",
+                           payloadCol: String = "payload")
+      : org.apache.spark.sql.Dataset[ChgRow] = {
+    val session = changes.sparkSession
+    import session.implicits._
+    val typed = changes.select(col(keyCol).cast("long").as("key"),
+        col(versionCol).cast("long").as("version"),
+        col(opCol).cast("string").as("op"),
+        coalesce(col(payloadCol).cast("string"), lit("")).as("payload"))
+      .as[ChgRow]
+    val ord = Ordering.Tuple3[Long, String, String]
+    def keyOf(s: ChangeState) = (s.version, s.op, s.payload)
+    // fold a batch of rows for one key over the prior winner; emit the
+    // new current row iff the winner moved
+    def fold(key: Long, rows: Iterator[ChgRow], prior: Option[ChangeState])
+        : (Option[ChgRow], Option[ChangeState]) = {
+      var cur = prior
+      rows.foreach { r =>
+        val cand = ChangeState(r.version, r.op, r.payload)
+        if (cur.forall(c => ord.gt(keyOf(cand), keyOf(c)))) cur = Some(cand)
+      }
+      val moved = (cur, prior) match {
+        case (Some(c), Some(p)) => keyOf(c) != keyOf(p)
+        case (Some(_), None) => true
+        case _ => false
+      }
+      (if (moved) cur.map(c => ChgRow(key, c.version, c.op, c.payload)) else None,
+        cur)
+    }
+    if (changes.isStreaming) {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      typed.groupByKey(_.key)
+        .flatMapGroupsWithState[ChangeState, ChgRow](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+          val (out, cur) = fold(key, it, state.getOption)
+          cur.foreach(state.update)
+          out.iterator
+        }
+    } else {
+      typed.groupByKey(_.key).flatMapGroups { (key, it) =>
+        fold(key, it, None)._1.iterator
       }
     }
   }
