@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, TextNormalize}
-import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Dsir, FuzzyJoin, HeavyHitters, Layout, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, Quantize, RangeJoin, Similarity}
+import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Dsir, Funnel, FuzzyJoin, HeavyHitters, Layout, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, Quantize, RangeJoin, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -371,6 +371,15 @@ object ExtQueries {
       PipelineOps.dedupLines(
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", delim = " ")
+    }),
+    "q_events_funnel" -> ((s, dir) => {
+      // view → click → purchase with a 2-hour per-step window,
+      // greedy-first anchoring (the operator's pinned convention —
+      // the oracle replays it as a chain of per-step min() CTEs)
+      val e = Tables.eventsRawNanos(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+      Funnel.funnel(e, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"), 7200000000L)
     }),
     "q_changelog_stream_state" -> ((s, dir) => {
       // the streaming CDC twin's batch path: fold the same derived
@@ -1880,6 +1889,29 @@ object ExtQueries {
         |SELECT t.doc_id, COALESCE(r.text_dedup, '') AS text_dedup, t.n_lines,
         |  CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
         |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
+    // greedy-first funnel as per-step min() CTEs: t_{i+1} = first
+    // qualifying event strictly after t_i within the window — exactly
+    // the scan the Spark state machine performs in (user, ts) order
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS y
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE y = 'view'
+        |       GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.y = 'click' AND e.t > s1.t1
+        |         AND e.t - s1.t1 <= 7200000000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.y = 'purchase' AND e.t > s2.t2
+        |         AND e.t - s2.t2 <= 7200000000 GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+        |    AS steps_completed,
+        |  s1.t1 AS t_first, COALESCE(t3, t2, t1) AS t_last
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
     // same winner order as the stream's fold: version DESC, then op
     // ('U' > 'D'), then payload — (okey, version) is unique here so
     // version alone decides
