@@ -62,8 +62,14 @@ object FuzzyJoin {
                         maxBucket: Long = 100000L): DataFrame = {
     val base = df.where(col(nameCol).isNotNull)
       .select(col(idCol).as("id"), col(nameCol).as("name"))
+    // persist BOTH sides of the cap (the minhashCandidatePairs lesson):
+    // populating the capped cache evaluates its input twice — once for
+    // the hot-key groupBy, once as the anti-join probe — and that
+    // input carries the explode + key-dedup shuffle; and the capped
+    // frame itself feeds a self-join (one evaluation per side)
+    val raw = graft.CacheScope.track(deletionKeys(base))
     val keys = graft.CacheScope.track(
-      Dedup.capBuckets(deletionKeys(base), Seq("__kh"), maxBucket))
+      Dedup.capBuckets(raw, Seq("__kh"), maxBucket))
     val pairs = keys.as("a").join(keys.as("b"),
         col("a.__kh") === col("b.__kh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
