@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, TextNormalize}
-import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Dsir, Funnel, FuzzyJoin, HeavyHitters, Layout, LmScore, MediaCodecs, Multimodal, PipelineOps, QualityModel, Quantize, RangeJoin, Similarity}
+import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Dsir, Funnel, FuzzyJoin, HeavyHitters, IncrementalAgg, Layout, LmScore, MediaCodecs, Multimodal, PageRank, PipelineOps, QualityModel, Quantize, RangeJoin, Retention, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -381,6 +381,25 @@ object ExtQueries {
       Funnel.funnel(e, "user_id", "ts_us", "event_type",
         Seq("view", "click", "purchase"), 7200000000L)
     }),
+    "q_events_retention" -> ((s, dir) => {
+      // daily-grain cohort retention triangle; period arithmetic is
+      // pure integer µs division, so the oracle replays it exactly
+      val e = Tables.eventsRawNanos(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+      Retention.cohortRetention(e, "user_id", "ts_us", DAY_US)
+    }),
+    "q_graph_pagerank" -> ((s, dir) => {
+      // link-graph centrality on the customer→supplier purchase graph
+      // (supplier ids offset into their own node space); 3 pinned
+      // iterations of integer micro-unit arithmetic — the fixed-point
+      // design makes the shuffled sums bit-identical on both engines
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + ID_OFFSET).as("dst"))
+      PageRank.pageRank(edges, "src", "dst", iters = 3)
+    }),
     "q_changelog_stream_state" -> ((s, dir) => {
       // the streaming CDC twin's batch path: fold the same derived
       // changelog (v0 baseline, v1/v2 re-prices on %7 keys, v3 deletes
@@ -417,6 +436,30 @@ object ExtQueries {
         .withColumn("version", lit(3L)).withColumn("op", lit("D"))
       ChangeApply.applyChangelog(snap, ups.unionByName(dels),
         Seq("o_orderkey"), "version", "op")
+    }),
+    "q_incr_agg_maintain" -> ((s, dir) => {
+      // incremental view maintenance: the per-priority (count, sum)
+      // aggregate maintained from a changelog — re-prices (%7 \ %11)
+      // as D(old)+I(new), deletes (%11), and a BORN group ('X-NEW',
+      // %13). The oracle recomputes the aggregate from scratch; the
+      // decimal value column makes maintenance == recompute exact
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
+        col("o_orderpriority").as("pri"),
+        col("o_totalprice").cast("decimal(18,2)").as("val"))
+      val base = o.groupBy("pri")
+        .agg(count(lit(1)).as("n_rows"), sum(col("val")).as("total"))
+      val reK = o.where(col("okey") % 7 === 0 && col("okey") % 11 =!= 0)
+      val changes = reK.select(col("pri"), col("val"), lit("D").as("op"))
+        .unionByName(reK.select(col("pri"),
+          (col("val") + lit(1000).cast("decimal(18,2)")).as("val"),
+          lit("I").as("op")))
+        .unionByName(o.where(col("okey") % 11 === 0)
+          .select(col("pri"), col("val"), lit("D").as("op")))
+        .unionByName(o.where(col("okey") % 13 === 0)
+          .select(lit("X-NEW").as("pri"), col("val"), lit("I").as("op")))
+      IncrementalAgg.maintainSumCount(base, changes, Seq("pri"), "val", "op")
+        .select(col("pri"), col("n_rows"),
+          col("total").cast("double").as("total"))
     }),
     "q_heavy_hitters" -> ((s, dir) => {
       // every word above 1/32 of the corpus token mass, exact counts:
@@ -629,6 +672,14 @@ object ExtQueries {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, dim = 64, nlist = 16)
+    }),
+    "q_sim_knn_graph" -> ((s, dir) => {
+      // every vector's top-3 neighbors — the all-pairs IVF shape with
+      // BOTH join sides distributed (no query collect, no broadcast);
+      // nlist pinned 16 to stay in lockstep with the shared fit replay
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnGraph(e, "vec_id", "embedding", k = 3, dim = 64,
+        nlist = 16, nprobe = 4)
     }),
     "q_sim_pq_topk" -> ((s, dir) => {
       // m=4 subspaces × ksub=16 centroids, 50-candidate ADC short list,
@@ -1182,6 +1233,67 @@ object ExtQueries {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** q_graph_pagerank oracle: the fixed-point iteration unrolled as
+    * chained CTEs — pure BIGINT multiply/floor-divide/add, so the
+    * GROUP BY sums match Spark's shuffled sums exactly (integer
+    * addition is order-free; that is the operator's whole design,
+    * [[graft.operators.PageRank]]). SUMs cast to BIGINT because DuckDB
+    * widens integer SUM to HUGEINT. */
+  private def pageRankOracle: String = {
+    val iters = 3
+    val tele = "((1000000000000 // nn.n) * 15) // 100"
+    val iterCtes = (0 until iters).map { i =>
+      s"""d$i AS (SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS ds
+         |      FROM r$i r LEFT JOIN outdeg o ON r.node = o.src
+         |      WHERE o.src IS NULL),
+         |s$i AS (SELECT e.dst AS node, CAST(SUM(r.r // o.outd) AS BIGINT) AS insum
+         |      FROM edges e JOIN r$i r ON e.src = r.node
+         |      JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+         |r${i + 1} AS (SELECT nd.node,
+         |        $tele + (85 * (COALESCE(s.insum, 0) + d$i.ds // nn.n)) // 100 AS r
+         |      FROM nodes nd LEFT JOIN s$i s USING (node), nn, d$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + $ID_OFFSET AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |outdeg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+       |r0 AS (SELECT node, 1000000000000 // nn.n AS r FROM nodes, nn),
+       |$iterCtes
+       |SELECT node, r AS pagerank_micro, r / 1000000000000.0 AS pagerank
+       |FROM r$iters""".stripMargin
+  }
+
+  /** q_sim_knn_graph oracle: [[ivfOracle]] with the corpus itself as
+    * the query side — same shared Lloyd fit, same (dist, list idx)
+    * probe order, same (cosine DESC, neighbor ASC) top-k cut. */
+  private def knnGraphOracle: String = {
+    val (nlist, nprobe, k, iters) = (16, 4, 3, 10)
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+         |  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
+    def dist = sqlDist _
+    def nrm(a: String) = s"sqrt(${dot(a, a)})"
+    s"""WITH RECURSIVE
+       |${ivfFitCtes(nlist, iters)},
+       |probes AS (
+       |  SELECT id AS query_id, v AS qv, cidx - 1 AS lst
+       |  FROM (SELECT e.id, e.v, u.cidx, ${dist("e.v", "cs[u.cidx]")} AS d
+       |        FROM emb e, fin, (SELECT unnest(generate_series(1, $nlist)) AS cidx) u)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cidx) <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, b.id AS neighbor_id,
+       |    ${dot("p.qv", "b.v")} /
+       |      (${nrm("p.qv")} * ${nrm("b.v")}) AS cosine
+       |  FROM bucketed b JOIN probes p ON b.lst = p.lst AND b.id <> p.query_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** q_sim_pq_topk oracle: bit-exact DuckDB replay of the PQ pipeline
     * ([[graft.operators.Similarity.pqTopK]]) — one shared digest-order
     * fit sample, four per-subspace 16-centroid Lloyd fits (the same
@@ -1502,6 +1614,23 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q_sim_ivf_topk" -> ivfOracle,
+    "q_sim_knn_graph" -> knnGraphOracle,
+    "q_graph_pagerank" -> pageRankOracle,
+    // full recompute over the logically-updated table — the operator's
+    // semantic contract is maintenance == recompute, bit-equal because
+    // the value column is DECIMAL (order-free exact sums on both sides)
+    "q_incr_agg_maintain" ->
+      """WITH o AS (SELECT o_orderkey AS okey, o_orderpriority AS pri,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS val FROM orders),
+        |final_rows AS (
+        |  SELECT pri, val FROM o WHERE okey % 11 <> 0 AND okey % 7 <> 0
+        |  UNION ALL
+        |  SELECT pri, val + 1000 AS val FROM o
+        |  WHERE okey % 7 = 0 AND okey % 11 <> 0
+        |  UNION ALL
+        |  SELECT 'X-NEW' AS pri, val FROM o WHERE okey % 13 = 0)
+        |SELECT pri, COUNT(*) AS n_rows, CAST(SUM(val) AS DOUBLE) AS total
+        |FROM final_rows GROUP BY pri""".stripMargin,
     "q_sim_pq_topk" -> pqOracle,
     "q_sim_ivfpq_topk" -> ivfpqOracle,
     "q_kmeans_refine" -> kmeansRefineOracle,
@@ -1912,6 +2041,26 @@ object ExtQueries {
         |  s1.t1 AS t_first, COALESCE(t3, t2, t1) AS t_last
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    // retention triangle: the distinct (user, period) frame is the
+    // operator's collect_set in relational form; the cohort-size
+    // window's offset-0 row always exists (the cohort period is itself
+    // active), and retention is a per-row long/long division —
+    // identical bits on both engines, no reduction order in play
+    "q_events_retention" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS p
+        |           FROM events),
+        |up AS (SELECT DISTINCT u, p FROM e),
+        |c AS (SELECT u, min(p) AS cp FROM up GROUP BY u),
+        |a AS (SELECT c.cp AS cohort_period, up.p - c.cp AS period_offset,
+        |        count(*) AS n_active
+        |      FROM up JOIN c USING (u) GROUP BY 1, 2)
+        |SELECT cohort_period, period_offset, n_active,
+        |  max(CASE WHEN period_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_period) AS cohort_size,
+        |  CAST(n_active AS DOUBLE) /
+        |    max(CASE WHEN period_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_period) AS retention
+        |FROM a""".stripMargin,
     // same winner order as the stream's fold: version DESC, then op
     // ('U' > 'D'), then payload — (okey, version) is unique here so
     // version alone decides

@@ -636,4 +636,63 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((5L, 200L)))
   }
+
+  private def knnFixture(n: Int) = {
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(16)(j => (math.sin(i * 5 + j) + math.cos(i + j * 2)).toFloat))
+    }
+    (vecs :+ (9000L, vecs(7)._2.map(x => x * 1.0005f))).toDF("vec_id", "embedding")
+  }
+
+  test("knnGraph with nprobe = nlist recovers brute force exactly (every vector a query)") {
+    val df = knnFixture(120)
+    val graph = Similarity.knnGraph(df, "vec_id", "embedding", k = 3, dim = 16,
+        nlist = 6, nprobe = 6)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val bf = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(graph.length == 121 * 3)
+    assert(graph.toSeq == bf.toSeq)
+  }
+
+  test("knnGraph default probes: planted near-dup is every planted pair's rank-1, no self-pairs, pairs meet once") {
+    val df = knnFixture(200)
+    val out = Similarity.knnGraph(df, "vec_id", "embedding", k = 3, dim = 16,
+        nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ(7L).find(_._3 == 1).map(_._2).contains(9000L))
+    assert(byQ(9000L).find(_._3 == 1).map(_._2).contains(7L))
+    assert(out.forall(r => r._1 != r._2), "no self-pairs")
+    assert(out.map(r => (r._1, r._2)).distinct.length == out.length,
+      "a (query, neighbor) pair meets in at most one list")
+    assert(byQ.values.forall(rs => rs.map(_._3).sorted.sameElements(1 to rs.length)),
+      "ranks are contiguous from 1 per query")
+  }
+
+  test("knnGraph shuffle arm (broadcast disabled) is value-identical to the AQE arm") {
+    val df = knnFixture(150)
+    def run() = Similarity.knnGraph(df, "vec_id", "embedding", k = 3, dim = 16,
+        nlist = 8, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val aqe = run()
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      assert(run() == aqe, "list-key shuffle join must agree with the broadcast arm")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("knnGraph hot-list guard drops over-cap lists loudly, keeps the rest") {
+    // nlist=2 on a lopsided corpus: one list overflows a tiny cap; its
+    // members lose that list's candidates but still appear as queries
+    val df = knnFixture(60)
+    val capped = Similarity.knnGraph(df, "vec_id", "embedding", k = 3, dim = 16,
+      nlist = 2, nprobe = 1, maxListSize = 10L)
+    val full = Similarity.knnGraph(df, "vec_id", "embedding", k = 3, dim = 16,
+      nlist = 2, nprobe = 1)
+    assert(capped.count() < full.count(),
+      "the dropped list must remove candidate pairs")
+  }
 }
