@@ -28,15 +28,18 @@ import org.apache.spark.sql.functions._
   * where teleport = ((SCALE div N) * (100 - dampNum)) div 100 and
   * danglingSum is the total rank held by zero-out-degree nodes.
   *
-  * Scale shape: the edges-with-outdegree frame builds once and
-  * persists (MEMORY_AND_DISK) — it is every iteration's probe side.
-  * Each iteration is two key shuffles (ranks ⋈ edges on the source
-  * key, then the contribution sum keyed by destination) plus ONE
-  * driver scalar (the dangling sum — O(1) bytes, the Pregel-style
-  * aggregator every distributed PageRank carries); localCheckpoint per
-  * iteration truncates the lineage the same way
-  * [[Dedup.nearDupSurvivors]]'s rounds do. Nothing driver-side grows
-  * with the graph.
+  * Scale shape: the deduped edge list persists once (MEMORY_AND_DISK)
+  * and feeds the node set, the out-degrees, and every iteration's
+  * probe side. Each iteration is ONE job: two key shuffles (ranks ⋈
+  * edges on the source key, then the contribution sum keyed by
+  * destination), with the dangling sum riding the same plan as a
+  * 1-ROW cross-joined aggregate over the precomputed dangling-node
+  * set — the Pregel-style aggregator, but fused into the iteration
+  * plan instead of a separate driver action (3 iterations = 3 jobs,
+  * not 9); localCheckpoint per iteration truncates the lineage the
+  * same way [[Dedup.nearDupSurvivors]]'s rounds do. The only
+  * driver-side values are the node count and the checkpoint
+  * bookkeeping — nothing grows with the graph.
   *
   * @param iters   fixed iteration count (pinned, no convergence test —
   *                replayable by construction)
@@ -52,31 +55,39 @@ object PageRank {
                iters: Int = 3, dampNum: Long = 85L): DataFrame = {
     require(iters >= 0, s"iters must be non-negative, got $iters")
     require(dampNum >= 0 && dampNum <= 100, s"dampNum in [0,100], got $dampNum")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    val e = graft.CacheScope.track(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct())
     val nodes = graft.CacheScope.track(
       e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outd"))
-    // every iteration's probe side: (src, dst, outd), built once
+    // every iteration's probe side: (src, dst, outd), built once; the
+    // dangling-node set is FIXED across iterations, so it precomputes
+    // once too (tiny: node ids only)
     val eo = graft.CacheScope.track(e.join(outdeg, "src"))
+    val dangling = graft.CacheScope.track(
+      nodes.join(outdeg, nodes("node") === outdeg("src"), "left_anti"))
     val teleport = ((SCALE / n) * (100L - dampNum)) / 100L
 
     var ranks = nodes.withColumn("r", lit(SCALE / n)).localCheckpoint()
     for (_ <- 0 until iters) {
-      val danglingSum = ranks.join(outdeg,
-          ranks("node") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      // the dangling sum rides the iteration plan as a 1-row aggregate
+      // (cross-joined everywhere) instead of a per-iteration driver
+      // action — one job per iteration
+      val dangRow = dangling.join(ranks, "node")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("__dang"))
       val inSums = eo.join(ranks, eo("src") === ranks("node"))
         .select(col("dst"), expr("r div outd").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("insum"))
       ranks = nodes.join(inSums, nodes("node") === inSums("dst"), "left")
+        .crossJoin(dangRow)
         .select(col("node"),
           (lit(teleport) +
-            expr(s"$dampNum * (coalesce(insum, 0L) + ${danglingSum / n}L) div 100")
+            expr(s"$dampNum * (coalesce(insum, 0L) + __dang div ${n}L) div 100")
           ).as("r"))
         .localCheckpoint()
     }

@@ -166,7 +166,12 @@ object MicroBench {
       // round-12: the streaming near-dedup's oracle-gated batch twin —
       // new multi-second-class stateful operator, exactly the shape
       // that drifts; its n=5 median stays one command away
-      "q_dedup_stream_verdicts")
+      "q_dedup_stream_verdicts",
+      // round-12 late additions: the two new multi-second operators —
+      // the all-pairs IVF kNN-graph (shuffle-join both sides) and the
+      // 3-iteration fixed-point PageRank (overhead-bound at sf0.1:
+      // three sequential fused checkpoint jobs; scan-bound at scale)
+      "q_sim_knn_graph", "q_graph_pagerank")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
     tail.foreach(measureQuery(spark, dir, _, 5))
   }
