@@ -437,6 +437,25 @@ object ExtQueries {
       ChangeApply.applyChangelog(snap, ups.unionByName(dels),
         Seq("o_orderkey"), "version", "op")
     }),
+    "q_incr_agg_stream_state" -> ((s, dir) => {
+      // the streaming agg-maintenance twin's batch path: fold a
+      // versioned changelog (v0 inserts for all keys, v1 +1000 re-adds
+      // on %7 keys DELIVERED TWICE, v2 deletes on %11 keys) to one
+      // maintained (count, sum) row per key — the duplicate v1
+      // delivery is skipped by the strictly-greater version rule, so
+      // redelivery idempotency is pinned inside the gate itself
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
+        floor(col("o_totalprice")).cast("long").as("v"))
+      def mk(f: DataFrame, ver: Long, op: String,
+             value: org.apache.spark.sql.Column): DataFrame =
+        f.select(col("okey"), lit(ver).as("version"), lit(op).as("op"),
+          value.as("value"))
+      val dupd = mk(o.where(col("okey") % 7 === 0), 1L, "I", lit(1000L))
+      val chg = mk(o, 0L, "I", col("v"))
+        .unionByName(dupd).unionByName(dupd)
+        .unionByName(mk(o.where(col("okey") % 11 === 0), 2L, "D", col("v")))
+      StreamingDemo.maintainAggStream(chg, keyCol = "okey").toDF()
+    }),
     "q_incr_agg_maintain" -> ((s, dir) => {
       // incremental view maintenance: the per-priority (count, sum)
       // aggregate maintained from a changelog — re-prices (%7 \ %11)
@@ -1619,6 +1638,27 @@ object ExtQueries {
     // full recompute over the logically-updated table — the operator's
     // semantic contract is maintenance == recompute, bit-equal because
     // the value column is DECIMAL (order-free exact sums on both sides)
+    // per-key version-ordered fold: dedupe same-version deliveries to
+    // the first (op, value) — the stream's strictly-greater rule —
+    // then signed integer sums (order-free, exact on both engines)
+    "q_incr_agg_stream_state" ->
+      """WITH o AS (SELECT o_orderkey AS okey,
+        |             CAST(FLOOR(o_totalprice) AS BIGINT) AS v FROM orders),
+        |chg AS (
+        |  SELECT okey, CAST(0 AS BIGINT) AS version, 'I' AS op, v AS value
+        |  FROM o
+        |  UNION ALL SELECT okey, 1, 'I', 1000 FROM o WHERE okey % 7 = 0
+        |  UNION ALL SELECT okey, 1, 'I', 1000 FROM o WHERE okey % 7 = 0
+        |  UNION ALL SELECT okey, 2, 'D', v FROM o WHERE okey % 11 = 0),
+        |d AS (SELECT okey, version, op, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY okey, version
+        |           ORDER BY op, value) AS rn FROM chg) t
+        |  WHERE rn = 1)
+        |SELECT okey AS key, MAX(version) AS last_version,
+        |  CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE -1 END) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN op = 'I' THEN value ELSE -value END) AS BIGINT)
+        |    AS total
+        |FROM d GROUP BY okey""".stripMargin,
     "q_incr_agg_maintain" ->
       """WITH o AS (SELECT o_orderkey AS okey, o_orderpriority AS pri,
         |             CAST(o_totalprice AS DECIMAL(18,2)) AS val FROM orders),

@@ -37,6 +37,14 @@ object StreamingDemo {
   /** Per-key winner state: the highest (version, op, payload) change. */
   final case class ChangeState(version: Long, op: String, payload: String)
 
+  /** One changelog delta for [[maintainAggStream]] ('I' adds, 'D'
+    * subtracts; value in exact integer units). */
+  final case class AggDeltaRow(key: Long, version: Long, op: String, value: Long)
+  /** Per-key maintained aggregate + the last applied version. */
+  final case class AggMaintState(lastVersion: Long, n: Long, total: Long)
+  /** Emitted maintained-aggregate row. */
+  final case class AggRow(key: Long, last_version: Long, n_rows: Long, total: Long)
+
   /** Tumbling 1-hour window aggregation with a 10-minute watermark.
     * Works on a streaming OR batch frame with columns (ts, event_type,
     * value). */
@@ -467,6 +475,80 @@ object StreamingDemo {
           OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
           val (out, cur) = fold(key, it, state.getOption)
           cur.foreach(state.update)
+          out.iterator
+        }
+    } else {
+      typed.groupByKey(_.key).flatMapGroups { (key, it) =>
+        fold(key, it, None)._1.iterator
+      }
+    }
+  }
+
+  /** Continuous incremental aggregate maintenance — the streaming twin
+    * of [[graft.operators.IncrementalAgg]]: per-key state holds the
+    * maintained (count, sum) plus the last applied version, and a
+    * trigger emits the key's NEW aggregate row only when it moved.
+    * This closes the CDC family square: [[ChangeApply]] /
+    * [[applyChangelogStream]] maintain the ROWS, [[graft.operators.IncrementalAgg]] /
+    * this maintain the AGGREGATE.
+    *
+    * Contract: the changelog is a per-key VERSION-ORDERED log (the
+    * Kafka-compaction shape every CDC source provides). Deltas apply
+    * in (version, op, value) order and ONLY when version exceeds the
+    * last applied one, so:
+    *
+    *  - at-least-once redelivery is idempotent — a replayed version
+    *    compares ≤ lastVersion and is skipped, never double-applied
+    *    (the non-idempotent failure mode naïve delta streams have);
+    *  - out-of-order delivery within a trigger is sorted; a version
+    *    arriving triggers late is skipped (stale by contract);
+    *  - a count reaching zero still emits (n_rows = 0) so downstream
+    *    can delete the group — the batch operator drops it instead,
+    *    which is the materialized-view convention there.
+    *
+    * State: one (lastVersion, n, total) triple per key, NoTimeout (the
+    * aggregate IS the table, like [[applyChangelogStream]]); values are
+    * exact integer units (scale decimals upstream — the batch twin
+    * takes DECIMAL directly). Batch frames run the identical fold per
+    * key from empty state; value parity with the batch operator and
+    * the DuckDB recompute is oracle-gated (q_incr_agg_stream_state). */
+  def maintainAggStream(changes: DataFrame, keyCol: String = "key",
+                        versionCol: String = "version", opCol: String = "op",
+                        valueCol: String = "value")
+      : org.apache.spark.sql.Dataset[AggRow] = {
+    val session = changes.sparkSession
+    import session.implicits._
+    val typed = changes.select(col(keyCol).cast("long").as("key"),
+        col(versionCol).cast("long").as("version"),
+        col(opCol).cast("string").as("op"),
+        col(valueCol).cast("long").as("value"))
+      .where(col("op").isin("I", "D")) // unknown ops contribute nothing
+      .as[AggDeltaRow]
+    def fold(key: Long, rows: Iterator[AggDeltaRow], prior: Option[AggMaintState])
+        : (Option[AggRow], Option[AggMaintState]) = {
+      val before = prior.getOrElse(AggMaintState(Long.MinValue, 0L, 0L))
+      var st = before
+      // sort the trigger's rows by the full (version, op, value) key:
+      // version alone would leave same-version duplicates ambiguous —
+      // the strictly-greater rule below then deterministically applies
+      // only the FIRST of a same-version group
+      rows.toSeq.sortBy(r => (r.version, r.op, r.value)).foreach { r =>
+        if (r.version > st.lastVersion) {
+          val s = if (r.op == "I") 1L else -1L
+          st = AggMaintState(r.version, st.n + s, st.total + s * r.value)
+        }
+      }
+      val out = if (prior.isEmpty || st != before)
+        Some(AggRow(key, st.lastVersion, st.n, st.total)) else None
+      (out, Some(st))
+    }
+    if (changes.isStreaming) {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      typed.groupByKey(_.key)
+        .flatMapGroupsWithState[AggMaintState, AggRow](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+          val (out, st) = fold(key, it, state.getOption)
+          st.foreach(state.update)
           out.iterator
         }
     } else {

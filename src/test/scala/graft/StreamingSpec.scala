@@ -600,4 +600,106 @@ class StreamingSpec extends SparkSpec {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("maintainAggStream: stream == batch maintained aggregate across splits and orders") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingDemo.AggRow
+    val chg = Seq(
+      (1L, 0L, "I", 10L), (1L, 1L, "I", 20L), (1L, 2L, "D", 10L),
+      (2L, 0L, "I", 5L), (2L, 1L, "D", 5L),              // group empties
+      (3L, 1L, "I", 7L), (3L, 0L, "I", 9L),              // out of order
+      (4L, 0L, "I", 3L), (4L, 0L, "I", 99L))             // same-version dup: first (op, value) wins
+    val batch = StreamingDemo.maintainAggStream(
+        chg.toDF("key", "version", "op", "value"))
+      .collect().map(r => r.key -> r).toMap
+    assert(batch(1L) == AggRow(1L, 2L, 1L, 20L))
+    assert(batch(2L) == AggRow(2L, 1L, 0L, 0L), "emptied group still emits n_rows = 0")
+    assert(batch(3L) == AggRow(3L, 1L, 2L, 16L))
+    assert(batch(4L) == AggRow(4L, 0L, 1L, 3L), "same-version duplicate applies once")
+    // stream the same changelog in three micro-batches, shuffled order
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val q = StreamingDemo.maintainAggStream(
+        mem.toDF().toDF("key", "version", "op", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("agg_stream_test").start()
+    try {
+      mem.addData((1L, 1L, "I", 20L), (2L, 0L, "I", 5L), (4L, 0L, "I", 3L))
+      q.processAllAvailable()
+      mem.addData((1L, 0L, "I", 10L), (2L, 1L, "D", 5L), (3L, 1L, "I", 7L),
+        (4L, 0L, "I", 99L))
+      q.processAllAvailable()
+      mem.addData((1L, 2L, "D", 10L), (3L, 0L, "I", 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("agg_stream_test").as[AggRow].collect()
+    // key 1's v0 arrived a trigger late (stale by contract) — so the
+    // stream's final n differs from batch ONLY through that skip
+    val last = emitted.groupBy(_.key).map { case (k, rows) =>
+      k -> rows.maxBy(_.last_version)
+    }
+    assert(last(1L) == AggRow(1L, 2L, 0L, 10L),
+      "late lower version must be skipped, later versions applied")
+    assert(last(2L) == batch(2L))
+    assert(last(3L) == AggRow(3L, 1L, 1L, 7L),
+      "v0 after v1 is stale by the version-ordered-log contract")
+    assert(last(4L) == batch(4L), "cross-trigger same-version redelivery skipped")
+    // key 4's second trigger must emit NOTHING (state unchanged)
+    assert(emitted.count(_.key == 4L) == 1)
+  }
+
+  test("maintainAggStream is idempotent under at-least-once redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val q = StreamingDemo.maintainAggStream(
+        mem.toDF().toDF("key", "version", "op", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("agg_redelivery_test").start()
+    try {
+      mem.addData((1L, 0L, "I", 10L), (1L, 1L, "I", 5L), (2L, 0L, "I", 7L))
+      q.processAllAvailable()
+      val before = spark.table("agg_redelivery_test").count()
+      // replay the whole changelog — every version compares ≤ the last
+      // applied one, so nothing re-applies and nothing re-emits
+      mem.addData((1L, 0L, "I", 10L), (1L, 1L, "I", 5L), (2L, 0L, "I", 7L))
+      q.processAllAvailable()
+      assert(spark.table("agg_redelivery_test").count() == before,
+        "replayed deltas must not double-apply or re-emit")
+    } finally q.stop()
+    import StreamingDemo.AggRow
+    val last = spark.table("agg_redelivery_test").as[AggRow].collect()
+      .groupBy(_.key).map { case (k, rows) => k -> rows.maxBy(_.last_version) }
+    assert(last(1L) == AggRow(1L, 1L, 2L, 15L))
+    assert(last(2L) == AggRow(2L, 0L, 1L, 7L))
+  }
+
+  test("maintainAggStream's AggMaintState round-trips the RocksDB provider") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingDemo.maintainAggStream(
+          mem.toDF().toDF("key", "version", "op", "value"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("agg_rocksdb_test").start()
+      try {
+        mem.addData((1L, 0L, "I", 10L))
+        q.processAllAvailable()
+        // batch 2 reads batch 1's (lastVersion, n, total) back through
+        // RocksDB: the replayed v0 must be skipped, v1 applied on top
+        mem.addData((1L, 0L, "I", 10L), (1L, 1L, "I", 5L))
+        q.processAllAvailable()
+      } finally q.stop()
+      import StreamingDemo.AggRow
+      val out = spark.table("agg_rocksdb_test").as[AggRow].collect()
+        .sortBy(_.last_version)
+      assert(out.toSeq == Seq(AggRow(1L, 0L, 1L, 10L), AggRow(1L, 1L, 2L, 15L)),
+        s"state must cross the RocksDB round-trip: ${out.mkString(",")}")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
