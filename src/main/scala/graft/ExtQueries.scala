@@ -480,6 +480,14 @@ object ExtQueries {
         .select(col("pri"), col("n_rows"),
           col("total").cast("double").as("total"))
     }),
+    "q_corpus_keyness" -> ((s, dir) => {
+      // drift report: the 50 tokens most over/under-represented in the
+      // English slice vs the rest, ranked by the 2×2 χ² (ln-free by
+      // design, so scores are bit-identical cross-engine)
+      val d = Tables.documents(s, dir)
+      PipelineOps.corpusKeyness(d.where(col("lang") === "en"),
+        d.where(col("lang") =!= "en"), "text", k = 50)
+    }),
     "q_heavy_hitters" -> ((s, dir) => {
       // every word above 1/32 of the corpus token mass, exact counts:
       // MG sketch pass (bounded state, complete candidates) + confirm
@@ -1638,6 +1646,34 @@ object ExtQueries {
     // full recompute over the logically-updated table — the operator's
     // semantic contract is maintenance == recompute, bit-equal because
     // the value column is DECIMAL (order-free exact sums on both sides)
+    // 2×2 χ² keyness, arithmetic mirrored textually (casts, the single
+    // subtraction, the two final roundings — all in the same order)
+    "q_corpus_keyness" ->
+      """WITH a AS (SELECT unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS word
+        |           FROM documents WHERE lang = 'en'),
+        |b AS (SELECT unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS word
+        |      FROM documents WHERE lang <> 'en'),
+        |ca AS (SELECT word, count(*) AS cnt_a FROM a GROUP BY word),
+        |cb AS (SELECT word, count(*) AS cnt_b FROM b GROUP BY word),
+        |ta AS (SELECT CAST(COALESCE(SUM(cnt_a), 0) AS BIGINT) AS tta FROM ca),
+        |tb AS (SELECT CAST(COALESCE(SUM(cnt_b), 0) AS BIGINT) AS ttb FROM cb),
+        |j AS (SELECT word, COALESCE(cnt_a, 0) AS cnt_a,
+        |             COALESCE(cnt_b, 0) AS cnt_b
+        |      FROM ca FULL JOIN cb USING (word))
+        |SELECT word, cnt_a, cnt_b,
+        |  (CAST(tta + ttb AS DOUBLE) *
+        |   ((CAST(cnt_a AS DOUBLE) * CAST(ttb - cnt_b AS DOUBLE)
+        |     - CAST(cnt_b AS DOUBLE) * CAST(tta - cnt_a AS DOUBLE))
+        |    * (CAST(cnt_a AS DOUBLE) * CAST(ttb - cnt_b AS DOUBLE)
+        |     - CAST(cnt_b AS DOUBLE) * CAST(tta - cnt_a AS DOUBLE))))
+        |  / ((CAST(cnt_a + cnt_b AS DOUBLE)
+        |      * CAST((tta - cnt_a) + (ttb - cnt_b) AS DOUBLE))
+        |     * (CAST(tta AS DOUBLE) * CAST(ttb AS DOUBLE))) AS chi2,
+        |  CAST(CASE WHEN cnt_a * ttb > cnt_b * tta THEN 1
+        |            WHEN cnt_a * ttb < cnt_b * tta THEN -1
+        |            ELSE 0 END AS BIGINT) AS direction
+        |FROM j, ta, tb
+        |ORDER BY chi2 DESC, word ASC LIMIT 50""".stripMargin,
     // per-key version-ordered fold: dedupe same-version deliveries to
     // the first (op, value) — the stream's strictly-greater rule —
     // then signed integer sums (order-free, exact on both engines)

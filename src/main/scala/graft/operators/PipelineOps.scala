@@ -962,4 +962,68 @@ object PipelineOps {
         (size(col("__toks")) - size(col("__keep"))).cast("long")
           .as("n_removed"))
   }
+
+  /** Corpus-comparison keyness — which tokens are most over/under-
+    * represented in corpus A vs corpus B, ranked by the 2×2 χ²
+    * statistic per token (the corpus-linguistics "keyness" table;
+    * the drift/contamination report a curation pipeline runs when a
+    * new crawl snapshot or domain mix lands). Dunning's log-likelihood
+    * is the other standard ranking; χ² is chosen DELIBERATELY because
+    * it is +,−,×,÷ on exact counts — no `ln`, whose last-ulp
+    * cross-libm drift is the [[LmScore]]/[[Bm25]] hazard — so every
+    * score is bit-identical on any engine and the op is hash-gateable.
+    *
+    * Per token with a = tf in A, b = tf in B, c = totalA − a,
+    * d = totalB − b, N = totalA + totalB (all exact longs; doubles
+    * only at the end, every product < 2^53 before the final two
+    * roundings, parenthesization mirrored textually in the oracle):
+    * {{{ chi2 = N·(ad − bc)² / ((a+b)(c+d)·(a+c)(b+d)) }}}
+    * `direction` = +1 when the token is over-represented in A
+    * (a·totalB > b·totalA — exact long compare), −1 under, 0 exact tie.
+    *
+    * Scale shape: one map-side-combinable token-count aggregate per
+    * corpus (the [[vocabProfile]] shape, minus the per-doc pass), the
+    * two 1-row totals cross-joined (no driver scalar), one full-outer
+    * equi-join on the token, then a global top-k = orderBy + limit —
+    * TakeOrderedAndProject, map-side bounded, so only k rows ever
+    * reach the driver side of the sort. Nothing grows with the
+    * vocabulary except the one token-keyed shuffle both counts
+    * already pay.
+    *
+    * @return top-`k` of (word, cnt_a, cnt_b, chi2, direction), ordered
+    *         (chi2 DESC, word ASC) */
+  def corpusKeyness(corpusA: DataFrame, corpusB: DataFrame,
+                    textCol: String, k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def counts(df: DataFrame, out: String) = df
+      .select(explode(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as(out))
+    val ca = counts(corpusA, "cnt_a")
+    val cb = counts(corpusB, "cnt_b")
+    val totA = ca.agg(coalesce(sum("cnt_a"), lit(0L)).as("__ta"))
+    val totB = cb.agg(coalesce(sum("cnt_b"), lit(0L)).as("__tb"))
+    val joined = ca.join(cb, Seq("word"), "full_outer")
+      .select(col("word"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .crossJoin(totA).crossJoin(totB)
+    joined.select(col("word"), col("cnt_a"), col("cnt_b"),
+        // the exact textual arithmetic the oracle mirrors: longs cast
+        // to double individually, one subtraction, two final roundings
+        expr("""(CAST(__ta + __tb AS DOUBLE) *
+                ((CAST(cnt_a AS DOUBLE) * CAST(__tb - cnt_b AS DOUBLE)
+                  - CAST(cnt_b AS DOUBLE) * CAST(__ta - cnt_a AS DOUBLE))
+                 * (CAST(cnt_a AS DOUBLE) * CAST(__tb - cnt_b AS DOUBLE)
+                  - CAST(cnt_b AS DOUBLE) * CAST(__ta - cnt_a AS DOUBLE))))
+               / ((CAST(cnt_a + cnt_b AS DOUBLE)
+                   * CAST((__ta - cnt_a) + (__tb - cnt_b) AS DOUBLE))
+                  * (CAST(__ta AS DOUBLE) * CAST(__tb AS DOUBLE)))""")
+          .as("chi2"),
+        when(col("cnt_a") * col("__tb") > col("cnt_b") * col("__ta"), 1L)
+          .when(col("cnt_a") * col("__tb") < col("cnt_b") * col("__ta"), -1L)
+          .otherwise(0L).as("direction"))
+      .orderBy(col("chi2").desc, col("word").asc)
+      .limit(k)
+  }
 }

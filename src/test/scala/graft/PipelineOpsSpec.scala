@@ -781,4 +781,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("non-positive") ||
       Option(e.getCause).exists(_.getMessage.contains("non-positive")))
   }
+
+  private def keyness(a: Seq[String], b: Seq[String], k: Int = 100) =
+    PipelineOps.corpusKeyness(a.toDF("text"), b.toDF("text"), "text", k)
+      .as[(String, Long, Long, Double, Long)].collect()
+
+  test("corpusKeyness: hand-computed 2x2 chi-squared, order, and direction") {
+    // A = {x:2, y:1} (total 3), B = {x:1, z:3} (total 4), N = 7
+    val out = keyness(Seq("x x y"), Seq("x z z z"))
+    assert(out.map(_._1).toSeq == Seq("z", "y", "x"), "chi2 descending")
+    val m = out.map(r => r._1 -> r).toMap
+    // z: a=0,b=3 -> numer=-9, chi2 = 7*81/((3*4)*(3*4)) = 567/144
+    assert(m("z") == (("z", 0L, 3L, 567.0 / 144.0, -1L)))
+    // y: a=1,b=0 -> chi2 = 7*16/((1*6)*(3*4)) = 112/72
+    assert(m("y") == (("y", 1L, 0L, 112.0 / 72.0, 1L)))
+    // x: a=2,b=1 -> numer = 2*3-1*1 = 5, chi2 = 7*25/((3*4)*(3*4))
+    assert(m("x") == (("x", 2L, 1L, 175.0 / 144.0, 1L)))
+  }
+
+  test("corpusKeyness: proportionally-equal token scores 0 with direction 0; k caps; word tiebreak") {
+    // 'w' appears 2/4 in A and 3/6 in B — same proportion, chi2 = 0
+    val out = keyness(Seq("w w p q"), Seq("w w w r r s"), k = 2)
+    assert(out.length == 2)
+    val all = keyness(Seq("w w p q"), Seq("w w w r r s"))
+    val w = all.find(_._1 == "w").get
+    assert(w._4 == 0.0 && w._5 == 0L)
+    // p/q (and r/s within B) are count-symmetric -> equal chi2; the
+    // (chi2 DESC, word ASC) order must break those ties by word
+    val pq = all.filter(r => r._1 == "p" || r._1 == "q").map(_._1).toSeq
+    assert(pq == pq.sorted)
+  }
+
+  test("corpusKeyness top-k is a TakeOrdered, not a global sort") {
+    val plan = PipelineOps.corpusKeyness(Seq("a b").toDF("text"),
+        Seq("b c").toDF("text"), "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
 }
