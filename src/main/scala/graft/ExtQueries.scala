@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, TextNormalize}
-import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Dsir, Funnel, FuzzyJoin, HeavyHitters, IncrementalAgg, Layout, LmScore, MediaCodecs, Multimodal, PageRank, PipelineOps, QualityModel, Quantize, RangeJoin, Retention, Similarity}
+import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Dsir, Funnel, FuzzyJoin, GraphComponents, HeavyHitters, IncrementalAgg, Layout, LmScore, MediaCodecs, Multimodal, PageRank, PipelineOps, QualityModel, Quantize, RangeJoin, Retention, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -399,6 +399,19 @@ object ExtQueries {
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + ID_OFFSET).as("dst"))
       PageRank.pageRank(edges, "src", "dst", iters = 3)
+    }),
+    "q_graph_components" -> ((s, dir) => {
+      // connected components of a sparsified purchase graph (every
+      // 50th order) — sparse enough for several components; the oracle
+      // is the recursive min-reachable-id closure
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + ID_OFFSET).as("dst"))
+      GraphComponents.connectedComponents(edges, "src", "dst")
     }),
     "q_changelog_stream_state" -> ((s, dir) => {
       // the streaming CDC twin's batch path: fold the same derived
@@ -1646,6 +1659,20 @@ object ExtQueries {
     // full recompute over the logically-updated table — the operator's
     // semantic contract is maintenance == recompute, bit-equal because
     // the value column is DECIMAL (order-free exact sums on both sides)
+    // min-reachable-id closure over the undirected edge set — the
+    // losers-CTE precedent, components instead of survivors
+    "q_graph_components" ->
+      s"""WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + $ID_OFFSET AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderkey % 50 = 0),
+        |e2 AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM e2
+        |  UNION
+        |  SELECT e.src, r.r FROM e2 e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS node, LEAST(id, MIN(r)) AS component
+        |FROM reach GROUP BY id""".stripMargin,
     // 2×2 χ² keyness, arithmetic mirrored textually (casts, the single
     // subtraction, the two final roundings — all in the same order)
     "q_corpus_keyness" ->
