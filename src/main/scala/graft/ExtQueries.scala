@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, TextNormalize}
-import graft.operators.{AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Dsir, Funnel, FuzzyJoin, GraphComponents, HeavyHitters, IncrementalAgg, Layout, LmScore, MediaCodecs, Multimodal, PageRank, PipelineOps, QualityModel, Quantize, RangeJoin, Retention, Similarity}
+import graft.operators.{Anomaly, AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Dsir, Funnel, FuzzyJoin, GraphComponents, HeavyHitters, IncrementalAgg, Layout, LmScore, MediaCodecs, Multimodal, PageRank, PipelineOps, QualityModel, Quantize, RangeJoin, Retention, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -387,6 +387,17 @@ object ExtQueries {
       val e = Tables.eventsRawNanos(s, dir)
         .withColumn("ts_us", expr("ts div 1000"))
       Retention.cohortRetention(e, "user_id", "ts_us", DAY_US)
+    }),
+    "q_events_anomaly" -> ((s, dir) => {
+      // rolling 24-event z-scores per event type; values quantized to
+      // 2^-10 so the window moments are exact long sums (identical
+      // under Spark's linear frames and DuckDB's segment trees)
+      val e = Tables.eventsRawNanos(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("event_id"), col("event_type"), col("ts_us"), col("value"))
+      Anomaly.rollingZScores(e, "event_type", "ts_us", "event_id", "value",
+          windowN = 24)
+        .select("event_id", "event_type", "ts_us", "value", "zq", "is_anomaly")
     }),
     "q_graph_pagerank" -> ((s, dir) => {
       // link-graph centrality on the customer→supplier purchase graph
@@ -1659,6 +1670,33 @@ object ExtQueries {
     // full recompute over the logically-updated table — the operator's
     // semantic contract is maintenance == recompute, bit-equal because
     // the value column is DECIMAL (order-free exact sums on both sides)
+    // the same quantized moments and the same per-row z arithmetic,
+    // parenthesized identically; long window sums are order-free so
+    // the segment-tree/linear-frame difference cannot show
+    "q_events_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us, value,
+        |             CAST(FLOOR(value * 1024.0) AS BIGINT) AS v FROM events),
+        |m AS (SELECT event_id, event_type, ts_us, value, v,
+        |        COUNT(*) OVER w AS n,
+        |        CAST(SUM(v) OVER w AS BIGINT) AS s,
+        |        CAST(SUM(v * v) OVER w AS BIGINT) AS q
+        |      FROM e WINDOW w AS (PARTITION BY event_type
+        |                          ORDER BY ts_us, event_id
+        |                          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, ts_us, value, zq,
+        |  CAST(CASE WHEN abs(zq) > 3.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_anomaly
+        |FROM (
+        |  SELECT event_id, event_type, ts_us, value,
+        |    CASE WHEN (CAST(q AS DOUBLE)
+        |               - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / 24.0) <= 0.0
+        |         THEN 0.0
+        |         ELSE (CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / 24.0)
+        |              / sqrt((CAST(q AS DOUBLE)
+        |                      - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / 24.0)
+        |                     / 24.0)
+        |    END AS zq
+        |  FROM m WHERE n = 24) t""".stripMargin,
     // min-reachable-id closure over the undirected edge set — the
     // losers-CTE precedent, components instead of survivors
     "q_graph_components" ->
