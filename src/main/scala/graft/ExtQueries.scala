@@ -424,6 +424,15 @@ object ExtQueries {
           (col("l_suppkey") + ID_OFFSET).as("dst"))
       GraphComponents.connectedComponents(edges, "src", "dst")
     }),
+    "q_funnel_stream_state" -> ((s, dir) => {
+      // the streaming funnel twin's batch path: same greedy-first fold
+      // per user, final row only — must equal the batch operator, so
+      // the oracle is q_events_funnel's SQL verbatim
+      val e = Tables.eventsRawNanos(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+      StreamingDemo.funnelStream(e, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"), 7200000000L).toDF()
+    }),
     "q_changelog_stream_state" -> ((s, dir) => {
       // the streaming CDC twin's batch path: fold the same derived
       // changelog (v0 baseline, v1/v2 re-prices on %7 keys, v3 deletes
@@ -1283,6 +1292,29 @@ object ExtQueries {
        |  FROM scored) t
        |WHERE rank <= $k""".stripMargin
   }
+
+  /** The greedy-first funnel oracle (per-step min() CTE chain), shared
+    * by q_events_funnel and the streaming twin's q_funnel_stream_state. */
+  private def funnelOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS y
+      |           FROM events),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE y = 'view'
+      |       GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.y = 'click' AND e.t > s1.t1
+      |         AND e.t - s1.t1 <= 7200000000 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.y = 'purchase' AND e.t > s2.t2
+      |         AND e.t - s2.t2 <= 7200000000 GROUP BY e.user_id)
+      |SELECT s1.user_id,
+      |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+      |            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+      |    AS steps_completed,
+      |  s1.t1 AS t_first, COALESCE(t3, t2, t1) AS t_last
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
 
   /** q_graph_pagerank oracle: the fixed-point iteration unrolled as
     * chained CTEs — pure BIGINT multiply/floor-divide/add, so the
@@ -2161,27 +2193,11 @@ object ExtQueries {
         |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
     // greedy-first funnel as per-step min() CTEs: t_{i+1} = first
     // qualifying event strictly after t_i within the window — exactly
-    // the scan the Spark state machine performs in (user, ts) order
-    "q_events_funnel" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS y
-        |           FROM events),
-        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE y = 'view'
-        |       GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e
-        |       JOIN s1 ON e.user_id = s1.user_id
-        |       WHERE e.y = 'click' AND e.t > s1.t1
-        |         AND e.t - s1.t1 <= 7200000000 GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e
-        |       JOIN s2 ON e.user_id = s2.user_id
-        |       WHERE e.y = 'purchase' AND e.t > s2.t2
-        |         AND e.t - s2.t2 <= 7200000000 GROUP BY e.user_id)
-        |SELECT s1.user_id,
-        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
-        |            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
-        |    AS steps_completed,
-        |  s1.t1 AS t_first, COALESCE(t3, t2, t1) AS t_last
-        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    // the scan the Spark state machine performs in (user, ts) order.
+    // SHARED with q_funnel_stream_state: the streaming twin's batch
+    // fold must equal the batch operator, so the oracles cannot drift
+    "q_events_funnel" -> funnelOracle,
+    "q_funnel_stream_state" -> funnelOracle,
     // retention triangle: the distinct (user, period) frame is the
     // operator's collect_set in relational form; the cohort-size
     // window's offset-0 row always exists (the cohort period is itself

@@ -37,6 +37,15 @@ object StreamingDemo {
   /** Per-key winner state: the highest (version, op, payload) change. */
   final case class ChangeState(version: Long, op: String, payload: String)
 
+  /** One typed event for [[funnelStream]]. */
+  final case class FunnelEvent(user: Long, ts: Long, etype: String)
+  /** Per-user funnel progress: last event time seen (the staleness
+    * gate), current depth, anchor + deepest-step times. */
+  final case class FunnelState(lastTs: Long, depth: Int, tFirst: Long, tLast: Long)
+  /** Emitted funnel-progress row (same shape as the batch operator). */
+  final case class FunnelRow(user_id: Long, steps_completed: Long,
+                             t_first: Long, t_last: Long)
+
   /** One changelog delta for [[maintainAggStream]] ('I' adds, 'D'
     * subtracts; value in exact integer units). */
   final case class AggDeltaRow(key: Long, version: Long, op: String, value: Long)
@@ -480,6 +489,91 @@ object StreamingDemo {
     } else {
       typed.groupByKey(_.key).flatMapGroups { (key, it) =>
         fold(key, it, None)._1.iterator
+      }
+    }
+  }
+
+  /** Continuous funnel analysis — the streaming twin of
+    * [[graft.operators.Funnel]]: per-user state holds the greedy-first
+    * progress (depth, anchor time, deepest-step time), and a trigger
+    * emits the user's NEW progress row whenever the depth advances
+    * (progressive output — the batch operator reports final depths,
+    * the stream reports each advance as it happens, which is what a
+    * live conversion dashboard consumes).
+    *
+    * Contract: the event log is per-user TIME-ORDERED across triggers
+    * (the shape every event-log source provides); within a trigger
+    * arrivals sort by ts. An event older than the newest one already
+    * seen for its user is STALE and skipped — greedy-first cannot
+    * retroactively re-anchor without replaying history, so late data
+    * is dropped loudly-by-contract rather than silently producing a
+    * different funnel than the batch op would. Consequences:
+    *
+    *  - in-order delivery ⇒ stream final state == batch operator
+    *    output exactly (spec-pinned across micro-batch splits);
+    *  - at-least-once redelivery is idempotent — a replayed event's
+    *    ts compares ≤ lastTs and is skipped;
+    *  - same-ts events cannot change the outcome (the strictly-after
+    *    step rule, as in the batch operator), so the staleness gate
+    *    uses strict `<` and keeps same-ts siblings admissible in
+    *    their sorted order.
+    *
+    * State: one (lastTs, depth, tFirst, tLast) per user, NoTimeout
+    * (a funnel can complete arbitrarily late; compose with
+    * [[sessionizeCore]]-style timeouts upstream to bound cardinality
+    * when user churn is unbounded). Batch frames run the identical
+    * fold per user and emit the FINAL row only — value parity with
+    * [[graft.operators.Funnel.funnel]] is oracle-gated
+    * (q_funnel_stream_state reuses the funnel oracle verbatim). */
+  def funnelStream(events: DataFrame, userCol: String, tsUsCol: String,
+                   typeCol: String, steps: Seq[String], windowUs: Long)
+      : org.apache.spark.sql.Dataset[FunnelRow] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps must be non-empty and distinct")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val session = events.sparkSession
+    import session.implicits._
+    val n = steps.size
+    val typed = events.select(col(userCol).cast("long").as("user"),
+        col(tsUsCol).cast("long").as("ts"),
+        col(typeCol).cast("string").as("etype"))
+      .where(col("user").isNotNull && col("ts").isNotNull)
+      .as[FunnelEvent]
+    def fold(user: Long, rows: Iterator[FunnelEvent], prior: Option[FunnelState])
+        : (Seq[FunnelRow], FunnelState) = {
+      var st = prior.getOrElse(FunnelState(Long.MinValue, 0, 0L, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelRow]
+      rows.toSeq.sortBy(r => (r.ts, r.etype)).foreach { r =>
+        if (r.ts >= st.lastTs) { // strict < is stale; same-ts admissible
+          var advanced = false
+          if (st.depth == 0) {
+            if (r.etype == steps.head) {
+              st = FunnelState(r.ts, 1, r.ts, r.ts); advanced = true
+            }
+          } else if (st.depth < n && r.etype == steps(st.depth) &&
+                     r.ts > st.tLast && r.ts - st.tLast <= windowUs) {
+            st = FunnelState(r.ts, st.depth + 1, st.tFirst, r.ts); advanced = true
+          }
+          if (!advanced) st = st.copy(lastTs = math.max(st.lastTs, r.ts))
+          else out += FunnelRow(user, st.depth.toLong, st.tFirst, st.tLast)
+        }
+      }
+      (out.toSeq, st)
+    }
+    if (events.isStreaming) {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      typed.groupByKey(_.user)
+        .flatMapGroupsWithState[FunnelState, FunnelRow](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, state) =>
+          val (out, st) = fold(user, it, state.getOption)
+          state.update(st)
+          out.iterator
+        }
+    } else {
+      // batch arm: final row per user only (the batch operator's shape)
+      typed.groupByKey(_.user).flatMapGroups { (user, it) =>
+        val (out, _) = fold(user, it, None)
+        out.lastOption.iterator
       }
     }
   }

@@ -702,4 +702,109 @@ class StreamingSpec extends SparkSpec {
       case None    => spark.conf.unset(key)
     }
   }
+
+  private val FUNNEL_STEPS = Seq("view", "click", "buy")
+
+  test("funnelStream batch arm equals the batch Funnel operator; stream emits each advance") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingDemo.FunnelRow
+    val rows = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"),
+      (2L, 10L, "view"), (2L, 500L, "click"),   // outside the window
+      (3L, 10L, "click"),                        // never anchors
+      (4L, 10L, "view"), (4L, 10L, "click"))     // same-ts: not strictly after
+    val df = rows.toDF("user_id", "ts_us", "event_type")
+    val batchTwin = StreamingDemo.funnelStream(df, "user_id", "ts_us",
+        "event_type", FUNNEL_STEPS, 100L)
+      .collect().map(r => r.user_id -> r).toMap
+    val batchOp = graft.operators.Funnel.funnel(df, "user_id", "ts_us",
+        "event_type", FUNNEL_STEPS, 100L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> FunnelRow(r._1, r._2, r._3, r._4)).toMap
+    assert(batchTwin == batchOp, "twin fold must equal the batch operator")
+    // in-order stream across three triggers: final rows equal batch,
+    // and each depth advance emits progressively
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = StreamingDemo.funnelStream(
+        mem.toDF().toDF("user_id", "ts_us", "event_type"),
+        "user_id", "ts_us", "event_type", FUNNEL_STEPS, 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_stream_test").start()
+    try {
+      mem.addData((1L, 10L, "view"), (2L, 10L, "view"), (3L, 10L, "click"))
+      q.processAllAvailable()
+      mem.addData((1L, 20L, "click"), (4L, 10L, "view"), (4L, 10L, "click"))
+      q.processAllAvailable()
+      mem.addData((1L, 30L, "buy"), (2L, 500L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("funnel_stream_test").as[FunnelRow].collect()
+    assert(emitted.count(_.user_id == 1L) == 3, "one row per depth advance")
+    val finals = emitted.groupBy(_.user_id)
+      .map { case (u, rs) => u -> rs.maxBy(_.steps_completed) }
+    assert(finals == batchOp, "in-order stream must converge to the batch result")
+  }
+
+  test("funnelStream skips stale events and replays (at-least-once safety)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingDemo.FunnelRow
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = StreamingDemo.funnelStream(
+        mem.toDF().toDF("user_id", "ts_us", "event_type"),
+        "user_id", "ts_us", "event_type", FUNNEL_STEPS, 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_stale_test").start()
+    try {
+      mem.addData((1L, 50L, "view"))
+      q.processAllAvailable()
+      // a click BEFORE the seen frontier is stale by contract: no
+      // retroactive anchoring or advancing
+      mem.addData((1L, 20L, "click"))
+      q.processAllAvailable()
+      val afterStale = spark.table("funnel_stale_test").count()
+      assert(afterStale == 1, "stale event must not advance the funnel")
+      // replaying the anchor (same ts) is admissible but cannot
+      // re-anchor or re-emit (depth already 1, view is not step 2)
+      mem.addData((1L, 50L, "view"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stale_test").count() == 1)
+      // fresh in-order click still advances
+      mem.addData((1L, 60L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("funnel_stale_test").as[FunnelRow].collect()
+      .maxBy(_.steps_completed)
+    assert(last == FunnelRow(1L, 2L, 50L, 60L))
+  }
+
+  test("funnelStream's FunnelState round-trips the RocksDB provider") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingDemo.FunnelRow
+    val mem = MemoryStream[(Long, Long, String)]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingDemo.funnelStream(
+          mem.toDF().toDF("user_id", "ts_us", "event_type"),
+          "user_id", "ts_us", "event_type", FUNNEL_STEPS, 100L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("funnel_rocksdb_test").start()
+      try {
+        mem.addData((1L, 10L, "view"))
+        q.processAllAvailable()
+        mem.addData((1L, 20L, "click"), (1L, 30L, "buy"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("funnel_rocksdb_test").as[FunnelRow].collect()
+        .sortBy(_.steps_completed)
+      assert(out.toSeq == Seq(FunnelRow(1L, 1L, 10L, 10L),
+        FunnelRow(1L, 2L, 10L, 20L), FunnelRow(1L, 3L, 10L, 30L)),
+        s"state must cross the RocksDB round-trip: ${out.mkString(",")}")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
