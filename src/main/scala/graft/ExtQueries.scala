@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, TextNormalize}
-import graft.operators.{Anomaly, AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Dsir, Funnel, FuzzyJoin, GraphComponents, HeavyHitters, IncrementalAgg, Layout, LmScore, MediaCodecs, Multimodal, PageRank, PipelineOps, QualityModel, Quantize, RangeJoin, Retention, Similarity}
+import graft.operators.{Anomaly, AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Dsir, Funnel, FuzzyJoin, GraphComponents, HeavyHitters, IncrementalAgg, Intervals, Layout, LmScore, MediaCodecs, Multimodal, PageRank, PipelineOps, QualityModel, Quantize, RangeJoin, Retention, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -387,6 +387,16 @@ object ExtQueries {
       val e = Tables.eventsRawNanos(s, dir)
         .withColumn("ts_us", expr("ts div 1000"))
       Retention.cohortRetention(e, "user_id", "ts_us", DAY_US)
+    }),
+    "q_events_intervals" -> ((s, dir) => {
+      // per-user activity coverage: each event opens a 30-minute
+      // interval, overlapping/touching ones coalesce — interval-merge
+      // sessionization, the islands-and-gaps construction
+      val e = Tables.eventsRawNanos(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("ts_us").as("ivl_start"),
+          (col("ts_us") + lit(1800000000L)).as("ivl_end"))
+      Intervals.mergeIntervals(e, "user_id", "ivl_start", "ivl_end")
     }),
     "q_events_anomaly" -> ((s, dir) => {
       // rolling 24-event z-scores per event type; values quantized to
@@ -1702,6 +1712,25 @@ object ExtQueries {
     // full recompute over the logically-updated table — the operator's
     // semantic contract is maintenance == recompute, bit-equal because
     // the value column is DECIMAL (order-free exact sums on both sides)
+    // the same three windows in SQL — running max over preceding,
+    // island heads, prefix-sum ids — then the island collapse
+    "q_events_intervals" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS s0,
+        |             epoch_us(ts) + 1800000000 AS e0 FROM events),
+        |m AS (SELECT user_id, s0, e0,
+        |        MAX(e0) OVER (PARTITION BY user_id ORDER BY s0, e0
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM e),
+        |h AS (SELECT user_id, s0, e0,
+        |        CASE WHEN pm IS NULL OR s0 > pm + 0 THEN 1 ELSE 0 END AS head
+        |      FROM m),
+        |i AS (SELECT user_id, s0, e0,
+        |        SUM(head) OVER (PARTITION BY user_id ORDER BY s0, e0
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM h)
+        |SELECT user_id, MIN(s0) AS span_start, MAX(e0) AS span_end,
+        |  COUNT(*) AS n_merged
+        |FROM i GROUP BY user_id, island""".stripMargin,
     // the same quantized moments and the same per-row z arithmetic,
     // parenthesized identically; long window sums are order-free so
     // the segment-tree/linear-frame difference cannot show
