@@ -523,6 +523,11 @@ object ExtQueries {
         .select(col("pri"), col("n_rows"),
           col("total").cast("double").as("total"))
     }),
+    "q_collocations" -> ((s, dir) => {
+      // phrase mining: the 50 most-associated adjacent token pairs by
+      // 2×2 χ² vs margin independence, hapaxes guarded at minCount 5
+      PipelineOps.collocations(Tables.documents(s, dir), "text", k = 50)
+    }),
     "q_corpus_keyness" -> ((s, dir) => {
       // drift report: the 50 tokens most over/under-represented in the
       // English slice vs the rest, ranked by the 2×2 χ² (ln-free by
@@ -1772,6 +1777,36 @@ object ExtQueries {
         |  SELECT e.src, r.r FROM e2 e JOIN reach r ON e.dst = r.id)
         |SELECT id AS node, LEAST(id, MIN(r)) AS component
         |FROM reach GROUP BY id""".stripMargin,
+    // the same χ² spelling as keyness over the bigram/margin table;
+    // minCount applies after margins (they come from the FULL pair set)
+    "q_collocations" ->
+      """WITH t AS (SELECT regexp_extract_all(COALESCE(text, ''), '\S+') AS toks
+        |           FROM documents),
+        |bgx AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM t WHERE len(toks) >= 2),
+        |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM bgx),
+        |pc AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2),
+        |lm AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_left
+        |       FROM pc GROUP BY 1),
+        |rm AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS n_right
+        |       FROM pc GROUP BY 1),
+        |nn AS (SELECT CAST(COALESCE(SUM(n_pair), 0) AS BIGINT) AS n FROM pc)
+        |SELECT w1, w2, n_pair, n_left, n_right,
+        |  (CAST(n AS DOUBLE) *
+        |   ((CAST(n_pair AS DOUBLE)
+        |      * CAST((n - n_left - n_right) + n_pair AS DOUBLE)
+        |     - CAST(n_left - n_pair AS DOUBLE)
+        |      * CAST(n_right - n_pair AS DOUBLE))
+        |    * (CAST(n_pair AS DOUBLE)
+        |      * CAST((n - n_left - n_right) + n_pair AS DOUBLE)
+        |     - CAST(n_left - n_pair AS DOUBLE)
+        |      * CAST(n_right - n_pair AS DOUBLE))))
+        |  / ((CAST(n_left AS DOUBLE) * CAST(n - n_left AS DOUBLE))
+        |     * (CAST(n_right AS DOUBLE) * CAST(n - n_right AS DOUBLE)))
+        |    AS chi2
+        |FROM pc JOIN lm USING (w1) JOIN rm USING (w2), nn
+        |WHERE n_pair >= 5
+        |ORDER BY chi2 DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin,
     // 2×2 χ² keyness, arithmetic mirrored textually (casts, the single
     // subtraction, the two final roundings — all in the same order)
     "q_corpus_keyness" ->

@@ -1026,4 +1026,58 @@ object PipelineOps {
       .orderBy(col("chi2").desc, col("word").asc)
       .limit(k)
   }
+
+  /** Collocation extraction — the token pairs that co-occur far more
+    * than their margins predict (phrase mining: "New York", "machine
+    * learning"; the tokenizer-vocab and stop-phrase feeder). Each
+    * adjacent bigram is scored by the 2×2 χ² of observed pair count
+    * vs independence of its left/right margins — the same ln-free
+    * exactness design as [[corpusKeyness]] (Dunning's LLR and PMI both
+    * need ln; χ² is exact-count +,−,×,÷ and therefore hash-gateable).
+    * `minCount` is the standard hapax guard: a 1-occurrence pair of
+    * 1-occurrence words scores ≈N, which is noise, not signal.
+    *
+    * Scale shape: one bigram explode into a combinable (w1, w2) count
+    * — the only corpus-sized shuffle; margins and the grand total are
+    * three aggregates over that COMPACT pair frame (persisted once for
+    * its four consumers), joined back equi-keyed; top-k is orderBy +
+    * limit (TakeOrderedAndProject). χ² inputs stay under 2^53 like
+    * keyness, so every double op is identically rounded cross-engine.
+    *
+    * @return top-`k` of (w1, w2, n_pair, n_left, n_right, chi2),
+    *         ordered (chi2 DESC, w1 ASC, w2 ASC) */
+  def collocations(docs: DataFrame, textCol: String, k: Int = 100,
+                   minCount: Long = 5L): DataFrame = {
+    require(k >= 1 && minCount >= 1, s"k and minCount must be >= 1")
+    val bg = docs
+      .select(TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__toks) - 1), i -> struct(__toks[i-1] AS w1, __toks[i] AS w2))"))
+        .as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val pc = graft.CacheScope.track(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair")))
+    val lm = pc.groupBy("w1").agg(sum("n_pair").as("n_left"))
+    val rm = pc.groupBy("w2").agg(sum("n_pair").as("n_right"))
+    val nn = pc.agg(coalesce(sum("n_pair"), lit(0L)).as("__n"))
+    pc.where(col("n_pair") >= minCount)
+      .join(lm, "w1").join(rm, "w2").crossJoin(nn)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_left"),
+        col("n_right"),
+        expr("""(CAST(__n AS DOUBLE) *
+                ((CAST(n_pair AS DOUBLE)
+                   * CAST((__n - n_left - n_right) + n_pair AS DOUBLE)
+                  - CAST(n_left - n_pair AS DOUBLE)
+                   * CAST(n_right - n_pair AS DOUBLE))
+                 * (CAST(n_pair AS DOUBLE)
+                   * CAST((__n - n_left - n_right) + n_pair AS DOUBLE)
+                  - CAST(n_left - n_pair AS DOUBLE)
+                   * CAST(n_right - n_pair AS DOUBLE))))
+               / ((CAST(n_left AS DOUBLE) * CAST(__n - n_left AS DOUBLE))
+                  * (CAST(n_right AS DOUBLE) * CAST(__n - n_right AS DOUBLE)))""")
+          .as("chi2"))
+      .orderBy(col("chi2").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
 }

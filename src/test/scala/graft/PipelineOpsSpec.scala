@@ -812,6 +812,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pq == pq.sorted)
   }
 
+  test("collocations: hand-computed bigram chi-squared, margins, hapax guard") {
+    // corpus bigrams: "a b" ×3, "a c" ×1, "d b" ×1 → N=5
+    val docs = Seq("a b", "a b", "a b", "a c", "d b").toDF("text")
+    val all = PipelineOps.collocations(docs, "text", k = 10, minCount = 1)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val m = all.map(r => (r._1, r._2) -> r).toMap
+    // ("a","b"): a=3, n_left=4, n_right=4, N=5 → d = 5-4-4+3 = 0,
+    // b = 1, c = 1 → numer = 3*0 - 1*1 = -1 → chi2 = 5*1/((4*1)*(4*1))
+    assert(m(("a", "b")) == (("a", "b", 3L, 4L, 4L, 5.0 / 16.0)))
+    // minCount filters the hapax pairs but not the margins
+    val guarded = PipelineOps.collocations(docs, "text", k = 10, minCount = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(guarded.map(r => (r._1, r._2)).toSeq == Seq(("a", "b")))
+    assert(guarded.head._4 == 4L, "margins must come from the full pair set")
+  }
+
+  test("collocations: planted phrase dominates a generated corpus") {
+    // 'new york' always adjacent; filler tokens shuffle independently
+    val docs = (0 until 120).map { i =>
+      val filler = (0 until 8).map(j => s"t${(i * 7 + j * 13) % 23}")
+      (filler.take(4) ++ Seq("new", "york") ++ filler.drop(4)).mkString(" ")
+    }.toDF("text")
+    val top = PipelineOps.collocations(docs, "text", k = 5)
+      .select("w1", "w2").as[(String, String)].head()
+    assert(top == (("new", "york")))
+  }
+
   test("corpusKeyness top-k is a TakeOrdered, not a global sort") {
     val plan = PipelineOps.corpusKeyness(Seq("a b").toDF("text"),
         Seq("b c").toDF("text"), "text", 10)
