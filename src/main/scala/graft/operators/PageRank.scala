@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * iterations) is designed out, the same motivation as the repo's
   * DECIMAL round-trip convention, and what makes the operator
   * hash-gateable against a SQL replay. The deliberate floor bias loses
-  * < N·iters micro-units of total mass — ~1e-9 relative at any
-  * realistic scale, identically on every engine.
+  * ≲ iters·(E + 2N) micro-units of total mass (each out-degree split
+  * can strand outdeg−1 units per node per round) — ~1e-5 relative at
+  * any realistic scale, identically on every engine; PageRankProbe
+  * asserts the bound end-to-end at 8M edges.
   *
   * Per iteration (damping d = dampNum/100):
   * {{{ r'(v) = teleport + d * (Σ_{u→v} r(u) div outdeg(u) + danglingSum div N) div 100 }}}
