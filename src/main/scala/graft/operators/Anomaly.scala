@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   * window scale), and both window moments (Σv, Σv²) are LONG sums —
   * exact under any summation order. The z arithmetic then runs
   * per-row on bit-identical inputs, and every intermediate stays
-  * under 2^53 so even the double casts are exact: |x| ≤ 2^19/2^10 and
-  * windowN ≤ 2^12 give Σv² ≤ 2^50 (both bounds asserted, loudly).
+  * under 2^53 so even the double casts are exact: the per-value bound
+  * scales with the window — |v| ≤ floor(√(2^52/windowN)) keeps
+  * Σv² ≤ 2^52 (and Σv far below 2^53) at ANY admitted window size, so
+  * a 24-event window admits |x| up to ~13k while the 4096 cap still
+  * admits ~1k (both bounds asserted, loudly).
   * The quantization changes a z-score by O(2^-10/σ) — irrelevant to a
   * |z| > 3 flag; the DETERMINISM is what's bought.
   *
@@ -44,11 +47,12 @@ object Anomaly {
                      thresh: Double = 3.0): DataFrame = {
     require(windowN >= 2 && windowN <= 4096,
       s"windowN in [2, 4096] (the exactness bound), got $windowN")
-    // the |v| ≤ 2^19 bound keeps v² ≤ 2^38 (no long overflow in the
-    // moment products) and Σv² ≤ 2^50 over the max window (exact even
-    // as a double) — enforced AT QUANTIZATION, per row, loudly
+    // |v| ≤ √(2^52/windowN) keeps v² free of long overflow and
+    // Σv² ≤ 2^52 over the window (exact even as a double) — enforced
+    // AT QUANTIZATION, per row, loudly
+    val vMax = math.sqrt(4503599627370496.0 / windowN).toLong // 2^52/N
     val v0 = floor(col(valCol) * lit(Q)).cast("long")
-    val v = when(abs(v0) <= lit(1L << 19), v0)
+    val v = when(abs(v0) <= lit(vMax), v0)
       .otherwise(raise_error(lit(
         "rollingZScores: |value|·1024 exceeds the exactness bound — scale the column down"))
         .cast("long"))

@@ -25,6 +25,16 @@ class GateSchemaSpec extends SparkSpec {
     case _ => false
   }
 
+  test("every declared query has an oracle, and no oracle is orphaned") {
+    // a query without an oracle silently degrades to the driver's
+    // rows-only check; an oracle without a query is dead SQL — both
+    // are drift, so the two key sets must match exactly
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries with no oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"orphaned oracles: ${(o -- q).toSeq.sorted}")
+  }
+
   test("every SparkEntry query emits flat primitive columns only") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
