@@ -434,6 +434,14 @@ object ExtQueries {
           (col("l_suppkey") + ID_OFFSET).as("dst"))
       GraphComponents.connectedComponents(edges, "src", "dst")
     }),
+    "q_anomaly_stream_state" -> ((s, dir) => {
+      // the streaming anomaly twin's batch path: same quantized rolling
+      // fold per type, so the oracle is q_events_anomaly's SQL verbatim
+      val e = Tables.eventsRawNanos(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+      StreamingDemo.anomalyStream(e, "event_type", "ts_us", "event_id",
+        "value", windowN = 24).toDF()
+    }),
     "q_funnel_stream_state" -> ((s, dir) => {
       // the streaming funnel twin's batch path: same greedy-first fold
       // per user, final row only — must equal the batch operator, so
@@ -1308,6 +1316,33 @@ object ExtQueries {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** The rolling z-score oracle, shared by q_events_anomaly and the
+    * streaming twin's q_anomaly_stream_state. */
+  private def anomalyOracle: String =
+    """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us, value,
+      |             CAST(FLOOR(value * 1024.0) AS BIGINT) AS v FROM events),
+      |m AS (SELECT event_id, event_type, ts_us, value, v,
+      |        COUNT(*) OVER w AS n,
+      |        CAST(SUM(v) OVER w AS BIGINT) AS s,
+      |        CAST(SUM(v * v) OVER w AS BIGINT) AS q
+      |      FROM e WINDOW w AS (PARTITION BY event_type
+      |                          ORDER BY ts_us, event_id
+      |                          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, event_type, ts_us, value, zq,
+      |  CAST(CASE WHEN abs(zq) > 3.0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_anomaly
+      |FROM (
+      |  SELECT event_id, event_type, ts_us, value,
+      |    CASE WHEN (CAST(q AS DOUBLE)
+      |               - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / 24.0) <= 0.0
+      |         THEN 0.0
+      |         ELSE (CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / 24.0)
+      |              / sqrt((CAST(q AS DOUBLE)
+      |                      - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / 24.0)
+      |                     / 24.0)
+      |    END AS zq
+      |  FROM m WHERE n = 24) t""".stripMargin
+
   /** The greedy-first funnel oracle (per-step min() CTE chain), shared
     * by q_events_funnel and the streaming twin's q_funnel_stream_state. */
   private def funnelOracle: String =
@@ -1738,31 +1773,10 @@ object ExtQueries {
         |FROM i GROUP BY user_id, island""".stripMargin,
     // the same quantized moments and the same per-row z arithmetic,
     // parenthesized identically; long window sums are order-free so
-    // the segment-tree/linear-frame difference cannot show
-    "q_events_anomaly" ->
-      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us, value,
-        |             CAST(FLOOR(value * 1024.0) AS BIGINT) AS v FROM events),
-        |m AS (SELECT event_id, event_type, ts_us, value, v,
-        |        COUNT(*) OVER w AS n,
-        |        CAST(SUM(v) OVER w AS BIGINT) AS s,
-        |        CAST(SUM(v * v) OVER w AS BIGINT) AS q
-        |      FROM e WINDOW w AS (PARTITION BY event_type
-        |                          ORDER BY ts_us, event_id
-        |                          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
-        |SELECT event_id, event_type, ts_us, value, zq,
-        |  CAST(CASE WHEN abs(zq) > 3.0 THEN 1 ELSE 0 END AS BIGINT)
-        |    AS is_anomaly
-        |FROM (
-        |  SELECT event_id, event_type, ts_us, value,
-        |    CASE WHEN (CAST(q AS DOUBLE)
-        |               - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / 24.0) <= 0.0
-        |         THEN 0.0
-        |         ELSE (CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / 24.0)
-        |              / sqrt((CAST(q AS DOUBLE)
-        |                      - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / 24.0)
-        |                     / 24.0)
-        |    END AS zq
-        |  FROM m WHERE n = 24) t""".stripMargin,
+    // the segment-tree/linear-frame difference cannot show. SHARED
+    // with q_anomaly_stream_state (the streaming twin's batch fold)
+    "q_events_anomaly" -> anomalyOracle,
+    "q_anomaly_stream_state" -> anomalyOracle,
     // min-reachable-id closure over the undirected edge set — the
     // losers-CTE precedent, components instead of survivors
     "q_graph_components" ->

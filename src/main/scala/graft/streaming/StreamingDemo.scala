@@ -46,6 +46,15 @@ object StreamingDemo {
   final case class FunnelRow(user_id: Long, steps_completed: Long,
                              t_first: Long, t_last: Long)
 
+  /** One typed event for [[anomalyStream]]. */
+  final case class AnomalyEvent(key: String, ts: Long, id: Long, value: Double)
+  /** Per-key rolling state: the admission frontier (last applied
+    * (ts, id)) and the trailing quantized-value window. */
+  final case class AnomalyState(lastTs: Long, lastId: Long, window: Seq[Long])
+  /** Emitted anomaly row (same shape as the batch operator's output). */
+  final case class AnomalyRow(event_id: Long, event_type: String, ts_us: Long,
+                              value: Double, zq: Double, is_anomaly: Long)
+
   /** One changelog delta for [[maintainAggStream]] ('I' adds, 'D'
     * subtracts; value in exact integer units). */
   final case class AggDeltaRow(key: Long, version: Long, op: String, value: Long)
@@ -484,6 +493,87 @@ object StreamingDemo {
           OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
           val (out, cur) = fold(key, it, state.getOption)
           cur.foreach(state.update)
+          out.iterator
+        }
+    } else {
+      typed.groupByKey(_.key).flatMapGroups { (key, it) =>
+        fold(key, it, None)._1.iterator
+      }
+    }
+  }
+
+  /** Continuous anomaly detection — the streaming twin of
+    * [[graft.operators.Anomaly]]: live per-key rolling z-scores, which
+    * is the shape anomaly detection actually deploys in (a metrics
+    * stream scored as it arrives). Per-key state holds the trailing
+    * `windowN` QUANTIZED values plus the admission frontier; each
+    * admitted event past warm-up emits its z-row immediately.
+    *
+    * Same exactness design as the batch operator (2^-10 quantization,
+    * integer moments, the √(2^52/N) bound raised loudly) and the same
+    * replay-safety family as the other round-12 twins — here the
+    * frontier is the full (ts, id) pair, because admitting a replayed
+    * event would DOUBLE-INSERT its value into the window (the funnel's
+    * ts-only frontier suffices there since re-anchoring is a no-op;
+    * a rolling window has no such luck). So:
+    *
+    *  - at-least-once redelivery is idempotent — a replay compares
+    *    ≤ (lastTs, lastId) and is skipped;
+    *  - distinct same-ts events admit in sorted (ts, id) order, the
+    *    batch operator's exact window order;
+    *  - in-order delivery ⇒ stream rows == batch operator rows
+    *    (oracle-gated through the batch arm, which shares
+    *    q_events_anomaly's oracle verbatim).
+    *
+    * State: windowN longs + two frontier longs per key, NoTimeout
+    * (~200 B/key at N=24 — key cardinality bounds memory; RocksDB
+    * round-trip spec-pinned like the rest of the family). */
+  def anomalyStream(events: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, valCol: String, windowN: Int = 24,
+                    thresh: Double = 3.0)
+      : org.apache.spark.sql.Dataset[AnomalyRow] = {
+    require(windowN >= 2 && windowN <= 4096,
+      s"windowN in [2, 4096] (the exactness bound), got $windowN")
+    val session = events.sparkSession
+    import session.implicits._
+    val vMax = math.sqrt(4503599627370496.0 / windowN).toLong // 2^52/N
+    val typed = events.select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"),
+        col(valCol).cast("double").as("value"))
+      .where(col("key").isNotNull && col("ts").isNotNull)
+      .as[AnomalyEvent]
+    val nD = windowN.toDouble
+    def fold(key: String, rows: Iterator[AnomalyEvent], prior: Option[AnomalyState])
+        : (Seq[AnomalyRow], AnomalyState) = {
+      var st = prior.getOrElse(AnomalyState(Long.MinValue, Long.MinValue, Vector.empty))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyRow]
+      rows.toSeq.sortBy(r => (r.ts, r.id)).foreach { r =>
+        if (r.ts > st.lastTs || (r.ts == st.lastTs && r.id > st.lastId)) {
+          val v = math.floor(r.value * 1024.0).toLong
+          require(math.abs(v) <= vMax,
+            "anomalyStream: |value|·1024 exceeds the exactness bound — scale the column down")
+          val win = (st.window :+ v).takeRight(windowN)
+          st = AnomalyState(r.ts, r.id, win)
+          if (win.length == windowN) {
+            var s = 0L; var q = 0L
+            win.foreach { x => s += x; q += x * x } // exact long moments
+            val varNum = q.toDouble - (s.toDouble * s.toDouble) / nD
+            val z = if (varNum <= 0.0) 0.0
+                    else (v.toDouble - s.toDouble / nD) / math.sqrt(varNum / nD)
+            out += AnomalyRow(r.id, key, r.ts, r.value, z,
+              if (math.abs(z) > thresh) 1L else 0L)
+          }
+        }
+      }
+      (out.toSeq, st)
+    }
+    if (events.isStreaming) {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      typed.groupByKey(_.key)
+        .flatMapGroupsWithState[AnomalyState, AnomalyRow](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+          val (out, st) = fold(key, it, state.getOption)
+          state.update(st)
           out.iterator
         }
     } else {

@@ -807,4 +807,90 @@ class StreamingSpec extends SparkSpec {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("anomalyStream: stream == batch operator rows under in-order delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingDemo.AnomalyRow
+    val rows = (0 until 40).map(i =>
+      ("m", i.toLong, 100L + i, ((i * 37) % 19).toDouble))
+    val df = rows.toDF("k", "ts", "id", "x")
+    val batchOp = graft.operators.Anomaly.rollingZScores(df,
+        "k", "ts", "id", "x", windowN = 4)
+      .select(col("id").as("event_id"), col("k").as("event_type"),
+        col("ts").as("ts_us"), col("x").as("value"),
+        col("zq"), col("is_anomaly"))
+      .as[AnomalyRow].collect().sortBy(_.event_id)
+    val twin = StreamingDemo.anomalyStream(df, "k", "ts", "id", "x",
+        windowN = 4).collect().sortBy(_.event_id)
+    assert(twin.toSeq == batchOp.toSeq, "batch arm must equal the batch operator")
+    val mem = MemoryStream[(String, Long, Long, Double)]
+    val q = StreamingDemo.anomalyStream(
+        mem.toDF().toDF("k", "ts", "id", "x"), "k", "ts", "id", "x", windowN = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anomaly_stream_test").start()
+    try {
+      rows.grouped(13).foreach { batch =>
+        mem.addData(batch: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val emitted = spark.table("anomaly_stream_test").as[AnomalyRow]
+      .collect().sortBy(_.event_id)
+    assert(emitted.toSeq == batchOp.toSeq,
+      "in-order stream must emit exactly the batch rows")
+  }
+
+  test("anomalyStream skips replays and stale events (window never double-inserts)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long, Double)]
+    val q = StreamingDemo.anomalyStream(
+        mem.toDF().toDF("k", "ts", "id", "x"), "k", "ts", "id", "x", windowN = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anomaly_replay_test").start()
+    try {
+      mem.addData(("m", 1L, 1L, 1.0), ("m", 2L, 2L, 5.0))
+      q.processAllAvailable()
+      val before = spark.table("anomaly_replay_test").count()
+      // full replay + one genuinely stale event: nothing re-emits
+      mem.addData(("m", 1L, 1L, 1.0), ("m", 2L, 2L, 5.0), ("m", 0L, 9L, 99.0))
+      q.processAllAvailable()
+      assert(spark.table("anomaly_replay_test").count() == before,
+        "replays and stale events must not re-enter the window")
+      mem.addData(("m", 3L, 3L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("anomaly_replay_test").count() == before + 1)
+    } finally q.stop()
+  }
+
+  test("anomalyStream's AnomalyState round-trips the RocksDB provider") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingDemo.AnomalyRow
+    val mem = MemoryStream[(String, Long, Long, Double)]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingDemo.anomalyStream(
+          mem.toDF().toDF("k", "ts", "id", "x"), "k", "ts", "id", "x", windowN = 3)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("anomaly_rocksdb_test").start()
+      try {
+        mem.addData(("m", 1L, 1L, 1.0), ("m", 2L, 2L, 1.0))
+        q.processAllAvailable()
+        // batch 2's window must contain batch 1's two values read back
+        // through RocksDB: quantized 1024,1024,7168 -> mean 3072,
+        // varNum/n = 8·1024² -> z = 4096/sqrt(8·1024²) = sqrt(2)
+        mem.addData(("m", 3L, 3L, 7.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("anomaly_rocksdb_test").as[AnomalyRow].collect()
+      assert(out.length == 1 && out.head.event_id == 3L)
+      val expectedZ = 4096.0 / math.sqrt(8.0 * 1024.0 * 1024.0)
+      assert(math.abs(out.head.zq - expectedZ) < 1e-12,
+        s"window must cross the RocksDB round-trip: ${out.head}")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
