@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, TextNormalize}
-import graft.operators.{Anomaly, AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Dsir, Funnel, FuzzyJoin, GraphComponents, HeavyHitters, IncrementalAgg, Intervals, Layout, LmScore, MediaCodecs, Multimodal, PageRank, PipelineOps, QualityModel, Quantize, RangeJoin, Retention, Similarity}
+import graft.operators.{Anomaly, AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Drift, Dsir, Funnel, FuzzyJoin, GraphComponents, HeavyHitters, IncrementalAgg, Intervals, Layout, LmScore, MediaCodecs, Multimodal, PageRank, PipelineOps, QualityModel, Quantize, RangeJoin, Retention, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -535,6 +535,16 @@ object ExtQueries {
       // phrase mining: the 50 most-associated adjacent token pairs by
       // 2×2 χ² vs margin independence, hapaxes guarded at minCount 5
       PipelineOps.collocations(Tables.documents(s, dir), "text", k = 50)
+    }),
+    "q_ks_drift" -> ((s, dir) => {
+      // exact KS statistic between urgent and non-urgent order price
+      // distributions — the numeric-drift alarm; the cumulative runs
+      // as a distributed prefix sum, never a global window
+      val o = Tables.orders(s, dir)
+      Drift.ksTwoSample(
+        o.where(col("o_orderpriority") === "1-URGENT"),
+        o.where(col("o_orderpriority") =!= "1-URGENT"),
+        "o_totalprice")
     }),
     "q_corpus_keyness" -> ((s, dir) => {
       // drift report: the 50 tokens most over/under-represented in the
@@ -1791,6 +1801,29 @@ object ExtQueries {
         |  SELECT e.src, r.r FROM e2 e JOIN reach r ON e.dst = r.id)
         |SELECT id AS node, LEAST(id, MIN(r)) AS component
         |FROM reach GROUP BY id""".stripMargin,
+    // the oracle CAN afford the global cumulative window at gate
+    // scale; the Spark side replaces it with a distributed prefix sum
+    // — same exact longs, same per-row division, same argmax tiebreak
+    "q_ks_drift" ->
+      """WITH s AS (SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END AS b
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |counts AS (SELECT v, CAST(SUM(a) AS BIGINT) AS na,
+        |             CAST(SUM(b) AS BIGINT) AS nb FROM s GROUP BY v),
+        |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS n,
+        |               CAST(SUM(nb) AS BIGINT) AS m FROM counts),
+        |cum AS (SELECT v,
+        |    CAST(SUM(na) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |    CAST(SUM(nb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+        |  FROM counts)
+        |SELECT abs(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE)
+        |         - CAST(cb AS DOUBLE) / CAST(m AS DOUBLE)) AS ks_stat,
+        |  v AS at_value, n AS n_a, m AS n_b
+        |FROM cum, tot
+        |ORDER BY ks_stat DESC, at_value ASC LIMIT 1""".stripMargin,
     // the same χ² spelling as keyness over the bigram/margin table;
     // minCount applies after margins (they come from the FULL pair set)
     "q_collocations" ->
