@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, TextNormalize}
-import graft.operators.{Anomaly, AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Drift, Dsir, Funnel, FuzzyJoin, GraphComponents, HeavyHitters, IncrementalAgg, Intervals, Layout, LmScore, MediaCodecs, Multimodal, PageRank, PipelineOps, QualityModel, Quantize, RangeJoin, Retention, Similarity}
+import graft.operators.{Anomaly, AsofJoin, Bm25, BpeTokenizer, CorpusPipeline, CurationRules, ChangeApply, Dedup, Drift, Dsir, Funnel, FuzzyJoin, GraphComponents, HeavyHitters, IncrementalAgg, Intervals, Layout, LmScore, MediaCodecs, Multimodal, PageRank, PipelineOps, Privacy, QualityModel, Quantize, RangeJoin, Retention, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingDemo
 
@@ -535,6 +535,18 @@ object ExtQueries {
       // phrase mining: the 50 most-associated adjacent token pairs by
       // 2×2 χ² vs margin independence, hapaxes guarded at minCount 5
       PipelineOps.collocations(Tables.documents(s, dir), "text", k = 50)
+    }),
+    "q_k_anonymity" -> ((s, dir) => {
+      // release-gate audit on (nation, market segment) quasi-ids over
+      // customers, k=10: classes, violators, rows at risk, worst size
+      Privacy.kAnonymityAudit(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)
+    }),
+    "q_k_anon_violations" -> ((s, dir) => {
+      // the riskiest classes themselves, smallest first (k=25 so the
+      // gate fixture actually yields rows)
+      Privacy.kAnonymityViolations(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), k = 25L, top = 40)
     }),
     "q_ks_drift" -> ((s, dir) => {
       // exact KS statistic between urgent and non-urgent order price
@@ -1801,6 +1813,21 @@ object ExtQueries {
         |  SELECT e.src, r.r FROM e2 e JOIN reach r ON e.dst = r.id)
         |SELECT id AS node, LEAST(id, MIN(r)) AS component
         |FROM reach GROUP BY id""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS cs
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT count(*) AS n_classes,
+        |  CAST(COALESCE(SUM(CASE WHEN cs < 10 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(COALESCE(SUM(CASE WHEN cs < 10 THEN cs ELSE 0 END), 0) AS BIGINT)
+        |    AS rows_at_risk,
+        |  MIN(cs) AS min_class_size
+        |FROM c""".stripMargin,
+    "q_k_anon_violations" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 25
+        |ORDER BY class_size ASC, c_nationkey ASC, c_mktsegment ASC
+        |LIMIT 40""".stripMargin,
     // the oracle CAN afford the global cumulative window at gate
     // scale; the Spark side replaces it with a distributed prefix sum
     // — same exact longs, same per-row division, same argmax tiebreak
