@@ -246,6 +246,15 @@ object RelationalQueries {
         Tables.lineitem(s, dir), "l_extendedprice", Seq(1, 25, 50, 75, 99))
     }),
 
+    "q_robust_scale" -> ((s, dir) => {
+      // outlier-resistant normalization: (v − median)/IQR with EXACT
+      // order-statistic quartiles (three driver doubles, literal scan)
+      graft.operators.Rank.robustScale(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+        "l_extendedprice", "robust_scaled")
+    }),
+
     "q_profile_sketch" -> ((s, dir) => {
       // the unbounded-cardinality profiling path: HLL++ distinct +
       // GK approx quantiles, one pass, fixed sketch memory per column.
@@ -291,6 +300,23 @@ object RelationalQueries {
         |r AS (SELECT p.pct, 1 + ((n.n - 1) * p.pct) // 100 AS rk FROM p, n),
         |s AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v)
         |SELECT r.pct, s.x AS value FROM r JOIN s ON s.rn = r.rk""".stripMargin,
+    // the same exact order-statistic quartiles as q_profile_quantiles,
+    // then one literal subtraction/division per row (IEEE-identical)
+    "q_robust_scale" ->
+      """WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |p AS (SELECT unnest([25, 50, 75]) AS pct),
+        |r AS (SELECT p.pct, 1 + ((n.n - 1) * p.pct) // 100 AS rk FROM p, n),
+        |s AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
+        |q AS (SELECT
+        |  MAX(CASE WHEN pct = 50 THEN CAST(s.x AS DOUBLE) END) AS med,
+        |  MAX(CASE WHEN pct = 75 THEN CAST(s.x AS DOUBLE) END)
+        |  - MAX(CASE WHEN pct = 25 THEN CAST(s.x AS DOUBLE) END) AS iqr
+        |  FROM r JOIN s ON s.rn = r.rk)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  (l_extendedprice - med) / iqr AS robust_scaled
+        |FROM lineitem, q""".stripMargin,
     // n_nonnull/min/max are computed exactly by DuckDB; only the HLL++
     // estimate is pinned (VALUES join) — it is partition-invariant for
     // a fixed input (register-max merge is commutative; verified bitwise

@@ -156,4 +156,30 @@ object Rank {
           col("__target") < col("__rk") + col("__cnt"))
       .select(col("pct"), col("__v").as("value"))
   }
+
+  /** Robust (median/IQR) scaling — the outlier-resistant sibling of
+    * [[TBasic.minMaxNormalize]] (one extreme row distorts min-max for
+    * the whole corpus; quartiles don't care): appends
+    * `outCol = (v − median) / (p75 − p25)`.
+    *
+    * The quartiles come from [[exactPercentiles]] — the same
+    * distinct-value prefix-sum rank that keeps q_profile_quantiles off
+    * a global sort — and cross the driver as exactly THREE doubles, so
+    * the scan side is a pure literal projection (codegen'd, zero extra
+    * shuffle). EXACT order statistics, not sketch approximations:
+    * bit-reproducible on any engine and partitioning, which is what
+    * makes the op hash-gateable.
+    *
+    * A zero IQR (≥ half the mass on one value) means the scale is
+    * undefined — rejected loudly rather than silently dividing by
+    * zero. */
+  def robustScale(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val q = exactPercentiles(df, valueCol, Seq(25, 50, 75))
+      .select(col("pct"), col("value").cast("double"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val iqr = q(75) - q(25)
+    require(iqr != 0.0,
+      s"robustScale: IQR of '$valueCol' is zero (p25 = p75 = ${q(25)}) — scale undefined")
+    df.withColumn(outCol, (col(valueCol) - lit(q(50))) / lit(iqr))
+  }
 }

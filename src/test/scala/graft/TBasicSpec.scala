@@ -170,4 +170,18 @@ class TBasicSpec extends SparkSpec {
       Rank.exactPercentiles(x, "v", Seq(10, 50, 90)).as[(Int, Double)].collect().toSet
     assert(run(d) == run(d.repartition(17)) && run(d).size == 3)
   }
+
+  test("robustScale: exact quartiles, null passthrough, zero-IQR rejected loudly") {
+    // 1..8: p25 = 2, median = 4, p75 = 6 (rank 1+(7·p)//100), IQR = 4
+    val d = ((1L to 8L).map(Some(_)) :+ None).toDF("v")
+    val out = Rank.robustScale(d, "v", "rs")
+      .as[(Option[Long], Option[Double])].collect().toMap
+    assert(out(Some(8L)) == Some(1.0) && out(Some(4L)) == Some(0.0) &&
+      out(Some(2L)) == Some(-0.5))
+    assert(out(None).isEmpty, "null input scales to null")
+    val e = intercept[IllegalArgumentException] {
+      Rank.robustScale(Seq(5.0, 5.0, 5.0, 5.0).toDF("v"), "v", "rs")
+    }
+    assert(e.getMessage.contains("IQR"))
+  }
 }
