@@ -687,6 +687,23 @@ object ExtQueries {
         numHashes = 32, shingleSize = 3)
       Dedup.minhashCandidatePairs(sigs, numHashes = 32, bands = 8, tau = 0.3)
     }),
+    "q_split_leakage" -> ((s, dir) => {
+      // eval-contamination audit: near-dup pairs whose members land in
+      // DIFFERENT splits — three gate-proven operators composed
+      // (split assignment ∘ minhash signatures ∘ LSH candidate pairs);
+      // the duplicate-augmented corpus guarantees planted leaks, since
+      // a twin's id hashes to an independent split
+      val corpus = nearDupCorpus(s, dir)
+      val splits = PipelineOps.assignSplits(corpus.select(col("id")), "id")
+      val sigs = Dedup.minhashSignatures(corpus, "id", "text",
+        numHashes = 32, shingleSize = 3)
+      Dedup.minhashCandidatePairs(sigs, numHashes = 32, bands = 8, tau = 0.3)
+        .join(splits.select(col("id").as("id_a"), col("split").as("split_a")), "id_a")
+        .join(splits.select(col("id").as("id_b"), col("split").as("split_b")), "id_b")
+        .where(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          col("est_jaccard"))
+    }),
     "q_dedup_stream_verdicts" -> ((s, dir) => {
       // the BATCH path of the streaming near-dedup operator
       // (StreamingDemo.minhashDedupStream) over the same
@@ -1337,6 +1354,40 @@ object ExtQueries {
        |  FROM scored) t
        |WHERE rank <= $k""".stripMargin
   }
+
+  /** The duplicate-augmented-corpus LSH candidate-pair oracle, shared
+    * by q_dedup_minhash_lsh and (as the pair CTE) q_split_leakage. */
+  private def lshPairsOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS id,
+      |    COALESCE(array_to_string((regexp_extract_all(COALESCE(text, ''), '\S+'))
+      |      [1:greatest((len(regexp_extract_all(COALESCE(text, ''), '\S+'))*4)//5, 1)], ' '), '') AS text
+      |  FROM documents),
+      |sh AS (
+      |  SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
+      |            for i in generate_series(1, len(toks)-2)]) AS shingles
+      |  FROM (SELECT id, regexp_extract_all(text, '\S+') AS toks FROM corpus)),
+      |ab AS (SELECT id, ('0x'||substr(md5(gram),1,7))::BIGINT AS a,
+      |              (('0x'||substr(md5(gram),8,7))::BIGINT | 1) AS b
+      |       FROM (SELECT id, unnest(shingles) AS gram FROM sh)),
+      |abl AS (SELECT id, list([a, b]) AS abs_ FROM ab GROUP BY id),
+      |sigs AS (SELECT id, list_transform(generate_series(0,31), i ->
+      |           list_min(list_transform(abs_, p -> (p[1] + i*p[2]) % 2147483647))) AS sig
+      |         FROM abl),
+      |bucketed AS (SELECT id, sig, band, sig[band*4+1 : band*4+4] AS bucket
+      |             FROM (SELECT id, sig, unnest(generate_series(0,7)) AS band FROM sigs)
+      |             QUALIFY COUNT(*) OVER (PARTITION BY band, sig[band*4+1 : band*4+4]) <= 100000),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+      |         FROM bucketed a JOIN bucketed b
+      |         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+      |SELECT id_a, id_b, est_jaccard FROM (
+      |  SELECT id_a, id_b,
+      |    CAST(CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
+      |      z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) AS BIGINT) AS DOUBLE) / 32
+      |    AS est_jaccard FROM cand) t
+      |WHERE est_jaccard >= 0.3""".stripMargin
 
   /** The rolling z-score oracle, shared by q_events_anomaly and the
     * streaming twin's q_anomaly_stream_state. */
@@ -2602,37 +2653,23 @@ object ExtQueries {
         |         FROM pv a JOIN pv b ON a.pc = b.pc AND a.piece = b.piece AND a.id < b.id)
         |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 12""".stripMargin,
-    "q_dedup_minhash_lsh" ->
-      """WITH corpus AS (
-        |  SELECT doc_id AS id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS id,
-        |    COALESCE(array_to_string((regexp_extract_all(COALESCE(text, ''), '\S+'))
-        |      [1:greatest((len(regexp_extract_all(COALESCE(text, ''), '\S+'))*4)//5, 1)], ' '), '') AS text
-        |  FROM documents),
-        |sh AS (
-        |  SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
-        |            for i in generate_series(1, len(toks)-2)]) AS shingles
-        |  FROM (SELECT id, regexp_extract_all(text, '\S+') AS toks FROM corpus)),
-        |ab AS (SELECT id, ('0x'||substr(md5(gram),1,7))::BIGINT AS a,
-        |              (('0x'||substr(md5(gram),8,7))::BIGINT | 1) AS b
-        |       FROM (SELECT id, unnest(shingles) AS gram FROM sh)),
-        |abl AS (SELECT id, list([a, b]) AS abs_ FROM ab GROUP BY id),
-        |sigs AS (SELECT id, list_transform(generate_series(0,31), i ->
-        |           list_min(list_transform(abs_, p -> (p[1] + i*p[2]) % 2147483647))) AS sig
-        |         FROM abl),
-        |bucketed AS (SELECT id, sig, band, sig[band*4+1 : band*4+4] AS bucket
-        |             FROM (SELECT id, sig, unnest(generate_series(0,7)) AS band FROM sigs)
-        |             QUALIFY COUNT(*) OVER (PARTITION BY band, sig[band*4+1 : band*4+4]) <= 100000),
-        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-        |         FROM bucketed a JOIN bucketed b
-        |         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
-        |SELECT id_a, id_b, est_jaccard FROM (
-        |  SELECT id_a, id_b,
-        |    CAST(CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
-        |      z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) AS BIGINT) AS DOUBLE) / 32
-        |    AS est_jaccard FROM cand) t
-        |WHERE est_jaccard >= 0.3""".stripMargin,
+    "q_dedup_minhash_lsh" -> lshPairsOracle,
+    // the LSH pair chain verbatim, each side joined to the split CASE
+    // (q_split_assign's oracle expression) — leaks are cross-split pairs
+    "q_split_leakage" ->
+      s"""WITH p AS ($lshPairsOracle),
+        |spl AS (SELECT id,
+        |  CASE WHEN h < 0.90625 * 4294967296e0 THEN 'train'
+        |       WHEN h < 0.953125 * 4294967296e0 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM (SELECT id,
+        |    ('0x' || substr(md5(CAST(id AS VARCHAR) || ':graft-split'), 1, 8))::BIGINT AS h
+        |    FROM (SELECT doc_id AS id FROM documents
+        |          UNION ALL SELECT doc_id + 1000000 FROM documents)))
+        |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b,
+        |  p.est_jaccard
+        |FROM p JOIN spl sa ON p.id_a = sa.id JOIN spl sb ON p.id_b = sb.id
+        |WHERE sa.split <> sb.split""".stripMargin,
     // the per-document collapse of the SAME pair machinery: doc b is
     // a dup iff some a < b shares a bucket at est ≥ τ; winner = max
     // est, ties to min a. Every signature-bearing corpus doc gets a
