@@ -662,6 +662,12 @@ object ExtQueries {
       Dedup.ngramJaccardPairs(nearDupCorpus(s, dir), "id", "text",
         shingleSize = 3, tau = 0.3, maxDocFreq = 10000)
     }),
+    "q_dedup_containment" -> ((s, dir) => {
+      // excerpt detection: the truncated twins are ~fully contained in
+      // their originals even where Jaccard is diluted by length
+      Dedup.ngramContainmentPairs(nearDupCorpus(s, dir), "id", "text",
+        shingleSize = 3, tau = 0.8, maxDocFreq = 10000)
+    }),
     "q_dedup_minhash_incr" -> ((s, dir) => {
       // crawl-vs-corpus: corpus = all documents; increment = truncated
       // (80%-token) copies of every 3rd doc — near-dups the cross join
@@ -2821,6 +2827,19 @@ object ExtQueries {
         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
         |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3""".stripMargin,
+    // both directions of each unordered intersection, thresholded on
+    // the CONTAINED side's size — the same shared CTE chain
+    "q_dedup_containment" ->
+      s"""WITH $ngramCtes,
+        |dirs AS (
+        |  SELECT id_a AS id_contained, id_b AS id_container,
+        |    CAST(inter AS DOUBLE) / sa.sz AS containment
+        |  FROM inter JOIN sizes sa ON sa.id = id_a
+        |  UNION ALL
+        |  SELECT id_b, id_a, CAST(inter AS DOUBLE) / sb.sz
+        |  FROM inter JOIN sizes sb ON sb.id = id_b)
+        |SELECT id_contained, id_container, containment FROM dirs
+        |WHERE containment >= 0.8""".stripMargin,
     "q_dedup_survivors" ->
       s"""WITH RECURSIVE $ngramCtes,
         |j AS (

@@ -48,12 +48,14 @@ object Dedup {
     * @param maxDocFreq  drop shingles appearing in more docs than this
     *                    (skew guard; log what was dropped at the caller)
     */
-  def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
-                        shingleSize: Int = 3, tau: Double = 0.5,
-                        maxDocFreq: Long = 1000): DataFrame = {
-    // persist the exploded index: it feeds the doc-frequency agg, the
-    // per-doc sizes, and both sides of the inverted-index self-join —
-    // four evaluations of the shingle explode otherwise
+  /** Shared inverted-index machinery for the n-gram pair family:
+    * unordered candidate intersections + per-doc shingle sizes. The
+    * exploded index persists once — it feeds the doc-frequency agg,
+    * the per-doc sizes, and both sides of the inverted-index
+    * self-join (four evaluations of the shingle explode otherwise). */
+  private def ngramInterSizes(df: DataFrame, keyCol: String, textCol: String,
+                              shingleSize: Int, maxDocFreq: Long)
+      : (DataFrame, DataFrame) = {
     val grams = graft.CacheScope.track(df
       .select(col(keyCol).as("id"),
         explode(TextFunctions.wordShingles(col(textCol), shingleSize)).as("gram")))
@@ -65,6 +67,13 @@ object Dedup {
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    (inter, sizes)
+  }
+
+  def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
+                        shingleSize: Int = 3, tau: Double = 0.5,
+                        maxDocFreq: Long = 1000): DataFrame = {
+    val (inter, sizes) = ngramInterSizes(df, keyCol, textCol, shingleSize, maxDocFreq)
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -72,6 +81,38 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Directional n-gram CONTAINMENT pairs — the asymmetric sibling of
+    * [[ngramJaccardPairs]] for excerpt/quote detection: a short
+    * document B lifted from a long A has tiny Jaccard (the union is
+    * A-sized) but containment(B in A) = |B∩A|/|B| ≈ 1, which is the
+    * signal eval-decontamination and quote-collapse actually want
+    * (Broder's containment, the ExactSubstr-spans complement at the
+    * shingle level).
+    *
+    * Same inverted-index machinery and scale shape as the Jaccard op
+    * (shared [[ngramInterSizes]] — doc-freq cap bounds the join, only
+    * (id, gram-hash) rows shuffle); each unordered intersection emits
+    * up to TWO directional rows, thresholded independently.
+    *
+    * @return (id_contained, id_container, containment) with
+    *         containment = |∩| / size(contained) ≥ tau */
+  def ngramContainmentPairs(df: DataFrame, keyCol: String, textCol: String,
+                            shingleSize: Int = 3, tau: Double = 0.9,
+                            maxDocFreq: Long = 1000): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    val (inter, sizes) = ngramInterSizes(df, keyCol, textCol, shingleSize, maxDocFreq)
+    val withSz = inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+    val dirA = withSz.select(col("id_a").as("id_contained"),
+      col("id_b").as("id_container"),
+      (col("inter").cast("double") / col("sz_a")).as("containment"))
+    val dirB = withSz.select(col("id_b").as("id_contained"),
+      col("id_a").as("id_container"),
+      (col("inter").cast("double") / col("sz_b")).as("containment"))
+    dirA.unionByName(dirB).where(col("containment") >= tau)
   }
 
   /** Deterministic MinHash signature columns s0..s{k-1}: one md5 per

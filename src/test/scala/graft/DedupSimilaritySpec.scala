@@ -30,6 +30,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((2L, 101L)))
   }
 
+  test("ngramContainmentPairs equals a brute-force directional set computation") {
+    val pairs = Dedup.ngramContainmentPairs(corpus, "id", "text",
+        shingleSize = 3, tau = 0.8, maxDocFreq = 10000)
+      .as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((100L, 1L)) == 1.0 && m((1L, 100L)) == 1.0,
+      s"exact copy contains both ways: $m")
+    // brute force over every ordered pair — containment is ASYMMETRIC:
+    // a short excerpt contains in its source even when the source does
+    // not contain back (exercised below on a planted true excerpt)
+    def shingles(t: String) =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val docs = corpus.as[(Long, String)].collect().toMap
+    val expected = (for {
+      (ia, ta) <- docs.toSeq; (ib, tb) <- docs.toSeq if ia != ib
+      sa = shingles(ta); inter = (sa & shingles(tb)).size.toDouble / sa.size
+      if inter >= 0.8
+    } yield (ia, ib) -> inter).toMap
+    assert(m == expected, s"directional map mismatch: got $m\nexpected $expected")
+    // planted TRUE excerpt (first 10 tokens of doc 1): contained in 1
+    // at 1.0 while 1 is nowhere near contained in it
+    val excerpt = docs(1L).split(" ").take(10).mkString(" ")
+    val withEx = corpus.unionByName(Seq((500L, excerpt)).toDF("id", "text"))
+    val m2 = Dedup.ngramContainmentPairs(withEx, "id", "text",
+        shingleSize = 3, tau = 0.8, maxDocFreq = 10000)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(m2((500L, 1L)) == 1.0, s"true excerpt fully contained: $m2")
+    assert(!m2.contains((1L, 500L)), "the source is not contained in its excerpt")
+  }
+
   test("row-local minhash signatures equal the aggregate spelling exactly") {
     val a = Dedup.minhashSignatures(corpus, "id", "text", numHashes = 32, shingleSize = 3)
       .orderBy("id").collect().map(_.toSeq)
