@@ -531,6 +531,12 @@ object ExtQueries {
         .select(col("pri"), col("n_rows"),
           col("total").cast("double").as("total"))
     }),
+    "q_tfidf_terms" -> ((s, dir) => {
+      // per-document keyword extraction: top-5 terms by tf · the
+      // quarter-power idf (the Bm25 exactness deviation — ln-free)
+      PipelineOps.topTfidfTerms(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")), "doc_id", "text", k = 5)
+    }),
     "q_collocations" -> ((s, dir) => {
       // phrase mining: the 50 most-associated adjacent token pairs by
       // 2×2 χ² vs margin independence, hapaxes guarded at minCount 5
@@ -1908,6 +1914,24 @@ object ExtQueries {
         |  v AS at_value, n AS n_a, m AS n_b
         |FROM cum, tot
         |ORDER BY ks_stat DESC, at_value ASC LIMIT 1""".stripMargin,
+    // same (tf, df, N) counts, same quarter-power idf arithmetic
+    "q_tfidf_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tfc),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(tf AS DOUBLE) *
+        |      sqrt(sqrt((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |                / (CAST(df AS DOUBLE) + 0.5))) AS tfidf
+        |  FROM tfc JOIN dfc USING (term), nd)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term ASC) AS rank FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
     // the same χ² spelling as keyness over the bigram/margin table;
     // minCount applies after margins (they come from the FULL pair set)
     "q_collocations" ->

@@ -246,6 +246,14 @@ object RelationalQueries {
         Tables.lineitem(s, dir), "l_extendedprice", Seq(1, 25, 50, 75, 99))
     }),
 
+    "q_group_percentiles" -> ((s, dir) => {
+      // per-priority order-statistic price quartiles — exact, via
+      // group-partitioned windows (no sketch, no global sort)
+      graft.operators.Rank.groupedPercentiles(
+        Tables.orders(s, dir).select(col("o_orderpriority"), col("o_totalprice")),
+        "o_orderpriority", "o_totalprice", Seq(25, 50, 75))
+    }),
+
     "q_robust_scale" -> ((s, dir) => {
       // outlier-resistant normalization: (v − median)/IQR with EXACT
       // order-statistic quartiles (three driver doubles, literal scan)
@@ -300,6 +308,17 @@ object RelationalQueries {
         |r AS (SELECT p.pct, 1 + ((n.n - 1) * p.pct) // 100 AS rk FROM p, n),
         |s AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v)
         |SELECT r.pct, s.x AS value FROM r JOIN s ON s.rn = r.rk""".stripMargin,
+    // the same 1 + (n−1)·p div 100 rank rule, per group
+    "q_group_percentiles" ->
+      """WITH v AS (SELECT o_orderpriority AS g, o_totalprice AS x
+        |           FROM orders WHERE o_totalprice IS NOT NULL),
+        |r AS (SELECT g, x,
+        |        ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |        COUNT(*) OVER (PARTITION BY g) AS n
+        |      FROM v),
+        |p AS (SELECT unnest([25, 50, 75]) AS pct)
+        |SELECT r.g AS o_orderpriority, p.pct, r.x AS value
+        |FROM r JOIN p ON r.rn = 1 + ((r.n - 1) * p.pct) // 100""".stripMargin,
     // the same exact order-statistic quartiles as q_profile_quantiles,
     // then one literal subtraction/division per row (IEEE-identical)
     "q_robust_scale" ->

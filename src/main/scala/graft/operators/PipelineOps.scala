@@ -1027,6 +1027,45 @@ object PipelineOps {
       .limit(k)
   }
 
+  /** Per-document top-k TF-IDF terms — keyword extraction (document
+    * tagging, index-time term selection, cluster labeling). IDF is
+    * [[Bm25]]'s exactness deviation reused: the QUARTER POWER of the
+    * odds ratio `(N − df + 0.5)/(df + 0.5)` instead of its ln —
+    * `sqrt(sqrt(·))` is correctly rounded by IEEE-754 on every engine,
+    * so scores hash-gate where `ln`-based tf-idf drifts by ulps
+    * (same monotone rare-term boost, slightly less damped).
+    *
+    * Scale shape: one (doc, term) count shuffle over the exploded
+    * tokens; document frequencies and the document count are two
+    * aggregates over that COMPACT frame (persisted once); the per-doc
+    * top-k is row_number + `rank <= k` — the WindowGroupLimit rewrite,
+    * map-side bounded, partitioned by the document key.
+    *
+    * @return (idCol, term, tf, df, tfidf, rank), top-`k` per document
+    *         ordered (tfidf DESC, term ASC) */
+  def topTfidfTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = graft.CacheScope.track(docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+          .as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(countDistinct(col(idCol)).as("__nd"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term").crossJoin(nDocs)
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          sqrt(sqrt((col("__nd").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
   /** Collocation extraction — the token pairs that co-occur far more
     * than their margins predict (phrase mining: "New York", "machine
     * learning"; the tokenizer-vocab and stop-phrase feeder). Each

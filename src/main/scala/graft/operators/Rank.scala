@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -155,6 +156,41 @@ object Rank {
         col("__target") >= col("__rk") &&
           col("__target") < col("__rk") + col("__cnt"))
       .select(col("pct"), col("__v").as("value"))
+  }
+
+  /** Exact percentiles PER GROUP — the grouped sibling of
+    * [[exactPercentiles]] (per-domain medians, per-language length
+    * quartiles, per-segment price bands): for each group g and
+    * percentile p, the value at 1-based rank `1 + (n_g − 1)·p div 100`
+    * of g's non-null values — the same all-LONG position rule, so the
+    * whole result is exact order statistics, no sketch error.
+    *
+    * Scale shape: one hash shuffle on the group key; the rank window
+    * and the count window are both PARTITIONED BY THE GROUP
+    * (in-partition sort, spillable — a billion-row group is a linear
+    * scan, and no bare global `Window.orderBy` appears anywhere); the
+    * percentile targets then select ≤ |pcts| rows per group with a
+    * row-local filter. Ties take the window's (value, arrival) order —
+    * deterministic because equal values are interchangeable at a rank
+    * boundary.
+    *
+    * @return (groupCol, pct, value) */
+  def groupedPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                         pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100),
+      s"percentiles must be in [0,100], got $pcts")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(valueCol))
+      .where(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = pcts.toDF("pct")
+    ranked.join(broadcast(targets),
+        col("__rn") === lit(1L) + expr("(__n - 1) * pct div 100"))
+      .select(col(groupCol), col("pct"), col(valueCol).as("value"))
   }
 
   /** Robust (median/IQR) scaling — the outlier-resistant sibling of

@@ -839,6 +839,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top == (("new", "york")))
   }
 
+  test("topTfidfTerms: rare term outranks common, hand-checked score, k caps per doc") {
+    // 'zebra' appears only in doc 1; 'the' in all three docs
+    val docs = Seq((1L, "the zebra"), (2L, "the cat"), (3L, "the dog"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.topTfidfTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+    val d1 = out.filter(_._1 == 1L).sortBy(_._6)
+    assert(d1.map(_._2).toSeq == Seq("zebra", "the"),
+      s"rare term must outrank the stopword: ${d1.toSeq}")
+    // zebra: tf=1, df=1, N=3 → 1 · (2.5/1.5)^0.25
+    val expect = math.sqrt(math.sqrt((3.0 - 1.0 + 0.5) / 1.5))
+    assert(d1.head._5 == expect)
+    assert(out.groupBy(_._1).values.forall(_.length <= 2))
+  }
+
   test("corpusKeyness top-k is a TakeOrdered, not a global sort") {
     val plan = PipelineOps.corpusKeyness(Seq("a b").toDF("text"),
         Seq("b c").toDF("text"), "text", 10)

@@ -171,6 +171,26 @@ class TBasicSpec extends SparkSpec {
     assert(run(d) == run(d.repartition(17)) && run(d).size == 3)
   }
 
+  test("groupedPercentiles: exact per-group order statistics, nulls ignored") {
+    // group a: 1..8 (p25=2, p50=4, p75=6); group b: 10,20,30 (rank
+    // 1+(2·p)//100 → p25=10, p50=20, p75=30... 1+2*25//100=1, 1+50*2//100=2, 1+75*2//100=2)
+    val d = (Seq(("a", None), ("b", None)) ++
+      (1L to 8L).map(v => ("a", Some(v))) ++
+      Seq(10L, 20L, 30L).map(v => ("b", Some(v))))
+      .toDF("g", "v")
+    val out = Rank.groupedPercentiles(d, "g", "v", Seq(25, 50, 75))
+      .as[(String, Int, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3.get).toMap
+    assert(out(("a", 25)) == 2L && out(("a", 50)) == 4L && out(("a", 75)) == 6L)
+    assert(out(("b", 25)) == 10L && out(("b", 50)) == 20L && out(("b", 75)) == 20L)
+    // matches the ungrouped op on each slice
+    for (g <- Seq("a", "b")) {
+      val single = Rank.exactPercentiles(d.where($"g" === g), "v", Seq(25, 50, 75))
+        .as[(Int, Option[Long])].collect().map(r => r._1 -> r._2.get).toMap
+      assert(Seq(25, 50, 75).forall(p => single(p) == out((g, p))), s"group $g")
+    }
+  }
+
   test("robustScale: exact quartiles, null passthrough, zero-IQR rejected loudly") {
     // 1..8: p25 = 2, median = 4, p75 = 6 (rank 1+(7·p)//100), IQR = 4
     val d = ((1L to 8L).map(Some(_)) :+ None).toDF("v")
