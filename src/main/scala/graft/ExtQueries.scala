@@ -21,6 +21,17 @@ object ExtQueries {
 
   private val ID_OFFSET = 1000000L
 
+  /** Disjoint-node-space offset for the graph fixtures (supplier ids
+    * shifted into their own space above every customer id). A SEPARATE
+    * constant from ID_OFFSET: c_custkey grows with scale factor
+    * (150k·SF — it passes 1M around SF 7, where the old shared 1M
+    * offset would silently merge customer and supplier nodes), so the
+    * graph offset is 2^40 ≈ 1.1e12 — above custkey at any SF this
+    * engine targets (100 TB ≈ SF 100k → 1.5e10) while dst = suppkey +
+    * 2^40 stays far from long overflow. Mirrored verbatim in both
+    * graph oracles. */
+  private val GRAPH_ID_OFFSET = 1L << 40
+
   /** 24 hours in microseconds — the q_events_range_join window span. */
   private val DAY_US = 86400000000L
 
@@ -418,7 +429,7 @@ object ExtQueries {
       val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
       val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
         .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + ID_OFFSET).as("dst"))
+          (col("l_suppkey") + GRAPH_ID_OFFSET).as("dst"))
       PageRank.pageRank(edges, "src", "dst", iters = 3)
     }),
     "q_graph_components" -> ((s, dir) => {
@@ -431,7 +442,7 @@ object ExtQueries {
       val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
       val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
         .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + ID_OFFSET).as("dst"))
+          (col("l_suppkey") + GRAPH_ID_OFFSET).as("dst"))
       GraphComponents.connectedComponents(edges, "src", "dst")
     }),
     "q_anomaly_stream_state" -> ((s, dir) => {
@@ -1405,7 +1416,8 @@ object ExtQueries {
     * streaming twin's q_anomaly_stream_state. */
   private def anomalyOracle: String =
     """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us, value,
-      |             CAST(FLOOR(value * 1024.0) AS BIGINT) AS v FROM events),
+      |             CAST(FLOOR(value * 1024.0) AS BIGINT) AS v FROM events
+      |           WHERE value IS NOT NULL),
       |m AS (SELECT event_id, event_type, ts_us, value, v,
       |        COUNT(*) OVER w AS n,
       |        CAST(SUM(v) OVER w AS BIGINT) AS s,
@@ -1472,7 +1484,7 @@ object ExtQueries {
          |      FROM nodes nd LEFT JOIN s$i s USING (node), nn, d$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH edges AS (
-       |  SELECT DISTINCT o_custkey AS src, l_suppkey + $ID_OFFSET AS dst
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + $GRAPH_ID_OFFSET AS dst
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |nn AS (SELECT count(*) AS n FROM nodes),
@@ -1866,7 +1878,7 @@ object ExtQueries {
     // losers-CTE precedent, components instead of survivors
     "q_graph_components" ->
       s"""WITH RECURSIVE edges AS (
-        |  SELECT DISTINCT o_custkey AS src, l_suppkey + $ID_OFFSET AS dst
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + $GRAPH_ID_OFFSET AS dst
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |  WHERE o_orderkey % 50 = 0),
         |e2 AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
@@ -1898,7 +1910,8 @@ object ExtQueries {
       """WITH s AS (SELECT o_totalprice AS v,
         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END AS b
-        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL),
         |counts AS (SELECT v, CAST(SUM(a) AS BIGINT) AS na,
         |             CAST(SUM(b) AS BIGINT) AS nb FROM s GROUP BY v),
         |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS n,

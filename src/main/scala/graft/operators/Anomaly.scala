@@ -31,6 +31,11 @@ import org.apache.spark.sql.functions._
   * in-partition on (ts, id) — spillable, no single-partition global
   * window (the [[Rank]] hazard this repo routes around everywhere);
   * warm-up rows (fewer than `windowN` predecessors) emit no score.
+  * Rows with a NULL value are dropped BEFORE the window — they
+  * neither score nor occupy a window slot (without the filter a null
+  * would count toward `__n` while contributing nothing to the moment
+  * sums, quietly deflating its neighbors' z — the round-12 verdict
+  * finding). The DuckDB oracle mirrors the filter textually.
   * The current row is INCLUDED in its own window (mean/σ of the
   * trailing context including self — the plain rolling convention;
   * self-exclusion is one frame shift away).
@@ -61,6 +66,7 @@ object Anomaly {
       .rowsBetween(-(windowN - 1), 0)
     val nD = lit(windowN.toDouble)
     val guarded = events
+      .where(col(valCol).isNotNull) // nulls neither score nor count as context
       .withColumn("__v", v)
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__s", sum(col("__v")).over(w))

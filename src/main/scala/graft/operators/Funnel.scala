@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * per-user window materialization), then a linear per-user state
   * machine in `mapPartitions` — the [[graft.streaming.StreamingDemo]]
   * sessionizeCore pattern: sequential per-key semantics that neither
-  * window functions nor aggregates express. Equal-timestamp ties
+  * window functions nor aggregates express. The fold is a LAZY
+  * iterator (one pending row, constant state): a partition's output
+  * is never materialized, so crawl-scale user counts per partition
+  * cost O(1) heap beyond the input stream itself. Equal-timestamp ties
   * cannot change the outcome (a same-ts event never satisfies the
   * strictly-after rule, and equal candidates for the same step share
   * their min), so no tie-break column is needed.
@@ -48,23 +51,33 @@ object Funnel {
       .repartition(col("u"))
       .sortWithinPartitions(col("u"), col("t"))
       .mapPartitions { it =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-        var user = Long.MinValue
-        var depth = 0; var tFirst = 0L; var tLast = 0L
-        def flush(): Unit =
-          if (user != Long.MinValue && depth > 0)
-            out += ((user, depth.toLong, tFirst, tLast))
-        it.foreach { case (u, t, y) =>
-          if (u != user) { flush(); user = u; depth = 0 }
-          if (depth == 0) {
-            if (y == steps.head) { depth = 1; tFirst = t; tLast = t }
-          } else if (depth < n && y == steps(depth) &&
-                     t > tLast && t - tLast <= windowUs) {
-            depth += 1; tLast = t
+        new Iterator[(Long, Long, Long, Long)] {
+          private var pending: (Long, Long, Long, Long) = null
+          private var user = Long.MinValue
+          private var depth = 0; private var tFirst = 0L; private var tLast = 0L
+          private def flushInto(): Unit = {
+            if (user != Long.MinValue && depth > 0)
+              pending = (user, depth.toLong, tFirst, tLast)
+            depth = 0
+          }
+          private def fill(): Unit = {
+            while (pending == null && it.hasNext) {
+              val (u, t, y) = it.next()
+              if (u != user) { flushInto(); user = u }
+              if (depth == 0) {
+                if (y == steps.head) { depth = 1; tFirst = t; tLast = t }
+              } else if (depth < n && y == steps(depth) &&
+                         t > tLast && t - tLast <= windowUs) {
+                depth += 1; tLast = t
+              }
+            }
+            if (pending == null && !it.hasNext) { flushInto(); user = Long.MinValue }
+          }
+          override def hasNext: Boolean = { fill(); pending != null }
+          override def next(): (Long, Long, Long, Long) = {
+            fill(); val r = pending; pending = null; r
           }
         }
-        flush()
-        out.iterator
       }
       .toDF("user_id", "steps_completed", "t_first", "t_last")
   }

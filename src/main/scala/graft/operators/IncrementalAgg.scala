@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   * group is over the CHANGELOG (≪ base by assumption), and the merge
   * is one key-equi full-outer join against the existing aggregate —
   * AQE broadcasts the delta side when it is small, which is the
-  * common case. Groups whose maintained count reaches zero vanish;
-  * groups born in the changelog appear — both from the same
-  * coalesce-and-filter, no special-casing.
+  * common case. Groups whose maintained count reaches EXACTLY zero
+  * vanish; groups born in the changelog appear — both from the same
+  * coalesce-and-filter, no special-casing. A count gone NEGATIVE is
+  * a contract violation (over-deletion — a corrupt changelog) and
+  * raises loudly rather than vanishing like a legitimate group death,
+  * matching the repo's loud-failure convention ([[RangeJoin]],
+  * [[Anomaly]], robustScale).
   *
   * Exactness: pass an exact-typed value column (the gate query uses
   * DECIMAL(18,2), the repo's money convention) and the maintained sum
@@ -56,6 +60,11 @@ object IncrementalAgg {
       .select(keys.map(col) ++ Seq(
         (coalesce(col(nCol), lit(0L)) + coalesce(col("__dn"), lit(0L))).as(nCol),
         (coalesce(col(sumCol), lit(0)) + coalesce(col("__dsum"), lit(0))).as(sumCol)): _*)
-      .where(col(nCol) > 0)
+      // n == 0 is a legitimate group death (drop); n < 0 is
+      // over-deletion and must not vanish silently
+      .where(when(col(nCol) < 0, raise_error(concat(lit(
+          "maintainSumCount: maintained count went negative (corrupt changelog, over-deleted group); n="),
+          col(nCol).cast("string"))).cast("boolean"))
+        .otherwise(col(nCol) > 0))
   }
 }

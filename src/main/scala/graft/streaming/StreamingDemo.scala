@@ -502,6 +502,43 @@ object StreamingDemo {
     }
   }
 
+  /** Lazy per-key fold over a key-clustered, in-key-sorted iterator
+    * (the repartition + sortWithinPartitions shape): `step` may emit a
+    * row per event, `flush` may emit one when a key's run ends. At
+    * most two rows are ever pending — no key's history or output is
+    * materialized, so a low-cardinality key costs O(per-key state),
+    * not O(corpus/|keys|) task heap. Shared by the stream twins'
+    * batch arms (the round-12 advice finding: their groupByKey +
+    * rows.toSeq folds buffered a key's entire batch history — exactly
+    * the unbounded single-key funnel the batch operators' spillable
+    * key-partitioned windows were designed to avoid). */
+  private def sortedRunFold[R, K, S, O](rows: Iterator[R])(keyOf: R => K)(
+      init: S)(step: (S, R) => (S, Option[O]))(
+      flush: (K, S) => Option[O]): Iterator[O] =
+    new Iterator[O] {
+      private var out: List[O] = Nil
+      private var key: K = null.asInstanceOf[K]
+      private var open = false
+      private var st: S = init
+      private def fill(): Unit = {
+        while (out.isEmpty && rows.hasNext) {
+          val r = rows.next()
+          val k = keyOf(r)
+          if (!open || k != key) {
+            if (open) out = flush(key, st).toList
+            key = k; st = init; open = true
+          }
+          val (s2, o) = step(st, r); st = s2
+          out = out ::: o.toList
+        }
+        if (out.isEmpty && !rows.hasNext && open) {
+          out = flush(key, st).toList; open = false
+        }
+      }
+      override def hasNext: Boolean = { fill(); out.nonEmpty }
+      override def next(): O = { fill(); val h = out.head; out = out.tail; h }
+    }
+
   /** Continuous anomaly detection — the streaming twin of
     * [[graft.operators.Anomaly]]: live per-key rolling z-scores, which
     * is the shape anomaly detection actually deploys in (a metrics
@@ -540,46 +577,56 @@ object StreamingDemo {
     val typed = events.select(col(keyCol).cast("string").as("key"),
         col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"),
         col(valCol).cast("double").as("value"))
-      .where(col("key").isNotNull && col("ts").isNotNull)
+      // value NULLs dropped like the batch operator (they neither
+      // score nor occupy a window slot); without the filter the
+      // non-nullable encoder field would NPE
+      .where(col("key").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
       .as[AnomalyEvent]
     val nD = windowN.toDouble
-    def fold(key: String, rows: Iterator[AnomalyEvent], prior: Option[AnomalyState])
-        : (Seq[AnomalyRow], AnomalyState) = {
-      var st = prior.getOrElse(AnomalyState(Long.MinValue, Long.MinValue, Vector.empty))
-      val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyRow]
-      rows.toSeq.sortBy(r => (r.ts, r.id)).foreach { r =>
-        if (r.ts > st.lastTs || (r.ts == st.lastTs && r.id > st.lastId)) {
-          val v = math.floor(r.value * 1024.0).toLong
-          require(math.abs(v) <= vMax,
-            "anomalyStream: |value|·1024 exceeds the exactness bound — scale the column down")
-          val win = (st.window :+ v).takeRight(windowN)
-          st = AnomalyState(r.ts, r.id, win)
-          if (win.length == windowN) {
-            var s = 0L; var q = 0L
-            win.foreach { x => s += x; q += x * x } // exact long moments
-            val varNum = q.toDouble - (s.toDouble * s.toDouble) / nD
-            val z = if (varNum <= 0.0) 0.0
-                    else (v.toDouble - s.toDouble / nD) / math.sqrt(varNum / nD)
-            out += AnomalyRow(r.id, key, r.ts, r.value, z,
-              if (math.abs(z) > thresh) 1L else 0L)
-          }
-        }
-      }
-      (out.toSeq, st)
-    }
+    // one event against the prior state: admit iff past the (ts, id)
+    // frontier, slide the window, emit a z-row past warm-up — shared
+    // VERBATIM by the streaming fold and the batch arm
+    def step(st: AnomalyState, r: AnomalyEvent): (AnomalyState, Option[AnomalyRow]) =
+      if (r.ts > st.lastTs || (r.ts == st.lastTs && r.id > st.lastId)) {
+        val v = math.floor(r.value * 1024.0).toLong
+        require(math.abs(v) <= vMax,
+          "anomalyStream: |value|·1024 exceeds the exactness bound — scale the column down")
+        val win = (st.window :+ v).takeRight(windowN)
+        val st2 = AnomalyState(r.ts, r.id, win)
+        if (win.length == windowN) {
+          var s = 0L; var q = 0L
+          win.foreach { x => s += x; q += x * x } // exact long moments
+          val varNum = q.toDouble - (s.toDouble * s.toDouble) / nD
+          val z = if (varNum <= 0.0) 0.0
+                  else (v.toDouble - s.toDouble / nD) / math.sqrt(varNum / nD)
+          (st2, Some(AnomalyRow(r.id, r.key, r.ts, r.value, z,
+            if (math.abs(z) > thresh) 1L else 0L)))
+        } else (st2, None)
+      } else (st, None)
+    val empty = AnomalyState(Long.MinValue, Long.MinValue, Vector.empty)
     if (events.isStreaming) {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       typed.groupByKey(_.key)
         .flatMapGroupsWithState[AnomalyState, AnomalyRow](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
-          val (out, st) = fold(key, it, state.getOption)
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
+          var st = state.getOption.getOrElse(empty)
+          // per-TRIGGER buffer only (bounded by the micro-batch, not
+          // the key's history — the batch arm never takes this path)
+          val out = it.toSeq.sortBy(r => (r.ts, r.id)).flatMap { r =>
+            val (s2, o) = step(st, r); st = s2; o
+          }
           state.update(st)
           out.iterator
         }
     } else {
-      typed.groupByKey(_.key).flatMapGroups { (key, it) =>
-        fold(key, it, None)._1.iterator
-      }
+      // batch arm: the identical fold over an in-partition
+      // (key, ts, id) sort — spillable, lazily folded; never a
+      // per-key materialized Seq
+      typed.repartition(col("key"))
+        .sortWithinPartitions(col("key"), col("ts"), col("id"))
+        .mapPartitions(it =>
+          sortedRunFold(it)(_.key)(empty)(step)((_, _) => None))
     }
   }
 
@@ -629,42 +676,46 @@ object StreamingDemo {
         col(typeCol).cast("string").as("etype"))
       .where(col("user").isNotNull && col("ts").isNotNull)
       .as[FunnelEvent]
-    def fold(user: Long, rows: Iterator[FunnelEvent], prior: Option[FunnelState])
-        : (Seq[FunnelRow], FunnelState) = {
-      var st = prior.getOrElse(FunnelState(Long.MinValue, 0, 0L, 0L))
-      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelRow]
-      rows.toSeq.sortBy(r => (r.ts, r.etype)).foreach { r =>
-        if (r.ts >= st.lastTs) { // strict < is stale; same-ts admissible
-          var advanced = false
-          if (st.depth == 0) {
-            if (r.etype == steps.head) {
-              st = FunnelState(r.ts, 1, r.ts, r.ts); advanced = true
-            }
-          } else if (st.depth < n && r.etype == steps(st.depth) &&
-                     r.ts > st.tLast && r.ts - st.tLast <= windowUs) {
-            st = FunnelState(r.ts, st.depth + 1, st.tFirst, r.ts); advanced = true
-          }
-          if (!advanced) st = st.copy(lastTs = math.max(st.lastTs, r.ts))
-          else out += FunnelRow(user, st.depth.toLong, st.tFirst, st.tLast)
-        }
-      }
-      (out.toSeq, st)
-    }
+    // one event against the prior state: advance greedy-first, emit
+    // the progress row on each advance — shared by both arms (the
+    // batch arm discards per-advance rows and flushes the final state)
+    def step(st: FunnelState, r: FunnelEvent): (FunnelState, Option[FunnelRow]) =
+      if (r.ts >= st.lastTs) { // strict < is stale; same-ts admissible
+        if (st.depth == 0 && r.etype == steps.head) {
+          val s2 = FunnelState(r.ts, 1, r.ts, r.ts)
+          (s2, Some(FunnelRow(r.user, 1L, s2.tFirst, s2.tLast)))
+        } else if (st.depth > 0 && st.depth < n && r.etype == steps(st.depth) &&
+                   r.ts > st.tLast && r.ts - st.tLast <= windowUs) {
+          val s2 = FunnelState(r.ts, st.depth + 1, st.tFirst, r.ts)
+          (s2, Some(FunnelRow(r.user, s2.depth.toLong, s2.tFirst, s2.tLast)))
+        } else (st.copy(lastTs = math.max(st.lastTs, r.ts)), None)
+      } else (st, None)
+    val empty = FunnelState(Long.MinValue, 0, 0L, 0L)
     if (events.isStreaming) {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       typed.groupByKey(_.user)
         .flatMapGroupsWithState[FunnelState, FunnelRow](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, state) =>
-          val (out, st) = fold(user, it, state.getOption)
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
+          var st = state.getOption.getOrElse(empty)
+          // per-TRIGGER buffer only (bounded by the micro-batch)
+          val out = it.toSeq.sortBy(r => (r.ts, r.etype)).flatMap { r =>
+            val (s2, o) = step(st, r); st = s2; o
+          }
           state.update(st)
           out.iterator
         }
     } else {
-      // batch arm: final row per user only (the batch operator's shape)
-      typed.groupByKey(_.user).flatMapGroups { (user, it) =>
-        val (out, _) = fold(user, it, None)
-        out.lastOption.iterator
-      }
+      // batch arm: final row per user only (the batch operator's
+      // shape), via the in-partition (user, ts, etype) sort + lazy
+      // fold — a user's last advance row equals the flush of their
+      // final state (non-advance steps only move lastTs)
+      typed.repartition(col("user"))
+        .sortWithinPartitions(col("user"), col("ts"), col("etype"))
+        .mapPartitions(it =>
+          sortedRunFold(it)(_.user)(empty)(
+            (st, r) => (step(st, r)._1, Option.empty[FunnelRow]))(
+            (u, st) => if (st.depth > 0)
+              Some(FunnelRow(u, st.depth.toLong, st.tFirst, st.tLast)) else None))
     }
   }
 
@@ -708,37 +759,45 @@ object StreamingDemo {
         col(valueCol).cast("long").as("value"))
       .where(col("op").isin("I", "D")) // unknown ops contribute nothing
       .as[AggDeltaRow]
-    def fold(key: Long, rows: Iterator[AggDeltaRow], prior: Option[AggMaintState])
-        : (Option[AggRow], Option[AggMaintState]) = {
-      val before = prior.getOrElse(AggMaintState(Long.MinValue, 0L, 0L))
-      var st = before
-      // sort the trigger's rows by the full (version, op, value) key:
-      // version alone would leave same-version duplicates ambiguous —
-      // the strictly-greater rule below then deterministically applies
-      // only the FIRST of a same-version group
-      rows.toSeq.sortBy(r => (r.version, r.op, r.value)).foreach { r =>
-        if (r.version > st.lastVersion) {
-          val s = if (r.op == "I") 1L else -1L
-          st = AggMaintState(r.version, st.n + s, st.total + s * r.value)
-        }
-      }
-      val out = if (prior.isEmpty || st != before)
-        Some(AggRow(key, st.lastVersion, st.n, st.total)) else None
-      (out, Some(st))
-    }
+    // one delta against the prior state: apply iff the version
+    // strictly advances — shared by both arms; rows must arrive
+    // sorted by the full (version, op, value) key (version alone
+    // would leave same-version duplicates ambiguous — the
+    // strictly-greater rule then deterministically applies only the
+    // FIRST of a same-version group)
+    def step(st: AggMaintState, r: AggDeltaRow): (AggMaintState, Option[AggRow]) =
+      if (r.version > st.lastVersion) {
+        val s = if (r.op == "I") 1L else -1L
+        (AggMaintState(r.version, st.n + s, st.total + s * r.value), None)
+      } else (st, None)
+    val empty = AggMaintState(Long.MinValue, 0L, 0L)
     if (changes.isStreaming) {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       typed.groupByKey(_.key)
         .flatMapGroupsWithState[AggMaintState, AggRow](
           OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
-          val (out, st) = fold(key, it, state.getOption)
-          st.foreach(state.update)
+          val prior = state.getOption
+          var st = prior.getOrElse(empty)
+          // per-TRIGGER buffer only (bounded by the micro-batch)
+          it.toSeq.sortBy(r => (r.version, r.op, r.value)).foreach { r =>
+            st = step(st, r)._1
+          }
+          // emit the key's new aggregate row only when it moved (or
+          // on first sight of the key)
+          val out = if (prior.isEmpty || !prior.contains(st))
+            Some(AggRow(key, st.lastVersion, st.n, st.total)) else None
+          state.update(st)
           out.iterator
         }
     } else {
-      typed.groupByKey(_.key).flatMapGroups { (key, it) =>
-        fold(key, it, None)._1.iterator
-      }
+      // batch arm: one row per key from empty state, via the
+      // in-partition (key, version, op, value) sort + lazy fold —
+      // never a per-key materialized Seq
+      typed.repartition(col("key"))
+        .sortWithinPartitions(col("key"), col("version"), col("op"), col("value"))
+        .mapPartitions(it =>
+          sortedRunFold(it)(_.key)(empty)(step)(
+            (k, st) => Some(AggRow(k, st.lastVersion, st.n, st.total))))
     }
   }
 

@@ -55,6 +55,28 @@ class AnomalySpec extends SparkSpec {
     assert(run(rows, n) == expected)
   }
 
+  test("null values neither score nor occupy a window slot") {
+    // a null in the middle of the stream: without the pre-window
+    // filter it would count toward __n while contributing nothing to
+    // the moment sums (the round-12 verdict finding)
+    val withNull = Seq(
+      ("a", 1L, 1L, java.lang.Double.valueOf(1.0)),
+      ("a", 2L, 2L, java.lang.Double.valueOf(1.0)),
+      ("a", 3L, 3L, null.asInstanceOf[java.lang.Double]),
+      ("a", 4L, 4L, java.lang.Double.valueOf(1.0)),
+      ("a", 5L, 5L, java.lang.Double.valueOf(5.0)))
+    val r = Anomaly.rollingZScores(withNull.toDF("k", "ts", "id", "x"),
+        "k", "ts", "id", "x", windowN = 4)
+      .select("id", "zq", "is_anomaly").as[(Long, Double, Long)]
+      .collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    // the null row itself emits nothing, and the window that spans it
+    // behaves as if it never existed: ids 1,2,4,5 form the 4-window
+    assert(!r.contains(3L), "the null row must not score")
+    assert(r.keySet == Set(5L), "warm-up completes only at the 4th non-null row")
+    assert(math.abs(r(5L)._1 - 3.0 / math.sqrt(3.0)) < 1e-12,
+      "z must equal the null-free fold (mean 2, var 3 at the spike)")
+  }
+
   test("the exactness bound raises loudly instead of drifting") {
     val rows = Seq(("a", 1L, 1L, 1.0e9), ("a", 2L, 2L, 1.0e9))
     val e = intercept[Exception] {

@@ -53,6 +53,20 @@ class IncrementalAggSpec extends SparkSpec {
     assert(maintained == expected)
   }
 
+  test("over-deletion raises loudly instead of vanishing like a dead group") {
+    // a 'D' with no matching prior insert drives the count to -1: a
+    // corrupt changelog must not look identical to a legitimately-
+    // vanished group (the round-12 verdict finding)
+    val e = intercept[Exception] {
+      maintain(Seq(("a", 10L)), Seq(("a", 10L, "D"), ("a", 10L, "D")))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("corrupt changelog")), msgs(e).mkString("|"))
+    // exact zero remains a legitimate group death, not an error
+    assert(maintain(Seq(("a", 10L)), Seq(("a", 10L, "D"))) == Map.empty)
+  }
+
   test("plan shape: the wide agg runs over the changelog only") {
     val base = agg(Seq(("a", 1L)))
     val chg = Seq(("a", 2L, "I")).toDF("k", "v", "op")

@@ -839,6 +839,27 @@ class StreamingSpec extends SparkSpec {
       "in-order stream must emit exactly the batch rows")
   }
 
+  test("anomalyStream drops null values like the batch operator") {
+    import StreamingDemo.AnomalyRow
+    // null at ts 2 must neither score nor occupy a window slot: the
+    // 3-window completes at the THIRD non-null value (ts 4)
+    val df = Seq[(String, Long, Long, java.lang.Double)](
+        ("m", 1L, 1L, 1.0), ("m", 2L, 2L, null),
+        ("m", 3L, 3L, 1.0), ("m", 4L, 4L, 7.0))
+      .toDF("k", "ts", "id", "x")
+    val twin = StreamingDemo.anomalyStream(df, "k", "ts", "id", "x",
+      windowN = 3).collect().sortBy(_.event_id)
+    val op = graft.operators.Anomaly.rollingZScores(df,
+        "k", "ts", "id", "x", windowN = 3)
+      .select(col("id").as("event_id"), col("k").as("event_type"),
+        col("ts").as("ts_us"), col("x").as("value"),
+        col("zq"), col("is_anomaly"))
+      .as[AnomalyRow].collect().sortBy(_.event_id)
+    assert(twin.toSeq == op.toSeq, "twin must drop nulls like the batch operator")
+    assert(twin.map(_.event_id).toSeq == Seq(4L),
+      "only the third non-null row completes the window")
+  }
+
   test("anomalyStream skips replays and stale events (window never double-inserts)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Long, Double)]
