@@ -105,6 +105,10 @@ object Bench {
     "q_sample_priority",
     // span decontamination: broadcast probe grams, hit-only rebuild
     "q_decontaminate")
+  // round-13 additions q_drift_tv / q_oov_rate stay OUT of the pinned
+  // headline (the contract line is a byte-budgeted driver artifact —
+  // BenchContractSpec; precedent: no round-12 op joined either); their
+  // medians are recorded via MicroBench q-mode in BASELINE.md.
 
   def main(args: Array[String]): Unit = {
     // FIRST thing in main: the external-load sample must precede

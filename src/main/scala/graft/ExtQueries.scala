@@ -575,6 +575,17 @@ object ExtQueries {
         o.where(col("o_orderpriority") =!= "1-URGENT"),
         "o_totalprice")
     }),
+    "q_drift_tv" -> ((s, dir) => {
+      // categorical drift: did the order-priority MIX move between the
+      // early and late halves of the order history? Exact ln-free TV
+      // distance — one category shuffle, 1-row result. Pivot at the
+      // fixture's midpoint (dates span 1995..2001 at every SF)
+      val o = Tables.orders(s, dir)
+      Drift.tvDistance(
+        o.where(col("o_orderdate") < lit("1998-07-01").cast("timestamp")),
+        o.where(col("o_orderdate") >= lit("1998-07-01").cast("timestamp")),
+        "o_orderpriority")
+    }),
     "q_corpus_keyness" -> ((s, dir) => {
       // drift report: the 50 tokens most over/under-represented in the
       // English slice vs the rest, ranked by the 2×2 χ² (ln-free by
@@ -620,6 +631,13 @@ object ExtQueries {
     }),
     "q_vocab_topk" -> ((s, dir) => {
       PipelineOps.vocabProfile(Tables.documents(s, dir), "doc_id", "text", k = 50)
+    }),
+    "q_oov_rate" -> ((s, dir) => {
+      // tokenizer-coverage audit: per-doc fraction of tokens outside
+      // the corpus's own top-200 vocabulary — broadcast vocab against
+      // the exploded token stream, one doc-key shuffle
+      PipelineOps.oovRate(Tables.documents(s, dir), "doc_id", "text",
+        vocabSize = 200)
     }),
     "q_contamination" -> ((s, dir) => {
       // probe set = every 50th doc standing in for a benchmark; corpus
@@ -1927,6 +1945,43 @@ object ExtQueries {
         |  v AS at_value, n AS n_a, m AS n_b
         |FROM cum, tot
         |ORDER BY ks_stat DESC, at_value ASC LIMIT 1""".stripMargin,
+    // ln-free TV: HUGEINT cross-products mirror Spark's DECIMAL(38,0)
+    // term-for-term; the one double division comes last in both
+    "q_drift_tv" ->
+      """WITH u AS (
+        |  SELECT o_orderpriority AS c, 1 AS xa, 0 AS xb FROM orders
+        |    WHERE o_orderdate < TIMESTAMP '1998-07-01'
+        |  UNION ALL
+        |  SELECT o_orderpriority AS c, 0 AS xa, 1 AS xb FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1998-07-01'),
+        |counts AS (SELECT c, CAST(SUM(xa) AS BIGINT) AS ca,
+        |             CAST(SUM(xb) AS BIGINT) AS cb FROM u GROUP BY c),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |          CAST(SUM(cb) AS BIGINT) AS nb,
+        |          COUNT(*) AS ncat FROM counts)
+        |SELECT
+        |  CAST(SUM(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+        |       AS DOUBLE)
+        |    / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tv_dist,
+        |  na AS n_a, nb AS n_b, ncat AS n_categories
+        |FROM counts, tot GROUP BY na, nb, ncat""".stripMargin,
+    // same deterministic (tf DESC, word ASC) vocab cut as q_vocab_topk,
+    // LEFT JOIN membership, exact-long ratio division
+    "q_oov_rate" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(COALESCE(text,''), '\S+')) AS word
+        |           FROM documents),
+        |pd AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2),
+        |vocab AS (SELECT word FROM (
+        |  SELECT word, CAST(SUM(n) AS BIGINT) AS tf FROM pd GROUP BY word
+        |  ORDER BY tf DESC, word LIMIT 200) t)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END), 0)
+        |       AS BIGINT) AS n_oov,
+        |  CAST(COALESCE(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END), 0)
+        |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_ratio
+        |FROM w LEFT JOIN vocab v ON w.word = v.word
+        |GROUP BY doc_id""".stripMargin,
     // same (tf, df, N) counts, same quarter-power idf arithmetic
     "q_tfidf_terms" ->
       """WITH tf AS (

@@ -75,4 +75,54 @@ object Drift {
       .orderBy(col("ks_stat").desc, col("at_value").asc)
       .limit(1)
   }
+
+  /** Exact total-variation distance between the CATEGORY distributions
+    * of two corpora/snapshots: TV = ½ Σ_c |P_A(c) − P_B(c)| — the
+    * categorical drift monitor (language mix, domain mix, event-type
+    * mix between crawls). TV is chosen over PSI/KL deliberately: it is
+    * ln-FREE, so every intermediate stays exact integer arithmetic and
+    * the score is bit-identical cross-engine (the corpusKeyness χ²
+    * principle applied to drift) — PSI's per-bucket ln(pa/pb) has no
+    * such guarantee between libm implementations.
+    *
+    * Exactness: per-category |ca·nb − cb·na| in DECIMAL(38,0) (room
+    * for two 10^12-row corpora with 10^14 to spare), summed exactly in
+    * any order; the ONE double division at the end divides two
+    * deterministically-rounded casts, mirrored term-for-term by the
+    * oracle's HUGEINT spelling. NULL is a category like any other
+    * (both engines group it).
+    *
+    * Scale shape: union with side tags → ONE hash shuffle on the
+    * category (map-side combinable counts) → a |categories|-sized
+    * frame → broadcast 1-row totals → 1-row reduce. Nothing
+    * corpus-sized survives the first aggregate; nothing collects. An
+    * empty side raises loudly (a TV against nothing is a pipeline bug,
+    * not a 0/0).
+    *
+    * @return ONE row: (tv_dist, n_a, n_b, n_categories) */
+  def tvDistance(dfA: DataFrame, dfB: DataFrame, catCol: String): DataFrame = {
+    def side(df: DataFrame, a: Int, b: Int) = df
+      .select(col(catCol).cast("string").as("c"),
+        lit(a.toLong).as("__a"), lit(b.toLong).as("__b"))
+    val counts = graft.CacheScope.track(
+      side(dfA, 1, 0).unionByName(side(dfB, 0, 1))
+        .groupBy("c").agg(sum("__a").as("ca"), sum("__b").as("cb")))
+    val totals = counts.agg(coalesce(sum("ca"), lit(0L)).as("na"),
+      coalesce(sum("cb"), lit(0L)).as("nb"), count(lit(1)).as("ncat"))
+    counts.crossJoin(broadcast(totals))
+      .select(abs(col("ca").cast("decimal(38,0)") * col("nb")
+          - col("cb").cast("decimal(38,0)") * col("na")).as("__num"),
+        col("na"), col("nb"), col("ncat"))
+      .groupBy("na", "nb", "ncat") // constants — one group, one row
+      .agg(sum("__num").as("__num"))
+      .select(
+        when(col("na") === 0L || col("nb") === 0L,
+          raise_error(lit("tvDistance: a side is empty — no distribution to compare"))
+            .cast("double"))
+          .otherwise(col("__num").cast("double")
+            / (lit(2.0) * col("na").cast("double") * col("nb").cast("double")))
+          .as("tv_dist"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        col("ncat").as("n_categories"))
+  }
 }

@@ -242,6 +242,43 @@ object PipelineOps {
       .limit(k)
   }
 
+  /** Vocabulary-coverage (OOV-rate) audit — the pre-training check
+    * "what fraction of each document's tokens fall outside the
+    * tokenizer's top-`vocabSize` vocabulary?": high-OOV documents are
+    * the ones a fixed vocab will shred into bytes, and the corpus-level
+    * distribution of this ratio is the go/no-go signal for a vocab
+    * size. The vocabulary is derived from the corpus itself via
+    * [[vocabProfile]] (top-`vocabSize` by (tf DESC, word ASC) — the
+    * gate-proven deterministic cut); pass a different corpus through a
+    * pre-computed profile when auditing against a foreign tokenizer.
+    *
+    * Scale shape: the vocab is a driver-bounded `vocabSize`-row frame
+    * BROADCAST against the exploded token stream (row-local explode,
+    * no token shuffle for membership); the per-doc rollup is ONE
+    * doc-key hash shuffle with map-side combine. The ratio divides two
+    * exact longs — deterministic cross-engine. Documents with zero
+    * tokens emit no row (no tokens → no coverage to measure), mirrored
+    * by the oracle's unnest semantics.
+    *
+    * @return (idCol, n_tokens, n_oov, oov_ratio) per non-empty doc */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int = 500): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val vocab = vocabProfile(df, idCol, textCol, vocabSize)
+      .select(col("word"), lit(1L).as("__in"))
+    df.select(col(idCol),
+        explode(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+          .as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("__in").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_ratio"))
+  }
+
   // ── deterministic weighted up/down-sampling (domain mixing) ────────
 
   /** Replicate each row to hit a per-stratum mixture weight — the

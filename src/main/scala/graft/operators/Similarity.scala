@@ -413,7 +413,12 @@ object Similarity {
     * co-partitioned shuffle join on ≈√m keys, never a broadcast.
     *
     * Scale shape: candidate volume ≈ m·nprobe·(m/nlist) pairs, tuned
-    * by nlist (autoNlist ≈ √m keeps per-list size ≈ √m); the scan
+    * by nlist (autoNlist ≈ √m keeps per-list size ≈ √m). Measured
+    * (KnnGraphProbe, BASELINE.md round 13): the driver Lloyd fit at
+    * the 100k fit-sample cap is a ~28 s CONSTANT term independent of
+    * m, while the distributed join term costs ~54M exact cosines/s on
+    * 32 cores — the term that grows with the corpus is the
+    * distributed one, as intended. The scan
     * frame persists once (MEMORY_AND_DISK — both join sides consume
     * it, and re-deriving it would re-run the centroid scan per side);
     * the per-query top-k windows are map-side bounded (row_number +

@@ -42,4 +42,48 @@ class DriftSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no window operator expected:\n$plan")
   }
+
+  private def tv(a: Seq[String], b: Seq[String]): (Double, Long, Long, Long) =
+    Drift.tvDistance(a.toDF("c"), b.toDF("c"), "c")
+      .as[(Double, Long, Long, Long)].head()
+
+  test("hand-computed TV distance; identical mixes give 0, disjoint give 1") {
+    // A = {x,x,y,z}, B = {x,y,y,y}: |2/4-1/4| + |1/4-3/4| + |1/4-0| = 1
+    // -> TV = 0.5
+    val (d, na, nb, nc) = tv(Seq("x", "x", "y", "z"), Seq("x", "y", "y", "y"))
+    assert(d == 0.5 && na == 4L && nb == 4L && nc == 3L)
+    assert(tv(Seq("a", "b"), Seq("a", "b"))._1 == 0.0)
+    assert(tv(Seq("a", "a"), Seq("b"))._1 == 1.0)
+  }
+
+  test("TV: null is a category; unequal sizes use exact cross-products") {
+    // A = {a, null}, B = {a, a, a, null}: |1/2-3/4| + |1/2-1/4| = 1/2
+    val a = Seq(Some("a"), None)
+    val b = Seq(Some("a"), Some("a"), Some("a"), None)
+    val (d, na, nb, nc) = Drift.tvDistance(a.toDF("c"), b.toDF("c"), "c")
+      .as[(Double, Long, Long, Long)].head()
+    assert(d == 0.25 && na == 2L && nb == 4L && nc == 2L)
+  }
+
+  test("TV: matches a driver-side fold on generated categorical mixes") {
+    val a = (0 until 900).map(i => s"c${(i * i) % 13}")
+    val b = (0 until 400).map(i => s"c${(i * 7) % 17}")
+    val cats = (a ++ b).distinct
+    val expected = cats.map { c =>
+      math.abs(a.count(_ == c).toDouble / a.size - b.count(_ == c).toDouble / b.size)
+    }.sum / 2.0
+    val (d, na, nb, nc) = tv(a, b)
+    assert(na == 900L && nb == 400L && nc == cats.size.toLong)
+    assert(math.abs(d - expected) < 1e-12, s"got $d, expected $expected")
+  }
+
+  test("TV: an empty side raises loudly instead of dividing by zero") {
+    val e = intercept[Exception] {
+      Drift.tvDistance(Seq("a").toDF("c"),
+        Seq.empty[String].toDF("c"), "c").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("side is empty")), msgs(e).mkString("|"))
+  }
 }

@@ -174,6 +174,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
   }
 
+  test("oovRate: per-doc OOV fraction against the top-k vocab; empty docs absent") {
+    val docs = Seq(
+      (1L, "b b b a c"),       // vocab(k=2) = {b, a}: c is OOV -> 1/5
+      (2L, "a b c c"),          // 2 OOV of 4 -> 0.5
+      (3L, "a"),                // 0 OOV
+      (4L, ""),                 // no tokens -> no row
+      (5L, "zz zz")             // all OOV -> 1.0
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // tf: b=4, a=4 ties c=3? a=3+... recount: a in docs 1,2,3,5? a tf=3;
+    // b tf=4+1=5; c tf=1+2=3; zz tf=2 -> top-2 = {b(5), a(3)} (a beats c on asc)
+    assert(out(1L) == ((1L, 5L, 1L, 0.2)))
+    assert(out(2L) == ((2L, 4L, 2L, 0.5)))
+    assert(out(3L) == ((3L, 1L, 0L, 0.0)))
+    assert(!out.contains(4L), "token-less docs emit no row")
+    assert(out(5L) == ((5L, 2L, 2L, 1.0)))
+  }
+
+  test("oovRate plan: vocab membership is a broadcast join, no token shuffle") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = PipelineOps.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab membership must broadcast:\n$plan")
+  }
+
   // ── contamination screening ──────────────────────────────────────
 
   test("contaminationCheck counts distinct shared n-grams, zero-fills the clean") {
