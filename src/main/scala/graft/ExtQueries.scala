@@ -632,6 +632,19 @@ object ExtQueries {
     "q_vocab_topk" -> ((s, dir) => {
       PipelineOps.vocabProfile(Tables.documents(s, dir), "doc_id", "text", k = 50)
     }),
+    "q_snapshot_diff" -> ((s, dir) => {
+      // crawl-refresh delta: new snapshot drops every 13th doc,
+      // revises every 7th, adds an offset twin for every 11th —
+      // deterministic known positives for all four statuses
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val newSnap = d.where(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" :rev2")))
+          .otherwise(col("text")))
+        .unionByName(d.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + ID_OFFSET).as("doc_id"), col("text")))
+      PipelineOps.snapshotDiff(d, newSnap, "doc_id", "text")
+    }),
     "q_oov_rate" -> ((s, dir) => {
       // tokenizer-coverage audit: per-doc fraction of tokens outside
       // the corpus's own top-200 vocabulary — broadcast vocab against
@@ -1965,6 +1978,29 @@ object ExtQueries {
         |    / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tv_dist,
         |  na AS n_a, nb AS n_b, ncat AS n_categories
         |FROM counts, tot GROUP BY na, nb, ncat""".stripMargin,
+    // digests row-local on both sides, one full-outer id join — the
+    // fixture mutations (drop %13, revise %7, add %11 twins) are
+    // replayed textually
+    "q_snapshot_diff" ->
+      s"""WITH oldc AS (SELECT doc_id, md5(COALESCE(text, '')) AS old_digest
+        |              FROM documents),
+        |newsrc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN COALESCE(text, '') || ' :rev2'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + $ID_OFFSET AS doc_id, text FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |newc AS (SELECT doc_id, md5(COALESCE(text, '')) AS new_digest
+        |         FROM newsrc)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.old_digest = n.new_digest THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.old_digest, n.new_digest
+        |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id""".stripMargin,
     // same deterministic (tf DESC, word ASC) vocab cut as q_vocab_topk,
     // LEFT JOIN membership, exact-long ratio division
     "q_oov_rate" ->

@@ -279,6 +279,51 @@ object PipelineOps {
           .as("oov_ratio"))
   }
 
+  // ── corpus snapshot diff (crawl-refresh delta) ─────────────────────
+
+  /** Content-level diff between two corpus snapshots — the
+    * crawl-refresh primitive ("what changed since the last dump?"):
+    * every document id is classified `added` (new only), `removed`
+    * (old only), `changed` (both, digests differ), or `unchanged`.
+    * Downstream, `added ∪ changed` is the increment the pipeline
+    * actually has to re-process (the batch sibling of
+    * [[graft.operators.Dedup]]'s incremental near-dedup and
+    * [[graft.operators.ChangeApply]]'s CDC apply: this DERIVES the
+    * changelog two full snapshots imply).
+    *
+    * Scale shape: each side reduces to (id, md5(text)) row-locally —
+    * the raw text never shuffles, only 32-hex digests — then ONE
+    * id-keyed full-outer shuffle join classifies every id. No
+    * collects, no windows; skew-immune (ids are unique per side by
+    * contract — duplicate ids raise loudly, matching the repo's
+    * loud-failure convention, since a diff over a multiset id space is
+    * ill-defined).
+    *
+    * Exactness: md5 is bit-stable cross-engine; NULL text digests as
+    * the empty string (the [[vocabProfile]] COALESCE convention).
+    *
+    * @return (idCol, status, old_digest, new_digest) — absent-side
+    *         digests NULL */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    def digests(df: DataFrame, dcol: String) = df
+      .select(col(idCol), md5(coalesce(col(textCol), lit(""))).as(dcol))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), max(col(dcol)).as(dcol))
+      .select(col(idCol),
+        when(col("__n") === 1L, col(dcol)).otherwise(raise_error(concat(
+          lit("snapshotDiff: duplicate id in a snapshot — diff over a multiset id space is ill-defined; id="),
+          col(idCol).cast("string")))).as(dcol))
+    digests(oldSnap, "old_digest")
+      .join(digests(newSnap, "new_digest"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") === col("new_digest"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_digest"), col("new_digest"))
+  }
+
   // ── deterministic weighted up/down-sampling (domain mixing) ────────
 
   /** Replicate each row to hit a per-stratum mixture weight — the

@@ -201,6 +201,46 @@ class PipelineOpsSpec extends SparkSpec {
       s"vocab membership must broadcast:\n$plan")
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged; null text digests as empty") {
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val newSnap = Seq((1L, "alpha"), (2L, "beta v2"),
+      (4L, null.asInstanceOf[String]), (5L, "delta")).toDF("id", "text")
+    val out = PipelineOps.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
+  test("snapshotDiff raises loudly on duplicate ids (multiset diff is ill-defined)") {
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "text")
+    val clean = Seq((1L, "a")).toDF("id", "text")
+    val e = intercept[Exception] {
+      PipelineOps.snapshotDiff(dup, clean, "id", "text").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("duplicate id")), msgs(e).mkString("|"))
+  }
+
+  test("snapshotDiff plan: digest aggregates feed the full-outer id join") {
+    val a = Seq((1L, "x")).toDF("id", "text")
+    val b = Seq((1L, "x")).toDF("id", "text")
+    val lp = PipelineOps.snapshotDiff(a, b, "id", "text")
+      .queryExecution.optimizedPlan
+    // the join's direct children must be the (id, digest) aggregates —
+    // raw text reduces to a 32-hex digest BEFORE anything shuffles
+    val joins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 1 && joins.head.joinType.sql == "FULL OUTER",
+      s"one full-outer join expected:\n$lp")
+    joins.head.children.foreach { side =>
+      val agg = side.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+      assert(agg.isDefined, s"each join side must be a digest aggregate:\n$lp")
+    }
+  }
+
   // ── contamination screening ──────────────────────────────────────
 
   test("contaminationCheck counts distinct shared n-grams, zero-fills the clean") {
