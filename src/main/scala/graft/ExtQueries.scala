@@ -857,6 +857,17 @@ object ExtQueries {
       Similarity.knnGraph(e, "vec_id", "embedding", k = 3, dim = 64,
         nlist = 16, nprobe = 4)
     }),
+    "q_sim_bitext_mine" -> ((s, dir) => {
+      // margin-based bitext mining, forward strategy: even vec_ids are
+      // the query corpus, odd the candidate corpus; nlist pinned 8 and
+      // τ=1.15 (keeps ~25-50% of queries across the SF fixtures) so
+      // the DuckDB fit replay stays in lockstep
+      val e = Tables.embeddings(s, dir)
+      Similarity.bitextMineForward(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, dim = 64, nlist = 8, nprobe = 4,
+        tau = 1.15)
+    }),
     "q_sim_pq_topk" -> ((s, dir) => {
       // m=4 subspaces × ksub=16 centroids, 50-candidate ADC short list,
       // exact cosine re-rank to top-5 — every parameter pinned so the
@@ -1555,6 +1566,48 @@ object ExtQueries {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** q_sim_bitext_mine oracle: the IVF replay with the codebook fit on
+    * the ODD (corpus) slice, probes from the EVEN (query) slice, and
+    * the forward ratio margin folded over the rank-ordered top-k
+    * cosines — the same list_reduce left-fold the Spark side pins via
+    * its sort_array + aggregate spelling. */
+  private def bitextOracle: String = {
+    val (nlist, nprobe, k, iters, tau) = (8, 4, 4, 10, 1.15)
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+         |  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
+    def nrm(a: String) = s"sqrt(${dot(a, a)})"
+    val oddEmb =
+      """emb AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings WHERE vec_id % 2 = 1)""".stripMargin
+    s"""WITH RECURSIVE
+       |${ivfFitCtes(nlist, iters, oddEmb)},
+       |qry AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings WHERE vec_id % 2 = 0),
+       |probes AS (
+       |  SELECT id AS query_id, v AS qv, cidx - 1 AS lst
+       |  FROM (SELECT q.id, q.v, u.cidx, ${sqlDist("q.v", "cs[u.cidx]")} AS d
+       |        FROM qry q, fin, (SELECT unnest(generate_series(1, $nlist)) AS cidx) u)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cidx) <= $nprobe),
+       |topk AS (
+       |  SELECT p.query_id, b.id AS neighbor_id,
+       |    ${dot("p.qv", "b.v")} / (${nrm("p.qv")} * ${nrm("b.v")}) AS cosine
+       |  FROM bucketed b JOIN probes p ON b.lst = p.lst
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) <= $k),
+       |agg AS (
+       |  SELECT query_id,
+       |    (list(neighbor_id ORDER BY cosine DESC, neighbor_id ASC))[1] AS match_id,
+       |    list(cosine ORDER BY cosine DESC, neighbor_id ASC) AS cs2
+       |  FROM topk GROUP BY query_id)
+       |SELECT query_id, match_id, cosine, margin FROM (
+       |  SELECT query_id, match_id, cs2[1] AS cosine,
+       |    cs2[1] / (list_reduce(list_prepend(0.0, cs2), (x, y) -> x + y)
+       |              / len(cs2)) AS margin
+       |  FROM agg) t
+       |WHERE margin >= $tau""".stripMargin
+  }
+
   /** q_sim_pq_topk oracle: bit-exact DuckDB replay of the PQ pipeline
     * ([[graft.operators.Similarity.pqTopK]]) — one shared digest-order
     * fit sample, four per-subspace 16-centroid Lloyd fits (the same
@@ -1876,6 +1929,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "q_sim_ivf_topk" -> ivfOracle,
     "q_sim_knn_graph" -> knnGraphOracle,
+    "q_sim_bitext_mine" -> bitextOracle,
     "q_graph_pagerank" -> pageRankOracle,
     // full recompute over the logically-updated table — the operator's
     // semantic contract is maintenance == recompute, bit-equal because

@@ -470,6 +470,73 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Margin-based bitext mining, FORWARD strategy (Artetxe & Schwenk
+    * 2019; the LASER/CCMatrix parallel-corpus discovery primitive):
+    * each query-side document's best corpus-side match, accepted iff
+    * its cosine stands out from the query's k-NN neighborhood —
+    * `margin = cos(x, y₁) / mean(cos(x, yᵢ), i ≤ k)`. Absolute-cosine
+    * thresholds fail under hubness (dense regions make everything
+    * "similar"); the ratio margin is the standard fix. Forward-only is
+    * the pinned variant (the bidirectional max-margin needs the
+    * reverse neighborhood too — compose two forward passes and join
+    * when that's wanted).
+    *
+    * Scale shape = [[knnGraph]]'s cross-corpus sibling, BOTH sides
+    * distributed: codebook fit on the corpus side's bounded digest
+    * sample; corpus bucketed by argmin list ([[Dedup.capBuckets]] hot
+    * guard); queries probe their `nprobe` closest lists row-locally;
+    * one list-keyed equi-join; per-query top-k via the WindowGroupLimit
+    * rewrite. The margin reduce folds each query's ≤k cosines in RANK
+    * order (sort_array over (rank, …) structs + a left-fold aggregate)
+    * — a deterministic summation order both engines replay exactly,
+    * like the dot-product oracle's list_reduce. No self-exclusion: the
+    * two sides are distinct corpora by contract.
+    *
+    * @return (query_id, match_id, cosine, margin) for queries whose
+    *         best match clears `tau` (margin ≥ 1 by construction, so
+    *         tau ≤ 1 accepts every query that has candidates) */
+  def bitextMineForward(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int, dim: Int,
+                        nlist: Int = 0, nprobe: Int = 4, tau: Double = 1.0,
+                        seed: Long = 9, maxListSize: Long = 100000L): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    require(tau >= 1.0, s"margin is >= 1 by construction; tau $tau would be vacuous")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val centers = fitCodebook(c, nlist, seed)
+    val np = math.min(nprobe, centers.length)
+    val bucketed = Dedup.capBuckets(
+      c.withColumn("__dists", centerDistArr(centers, dim))
+        .select(col("neighbor_id"), col("__cv"),
+          coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
+            .cast("int"), lit(0)).as("__list")),
+      Seq("__list"), maxListSize)
+    val probes = q
+      .withColumn("__dists",
+        graft.functions.CentroidDists.dists(col("__qv"), centers))
+      .select(col("query_id"), col("__qv"),
+        explode(expr(
+          s"transform(slice(array_sort(transform(__dists, (d, i) -> struct(d, i))), 1, $np), x -> x.i)"))
+          .as("__list"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val topk = probes.join(bucketed, Seq("__list"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    val meanCos = aggregate(
+      transform(col("__nn"), x => x.getField("cosine")),
+      lit(0.0), (a, v) => a + v) / size(col("__nn")).cast("double")
+    topk.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(
+        struct(col("rank"), col("neighbor_id"), col("cosine")))).as("__nn"))
+      .select(col("query_id"),
+        col("__nn").getItem(0).getField("neighbor_id").as("match_id"),
+        col("__nn").getItem(0).getField("cosine").as("cosine"),
+        (col("__nn").getItem(0).getField("cosine") / meanCos).as("margin"))
+      .where(col("margin") >= lit(tau))
+  }
+
   /** Product-quantization (PQ) approximate top-k — the
     * compressed-corpus scale path (Jégou, Douze, Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011).

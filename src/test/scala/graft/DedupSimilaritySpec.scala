@@ -725,4 +725,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped.count() < full.count(),
       "the dropped list must remove candidate pairs")
   }
+
+  test("bitextMineForward: margin equals a driver-side fold over brute-force top-k at full probes") {
+    val all = knnFixture(120)
+    val q = all.where(col("vec_id") % 2 === 0)
+    val c = all.where(col("vec_id") % 2 === 1)
+    val mined = Similarity.bitextMineForward(q, c, "vec_id", "embedding",
+        k = 4, dim = 16, nlist = 6, nprobe = 6, tau = 1.0)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // nprobe = nlist -> the neighborhood is the exact brute-force top-k
+    val bf = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (qid, rows) =>
+        val byRank = rows.sortBy(_._4)
+        val mean = byRank.map(_._3).foldLeft(0.0)(_ + _) / byRank.length
+        qid -> ((qid, byRank.head._2, byRank.head._3, byRank.head._3 / mean))
+      }
+    assert(mined.keySet == bf.keySet, "tau=1.0 keeps every query with candidates")
+    bf.foreach { case (qid, exp) =>
+      val got = mined(qid)
+      assert(got._2 == exp._2 && got._3 == exp._3, s"match mismatch at $qid")
+      assert(got._4 == exp._4, s"margin must be the rank-ordered fold at $qid")
+    }
+  }
+
+  test("bitextMineForward: tau filters; the planted near-dup clears it with the top margin") {
+    val all = knnFixture(200) // 9000L is a near-copy of 7L (both even side)
+    val q = all.where(col("vec_id") % 2 === 0)
+    val c = all.where(col("vec_id") % 2 === 1)
+    val loose = Similarity.bitextMineForward(q, c, "vec_id", "embedding",
+      k = 4, dim = 16, nlist = 8, nprobe = 3, tau = 1.0).collect()
+    val strictTau = 1.0 + loose.map(r => r.getDouble(3)).sorted
+      .apply(loose.length / 2) - 1.0 // median margin as the cut
+    val strict = Similarity.bitextMineForward(q, c, "vec_id", "embedding",
+      k = 4, dim = 16, nlist = 8, nprobe = 3, tau = strictTau).collect()
+    assert(strict.length < loose.length && strict.nonEmpty,
+      s"tau=$strictTau must filter some but not all (${strict.length}/${loose.length})")
+    assert(strict.forall(_.getDouble(3) >= strictTau))
+  }
+
+  test("bitextMineForward rejects a vacuous tau") {
+    val all = knnFixture(20)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bitextMineForward(all, all, "vec_id", "embedding",
+        k = 2, dim = 16, tau = 0.5)
+    }
+    assert(e.getMessage.contains("vacuous"))
+  }
 }
