@@ -586,6 +586,15 @@ object ExtQueries {
         o.where(col("o_orderdate") >= lit("1998-07-01").cast("timestamp")),
         "o_orderpriority")
     }),
+    "q_drift_tv_windowed" -> ((s, dir) => {
+      // the drift-dashboard series: each day's event-type mix vs the
+      // whole-corpus reference distribution, exact TV per window
+      val e = Tables.eventsRawNanos(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+      val ref = e.groupBy(col("event_type").as("category"))
+        .agg(count(lit(1)).as("n"))
+      Drift.windowedTvDrift(e, "ts_us", "event_type", DAY_US, ref)
+    }),
     "q_corpus_keyness" -> ((s, dir) => {
       // drift report: the 50 tokens most over/under-represented in the
       // English slice vs the rest, ranked by the 2×2 χ² (ln-free by
@@ -2055,6 +2064,26 @@ object ExtQueries {
         |       ELSE 'changed' END AS status,
         |  o.old_digest, n.new_digest
         |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id""".stripMargin,
+    // per-window TV vs the global reference; the missing-mass term
+    // (nb − Σ present cb)·na closes the category union without an
+    // outer join, replayed textually — exact HUGEINTs to one division
+    "q_drift_tv_windowed" ->
+      s"""WITH e AS (SELECT (epoch_us(ts) // $DAY_US) * $DAY_US AS w,
+        |             event_type AS c FROM events),
+        |ref AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cb FROM e GROUP BY c),
+        |rt AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM ref),
+        |wc AS (SELECT w, c, CAST(COUNT(*) AS BIGINT) AS ca FROM e GROUP BY w, c),
+        |wt AS (SELECT w, CAST(SUM(ca) AS BIGINT) AS na FROM wc GROUP BY w),
+        |terms AS (SELECT wc.w, wt.na, rt.nb,
+        |    abs(CAST(wc.ca AS HUGEINT) * rt.nb
+        |        - CAST(COALESCE(r.cb, 0) AS HUGEINT) * wt.na) AS term,
+        |    CAST(COALESCE(r.cb, 0) AS HUGEINT) AS cb0
+        |  FROM wc LEFT JOIN ref r ON wc.c = r.c
+        |  JOIN wt ON wc.w = wt.w, rt)
+        |SELECT w AS window_start, na AS n_events,
+        |  CAST(SUM(term) + (nb - SUM(cb0)) * CAST(na AS HUGEINT) AS DOUBLE)
+        |    / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tv_dist
+        |FROM terms GROUP BY w, na, nb""".stripMargin,
     // same deterministic (tf DESC, word ASC) vocab cut as q_vocab_topk,
     // LEFT JOIN membership, exact-long ratio division
     "q_oov_rate" ->

@@ -125,4 +125,75 @@ object Drift {
         col("na").as("n_a"), col("nb").as("n_b"),
         col("ncat").as("n_categories"))
   }
+
+  /** Windowed TV drift — [[tvDistance]]'s time-series deployment
+    * shape: the exact total-variation distance of EACH event-time
+    * window's category distribution against a fixed reference
+    * distribution (yesterday's snapshot, the training corpus, a
+    * contract mix), i.e. the per-window series a drift dashboard
+    * plots and alerts on.
+    *
+    * The union trick does not need an outer join per window:
+    * reference categories ABSENT from a window contribute |0 − cb·na|
+    * each, and Σ over the missing set is (nb − Σ_present cb)·na — so
+    * one broadcast LEFT join against the reference plus a per-window
+    * closed-form missing-mass term covers the full category union.
+    *
+    * Exactness: identical to [[tvDistance]] — DECIMAL(38,0)
+    * cross-products summed order-free per window, ONE double division
+    * per output row, HUGEINT-mirrored by the oracle. Scale shape: one
+    * (window, category) hash shuffle with map-side combine, then one
+    * window-keyed reduce over the compact count frame; the reference
+    * is category-sized and broadcast. An empty reference raises
+    * loudly.
+    *
+    * @param events    event frame
+    * @param tsUsCol   event-time column, MICROSECONDS (long-castable)
+    * @param catCol    category column (NULL is a category)
+    * @param windowUs  tumbling-window width, µs
+    * @param reference (category, count) frame — exact longs, e.g. a
+    *                  prior snapshot's groupBy count
+    * @return (window_start, n_events, tv_dist) per non-empty window */
+  def windowedTvDrift(events: DataFrame, tsUsCol: String, catCol: String,
+                      windowUs: Long, reference: DataFrame,
+                      refCatCol: String = "category",
+                      refNCol: String = "n"): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    // collapse duplicate reference categories (the contract is an
+    // aggregate, but a duplicated row must not double a term)
+    val ref = reference
+      .select(col(refCatCol).cast("string").as("c"),
+        col(refNCol).cast("long").as("__r"))
+      .groupBy("c").agg(sum("__r").as("cb"))
+    val refTot = ref.agg(coalesce(sum("cb"), lit(0L)).as("nb"))
+    val winCounts = graft.CacheScope.track(events
+      // exact integer div — `/` on longs is DOUBLE division in Spark,
+      // which mis-buckets boundary events at epoch-µs magnitudes
+      .select(expr(s"(CAST(`$tsUsCol` AS BIGINT) div ${windowUs}L) * ${windowUs}L")
+          .as("window_start"),
+        col(catCol).cast("string").as("c"))
+      .groupBy("window_start", "c").agg(count(lit(1)).as("ca")))
+    val winTotals = winCounts.groupBy("window_start")
+      .agg(sum("ca").as("na"))
+    winCounts
+      .join(broadcast(ref), Seq("c"), "left")
+      .join(winTotals, Seq("window_start")) // compact-frame equi-join
+      .crossJoin(broadcast(refTot))
+      .withColumn("__cb", coalesce(col("cb"), lit(0L)))
+      .withColumn("__term", abs(col("ca").cast("decimal(38,0)") * col("nb")
+        - col("__cb").cast("decimal(38,0)") * col("na")))
+      .groupBy("window_start", "na", "nb")
+      .agg(sum("__term").as("__num"), sum("__cb").as("__cbp"))
+      // missing-mass term joins the numerator while still exact; ONE
+      // double cast + division per output row
+      .withColumn("__tot", col("__num")
+        + (col("nb") - col("__cbp")).cast("decimal(38,0)") * col("na"))
+      .select(col("window_start"), col("na").as("n_events"),
+        when(col("nb") === 0L,
+          raise_error(lit("windowedTvDrift: the reference distribution is empty"))
+            .cast("double"))
+          .otherwise(col("__tot").cast("double")
+            / (lit(2.0) * col("na").cast("double") * col("nb").cast("double")))
+          .as("tv_dist"))
+  }
 }

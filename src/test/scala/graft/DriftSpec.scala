@@ -86,4 +86,38 @@ class DriftSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("side is empty")), msgs(e).mkString("|"))
   }
+
+  test("windowedTvDrift: hand-computed per-window TV incl. the missing-mass term") {
+    // reference: a:3, b:1 (nb=4). Window 0 events: a,a (na=2) ->
+    // terms |2*4-3*2| + missing b: (4-3)*2 -> (2+2)/(2*2*4) = 0.25
+    // Window 100 events: b,c (na=2): |b: 1*4-1*2| + |c: 1*4-0| +
+    // missing a: (4-1-... wait c not in ref: cb0=0; present cb sum = 1 (b)
+    // -> missing = (4-1)*2 = 6; terms |1*4-1*2|=2, |1*4-0*2|=4 -> (2+4+6)/(2*2*4)=0.75
+    val events = Seq((5L, "a"), (50L, "a"), (150L, "b"), (199L, "c"))
+      .toDF("ts", "cat")
+    val ref = Seq(("a", 3L), ("b", 1L)).toDF("category", "n")
+    val out = Drift.windowedTvDrift(events, "ts", "cat", 100L, ref)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(0L -> ((2L, 0.25)), 100L -> ((2L, 0.75))))
+  }
+
+  test("windowedTvDrift: a window matching the reference mix exactly scores 0; duplicate ref rows collapse") {
+    val events = Seq((0L, "a"), (1L, "a"), (2L, "a"), (3L, "b")).toDF("ts", "cat")
+    val ref = Seq(("a", 2L), ("a", 1L), ("b", 1L)).toDF("category", "n") // a:3 after collapse
+    val out = Drift.windowedTvDrift(events, "ts", "cat", 1000L, ref)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((0L, 4L, 0.0)))
+  }
+
+  test("windowedTvDrift: empty reference raises loudly") {
+    val events = Seq((0L, "a")).toDF("ts", "cat")
+    val ref = Seq.empty[(String, Long)].toDF("category", "n")
+    val e = intercept[Exception] {
+      Drift.windowedTvDrift(events, "ts", "cat", 100L, ref).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("reference distribution is empty")),
+      msgs(e).mkString("|"))
+  }
 }
