@@ -159,6 +159,24 @@ object Drift {
                       refCatCol: String = "category",
                       refNCol: String = "n"): DataFrame = {
     require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val winCounts = events
+      // exact integer div — `/` on longs is DOUBLE division in Spark,
+      // which mis-buckets boundary events at epoch-µs magnitudes
+      .select(expr(s"(CAST(`$tsUsCol` AS BIGINT) div ${windowUs}L) * ${windowUs}L")
+          .as("window_start"),
+        col(catCol).cast("string").as("c"))
+      .groupBy("window_start", "c").agg(count(lit(1)).as("ca"))
+    tvCollapse(winCounts, reference, refCatCol, refNCol)
+  }
+
+  /** The per-window TV reduce over a pre-aggregated
+    * `(window_start, c, ca)` count frame — [[windowedTvDrift]]'s
+    * second stage, public so the STREAMING stage
+    * ([[graft.streaming.StreamingDemo.tvDriftWindowCounts]]'s output
+    * table) collapses through the identical arithmetic. */
+  def tvCollapse(winCountsIn: DataFrame, reference: DataFrame,
+                 refCatCol: String = "category",
+                 refNCol: String = "n"): DataFrame = {
     // collapse duplicate reference categories (the contract is an
     // aggregate, but a duplicated row must not double a term)
     val ref = reference
@@ -166,24 +184,25 @@ object Drift {
         col(refNCol).cast("long").as("__r"))
       .groupBy("c").agg(sum("__r").as("cb"))
     val refTot = ref.agg(coalesce(sum("cb"), lit(0L)).as("nb"))
-    val winCounts = graft.CacheScope.track(events
-      // exact integer div — `/` on longs is DOUBLE division in Spark,
-      // which mis-buckets boundary events at epoch-µs magnitudes
-      .select(expr(s"(CAST(`$tsUsCol` AS BIGINT) div ${windowUs}L) * ${windowUs}L")
-          .as("window_start"),
-        col(catCol).cast("string").as("c"))
-      .groupBy("window_start", "c").agg(count(lit(1)).as("ca")))
-    val winTotals = winCounts.groupBy("window_start")
-      .agg(sum("ca").as("na"))
-    winCounts
+    // ONE window-keyed aggregation: the per-window total `na` is only
+    // known after grouping, so the |ca·nb − cb·na| terms fold over the
+    // collected (ca, cb) pairs AFTER the agg (bounded by |categories|
+    // per window; exact integers, so the fold order is irrelevant).
+    // A winTotals self-join would be the natural spelling but trips
+    // conflicting-reference analysis on view-backed inputs (the
+    // streaming memory-sink path).
+    winCountsIn
+      .select(col("window_start"), col("c"), col("ca").cast("long").as("ca"))
       .join(broadcast(ref), Seq("c"), "left")
-      .join(winTotals, Seq("window_start")) // compact-frame equi-join
       .crossJoin(broadcast(refTot))
       .withColumn("__cb", coalesce(col("cb"), lit(0L)))
-      .withColumn("__term", abs(col("ca").cast("decimal(38,0)") * col("nb")
-        - col("__cb").cast("decimal(38,0)") * col("na")))
-      .groupBy("window_start", "na", "nb")
-      .agg(sum("__term").as("__num"), sum("__cb").as("__cbp"))
+      .groupBy("window_start", "nb")
+      .agg(sum("ca").as("na"), sum("__cb").as("__cbp"),
+        collect_list(struct(col("ca"), col("__cb"))).as("__pairs"))
+      .withColumn("__num", aggregate(col("__pairs"),
+        lit(0).cast("decimal(38,0)"),
+        (acc, x) => acc + abs(x.getField("ca").cast("decimal(38,0)") * col("nb")
+          - x.getField("__cb").cast("decimal(38,0)") * col("na"))))
       // missing-mass term joins the numerator while still exact; ONE
       // double cast + division per output row
       .withColumn("__tot", col("__num")

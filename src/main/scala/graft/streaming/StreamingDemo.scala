@@ -77,6 +77,41 @@ object StreamingDemo {
         col("n_events"), col("sum_value"))
   }
 
+  /** Continuous drift monitoring, stage 1 — the streaming twin of
+    * [[graft.operators.Drift.windowedTvDrift]], split the
+    * [[minhashDedupStream]]/[[collapseNearDupVerdicts]] way: THIS is
+    * the streaming stage (watermarked tumbling-window per-category
+    * counts, append mode — a window's counts emit exactly once, when
+    * the watermark passes its end), and
+    * [[graft.operators.Drift.tvCollapse]] is the batch collapse over
+    * the output table (counts → per-window TV against the broadcast
+    * reference — the IDENTICAL exact-integer arithmetic the batch
+    * operator runs, so stream∘collapse == batch by construction;
+    * spec-pinned in StreamingSpec).
+    *
+    * State is the window aggregation's own (|windows in flight| ×
+    * |categories| longs, watermark-bounded); epoch-aligned tumbling
+    * windows make `unix_micros(window.start)` equal the batch
+    * operator's integer-div bucketing for any divisor of the window
+    * width. Rows with null ts are dropped (no event time, no window).
+    */
+  def tvDriftWindowCounts(events: DataFrame, tsCol: String = "ts",
+                          catCol: String = "event_type",
+                          windowDur: String = "1 day",
+                          watermark: String = "10 minutes"): DataFrame = {
+    val picked = events
+      .select(col(tsCol).cast("timestamp").as("__ts"),
+        col(catCol).cast("string").as("c"))
+      .where(col("__ts").isNotNull)
+    val withWm = if (events.isStreaming)
+      picked.withWatermark("__ts", watermark) else picked
+    withWm
+      .groupBy(window(col("__ts"), windowDur).as("w"), col("c"))
+      .agg(count(lit(1)).as("ca"))
+      .select(unix_micros(col("w.start")).as("window_start"),
+        col("c"), col("ca"))
+  }
+
   /** Per-user sessionization with custom state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): a session closes
     * after `gapMinutes` of inactivity; emits (user_id, session_start,

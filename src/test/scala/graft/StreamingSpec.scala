@@ -36,6 +36,43 @@ class StreamingSpec extends SparkSpec {
     assert(r == Set((ts(0, 0), "click", 2L), (ts(1, 0), "view", 1L)))
   }
 
+  test("tvDriftWindowCounts ∘ tvCollapse == batch windowedTvDrift (stream and batch arms)") {
+    implicit val sqlCtx = spark.sqlContext
+    // two hour-long windows with different category mixes
+    val rows = Seq(
+      (ts(0, 5), "click"), (ts(0, 15), "click"), (ts(0, 25), "view"),
+      (ts(1, 10), "view"), (ts(1, 20), "view"), (ts(1, 30), "purchase"))
+    val ref = Seq(("click", 3L), ("view", 2L), ("purchase", 1L))
+      .toDF("category", "n")
+    // batch oracle arm: the micros-bucketed batch operator
+    val batchDf = rows.toDF("ts", "event_type")
+      .select(unix_micros($"ts").as("ts_us"), $"event_type")
+    val expected = graft.operators.Drift
+      .windowedTvDrift(batchDf, "ts_us", "event_type", 3600000000L, ref)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(expected.size == 2 && expected.forall(_._3 > 0.0))
+    // batch arm of the streaming stage through the shared collapse
+    val batchCounts = StreamingDemo.tvDriftWindowCounts(
+      rows.toDF("ts", "event_type"), windowDur = "1 hour")
+    val viaBatchArm = graft.operators.Drift.tvCollapse(batchCounts, ref)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(viaBatchArm == expected, "batch arm + collapse must equal the batch operator")
+    // true streaming arm, two micro-batches
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = StreamingDemo.tvDriftWindowCounts(
+        mem.toDF().toDF("ts", "event_type"), windowDur = "1 hour")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("tv_drift_stream_test").start()
+    try {
+      mem.addData(rows.take(3): _*); q.processAllAvailable()
+      mem.addData(rows.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val viaStream = graft.operators.Drift
+      .tvCollapse(spark.table("tv_drift_stream_test"), ref)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(viaStream == expected, "stream counts + collapse must equal the batch operator")
+  }
+
   test("dedupEvents drops watermark-window duplicates on a true stream") {
     import org.apache.spark.sql.streaming.Trigger
     implicit val sqlCtx = spark.sqlContext
