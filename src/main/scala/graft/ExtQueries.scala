@@ -877,6 +877,16 @@ object ExtQueries {
         "vec_id", "embedding", k = 4, dim = 64, nlist = 8, nprobe = 4,
         tau = 1.15)
     }),
+    "q_sim_bitext_mutual" -> ((s, dir) => {
+      // CCMatrix-grade acceptance: mutual best across BOTH directions
+      // with both forward margins ≥ 1.1 — pure composition of the
+      // forward operator (each direction fits its own corpus side)
+      val e = Tables.embeddings(s, dir)
+      Similarity.bitextMineMutual(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, dim = 64, nlist = 8, nprobe = 4,
+        tau = 1.1)
+    }),
     "q_sim_pq_topk" -> ((s, dir) => {
       // m=4 subspaces × ksub=16 centroids, 50-candidate ADC short list,
       // exact cosine re-rank to top-5 — every parameter pinned so the
@@ -1209,12 +1219,13 @@ object ExtQueries {
     * `nlist`, `iters` fixed rounds) and the per-vector nearest-list
     * assignment, ending at `bucketed(id, v, lst, d2)`. */
   private def ivfFitCtes(nlist: Int, iters: Int,
-                         embCte: String = plainEmbCte): String =
+                         embCte: String = plainEmbCte,
+                         p: String = ""): String =
     s"""$embCte,
-       |sp AS MATERIALIZED (SELECT (list(v ORDER BY md5(id || ':9')))[1:100000] AS vs,
-       |              LEAST(COUNT(*), 100000) AS m FROM emb),
-       |it(i, cs) AS (
-       |  SELECT 0, vs[1:$nlist] FROM sp
+       |${p}sp AS MATERIALIZED (SELECT (list(v ORDER BY md5(id || ':9')))[1:100000] AS vs,
+       |              LEAST(COUNT(*), 100000) AS m FROM ${p}emb),
+       |${p}it(i, cs) AS (
+       |  SELECT 0, vs[1:$nlist] FROM ${p}sp
        |  UNION ALL
        |  SELECT i + 1,
        |    [CASE WHEN len(ixs[c]) = 0 THEN cs[c]
@@ -1231,14 +1242,14 @@ object ExtQueries {
        |                     list_transform(generate_series(1, m), j ->
        |                       list_position(list_transform(cs, c -> ${sqlDist("vs[j]", "c")}),
        |                                     list_min(list_transform(cs, c -> ${sqlDist("vs[j]", "c")})))) AS asg
-       |              FROM it, sp WHERE i < $iters))),
-       |fin AS MATERIALIZED (SELECT cs FROM it WHERE i = $iters),
-       |bucketed AS MATERIALIZED (
+       |              FROM ${p}it, ${p}sp WHERE i < $iters))),
+       |${p}fin AS MATERIALIZED (SELECT cs FROM ${p}it WHERE i = $iters),
+       |${p}bucketed AS MATERIALIZED (
        |  SELECT id, v,
        |    CAST(list_position(list_transform(cs, c -> ${sqlDist("v", "c")}),
        |                       list_min(list_transform(cs, c -> ${sqlDist("v", "c")}))) - 1 AS INT) AS lst,
        |    list_min(list_transform(cs, c -> ${sqlDist("v", "c")})) AS d2
-       |  FROM emb, fin)""".stripMargin
+       |  FROM ${p}emb, ${p}fin)""".stripMargin
 
   /** q_embed_cluster oracle: the shared fit/assign chain, projected. */
   /** The q_corpus_clean WITH-body (corpus fixture through the `losers`
@@ -1575,47 +1586,66 @@ object ExtQueries {
        |WHERE rank <= $k""".stripMargin
   }
 
-  /** q_sim_bitext_mine oracle: the IVF replay with the codebook fit on
-    * the ODD (corpus) slice, probes from the EVEN (query) slice, and
-    * the forward ratio margin folded over the rank-ordered top-k
-    * cosines — the same list_reduce left-fold the Spark side pins via
-    * its sort_array + aggregate spelling. */
-  private def bitextOracle: String = {
-    val (nlist, nprobe, k, iters, tau) = (8, 4, 4, 10, 1.15)
+  /** One direction of the bitext replay under CTE prefix `p`: fit
+    * chain on the `fitParity` vec_id slice, probes from the other
+    * parity, the forward ratio margin folded over the rank-ordered
+    * top-k cosines (the same list_reduce left-fold the Spark side pins
+    * via its sort_array + aggregate spelling) — ending at
+    * `${p}mined(query_id, match_id, cosine, margin)`, pre-τ. */
+  private def bitextForwardCtes(p: String, fitParity: Int, nlist: Int,
+                                nprobe: Int, k: Int, iters: Int): String = {
     def dot(a: String, b: String) =
       s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
          |  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
     def nrm(a: String) = s"sqrt(${dot(a, a)})"
-    val oddEmb =
-      """emb AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |        FROM embeddings WHERE vec_id % 2 = 1)""".stripMargin
-    s"""WITH RECURSIVE
-       |${ivfFitCtes(nlist, iters, oddEmb)},
-       |qry AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |        FROM embeddings WHERE vec_id % 2 = 0),
-       |probes AS (
+    val fitEmb =
+      s"""${p}emb AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings WHERE vec_id % 2 = $fitParity)""".stripMargin
+    s"""${ivfFitCtes(nlist, iters, fitEmb, p)},
+       |${p}qry AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings WHERE vec_id % 2 = ${1 - fitParity}),
+       |${p}probes AS (
        |  SELECT id AS query_id, v AS qv, cidx - 1 AS lst
        |  FROM (SELECT q.id, q.v, u.cidx, ${sqlDist("q.v", "cs[u.cidx]")} AS d
-       |        FROM qry q, fin, (SELECT unnest(generate_series(1, $nlist)) AS cidx) u)
+       |        FROM ${p}qry q, ${p}fin, (SELECT unnest(generate_series(1, $nlist)) AS cidx) u)
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cidx) <= $nprobe),
-       |topk AS (
+       |${p}topk AS (
        |  SELECT p.query_id, b.id AS neighbor_id,
        |    ${dot("p.qv", "b.v")} / (${nrm("p.qv")} * ${nrm("b.v")}) AS cosine
-       |  FROM bucketed b JOIN probes p ON b.lst = p.lst
+       |  FROM ${p}bucketed b JOIN ${p}probes p ON b.lst = p.lst
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.query_id
        |    ORDER BY cosine DESC, neighbor_id ASC) <= $k),
-       |agg AS (
+       |${p}agg AS (
        |  SELECT query_id,
        |    (list(neighbor_id ORDER BY cosine DESC, neighbor_id ASC))[1] AS match_id,
        |    list(cosine ORDER BY cosine DESC, neighbor_id ASC) AS cs2
-       |  FROM topk GROUP BY query_id)
-       |SELECT query_id, match_id, cosine, margin FROM (
+       |  FROM ${p}topk GROUP BY query_id),
+       |${p}mined AS (
        |  SELECT query_id, match_id, cs2[1] AS cosine,
        |    cs2[1] / (list_reduce(list_prepend(0.0, cs2), (x, y) -> x + y)
        |              / len(cs2)) AS margin
-       |  FROM agg) t
-       |WHERE margin >= $tau""".stripMargin
+       |  FROM ${p}agg)""".stripMargin
   }
+
+  /** q_sim_bitext_mine oracle: one forward chain, τ=1.15. */
+  private def bitextOracle: String =
+    s"""WITH RECURSIVE
+       |${bitextForwardCtes("", fitParity = 1, nlist = 8, nprobe = 4, k = 4, iters = 10)}
+       |SELECT query_id, match_id, cosine, margin FROM mined
+       |WHERE margin >= 1.15""".stripMargin
+
+  /** q_sim_bitext_mutual oracle: BOTH forward chains (prefix `r` for
+    * the reverse fit on the even slice), joined on mutual best,
+    * τ=1.1 each way. */
+  private def bitextMutualOracle: String =
+    s"""WITH RECURSIVE
+       |${bitextForwardCtes("", fitParity = 1, nlist = 8, nprobe = 4, k = 4, iters = 10)},
+       |${bitextForwardCtes("r", fitParity = 0, nlist = 8, nprobe = 4, k = 4, iters = 10)}
+       |SELECT f.query_id AS a_id, f.match_id AS b_id, f.cosine,
+       |  f.margin AS margin_ab, r.margin AS margin_ba
+       |FROM mined f JOIN rmined r
+       |  ON f.query_id = r.match_id AND f.match_id = r.query_id
+       |WHERE f.margin >= 1.1 AND r.margin >= 1.1""".stripMargin
 
   /** q_sim_pq_topk oracle: bit-exact DuckDB replay of the PQ pipeline
     * ([[graft.operators.Similarity.pqTopK]]) — one shared digest-order
@@ -1939,6 +1969,7 @@ object ExtQueries {
     "q_sim_ivf_topk" -> ivfOracle,
     "q_sim_knn_graph" -> knnGraphOracle,
     "q_sim_bitext_mine" -> bitextOracle,
+    "q_sim_bitext_mutual" -> bitextMutualOracle,
     "q_graph_pagerank" -> pageRankOracle,
     // full recompute over the logically-updated table — the operator's
     // semantic contract is maintenance == recompute, bit-equal because

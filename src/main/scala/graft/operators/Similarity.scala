@@ -537,6 +537,38 @@ object Similarity {
       .where(col("margin") >= lit(tau))
   }
 
+  /** MUTUAL bitext mining — the CCMatrix-grade acceptance on top of
+    * [[bitextMineForward]]: a pair survives iff each side is the
+    * OTHER's best match AND both forward margins clear `tau`
+    * (mutual-best intersection kills the asymmetric false positives
+    * the forward pass alone admits — a hub y can be many x's best
+    * while y's own best is elsewhere). Pure composition of the
+    * gate-proven forward operator run in both directions (each with
+    * its own codebook fit on its corpus side) plus ONE id-pair
+    * equi-join of two ≤min(|A|,|B|)-row frames — the join inputs are
+    * already one row per query, so nothing here grows past the
+    * forward passes themselves. `cosine` is direction-independent
+    * bit-exactly (IEEE multiply commutes in both the dot fold and the
+    * norm product), so the A→B value is reported.
+    *
+    * @return (a_id, b_id, cosine, margin_ab, margin_ba) */
+  def bitextMineMutual(a: DataFrame, b: DataFrame,
+                       idCol: String, vecCol: String, k: Int, dim: Int,
+                       nlist: Int = 0, nprobe: Int = 4, tau: Double = 1.0,
+                       seed: Long = 9, maxListSize: Long = 100000L): DataFrame = {
+    val fwd = bitextMineForward(a, b, idCol, vecCol, k, dim, nlist, nprobe,
+        tau, seed, maxListSize)
+      .select(col("query_id").as("a_id"), col("match_id").as("b_id"),
+        col("cosine"), col("margin").as("margin_ab"))
+    val rev = bitextMineForward(b, a, idCol, vecCol, k, dim, nlist, nprobe,
+        tau, seed, maxListSize)
+      .select(col("match_id").as("a_id"), col("query_id").as("b_id"),
+        col("margin").as("margin_ba"))
+    fwd.join(rev, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("cosine"),
+        col("margin_ab"), col("margin_ba"))
+  }
+
   /** Product-quantization (PQ) approximate top-k — the
     * compressed-corpus scale path (Jégou, Douze, Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011).

@@ -765,6 +765,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(strict.forall(_.getDouble(3) >= strictTau))
   }
 
+  test("bitextMineMutual is the mutual-best intersection of the two forward passes") {
+    val all = knnFixture(120)
+    val a = all.where(col("vec_id") % 2 === 0)
+    val b = all.where(col("vec_id") % 2 === 1)
+    def fwd(q: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      Similarity.bitextMineForward(q, c, "vec_id", "embedding",
+          k = 4, dim = 16, nlist = 6, nprobe = 3, tau = 1.0)
+        .select("query_id", "match_id").as[(Long, Long)].collect().toSet
+    val expected = fwd(a, b) intersect fwd(b, a).map(_.swap)
+    val mutual = Similarity.bitextMineMutual(a, b, "vec_id", "embedding",
+        k = 4, dim = 16, nlist = 6, nprobe = 3, tau = 1.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(mutual.nonEmpty && mutual == expected,
+      s"mutual (${mutual.size}) must equal the forward intersection (${expected.size})")
+  }
+
   test("bitextMineForward rejects a vacuous tau") {
     val all = knnFixture(20)
     val e = intercept[IllegalArgumentException] {
