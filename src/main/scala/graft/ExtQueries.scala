@@ -681,6 +681,19 @@ object ExtQueries {
         keyCols = Seq("user_id"), timeCol = "ts_us", tieCol = "event_id",
         payloadCols = Seq("value"))
     }),
+    "q_events_asof_forward" -> ((s, dir) => {
+      // the attribution mirror: clicks enriched with the user's NEXT
+      // purchase value at or after the click
+      val e = Tables.eventsRawNanos(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+          col("event_type"), col("value"))
+      AsofJoin.asofJoinForward(
+        e.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_us", "value"),
+        e.where(col("event_type") === "purchase"),
+        keyCols = Seq("user_id"), timeCol = "ts_us", tieCol = "event_id",
+        payloadCols = Seq("value"))
+    }),
     "q_events_range_join" -> ((s, dir) => {
       // every click inside the 24h attribution window opened by a
       // purchase of the same user — the binned point-in-interval join;
@@ -2814,6 +2827,22 @@ object ExtQueries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
         |      FROM u)
         |SELECT event_id, user_id, ts_us, value, asof_value FROM w WHERE side = 1""".stripMargin,
+    // the forward mirror: side 0 (left) sorts before side 1 (right) at
+    // equal time, FIRST_VALUE over the following frame — "at or after"
+    "q_events_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |           FROM events),
+        |u AS (SELECT event_id, user_id, ts_us, value, 0 AS side, NULL::DOUBLE AS pay
+        |      FROM e WHERE event_type = 'click'
+        |      UNION ALL
+        |      SELECT event_id, user_id, ts_us, NULL::DOUBLE, 1, value
+        |      FROM e WHERE event_type = 'purchase'),
+        |w AS (SELECT event_id, user_id, ts_us, value, side,
+        |        FIRST_VALUE(pay IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us NULLS FIRST, side, event_id
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS asof_value
+        |      FROM u)
+        |SELECT event_id, user_id, ts_us, value, asof_value FROM w WHERE side = 0""".stripMargin,
     // plain BETWEEN join — DuckDB's IEJoin handles it exactly; the
     // Spark side reaches the same pair set through time-bin bucketing
     "q_events_range_join" ->

@@ -47,7 +47,28 @@ object AsofJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                timeCol: String, tieCol: String,
-               payloadCols: Seq[String]): DataFrame = {
+               payloadCols: Seq[String]): DataFrame =
+    asofCore(left, right, keyCols, timeCol, tieCol, payloadCols,
+      forward = false)
+
+  /** FORWARD as-of: attach the EARLIEST right row with time ≥ the left
+    * row's time (pandas `merge_asof direction='forward'`) — the
+    * attribution shape (click ↔ next purchase, alert ↔ next deploy,
+    * event ↔ next model checkpoint). Same union + running window plan
+    * as [[asofJoin]], mirrored: left rows sort BEFORE right rows at
+    * equal time (a right row AT the left time is visible — "at or
+    * after") and each payload takes its first non-null over
+    * [current, unbounded following]. Identical one-shuffle scale shape
+    * and skew ceiling. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      keyCols: Seq[String], timeCol: String, tieCol: String,
+                      payloadCols: Seq[String]): DataFrame =
+    asofCore(left, right, keyCols, timeCol, tieCol, payloadCols,
+      forward = true)
+
+  private def asofCore(left: DataFrame, right: DataFrame,
+                       keyCols: Seq[String], timeCol: String, tieCol: String,
+                       payloadCols: Seq[String], forward: Boolean): DataFrame = {
     require(keyCols.nonEmpty, "asofJoin needs at least one key column")
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
     val leftCols = left.columns.toSeq
@@ -60,22 +81,31 @@ object AsofJoin {
     // resolution, or a differently-cased key would be emitted twice —
     // once resolved, once as the null filler — and break the union
     val metaLower = meta.map(_.toLowerCase)
+    // backward: right(0) before left(1) at equal time, last over the
+    // preceding frame — "at or before". Forward mirrors both: left(0)
+    // before right(1), first over the following frame — "at or after".
+    val (leftTag, rightTag) = if (forward) (0, 1) else (1, 0)
     val l = left.select(
-      (leftCols.map(col) :+ lit(1).as("__side")) ++
+      (leftCols.map(col) :+ lit(leftTag).as("__side")) ++
         payloadCols.map(p => lit(null).cast(right.schema(p).dataType).as(s"__pay_$p")): _*)
     val r = right.select(
       (meta.map(col) ++
         leftCols.filterNot(c => metaLower.contains(c.toLowerCase))
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        lit(0).as("__side")) ++
+        lit(rightTag).as("__side")) ++
         payloadCols.map(p => col(p).as(s"__pay_$p")): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val wBase = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol).asc, col("__side").asc, col(tieCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = if (forward)
+      wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    else wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(p: String) =
+      if (forward) first(col(s"__pay_$p"), ignoreNulls = true).over(w)
+      else last(col(s"__pay_$p"), ignoreNulls = true).over(w)
     l.unionByName(r.select(l.columns.toSeq.map(c => col(c)): _*))
       .select((leftCols.map(col) :+ col("__side")) ++
-        payloadCols.map(p => last(col(s"__pay_$p"), ignoreNulls = true).over(w).as(s"asof_$p")): _*)
-      .where(col("__side") === 1)
+        payloadCols.map(p => pick(p).as(s"asof_$p")): _*)
+      .where(col("__side") === leftTag)
       .drop("__side")
   }
 }

@@ -306,6 +306,34 @@ class PipelineOpsSpec extends SparkSpec {
       23L -> Some(7.0), 24L -> None, 25L -> None))
   }
 
+  test("asofJoinForward attaches the earliest at-or-after payload") {
+    val clicks = Seq(
+      (20L, 1L, 50L, 0.1),   // before both purchases → 5.0 (next at 100)
+      (21L, 1L, 100L, 0.2),  // exactly at purchase 10 → 5.0 ("at or after")
+      (22L, 1L, 150L, 0.3),  // between → 7.0 (next at 200)
+      (23L, 1L, 999L, 0.4),  // after both → null
+      (24L, 2L, 140L, 0.5),  // user 2, before its purchase → 9.0
+      (25L, 3L, 500L, 0.6)   // user with no purchases → null
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsofJoin.asofJoinForward(clicks, purchases,
+        Seq("user_id"), "ts", "event_id", Seq("value"))
+      .orderBy("event_id")
+      .select("event_id", "asof_value").as[(Long, Option[Double])].collect()
+    assert(out.toSeq == Seq(20L -> Some(5.0), 21L -> Some(5.0), 22L -> Some(7.0),
+      23L -> None, 24L -> Some(9.0), 25L -> None))
+  }
+
+  test("asofJoinForward breaks equal-time right-side ties by tieCol (smallest wins)") {
+    val right = Seq((1L, 1L, 100L, 1.0), (2L, 1L, 100L, 2.0)).toDF("event_id", "user_id", "ts", "value")
+    val left = Seq((9L, 1L, 100L, 0.0)).toDF("event_id", "user_id", "ts", "value")
+    (1 to 3).foreach { i =>
+      val out = AsofJoin.asofJoinForward(left.repartition(i), right.repartition(4 - i),
+        Seq("user_id"), "ts", "event_id", Seq("value"))
+        .select("asof_value").as[Double].collect()
+      assert(out.toSeq == Seq(1.0)) // smaller event_id sorts first → wins
+    }
+  }
+
   test("asofJoin breaks equal-time right-side ties by tieCol, deterministically") {
     val right = Seq((1L, 1L, 100L, 1.0), (2L, 1L, 100L, 2.0)).toDF("event_id", "user_id", "ts", "value")
     val left = Seq((9L, 1L, 100L, 0.0)).toDF("event_id", "user_id", "ts", "value")
