@@ -681,6 +681,19 @@ object ExtQueries {
         keyCols = Seq("user_id"), timeCol = "ts_us", tieCol = "event_id",
         payloadCols = Seq("value"))
     }),
+    "q_events_asof_nearest" -> ((s, dir) => {
+      // pandas direction='nearest' parity: the closer of the previous
+      // and next purchase, ties to backward
+      val e = Tables.eventsRawNanos(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+          col("event_type"), col("value"))
+      AsofJoin.asofJoinNearest(
+        e.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_us", "value"),
+        e.where(col("event_type") === "purchase"),
+        keyCols = Seq("user_id"), timeCol = "ts_us", tieCol = "event_id",
+        payloadCols = Seq("value"))
+    }),
     "q_events_asof_forward" -> ((s, dir) => {
       // the attribution mirror: clicks enriched with the user's NEXT
       // purchase value at or after the click
@@ -2843,6 +2856,41 @@ object ExtQueries {
         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS asof_value
         |      FROM u)
         |SELECT event_id, user_id, ts_us, value, asof_value FROM w WHERE side = 0""".stripMargin,
+    // both directional chains carrying the matched ROW time, joined on
+    // the unique left id; ties (equal |Δt|) go backward like pandas
+    "q_events_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |           FROM events),
+        |u AS (SELECT event_id, user_id, ts_us, value, 1 AS side,
+        |             NULL::DOUBLE AS pay, NULL::BIGINT AS pts
+        |      FROM e WHERE event_type = 'click'
+        |      UNION ALL
+        |      SELECT event_id, user_id, ts_us, NULL::DOUBLE, 0, value, ts_us
+        |      FROM e WHERE event_type = 'purchase'),
+        |b AS (SELECT event_id, user_id, ts_us, value,
+        |        LAST_VALUE(pay IGNORE NULLS) OVER wb AS b_value,
+        |        LAST_VALUE(pts IGNORE NULLS) OVER wb AS b_ts, side
+        |      FROM u WINDOW wb AS (PARTITION BY user_id
+        |        ORDER BY ts_us NULLS FIRST, side, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u2 AS (SELECT event_id, user_id, ts_us, 0 AS side,
+        |              NULL::DOUBLE AS pay, NULL::BIGINT AS pts
+        |       FROM e WHERE event_type = 'click'
+        |       UNION ALL
+        |       SELECT event_id, user_id, ts_us, 1, value, ts_us
+        |       FROM e WHERE event_type = 'purchase'),
+        |f AS (SELECT event_id,
+        |        FIRST_VALUE(pay IGNORE NULLS) OVER wf AS f_value,
+        |        FIRST_VALUE(pts IGNORE NULLS) OVER wf AS f_ts, side
+        |      FROM u2 WINDOW wf AS (PARTITION BY user_id
+        |        ORDER BY ts_us NULLS FIRST, side, event_id
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT b.event_id, b.user_id, b.ts_us, b.value,
+        |  CASE WHEN f.f_ts IS NULL
+        |         OR (b.b_ts IS NOT NULL AND (b.ts_us - b.b_ts) <= (f.f_ts - b.ts_us))
+        |       THEN b.b_value ELSE f.f_value END AS asof_value
+        |FROM (SELECT * FROM b WHERE side = 1) b
+        |JOIN (SELECT * FROM f WHERE side = 0) f USING (event_id)""".stripMargin,
     // plain BETWEEN join — DuckDB's IEJoin handles it exactly; the
     // Spark side reaches the same pair set through time-bin bucketing
     "q_events_range_join" ->

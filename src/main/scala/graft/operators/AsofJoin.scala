@@ -66,6 +66,41 @@ object AsofJoin {
     asofCore(left, right, keyCols, timeCol, tieCol, payloadCols,
       forward = true)
 
+  /** NEAREST as-of (pandas `merge_asof direction='nearest'`): per left
+    * row, the backward and forward candidates race on |Δt| and the
+    * closer right ROW's payloads win; ties go backward (the pandas
+    * rule). Composition of the two directional cores, each carrying
+    * the matched right row's time as an extra payload, joined back on
+    * `tieCol` (unique per left row by contract) — two key shuffles +
+    * one tie-keyed join of two one-row-per-left frames, nothing new at
+    * scale. The direction pick compares ROW times: with null-bearing
+    * payload columns each directional arm keeps its own last/first
+    * NON-NULL per column (the documented per-column independence), so
+    * pack a struct when row-atomicity matters, as in the directional
+    * variants. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame,
+                      keyCols: Seq[String], timeCol: String, tieCol: String,
+                      payloadCols: Seq[String]): DataFrame = {
+    require(!payloadCols.contains(timeCol),
+      "timeCol is carried automatically; don't list it in payloadCols")
+    val payPlus = payloadCols :+ timeCol
+    val back = asofCore(left, right, keyCols, timeCol, tieCol, payPlus,
+      forward = false)
+    val fwd = asofCore(left, right, keyCols, timeCol, tieCol, payPlus,
+        forward = true)
+      .select((col(tieCol).as("__tie") +:
+        payPlus.map(p => col(s"asof_$p").as(s"__f_$p"))): _*)
+    val joined = back.join(fwd, back(tieCol) === fwd("__tie"))
+    val bT = col(s"asof_$timeCol"); val fT = col(s"__f_$timeCol")
+    // backward wins when forward is absent OR |Δt| ties or is larger
+    val pickBack = fT.isNull ||
+      (bT.isNotNull && (col(timeCol) - bT) <= (fT - col(timeCol)))
+    joined.select((left.columns.toSeq.map(c => back(c)) ++
+      payloadCols.map(p =>
+        when(pickBack, col(s"asof_$p")).otherwise(col(s"__f_$p"))
+          .as(s"asof_$p"))): _*)
+  }
+
   private def asofCore(left: DataFrame, right: DataFrame,
                        keyCols: Seq[String], timeCol: String, tieCol: String,
                        payloadCols: Seq[String], forward: Boolean): DataFrame = {

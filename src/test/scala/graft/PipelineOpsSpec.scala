@@ -334,6 +334,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinNearest picks the closer row; equal |dt| goes backward (pandas rule)") {
+    val clicks = Seq(
+      (20L, 1L, 120L, 0.1),  // prev at 100 (d=20), next at 200 (d=80) → 5.0
+      (21L, 1L, 180L, 0.2),  // prev d=80, next d=20 → 7.0
+      (22L, 1L, 150L, 0.3),  // exact tie d=50 both → backward → 5.0
+      (23L, 1L, 50L, 0.4),   // before all → forward → 5.0
+      (24L, 1L, 999L, 0.5),  // after all → backward → 7.0
+      (25L, 3L, 500L, 0.6)   // no purchases → null
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsofJoin.asofJoinNearest(clicks, purchases,
+        Seq("user_id"), "ts", "event_id", Seq("value"))
+      .orderBy("event_id")
+      .select("event_id", "asof_value").as[(Long, Option[Double])].collect()
+    assert(out.toSeq == Seq(20L -> Some(5.0), 21L -> Some(7.0), 22L -> Some(5.0),
+      23L -> Some(5.0), 24L -> Some(7.0), 25L -> None))
+  }
+
   test("asofJoin breaks equal-time right-side ties by tieCol, deterministically") {
     val right = Seq((1L, 1L, 100L, 1.0), (2L, 1L, 100L, 2.0)).toDF("event_id", "user_id", "ts", "value")
     val left = Seq((9L, 1L, 100L, 0.0)).toDF("event_id", "user_id", "ts", "value")
