@@ -2126,7 +2126,7 @@ object ExtQueries {
     // outer join, replayed textually — exact HUGEINTs to one division
     "q_drift_tv_windowed" ->
       s"""WITH e AS (SELECT (epoch_us(ts) // $DAY_US) * $DAY_US AS w,
-        |             event_type AS c FROM events),
+        |             event_type AS c FROM events WHERE ts IS NOT NULL),
         |ref AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cb FROM e GROUP BY c),
         |rt AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM ref),
         |wc AS (SELECT w, c, CAST(COUNT(*) AS BIGINT) AS ca FROM e GROUP BY w, c),

@@ -83,6 +83,11 @@ object AsofJoin {
                       payloadCols: Seq[String]): DataFrame = {
     require(!payloadCols.contains(timeCol),
       "timeCol is carried automatically; don't list it in payloadCols")
+    require(left.schema(timeCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"asofJoinNearest needs a NUMERIC timeCol for the |Δt| race " +
+        s"(got ${left.schema(timeCol).dataType}); the directional " +
+        "variants accept any orderable type")
     val payPlus = payloadCols :+ timeCol
     val back = asofCore(left, right, keyCols, timeCol, tieCol, payPlus,
       forward = false)

@@ -160,6 +160,9 @@ object Drift {
                       refNCol: String = "n"): DataFrame = {
     require(windowUs > 0, s"windowUs must be positive, got $windowUs")
     val winCounts = events
+      // null event time -> no window (matches the streaming twin's
+      // filter; without it null-ts rows pool into a null-keyed window)
+      .where(col(tsUsCol).isNotNull)
       // exact integer div — `/` on longs is DOUBLE division in Spark,
       // which mis-buckets boundary events at epoch-µs magnitudes
       .select(expr(s"(CAST(`$tsUsCol` AS BIGINT) div ${windowUs}L) * ${windowUs}L")

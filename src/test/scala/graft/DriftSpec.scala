@@ -109,6 +109,17 @@ class DriftSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 4L, 0.0)))
   }
 
+  test("windowedTvDrift: null event times form no window") {
+    val events = Seq((Some(0L), "a"), (None, "a"), (Some(1L), "b"))
+      .map { case (t, c) => (t.map(java.lang.Long.valueOf).orNull, c) }
+      .toDF("ts", "cat")
+    val ref = Seq(("a", 1L), ("b", 1L)).toDF("category", "n")
+    val out = Drift.windowedTvDrift(events, "ts", "cat", 1000L, ref)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((0L, 2L, 0.0)),
+      "the null-ts row must not pool into a null-keyed window")
+  }
+
   test("windowedTvDrift: empty reference raises loudly") {
     val events = Seq((0L, "a")).toDF("ts", "cat")
     val ref = Seq.empty[(String, Long)].toDF("category", "n")
