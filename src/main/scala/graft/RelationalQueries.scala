@@ -263,6 +263,15 @@ object RelationalQueries {
         "l_extendedprice", "robust_scaled")
     }),
 
+    "q_quantile_buckets" -> ((s, dir) => {
+      // exact equal-frequency decile labels for every order price —
+      // tied values share a bucket (NTILE's arbitrary tie split would
+      // be partitioning-dependent); distinct-value prefix-sum ranks
+      graft.operators.Rank.bucketizeByQuantiles(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", "bucket", nBuckets = 10)
+    }),
+
     "q_profile_sketch" -> ((s, dir) => {
       // the unbounded-cardinality profiling path: HLL++ distinct +
       // GK approx quantiles, one pass, fixed sketch memory per column.
@@ -336,6 +345,21 @@ object RelationalQueries {
         |SELECT l_orderkey, l_linenumber, l_extendedprice,
         |  (l_extendedprice - med) / iqr AS robust_scaled
         |FROM lineitem, q""".stripMargin,
+    // min-rank of each distinct value via the cumulative window (the
+    // oracle affords it at gate scale); bucket = ((rank-1)*nB) // n —
+    // the first-sorted-position rule, so ties share a bucket
+    "q_quantile_buckets" ->
+      """WITH v AS (SELECT o_totalprice AS x FROM orders
+        |  WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT x, COUNT(*) AS cnt FROM v GROUP BY x),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+        |r AS (SELECT x,
+        |        1 + COALESCE(SUM(cnt) OVER (ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rk
+        |      FROM c)
+        |SELECT o.o_orderkey, o.o_totalprice,
+        |  CAST(((r.rk - 1) * 10) // n.n AS BIGINT) AS bucket
+        |FROM orders o LEFT JOIN r ON o.o_totalprice = r.x, n""".stripMargin,
     // n_nonnull/min/max are computed exactly by DuckDB; only the HLL++
     // estimate is pinned (VALUES join) — it is partition-invariant for
     // a fixed input (register-max merge is commutative; verified bitwise

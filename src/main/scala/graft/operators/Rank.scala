@@ -209,6 +209,34 @@ object Rank {
     * A zero IQR (≥ half the mass on one value) means the scale is
     * undefined — rejected loudly rather than silently dividing by
     * zero. */
+  /** Equal-frequency quantile binning, EXACT: each row gets the bucket
+    * of its value's FIRST sorted position —
+    * `bucket = ((min_rank − 1) · nBuckets) div n` — so tied values
+    * always share a bucket and labels are deterministic under any
+    * partitioning (SQL NTILE splits ties arbitrarily across buckets,
+    * which would make the labels run-dependent — exactly what a
+    * feature-discretization / DSIR-style bucketing step can't have).
+    * NULL values pass through with a NULL bucket.
+    *
+    * Scale: the [[minRankByValue]] machinery — only DISTINCT values
+    * sort (range-partitioned prefix sum; one subtotal long per
+    * partition crosses the driver), then one value-keyed join maps
+    * bucket labels back onto the rows. All bucket arithmetic is exact
+    * LONG multiply/div (room for 10^12 rows × 10^5 buckets). */
+  def bucketizeByQuantiles(df: DataFrame, valueCol: String, outCol: String,
+                           nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 100000,
+      s"nBuckets in [2, 100000], got $nBuckets")
+    val valOut = s"${outCol}__val"
+    val rkCol = s"${outCol}__rk"; val cntCol = s"${outCol}__cnt"
+    val (ranks, n) = distinctValueRanksWithTotal(
+      df.where(col(valueCol).isNotNull), valueCol, valOut, rkCol, cntCol)
+    require(n > 0, s"bucketizeByQuantiles: no non-null '$valueCol' values")
+    val buckets = ranks.selectExpr(s"`$valOut`",
+      s"CAST(((`$rkCol` - 1L) * ${nBuckets}L) div ${n}L AS BIGINT) AS `$outCol`")
+    df.join(buckets, df(valueCol) <=> buckets(valOut), "left").drop(valOut)
+  }
+
   def robustScale(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
     val q = exactPercentiles(df, valueCol, Seq(25, 50, 75))
       .select(col("pct"), col("value").cast("double"))

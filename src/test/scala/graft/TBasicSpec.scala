@@ -204,4 +204,27 @@ class TBasicSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("IQR"))
   }
+
+  test("bucketizeByQuantiles: first-sorted-position buckets, ties share, nulls pass") {
+    // values 1,2,2,2,3,4 (n=6) into 3 buckets: min-ranks 1,2,2,2,5,6 →
+    // buckets ((rk−1)·3) div 6 = 0,0,0,0,2,2 — the three tied 2s stay
+    // together in bucket 0 even though NTILE would split them
+    val d = (Seq(1L, 2L, 2L, 2L, 3L, 4L).map(Some(_)) :+ None).toDF("v")
+    val out = Rank.bucketizeByQuantiles(d, "v", "bucket", nBuckets = 3)
+      .as[(Option[Long], Option[Long])].collect()
+    val byV = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byV(Some(1L)) == Set(Some(0L)) && byV(Some(2L)) == Set(Some(0L)))
+    assert(byV(Some(3L)) == Set(Some(2L)) && byV(Some(4L)) == Set(Some(2L)))
+    assert(byV(None) == Set(None), "null input gets a null bucket")
+    // partitioning invariance
+    (1 to 3).foreach { i =>
+      val again = Rank.bucketizeByQuantiles(d.repartition(i), "v", "bucket", 3)
+        .as[(Option[Long], Option[Long])].collect().sortBy(_._1)
+      assert(again.toSeq == out.sortBy(_._1).toSeq, s"parts=$i")
+    }
+    // uniform 1..10 into 10 buckets: a clean decile per value
+    val dec = Rank.bucketizeByQuantiles((1L to 10L).toDF("v"), "v", "b", 10)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 10L).forall(v => dec(v) == v - 1))
+  }
 }
