@@ -224,7 +224,10 @@ object MicroBench {
       // the all-pairs IVF kNN-graph (shuffle-join both sides) and the
       // 3-iteration fixed-point PageRank (overhead-bound at sf0.1:
       // three sequential fused checkpoint jobs; scan-bound at scale)
-      "q_sim_knn_graph", "q_graph_pagerank")
+      "q_sim_knn_graph", "q_graph_pagerank",
+      // round-13 multi-second newcomers: the double-fit mutual bitext
+      // miner and the distinct-value-rank quantile binning
+      "q_sim_bitext_mutual", "q_quantile_buckets")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
     tail.foreach(measureQuery(spark, dir, _, 5))
   }
