@@ -815,6 +815,19 @@ object ExtQueries {
       Dedup.nearDupSurvivors(Dedup.ngramJaccardPairs(nearDupCorpus(s, dir),
         "id", "text", shingleSize = 3, tau = 0.3, maxDocFreq = 10000))
     }),
+    "q_dedup_survivors_best" -> ((s, dir) => {
+      // quality-aware survivor selection: the component keeper is the
+      // member with the most tokens (the full doc beats its truncated
+      // twin), ties to smallest id — production "keep the best copy"
+      val corpus = nearDupCorpus(s, dir)
+      val scores = corpus.select(col("id"),
+        size(graft.functions.TextFunctions.tokens(
+          coalesce(col("text"), lit("")))).cast("long").as("n_tokens"))
+      Dedup.nearDupSurvivorsBy(
+        Dedup.ngramJaccardPairs(corpus, "id", "text",
+          shingleSize = 3, tau = 0.3, maxDocFreq = 10000),
+        scores, "id", "n_tokens")
+    }),
     "q_dedup_spans" -> ((s, dir) => {
       // ExactSubstr-style duplicated-span removal (Lee et al. 2022)
       // over the truncated-copy fixture: every repeated 8-token span
@@ -3172,6 +3185,29 @@ object ExtQueries {
         |  UNION
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id, LEAST(id, MIN(r)) AS keep_id FROM reach GROUP BY id""".stripMargin,
+    // the same closure, re-labeled per component by (token count DESC,
+    // id ASC) — Spark's min(struct(−score, id)) winner order verbatim
+    "q_dedup_survivors_best" ->
+      s"""WITH RECURSIVE $ngramCtes,
+        |j AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM j
+        |          UNION ALL SELECT id_b, id_a FROM j),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id),
+        |tok AS (SELECT id,
+        |    CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) AS s
+        |  FROM corpus),
+        |win AS (SELECT comp.c,
+        |    (list(comp.id ORDER BY tok.s DESC, comp.id ASC))[1] AS w
+        |  FROM comp JOIN tok ON comp.id = tok.id GROUP BY comp.c)
+        |SELECT comp.id, win.w AS keep_id
+        |FROM comp JOIN win ON comp.c = win.c""".stripMargin,
     "q_dedup_embed_cosine" ->
       s"""WITH corpus AS (
          |  SELECT vec_id AS id, embedding FROM embeddings

@@ -388,6 +388,34 @@ object Dedup {
   /** Driver union-find over a collected (long, long) pair list —
     * semantics identical to the distributed loop: every id appearing
     * in a pair maps to its connected component's minimum id. */
+  /** Quality-aware survivor selection — [[nearDupSurvivors]]'s
+    * components re-labeled so each component keeps its BEST-scoring
+    * member (ties to the smallest id): production dedup keeps the
+    * longest / cleanest / highest-LM copy of a duplicate cluster, not
+    * the smallest id. Implementation is one component-keyed
+    * `min(struct(−score, id))` winner agg plus two joins over the
+    * (id, component) frame — pair-set-sized, never corpus-sized, on
+    * top of the proven union-find/pointer-jumping component machinery.
+    * Members missing from `scores` rank worst (−∞ score); `scoreCol`
+    * must be numeric (it is negated for the min-struct pick).
+    *
+    * @return (id, keep_id) for every id that appears in a pair —
+    *         keep_id the component's best-scoring member */
+  def nearDupSurvivorsBy(pairs: DataFrame, scores: DataFrame,
+                         idCol: String, scoreCol: String): DataFrame = {
+    val comps = nearDupSurvivors(pairs)
+      .select(col("id"), col("keep_id").as("__comp"))
+    val sc = scores.select(col(idCol).as("id"),
+      col(scoreCol).cast("double").as("__s"))
+    val winners = comps.join(sc, Seq("id"), "left")
+      .groupBy(col("__comp"))
+      .agg(min(struct(
+        (-coalesce(col("__s"), lit(Double.NegativeInfinity))).as("ns"),
+        col("id").as("wid"))).as("__w"))
+      .select(col("__comp"), col("__w.wid").as("keep_id"))
+    comps.join(winners, Seq("__comp")).select(col("id"), col("keep_id"))
+  }
+
   private def driverSurvivors(idPairs: DataFrame): DataFrame = {
     val spark = idPairs.sparkSession
     val edges = idPairs.collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -133,6 +133,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 10L, 99L))
   }
 
+  test("nearDupSurvivorsBy keeps the best-scoring member; ties to smallest id; missing scores rank worst") {
+    // components {1,2,3} and {10,11}: scores make 3 and 10 the keepers;
+    // 2 has no score row (ranks worst); 20/21 tie on score -> min id
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 5.0), (3L, 9.0), (10L, 7.0), (11L, 2.0),
+      (20L, 4.0), (21L, 4.0)).toDF("id", "sc")
+    val out = Dedup.nearDupSurvivorsBy(pairs, scores, "id", "sc")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("minhashIncrementalPairs pairs increment against corpus only, never corpus x corpus") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
