@@ -251,7 +251,71 @@ class PropertySpec extends SparkSpec {
       assert(clean.forall(_._4 == 0L))
     }
   }
+
+  test("tvDistance: symmetric, in [0,1], zero iff identical multisets (random mixes)") {
+    val gen = Gen.zip(
+      Gen.listOfN(30, Gen.oneOf("a", "b", "c", "d")),
+      Gen.listOfN(20, Gen.oneOf("a", "b", "c", "e")))
+    forAll(gen, n = 6) { case (xs, ys) =>
+      import graft.operators.Drift
+      def tv(a: Seq[String], b: Seq[String]) =
+        Drift.tvDistance(a.toDF("c"), b.toDF("c"), "c")
+          .select("tv_dist").as[Double].head()
+      val d = tv(xs, ys)
+      assert(d >= 0.0 && d <= 1.0, s"TV out of range: $d")
+      assert(d == tv(ys, xs), "TV must be symmetric")
+      assert(tv(xs, xs) == 0.0, "identical multisets must read 0")
+    }
+  }
+
+  test("snapshotDiff: diff(a, a) is all-unchanged; statuses partition the id union (random corpora)") {
+    val gen = Gen.zip(
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(1L, 20L), Gen.alphaStr)),
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(1L, 20L), Gen.alphaStr)))
+    forAll(gen, n = 6) { case (rawA, rawB) =>
+      import graft.operators.PipelineOps
+      // dedupe ids (the operator's loud contract)
+      val a = rawA.toMap.toSeq
+      val b = rawB.toMap.toSeq
+      val self = PipelineOps.snapshotDiff(a.toDF("id", "text"),
+          a.toDF("id", "text"), "id", "text")
+        .select("status").as[String].collect()
+      assert(self.forall(_ == "unchanged"), "diff(a, a) must be all-unchanged")
+      val out = PipelineOps.snapshotDiff(a.toDF("id", "text"),
+          b.toDF("id", "text"), "id", "text")
+        .select("id", "status").as[(Long, String)].collect()
+      assert(out.map(_._1).distinct.length == out.length, "one row per id")
+      assert(out.map(_._1).toSet == (a.map(_._1) ++ b.map(_._1)).toSet,
+        "statuses must cover the id union")
+      val am = a.toMap; val bm = b.toMap
+      out.foreach { case (id, st) =>
+        val expected = (am.get(id), bm.get(id)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(x), Some(y)) => if (x == y) "unchanged" else "changed"
+          case _ => fail(s"id $id in neither side")
+        }
+        assert(st == expected, s"id $id: $st != $expected")
+      }
+    }
+  }
+
+  test("bucketizeByQuantiles: labels monotone in value, all buckets in range, equal values share (random multisets)") {
+    val gen = Gen.listOfN(40, Gen.chooseNum(-50L, 50L))
+    forAll(gen, n = 6) { vs =>
+      import graft.operators.Rank
+      val out = Rank.bucketizeByQuantiles(vs.toDF("v"), "v", "b", nBuckets = 4)
+        .as[(Long, Long)].collect()
+      assert(out.forall(r => r._2 >= 0 && r._2 < 4), "bucket range")
+      val byV = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      assert(byV.values.forall(_.size == 1), "equal values must share a bucket")
+      val sortedPairs = byV.toSeq.sortBy(_._1).map(_._2.head)
+      assert(sortedPairs == sortedPairs.sorted, "labels monotone in value")
+      assert(byV(vs.min).head == 0L, "smallest value lands in bucket 0")
+    }
+  }
 }
+
 
 object Profilefixture {
   import graft.profiler.Profiler
