@@ -29,6 +29,14 @@ import org.apache.spark.sql.SparkSession
   * evicts it (this zeroed rounds 6 AND 7). Queries whose
   * first min exceeds 1s get a third run — the slow queries are exactly
   * the ones where one contaminated sample moves the total the most.
+  *
+  * The artifact also SELF-ADJUDICATES against the prior round's
+  * `MEDIANS_r{N-1}.json` (see [[loadPriorMedians]]/[[isSuspect]]): a
+  * query whose min reads >3× its recorded median re-runs up to n=5,
+  * and rows still above the trigger ship in the contract's "suspect"
+  * field — a disputed number is labeled disputed IN the artifact,
+  * instead of costing a judge session per phantom regression (rounds
+  * 8–13 each had one).
   */
 object Bench {
   private[graft] val headline: Seq[String] = Seq(
@@ -179,6 +187,20 @@ object Bench {
     val hotStart = busyFrac > 0.25 || l1Before > loadThresh
     if (hotStart) System.err.println(
       f"[bench-diag] CONTAMINATED-START busy_frac=$busyFrac%.2f loadavg1=$l1Before%.2f (gate: busy>0.25 or load>$loadThresh%.1f) — n=4/query, minima still suspect")
+    // SELF-ADJUDICATION against the prior round's medians artifact
+    // (round-13 verdict task #1): six straight rounds shipped phantom
+    // multi-second regressions — host-load transients landing on one
+    // query's every sample — that each cost a judge session to
+    // cross-check against MEDIANS_r{N-1} by hand. The artifact now does
+    // that itself: any query whose min exceeds the re-run trigger
+    // (3× its recorded median AND >0.5 s over it — the absolute floor
+    // keeps sub-second noise from churning re-runs) gets extra runs up
+    // to n=5, and whatever still exceeds the trigger lands in the
+    // contract's "suspect" list — a reader sees the row is disputed
+    // without any prose.
+    val priorMedians = loadPriorMedians(sfDir)
+    if (priorMedians.nonEmpty) System.err.println(
+      s"[bench-diag] prior medians loaded (${priorMedians.size} queries) — 3x re-run adjudication armed")
     val results = headline.filter(all.contains).map { name =>
       // min of 2 runs (3 when the first two are both >1s — the slow
       // queries dominate the total, so they get the extra sample):
@@ -208,10 +230,15 @@ object Bench {
       }
       val two = Vector(run(), run())
       val valid2 = two.filter(_ >= 0)
-      val times =
+      var times =
         if (hotStart) two ++ Vector(run(), run())
         else if (valid2.nonEmpty && valid2.min > 1.0) two :+ run()
         else two
+      while (isSuspect(name, times, priorMedians) && times.size < 5) {
+        System.err.println(f"[bench-diag] $name min=${minOf(times)}%.3f s vs " +
+          f"prior median ${priorMedians(name)}%.3f s — re-running (n=${times.size + 1})")
+        times = times :+ run()
+      }
       name -> times
     }
     val loadAfter = readLoadAvg()
@@ -248,9 +275,68 @@ object Bench {
       f"[bench-diag] CONTAMINATED-EXIT busy_after=$busyAfter%.2f > 0.25 — external load entered mid-run; minima suspect")
     System.err.flush()
     println(contractLine(results, sfDir, loadBefore, loadAfter, hotLabel,
-      busyFrac))
+      busyFrac, suspectOf(results, priorMedians)))
     System.out.flush()
   }
+
+  /** The re-run/suspect trigger: min exceeds 3× the prior recorded
+    * median AND by more than 0.5 s absolute (sub-second queries jitter
+    * past 3× on pure noise; the phantom regressions this adjudicates
+    * were all multi-second). Failed queries (min = −1) never trigger —
+    * they're already self-evidently broken rows. */
+  private[graft] def isSuspect(name: String, ts: Vector[Double],
+                               prior: Map[String, Double]): Boolean =
+    prior.get(name).exists { med =>
+      val mn = minOf(ts); mn >= 0 && mn > 3 * med && mn > med + 0.5
+    }
+
+  /** Queries still above the trigger after all re-runs — the contract
+    * line's "suspect" field. */
+  private[graft] def suspectOf(results: Seq[(String, Vector[Double])],
+                               prior: Map[String, Double]): Seq[String] =
+    results.collect { case (n, ts) if isSuspect(n, ts, prior) => n }
+
+  /** Latest `MEDIANS_r{N}.json` in the working directory (or
+    * `$SPARK_GRAFT_MEDIANS_DIR`) → per-query prior medians. Absent or
+    * malformed artifacts degrade to an empty map — adjudication is an
+    * upgrade, never a new failure mode for the bench contract. A
+    * medians artifact recorded at a DIFFERENT scale factor than this
+    * run also degrades to empty: 3× of an sf0.1 median means nothing
+    * at sf0.001 and would misfire every trigger. */
+  private[graft] def loadPriorMedians(sfDir: String): Map[String, Double] =
+    try {
+      val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_MEDIANS_DIR", "."))
+      val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("MEDIANS_r\\d+\\.json"))
+      if (files.isEmpty) Map.empty
+      else parseMedians(new String(java.nio.file.Files.readAllBytes(
+        files.maxBy(_.getName.replaceAll("\\D", "").toInt).toPath),
+        java.nio.charset.StandardCharsets.UTF_8), sfDir)
+    } catch { case _: Throwable => Map.empty }
+
+  /** `{"queries":{name:{"med":x,…},…},…}` → name → med, provided the
+    * artifact's "sf" matches this run's (empty otherwise). Jackson
+    * rides Spark's own classpath — no new dependency. */
+  private[graft] def parseMedians(json: String,
+                                  sfDir: String = ""): Map[String, Double] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val recSf = root.path("sf").asText("")
+      if (sfDir.nonEmpty && recSf.nonEmpty
+          && stripSlash(recSf) != stripSlash(sfDir)) return Map.empty
+      val qs = root.path("queries")
+      val it = qs.fields()
+      val out = scala.collection.mutable.Map.empty[String, Double]
+      while (it.hasNext) {
+        val e = it.next()
+        val med = e.getValue.path("med").asDouble(-1.0)
+        if (med > 0) out(e.getKey) = med
+      }
+      out.toMap
+    } catch { case _: Throwable => Map.empty }
+
+  private def stripSlash(s: String): String =
+    if (s.endsWith("/")) s.dropRight(1) else s
 
   private def fmt(d: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, d)
@@ -284,7 +370,8 @@ object Bench {
   private[graft] def contractLine(
       results: Seq[(String, Vector[Double])], sfDir: String,
       loadBefore: String = "", loadAfter: String = "",
-      hotStart: Boolean = false, busyFrac: Double = -1.0): String = {
+      hotStart: Boolean = false, busyFrac: Double = -1.0,
+      suspect: Seq[String] = Nil): String = {
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt2(minOf(ts)) }
       .mkString("{", ",", "}")
     val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
@@ -293,7 +380,22 @@ object Bench {
     // stderr diag line; every contract byte competes with the query
     // map for the driver's tail-capture window
     def l1(s: String) = s.split("\\s+").headOption.getOrElse("")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":"${l1(loadBefore)};${l1(loadAfter)}","busy_frac":$busy,"hot_start":$hotStart}"""
+    // suspect rows (still >3× the prior median after n=5): named in
+    // the artifact, but the name list yields bytes to the query map —
+    // it shrinks (dropped names fold into a "+K" overflow count, full
+    // list on the stderr runs diag) until the whole line fits the
+    // 1.8 KB budget (the driver tail-captures ~2 KB; BenchContractSpec
+    // bounds the all-slow worst case at 1850 — the floor is the query
+    // map itself, which never yields). Realistic runs (0–2 suspects)
+    // always ship every name; only a pathological all-slow line trims.
+    def build(nNames: Int): String = {
+      val sus = (suspect.take(nNames).map("\"" + _ + "\"") ++
+        (if (suspect.size > nNames) Seq("\"+" + (suspect.size - nNames) + "\"")
+         else Nil)).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":"${l1(loadBefore)};${l1(loadAfter)}","busy_frac":$busy,"hot_start":$hotStart,"suspect":$sus}"""
+    }
+    (suspect.size to 0 by -1).view.map(build).find(_.length <= 1800)
+      .getOrElse(build(0))
   }
 
   /** Fraction of system-wide CPU time spent non-idle, the MAX over

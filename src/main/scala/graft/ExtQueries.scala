@@ -661,6 +661,24 @@ object ExtQueries {
       PipelineOps.oovRate(Tables.documents(s, dir), "doc_id", "text",
         vocabSize = 200)
     }),
+    "q_oov_rate_supplied" -> ((s, dir) => {
+      // FOREIGN-tokenizer audit (the supplied-vocabulary overload):
+      // the whole corpus scored against only the English slice's
+      // top-100 vocabulary — "how badly does an en-fit vocab shred
+      // the other languages?"
+      val d = Tables.documents(s, dir)
+      PipelineOps.oovRateAgainst(d, "doc_id", "text",
+        PipelineOps.vocabProfile(d.where(col("lang") === "en"),
+          "doc_id", "text", k = 100), "word")
+    }),
+    "q_shuffle_order" -> ((s, dir) => {
+      // deterministic training-order materialization: every doc's
+      // 1-based position in the seeded md5 order — reproducible shard
+      // write order, replayed exactly by the oracle's ROW_NUMBER
+      PipelineOps.shuffleOrder(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", seed = 20260816L)
+    }),
     "q_contamination" -> ((s, dir) => {
       // probe set = every 50th doc standing in for a benchmark; corpus
       // = the rest, screened for shared word 5-grams
@@ -2148,7 +2166,7 @@ object ExtQueries {
         |    abs(CAST(wc.ca AS HUGEINT) * rt.nb
         |        - CAST(COALESCE(r.cb, 0) AS HUGEINT) * wt.na) AS term,
         |    CAST(COALESCE(r.cb, 0) AS HUGEINT) AS cb0
-        |  FROM wc LEFT JOIN ref r ON wc.c = r.c
+        |  FROM wc LEFT JOIN ref r ON wc.c IS NOT DISTINCT FROM r.c
         |  JOIN wt ON wc.w = wt.w, rt)
         |SELECT w AS window_start, na AS n_events,
         |  CAST(SUM(term) + (nb - SUM(cb0)) * CAST(na AS HUGEINT) AS DOUBLE)
@@ -2171,6 +2189,33 @@ object ExtQueries {
         |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_ratio
         |FROM w LEFT JOIN vocab v ON w.word = v.word
         |GROUP BY doc_id""".stripMargin,
+    // the same vocab machinery as q_oov_rate, but the cut comes from
+    // the lang='en' slice only — the supplied-vocabulary overload
+    "q_oov_rate_supplied" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(COALESCE(text,''), '\S+')) AS word
+        |           FROM documents),
+        |we AS (SELECT doc_id, unnest(regexp_extract_all(COALESCE(text,''), '\S+')) AS word
+        |       FROM documents WHERE lang = 'en'),
+        |pd AS (SELECT doc_id, word, COUNT(*) AS n FROM we GROUP BY 1, 2),
+        |vocab AS (SELECT word FROM (
+        |  SELECT word, CAST(SUM(n) AS BIGINT) AS tf FROM pd GROUP BY word
+        |  ORDER BY tf DESC, word LIMIT 100) t)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END), 0)
+        |       AS BIGINT) AS n_oov,
+        |  CAST(COALESCE(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END), 0)
+        |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_ratio
+        |FROM w LEFT JOIN vocab v ON w.word = v.word
+        |GROUP BY doc_id""".stripMargin,
+    // the seeded md5 order, materialized: ROW_NUMBER over
+    // (md5(seed:id), id) — the engine-replayable corpus shuffle
+    "q_shuffle_order" ->
+      """SELECT doc_id, lang,
+        |  CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5('20260816:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin,
     // same (tf, df, N) counts, same quarter-power idf arithmetic
     "q_tfidf_terms" ->
       """WITH tf AS (
@@ -2869,39 +2914,43 @@ object ExtQueries {
         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS asof_value
         |      FROM u)
         |SELECT event_id, user_id, ts_us, value, asof_value FROM w WHERE side = 0""".stripMargin,
-    // both directional chains carrying the matched ROW time, joined on
-    // the unique left id; ties (equal |Δt|) go backward like pandas
+    // both directional chains carrying ONE packed (value, time) struct
+    // per right row — ROW-ATOMIC like the Spark operator (a null
+    // payload FIELD rides inside the adjacent row's struct instead of
+    // re-opening the search per column) — joined on the unique left
+    // id; ties (equal |Δt|) go backward like pandas
     "q_events_asof_nearest" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
         |           FROM events),
         |u AS (SELECT event_id, user_id, ts_us, value, 1 AS side,
-        |             NULL::DOUBLE AS pay, NULL::BIGINT AS pts
+        |             CAST(NULL AS STRUCT(v DOUBLE, t BIGINT)) AS pay
         |      FROM e WHERE event_type = 'click'
         |      UNION ALL
-        |      SELECT event_id, user_id, ts_us, NULL::DOUBLE, 0, value, ts_us
+        |      SELECT event_id, user_id, ts_us, NULL::DOUBLE, 0,
+        |             {'v': value, 't': ts_us}
         |      FROM e WHERE event_type = 'purchase'),
         |b AS (SELECT event_id, user_id, ts_us, value,
-        |        LAST_VALUE(pay IGNORE NULLS) OVER wb AS b_value,
-        |        LAST_VALUE(pts IGNORE NULLS) OVER wb AS b_ts, side
+        |        LAST_VALUE(pay IGNORE NULLS) OVER wb AS b_row, side
         |      FROM u WINDOW wb AS (PARTITION BY user_id
         |        ORDER BY ts_us NULLS FIRST, side, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |u2 AS (SELECT event_id, user_id, ts_us, 0 AS side,
-        |              NULL::DOUBLE AS pay, NULL::BIGINT AS pts
+        |              CAST(NULL AS STRUCT(v DOUBLE, t BIGINT)) AS pay
         |       FROM e WHERE event_type = 'click'
         |       UNION ALL
-        |       SELECT event_id, user_id, ts_us, 1, value, ts_us
+        |       SELECT event_id, user_id, ts_us, 1,
+        |              {'v': value, 't': ts_us}
         |       FROM e WHERE event_type = 'purchase'),
         |f AS (SELECT event_id,
-        |        FIRST_VALUE(pay IGNORE NULLS) OVER wf AS f_value,
-        |        FIRST_VALUE(pts IGNORE NULLS) OVER wf AS f_ts, side
+        |        FIRST_VALUE(pay IGNORE NULLS) OVER wf AS f_row, side
         |      FROM u2 WINDOW wf AS (PARTITION BY user_id
         |        ORDER BY ts_us NULLS FIRST, side, event_id
         |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT b.event_id, b.user_id, b.ts_us, b.value,
-        |  CASE WHEN f.f_ts IS NULL
-        |         OR (b.b_ts IS NOT NULL AND (b.ts_us - b.b_ts) <= (f.f_ts - b.ts_us))
-        |       THEN b.b_value ELSE f.f_value END AS asof_value
+        |  CASE WHEN f.f_row.t IS NULL
+        |         OR (b.b_row.t IS NOT NULL
+        |             AND (b.ts_us - b.b_row.t) <= (f.f_row.t - b.ts_us))
+        |       THEN b.b_row.v ELSE f.f_row.v END AS asof_value
         |FROM (SELECT * FROM b WHERE side = 1) b
         |JOIN (SELECT * FROM f WHERE side = 0) f USING (event_id)""".stripMargin,
     // plain BETWEEN join — DuckDB's IEJoin handles it exactly; the

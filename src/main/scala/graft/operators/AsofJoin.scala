@@ -70,14 +70,21 @@ object AsofJoin {
     * row, the backward and forward candidates race on |Δt| and the
     * closer right ROW's payloads win; ties go backward (the pandas
     * rule). Composition of the two directional cores, each carrying
-    * the matched right row's time as an extra payload, joined back on
-    * `tieCol` (unique per left row by contract) — two key shuffles +
-    * one tie-keyed join of two one-row-per-left frames, nothing new at
-    * scale. The direction pick compares ROW times: with null-bearing
-    * payload columns each directional arm keeps its own last/first
-    * NON-NULL per column (the documented per-column independence), so
-    * pack a struct when row-atomicity matters, as in the directional
-    * variants. */
+    * ONE packed struct payload (every payload column plus the right
+    * row's time), joined back on `tieCol` (unique per left row by
+    * contract) — two key shuffles + one tie-keyed join of two
+    * one-row-per-left frames, nothing new at scale.
+    *
+    * ROW-ATOMIC, unlike the directional variants' per-column
+    * independence: because each arm's window ranges over the packed
+    * struct (non-null for every right row), the arm picks the
+    * IMMEDIATELY adjacent right row — null payload FIELDS ride along
+    * inside it rather than re-opening the search per column, and the
+    * |Δt| race then picks a whole row. This is exactly pandas
+    * `merge_asof direction='nearest'` on null-bearing payloads, where
+    * the per-column composition could assemble its answer from a
+    * different right row per column (AsofJoinSpec pins a case where
+    * the two disagree). */
   def asofJoinNearest(left: DataFrame, right: DataFrame,
                       keyCols: Seq[String], timeCol: String, tieCol: String,
                       payloadCols: Seq[String]): DataFrame = {
@@ -88,21 +95,28 @@ object AsofJoin {
       s"asofJoinNearest needs a NUMERIC timeCol for the |Δt| race " +
         s"(got ${left.schema(timeCol).dataType}); the directional " +
         "variants accept any orderable type")
-    val payPlus = payloadCols :+ timeCol
-    val back = asofCore(left, right, keyCols, timeCol, tieCol, payPlus,
+    val rowPay = "__asof_nearest_row"
+    require(!left.columns.contains(rowPay) && !right.columns.contains(rowPay),
+      s"'$rowPay' is reserved by asofJoinNearest")
+    // pack payloads + the right row's own time into ONE struct so each
+    // directional window picks whole rows (struct is never null on a
+    // right row, even when every payload field is)
+    val packed = right.withColumn(rowPay,
+      struct((payloadCols :+ timeCol).map(col): _*))
+    val back = asofCore(left, packed, keyCols, timeCol, tieCol, Seq(rowPay),
       forward = false)
-    val fwd = asofCore(left, right, keyCols, timeCol, tieCol, payPlus,
+    val fwd = asofCore(left, packed, keyCols, timeCol, tieCol, Seq(rowPay),
         forward = true)
-      .select((col(tieCol).as("__tie") +:
-        payPlus.map(p => col(s"asof_$p").as(s"__f_$p"))): _*)
+      .select(col(tieCol).as("__tie"), col(s"asof_$rowPay").as("__f_row"))
     val joined = back.join(fwd, back(tieCol) === fwd("__tie"))
-    val bT = col(s"asof_$timeCol"); val fT = col(s"__f_$timeCol")
+    val bRow = col(s"asof_$rowPay"); val fRow = col("__f_row")
+    val bT = bRow.getField(timeCol); val fT = fRow.getField(timeCol)
     // backward wins when forward is absent OR |Δt| ties or is larger
     val pickBack = fT.isNull ||
       (bT.isNotNull && (col(timeCol) - bT) <= (fT - col(timeCol)))
     joined.select((left.columns.toSeq.map(c => back(c)) ++
       payloadCols.map(p =>
-        when(pickBack, col(s"asof_$p")).otherwise(col(s"__f_$p"))
+        when(pickBack, bRow.getField(p)).otherwise(fRow.getField(p))
           .as(s"asof_$p"))): _*)
   }
 

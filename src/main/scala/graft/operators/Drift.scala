@@ -109,12 +109,15 @@ object Drift {
         .groupBy("c").agg(sum("__a").as("ca"), sum("__b").as("cb")))
     val totals = counts.agg(coalesce(sum("ca"), lit(0L)).as("na"),
       coalesce(sum("cb"), lit(0L)).as("nb"), count(lit(1)).as("ncat"))
-    counts.crossJoin(broadcast(totals))
+    // the 1-row GLOBAL-agg totals frame is the output spine: a grouped
+    // agg over empty counts would emit ZERO rows and skip the
+    // empty-side raise entirely (both-sides-empty would silently
+    // return an empty frame instead of raising)
+    val num = counts.crossJoin(broadcast(totals))
       .select(abs(col("ca").cast("decimal(38,0)") * col("nb")
-          - col("cb").cast("decimal(38,0)") * col("na")).as("__num"),
-        col("na"), col("nb"), col("ncat"))
-      .groupBy("na", "nb", "ncat") // constants — one group, one row
-      .agg(sum("__num").as("__num"))
+        - col("cb").cast("decimal(38,0)") * col("na")).as("__num"))
+      .agg(coalesce(sum("__num"), lit(0).cast("decimal(38,0)")).as("__num"))
+    totals.crossJoin(num)
       .select(
         when(col("na") === 0L || col("nb") === 0L,
           raise_error(lit("tvDistance: a side is empty — no distribution to compare"))
@@ -163,9 +166,13 @@ object Drift {
       // null event time -> no window (matches the streaming twin's
       // filter; without it null-ts rows pool into a null-keyed window)
       .where(col(tsUsCol).isNotNull)
-      // exact integer div — `/` on longs is DOUBLE division in Spark,
-      // which mis-buckets boundary events at epoch-µs magnitudes
-      .select(expr(s"(CAST(`$tsUsCol` AS BIGINT) div ${windowUs}L) * ${windowUs}L")
+      // exact integer FLOOR bucketing — `/` on longs is DOUBLE division
+      // in Spark (mis-buckets boundary events at epoch-µs magnitudes)
+      // and `div` truncates toward zero, which would put pre-1970
+      // (negative-µs) events one window later than both the DuckDB
+      // oracle's flooring `//` and the streaming twin's window():
+      // ts − pmod(ts, w) = floor(ts/w)·w exactly, for either sign
+      .select(expr(s"CAST(`$tsUsCol` AS BIGINT) - pmod(CAST(`$tsUsCol` AS BIGINT), ${windowUs}L)")
           .as("window_start"),
         col(catCol).cast("string").as("c"))
       .groupBy("window_start", "c").agg(count(lit(1)).as("ca"))
@@ -196,7 +203,13 @@ object Drift {
     // streaming memory-sink path).
     winCountsIn
       .select(col("window_start"), col("c"), col("ca").cast("long").as("ca"))
-      .join(broadcast(ref), Seq("c"), "left")
+      // NULL-SAFE category match (NULL is a category, per the contract
+      // above): a plain equality join would leave a NULL window
+      // category unmatched even when the reference carries NULL too,
+      // double-counting its term (ca·nb unmatched + cb·na missing-mass)
+      .join(broadcast(ref.withColumnRenamed("c", "__rc")),
+        col("c") <=> col("__rc"), "left")
+      .drop("__rc")
       .crossJoin(broadcast(refTot))
       .withColumn("__cb", coalesce(col("cb"), lit(0L)))
       .groupBy("window_start", "nb")

@@ -249,8 +249,9 @@ object PipelineOps {
     * distribution of this ratio is the go/no-go signal for a vocab
     * size. The vocabulary is derived from the corpus itself via
     * [[vocabProfile]] (top-`vocabSize` by (tf DESC, word ASC) — the
-    * gate-proven deterministic cut); pass a different corpus through a
-    * pre-computed profile when auditing against a foreign tokenizer.
+    * gate-proven deterministic cut); the supplied-vocabulary overload
+    * below audits against a FOREIGN tokenizer's vocab (a pre-computed
+    * profile, another corpus's cut, a tokenizer's word list).
     *
     * Scale shape: the vocab is a driver-bounded `vocabSize`-row frame
     * BROADCAST against the exploded token stream (row-local explode,
@@ -264,12 +265,29 @@ object PipelineOps {
   def oovRate(df: DataFrame, idCol: String, textCol: String,
               vocabSize: Int = 500): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
-    val vocab = vocabProfile(df, idCol, textCol, vocabSize)
+    oovRateAgainst(df, idCol, textCol,
+      vocabProfile(df, idCol, textCol, vocabSize), "word")
+  }
+
+  /** [[oovRate]] against a SUPPLIED vocabulary — the foreign-tokenizer
+    * audit ("how well does tokenizer X's vocab cover corpus Y?"): the
+    * vocab is any (word) frame — another corpus's [[vocabProfile]], a
+    * tokenizer's exported word list — deduplicated and broadcast, so
+    * the contract is vocab-bounded-small (the same contract every
+    * broadcast side here carries). NULL vocab entries are dropped
+    * (a NULL word matches no token). Same scale shape and return
+    * schema as the self-derived overload. */
+  def oovRateAgainst(df: DataFrame, idCol: String, textCol: String,
+                     vocab: DataFrame, wordCol: String): DataFrame = {
+    val v = vocab
+      .select(col(wordCol).cast("string").as("word"))
+      .where(col("word").isNotNull)
+      .distinct()
       .select(col("word"), lit(1L).as("__in"))
     df.select(col(idCol),
         explode(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
           .as("word"))
-      .join(broadcast(vocab), Seq("word"), "left")
+      .join(broadcast(v), Seq("word"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         coalesce(sum(when(col("__in").isNull, 1L).otherwise(0L)), lit(0L))
@@ -591,6 +609,46 @@ object PipelineOps {
       array_join(transform(
         array_sort(collect_list(struct(col("shard_offset"), col(idCol), col(textCol)))),
         x => x.getField(textCol)), sep).as("payload"))
+  }
+
+  // ── deterministic training-order materialization ───────────────────
+
+  /** Seeded global shuffle with a MATERIALIZED position — the
+    * reproducible-training-order primitive: every row gets its 1-based
+    * position in the deterministic pseudo-random order
+    * `(md5(seed ':' id), id)`, so shard write order, curriculum
+    * resumption, and any-two-runs diffing are reproducible corpus-wide
+    * from (corpus, seed) alone. md5 rather than a JVM PRNG or
+    * xxhash64 for the usual reason ([[shardPack]], Dedup's minhash):
+    * any SQL engine replays it bit-for-bit, so the order itself is
+    * gate-checkable. Different seeds give independent orders (epoch
+    * reshuffles); the same seed is stable across engines,
+    * partitionings, and reruns — none of which holds for `rand(seed)`
+    * or `ORDER BY rand()`.
+    *
+    * Scale shape: md5 keys are uniform by construction, so the
+    * range-partition is as level as a shuffle gets;
+    * [[Rank.zipWithIndexRank]] assigns contiguous indices without a
+    * global window (per-partition counts to the driver — one long
+    * each — then a broadcast-offset local scan). Compose downstream:
+    * `shuffle_pos` div docs-per-shard is a shard id, and feeding the
+    * order into [[shardPack]]/[[packSequences]] pins their layout to
+    * the epoch seed.
+    *
+    * @param idCol unique row id (the contract every id column here
+    *              carries); duplicate ids would share a digest and
+    *              make the tie-break order among them id-equal —
+    *              deterministic as a multiset but not row-addressable
+    * @return df + `outCol` (1-based LONG position) */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Long,
+                   outCol: String = "shuffle_pos"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists")
+    val k = "__shuffle_k"
+    require(!df.columns.contains(k), s"'$k' is reserved by shuffleOrder")
+    val keyed = df.withColumn(k,
+      md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
+    Rank.zipWithIndexRank(keyed, k, Seq(idCol), outCol).drop(k)
   }
 
   // ── boilerplate stripping (cross-document line dedup) ──────────────

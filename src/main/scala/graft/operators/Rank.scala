@@ -216,7 +216,11 @@ object Rank {
     * partitioning (SQL NTILE splits ties arbitrarily across buckets,
     * which would make the labels run-dependent — exactly what a
     * feature-discretization / DSIR-style bucketing step can't have).
-    * NULL values pass through with a NULL bucket.
+    * NULL values pass through with a NULL bucket; float/double NaN is
+    * treated the same way (filtered from the rank frame like
+    * [[Drift.ksTwoSample]] does, NULL bucket on the row) — without the
+    * filter NaN sorts above +Inf and would silently occupy the top
+    * bucket.
     *
     * Scale: the [[minRankByValue]] machinery — only DISTINCT values
     * sort (range-partitioned prefix sum; one subtotal long per
@@ -229,9 +233,17 @@ object Rank {
       s"nBuckets in [2, 100000], got $nBuckets")
     val valOut = s"${outCol}__val"
     val rkCol = s"${outCol}__rk"; val cntCol = s"${outCol}__cnt"
+    val isFloaty = df.schema(valueCol).dataType match {
+      case DoubleType | FloatType => true
+      case _ => false
+    }
+    val clean =
+      if (isFloaty)
+        df.where(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      else df.where(col(valueCol).isNotNull)
     val (ranks, n) = distinctValueRanksWithTotal(
-      df.where(col(valueCol).isNotNull), valueCol, valOut, rkCol, cntCol)
-    require(n > 0, s"bucketizeByQuantiles: no non-null '$valueCol' values")
+      clean, valueCol, valOut, rkCol, cntCol)
+    require(n > 0, s"bucketizeByQuantiles: no non-null, non-NaN '$valueCol' values")
     val buckets = ranks.selectExpr(s"`$valOut`",
       s"CAST(((`$rkCol` - 1L) * ${nBuckets}L) div ${n}L AS BIGINT) AS `$outCol`")
     df.join(buckets, df(valueCol) <=> buckets(valOut), "left").drop(valOut)

@@ -276,6 +276,45 @@ object Similarity {
   private def fitCodebook(c: DataFrame, nlist: Int, seed: Long): Array[Array[Double]] =
     fitFromSample(collectFitSample(c, seed), nlist)
 
+  /** A FITTED, reusable IVF codebook — the amortization handle for the
+    * ANN family's one driver-side constant: the bounded-sample Lloyd
+    * fit is corpus-size-independent but costs ~28 s at the 100k fit
+    * cap (KnnGraphProbe, BASELINE.md round 13), and every operator
+    * call used to pay it again. Fit ONCE per (corpus, nlist, seed)
+    * via [[Similarity.fitIvfCodebook]] and pass the handle to the
+    * `*With` variants ([[Similarity.ivfTopKWith]],
+    * [[Similarity.knnGraphWith]], [[Similarity.bitextMineForwardWith]],
+    * [[Similarity.ivfPqTopKWith]], [[Similarity.clusterEmbeddingsWith]],
+    * [[Similarity.bitextMineMutualWith]]) — an IVF-top-k + kNN-graph +
+    * bitext session over one corpus then pays the fit once instead of
+    * four times. Results are BIT-IDENTICAL to the fit-inside variants:
+    * the handle stores exactly the centers (and the digest-ordered fit
+    * sample, for PQ residual sub-fits) those variants derive
+    * internally, so the gate oracles replay unchanged.
+    *
+    * Driver footprint: nlist·dim center doubles plus the ≤100k-row fit
+    * sample (~50 MB at dim 64) — bounded by the fit cap, never by the
+    * corpus. */
+  final class Codebook private[operators] (
+      val centers: Array[Array[Double]], val dim: Int,
+      private[operators] val sample: Array[Array[Double]]) {
+    def nlist: Int = centers.length
+  }
+
+  /** Fit the deterministic IVF codebook once and return the reusable
+    * handle — the same bounded digest-sample Lloyd every fit-inside
+    * operator runs ([[fitCodebook]]), so `xWith(fitIvfCodebook(c, …))`
+    * ≡ `x(c, …)` value-exactly. */
+  def fitIvfCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, nlist: Int = 0, seed: Long = 9): Codebook = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val sample = collectFitSample(c, seed)
+    val centers = fitFromSample(sample, nlist)
+    require(centers.forall(_.length == dim),
+      s"fitted centroid dimension ${centers.headOption.map(_.length)} != declared dim $dim")
+    new Codebook(centers, dim, sample)
+  }
+
   /** Per-vector squared distance to every center, as one array column —
     * argmin via array_position(min). A single tight-loop expression
     * ([[graft.functions.CentroidDists]]): the k·d-term Column spelling
@@ -307,6 +346,19 @@ object Similarity {
     // Lloyd passes ([[refineCodebook]]) before the assignment scan
     val centers = if (refineIters > 0) refinedCenters(c, dim, nlist, refineIters, seed)
                   else fitCodebook(c, nlist, seed)
+    clusterEmbeddingsImpl(corpus, idCol, vecCol, dim, centers)
+  }
+
+  /** [[clusterEmbeddings]] against a pre-fitted [[Codebook]] — pure
+    * expression scan, zero driver work beyond the plan literals. */
+  def clusterEmbeddingsWith(corpus: DataFrame, idCol: String, vecCol: String,
+                            codebook: Codebook): DataFrame =
+    clusterEmbeddingsImpl(corpus, idCol, vecCol, codebook.dim, codebook.centers)
+
+  private def clusterEmbeddingsImpl(corpus: DataFrame, idCol: String,
+                                    vecCol: String, dim: Int,
+                                    centers: Array[Array[Double]]): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     c.withColumn("__dists", centerDistArr(centers, dim))
       .select(col("neighbor_id").as(idCol),
         coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1),
@@ -354,11 +406,26 @@ object Similarity {
               idCol: String, vecCol: String, k: Int, dim: Int,
               nlist: Int = 0, nprobe: Int = 4, seed: Long = 9,
               refineIters: Int = 0): DataFrame = {
-    val spark = corpus.sparkSession
-
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val centers = if (refineIters > 0) refinedCenters(c, dim, nlist, refineIters, seed)
                   else fitCodebook(c, nlist, seed)
+    ivfTopKImpl(corpus, queries, idCol, vecCol, k, dim, centers, nprobe)
+  }
+
+  /** [[ivfTopK]] against a pre-fitted [[Codebook]] — skips the per-call
+    * driver fit; value-identical when the handle was fit on the same
+    * (corpus, nlist, seed). */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  codebook: Codebook, nprobe: Int = 4): DataFrame =
+    ivfTopKImpl(corpus, queries, idCol, vecCol, k, codebook.dim,
+      codebook.centers, nprobe)
+
+  private def ivfTopKImpl(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int, dim: Int,
+                          centers: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val bucketed = c
       .withColumn("__dists", centerDistArr(centers, dim))
       .withColumn("__list",
@@ -440,9 +507,24 @@ object Similarity {
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                k: Int, dim: Int, nlist: Int = 0, nprobe: Int = 4,
                seed: Long = 9, maxListSize: Long = 100000L): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    knnGraphImpl(corpus, idCol, vecCol, k, dim, fitCodebook(c, nlist, seed),
+      nprobe, maxListSize)
+  }
+
+  /** [[knnGraph]] against a pre-fitted [[Codebook]] — the graph over a
+    * corpus whose IVF fit another operator already paid for. */
+  def knnGraphWith(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, codebook: Codebook, nprobe: Int = 4,
+                   maxListSize: Long = 100000L): DataFrame =
+    knnGraphImpl(corpus, idCol, vecCol, k, codebook.dim, codebook.centers,
+      nprobe, maxListSize)
+
+  private def knnGraphImpl(corpus: DataFrame, idCol: String, vecCol: String,
+                           k: Int, dim: Int, centers: Array[Array[Double]],
+                           nprobe: Int, maxListSize: Long): DataFrame = {
     require(k > 0 && nprobe > 0, s"k and nprobe must be positive")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val centers = fitCodebook(c, nlist, seed)
     val effNlist = centers.length
     val np = math.min(nprobe, effNlist)
     val withD = graft.CacheScope.track(
@@ -492,6 +574,17 @@ object Similarity {
     * like the dot-product oracle's list_reduce. No self-exclusion: the
     * two sides are distinct corpora by contract.
     *
+    * Two deliberate deviations from the paper, documented: (1) the
+    * denominator is the QUERY-side k-NN neighborhood mean only —
+    * Artetxe & Schwenk average both sides' neighborhoods; the one-sided
+    * form needs no reverse-direction pass (compose [[bitextMineMutual]]
+    * when both-side evidence is wanted) and preserves the margin ≥ 1
+    * invariant the tau gate relies on. (2) That invariant assumes a
+    * POSITIVE neighborhood mean cosine (true for real embedding hubs;
+    * false for adversarially anti-correlated spaces) — a non-positive
+    * mean raises loudly at execution rather than silently flipping the
+    * ratio's sign.
+    *
     * @return (query_id, match_id, cosine, margin) for queries whose
     *         best match clears `tau` (margin ≥ 1 by construction, so
     *         tau ≤ 1 accepts every query that has candidates) */
@@ -499,11 +592,31 @@ object Similarity {
                         idCol: String, vecCol: String, k: Int, dim: Int,
                         nlist: Int = 0, nprobe: Int = 4, tau: Double = 1.0,
                         seed: Long = 9, maxListSize: Long = 100000L): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    bitextMineForwardImpl(queries, corpus, idCol, vecCol, k, dim,
+      fitCodebook(c, nlist, seed), nprobe, tau, maxListSize)
+  }
+
+  /** [[bitextMineForward]] against a pre-fitted [[Codebook]] — the
+    * handle must have been fit on the CORPUS side (the side that gets
+    * bucketed). */
+  def bitextMineForwardWith(queries: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String, k: Int,
+                            corpusCodebook: Codebook, nprobe: Int = 4,
+                            tau: Double = 1.0,
+                            maxListSize: Long = 100000L): DataFrame =
+    bitextMineForwardImpl(queries, corpus, idCol, vecCol, k,
+      corpusCodebook.dim, corpusCodebook.centers, nprobe, tau, maxListSize)
+
+  private def bitextMineForwardImpl(queries: DataFrame, corpus: DataFrame,
+                                    idCol: String, vecCol: String, k: Int,
+                                    dim: Int, centers: Array[Array[Double]],
+                                    nprobe: Int, tau: Double,
+                                    maxListSize: Long): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
     require(tau >= 1.0, s"margin is >= 1 by construction; tau $tau would be vacuous")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val centers = fitCodebook(c, nlist, seed)
     val np = math.min(nprobe, centers.length)
     val bucketed = Dedup.capBuckets(
       c.withColumn("__dists", centerDistArr(centers, dim))
@@ -527,13 +640,23 @@ object Similarity {
     val meanCos = aggregate(
       transform(col("__nn"), x => x.getField("cosine")),
       lit(0.0), (a, v) => a + v) / size(col("__nn")).cast("double")
+    // margin ≥ 1 (and the require(tau ≥ 1) gate) only holds when the
+    // neighborhood mean cosine is POSITIVE — with a non-positive mean
+    // the ratio flips sign or explodes and the tau filter would accept
+    // garbage, so that regime raises loudly instead of filtering
     topk.groupBy(col("query_id"))
       .agg(sort_array(collect_list(
         struct(col("rank"), col("neighbor_id"), col("cosine")))).as("__nn"))
       .select(col("query_id"),
         col("__nn").getItem(0).getField("neighbor_id").as("match_id"),
         col("__nn").getItem(0).getField("cosine").as("cosine"),
-        (col("__nn").getItem(0).getField("cosine") / meanCos).as("margin"))
+        when(meanCos <= 0.0, raise_error(concat(
+            lit("bitextMineForward: non-positive neighborhood mean cosine for query "),
+            col("query_id").cast("string"),
+            lit(" — the ratio margin is undefined outside the positive-cosine regime")))
+            .cast("double"))
+          .otherwise(col("__nn").getItem(0).getField("cosine") / meanCos)
+          .as("margin"))
       .where(col("margin") >= lit(tau))
   }
 
@@ -555,13 +678,27 @@ object Similarity {
   def bitextMineMutual(a: DataFrame, b: DataFrame,
                        idCol: String, vecCol: String, k: Int, dim: Int,
                        nlist: Int = 0, nprobe: Int = 4, tau: Double = 1.0,
-                       seed: Long = 9, maxListSize: Long = 100000L): DataFrame = {
-    val fwd = bitextMineForward(a, b, idCol, vecCol, k, dim, nlist, nprobe,
-        tau, seed, maxListSize)
+                       seed: Long = 9, maxListSize: Long = 100000L): DataFrame =
+    bitextMineMutualWith(a, b, idCol, vecCol, k,
+      fitIvfCodebook(b, idCol, vecCol, dim, nlist, seed),
+      fitIvfCodebook(a, idCol, vecCol, dim, nlist, seed),
+      nprobe, tau, maxListSize)
+
+  /** [[bitextMineMutual]] against pre-fitted handles: `codebookOnB`
+    * routes the A→B pass (fit on corpus B), `codebookOnA` the B→A pass
+    * — a session that already ran per-side IVF/kNN work reuses both
+    * fits instead of paying the ~28 s driver constant twice more. */
+  def bitextMineMutualWith(a: DataFrame, b: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           codebookOnB: Codebook, codebookOnA: Codebook,
+                           nprobe: Int = 4, tau: Double = 1.0,
+                           maxListSize: Long = 100000L): DataFrame = {
+    val fwd = bitextMineForwardWith(a, b, idCol, vecCol, k, codebookOnB,
+        nprobe, tau, maxListSize)
       .select(col("query_id").as("a_id"), col("match_id").as("b_id"),
         col("cosine"), col("margin").as("margin_ab"))
-    val rev = bitextMineForward(b, a, idCol, vecCol, k, dim, nlist, nprobe,
-        tau, seed, maxListSize)
+    val rev = bitextMineForwardWith(b, a, idCol, vecCol, k, codebookOnA,
+        nprobe, tau, maxListSize)
       .select(col("match_id").as("a_id"), col("query_id").as("b_id"),
         col("margin").as("margin_ba"))
     fwd.join(rev, Seq("a_id", "b_id"))
@@ -784,14 +921,36 @@ object Similarity {
                 nlist: Int = 0, nprobe: Int = 4,
                 m: Int = 4, ksub: Int = 16, candidates: Int = 50,
                 seed: Long = 9): DataFrame = {
+    val cFit = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val sample = collectFitSample(cFit, seed)
+    ivfPqTopKImpl(corpus, queries, idCol, vecCol, k, dim,
+      sample, fitFromSample(sample, nlist), nprobe, m, ksub, candidates)
+  }
+
+  /** [[ivfPqTopK]] against a pre-fitted [[Codebook]]: the handle's
+    * centers become the coarse quantizer and its retained digest-order
+    * fit sample seeds the m residual sub-fits — both exactly what the
+    * fit-inside variant derives, so results are value-identical. The
+    * residual sub-fits still run (they depend on m/ksub), but the
+    * corpus sample collect and the coarse Lloyd are amortized. */
+  def ivfPqTopKWith(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    codebook: Codebook, nprobe: Int = 4,
+                    m: Int = 4, ksub: Int = 16,
+                    candidates: Int = 50): DataFrame =
+    ivfPqTopKImpl(corpus, queries, idCol, vecCol, k, codebook.dim,
+      codebook.sample, codebook.centers, nprobe, m, ksub, candidates)
+
+  private def ivfPqTopKImpl(corpus: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String, k: Int, dim: Int,
+                            sample: Array[Array[Double]],
+                            coarse: Array[Array[Double]], nprobe: Int,
+                            m: Int, ksub: Int, candidates: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val spark = corpus.sparkSession
     val sub = dim / m
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-
-    val sample = collectFitSample(c, seed)
-    val coarse = fitFromSample(sample, nlist)
 
     // sample residuals (driver-side, same first-min argmin as the
     // expression kernel) → m residual sub-codebooks

@@ -73,6 +73,26 @@ object KnnGraphProbe {
     println(f"degenerate m=$m%8d maxListSize=1000  wall=$sec%7.2f s  out_rows=$rows%d")
     require(rows == 0L,
       s"degenerate codebook must drop the over-cap list (got $rows pairs)")
+
+    // amortization arm (round-14): the driver Lloyd fit is the ANN
+    // family's per-call constant — a pre-fitted Codebook handle pays
+    // it ONCE. fit wall vs two handle-reuse walls: the reuse runs
+    // carry only the distributed join term.
+    val t1 = System.nanoTime()
+    val cb = Similarity.fitIvfCodebook(corpus(m), "id", "v", dim = dim)
+    val fitSec = (System.nanoTime() - t1) / 1e9
+    val reuse = (1 to 2).map { _ =>
+      val t = System.nanoTime()
+      val n = Similarity.knnGraphWith(corpus(m), "id", "v", k = 3, cb).count()
+      val s = (System.nanoTime() - t) / 1e9
+      graft.CacheScope.releaseAll()
+      (n, s)
+    }
+    println(f"handle    m=$m%8d fit_once=$fitSec%7.2f s  " +
+      f"reuse_walls=${reuse.map(r => f"${r._2}%.2f").mkString("/")} s  " +
+      f"out_rows=${reuse.head._1}%d")
+    require(reuse.map(_._1).distinct.size == 1,
+      "handle reuse must be deterministic")
     spark.stop()
   }
 }

@@ -801,4 +801,49 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("vacuous"))
   }
+
+  test("pre-fitted Codebook handle: every *With variant is value-identical to its fit-inside twin") {
+    val all = knnFixture(120)
+    val q = all.where(col("vec_id") % 2 === 0)
+    val c = all.where(col("vec_id") % 2 === 1)
+    val cbC = Similarity.fitIvfCodebook(c, "vec_id", "embedding", dim = 16,
+      nlist = 6, seed = 9)
+    val cbQ = Similarity.fitIvfCodebook(q, "vec_id", "embedding", dim = 16,
+      nlist = 6, seed = 9)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Similarity.ivfTopKWith(c, q, "vec_id", "embedding", 3, cbC, nprobe = 2))
+      == rows(Similarity.ivfTopK(c, q, "vec_id", "embedding", 3, 16, nlist = 6, nprobe = 2)))
+    assert(rows(Similarity.knnGraphWith(c, "vec_id", "embedding", 3, cbC, nprobe = 2))
+      == rows(Similarity.knnGraph(c, "vec_id", "embedding", 3, 16, nlist = 6, nprobe = 2)))
+    assert(rows(Similarity.clusterEmbeddingsWith(c, "vec_id", "embedding", cbC))
+      == rows(Similarity.clusterEmbeddings(c, "vec_id", "embedding", 16, nlist = 6)))
+    assert(rows(Similarity.ivfPqTopKWith(c, q, "vec_id", "embedding", 3, cbC,
+        nprobe = 2, m = 4, ksub = 4, candidates = 10))
+      == rows(Similarity.ivfPqTopK(c, q, "vec_id", "embedding", 3, 16,
+        nlist = 6, nprobe = 2, m = 4, ksub = 4, candidates = 10)))
+    assert(rows(Similarity.bitextMineMutualWith(q, c, "vec_id", "embedding", 4,
+        codebookOnB = cbC, codebookOnA = cbQ, nprobe = 3, tau = 1.0))
+      == rows(Similarity.bitextMineMutual(q, c, "vec_id", "embedding", 4, 16,
+        nlist = 6, nprobe = 3, tau = 1.0)))
+    assert(cbC.nlist == 6 && cbC.dim == 16)
+  }
+
+  test("bitextMineForward raises loudly on a non-positive neighborhood mean cosine") {
+    // queries orthogonal-to-anti-correlated with the corpus: neighborhood
+    // mean ≤ 0, where the ratio margin flips sign — must raise, not filter
+    val q = Seq((1L, Array(1.0f) ++ Array.fill(15)(0.0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (100L, Array(-1.0f) ++ Array.fill(15)(0.0f)),
+      (101L, Array(-1.0f, 0.1f) ++ Array.fill(14)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.bitextMineForward(q, c, "vec_id", "embedding",
+        k = 2, dim = 16, nlist = 2, nprobe = 2, tau = 1.0).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-positive neighborhood mean")),
+      msgs(e).mkString("|"))
+  }
 }

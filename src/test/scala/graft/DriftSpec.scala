@@ -120,6 +120,41 @@ class DriftSpec extends SparkSpec {
       "the null-ts row must not pool into a null-keyed window")
   }
 
+  test("TV: BOTH sides empty still raises (the totals spine survives zero categories)") {
+    val e = intercept[Exception] {
+      Drift.tvDistance(Seq.empty[String].toDF("c"),
+        Seq.empty[String].toDF("c"), "c").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("side is empty")), msgs(e).mkString("|"))
+  }
+
+  test("windowedTvDrift: NULL is a category — null-safe reference match (no double term)") {
+    // window events: a, NULL (na=2); reference: a:1, NULL:1 (nb=2).
+    // Mix matches exactly -> TV 0. An equality join would leave the
+    // NULL row unmatched: terms |2·1 - 0| + missing (2-1)·2 = 4 -> 0.5.
+    val events = Seq((0L, Some("a")), (1L, None))
+      .map { case (t, c) => (t, c.orNull) }.toDF("ts", "cat")
+    val ref = Seq((Some("a"), 1L), (None, 1L))
+      .map { case (c, n) => (c.orNull, n) }.toDF("category", "n")
+    val out = Drift.windowedTvDrift(events, "ts", "cat", 1000L, ref)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((0L, 2L, 0.0)),
+      "NULL category must match the reference's NULL row, not double-count")
+  }
+
+  test("windowedTvDrift: negative (pre-1970) timestamps bucket with FLOOR semantics") {
+    // ts=-1 with width 100 must land in window [-100, 0), i.e.
+    // window_start = -100 — truncate-toward-zero `div` would put it in
+    // window 0 alongside ts=5, breaking oracle/stream-twin alignment
+    val events = Seq((-1L, "a"), (5L, "a")).toDF("ts", "cat")
+    val ref = Seq(("a", 1L)).toDF("category", "n")
+    val out = Drift.windowedTvDrift(events, "ts", "cat", 100L, ref)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((-100L, 1L, 0.0), (0L, 1L, 0.0)))
+  }
+
   test("windowedTvDrift: empty reference raises loudly") {
     val events = Seq((0L, "a")).toDF("ts", "cat")
     val ref = Seq.empty[(String, Long)].toDF("category", "n")

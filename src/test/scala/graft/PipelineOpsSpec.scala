@@ -193,6 +193,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(5L) == ((5L, 2L, 2L, 1.0)))
   }
 
+  test("oovRateAgainst: supplied foreign vocab, duplicate and NULL entries harmless") {
+    val docs = Seq(
+      (1L, "a b c"),   // vocab {a, b}: c OOV -> 1/3
+      (2L, "c c"),     // all OOV
+      (3L, "a a")      // none OOV
+    ).toDF("doc_id", "text")
+    val vocab = Seq(Some("a"), Some("b"), Some("a"), None)
+      .map(_.orNull).toDF("w") // dup 'a' + NULL entry must not distort counts
+    val out = PipelineOps.oovRateAgainst(docs, "doc_id", "text", vocab, "w")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 1L && math.abs(out(1L)._4 - 1.0 / 3) < 1e-15)
+    assert(out(2L) == ((2L, 2L, 2L, 1.0)))
+    assert(out(3L) == ((3L, 2L, 0L, 0.0)))
+    // self-derived overload ≡ oovRateAgainst(vocabProfile(...)): same rows
+    val self = PipelineOps.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val viaAgainst = PipelineOps.oovRateAgainst(docs, "doc_id", "text",
+        PipelineOps.vocabProfile(docs, "doc_id", "text", 2), "word")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(self == viaAgainst)
+  }
+
   test("oovRate plan: vocab membership is a broadcast join, no token shuffle") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = PipelineOps.oovRate(docs, "doc_id", "text", vocabSize = 2)
@@ -351,6 +373,38 @@ class PipelineOpsSpec extends SparkSpec {
       23L -> Some(5.0), 24L -> Some(7.0), 25L -> None))
   }
 
+  test("asofJoinNearest is ROW-ATOMIC on null-bearing payloads (pandas parity), unlike the per-column directional composition") {
+    // right rows: t=90 (a=1, b=null), t=110 (a=null, b=2). Left click at
+    // t=100: nearest right row is t=90 (tie |Δt|=10 goes backward) →
+    // pandas attaches THAT row wholesale: (a=1, b=null).
+    // The per-column composition instead takes, per direction, each
+    // column's last/first NON-NULL — backward arm at t=100 sees a=1
+    // (t=90) and NO b at all; forward arm sees b=2 (t=110), no a; the
+    // race time would come from different rows per column and b would
+    // arrive as 2 — a value pandas never produces here.
+    val right = Seq(
+      (1L, 1L, 90L, Some(1.0), Option.empty[Double]),
+      (2L, 1L, 110L, Option.empty[Double], Some(2.0))
+    ).toDF("event_id", "user_id", "ts", "a", "b")
+    val left = Seq((9L, 1L, 100L)).toDF("event_id", "user_id", "ts")
+    val out = AsofJoin.asofJoinNearest(left, right,
+        Seq("user_id"), "ts", "event_id", Seq("a", "b"))
+      .select("asof_a", "asof_b")
+      .as[(Option[Double], Option[Double])].collect()
+    assert(out.toSeq == Seq((Some(1.0), None)),
+      s"nearest must attach the t=90 row wholesale (a=1, b=null); got ${out.toSeq}")
+    // an all-null-payload right row is still 'the nearest row' — it
+    // does NOT re-open the search toward a farther non-null row
+    val right2 = Seq(
+      (1L, 1L, 90L, Some(1.0)), (2L, 1L, 99L, Option.empty[Double])
+    ).toDF("event_id", "user_id", "ts", "a")
+    val out2 = AsofJoin.asofJoinNearest(left, right2,
+        Seq("user_id"), "ts", "event_id", Seq("a"))
+      .select("asof_a").as[Option[Double]].collect()
+    assert(out2.toSeq == Seq(None),
+      s"the adjacent t=99 row wins even though its payload is null; got ${out2.toSeq}")
+  }
+
   test("asofJoin breaks equal-time right-side ties by tieCol, deterministically") {
     val right = Seq((1L, 1L, 100L, 1.0), (2L, 1L, 100L, 2.0)).toDF("event_id", "user_id", "ts", "value")
     val left = Seq((9L, 1L, 100L, 0.0)).toDF("event_id", "user_id", "ts", "value")
@@ -369,6 +423,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"as-of must not plan a product join:\n$plan")
     assert(plan.contains("Window"), s"expected the running-last window:\n$plan")
+  }
+
+  test("shuffleOrder: contiguous 1..n positions, partitioning-invariant, seed-sensitive") {
+    val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("id", "t")
+    val out = PipelineOps.shuffleOrder(docs, "id", seed = 7L)
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).sorted.toSeq == (1L to 40L), "positions must be a permutation of 1..n")
+    // driver replay of the contract: md5("7:" + id) asc, id asc
+    def key(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"7:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (1L to 40L).sortBy(i => (key(i), i)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(out.toMap == expected)
+    (1 to 3).foreach { p =>
+      val again = PipelineOps.shuffleOrder(docs.repartition(p), "id", 7L)
+        .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+      assert(again == expected, s"parts=$p must not change the order")
+    }
+    // a different seed is a genuinely different epoch order
+    val other = PipelineOps.shuffleOrder(docs, "id", seed = 8L)
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(other != expected)
+    val e = intercept[IllegalArgumentException] {
+      PipelineOps.shuffleOrder(out.toSeq.toDF("id", "shuffle_pos"), "id", 7L)
+    }
+    assert(e.getMessage.contains("already exists"))
   }
 
   // ── shard packing ────────────────────────────────────────────────

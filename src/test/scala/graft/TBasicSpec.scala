@@ -227,4 +227,26 @@ class TBasicSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert((1L to 10L).forall(v => dec(v) == v - 1))
   }
+
+  test("bucketizeByQuantiles: NaN passes through like NULL, never occupies the top bucket") {
+    // without the guard NaN sorts above +Inf and would silently take
+    // the last bucket — AND shift every real value's quantile by
+    // inflating n. Buckets over {1,2,3,4} must be the clean quartiles.
+    val d = Seq(1.0, 2.0, Double.NaN, 3.0, 4.0).toDF("v")
+    val out = Rank.bucketizeByQuantiles(d, "v", "bucket", nBuckets = 4)
+      .collect().map(r => (r.getDouble(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val nanRows = out.filter(_._1.isNaN)
+    assert(nanRows.length == 1 && nanRows.head._2.isEmpty,
+      s"NaN row must get a NULL bucket: ${out.mkString(",")}")
+    val real = out.filterNot(_._1.isNaN).toMap
+    assert(real == Map(1.0 -> Some(0L), 2.0 -> Some(1L),
+      3.0 -> Some(2L), 4.0 -> Some(3L)),
+      s"real values must bucket over n=4 (NaN excluded from ranks): $real")
+    // an all-NaN column is as bucketless as an all-NULL one — loud
+    val e = intercept[IllegalArgumentException] {
+      Rank.bucketizeByQuantiles(Seq(Double.NaN).toDF("v"), "v", "b", 2)
+    }
+    assert(e.getMessage.contains("non-NaN"))
+  }
 }
