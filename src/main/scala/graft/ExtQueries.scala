@@ -679,6 +679,23 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("lang")),
         "doc_id", seed = 20260816L)
     }),
+    "q_select_budget" -> ((s, dir) => {
+      // data selection under an exact char budget: longest-first
+      // (score = weight = n_chars) until 60k chars — the strict-prefix
+      // cut via the distributed prefix sum, no global window
+      PipelineOps.selectByBudget(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", weightCol = "n_chars", scoreCol = "n_chars",
+        budget = 60000L)
+    }),
+    "q_interleave_groups" -> ((s, dir) => {
+      // epoch domain mixing: positions cycle through the languages
+      // round-robin, each language's internal order seeded-shuffled —
+      // one global rank + broadcast group offsets + one final rank
+      PipelineOps.interleaveGroups(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", seed = 7L)
+    }),
     "q_contamination" -> ((s, dir) => {
       // probe set = every 50th doc standing in for a benchmark; corpus
       // = the rest, screened for shared word 5-grams
@@ -2216,6 +2233,30 @@ object ExtQueries {
         |    ORDER BY md5('20260816:' || CAST(doc_id AS VARCHAR)), doc_id)
         |    AS BIGINT) AS shuffle_pos
         |FROM documents""".stripMargin,
+    // the strict-prefix budget cut: inclusive running sum over the
+    // (score DESC, id) order, kept while <= budget — the oracle can
+    // afford the global window the Spark side's prefix sum avoids
+    "q_select_budget" ->
+      """SELECT doc_id, lang, n_chars, cum_weight FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(SUM(COALESCE(n_chars, 0)) OVER (
+        |      ORDER BY n_chars DESC NULLS LAST, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_weight
+        |  FROM documents) t
+        |WHERE cum_weight <= 60000""".stripMargin,
+    // within-group seeded rank, then the (round, group) order — both
+    // ROW_NUMBERs replay the Spark side's two zipWithIndex ranks
+    "q_interleave_groups" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS rr
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY rr, lang NULLS FIRST) AS BIGINT)
+        |    AS interleave_pos
+        |FROM r""".stripMargin,
     // same (tf, df, N) counts, same quarter-power idf arithmetic
     "q_tfidf_terms" ->
       """WITH tf AS (

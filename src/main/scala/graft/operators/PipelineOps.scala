@@ -651,6 +651,120 @@ object PipelineOps {
     Rank.zipWithIndexRank(keyed, k, Seq(idCol), outCol).drop(k)
   }
 
+  // ── token-budget corpus selection ───────────────────────────────────
+
+  /** Greedy best-first corpus selection under an EXACT weight budget —
+    * the data-selection primitive ("train on the best N tokens"):
+    * rows are laid out best-score-first ((scoreCol DESC, idCol ASC) —
+    * a total, deterministic order) and a row is kept iff its INCLUSIVE
+    * running weight still fits `budget`. The cut is a prefix of the
+    * quality ordering, so (corpus, budget) alone reproduces the
+    * training set — the selection twin of [[shuffleOrder]]'s ordering
+    * guarantee. First overflow ends the take (strict prefix, not
+    * knapsack back-fill): deterministic beats maximally-full here,
+    * same trade as [[shardPack]]'s spill rule.
+    *
+    * Scale shape — the [[shardPack]] distributed prefix sum pointed at
+    * a quality order instead of a shuffle key: range-partition by
+    * (score DESC, id), per-partition subtotals to the driver (one long
+    * each), broadcast exclusive offsets, one local pass computes the
+    * inclusive cumulative and filters. No global window, nothing
+    * driver-side grows with the corpus. Negative weights raise loudly
+    * (a negative token count is a pipeline bug, and silently crediting
+    * budget back would re-admit everything after it).
+    *
+    * @return kept rows + `cum_weight` (inclusive running LONG total in
+    *         selection order; max cum_weight ≤ budget) */
+  def selectByBudget(df: DataFrame, idCol: String, weightCol: String,
+                     scoreCol: String, budget: Long,
+                     numPartitions: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(!df.columns.contains("cum_weight"),
+      "cum_weight is the reserved output column name")
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sessionState.conf.numShufflePartitions
+    val w = "__sel_w"
+    val sorted = graft.CacheScope.track(
+      df.withColumn(w, when(col(weightCol) < 0, raise_error(concat(
+            lit(s"selectByBudget: negative '$weightCol' at $idCol="),
+            col(idCol).cast("string"))).cast("long"))
+          .otherwise(coalesce(col(weightCol).cast("long"), lit(0L))))
+        .repartitionByRange(parts, col(scoreCol).desc, col(idCol).asc)
+        .sortWithinPartitions(col(scoreCol).desc, col(idCol).asc))
+    val wIdx = sorted.schema.fieldIndex(w)
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val cut = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = bOff.value(i)
+      it.flatMap { r =>
+        cum += r.getLong(wIdx)
+        if (cum <= budget)
+          Some(org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cum))
+        else None
+      }
+    }
+    spark.createDataFrame(cut,
+        org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+          org.apache.spark.sql.types.StructField("cum_weight",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      .drop(w)
+  }
+
+  // ── deterministic group interleave (epoch domain mixing) ───────────
+
+  /** Deterministic round-robin interleave across groups — the epoch
+    * mixing order: consecutive positions cycle through the groups
+    * (domain A's 1st, B's 1st, C's 1st, then every 2nd, …), each
+    * group's internal order seeded-shuffled, so any contiguous
+    * training window sees every domain at its fair share WITHOUT a
+    * runtime sampler. Fully deterministic from (corpus, seed): the
+    * within-group order is the [[shuffleOrder]] digest order, the
+    * global order is (round, group). The output position is
+    * materialized like [[shuffleOrder]]'s — reproducible shard writes,
+    * resumable epochs.
+    *
+    * Scale shape: within-group ranks do NOT use a per-group window
+    * (domain counts are small, so group-partitioned windows would
+    * funnel a corpus/|groups| sort through single tasks); instead ONE
+    * global (group, digest, id) zipWithIndex rank is offset by the
+    * broadcast per-group start positions — per-group counts are the
+    * only collected state, bounded by |groups| (the operator's
+    * contract: groups are domains/sources, not ids). Then a second
+    * range shuffle materializes the (round, group) order. Two range
+    * shuffles + one |groups|-row agg, no global window, md5 keys keep
+    * both level.
+    *
+    * @return df + `outCol` (1-based LONG interleave position) */
+  def interleaveGroups(df: DataFrame, idCol: String, groupCol: String,
+                       seed: Long, outCol: String = "interleave_pos"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists")
+    val d = "__il_d"; val g = "__il_g"; val r = "__il_r"
+    require(!df.columns.exists(Set(d, g, r)),
+      "__il_* column names are reserved by interleaveGroups")
+    val spark = df.sparkSession
+    val keyed = df.withColumn(d,
+      md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
+    // global rank over (group, digest, id) — one range shuffle
+    val ranked = Rank.zipWithIndexRank(keyed, groupCol, Seq(d, idCol), g)
+    // per-group start offsets: |groups| rows, broadcast back
+    // (null-safe match — a NULL group is a group, not a dropped row)
+    val starts = ranked.groupBy(col(groupCol))
+      .agg(min(col(g)).as("__il_start"))
+      .withColumnRenamed(groupCol, "__il_gc")
+    val withR = ranked
+      .join(broadcast(starts), col(groupCol) <=> col("__il_gc"))
+      .withColumn(r, col(g) - col("__il_start") + 1L)
+      .drop(g, "__il_start", "__il_gc")
+    // materialize the (round, group) order — second range shuffle
+    Rank.zipWithIndexRank(withR, r, Seq(groupCol), outCol)
+      .drop(d, r)
+  }
+
   // ── boilerplate stripping (cross-document line dedup) ──────────────
 
   /** Remove the segments that repeat across more than `maxDocFreq`

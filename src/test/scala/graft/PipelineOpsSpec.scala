@@ -451,6 +451,66 @@ class PipelineOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("selectByBudget: strict prefix of the (score DESC, id) order, inclusive cum_weight") {
+    // scores/weights: id1 w10 s5, id2 w20 s9, id3 w15 s9, id4 w30 s1
+    // order: (9,id2) w20 -> cum 20; (9,id3) w15 -> 35; (5,id1) w10 -> 45;
+    // (1,id4) w30 -> 75 > 50 -> cut. Budget 50 keeps {2,3,1}.
+    val d = Seq((1L, 10L, 5.0), (2L, 20L, 9.0), (3L, 15L, 9.0), (4L, 30L, 1.0))
+      .toDF("id", "w", "score")
+    val out = PipelineOps.selectByBudget(d, "id", "w", "score", budget = 50L)
+      .select("id", "cum_weight").as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 20L, 3L -> 35L, 1L -> 45L))
+    // strict prefix: a later row that WOULD fit is still cut (id4=30
+    // over at cum 75; nothing after it back-fills)
+    val tight = PipelineOps.selectByBudget(d, "id", "w", "score", budget = 36L)
+      .select("id").as[Long].collect().toSet
+    assert(tight == Set(2L, 3L), "no knapsack back-fill past the first overflow")
+    // partitioning invariance
+    (1 to 3).foreach { p =>
+      val again = PipelineOps.selectByBudget(d.repartition(p), "id", "w", "score", 50L)
+        .select("id", "cum_weight").as[(Long, Long)].collect().toMap
+      assert(again == out, s"parts=$p")
+    }
+    // negative weight raises loudly
+    val e = intercept[Exception] {
+      PipelineOps.selectByBudget(Seq((1L, -5L, 1.0)).toDF("id", "w", "score"),
+        "id", "w", "score", 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("negative")), msgs(e).mkString("|"))
+  }
+
+  test("interleaveGroups: round-robin across groups, seeded within-group order, null group kept") {
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("id", "g")
+    val out = PipelineOps.interleaveGroups(d, "id", "g", seed = 3L)
+      .select("id", "g", "interleave_pos").as[(Long, String, Long)].collect()
+    assert(out.map(_._3).sorted.toSeq == (1L to 6L))
+    // round 1 = positions 1..3 covering every group exactly once;
+    // round 2 = a and b again; round 3 = a's last
+    val byPos = out.sortBy(_._3).map(_._2).toSeq
+    assert(byPos.take(3).toSet == Set("a", "b", "c"), s"round 1 must cover all groups: $byPos")
+    assert(byPos.slice(3, 5).toSet == Set("a", "b"))
+    assert(byPos.last == "a")
+    // driver replay: within-group rank by (md5("3:"+id), id), then (r, g)
+    def key(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"3:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+    val rr = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.sortBy(t => (key(t._1), t._1)).zipWithIndex.map { case (t, i) => t._1 -> (i + 1) }
+    }
+    val expected = rows.sortBy(t => (rr(t._1), t._2)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    assert(out.map(t => t._1 -> t._3).toMap == expected)
+    // partitioning invariance + a NULL group row is interleaved, not dropped
+    val withNull = d.unionByName(Seq((7L, null.asInstanceOf[String])).toDF("id", "g"))
+    (1 to 3).foreach { p =>
+      val n = PipelineOps.interleaveGroups(withNull.repartition(p), "id", "g", 3L)
+      assert(n.count() == 7L, s"parts=$p: null-group row must survive")
+    }
+  }
+
   // ── shard packing ────────────────────────────────────────────────
 
   test("shardPack assigns (shard, offset) by exclusive prefix over the md5 order") {

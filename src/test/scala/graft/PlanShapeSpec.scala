@@ -468,4 +468,31 @@ class PlanShapeSpec extends SparkSpec {
       "shard packing must not plan a global window")
     graft.CacheScope.releaseAll()
   }
+
+  test("round-14 order/selection ops never plan a global window") {
+    // shuffleOrder, selectByBudget, interleaveGroups all materialize
+    // global positions/cumulatives — the one thing they must NOT do is
+    // SQL's natural spelling (row_number/sum OVER (ORDER BY …)), the
+    // single-partition funnel; each runs on zipWithIndex/prefix-sum
+    // machinery instead
+    Seq("q_shuffle_order", "q_select_budget", "q_interleave_groups").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val plans = dedupByIdentity(flatten(df.queryExecution.executedPlan))
+      assert(!plans.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        s"$q must not plan a window")
+      graft.CacheScope.releaseAll()
+    }
+  }
+
+  test("q_oov_rate_supplied joins its vocab by broadcast") {
+    // (q_interleave_groups broadcasts its group offsets too, but its
+    // final zipWithIndex rank puts an RDD boundary over the join —
+    // the executed plan shows only Scan ExistingRDD; the broadcast
+    // hint is in source and the no-window pin above covers the funnel)
+    val plan = executed("q_oov_rate_supplied")
+    assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"q_oov_rate_supplied must broadcast its vocab:\n$plan")
+    graft.CacheScope.releaseAll()
+  }
 }
