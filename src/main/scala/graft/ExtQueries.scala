@@ -961,6 +961,17 @@ object ExtQueries {
         "vec_id", "embedding", k = 4, dim = 64, nlist = 8, nprobe = 4,
         tau = 1.1)
     }),
+    "q_sim_bitext_2way" -> ((s, dir) => {
+      // paper-faithful Artetxe–Schwenk two-sided margin: the A→B best
+      // match scored against the AVERAGE of both sides' k-NN
+      // neighborhood means; τ=1.0 = "better than the average
+      // neighborhood" (the two-sided margin is not ≥1 by construction)
+      val e = Tables.embeddings(s, dir)
+      Similarity.bitextMineTwoSided(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, dim = 64, nlist = 8, nprobe = 4,
+        tau = 1.0)
+    }),
     "q_sim_pq_topk" -> ((s, dir) => {
       // m=4 subspaces × ksub=16 centroids, 50-candidate ADC short list,
       // exact cosine re-rank to top-5 — every parameter pinned so the
@@ -1697,7 +1708,9 @@ object ExtQueries {
        |${p}mined AS (
        |  SELECT query_id, match_id, cs2[1] AS cosine,
        |    cs2[1] / (list_reduce(list_prepend(0.0, cs2), (x, y) -> x + y)
-       |              / len(cs2)) AS margin
+       |              / len(cs2)) AS margin,
+       |    list_reduce(list_prepend(0.0, cs2), (x, y) -> x + y)
+       |      / len(cs2) AS mean_cos
        |  FROM ${p}agg)""".stripMargin
   }
 
@@ -1720,6 +1733,21 @@ object ExtQueries {
        |FROM mined f JOIN rmined r
        |  ON f.query_id = r.match_id AND f.match_id = r.query_id
        |WHERE f.margin >= 1.1 AND r.margin >= 1.1""".stripMargin
+
+  /** q_sim_bitext_2way oracle: the paper-faithful two-sided margin —
+    * the A→B chain's (match, cosine, query-side mean) joined to the
+    * reverse chain's per-y neighborhood mean on the match id, the
+    * denominator averaging both means; same association order as the
+    * Spark select. */
+  private def bitextTwoSidedOracle: String =
+    s"""WITH RECURSIVE
+       |${bitextForwardCtes("", fitParity = 1, nlist = 8, nprobe = 4, k = 4, iters = 10)},
+       |${bitextForwardCtes("r", fitParity = 0, nlist = 8, nprobe = 4, k = 4, iters = 10)}
+       |SELECT * FROM (
+       |  SELECT f.query_id, f.match_id, f.cosine,
+       |    f.cosine / ((f.mean_cos + r.mean_cos) / 2.0) AS margin
+       |  FROM mined f JOIN rmined r ON f.match_id = r.query_id) t
+       |WHERE margin >= 1.0""".stripMargin
 
   /** q_sim_pq_topk oracle: bit-exact DuckDB replay of the PQ pipeline
     * ([[graft.operators.Similarity.pqTopK]]) — one shared digest-order
@@ -2044,6 +2072,7 @@ object ExtQueries {
     "q_sim_knn_graph" -> knnGraphOracle,
     "q_sim_bitext_mine" -> bitextOracle,
     "q_sim_bitext_mutual" -> bitextMutualOracle,
+    "q_sim_bitext_2way" -> bitextTwoSidedOracle,
     "q_graph_pagerank" -> pageRankOracle,
     // full recompute over the logically-updated table — the operator's
     // semantic contract is maintenance == recompute, bit-equal because

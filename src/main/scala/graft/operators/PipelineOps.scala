@@ -740,22 +740,34 @@ object PipelineOps {
     *
     * @return df + `outCol` (1-based LONG interleave position) */
   def interleaveGroups(df: DataFrame, idCol: String, groupCol: String,
-                       seed: Long, outCol: String = "interleave_pos"): DataFrame = {
+                       seed: Long, outCol: String = "interleave_pos",
+                       maxGroups: Long = 100000L): DataFrame = {
     require(!df.columns.contains(outCol),
       s"output column '$outCol' already exists")
+    require(maxGroups >= 1 && maxGroups < Int.MaxValue,
+      s"maxGroups in [1, ${Int.MaxValue - 1}], got $maxGroups")
     val d = "__il_d"; val g = "__il_g"; val r = "__il_r"
     require(!df.columns.exists(Set(d, g, r)),
       "__il_* column names are reserved by interleaveGroups")
     val spark = df.sparkSession
     val keyed = df.withColumn(d,
       md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
-    // global rank over (group, digest, id) — one range shuffle
-    val ranked = Rank.zipWithIndexRank(keyed, groupCol, Seq(d, idCol), g)
+    // global rank over (group, digest, id) — one range shuffle;
+    // persisted: both the offsets agg and the join consume it
+    val ranked = graft.CacheScope.track(
+      Rank.zipWithIndexRank(keyed, groupCol, Seq(d, idCol), g))
     // per-group start offsets: |groups| rows, broadcast back
-    // (null-safe match — a NULL group is a group, not a dropped row)
-    val starts = ranked.groupBy(col(groupCol))
+    // (null-safe match — a NULL group is a group, not a dropped row).
+    // The broadcast is FORCED, so the group cardinality must be
+    // domain-scale — guarded loudly (an id-cardinality groupCol would
+    // otherwise OOM the driver building the broadcast)
+    val starts = graft.CacheScope.track(ranked.groupBy(col(groupCol))
       .agg(min(col(g)).as("__il_start"))
-      .withColumnRenamed(groupCol, "__il_gc")
+      .withColumnRenamed(groupCol, "__il_gc"))
+    val nGroups = starts.limit((maxGroups + 1).toInt).count()
+    require(nGroups <= maxGroups,
+      s"interleaveGroups: more than $maxGroups distinct '$groupCol' values — " +
+        "groups must be domains/sources (broadcast-bounded), not ids")
     val withR = ranked
       .join(broadcast(starts), col(groupCol) <=> col("__il_gc"))
       .withColumn(r, col(g) - col("__il_start") + 1L)

@@ -577,9 +577,10 @@ object Similarity {
     * Two deliberate deviations from the paper, documented: (1) the
     * denominator is the QUERY-side k-NN neighborhood mean only —
     * Artetxe & Schwenk average both sides' neighborhoods; the one-sided
-    * form needs no reverse-direction pass (compose [[bitextMineMutual]]
-    * when both-side evidence is wanted) and preserves the margin ≥ 1
-    * invariant the tau gate relies on. (2) That invariant assumes a
+    * form needs no reverse-direction pass and preserves the margin ≥ 1
+    * invariant the tau gate relies on ([[bitextMineTwoSided]] is the
+    * paper-faithful two-sided form, and [[bitextMineMutual]] the
+    * mutual-best acceptance). (2) That invariant assumes a
     * POSITIVE neighborhood mean cosine (true for real embedding hubs;
     * false for adversarially anti-correlated spaces) — a non-positive
     * mean raises loudly at execution rather than silently flipping the
@@ -613,8 +614,31 @@ object Similarity {
                                     dim: Int, centers: Array[Array[Double]],
                                     nprobe: Int, tau: Double,
                                     maxListSize: Long): DataFrame = {
-    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
     require(tau >= 1.0, s"margin is >= 1 by construction; tau $tau would be vacuous")
+    forwardNeighborhood(queries, corpus, idCol, vecCol, k, dim, centers,
+        nprobe, maxListSize)
+      .select(col("query_id"), col("match_id"), col("cosine"),
+        when(col("mean_cos") <= 0.0, raise_error(concat(
+            lit("bitextMineForward: non-positive neighborhood mean cosine for query "),
+            col("query_id").cast("string"),
+            lit(" — the ratio margin is undefined outside the positive-cosine regime")))
+            .cast("double"))
+          .otherwise(col("cosine") / col("mean_cos"))
+          .as("margin"))
+      .where(col("margin") >= lit(tau))
+  }
+
+  /** The shared probe → list-join → top-k → rank-ordered fold stage of
+    * the bitext miners: per query, its best corpus match plus its k-NN
+    * neighborhood mean cosine — `(query_id, match_id, cosine,
+    * mean_cos)`. The one-sided margin divides by `mean_cos` directly
+    * ([[bitextMineForward]]); the two-sided margin averages both
+    * sides' means ([[bitextMineTwoSided]]). */
+  private def forwardNeighborhood(queries: DataFrame, corpus: DataFrame,
+                                  idCol: String, vecCol: String, k: Int,
+                                  dim: Int, centers: Array[Array[Double]],
+                                  nprobe: Int, maxListSize: Long): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val np = math.min(nprobe, centers.length)
@@ -640,24 +664,13 @@ object Similarity {
     val meanCos = aggregate(
       transform(col("__nn"), x => x.getField("cosine")),
       lit(0.0), (a, v) => a + v) / size(col("__nn")).cast("double")
-    // margin ≥ 1 (and the require(tau ≥ 1) gate) only holds when the
-    // neighborhood mean cosine is POSITIVE — with a non-positive mean
-    // the ratio flips sign or explodes and the tau filter would accept
-    // garbage, so that regime raises loudly instead of filtering
     topk.groupBy(col("query_id"))
       .agg(sort_array(collect_list(
         struct(col("rank"), col("neighbor_id"), col("cosine")))).as("__nn"))
       .select(col("query_id"),
         col("__nn").getItem(0).getField("neighbor_id").as("match_id"),
         col("__nn").getItem(0).getField("cosine").as("cosine"),
-        when(meanCos <= 0.0, raise_error(concat(
-            lit("bitextMineForward: non-positive neighborhood mean cosine for query "),
-            col("query_id").cast("string"),
-            lit(" — the ratio margin is undefined outside the positive-cosine regime")))
-            .cast("double"))
-          .otherwise(col("__nn").getItem(0).getField("cosine") / meanCos)
-          .as("margin"))
-      .where(col("margin") >= lit(tau))
+        meanCos.as("mean_cos"))
   }
 
   /** MUTUAL bitext mining — the CCMatrix-grade acceptance on top of
@@ -704,6 +717,67 @@ object Similarity {
     fwd.join(rev, Seq("a_id", "b_id"))
       .select(col("a_id"), col("b_id"), col("cosine"),
         col("margin_ab"), col("margin_ba"))
+  }
+
+  /** TWO-SIDED margin bitext mining — the PAPER-FAITHFUL Artetxe &
+    * Schwenk (2019) ratio, closing [[bitextMineForward]]'s documented
+    * one-sided deviation: `margin(x, y) = cos(x, y) /
+    * ((mean NN_k(x) + mean NN_k(y)) / 2)` — the denominator averages
+    * BOTH sides' k-NN neighborhood means, so a hub y (dense
+    * neighborhood in A, high mean) is penalized even when it stands
+    * out from x's neighborhood. Unlike the one-sided form, the
+    * two-sided margin is NOT ≥ 1 by construction (y's neighborhood can
+    * be tighter than cos(x, y)), so `tau` is only required positive
+    * and 1.0 is the natural "better than the average neighborhood"
+    * cut.
+    *
+    * Composition: the shared [[forwardNeighborhood]] stage run in both
+    * directions — A→B keeps (best match, cosine, mean_q); B→A is used
+    * ONLY for its per-y neighborhood mean — joined on the match id.
+    * Same both-sides-distributed scale shape as [[bitextMineMutual]]
+    * (two list-keyed equi-joins + one id join of one-row-per-query
+    * frames); with pre-fitted handles both driver fits amortize away.
+    * A non-positive averaged denominator raises loudly, like the
+    * one-sided guard.
+    *
+    * @return (query_id, match_id, cosine, margin) for A-side queries
+    *         whose best B-side match clears `tau` */
+  def bitextMineTwoSided(a: DataFrame, b: DataFrame,
+                         idCol: String, vecCol: String, k: Int, dim: Int,
+                         nlist: Int = 0, nprobe: Int = 4, tau: Double = 1.0,
+                         seed: Long = 9, maxListSize: Long = 100000L): DataFrame =
+    bitextMineTwoSidedWith(a, b, idCol, vecCol, k,
+      fitIvfCodebook(b, idCol, vecCol, dim, nlist, seed),
+      fitIvfCodebook(a, idCol, vecCol, dim, nlist, seed),
+      nprobe, tau, maxListSize)
+
+  /** [[bitextMineTwoSided]] against pre-fitted handles (`codebookOnB`
+    * routes A→B, `codebookOnA` the reverse neighborhoods). */
+  def bitextMineTwoSidedWith(a: DataFrame, b: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             codebookOnB: Codebook, codebookOnA: Codebook,
+                             nprobe: Int = 4, tau: Double = 1.0,
+                             maxListSize: Long = 100000L): DataFrame = {
+    require(tau > 0.0, s"tau must be positive, got $tau")
+    val fwd = forwardNeighborhood(a, b, idCol, vecCol, k, codebookOnB.dim,
+      codebookOnB.centers, nprobe, maxListSize)
+    val rev = forwardNeighborhood(b, a, idCol, vecCol, k, codebookOnA.dim,
+        codebookOnA.centers, nprobe, maxListSize)
+      .select(col("query_id").as("__y"), col("mean_cos").as("__mean_c"))
+    // inner join: a B-side doc with NO A-side candidates has no
+    // neighborhood mean — the paper's margin is undefined there, and
+    // such a y can't be anyone's well-attested match anyway
+    fwd.join(rev, col("match_id") === col("__y"))
+      .select(col("query_id"), col("match_id"), col("cosine"),
+        when((col("mean_cos") + col("__mean_c")) / 2.0 <= 0.0,
+          raise_error(concat(
+            lit("bitextMineTwoSided: non-positive averaged neighborhood mean for query "),
+            col("query_id").cast("string"),
+            lit(" — the ratio margin is undefined outside the positive-cosine regime")))
+            .cast("double"))
+          .otherwise(col("cosine") / ((col("mean_cos") + col("__mean_c")) / 2.0))
+          .as("margin"))
+      .where(col("margin") >= lit(tau))
   }
 
   /** Product-quantization (PQ) approximate top-k — the

@@ -829,6 +829,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cbC.nlist == 6 && cbC.dim == 16)
   }
 
+  test("bitextMineTwoSided: margin equals the paper's two-sided fold at full probes") {
+    val all = knnFixture(120)
+    val a = all.where(col("vec_id") % 2 === 0)
+    val b = all.where(col("vec_id") % 2 === 1)
+    // tau tiny: keep every pair so the values themselves are checked
+    val mined = Similarity.bitextMineTwoSided(a, b, "vec_id", "embedding",
+        k = 4, dim = 16, nlist = 6, nprobe = 6, tau = 1e-9)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // nprobe = nlist -> both neighborhoods are exact brute-force top-k
+    def nn(qs: org.apache.spark.sql.DataFrame, cs: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(cs, qs, "vec_id", "embedding", k = 4)
+        .as[(Long, Long, Double, Int)].collect()
+        .groupBy(_._1).view.mapValues { rows =>
+          val byRank = rows.sortBy(_._4)
+          (byRank.head._2, byRank.head._3,
+            byRank.map(_._3).foldLeft(0.0)(_ + _) / byRank.length)
+        }.toMap
+    val fwd = nn(a, b); val rev = nn(b, a)
+    assert(mined.nonEmpty)
+    mined.foreach { case (qid, got) =>
+      val (bestY, cos, meanQ) = fwd(qid)
+      val meanC = rev(bestY)._3
+      assert(got._2 == bestY && got._3 == cos, s"match mismatch at $qid")
+      assert(got._4 == cos / ((meanQ + meanC) / 2.0),
+        s"two-sided margin mismatch at $qid")
+    }
+    // NOT >= 1 by construction — exactly why tau is only required
+    // positive: when the match's OWN neighborhood is tighter than the
+    // cross cosine, the averaged denominator exceeds it. Constructed
+    // case: y ≈ x2 (cos ≈ 0.995) while the query x only reaches y at
+    // cos ≈ 0.0995 → margin ≈ 0.31
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val v = Array.fill(16)(0.0f); parts.foreach { case (i, x) => v(i) = x }; v
+    }
+    val qa = Seq((1L, vec(0 -> 1.0f)), (2L, vec(1 -> 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Seq((100L, vec(1 -> 1.0f, 0 -> 0.1f))).toDF("vec_id", "embedding")
+    val micro = Similarity.bitextMineTwoSided(qa, cb, "vec_id", "embedding",
+        k = 4, dim = 16, nlist = 2, nprobe = 2, tau = 1e-9)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(micro(1L) < 1.0,
+      s"x's margin must drop below 1 against y's tight own-neighborhood: $micro")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bitextMineTwoSided(a, b, "vec_id", "embedding",
+        k = 2, dim = 16, tau = 0.0)
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
   test("bitextMineForward raises loudly on a non-positive neighborhood mean cosine") {
     // queries orthogonal-to-anti-correlated with the corpus: neighborhood
     // mean ≤ 0, where the ratio margin flips sign — must raise, not filter

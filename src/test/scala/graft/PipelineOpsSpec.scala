@@ -509,6 +509,12 @@ class PipelineOpsSpec extends SparkSpec {
       val n = PipelineOps.interleaveGroups(withNull.repartition(p), "id", "g", 3L)
       assert(n.count() == 7L, s"parts=$p: null-group row must survive")
     }
+    // the broadcast-bounded contract is guarded loudly: an
+    // id-cardinality group column raises instead of OOMing the driver
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineOps.interleaveGroups(d, "id", "g", 3L, maxGroups = 2L)
+    }
+    assert(e2.getMessage.contains("distinct"))
   }
 
   // ── shard packing ────────────────────────────────────────────────

@@ -314,6 +314,74 @@ class PropertySpec extends SparkSpec {
       assert(byV(vs.min).head == 0L, "smallest value lands in bucket 0")
     }
   }
+
+  test("shuffleOrder: a permutation of 1..n on random id sets (any partitioning)") {
+    val gen = Gen.zip(Gen.nonEmptyListOf(Gen.chooseNum(1L, 1000L)),
+      Gen.chooseNum(1L, 99999L))
+    forAll(gen, n = 6) { case (rawIds, seed) =>
+      import graft.operators.PipelineOps
+      val ids = rawIds.distinct
+      val out = PipelineOps.shuffleOrder(
+          ids.toDF("id").repartition(3), "id", seed)
+        .as[(Long, Long)].collect()
+      assert(out.length == ids.length)
+      assert(out.map(_._2).sorted.toSeq == (1L to ids.length).toSeq,
+        "positions must be exactly 1..n")
+      assert(out.map(_._1).toSet == ids.toSet, "ids preserved")
+    }
+  }
+
+  test("selectByBudget: monotone in budget (supersets), never over budget, selection is the score-order prefix") {
+    val gen = Gen.listOfN(15,
+      Gen.zip(Gen.chooseNum(1L, 500L), Gen.chooseNum(0L, 40L), Gen.chooseNum(-9.0, 9.0)))
+    forAll(gen, n = 6) { raw =>
+      import graft.operators.PipelineOps
+      val rows = raw.groupBy(_._1).map(_._2.head).toSeq // unique ids
+      val df = rows.toDF("id", "w", "s")
+      def pick(budget: Long): Map[Long, Long] =
+        PipelineOps.selectByBudget(df, "id", "w", "s", budget)
+          .select("id", "cum_weight").as[(Long, Long)].collect().toMap
+      val small = pick(40L); val big = pick(120L)
+      assert(small.keySet.subsetOf(big.keySet), "budget ↑ must only add rows")
+      assert(small.values.forall(_ <= 40L) && big.values.forall(_ <= 120L),
+        "cum_weight must never exceed the budget")
+      // driver replay: inclusive running sum over (s desc, id asc),
+      // keep while <= budget — cum keeps growing past cut rows (strict
+      // prefix, no back-fill)
+      var cum = 0L
+      val strict = scala.collection.mutable.Map.empty[Long, Long]
+      rows.sortBy(t => (-t._3, t._1)).foreach { t =>
+        cum += t._2; if (cum <= 120L) strict(t._1) = cum
+      }
+      assert(big == strict.toMap, "must equal the driver prefix replay")
+    }
+  }
+
+  test("interleaveGroups: every contiguous prefix is domain-balanced within one round") {
+    val gen = Gen.listOfN(18, Gen.zip(Gen.chooseNum(1L, 500L), Gen.oneOf("x", "y", "z")))
+    forAll(gen, n = 6) { raw =>
+      import graft.operators.PipelineOps
+      val rows = raw.groupBy(_._1).map(_._2.head).toSeq
+      val out = PipelineOps.interleaveGroups(rows.toDF("id", "g"), "id", "g", 11L)
+        .select("g", "interleave_pos").as[(String, Long)].collect()
+        .sortBy(_._2).map(_._1)
+      assert(out.length == rows.length)
+      // round-robin law: counts of any two groups within a prefix can
+      // differ by at most 1 round — formally, group counts in the
+      // prefix ending at position p differ by ≤1 while both groups
+      // still have members remaining
+      val totals = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val seen = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      out.zipWithIndex.foreach { case (g, i) =>
+        seen(g) += 1
+        for (a <- totals.keys; b <- totals.keys
+             if seen(a) < totals(a) && seen(b) < totals(b)) {
+          assert(math.abs(seen(a) - seen(b)) <= 1,
+            s"prefix $i unbalanced: $seen of $totals")
+        }
+      }
+    }
+  }
 }
 
 
