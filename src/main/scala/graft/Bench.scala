@@ -323,7 +323,7 @@ object Bench {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
       val recSf = root.path("sf").asText("")
       if (sfDir.nonEmpty && recSf.nonEmpty
-          && stripSlash(recSf) != stripSlash(sfDir)) return Map.empty
+          && recSf.stripSuffix("/") != sfDir.stripSuffix("/")) return Map.empty
       val qs = root.path("queries")
       val it = qs.fields()
       val out = scala.collection.mutable.Map.empty[String, Double]
@@ -335,8 +335,6 @@ object Bench {
       out.toMap
     } catch { case _: Throwable => Map.empty }
 
-  private def stripSlash(s: String): String =
-    if (s.endsWith("/")) s.dropRight(1) else s
 
   private def fmt(d: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, d)

@@ -679,6 +679,12 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("lang")),
         "doc_id", seed = 20260816L)
     }),
+    "q_domain_diversity" -> ((s, dir) => {
+      // mixture-balance diagnostic: exact Simpson diversity of the
+      // source mix — ln-free (vs Shannon), so the score is exact
+      // integer arithmetic to one trailing division
+      PipelineOps.categoricalDiversity(Tables.documents(s, dir), "source")
+    }),
     "q_select_budget" -> ((s, dir) => {
       // data selection under an exact char budget: longest-first
       // (score = weight = n_chars) until 60k chars — the strict-prefix
@@ -2200,10 +2206,16 @@ object ExtQueries {
         |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id""".stripMargin,
     // per-window TV vs the global reference; the missing-mass term
     // (nb − Σ present cb)·na closes the category union without an
-    // outer join, replayed textually — exact HUGEINTs to one division
+    // outer join, replayed textually — exact HUGEINTs to one division.
+    // FLOOR bucketing via the positive-mod spelling: DuckDB's integer
+    // `//` TRUNCATES toward zero (verified: (-1)::BIGINT // 100 = 0),
+    // so `tu − ((tu % w) + w) % w` is the exact-integer mirror of the
+    // Spark side's `ts − pmod(ts, w)` for either sign
     "q_drift_tv_windowed" ->
-      s"""WITH e AS (SELECT (epoch_us(ts) // $DAY_US) * $DAY_US AS w,
-        |             event_type AS c FROM events WHERE ts IS NOT NULL),
+      s"""WITH e0 AS (SELECT epoch_us(ts) AS tu, event_type AS c
+        |            FROM events WHERE ts IS NOT NULL),
+        |e AS (SELECT tu - ((tu % $DAY_US) + $DAY_US) % $DAY_US AS w, c
+        |      FROM e0),
         |ref AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cb FROM e GROUP BY c),
         |rt AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM ref),
         |wc AS (SELECT w, c, CAST(COUNT(*) AS BIGINT) AS ca FROM e GROUP BY w, c),
@@ -2262,6 +2274,17 @@ object ExtQueries {
         |    ORDER BY md5('20260816:' || CAST(doc_id AS VARCHAR)), doc_id)
         |    AS BIGINT) AS shuffle_pos
         |FROM documents""".stripMargin,
+    // HUGEINT mirrors DECIMAL(38,0) term-for-term; ONE double division
+    "q_domain_diversity" ->
+      """WITH c AS (SELECT source AS cat, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, COUNT(*) AS ncat,
+        |        CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS ss
+        |      FROM c)
+        |SELECT tot AS n_rows, ncat AS n_categories,
+        |  CAST(CAST(tot AS HUGEINT) * tot - ss AS DOUBLE)
+        |    / CAST(CAST(tot AS HUGEINT) * tot AS DOUBLE) AS simpson_diversity
+        |FROM t""".stripMargin,
     // the strict-prefix budget cut: inclusive running sum over the
     // (score DESC, id) order, kept while <= budget — the oracle can
     // afford the global window the Spark side's prefix sum avoids

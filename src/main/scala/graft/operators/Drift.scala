@@ -169,9 +169,11 @@ object Drift {
       // exact integer FLOOR bucketing — `/` on longs is DOUBLE division
       // in Spark (mis-buckets boundary events at epoch-µs magnitudes)
       // and `div` truncates toward zero, which would put pre-1970
-      // (negative-µs) events one window later than both the DuckDB
-      // oracle's flooring `//` and the streaming twin's window():
-      // ts − pmod(ts, w) = floor(ts/w)·w exactly, for either sign
+      // (negative-µs) events one window later than the streaming
+      // twin's window() (which floors): ts − pmod(ts, w) = floor(ts/w)·w
+      // exactly, for either sign. The DuckDB oracle mirrors this with
+      // the positive-mod spelling — its integer `//` TRUNCATES toward
+      // zero too, so neither engine's native division is usable
       .select(expr(s"CAST(`$tsUsCol` AS BIGINT) - pmod(CAST(`$tsUsCol` AS BIGINT), ${windowUs}L)")
           .as("window_start"),
         col(catCol).cast("string").as("c"))

@@ -30,6 +30,29 @@ object PipelineOps {
     conv(substring(md5(
       concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10).cast("long")
 
+  /** The engine-replayable seeded order digest `md5("<seed>:<id>")` —
+    * the ONE spelling [[shuffleOrder]] and [[interleaveGroups]] (and
+    * their DuckDB oracles, which hardcode `md5('<seed>:' || id)`)
+    * must agree on; factored so the replay contract can't drift
+    * between the two operators. */
+  private def seededDigest(idCol: String, seed: Long): Column =
+    md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+
+  /** EXCLUSIVE per-partition prefix offsets of the LONG column at
+    * `wIdx` over an already range-partitioned-and-sorted frame — the
+    * distributed-prefix-sum core shared by [[shardPack]] and
+    * [[selectByBudget]]: one (index, subtotal) pair per partition
+    * crosses the driver, nothing else; offsets come back broadcast.
+    * The input MUST be the persisted sorted frame both passes read
+    * (the caching invariant documented at [[shardPack]]). */
+  private def partitionOffsets(sorted: DataFrame, wIdx: Int)
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    sorted.sparkSession.sparkContext.broadcast(partTotals.scanLeft(0L)(_ + _))
+  }
+
   // ── repetition signals ─────────────────────────────────────────────
 
   /** Per-document word-repetition profile:
@@ -426,11 +449,7 @@ object PipelineOps {
         .repartitionByRange(parts, col(k), col(idCol))
         .sortWithinPartitions(col(k), col(idCol)))
     val wIdx = sorted.schema.fieldIndex(w)
-    val partTotals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((i, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _) // weight before partition i
-    val bOff = spark.sparkContext.broadcast(offsets)
+    val bOff = partitionOffsets(sorted, wIdx) // weight before partition i
     val packed = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
       var before = bOff.value(i)
       it.map { r =>
@@ -646,8 +665,7 @@ object PipelineOps {
       s"output column '$outCol' already exists")
     val k = "__shuffle_k"
     require(!df.columns.contains(k), s"'$k' is reserved by shuffleOrder")
-    val keyed = df.withColumn(k,
-      md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
+    val keyed = df.withColumn(k, seededDigest(idCol, seed))
     Rank.zipWithIndexRank(keyed, k, Seq(idCol), outCol).drop(k)
   }
 
@@ -693,11 +711,7 @@ object PipelineOps {
         .repartitionByRange(parts, col(scoreCol).desc, col(idCol).asc)
         .sortWithinPartitions(col(scoreCol).desc, col(idCol).asc))
     val wIdx = sorted.schema.fieldIndex(w)
-    val partTotals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((i, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _)
-    val bOff = spark.sparkContext.broadcast(offsets)
+    val bOff = partitionOffsets(sorted, wIdx)
     val cut = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
       var cum = bOff.value(i)
       it.flatMap { r =>
@@ -712,6 +726,46 @@ object PipelineOps {
           org.apache.spark.sql.types.StructField("cum_weight",
             org.apache.spark.sql.types.LongType, nullable = false)))
       .drop(w)
+  }
+
+  // ── exact categorical diversity (mixture-balance diagnostic) ───────
+
+  /** Exact SIMPSON diversity of a categorical column — the one-row
+    * mixture-balance diagnostic for a domain/language/cluster mix:
+    * `D = 1 − Σ_c n_c² / n²`, the probability two random rows come
+    * from DIFFERENT categories (0 = monoculture, →1 = evenly spread).
+    * Simpson rather than Shannon entropy BY DESIGN — the same ln-free
+    * principle as [[corpusKeyness]]'s χ² and [[graft.operators.Drift]]'s
+    * TV: every intermediate is exact integer arithmetic (n² − Σn_c² in
+    * DECIMAL(38,0), room for 10^12-row corpora), ONE trailing double
+    * division, bit-identical cross-engine where ln(p) has no such
+    * guarantee. NULL is a category like any other; an empty frame
+    * raises loudly (a diversity of nothing is a pipeline bug).
+    *
+    * Scale shape, [[graft.operators.Drift.tvDistance]]'s: ONE
+    * map-side-combinable category shuffle → |categories|-row frame →
+    * 1-row global reduce. Nothing corpus-sized survives the first
+    * aggregate; nothing collects.
+    *
+    * @return ONE row: (n_rows, n_categories, simpson_diversity) */
+  def categoricalDiversity(df: DataFrame, catCol: String): DataFrame = {
+    val counts = df.select(col(catCol).cast("string").as("c"))
+      .groupBy("c").agg(count(lit(1)).as("__n"))
+    counts
+      .agg(coalesce(sum("__n"), lit(0L)).as("__tot"),
+        count(lit(1)).as("__ncat"),
+        coalesce(sum(col("__n").cast("decimal(38,0)") * col("__n")),
+          lit(0).cast("decimal(38,0)")).as("__ss"))
+      .select(
+        when(col("__tot") === 0L,
+          raise_error(lit("categoricalDiversity: empty input — no mix to measure"))
+            .cast("long"))
+          .otherwise(col("__tot")).as("n_rows"),
+        col("__ncat").as("n_categories"),
+        ((col("__tot").cast("decimal(38,0)") * col("__tot") - col("__ss"))
+            .cast("double")
+          / (col("__tot").cast("decimal(38,0)") * col("__tot")).cast("double"))
+          .as("simpson_diversity"))
   }
 
   // ── deterministic group interleave (epoch domain mixing) ───────────
@@ -750,8 +804,7 @@ object PipelineOps {
     require(!df.columns.exists(Set(d, g, r)),
       "__il_* column names are reserved by interleaveGroups")
     val spark = df.sparkSession
-    val keyed = df.withColumn(d,
-      md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
+    val keyed = df.withColumn(d, seededDigest(idCol, seed))
     // global rank over (group, digest, id) — one range shuffle;
     // persisted: both the offsets agg and the join consume it
     val ranked = graft.CacheScope.track(

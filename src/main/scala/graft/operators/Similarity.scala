@@ -507,6 +507,7 @@ object Similarity {
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                k: Int, dim: Int, nlist: Int = 0, nprobe: Int = 4,
                seed: Long = 9, maxListSize: Long = 100000L): DataFrame = {
+    require(k > 0 && nprobe > 0, s"k and nprobe must be positive")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     knnGraphImpl(corpus, idCol, vecCol, k, dim, fitCodebook(c, nlist, seed),
       nprobe, maxListSize)
@@ -593,6 +594,9 @@ object Similarity {
                         idCol: String, vecCol: String, k: Int, dim: Int,
                         nlist: Int = 0, nprobe: Int = 4, tau: Double = 1.0,
                         seed: Long = 9, maxListSize: Long = 100000L): DataFrame = {
+    // cheap argument rejects BEFORE the multi-second driver fit
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    require(tau >= 1.0, s"margin is >= 1 by construction; tau $tau would be vacuous")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     bitextMineForwardImpl(queries, corpus, idCol, vecCol, k, dim,
       fitCodebook(c, nlist, seed), nprobe, tau, maxListSize)
@@ -691,11 +695,15 @@ object Similarity {
   def bitextMineMutual(a: DataFrame, b: DataFrame,
                        idCol: String, vecCol: String, k: Int, dim: Int,
                        nlist: Int = 0, nprobe: Int = 4, tau: Double = 1.0,
-                       seed: Long = 9, maxListSize: Long = 100000L): DataFrame =
+                       seed: Long = 9, maxListSize: Long = 100000L): DataFrame = {
+    // cheap argument rejects BEFORE the two driver fits
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    require(tau >= 1.0, s"margin is >= 1 by construction; tau $tau would be vacuous")
     bitextMineMutualWith(a, b, idCol, vecCol, k,
       fitIvfCodebook(b, idCol, vecCol, dim, nlist, seed),
       fitIvfCodebook(a, idCol, vecCol, dim, nlist, seed),
       nprobe, tau, maxListSize)
+  }
 
   /** [[bitextMineMutual]] against pre-fitted handles: `codebookOnB`
     * routes the A→B pass (fit on corpus B), `codebookOnA` the B→A pass
@@ -745,11 +753,15 @@ object Similarity {
   def bitextMineTwoSided(a: DataFrame, b: DataFrame,
                          idCol: String, vecCol: String, k: Int, dim: Int,
                          nlist: Int = 0, nprobe: Int = 4, tau: Double = 1.0,
-                         seed: Long = 9, maxListSize: Long = 100000L): DataFrame =
+                         seed: Long = 9, maxListSize: Long = 100000L): DataFrame = {
+    // cheap argument rejects BEFORE the two driver fits
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    require(tau > 0.0, s"tau must be positive, got $tau")
     bitextMineTwoSidedWith(a, b, idCol, vecCol, k,
       fitIvfCodebook(b, idCol, vecCol, dim, nlist, seed),
       fitIvfCodebook(a, idCol, vecCol, dim, nlist, seed),
       nprobe, tau, maxListSize)
+  }
 
   /** [[bitextMineTwoSided]] against pre-fitted handles (`codebookOnB`
     * routes A→B, `codebookOnA` the reverse neighborhoods). */
@@ -995,6 +1007,7 @@ object Similarity {
                 nlist: Int = 0, nprobe: Int = 4,
                 m: Int = 4, ksub: Int = 16, candidates: Int = 50,
                 seed: Long = 9): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val cFit = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val sample = collectFitSample(cFit, seed)
     ivfPqTopKImpl(corpus, queries, idCol, vecCol, k, dim,

@@ -83,8 +83,6 @@ class AnomalySpec extends SparkSpec {
       Anomaly.rollingZScores(rows.toDF("k", "ts", "id", "x"),
         "k", "ts", "id", "x", windowN = 2).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("exactness bound")), msgs(e).mkString("|"))
+    assert(causeMessages(e).exists(_.contains("exactness bound")), causeMessages(e).mkString("|"))
   }
 }

@@ -890,9 +890,7 @@ class DedupSimilaritySpec extends SparkSpec {
       Similarity.bitextMineForward(q, c, "vec_id", "embedding",
         k = 2, dim = 16, nlist = 2, nprobe = 2, tau = 1.0).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("non-positive neighborhood mean")),
-      msgs(e).mkString("|"))
+    assert(causeMessages(e).exists(_.contains("non-positive neighborhood mean")),
+      causeMessages(e).mkString("|"))
   }
 }

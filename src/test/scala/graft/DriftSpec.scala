@@ -82,9 +82,7 @@ class DriftSpec extends SparkSpec {
       Drift.tvDistance(Seq("a").toDF("c"),
         Seq.empty[String].toDF("c"), "c").collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("side is empty")), msgs(e).mkString("|"))
+    assert(causeMessages(e).exists(_.contains("side is empty")), causeMessages(e).mkString("|"))
   }
 
   test("windowedTvDrift: hand-computed per-window TV incl. the missing-mass term") {
@@ -125,9 +123,7 @@ class DriftSpec extends SparkSpec {
       Drift.tvDistance(Seq.empty[String].toDF("c"),
         Seq.empty[String].toDF("c"), "c").collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("side is empty")), msgs(e).mkString("|"))
+    assert(causeMessages(e).exists(_.contains("side is empty")), causeMessages(e).mkString("|"))
   }
 
   test("windowedTvDrift: NULL is a category — null-safe reference match (no double term)") {
@@ -161,9 +157,7 @@ class DriftSpec extends SparkSpec {
     val e = intercept[Exception] {
       Drift.windowedTvDrift(events, "ts", "cat", 100L, ref).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("reference distribution is empty")),
-      msgs(e).mkString("|"))
+    assert(causeMessages(e).exists(_.contains("reference distribution is empty")),
+      causeMessages(e).mkString("|"))
   }
 }

@@ -60,9 +60,7 @@ class IncrementalAggSpec extends SparkSpec {
     val e = intercept[Exception] {
       maintain(Seq(("a", 10L)), Seq(("a", 10L, "D"), ("a", 10L, "D")))
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("corrupt changelog")), msgs(e).mkString("|"))
+    assert(causeMessages(e).exists(_.contains("corrupt changelog")), causeMessages(e).mkString("|"))
     // exact zero remains a legitimate group death, not an error
     assert(maintain(Seq(("a", 10L)), Seq(("a", 10L, "D"))) == Map.empty)
   }

@@ -240,9 +240,7 @@ class PipelineOpsSpec extends SparkSpec {
     val e = intercept[Exception] {
       PipelineOps.snapshotDiff(dup, clean, "id", "text").collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("duplicate id")), msgs(e).mkString("|"))
+    assert(causeMessages(e).exists(_.contains("duplicate id")), causeMessages(e).mkString("|"))
   }
 
   test("snapshotDiff plan: digest aggregates feed the full-outer id join") {
@@ -476,9 +474,7 @@ class PipelineOpsSpec extends SparkSpec {
       PipelineOps.selectByBudget(Seq((1L, -5L, 1.0)).toDF("id", "w", "score"),
         "id", "w", "score", 100L).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("negative")), msgs(e).mkString("|"))
+    assert(causeMessages(e).exists(_.contains("negative")), causeMessages(e).mkString("|"))
   }
 
   test("interleaveGroups: round-robin across groups, seeded within-group order, null group kept") {
@@ -515,6 +511,25 @@ class PipelineOpsSpec extends SparkSpec {
       PipelineOps.interleaveGroups(d, "id", "g", 3L, maxGroups = 2L)
     }
     assert(e2.getMessage.contains("distinct"))
+  }
+
+  test("categoricalDiversity: hand-computed Simpson, null is a category, monoculture reads 0, empty raises") {
+    // mix a,a,b,c: 1 - (4+1+1)/16 = 10/16 = 0.625
+    val out = PipelineOps.categoricalDiversity(
+        Seq("a", "a", "b", "c").toDF("c"), "c")
+      .as[(Long, Long, Double)].head()
+    assert(out == ((4L, 3L, 0.625)))
+    // null counts as a category: a,null -> 1 - 2/4 = 0.5
+    val withNull = PipelineOps.categoricalDiversity(
+        Seq(Some("a"), None).map(_.orNull).toDF("c"), "c")
+      .as[(Long, Long, Double)].head()
+    assert(withNull == ((2L, 2L, 0.5)))
+    assert(PipelineOps.categoricalDiversity(Seq("x", "x", "x").toDF("c"), "c")
+      .as[(Long, Long, Double)].head() == ((3L, 1L, 0.0)))
+    val e = intercept[Exception] {
+      PipelineOps.categoricalDiversity(Seq.empty[String].toDF("c"), "c").collect()
+    }
+    assert(causeMessages(e).exists(_.contains("empty input")), causeMessages(e).mkString("|"))
   }
 
   // ── shard packing ────────────────────────────────────────────────

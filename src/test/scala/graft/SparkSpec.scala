@@ -6,6 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for specs (one per suite, lazy). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Every message down a throwable's cause chain — Spark wraps
+    * raise_error output in several layers, so loud-failure specs
+    * search the whole chain. */
+  def causeMessages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ causeMessages(x.getCause))
 }
 
 object SparkSpec {
