@@ -227,7 +227,11 @@ object MicroBench {
       "q_sim_knn_graph", "q_graph_pagerank",
       // round-13 multi-second newcomers: the double-fit mutual bitext
       // miner and the distinct-value-rank quantile binning
-      "q_sim_bitext_mutual", "q_quantile_buckets")
+      "q_sim_bitext_mutual", "q_quantile_buckets",
+      // round-14: the two-direction two-sided margin miner — the same
+      // double-fit shape as mutual (1.68 s median at sf0.1), next in
+      // line to disperse under load
+      "q_sim_bitext_2way")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
     tail.foreach(measureQuery(spark, dir, _, 5))
   }
