@@ -685,6 +685,14 @@ object ExtQueries {
       // integer arithmetic to one trailing division
       PipelineOps.categoricalDiversity(Tables.documents(s, dir), "source")
     }),
+    "q_diversity_windowed" -> ((s, dir) => {
+      // the monoculture-alarm dashboard series: each day's event-type
+      // Simpson diversity — same shared (window, category) count
+      // stage as q_drift_tv_windowed, same exact per-window reduce
+      val e = Tables.eventsRawNanos(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+      PipelineOps.windowedDiversity(e, "ts_us", "event_type", DAY_US)
+    }),
     "q_select_budget" -> ((s, dir) => {
       // data selection under an exact char budget: longest-first
       // (score = weight = n_chars) until 60k chars — the strict-prefix
@@ -2285,6 +2293,22 @@ object ExtQueries {
         |  CAST(CAST(tot AS HUGEINT) * tot - ss AS DOUBLE)
         |    / CAST(CAST(tot AS HUGEINT) * tot AS DOUBLE) AS simpson_diversity
         |FROM t""".stripMargin,
+    // same floor-bucketed window counts as q_drift_tv_windowed, same
+    // HUGEINT Simpson terms as q_domain_diversity, per window
+    "q_diversity_windowed" ->
+      s"""WITH e0 AS (SELECT epoch_us(ts) AS tu, event_type AS c
+        |            FROM events WHERE ts IS NOT NULL),
+        |e AS (SELECT tu - ((tu % $DAY_US) + $DAY_US) % $DAY_US AS w, c
+        |      FROM e0),
+        |wc AS (SELECT w, c, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM e GROUP BY w, c)
+        |SELECT w AS window_start, CAST(SUM(n) AS BIGINT) AS n_events,
+        |  COUNT(*) AS n_categories,
+        |  CAST(CAST(SUM(n) AS HUGEINT) * SUM(n)
+        |         - SUM(CAST(n AS HUGEINT) * n) AS DOUBLE)
+        |    / CAST(CAST(SUM(n) AS HUGEINT) * SUM(n) AS DOUBLE)
+        |    AS simpson_diversity
+        |FROM wc GROUP BY w""".stripMargin,
     // the strict-prefix budget cut: inclusive running sum over the
     // (score DESC, id) order, kept while <= budget — the oracle can
     // afford the global window the Spark side's prefix sum avoids

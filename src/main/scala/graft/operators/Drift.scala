@@ -160,9 +160,21 @@ object Drift {
   def windowedTvDrift(events: DataFrame, tsUsCol: String, catCol: String,
                       windowUs: Long, reference: DataFrame,
                       refCatCol: String = "category",
-                      refNCol: String = "n"): DataFrame = {
+                      refNCol: String = "n"): DataFrame =
+    tvCollapse(windowCategoryCounts(events, tsUsCol, catCol, windowUs),
+      reference, refCatCol, refNCol)
+
+  /** The `(window_start, c, ca)` tumbling-window category count stage
+    * shared by [[windowedTvDrift]] and
+    * [[PipelineOps.windowedDiversity]] — the batch twin of
+    * [[graft.streaming.StreamingDemo.tvDriftWindowCounts]]'s output
+    * table, so every windowed categorical monitor collapses from the
+    * identical frame. */
+  private[graft] def windowCategoryCounts(events: DataFrame, tsUsCol: String,
+                                          catCol: String,
+                                          windowUs: Long): DataFrame = {
     require(windowUs > 0, s"windowUs must be positive, got $windowUs")
-    val winCounts = events
+    events
       // null event time -> no window (matches the streaming twin's
       // filter; without it null-ts rows pool into a null-keyed window)
       .where(col(tsUsCol).isNotNull)
@@ -178,7 +190,6 @@ object Drift {
           .as("window_start"),
         col(catCol).cast("string").as("c"))
       .groupBy("window_start", "c").agg(count(lit(1)).as("ca"))
-    tvCollapse(winCounts, reference, refCatCol, refNCol)
   }
 
   /** The per-window TV reduce over a pre-aggregated

@@ -768,6 +768,48 @@ object PipelineOps {
           .as("simpson_diversity"))
   }
 
+  /** [[categoricalDiversity]]'s time-series deployment shape — the
+    * per-window Simpson diversity of the category mix, the dashboard
+    * series that alarms on a window collapsing into a monoculture
+    * (one crawl host flooding an hour, one event type drowning a day).
+    * Same exact arithmetic per window: integer n² − Σn_c² to one
+    * trailing division. Windows only exist where events do, so n ≥ 1
+    * per output row — no empty-side regime.
+    *
+    * Scale shape and STREAMING story are [[graft.operators.Drift.windowedTvDrift]]'s,
+    * by construction: the first stage IS the shared
+    * `(window_start, c, ca)` window count frame
+    * (Drift.windowCategoryCounts == the batch twin of
+    * [[graft.streaming.StreamingDemo.tvDriftWindowCounts]]), so the
+    * streamed count table collapses through [[diversityCollapse]] to
+    * the identical series (spec-pinned) — one watermarked streaming
+    * stage feeds BOTH windowed monitors.
+    *
+    * @return (window_start, n_events, n_categories, simpson_diversity)
+    *         per non-empty window */
+  def windowedDiversity(events: DataFrame, tsUsCol: String, catCol: String,
+                        windowUs: Long): DataFrame =
+    diversityCollapse(
+      Drift.windowCategoryCounts(events, tsUsCol, catCol, windowUs))
+
+  /** The per-window Simpson reduce over a pre-aggregated
+    * `(window_start, c, ca)` count frame — [[windowedDiversity]]'s
+    * second stage, public so the streaming window-count table
+    * collapses through the identical arithmetic (the
+    * [[graft.operators.Drift.tvCollapse]] pattern). */
+  def diversityCollapse(winCountsIn: DataFrame): DataFrame =
+    winCountsIn
+      .select(col("window_start"), col("ca").cast("long").as("__n"))
+      .groupBy("window_start")
+      .agg(sum("__n").as("__tot"), count(lit(1)).as("__ncat"),
+        sum(col("__n").cast("decimal(38,0)") * col("__n")).as("__ss"))
+      .select(col("window_start"), col("__tot").as("n_events"),
+        col("__ncat").as("n_categories"),
+        ((col("__tot").cast("decimal(38,0)") * col("__tot") - col("__ss"))
+            .cast("double")
+          / (col("__tot").cast("decimal(38,0)") * col("__tot")).cast("double"))
+          .as("simpson_diversity"))
+
   // ── deterministic group interleave (epoch domain mixing) ───────────
 
   /** Deterministic round-robin interleave across groups — the epoch

@@ -532,6 +532,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(causeMessages(e).exists(_.contains("empty input")), causeMessages(e).mkString("|"))
   }
 
+  test("windowedDiversity: per-window hand math, floor bucketing for negative ts, null-ts dropped") {
+    // window 0: a,a,b -> 1 - 5/9 = 4/9; window [-100,0): a,b -> 0.5
+    val events = Seq((Some(-1L), "a"), (Some(-5L), "b"), (Some(0L), "a"),
+      (Some(5L), "a"), (Some(99L), "b"), (None, "a"))
+      .map { case (t, c) => (t.map(java.lang.Long.valueOf).orNull, c) }
+      .toDF("ts", "cat")
+    val out = PipelineOps.windowedDiversity(events, "ts", "cat", 100L)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((-100L, 2L, 2L, 0.5), (0L, 3L, 2L, 4.0 / 9)))
+  }
+
   // ── shard packing ────────────────────────────────────────────────
 
   test("shardPack assigns (shard, offset) by exclusive prefix over the md5 order") {

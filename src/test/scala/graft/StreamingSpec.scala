@@ -73,6 +73,36 @@ class StreamingSpec extends SparkSpec {
     assert(viaStream == expected, "stream counts + collapse must equal the batch operator")
   }
 
+  test("tvDriftWindowCounts ∘ diversityCollapse == batch windowedDiversity (one streaming stage feeds both monitors)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts(0, 5), "click"), (ts(0, 15), "click"), (ts(0, 25), "view"),
+      (ts(1, 10), "view"), (ts(1, 20), "view"), (ts(1, 30), "purchase"))
+    val batchDf = rows.toDF("ts", "event_type")
+      .select(unix_micros($"ts").as("ts_us"), $"event_type")
+    val expected = graft.operators.PipelineOps
+      .windowedDiversity(batchDf, "ts_us", "event_type", 3600000000L)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // window 0: {click:2, view:1} -> 1 - 5/9 = 4/9; window 1:
+    // {view:2, purchase:1} -> 4/9 too
+    assert(expected.map(r => (r._2, r._3, r._4)) ==
+      Seq((3L, 2L, 4.0 / 9), (3L, 2L, 4.0 / 9)))
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = StreamingDemo.tvDriftWindowCounts(
+        mem.toDF().toDF("ts", "event_type"), windowDur = "1 hour")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("diversity_stream_test").start()
+    try {
+      mem.addData(rows.take(3): _*); q.processAllAvailable()
+      mem.addData(rows.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val viaStream = graft.operators.PipelineOps
+      .diversityCollapse(spark.table("diversity_stream_test"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(viaStream == expected,
+      "the SAME streamed count table must collapse to the batch diversity series")
+  }
+
   test("dedupEvents drops watermark-window duplicates on a true stream") {
     import org.apache.spark.sql.streaming.Trigger
     implicit val sqlCtx = spark.sqlContext
