@@ -296,23 +296,43 @@ object Bench {
                                prior: Map[String, Double]): Seq[String] =
     results.collect { case (n, ts) if isSuspect(n, ts, prior) => n }
 
-  /** Latest `MEDIANS_r{N}.json` in the working directory (or
-    * `$SPARK_GRAFT_MEDIANS_DIR`) → per-query prior medians. Absent or
-    * malformed artifacts degrade to an empty map — adjudication is an
-    * upgrade, never a new failure mode for the bench contract. A
-    * medians artifact recorded at a DIFFERENT scale factor than this
-    * run also degrades to empty: 3× of an sf0.1 median means nothing
-    * at sf0.001 and would misfire every trigger. */
+  /** HIGHEST-NUMBERED `MEDIANS_r{N}.json` in the working directory (or
+    * `$SPARK_GRAFT_MEDIANS_DIR`) → per-query prior medians — which,
+    * once a round commits its own medians artifact, is that same
+    * round's (still the right trigger floor: fresher medians can only
+    * make the 3× trigger MORE accurate, and the diag line below names
+    * exactly which artifact adjudicated, so a reader never has to
+    * guess). `$SPARK_GRAFT_PRIOR_MEDIANS=<file>` overrides the pick
+    * for explicit cross-round comparisons. Absent or malformed
+    * artifacts degrade to an empty map — adjudication is an upgrade,
+    * never a new failure mode for the bench contract (only non-fatal
+    * errors are swallowed; an OOM/interrupt still surfaces). A medians
+    * artifact recorded at a DIFFERENT scale factor than this run also
+    * degrades to empty: 3× of an sf0.1 median means nothing at
+    * sf0.001 and would misfire every trigger. */
   private[graft] def loadPriorMedians(sfDir: String): Map[String, Double] =
     try {
-      val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_MEDIANS_DIR", "."))
-      val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.matches("MEDIANS_r\\d+\\.json"))
-      if (files.isEmpty) Map.empty
-      else parseMedians(new String(java.nio.file.Files.readAllBytes(
-        files.maxBy(_.getName.replaceAll("\\D", "").toInt).toPath),
-        java.nio.charset.StandardCharsets.UTF_8), sfDir)
-    } catch { case _: Throwable => Map.empty }
+      val chosen: Option[java.io.File] =
+        sys.env.get("SPARK_GRAFT_PRIOR_MEDIANS").map(new java.io.File(_))
+          .orElse {
+            val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_MEDIANS_DIR", "."))
+            val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+              .filter(_.getName.matches("MEDIANS_r\\d+\\.json"))
+            if (files.isEmpty) None
+            else Some(files.maxBy(_.getName.replaceAll("\\D", "").toInt))
+          }
+      chosen match {
+        case None => Map.empty
+        case Some(f) =>
+          val parsed = parseMedians(new String(
+            java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8), sfDir)
+          System.err.println(
+            s"[bench-diag] adjudication medians artifact: ${f.getName} " +
+              s"(${parsed.size} queries${if (parsed.isEmpty) " — sf mismatch or unparsable, adjudication disarmed" else ""})")
+          parsed
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** `{"queries":{name:{"med":x,…},…},…}` → name → med, provided the
     * artifact's "sf" matches this run's (empty otherwise). Jackson

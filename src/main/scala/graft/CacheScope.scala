@@ -39,11 +39,14 @@ object CacheScope {
     ds
   }
 
-  /** Unpersist every tracked frame. @return frames released */
+  /** Unpersist every tracked frame (and drop memoized codebook fits —
+    * [[CodebookCache]]'s benchmark-honesty contract rides this hook).
+    * @return frames released */
   def releaseAll(blocking: Boolean = false): Int = synchronized {
     val n = tracked.size
     tracked.foreach(_.unpersist(blocking))
     tracked.clear()
+    CodebookCache.clear()
     n
   }
 

@@ -35,6 +35,17 @@ object ExtQueries {
   /** 24 hours in microseconds — the q_events_range_join window span. */
   private val DAY_US = 86400000000L
 
+  /** Raw-nanos → microseconds with FLOOR semantics — the ONE spelling
+    * every `eventsRawNanos` consumer whose oracle goes through DuckDB's
+    * µs-precision parquet read (`epoch_us(ts)`, which floors the nanos)
+    * must use: a bare `ts div 1000` truncates toward zero and would
+    * land one µs LATE for a pre-1970, non-µs-aligned nano timestamp —
+    * the same truncate-vs-floor class the r14 pmod window-bucketing fix
+    * closed. Benign on the µs-aligned fixture (TESTDATA ns = µs·1000),
+    * fixed at the class level anyway; `pmod(ts, 1000) ∈ [0, 1000)`
+    * makes the subtraction the floor multiple and the div exact. */
+  private val NS_FLOOR_US = "(ts - pmod(ts, 1000)) div 1000"
+
   /** q_text_normalize dirty fixture prefix: every pinned mojibake
     * entry (built FROM the map, so a future entry is exercised
     * automatically), an NFC-composable sequence (e + U+0301), a
@@ -195,6 +206,29 @@ object ExtQueries {
         greatest((size(toks) * 4) / 5, lit(1)).cast("int")), " ").as("text"))
     d.unionByName(truncated)
   }
+
+  /** The full-corpus nlist=16/seed=9 IVF codebook every shared-corpus
+    * ANN gate query consumes (ivf top-k, distributed ivf, kNN graph,
+    * IVF-PQ coarse stage, embed clustering), memoized per (dir) via
+    * [[graft.CodebookCache]] — one fit per Verify session. The key
+    * encodes dir + slice + params, the whole fit identity. */
+  private def embCodebook16(s: SparkSession, dir: String): Similarity.Codebook =
+    graft.CodebookCache.getOrFit(s"$dir|embeddings|nlist=16|seed=9") {
+      Similarity.fitIvfCodebook(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, nlist = 16)
+    }
+
+  /** The parity-sliced nlist=8/seed=9 codebooks the three bitext gate
+    * queries share (forward fits on the odd corpus; mutual/two-sided
+    * need both directions) — two fits per Verify session instead of
+    * five. */
+  private def embCodebookParity8(s: SparkSession, dir: String,
+                                 parity: Int): Similarity.Codebook =
+    graft.CodebookCache.getOrFit(s"$dir|embeddings%2=$parity|nlist=8|seed=9") {
+      Similarity.fitIvfCodebook(
+        Tables.embeddings(s, dir).where(col("vec_id") % 2 === parity),
+        "vec_id", "embedding", dim = 64, nlist = 8)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── text analysis ──────────────────────────────────────────────
@@ -388,7 +422,7 @@ object ExtQueries {
       // greedy-first anchoring (the operator's pinned convention —
       // the oracle replays it as a chain of per-step min() CTEs)
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", expr(NS_FLOOR_US))
       Funnel.funnel(e, "user_id", "ts_us", "event_type",
         Seq("view", "click", "purchase"), 7200000000L)
     }),
@@ -396,7 +430,7 @@ object ExtQueries {
       // daily-grain cohort retention triangle; period arithmetic is
       // pure integer µs division, so the oracle replays it exactly
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", expr(NS_FLOOR_US))
       Retention.cohortRetention(e, "user_id", "ts_us", DAY_US)
     }),
     "q_events_intervals" -> ((s, dir) => {
@@ -404,7 +438,7 @@ object ExtQueries {
       // interval, overlapping/touching ones coalesce — interval-merge
       // sessionization, the islands-and-gaps construction
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", expr(NS_FLOOR_US))
         .select(col("user_id"), col("ts_us").as("ivl_start"),
           (col("ts_us") + lit(1800000000L)).as("ivl_end"))
       Intervals.mergeIntervals(e, "user_id", "ivl_start", "ivl_end")
@@ -414,7 +448,7 @@ object ExtQueries {
       // 2^-10 so the window moments are exact long sums (identical
       // under Spark's linear frames and DuckDB's segment trees)
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", expr(NS_FLOOR_US))
         .select(col("event_id"), col("event_type"), col("ts_us"), col("value"))
       Anomaly.rollingZScores(e, "event_type", "ts_us", "event_id", "value",
           windowN = 24)
@@ -449,7 +483,7 @@ object ExtQueries {
       // the streaming anomaly twin's batch path: same quantized rolling
       // fold per type, so the oracle is q_events_anomaly's SQL verbatim
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", expr(NS_FLOOR_US))
       StreamingDemo.anomalyStream(e, "event_type", "ts_us", "event_id",
         "value", windowN = 24).toDF()
     }),
@@ -458,9 +492,21 @@ object ExtQueries {
       // per user, final row only — must equal the batch operator, so
       // the oracle is q_events_funnel's SQL verbatim
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", expr(NS_FLOOR_US))
       StreamingDemo.funnelStream(e, "user_id", "ts_us", "event_type",
         Seq("view", "click", "purchase"), 7200000000L).toDF()
+    }),
+    "q_budget_admit_stream" -> ((s, dir) => {
+      // the streaming budget-admission twin's batch path — which IS
+      // the anchor operator (selectByBudget's distributed prefix sum
+      // at (ts ASC, id ASC) via the negated score). Weight = event_id
+      // % 97 (deterministic, engine-replayable); budget 200k cuts
+      // ~4.1k events in at sf0.01, so the prefix boundary is exercised
+      StreamingDemo.budgetAdmitStream(
+        Tables.eventsRawNanos(s, dir)
+          .select(col("event_id"), expr(NS_FLOOR_US).as("ts_us"),
+            pmod(col("event_id"), lit(97L)).as("weight")),
+        "event_id", "ts_us", "weight", budget = 200000L).toDF()
     }),
     "q_changelog_stream_state" -> ((s, dir) => {
       // the streaming CDC twin's batch path: fold the same derived
@@ -590,7 +636,7 @@ object ExtQueries {
       // the drift-dashboard series: each day's event-type mix vs the
       // whole-corpus reference distribution, exact TV per window
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", expr(NS_FLOOR_US))
       val ref = e.groupBy(col("event_type").as("category"))
         .agg(count(lit(1)).as("n"))
       Drift.windowedTvDrift(e, "ts_us", "event_type", DAY_US, ref)
@@ -690,7 +736,7 @@ object ExtQueries {
       // Simpson diversity — same shared (window, category) count
       // stage as q_drift_tv_windowed, same exact per-window reduce
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", expr(NS_FLOOR_US))
       PipelineOps.windowedDiversity(e, "ts_us", "event_type", DAY_US)
     }),
     "q_select_budget" -> ((s, dir) => {
@@ -710,6 +756,18 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("lang")),
         "doc_id", "lang", seed = 7L)
     }),
+    "q_shuffle_to_shards" -> ((s, dir) => {
+      // the reproducible-epoch story END-TO-END: seeded order
+      // (q_shuffle_order's digest order) feeding contiguous char-budget
+      // shards through shardPackByOrder — (seed, budget) alone
+      // reproduces the epoch's shard layout. Budget 8192 chars gives
+      // tens of shards at gate scale so boundaries are exercised
+      PipelineOps.shardPackByOrder(
+        PipelineOps.shuffleOrder(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          "doc_id", seed = 20260816L),
+        "shuffle_pos", "n_chars", budget = 8192L)
+    }),
     "q_contamination" -> ((s, dir) => {
       // probe set = every 50th doc standing in for a benchmark; corpus
       // = the rest, screened for shared word 5-grams
@@ -721,7 +779,7 @@ object ExtQueries {
       // clicks enriched with the user's most recent purchase value at
       // or before the click (microsecond domain — see q_events_sessionize)
       val e = Tables.eventsRawNanos(s, dir)
-        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        .select(col("event_id"), col("user_id"), expr(NS_FLOOR_US).as("ts_us"),
           col("event_type"), col("value"))
       AsofJoin.asofJoin(
         e.where(col("event_type") === "click")
@@ -734,7 +792,7 @@ object ExtQueries {
       // pandas direction='nearest' parity: the closer of the previous
       // and next purchase, ties to backward
       val e = Tables.eventsRawNanos(s, dir)
-        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        .select(col("event_id"), col("user_id"), expr(NS_FLOOR_US).as("ts_us"),
           col("event_type"), col("value"))
       AsofJoin.asofJoinNearest(
         e.where(col("event_type") === "click")
@@ -747,7 +805,7 @@ object ExtQueries {
       // the attribution mirror: clicks enriched with the user's NEXT
       // purchase value at or after the click
       val e = Tables.eventsRawNanos(s, dir)
-        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        .select(col("event_id"), col("user_id"), expr(NS_FLOOR_US).as("ts_us"),
           col("event_type"), col("value"))
       AsofJoin.asofJoinForward(
         e.where(col("event_type") === "click")
@@ -761,7 +819,7 @@ object ExtQueries {
       // purchase of the same user — the binned point-in-interval join;
       // binWidth = the window span, so each interval hits ≤2 buckets
       val e = Tables.eventsRawNanos(s, dir)
-        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        .select(col("event_id"), col("user_id"), expr(NS_FLOOR_US).as("ts_us"),
           col("event_type"), col("value"))
       RangeJoin.pointInInterval(
         e.where(col("event_type") === "click")
@@ -924,6 +982,13 @@ object ExtQueries {
     }),
 
     // ── similarity search ──────────────────────────────────────────
+    // The shared-corpus IVF fits route through CodebookCache (keyed by
+    // (dir, corpus slice, nlist, seed) — everything that determines the
+    // deterministic fit), so ONE Verify session fits each codebook once
+    // across its ANN queries instead of once per query; results are
+    // bit-identical to fit-inside by the handle's contract, and
+    // CacheScope.releaseAll clears the memo so Bench/MicroBench runs
+    // still pay the fit per measured run.
     "q_embed_norm" -> ((s, dir) => {
       Tables.embeddings(s, dir).select(col("vec_id"),
         Similarity.l2Norm(col("embedding")).as("l2norm"))
@@ -943,16 +1008,27 @@ object ExtQueries {
       // hardcodes the same 16 — the operator default is auto (≈ √m,
       // Similarity.autoNlist, spec-tested at two corpus sizes)
       val e = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, dim = 64, nlist = 16)
+      Similarity.ivfTopKWith(e, e.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5, embCodebook16(s, dir))
+    }),
+    "q_sim_ivf_distributed" -> ((s, dir) => {
+      // the corpus-scale query path: HALF the corpus as the query
+      // frame — deliberately NOT driver-small — probed through the
+      // row-local distributed probe join (no query collect, no forced
+      // broadcast). Same fit/probe/rank semantics as q_sim_ivf_topk
+      // (shared codebook handle), so the oracle is the same replay with
+      // the query predicate widened to the even parity
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopKDistributedWith(e, e.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", k = 5, embCodebook16(s, dir))
     }),
     "q_sim_knn_graph" -> ((s, dir) => {
       // every vector's top-3 neighbors — the all-pairs IVF shape with
       // BOTH join sides distributed (no query collect, no broadcast);
       // nlist pinned 16 to stay in lockstep with the shared fit replay
       val e = Tables.embeddings(s, dir)
-      Similarity.knnGraph(e, "vec_id", "embedding", k = 3, dim = 64,
-        nlist = 16, nprobe = 4)
+      Similarity.knnGraphWith(e, "vec_id", "embedding", k = 3,
+        embCodebook16(s, dir), nprobe = 4)
     }),
     "q_sim_bitext_mine" -> ((s, dir) => {
       // margin-based bitext mining, forward strategy: even vec_ids are
@@ -960,20 +1036,21 @@ object ExtQueries {
       // τ=1.15 (keeps ~25-50% of queries across the SF fixtures) so
       // the DuckDB fit replay stays in lockstep
       val e = Tables.embeddings(s, dir)
-      Similarity.bitextMineForward(
+      Similarity.bitextMineForwardWith(
         e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", k = 4, dim = 64, nlist = 8, nprobe = 4,
-        tau = 1.15)
+        "vec_id", "embedding", k = 4, embCodebookParity8(s, dir, 1),
+        nprobe = 4, tau = 1.15)
     }),
     "q_sim_bitext_mutual" -> ((s, dir) => {
       // CCMatrix-grade acceptance: mutual best across BOTH directions
       // with both forward margins ≥ 1.1 — pure composition of the
       // forward operator (each direction fits its own corpus side)
       val e = Tables.embeddings(s, dir)
-      Similarity.bitextMineMutual(
+      Similarity.bitextMineMutualWith(
         e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", k = 4, dim = 64, nlist = 8, nprobe = 4,
-        tau = 1.1)
+        "vec_id", "embedding", k = 4,
+        embCodebookParity8(s, dir, 1), embCodebookParity8(s, dir, 0),
+        nprobe = 4, tau = 1.1)
     }),
     "q_sim_bitext_2way" -> ((s, dir) => {
       // paper-faithful Artetxe–Schwenk two-sided margin: the A→B best
@@ -981,10 +1058,11 @@ object ExtQueries {
       // neighborhood means; τ=1.0 = "better than the average
       // neighborhood" (the two-sided margin is not ≥1 by construction)
       val e = Tables.embeddings(s, dir)
-      Similarity.bitextMineTwoSided(
+      Similarity.bitextMineTwoSidedWith(
         e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", k = 4, dim = 64, nlist = 8, nprobe = 4,
-        tau = 1.0)
+        "vec_id", "embedding", k = 4,
+        embCodebookParity8(s, dir, 1), embCodebookParity8(s, dir, 0),
+        nprobe = 4, tau = 1.0)
     }),
     "q_sim_pq_topk" -> ((s, dir) => {
       // m=4 subspaces × ksub=16 centroids, 50-candidate ADC short list,
@@ -1005,16 +1083,16 @@ object ExtQueries {
       // 50-candidate ADC short list, exact cosine re-rank — the FAISS
       // IVFPQ composition, every parameter pinned for the DuckDB replay
       val e = Tables.embeddings(s, dir)
-      Similarity.ivfPqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, dim = 64, nlist = 16, nprobe = 4, m = 4, ksub = 16,
-        candidates = 50)
+      Similarity.ivfPqTopKWith(e, e.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5, embCodebook16(s, dir), nprobe = 4, m = 4,
+        ksub = 16, candidates = 50)
     }),
     "q_embed_cluster" -> ((s, dir) => {
       // SemDeDup-style corpus clustering — the IVF bucketing stage
       // first-class; nlist pinned to 16 to stay in lockstep with the
       // shared DuckDB fit replay
-      Similarity.clusterEmbeddings(Tables.embeddings(s, dir),
-        "vec_id", "embedding", dim = 64, nlist = 16)
+      Similarity.clusterEmbeddingsWith(Tables.embeddings(s, dir),
+        "vec_id", "embedding", embCodebook16(s, dir))
     }),
 
     // ── multimodal plumbing ────────────────────────────────────────
@@ -1092,13 +1170,17 @@ object ExtQueries {
 
     // ── streaming twin: per-user sessionization (batch mode) ───────
     // Millis (not raw nanos) because DuckDB reads TIMESTAMP(NANOS)
-    // parquet at microsecond precision: ts DIV 1000000 here equals
-    // epoch_us(ts)//1000 there (both floor-truncate), so gap
-    // arithmetic is integer-exact across engines.
+    // parquet at microsecond precision. The oracle's chain is
+    // epoch_us(ts) // 1000 — a FLOOR to µs at the parquet read, then a
+    // TRUNCATING integer divide to ms — so the Spark side mirrors that
+    // exact chain (floor ns→µs, then `div`-truncate µs→ms) instead of
+    // a single `ts DIV 1000000`, which diverges for a pre-1970
+    // non-µs-aligned nano timestamp (same class as NS_FLOOR_US).
     "q_events_sessionize" -> ((s, dir) => {
       StreamingDemo.sessionizeMillis(
         Tables.eventsRawNanos(s, dir)
-          .select(col("user_id"), expr("ts DIV 1000000").as("ts_ms")),
+          .select(col("user_id"),
+            expr(s"($NS_FLOOR_US) div 1000").as("ts_ms")),
         gapMinutes = 30)
     }),
 
@@ -1110,7 +1192,7 @@ object ExtQueries {
     // DuckDB-precision reason as q_events_sessionize.
     "q_stream_dedup" -> ((s, dir) => {
       val e = Tables.eventsRawNanos(s, dir)
-        .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
+        .select(col("event_id"), expr(NS_FLOOR_US).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
       val dups = e.where(col("event_id") % 5 === 0)
         .withColumn("ts_us", col("ts_us") + lit(180000000L))
@@ -1512,7 +1594,16 @@ object ExtQueries {
        |  (SELECT unnest(generate_series(1, $dim)) AS j) dx""".stripMargin
   }
 
-  private def ivfOracle: String = {
+  private def ivfOracle: String = ivfOracleFor("e.id < 5")
+
+  /** q_sim_ivf_distributed oracle: the IDENTICAL replay with the query
+    * predicate widened to half the corpus — the distributed probe join
+    * is value-identical to the driver path by construction (same fit,
+    * same (dist, cidx) probe order, same rank cut), so only the query
+    * set differs. */
+  private def ivfDistributedOracle: String = ivfOracleFor("e.id % 2 = 0")
+
+  private def ivfOracleFor(queryPred: String): String = {
     val (nlist, nprobe, k, iters) = (16, 4, 5, 10)
     def dot(a: String, b: String) =
       s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
@@ -1525,7 +1616,7 @@ object ExtQueries {
        |  SELECT id AS query_id, v AS qv, cidx - 1 AS lst
        |  FROM (SELECT e.id, e.v, u.cidx, ${dist("e.v", "cs[u.cidx]")} AS d
        |        FROM emb e, fin, (SELECT unnest(generate_series(1, $nlist)) AS cidx) u
-       |        WHERE e.id < 5)
+       |        WHERE $queryPred)
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cidx) <= $nprobe),
        |scored AS (
        |  SELECT p.query_id, b.id AS neighbor_id,
@@ -2083,6 +2174,7 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q_sim_ivf_topk" -> ivfOracle,
+    "q_sim_ivf_distributed" -> ivfDistributedOracle,
     "q_sim_knn_graph" -> knnGraphOracle,
     "q_sim_bitext_mine" -> bitextOracle,
     "q_sim_bitext_mutual" -> bitextMutualOracle,
@@ -2311,16 +2403,35 @@ object ExtQueries {
         |FROM wc GROUP BY w""".stripMargin,
     // the strict-prefix budget cut: inclusive running sum over the
     // (score DESC, id) order, kept while <= budget — the oracle can
-    // afford the global window the Spark side's prefix sum avoids
+    // afford the global window the Spark side's prefix sum avoids.
+    // No COALESCE: the operator contract forbids NULL weights (raises
+    // loudly, spec-pinned), so the oracle assumes non-NULL too
     "q_select_budget" ->
       """SELECT doc_id, lang, n_chars, cum_weight FROM (
         |  SELECT doc_id, lang, n_chars,
-        |    CAST(SUM(COALESCE(n_chars, 0)) OVER (
+        |    CAST(SUM(n_chars) OVER (
         |      ORDER BY n_chars DESC NULLS LAST, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS BIGINT) AS cum_weight
         |  FROM documents) t
         |WHERE cum_weight <= 60000""".stripMargin,
+    // seeded shuffle order (q_shuffle_order's ROW_NUMBER) feeding the
+    // SAME exclusive-prefix-sum shard arithmetic as q_shard_pack, just
+    // ordered by shuffle_pos instead of the salted digest
+    "q_shuffle_to_shards" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(ROW_NUMBER() OVER (
+        |      ORDER BY md5('20260816:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS shuffle_pos
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_chars, shuffle_pos,
+        |    COALESCE(SUM(n_chars) OVER (ORDER BY shuffle_pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM r)
+        |SELECT doc_id, n_chars, shuffle_pos,
+        |  CAST(before // 8192 AS BIGINT) AS shard_id,
+        |  CAST(before % 8192 AS BIGINT) AS shard_offset FROM p""".stripMargin,
     // within-group seeded rank, then the (round, group) order — both
     // ROW_NUMBERs replay the Spark side's two zipWithIndex ranks
     "q_interleave_groups" ->
@@ -2836,6 +2947,19 @@ object ExtQueries {
     // fold must equal the batch operator, so the oracles cannot drift
     "q_events_funnel" -> funnelOracle,
     "q_funnel_stream_state" -> funnelOracle,
+    // the budget-admission twin: inclusive running weight over the
+    // (ts_us, event_id) order, kept while <= budget — the oracle can
+    // afford the global window the Spark side's prefix sum avoids
+    "q_budget_admit_stream" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us,
+        |             event_id % 97 AS weight FROM events)
+        |SELECT event_id, ts_us, weight, cum_weight FROM (
+        |  SELECT event_id, ts_us, weight,
+        |    CAST(SUM(weight) OVER (ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_weight
+        |  FROM e) t
+        |WHERE cum_weight <= 200000""".stripMargin,
     // retention triangle: the distinct (user, period) frame is the
     // operator's collect_set in relational form; the cohort-size
     // window's offset-0 row always exists (the cohort period is itself

@@ -42,9 +42,13 @@ object Verify {
       val sec = (System.nanoTime() - tq) / 1e9
       if (sec > slowest._2) slowest = (name, sec)
       // operators persist self-join inputs; don't let ~50 queries
-      // accumulate pinned cache in one session
+      // accumulate pinned cache in one session. Deliberately NOT
+      // CacheScope.releaseAll: that would also clear CodebookCache,
+      // whose cross-query fit reuse is the point of a gate session
+      // (the ANN queries share their deterministic IVF fits here)
       spark.catalog.clearCache()
     }
+    System.err.println(s"[verify] codebook fit reuse: ${CodebookCache.hits} hits")
     val dumpSec = (System.nanoTime() - t0) / 1e9
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

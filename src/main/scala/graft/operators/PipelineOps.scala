@@ -34,9 +34,16 @@ object PipelineOps {
     * the ONE spelling [[shuffleOrder]] and [[interleaveGroups]] (and
     * their DuckDB oracles, which hardcode `md5('<seed>:' || id)`)
     * must agree on; factored so the replay contract can't drift
-    * between the two operators. */
+    * between the two operators. A NULL id raises loudly: the unique-id
+    * contract forbids it, and the alternative silent behaviors diverge
+    * between engines (concat_ws would digest md5("<seed>:") while the
+    * oracle's `||` yields NULL and sorts engine-specifically). */
   private def seededDigest(idCol: String, seed: Long): Column =
-    md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+    md5(concat(lit(seed.toString + ":"),
+      when(col(idCol).isNull, raise_error(lit(
+          s"seeded order digest: NULL '$idCol' — ids must be unique and non-null"))
+          .cast("string"))
+        .otherwise(col(idCol).cast("string"))))
 
   /** EXCLUSIVE per-partition prefix offsets of the LONG column at
     * `wIdx` over an already range-partitioned-and-sorted frame — the
@@ -434,20 +441,56 @@ object PipelineOps {
   def shardPack(df: DataFrame, idCol: String, weightCol: String, budget: Long,
                 salt: String = "graft-shard", numPartitions: Int = 0): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    val k = "__shard_k"
+    val keyed = df.withColumn(k,
+      md5(concat(col(idCol).cast("string"), lit(":" + salt))))
+    packPrefix(keyed, weightCol, budget, numPartitions,
+      Seq(col(k), col(idCol))).drop(k)
+  }
+
+  /** [[shardPack]] over an EXPLICIT precomputed order column instead of
+    * the salted digest — the composition seam between [[shuffleOrder]]
+    * and the packer: `shardPackByOrder(shuffleOrder(df, seed),
+    * "shuffle_pos", weightCol, budget)` turns the seeded epoch order
+    * into contiguous token-budget shards, the reproducible-epoch story
+    * end-to-end (seed → order → shard layout, all engine-replayable).
+    *
+    * `orderCol` must be a TOTAL order — unique per row, like
+    * [[shuffleOrder]]'s 1-based position. Ties would leave the
+    * within-tie order partition-dependent and the shard assignment
+    * nondeterministic; the range partitioner can't see that, so it is
+    * the caller's contract (every producer here emits unique
+    * positions). Same scale shape as [[shardPack]]: one range shuffle
+    * on the order column, one subtotal long per partition to the
+    * driver, broadcast offsets, single assignment pass.
+    */
+  def shardPackByOrder(df: DataFrame, orderCol: String, weightCol: String,
+                       budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    packPrefix(df, weightCol, budget, numPartitions, Seq(col(orderCol)))
+  }
+
+  /** The shared prefix-sum packing tail of [[shardPack]] and
+    * [[shardPackByOrder]]: range-partition + sort by `sortCols`,
+    * per-partition subtotals → broadcast exclusive offsets → one local
+    * pass appending (shard_id, shard_offset). NULL weights pack as 0
+    * (a weightless row rides at its predecessor's boundary — it
+    * consumes no budget, unlike [[selectByBudget]] where riding free
+    * under a budget is a correctness hole and NULL raises). */
+  private def packPrefix(df: DataFrame, weightCol: String, budget: Long,
+                         numPartitions: Int, sortCols: Seq[Column]): DataFrame = {
     require(!df.columns.contains("shard_id") && !df.columns.contains("shard_offset"),
       "shard_id / shard_offset are the reserved output column names")
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sessionState.conf.numShufflePartitions
-    val k = "__shard_k"
     val w = "__shard_w"
     // persisted: the subtotal pass and the assignment pass must observe
     // the same physical layout (see minRankByValue)
     val sorted = graft.CacheScope.track(
-      df.withColumn(k, md5(concat(col(idCol).cast("string"), lit(":" + salt))))
-        .withColumn(w, coalesce(col(weightCol).cast("long"), lit(0L)))
-        .repartitionByRange(parts, col(k), col(idCol))
-        .sortWithinPartitions(col(k), col(idCol)))
+      df.withColumn(w, coalesce(col(weightCol).cast("long"), lit(0L)))
+        .repartitionByRange(parts, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*))
     val wIdx = sorted.schema.fieldIndex(w)
     val bOff = partitionOffsets(sorted, wIdx) // weight before partition i
     val packed = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
@@ -465,7 +508,7 @@ object PipelineOps {
             org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("shard_offset",
             org.apache.spark.sql.types.LongType, nullable = false))))
-      .drop(k, w)
+      .drop(w)
   }
 
   /** Intra-document first-occurrence line dedup: every repeat of a
@@ -687,9 +730,14 @@ object PipelineOps {
     * (score DESC, id), per-partition subtotals to the driver (one long
     * each), broadcast exclusive offsets, one local pass computes the
     * inclusive cumulative and filters. No global window, nothing
-    * driver-side grows with the corpus. Negative weights raise loudly
-    * (a negative token count is a pipeline bug, and silently crediting
-    * budget back would re-admit everything after it).
+    * driver-side grows with the corpus. Negative AND NULL weights
+    * raise loudly: a negative token count is a pipeline bug that would
+    * silently credit budget back and re-admit everything after it, and
+    * a NULL one is the same bug in disguise — it would ride FREE under
+    * the budget (the r14 gate mirrored that with COALESCE(w, 0); the
+    * contract is now no-NULLs, spec-pinned). [[shardPack]] keeps its
+    * NULL→0 packing — a weightless row at a shard boundary consumes no
+    * budget there, which is layout, not admission.
     *
     * @return kept rows + `cum_weight` (inclusive running LONG total in
     *         selection order; max cum_weight ≤ budget) */
@@ -704,10 +752,11 @@ object PipelineOps {
                 else spark.sessionState.conf.numShufflePartitions
     val w = "__sel_w"
     val sorted = graft.CacheScope.track(
-      df.withColumn(w, when(col(weightCol) < 0, raise_error(concat(
-            lit(s"selectByBudget: negative '$weightCol' at $idCol="),
-            col(idCol).cast("string"))).cast("long"))
-          .otherwise(coalesce(col(weightCol).cast("long"), lit(0L))))
+      df.withColumn(w, when(col(weightCol) < 0 || col(weightCol).isNull,
+            raise_error(concat(
+              lit(s"selectByBudget: negative or NULL '$weightCol' at $idCol="),
+              coalesce(col(idCol).cast("string"), lit("NULL")))).cast("long"))
+          .otherwise(col(weightCol).cast("long")))
         .repartitionByRange(parts, col(scoreCol).desc, col(idCol).asc)
         .sortWithinPartitions(col(scoreCol).desc, col(idCol).asc))
     val wIdx = sorted.schema.fieldIndex(w)

@@ -242,6 +242,11 @@ object Similarity {
     * cosine re-ranks. One shuffle to bucket the corpus (reusable
     * across queries), probe cost ∝ nprobe/nlist of the corpus.
     *
+    * The query frame is collected driver-side BY CONTRACT (point
+    * lookups); a corpus-scale query frame belongs on
+    * [[ivfTopKDistributed]], which keeps both sides distributed and is
+    * value-identical.
+    *
     * @param nlist list count; 0 (the default) derives [[autoNlist]]
     *              (≈ √fit-sample-size) — pass an explicit value to pin
     *              results across corpus growth (the gate query pins 16
@@ -283,6 +288,7 @@ object Similarity {
     * call used to pay it again. Fit ONCE per (corpus, nlist, seed)
     * via [[Similarity.fitIvfCodebook]] and pass the handle to the
     * `*With` variants ([[Similarity.ivfTopKWith]],
+    * [[Similarity.ivfTopKDistributedWith]],
     * [[Similarity.knnGraphWith]], [[Similarity.bitextMineForwardWith]],
     * [[Similarity.ivfPqTopKWith]], [[Similarity.clusterEmbeddingsWith]],
     * [[Similarity.bitextMineMutualWith]]) — an IVF-top-k + kNN-graph +
@@ -461,6 +467,79 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** [[ivfTopK]] with BOTH sides distributed — the corpus-scale query
+    * path. [[ivfTopK]]'s contract collects the query frame to the
+    * driver and broadcasts the probe rows, which is right for point
+    * lookups but a funnel when the query side is itself a corpus
+    * ("top-k corpus neighbors for 10 M queries"). Here probe selection
+    * runs as a row-local expression ON the query frame — one
+    * [[graft.functions.CentroidDists]] scan + array_sort slice, the
+    * same (dist, list idx) order as the driver path's [[probeTriples]]
+    * with the identical ascending-feature fold, so results are
+    * VALUE-IDENTICAL to [[ivfTopK]] on the same (corpus, nlist, seed)
+    * (spec-pinned) and the gate oracle is the same replay with the
+    * query predicate widened. The two sides meet in a plain list-keyed
+    * equi-join with the strategy left to AQE — at corpus scale a
+    * co-partitioned shuffle join on ≈√m keys, never a collect or a
+    * forced broadcast; per-query top-k stays map-side bounded
+    * (row_number + `rank <= k` → WindowGroupLimit). Hot-list skew
+    * guard as in [[knnGraph]]: over-cap lists drop loudly via
+    * [[Dedup.capBuckets]]. Self-pairs are excluded, like [[ivfTopK]]
+    * — queries drawn from the corpus don't report themselves. */
+  def ivfTopKDistributed(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int, dim: Int,
+                         nlist: Int = 0, nprobe: Int = 4, seed: Long = 9,
+                         maxListSize: Long = 100000L): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    ivfTopKDistributedImpl(corpus, queries, idCol, vecCol, k, dim,
+      fitCodebook(c, nlist, seed), nprobe, maxListSize)
+  }
+
+  /** [[ivfTopKDistributed]] against a pre-fitted [[Codebook]] (fit on
+    * the corpus side) — the amortized form an IVF session over one
+    * corpus should use. */
+  def ivfTopKDistributedWith(corpus: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             codebook: Codebook, nprobe: Int = 4,
+                             maxListSize: Long = 100000L): DataFrame =
+    ivfTopKDistributedImpl(corpus, queries, idCol, vecCol, k, codebook.dim,
+      codebook.centers, nprobe, maxListSize)
+
+  private def ivfTopKDistributedImpl(corpus: DataFrame, queries: DataFrame,
+                                     idCol: String, vecCol: String, k: Int,
+                                     dim: Int, centers: Array[Array[Double]],
+                                     nprobe: Int, maxListSize: Long): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val np = math.min(nprobe, centers.length)
+    val bucketed = Dedup.capBuckets(
+      c.withColumn("__dists", centerDistArr(centers, dim))
+        .select(col("neighbor_id"), col("__cv"),
+          coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
+            .cast("int"), lit(0)).as("__list")),
+      Seq("__list"), maxListSize)
+    // top-nprobe (dist, idx) per query, ROW-LOCAL — the knnGraph probe
+    // spelling (natural struct order = dist asc, then list idx asc,
+    // matching probeTriples' stable sortBy)
+    val probes = q
+      .withColumn("__dists",
+        graft.functions.CentroidDists.dists(col("__qv"), centers))
+      .select(col("query_id"), col("__qv"),
+        explode(expr(
+          s"transform(slice(array_sort(transform(__dists, (d, i) -> struct(d, i))), 1, $np), x -> x.i)"))
+          .as("__list"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(bucketed, Seq("__list"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Approximate kNN-GRAPH construction — every corpus vector's top-k
     * neighbors in one job (the all-pairs sibling of [[ivfTopK]]; the
     * primitive under kNN-graph dedup/clustering, SemDeDup's
@@ -585,7 +664,12 @@ object Similarity {
     * POSITIVE neighborhood mean cosine (true for real embedding hubs;
     * false for adversarially anti-correlated spaces) — a non-positive
     * mean raises loudly at execution rather than silently flipping the
-    * ratio's sign.
+    * ratio's sign. The guard is DELIBERATELY pre-τ (spec-pinned): it
+    * fires even for queries the τ cut would have discarded, because a
+    * non-positive neighborhood mean is corrupt-input evidence
+    * regardless of whether that query's match would have been
+    * accepted — a corpus that trips it should fail the run, not
+    * silently shed queries.
     *
     * @return (query_id, match_id, cosine, margin) for queries whose
     *         best match clears `tau` (margin ≥ 1 by construction, so

@@ -55,6 +55,15 @@ object StreamingDemo {
   final case class AnomalyRow(event_id: Long, event_type: String, ts_us: Long,
                               value: Double, zq: Double, is_anomaly: Long)
 
+  /** One typed event for [[budgetAdmitStream]]. */
+  final case class BudgetEvent(id: Long, ts: Long, w: Long)
+  /** The admission gate's scalar state: the (ts, id) frontier (staleness/
+    * redelivery gate) and the running weight over EVERY event seen. */
+  final case class BudgetState(lastTs: Long, lastId: Long, cum: Long)
+  /** Emitted admitted row (same shape as selectByBudget's cut). */
+  final case class BudgetRow(event_id: Long, ts_us: Long, weight: Long,
+                             cum_weight: Long)
+
   /** One changelog delta for [[maintainAggStream]] ('I' adds, 'D'
     * subtracts; value in exact integer units). */
   final case class AggDeltaRow(key: Long, version: Long, op: String, value: Long)
@@ -751,6 +760,88 @@ object StreamingDemo {
             (st, r) => (step(st, r)._1, Option.empty[FunnelRow]))(
             (u, st) => if (st.depth > 0)
               Some(FunnelRow(u, st.depth.toLong, st.tFirst, st.tLast)) else None))
+    }
+  }
+
+  /** Continuous budget admission — the streaming twin of
+    * [[graft.operators.PipelineOps.selectByBudget]]'s prefix-cut rule,
+    * completing the §2.13 order/selection family's streaming column: a
+    * live ingest admits events in (event-time, id) order while the
+    * INCLUSIVE running weight over every event seen stays within
+    * `budget` — the quota/cap monitor ("stop admitting at N tokens
+    * today"). The rule is selectByBudget's verbatim: the running total
+    * accumulates ALL arrivals (admitted or not), a row is admitted iff
+    * its inclusive total fits, and since weights are non-negative the
+    * total is monotone — the admitted set is a strict PREFIX of the
+    * order, never a knapsack back-fill.
+    *
+    * The batch arm DELEGATES to `selectByBudget` itself (score = −ts,
+    * so (score DESC, id ASC) is exactly (ts ASC, id ASC)) — the
+    * distributed-prefix-sum operator IS the batch deployment, and the
+    * stream==batch spec therefore pins the sequential fold against the
+    * distributed cut, the strongest twin contract in this file.
+    *
+    * Scale, stated plainly: the state is ONE global scalar (frontier +
+    * running weight), so the streaming arm runs on a single synthetic
+    * key — a global admission gate is inherently a sequential monitor
+    * (every quota counter is), and its throughput bound is one state
+    * fold per event, not a Spark shuffle. Corpus-scale SELECTION under
+    * a budget belongs on the batch operator's distributed prefix sum;
+    * this is the live-cap deployment of the same contract.
+    *
+    * Contract mirrors the family: events per-source time-ordered across
+    * triggers, within a trigger sorted by (ts, id); an event at or
+    * behind the frontier is stale/redelivered and skipped (idempotent
+    * at-least-once); negative or NULL weights raise loudly, exactly as
+    * the batch operator does. */
+  def budgetAdmitStream(events: DataFrame, idCol: String, tsUsCol: String,
+                        weightCol: String, budget: Long)
+      : org.apache.spark.sql.Dataset[BudgetRow] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val session = events.sparkSession
+    import session.implicits._
+    if (events.isStreaming) {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val typed = events.select(col(idCol).cast("long").as("id"),
+          col(tsUsCol).cast("long").as("ts"),
+          when(col(weightCol) < 0 || col(weightCol).isNull,
+              raise_error(concat(
+                lit(s"budgetAdmitStream: negative or NULL '$weightCol' at $idCol="),
+                coalesce(col(idCol).cast("string"), lit("NULL")))).cast("long"))
+            .otherwise(col(weightCol).cast("long")).as("w"))
+        .where(col("id").isNotNull && col("ts").isNotNull)
+        .as[BudgetEvent]
+      def step(st: BudgetState, r: BudgetEvent): (BudgetState, Option[BudgetRow]) =
+        if (r.ts > st.lastTs || (r.ts == st.lastTs && r.id > st.lastId)) {
+          val cum = st.cum + r.w
+          (BudgetState(r.ts, r.id, cum),
+            if (cum <= budget) Some(BudgetRow(r.id, r.ts, r.w, cum)) else None)
+        } else (st, None)
+      val empty = BudgetState(Long.MinValue, Long.MinValue, 0L)
+      typed.groupByKey(_ => 0)
+        .flatMapGroupsWithState[BudgetState, BudgetRow](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
+          var st = state.getOption.getOrElse(empty)
+          // per-TRIGGER buffer only (bounded by the micro-batch)
+          val out = it.toSeq.sortBy(r => (r.ts, r.id)).flatMap { r =>
+            val (s2, o) = step(st, r); st = s2; o
+          }
+          state.update(st)
+          out.iterator
+        }
+    } else {
+      // batch arm: the anchor operator itself — selectByBudget's
+      // distributed prefix sum pointed at (ts ASC, id ASC) via the
+      // negated-score spelling; its strict-prefix cut and loud
+      // negative/NULL-weight raise apply unchanged
+      graft.operators.PipelineOps.selectByBudget(
+          events.select(col(idCol).cast("long").as("event_id"),
+            col(tsUsCol).cast("long").as("ts_us"),
+            col(weightCol).cast("long").as("weight"))
+            .withColumn("__neg_ts", -col("ts_us")),
+          "event_id", "weight", "__neg_ts", budget)
+        .select(col("event_id"), col("ts_us"), col("weight"), col("cum_weight"))
+        .as[BudgetRow]
     }
   }
 

@@ -231,7 +231,12 @@ object MicroBench {
       // round-14: the two-direction two-sided margin miner — the same
       // double-fit shape as mutual (1.68 s median at sf0.1), next in
       // line to disperse under load
-      "q_sim_bitext_2way")
+      "q_sim_bitext_2way",
+      // round-15 (VERDICT r14 #2): q_image_histogram's median moved
+      // 1.391 → 2.079 s across r13→r14 with ZERO changed lines in the
+      // codec path and tight per-round runs — exactly the
+      // drift-vs-floor question this watch adjudicates
+      "q_image_histogram")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
     tail.foreach(measureQuery(spark, dir, _, 5))
   }

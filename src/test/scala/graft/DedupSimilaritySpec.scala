@@ -829,6 +829,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cbC.nlist == 6 && cbC.dim == 16)
   }
 
+  test("ivfTopKDistributed is value-identical to the driver-path ivfTopK on a corpus-scale query frame") {
+    val df = knnFixture(200)
+    val q = df.where(col("vec_id") % 2 === 0) // half the corpus as queries
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    val dist = Similarity.ivfTopKDistributed(df, q, "vec_id", "embedding",
+      k = 3, dim = 16, nlist = 8, nprobe = 3)
+    val driver = Similarity.ivfTopK(df, q, "vec_id", "embedding",
+      k = 3, dim = 16, nlist = 8, nprobe = 3)
+    assert(rows(dist) == rows(driver))
+    // the *With form on the same (corpus, nlist, seed) handle too
+    val cb = Similarity.fitIvfCodebook(df, "vec_id", "embedding", dim = 16,
+      nlist = 8)
+    assert(rows(Similarity.ivfTopKDistributedWith(df, q, "vec_id", "embedding",
+      k = 3, cb, nprobe = 3)) == rows(dist))
+    // contract details: k rows per query, no self-pairs
+    val got = dist.as[(Long, Long, Double, Int)].collect()
+    assert(got.forall { case (qid, nid, _, _) => qid != nid })
+    assert(got.groupBy(_._1).values.forall(_.length == 3))
+  }
+
+  test("CodebookCache memoizes per key and releases with CacheScope.releaseAll") {
+    val df = knnFixture(60)
+    graft.CodebookCache.clear()
+    var fits = 0
+    def fit() = { fits += 1
+      Similarity.fitIvfCodebook(df, "vec_id", "embedding", dim = 16, nlist = 4) }
+    val a = graft.CodebookCache.getOrFit("spec|knn60|nlist=4|seed=9")(fit())
+    val b = graft.CodebookCache.getOrFit("spec|knn60|nlist=4|seed=9")(fit())
+    assert(fits == 1 && (a eq b), "second lookup must hit the memo")
+    // releaseAll (the Bench/MicroBench per-run hygiene hook) clears it —
+    // recorded numbers never hide the fit behind a warm memo
+    graft.CacheScope.releaseAll()
+    val c = graft.CodebookCache.getOrFit("spec|knn60|nlist=4|seed=9")(fit())
+    assert(fits == 2 && !(a eq c), "post-release lookup must re-fit")
+    graft.CodebookCache.clear()
+  }
+
   test("bitextMineTwoSided: margin equals the paper's two-sided fold at full probes") {
     val all = knnFixture(120)
     val a = all.where(col("vec_id") % 2 === 0)

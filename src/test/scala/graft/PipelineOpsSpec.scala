@@ -475,6 +475,55 @@ class PipelineOpsSpec extends SparkSpec {
         "id", "w", "score", 100L).collect()
     }
     assert(causeMessages(e).exists(_.contains("negative")), causeMessages(e).mkString("|"))
+    // NULL weight raises too (r14 ADVICE): a NULL token count would
+    // otherwise ride FREE under the budget — same pipeline bug as a
+    // negative, same loud contract
+    val eNull = intercept[Exception] {
+      PipelineOps.selectByBudget(
+        Seq((1L, Some(5L), 9.0), (2L, None, 5.0)).toDF("id", "w", "score"),
+        "id", "w", "score", 100L).collect()
+    }
+    assert(causeMessages(eNull).exists(_.contains("NULL")),
+      causeMessages(eNull).mkString("|"))
+  }
+
+  test("shuffleOrder/interleaveGroups raise loudly on a NULL id (digest contract)") {
+    // concat_ws would silently digest md5("<seed>:") while the oracle's
+    // `||` yields NULL — the unique-id contract forbids NULL, loudly
+    val d = Seq((Some(1L), "a"), (None, "b")).toDF("id", "g")
+    val e = intercept[Exception] {
+      PipelineOps.shuffleOrder(d, "id", seed = 7L).collect()
+    }
+    assert(causeMessages(e).exists(_.contains("NULL 'id'")),
+      causeMessages(e).mkString("|"))
+    val e2 = intercept[Exception] {
+      PipelineOps.interleaveGroups(d, "id", "g", seed = 7L).collect()
+    }
+    assert(causeMessages(e2).exists(_.contains("NULL 'id'")),
+      causeMessages(e2).mkString("|"))
+  }
+
+  test("shardPackByOrder: shuffleOrder composition packs shards in epoch order, partitioning-invariant") {
+    val docs = (1L to 40L).map(i => (i, (i % 7) * 10L)).toDF("id", "w")
+    val ordered = PipelineOps.shuffleOrder(docs, "id", seed = 7L)
+    val out = PipelineOps.shardPackByOrder(ordered, "shuffle_pos", "w", budget = 60L)
+      .select("id", "shuffle_pos", "shard_id", "shard_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    // driver replay: exclusive prefix of w in shuffle_pos order
+    val wOf = (1L to 40L).map(i => i -> (i % 7) * 10L).toMap
+    var before = 0L
+    out.foreach { case (id, _, shard, off) =>
+      assert(shard == before / 60L && off == before % 60L, s"id=$id")
+      before += wOf(id)
+    }
+    (1 to 3).foreach { p =>
+      val again = PipelineOps.shardPackByOrder(
+          PipelineOps.shuffleOrder(docs.repartition(p), "id", 7L),
+          "shuffle_pos", "w", 60L)
+        .select("id", "shard_id", "shard_offset")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(again == out.map(t => (t._1, t._3, t._4)).toSet, s"parts=$p")
+    }
   }
 
   test("interleaveGroups: round-robin across groups, seeded within-group order, null group kept") {

@@ -152,6 +152,45 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Map(1L -> "a\nb", 2L -> "c", 3L -> "d", 4L -> ""))
   }
 
+  test("budgetAdmitStream: strict-prefix admission across micro-batches == the batch selectByBudget arm; redelivery idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)] // (event_id, ts_us, weight)
+    val q = StreamingDemo.budgetAdmitStream(
+        mem.toDF().toDF("event_id", "ts_us", "weight"),
+        "event_id", "ts_us", "weight", budget = 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("budget_stream_test").start()
+    try {
+      mem.addData((1L, 10L, 40L), (2L, 20L, 30L))   // cum 40, 70 — both in
+      q.processAllAvailable()
+      mem.addData((2L, 20L, 30L),                    // redelivery: stale, skipped
+        (3L, 30L, 50L),                              // cum 120 > 100 — gate closed
+        (4L, 40L, 5L))                               // would fit alone, but strict prefix
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("budget_stream_test")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L, 40L, 40L), (2L, 20L, 30L, 70L)),
+      s"strict prefix + idempotent redelivery: $out")
+    // the batch arm — selectByBudget's distributed prefix sum at
+    // (ts ASC, id ASC) — must produce the identical cut (the sequential
+    // fold pinned against the distributed operator)
+    val batch = Seq((1L, 10L, 40L), (2L, 20L, 30L), (3L, 30L, 50L), (4L, 40L, 5L))
+      .toDF("event_id", "ts_us", "weight")
+    val viaBatch = StreamingDemo.budgetAdmitStream(batch,
+        "event_id", "ts_us", "weight", budget = 100L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaBatch == out)
+    // the batch arm inherits selectByBudget's loud NULL/negative raise
+    val e = intercept[Exception] {
+      StreamingDemo.budgetAdmitStream(
+        Seq((1L, 10L, -4L)).toDF("event_id", "ts_us", "weight"),
+        "event_id", "ts_us", "weight", budget = 100L).collect()
+    }
+    assert(causeMessages(e).exists(_.contains("negative")),
+      causeMessages(e).mkString("|"))
+  }
+
   test("sessionizeMillis: 30-min gap splits sessions, counts and bounds exact") {
     val evs = Seq(
       (1L, 0L), (1L, 60000L),      // session A: two events a minute apart
