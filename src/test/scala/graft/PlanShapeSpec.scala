@@ -332,6 +332,24 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a map-side (Partial) WindowGroupLimit before the candidate shuffle:\n${plan.head}")
   }
 
+  test("distributed IVF top-k: equi-join only (no product join), map-side group limit") {
+    // the corpus-scale query path: probes meet the bucketed corpus in
+    // a plain list-keyed equi-join (strategy AQE's — broadcast is fine
+    // at gate scale, a product join never is), and the per-query top-k
+    // must keep the Partial WindowGroupLimit so the exchange carries
+    // partitions×k rows per query, never the probed corpus slice
+    val plan = executed("q_sim_ivf_distributed")
+    val s = plan.head.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      s"distributed IVF must join by list-id equality only:\n$s")
+    val limits = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.exists(_.mode == org.apache.spark.sql.execution.window.Partial),
+      s"expected a map-side (Partial) WindowGroupLimit before the top-k shuffle:\n${plan.head}")
+    graft.CacheScope.releaseAll()
+  }
+
   test("brute-force top-k group-limits map-side too (same window shape)") {
     val plan = executed("q_sim_bruteforce_topk")
     val limits = plan.collect {
