@@ -1087,6 +1087,18 @@ object ExtQueries {
         "embedding", k = 5, embCodebook16(s, dir), nprobe = 4, m = 4,
         ksub = 16, candidates = 50)
     }),
+    "q_sim_ivfpq_distributed" -> ((s, dir) => {
+      // the compressed-corpus path at corpus-scale queries: HALF the
+      // corpus as the query frame through the fully-distributed IVF-PQ
+      // (row-local probes + residual LUTs, no query collect, no forced
+      // broadcast); same fit/encode/ADC/re-rank semantics as
+      // q_sim_ivfpq_topk (shared codebook handle), oracle = that
+      // replay with the query predicate widened to the even parity
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopKDistributedWith(e, e.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", k = 5, embCodebook16(s, dir), nprobe = 4,
+        m = 4, ksub = 16, candidates = 50)
+    }),
     "q_embed_cluster" -> ((s, dir) => {
       // SemDeDup-style corpus clustering — the IVF bucketing stage
       // first-class; nlist pinned to 16 to stay in lockstep with the
@@ -1944,7 +1956,16 @@ object ExtQueries {
     * LUT lookup is the same distance arithmetic as the direct
     * `sqlDist(qr slice, centroid)` here — computed once per probe
     * instead of per pair, identical values. */
-  private def ivfpqOracle: String = {
+  private def ivfpqOracle: String = ivfpqOracleFor("e.id < 5", "id < 5")
+
+  /** q_sim_ivfpq_distributed oracle: the identical IVF-PQ replay with
+    * the query predicate widened to the even parity — the distributed
+    * probe/LUT/re-rank path is value-identical to the driver path by
+    * construction, so only the query set differs. */
+  private def ivfpqDistributedOracle: String =
+    ivfpqOracleFor("e.id % 2 = 0", "id % 2 = 0")
+
+  private def ivfpqOracleFor(probePred: String, rerankPred: String): String = {
     val (nlist, nprobe, m, ksub, iters, cand, k, subDim) = (16, 4, 4, 16, 10, 50, 5, 16)
     def lo(j: Int) = j * subDim + 1
     def hi(j: Int) = (j + 1) * subDim
@@ -1973,7 +1994,7 @@ object ExtQueries {
        |  SELECT id AS query_id, v AS qv, cidx - 1 AS lst
        |  FROM (SELECT e.id, e.v, u.cidx, ${sqlDist("e.v", "cs[u.cidx]")} AS d
        |        FROM emb e, fin, (SELECT unnest(generate_series(1, $nlist)) AS cidx) u
-       |        WHERE e.id < 5)
+       |        WHERE $probePred)
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cidx) <= $nprobe),
        |prv AS (SELECT p.query_id, p.lst,
        |    list_transform(list_zip(p.qv, cs[p.lst + 1]), z -> z[1] - z[2]) AS qr
@@ -1988,7 +2009,7 @@ object ExtQueries {
        |rer AS (SELECT cd.query_id, cd.neighbor_id,
        |    ${sqlCosine("q.qv", "e.v")} AS cosine
        |  FROM cands cd JOIN emb e ON e.id = cd.neighbor_id
-       |  JOIN (SELECT id AS query_id, v AS qv FROM emb WHERE id < 5) q
+       |  JOIN (SELECT id AS query_id, v AS qv FROM emb WHERE $rerankPred) q
        |    ON q.query_id = cd.query_id)
        |SELECT query_id, neighbor_id, cosine, rank FROM (
        |  SELECT query_id, neighbor_id, cosine,
@@ -2555,6 +2576,7 @@ object ExtQueries {
         |FROM final_rows GROUP BY pri""".stripMargin,
     "q_sim_pq_topk" -> pqOracle,
     "q_sim_ivfpq_topk" -> ivfpqOracle,
+    "q_sim_ivfpq_distributed" -> ivfpqDistributedOracle,
     "q_kmeans_refine" -> kmeansRefineOracle,
     "q_quality_model" -> qualityModelOracle,
     "q_bpe_tokenize" -> bpeOracle,

@@ -1112,19 +1112,14 @@ object Similarity {
     ivfPqTopKImpl(corpus, queries, idCol, vecCol, k, codebook.dim,
       codebook.sample, codebook.centers, nprobe, m, ksub, candidates)
 
-  private def ivfPqTopKImpl(corpus: DataFrame, queries: DataFrame,
-                            idCol: String, vecCol: String, k: Int, dim: Int,
-                            sample: Array[Array[Double]],
-                            coarse: Array[Array[Double]], nprobe: Int,
-                            m: Int, ksub: Int, candidates: Int): DataFrame = {
-    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val spark = corpus.sparkSession
+  /** The m residual sub-codebooks shared by both IVF-PQ query paths:
+    * fit-sample residuals against the coarse argmin (driver-side, the
+    * same first-min rule and ascending-feature fold as the expression
+    * kernel), one bounded Lloyd per subspace. */
+  private def pqResidualBooks(sample: Array[Array[Double]],
+                              coarse: Array[Array[Double]], dim: Int,
+                              m: Int, ksub: Int): IndexedSeq[Array[Array[Double]]] = {
     val sub = dim / m
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-
-    // sample residuals (driver-side, same first-min argmin as the
-    // expression kernel) → m residual sub-codebooks
     def nearest(v: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue; var i = 0
       while (i < coarse.length) {
@@ -1139,10 +1134,24 @@ object Similarity {
       val ctr = coarse(nearest(v))
       Array.tabulate(dim)(f => v(f) - ctr(f))
     }
-    val books: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
+    (0 until m).map { j =>
       CoreT.lloyd(residSample.map(_.slice(j * sub, (j + 1) * sub)),
         math.min(ksub, math.max(2, residSample.length)), maxIter = 10)
     }
+  }
+
+  private def ivfPqTopKImpl(corpus: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String, k: Int, dim: Int,
+                            sample: Array[Array[Double]],
+                            coarse: Array[Array[Double]], nprobe: Int,
+                            m: Int, ksub: Int, candidates: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val spark = corpus.sparkSession
+    val sub = dim / m
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+
+    val books = pqResidualBooks(sample, coarse, dim, m, ksub)
 
     // corpus: coarse list assignment (expression scan), residual
     // materialization, m residual argmin codes — zero shuffles
@@ -1211,6 +1220,125 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(broadcast(cand), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** [[ivfPqTopK]] with BOTH sides distributed — the IVF-PQ sibling of
+    * [[ivfTopKDistributed]], closing the SAME corpus-scale funnel in
+    * the compressed-corpus path: the driver variant collects the query
+    * frame to build per-(query, list) residual LUTs, which is right
+    * for point lookups and a funnel for a query corpus. Every
+    * driver-side query step moves into row-local expressions here:
+    * probe selection is the [[ivfTopKDistributed]] array_sort slice
+    * (probeTriples' exact (dist, list idx) order), the per-probe
+    * residual is `zip_with(qv, element_at(centersLit, lst+1), −)`
+    * (the corpus encode's own spelling, so the subtraction widens
+    * identically), and the m LUTs are [[graft.functions.CentroidDists]]
+    * scans over that residual — all plan-literal codebooks, zero
+    * query-side collects. The ADC join on the list id and the re-rank
+    * joins on (neighbor_id, query_id) carry NO forced broadcast —
+    * AQE broadcasts when a side is actually small and shuffles when
+    * not. Candidate and top-k windows stay map-side bounded
+    * (WindowGroupLimit). VALUE-IDENTICAL to [[ivfPqTopK]] on the same
+    * (corpus, params) — spec-pinned on a half-corpus query frame; the
+    * gate oracle is the q_sim_ivfpq_topk replay with the query
+    * predicate widened. */
+  def ivfPqTopKDistributed(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int, dim: Int,
+                           nlist: Int = 0, nprobe: Int = 4,
+                           m: Int = 4, ksub: Int = 16, candidates: Int = 50,
+                           seed: Long = 9): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val cFit = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val sample = collectFitSample(cFit, seed)
+    ivfPqTopKDistributedImpl(corpus, queries, idCol, vecCol, k, dim,
+      sample, fitFromSample(sample, nlist), nprobe, m, ksub, candidates)
+  }
+
+  /** [[ivfPqTopKDistributed]] against a pre-fitted [[Codebook]] (its
+    * centers = the coarse quantizer, its retained sample seeds the m
+    * residual sub-fits — exactly the fit-inside derivation). */
+  def ivfPqTopKDistributedWith(corpus: DataFrame, queries: DataFrame,
+                               idCol: String, vecCol: String, k: Int,
+                               codebook: Codebook, nprobe: Int = 4,
+                               m: Int = 4, ksub: Int = 16,
+                               candidates: Int = 50): DataFrame =
+    ivfPqTopKDistributedImpl(corpus, queries, idCol, vecCol, k, codebook.dim,
+      codebook.sample, codebook.centers, nprobe, m, ksub, candidates)
+
+  private def ivfPqTopKDistributedImpl(corpus: DataFrame, queries: DataFrame,
+                                       idCol: String, vecCol: String, k: Int,
+                                       dim: Int, sample: Array[Array[Double]],
+                                       coarse: Array[Array[Double]],
+                                       nprobe: Int, m: Int, ksub: Int,
+                                       candidates: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val np = math.min(nprobe, coarse.length)
+    val books = pqResidualBooks(sample, coarse, dim, m, ksub)
+    val centersLit = array(coarse.toIndexedSeq.map(ctr =>
+      array(ctr.toIndexedSeq.map(lit): _*)): _*)
+    val dblArr = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+
+    // corpus side: identical to the driver variant — coarse argmin,
+    // residual materialization, m residual argmin codes, zero shuffles
+    val listed = c
+      .withColumn("__dists", centerDistArr(coarse, dim))
+      .withColumn("__list",
+        coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
+          .cast("int"), lit(0)))
+      .drop("__dists")
+      .withColumn("__rv", zip_with(col("__cv").cast(dblArr),
+        element_at(centersLit, col("__list") + 1), (a, b) => a - b))
+    val coded = (0 until m).foldLeft(listed) { (df, j) =>
+      df.withColumn(s"__d$j",
+          graft.functions.CentroidDists.dists(col("__rv"), books(j), offset = j * sub))
+        .withColumn(s"__c$j",
+          coalesce((array_position(col(s"__d$j"), array_min(col(s"__d$j"))) - 1)
+            .cast("int"), lit(0)))
+        .drop(s"__d$j")
+    }.drop("__cv", "__rv")
+
+    // query side, all row-local: top-nprobe coarse lists, per-probe
+    // residual, per-subspace LUTs — no collect, no broadcast hint
+    val probes = q
+      .withColumn("__dists",
+        graft.functions.CentroidDists.dists(col("__qv"), coarse))
+      .select(col("query_id"),
+        explode(expr(
+          s"transform(slice(array_sort(transform(__dists, (d, i) -> struct(d, i))), 1, $np), x -> x.i)"))
+          .as("__list"),
+        col("__qv"))
+      .withColumn("__qrv", zip_with(col("__qv").cast(dblArr),
+        element_at(centersLit, col("__list") + 1), (a, b) => a - b))
+    val qluts = (0 until m).foldLeft(probes) { (df, j) =>
+      df.withColumn(s"__l$j",
+        graft.functions.CentroidDists.dists(col("__qrv"), books(j), offset = j * sub))
+    }.drop("__qrv", "__qv")
+
+    val adc = (0 until m).map(j =>
+      element_at(col(s"__l$j"), col(s"__c$j") + 1)).reduce(_ + _)
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    val cand = coded.join(qluts, Seq("__list"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adc)
+      .withColumn("__rn", row_number().over(wCand))
+      .where(col("__rn") <= candidates)
+      .select("query_id", "neighbor_id")
+
+    // exact re-rank: plain equi-joins back to both full-precision
+    // sides — nq·candidates rows against the corpus, AQE's strategy
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(cand, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(wTop))
       .where(col("rank") <= k)

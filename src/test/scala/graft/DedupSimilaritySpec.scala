@@ -850,6 +850,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.groupBy(_._1).values.forall(_.length == 3))
   }
 
+  test("ivfPqTopKDistributed is value-identical to the driver-path ivfPqTopK on a corpus-scale query frame") {
+    val df = knnFixture(200)
+    val q = df.where(col("vec_id") % 2 === 0)
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    val dist = Similarity.ivfPqTopKDistributed(df, q, "vec_id", "embedding",
+      k = 3, dim = 16, nlist = 8, nprobe = 3, m = 4, ksub = 8, candidates = 20)
+    val driver = Similarity.ivfPqTopK(df, q, "vec_id", "embedding",
+      k = 3, dim = 16, nlist = 8, nprobe = 3, m = 4, ksub = 8, candidates = 20)
+    assert(rows(dist) == rows(driver))
+    val cb = Similarity.fitIvfCodebook(df, "vec_id", "embedding", dim = 16,
+      nlist = 8)
+    assert(rows(Similarity.ivfPqTopKDistributedWith(df, q, "vec_id", "embedding",
+      k = 3, cb, nprobe = 3, m = 4, ksub = 8, candidates = 20)) == rows(dist))
+  }
+
   test("CodebookCache memoizes per key and releases with CacheScope.releaseAll") {
     val df = knnFixture(60)
     graft.CodebookCache.clear()

@@ -350,6 +350,29 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("distributed IVF-PQ: equi-joins only, map-side group limits on both windows") {
+    // same contract as the distributed IVF pin, for the compressed
+    // path: ADC join on the list id + re-rank joins on plain keys
+    // (AQE's strategy — never a product join), and the CANDIDATE cut
+    // — the window whose input can approach nq·(probed corpus) rows —
+    // map-side bounded. (The final top-k window's input is already
+    // ≤ candidates rows/query by construction; at gate scale AQE
+    // broadcasts the re-rank joins, the window sees an
+    // un-exchanged stream, and Spark then plans a Final-only group
+    // limit — no Partial exists without a shuffle below it.)
+    val plan = executed("q_sim_ivfpq_distributed")
+    val s = plan.head.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      s"distributed IVF-PQ must join by key equality only:\n$s")
+    val partials = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if w.mode == org.apache.spark.sql.execution.window.Partial => w
+    }
+    assert(partials.nonEmpty,
+      s"expected a map-side (Partial) WindowGroupLimit at the ADC candidate cut:\n${plan.head}")
+    graft.CacheScope.releaseAll()
+  }
+
   test("brute-force top-k group-limits map-side too (same window shape)") {
     val plan = executed("q_sim_bruteforce_topk")
     val limits = plan.collect {
