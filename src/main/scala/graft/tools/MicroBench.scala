@@ -235,8 +235,13 @@ object MicroBench {
       // round-15 (VERDICT r14 #2): q_image_histogram's median moved
       // 1.391 → 2.079 s across r13→r14 with ZERO changed lines in the
       // codec path and tight per-round runs — exactly the
-      // drift-vs-floor question this watch adjudicates
-      "q_image_histogram")
+      // drift-vs-floor question this watch adjudicates (closed: idle
+      // n=7 median 1.359 s = the r13 floor; r14's move was the box)
+      "q_image_histogram",
+      // round-15 newcomers: the two distributed-query ANN paths —
+      // multi-second class (2.27 / 1.72 s medians at sf0.1), the
+      // usual next candidates to disperse under load
+      "q_sim_ivf_distributed", "q_sim_ivfpq_distributed")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
     tail.foreach(measureQuery(spark, dir, _, 5))
   }
