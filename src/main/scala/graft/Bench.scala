@@ -324,9 +324,21 @@ object Bench {
       chosen match {
         case None => Map.empty
         case Some(f) =>
-          val parsed = parseMedians(new String(
-            java.nio.file.Files.readAllBytes(f.toPath),
-            java.nio.charset.StandardCharsets.UTF_8), sfDir)
+          // read failure must be VISIBLE, not a silent disarm — an
+          // explicit override with a typo'd path would otherwise turn
+          // adjudication off with no trace, the exact guess-the-state
+          // failure the diag line exists to eliminate
+          val bytes =
+            try java.nio.file.Files.readAllBytes(f.toPath)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[bench-diag] adjudication medians artifact $f unreadable " +
+                    s"(${e.getClass.getSimpleName}) — adjudication disarmed")
+                return Map.empty
+            }
+          val parsed = parseMedians(
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8), sfDir)
           System.err.println(
             s"[bench-diag] adjudication medians artifact: ${f.getName} " +
               s"(${parsed.size} queries${if (parsed.isEmpty) " — sf mismatch or unparsable, adjudication disarmed" else ""})")

@@ -483,9 +483,15 @@ object Similarity {
     * co-partitioned shuffle join on ≈√m keys, never a collect or a
     * forced broadcast; per-query top-k stays map-side bounded
     * (row_number + `rank <= k` → WindowGroupLimit). Hot-list skew
-    * guard as in [[knnGraph]]: over-cap lists drop loudly via
-    * [[Dedup.capBuckets]]. Self-pairs are excluded, like [[ivfTopK]]
-    * — queries drawn from the corpus don't report themselves. */
+    * guard as in [[knnGraph]]: lists over `maxListSize` are SILENTLY
+    * dropped by [[Dedup.capBuckets]] (a degenerate codebook
+    * concentrating the corpus in one list would otherwise make the
+    * join quadratic in it) — the ONE documented deviation from the
+    * uncapped driver path: value-identity holds whenever no list
+    * exceeds the cap (always at gate scale; pass `Long.MaxValue` to
+    * pin it unconditionally). Self-pairs are excluded, like
+    * [[ivfTopK]] — queries drawn from the corpus don't report
+    * themselves. */
   def ivfTopKDistributed(corpus: DataFrame, queries: DataFrame,
                          idCol: String, vecCol: String, k: Int, dim: Int,
                          nlist: Int = 0, nprobe: Int = 4, seed: Long = 9,
@@ -572,8 +578,9 @@ object Similarity {
     * task pre-trims to k rows per query). A degenerate codebook
     * concentrating the corpus into one list would go quadratic — the
     * same failure mode as LSH hot buckets — so over-cap lists are
-    * dropped loudly by [[Dedup.capBuckets]] (`maxListSize`, never hit
-    * at gate scale and not modeled by the oracle).
+    * SILENTLY dropped by [[Dedup.capBuckets]] (`maxListSize`, never
+    * hit at gate scale and not modeled by the oracle; pass
+    * `Long.MaxValue` to disable the guard).
     *
     * Every vector probes its own assignment list first (its argmin is
     * its closest centroid), so each vector always sees its own-cluster
@@ -1242,7 +1249,14 @@ object Similarity {
     * joins on (neighbor_id, query_id) carry NO forced broadcast —
     * AQE broadcasts when a side is actually small and shuffles when
     * not. Candidate and top-k windows stay map-side bounded
-    * (WindowGroupLimit). VALUE-IDENTICAL to [[ivfPqTopK]] on the same
+    * (WindowGroupLimit). Hot-list skew guard as in
+    * [[ivfTopKDistributed]]: lists over `maxListSize` are SILENTLY
+    * dropped by [[Dedup.capBuckets]] before the encode (a degenerate
+    * coarse codebook would otherwise make the nq-side ADC join
+    * quadratic in the hot list) — the one documented deviation from
+    * the uncapped driver path; value-identity holds whenever no list
+    * exceeds the cap (always at gate scale; `Long.MaxValue` disables).
+    * Otherwise VALUE-IDENTICAL to [[ivfPqTopK]] on the same
     * (corpus, params) — spec-pinned on a half-corpus query frame; the
     * gate oracle is the q_sim_ivfpq_topk replay with the query
     * predicate widened. */
@@ -1250,12 +1264,14 @@ object Similarity {
                            idCol: String, vecCol: String, k: Int, dim: Int,
                            nlist: Int = 0, nprobe: Int = 4,
                            m: Int = 4, ksub: Int = 16, candidates: Int = 50,
-                           seed: Long = 9): DataFrame = {
+                           seed: Long = 9,
+                           maxListSize: Long = 100000L): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val cFit = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val sample = collectFitSample(cFit, seed)
     ivfPqTopKDistributedImpl(corpus, queries, idCol, vecCol, k, dim,
-      sample, fitFromSample(sample, nlist), nprobe, m, ksub, candidates)
+      sample, fitFromSample(sample, nlist), nprobe, m, ksub, candidates,
+      maxListSize)
   }
 
   /** [[ivfPqTopKDistributed]] against a pre-fitted [[Codebook]] (its
@@ -1265,16 +1281,19 @@ object Similarity {
                                idCol: String, vecCol: String, k: Int,
                                codebook: Codebook, nprobe: Int = 4,
                                m: Int = 4, ksub: Int = 16,
-                               candidates: Int = 50): DataFrame =
+                               candidates: Int = 50,
+                               maxListSize: Long = 100000L): DataFrame =
     ivfPqTopKDistributedImpl(corpus, queries, idCol, vecCol, k, codebook.dim,
-      codebook.sample, codebook.centers, nprobe, m, ksub, candidates)
+      codebook.sample, codebook.centers, nprobe, m, ksub, candidates,
+      maxListSize)
 
   private def ivfPqTopKDistributedImpl(corpus: DataFrame, queries: DataFrame,
                                        idCol: String, vecCol: String, k: Int,
                                        dim: Int, sample: Array[Array[Double]],
                                        coarse: Array[Array[Double]],
                                        nprobe: Int, m: Int, ksub: Int,
-                                       candidates: Int): DataFrame = {
+                                       candidates: Int,
+                                       maxListSize: Long): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
@@ -1288,12 +1307,14 @@ object Similarity {
 
     // corpus side: identical to the driver variant — coarse argmin,
     // residual materialization, m residual argmin codes, zero shuffles
-    val listed = c
-      .withColumn("__dists", centerDistArr(coarse, dim))
-      .withColumn("__list",
-        coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
-          .cast("int"), lit(0)))
-      .drop("__dists")
+    // — plus the hot-list cap the corpus-scale query contract needs
+    val listed = Dedup.capBuckets(c
+        .withColumn("__dists", centerDistArr(coarse, dim))
+        .withColumn("__list",
+          coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
+            .cast("int"), lit(0)))
+        .drop("__dists"),
+        Seq("__list"), maxListSize)
       .withColumn("__rv", zip_with(col("__cv").cast(dblArr),
         element_at(centersLit, col("__list") + 1), (a, b) => a - b))
     val coded = (0 until m).foldLeft(listed) { (df, j) =>

@@ -793,23 +793,36 @@ object StreamingDemo {
     * triggers, within a trigger sorted by (ts, id); an event at or
     * behind the frontier is stale/redelivered and skipped (idempotent
     * at-least-once); negative or NULL weights raise loudly, exactly as
-    * the batch operator does. */
+    * the batch operator does — and so do NULL ids/timestamps (a
+    * budget admission with an unaddressable or untimed row is a
+    * pipeline bug; silently shedding it in one arm only would break
+    * the stream==batch contract at the boundary), IN BOTH ARMS via
+    * the one shared guarded projection. */
   def budgetAdmitStream(events: DataFrame, idCol: String, tsUsCol: String,
                         weightCol: String, budget: Long)
       : org.apache.spark.sql.Dataset[BudgetRow] = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val session = events.sparkSession
     import session.implicits._
+    def nonNullLong(c: String) =
+      when(col(c).isNull, raise_error(lit(
+          s"budgetAdmitStream: NULL '$c' — ids/timestamps must be non-null"))
+          .cast("long"))
+        .otherwise(col(c).cast("long"))
+    // the ONE guarded projection both arms consume — the stream==batch
+    // contract starts at identical admissible inputs
+    val guarded = events.select(
+      nonNullLong(idCol).as("event_id"),
+      nonNullLong(tsUsCol).as("ts_us"),
+      when(col(weightCol) < 0 || col(weightCol).isNull,
+          raise_error(concat(
+            lit(s"budgetAdmitStream: negative or NULL '$weightCol' at $idCol="),
+            coalesce(col(idCol).cast("string"), lit("NULL")))).cast("long"))
+        .otherwise(col(weightCol).cast("long")).as("weight"))
     if (events.isStreaming) {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-      val typed = events.select(col(idCol).cast("long").as("id"),
-          col(tsUsCol).cast("long").as("ts"),
-          when(col(weightCol) < 0 || col(weightCol).isNull,
-              raise_error(concat(
-                lit(s"budgetAdmitStream: negative or NULL '$weightCol' at $idCol="),
-                coalesce(col(idCol).cast("string"), lit("NULL")))).cast("long"))
-            .otherwise(col(weightCol).cast("long")).as("w"))
-        .where(col("id").isNotNull && col("ts").isNotNull)
+      val typed = guarded.select(col("event_id").as("id"),
+          col("ts_us").as("ts"), col("weight").as("w"))
         .as[BudgetEvent]
       def step(st: BudgetState, r: BudgetEvent): (BudgetState, Option[BudgetRow]) =
         if (r.ts > st.lastTs || (r.ts == st.lastTs && r.id > st.lastId)) {
@@ -832,13 +845,11 @@ object StreamingDemo {
     } else {
       // batch arm: the anchor operator itself — selectByBudget's
       // distributed prefix sum pointed at (ts ASC, id ASC) via the
-      // negated-score spelling; its strict-prefix cut and loud
-      // negative/NULL-weight raise apply unchanged
+      // negated-score spelling over the SAME guarded projection; its
+      // strict-prefix cut applies unchanged (its own weight raise is
+      // unreachable behind the shared guard)
       graft.operators.PipelineOps.selectByBudget(
-          events.select(col(idCol).cast("long").as("event_id"),
-            col(tsUsCol).cast("long").as("ts_us"),
-            col(weightCol).cast("long").as("weight"))
-            .withColumn("__neg_ts", -col("ts_us")),
+          guarded.withColumn("__neg_ts", -col("ts_us")),
           "event_id", "weight", "__neg_ts", budget)
         .select(col("event_id"), col("ts_us"), col("weight"), col("cum_weight"))
         .as[BudgetRow]

@@ -864,6 +864,17 @@ class DedupSimilaritySpec extends SparkSpec {
       nlist = 8)
     assert(rows(Similarity.ivfPqTopKDistributedWith(df, q, "vec_id", "embedding",
       k = 3, cb, nprobe = 3, m = 4, ksub = 8, candidates = 20)) == rows(dist))
+    // the hot-list cap is the one documented deviation from the driver
+    // path: every list over the cap drops (silently, by the skew-guard
+    // contract) — at maxListSize=1 nearly everything vanishes without
+    // error, and Long.MaxValue restores unconditional identity
+    val capped = Similarity.ivfPqTopKDistributedWith(df, q, "vec_id",
+      "embedding", k = 3, cb, nprobe = 3, m = 4, ksub = 8, candidates = 20,
+      maxListSize = 1L)
+    assert(capped.count() < dist.count())
+    assert(rows(Similarity.ivfPqTopKDistributedWith(df, q, "vec_id",
+      "embedding", k = 3, cb, nprobe = 3, m = 4, ksub = 8, candidates = 20,
+      maxListSize = Long.MaxValue)) == rows(dist))
   }
 
   test("CodebookCache memoizes per key and releases with CacheScope.releaseAll") {

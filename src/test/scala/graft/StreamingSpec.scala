@@ -181,7 +181,9 @@ class StreamingSpec extends SparkSpec {
         "event_id", "ts_us", "weight", budget = 100L)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(viaBatch == out)
-    // the batch arm inherits selectByBudget's loud NULL/negative raise
+    // loud raises in the shared guarded projection: negative weight,
+    // and NULL id/ts (one arm silently shedding what the other counts
+    // would break the twin contract at the budget boundary)
     val e = intercept[Exception] {
       StreamingDemo.budgetAdmitStream(
         Seq((1L, 10L, -4L)).toDF("event_id", "ts_us", "weight"),
@@ -189,6 +191,14 @@ class StreamingSpec extends SparkSpec {
     }
     assert(causeMessages(e).exists(_.contains("negative")),
       causeMessages(e).mkString("|"))
+    val eNull = intercept[Exception] {
+      StreamingDemo.budgetAdmitStream(
+        Seq((Some(1L), None: Option[Long], Some(4L)))
+          .toDF("event_id", "ts_us", "weight"),
+        "event_id", "ts_us", "weight", budget = 100L).collect()
+    }
+    assert(causeMessages(eNull).exists(_.contains("NULL 'ts_us'")),
+      causeMessages(eNull).mkString("|"))
   }
 
   test("sessionizeMillis: 30-min gap splits sessions, counts and bounds exact") {
