@@ -291,7 +291,8 @@ object Similarity {
     * [[Similarity.ivfTopKDistributedWith]],
     * [[Similarity.knnGraphWith]], [[Similarity.bitextMineForwardWith]],
     * [[Similarity.ivfPqTopKWith]], [[Similarity.clusterEmbeddingsWith]],
-    * [[Similarity.bitextMineMutualWith]]) — an IVF-top-k + kNN-graph +
+    * [[Similarity.bitextMineMutualWith]],
+    * [[Similarity.semanticDedupPairsWith]]) — an IVF-top-k + kNN-graph +
     * bitext session over one corpus then pays the fit once instead of
     * four times. Results are BIT-IDENTICAL to the fit-inside variants:
     * the handle stores exactly the centers (and the digest-ordered fit
@@ -392,9 +393,30 @@ object Similarity {
   def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          dim: Int, tau: Double, nlist: Int = 0, seed: Long = 9,
                          maxClusterSize: Long = 100000L): DataFrame = {
+    // cheap argument reject BEFORE the driver fit
     require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1,1], got $tau")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val centers = fitCodebook(c, nlist, seed)
+    semanticDedupPairsImpl(corpus, idCol, vecCol, dim,
+      fitCodebook(c, nlist, seed), tau, maxClusterSize)
+  }
+
+  /** [[semanticDedupPairs]] against a pre-fitted [[Codebook]] — a
+    * session that already clustered or IVF-indexed the corpus dedups
+    * it without re-paying the fit (same handle contract as the other
+    * `*With` variants: bit-identical to fit-inside). */
+  def semanticDedupPairsWith(corpus: DataFrame, idCol: String, vecCol: String,
+                             tau: Double, codebook: Codebook,
+                             maxClusterSize: Long = 100000L): DataFrame =
+    semanticDedupPairsImpl(corpus, idCol, vecCol, codebook.dim,
+      codebook.centers, tau, maxClusterSize)
+
+  private def semanticDedupPairsImpl(corpus: DataFrame, idCol: String,
+                                     vecCol: String, dim: Int,
+                                     centers: Array[Array[Double]],
+                                     tau: Double,
+                                     maxClusterSize: Long): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1,1], got $tau")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val assigned = graft.CacheScope.track(Dedup.capBuckets(
       c.withColumn("__dists", centerDistArr(centers, dim))
         .select(col("neighbor_id").as("id"), col("__cv"),

@@ -826,6 +826,10 @@ class DedupSimilaritySpec extends SparkSpec {
         codebookOnB = cbC, codebookOnA = cbQ, nprobe = 3, tau = 1.0))
       == rows(Similarity.bitextMineMutual(q, c, "vec_id", "embedding", 4, 16,
         nlist = 6, nprobe = 3, tau = 1.0)))
+    assert(rows(Similarity.semanticDedupPairsWith(c, "vec_id", "embedding",
+        tau = 0.5, cbC))
+      == rows(Similarity.semanticDedupPairs(c, "vec_id", "embedding", 16,
+        tau = 0.5, nlist = 6)))
     assert(cbC.nlist == 6 && cbC.dim == 16)
   }
 
