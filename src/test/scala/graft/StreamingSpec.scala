@@ -455,6 +455,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("budgetAdmitStream's scalar gate state round-trips the RocksDB provider") {
+    // same past-heap posture pin as the other stateful twins: the
+    // (frontier, cum) BudgetState written in batch 1 must be read back
+    // through RocksDB in batch 2 — the gate stays closed across batches
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Long)]
+      val q = StreamingDemo.budgetAdmitStream(
+          mem.toDF().toDF("event_id", "ts_us", "weight"),
+          "event_id", "ts_us", "weight", budget = 100L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("budget_rocksdb_test").start()
+      try {
+        mem.addData((1L, 10L, 80L))            // cum 80 — in
+        q.processAllAvailable()
+        mem.addData((2L, 20L, 30L),            // cum 110 — gate closes
+          (3L, 30L, 5L))                       // strict prefix: still out
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("budget_rocksdb_test")
+        .select($"event_id").as[Long].collect().toSet
+      assert(out == Set(1L),
+        s"batch-1 cum must survive the RocksDB round-trip and keep the gate closed: $out")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("near-dedup verdicts are replay-invariant under random redelivery (seeded, capped)") {
     // property form of the tombstone guarantee: a run WITH randomly
     // interleaved at-least-once replays (including docs judged past a
