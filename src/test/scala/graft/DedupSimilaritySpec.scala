@@ -854,6 +854,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.groupBy(_._1).values.forall(_.length == 3))
   }
 
+  test("distributed-vs-driver IVF identity holds across randomized corpora and parameters") {
+    // property form of the value-identity contract: random (seeded)
+    // vector corpora and random (n, nlist, nprobe, k) draws — the
+    // distributed probe join must reproduce the driver path's rows
+    // exactly on every draw, not just the fixture the gate pins
+    val rnd = new scala.util.Random(20260817L)
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    (1 to 4).foreach { draw =>
+      val n = 60 + rnd.nextInt(120)
+      val nlist = 3 + rnd.nextInt(8)
+      val nprobe = 1 + rnd.nextInt(nlist)
+      val k = 1 + rnd.nextInt(4)
+      val vecs = (0 until n).map { i =>
+        (i.toLong, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val q = df.where(col("vec_id") % 3 === 0)
+      val dist = Similarity.ivfTopKDistributed(df, q, "vec_id", "embedding",
+        k = k, dim = 16, nlist = nlist, nprobe = nprobe)
+      val driver = Similarity.ivfTopK(df, q, "vec_id", "embedding",
+        k = k, dim = 16, nlist = nlist, nprobe = nprobe)
+      assert(rows(dist) == rows(driver),
+        s"draw $draw (n=$n nlist=$nlist nprobe=$nprobe k=$k) diverged")
+    }
+  }
+
   test("ivfPqTopKDistributed is value-identical to the driver-path ivfPqTopK on a corpus-scale query frame") {
     val df = knnFixture(200)
     val q = df.where(col("vec_id") % 2 === 0)
