@@ -39,14 +39,28 @@ object CacheScope {
     ds
   }
 
-  /** Unpersist every tracked frame (and drop memoized codebook fits —
-    * [[CodebookCache]]'s benchmark-honesty contract rides this hook).
+  /** Unpersist every tracked frame AND drop memoized codebook fits —
+    * [[CodebookCache]]'s benchmark-honesty contract rides this hook
+    * (every measured Bench/MicroBench run calls this, so recorded
+    * numbers never hide a fit behind a warm memo).
     * @return frames released */
-  def releaseAll(blocking: Boolean = false): Int = synchronized {
+  def releaseAll(blocking: Boolean = false): Int = {
+    val n = releaseFrames(blocking)
+    CodebookCache.clear()
+    n
+  }
+
+  /** Unpersist every tracked frame but KEEP the codebook memo — the
+    * per-query hygiene for sessions whose whole point is cross-query
+    * fit reuse ([[Verify]]'s gate dump): dropping frames bounds driver
+    * memory (the registry would otherwise hold strong refs to every
+    * persisted Dataset and its analyzed plan across ~160 queries)
+    * while the session-scoped fits stay amortized.
+    * @return frames released */
+  def releaseFrames(blocking: Boolean = false): Int = synchronized {
     val n = tracked.size
     tracked.foreach(_.unpersist(blocking))
     tracked.clear()
-    CodebookCache.clear()
     n
   }
 

@@ -35,16 +35,24 @@ object ExtQueries {
   /** 24 hours in microseconds — the q_events_range_join window span. */
   private val DAY_US = 86400000000L
 
-  /** Raw-nanos → microseconds with FLOOR semantics — the ONE spelling
-    * every `eventsRawNanos` consumer whose oracle goes through DuckDB's
-    * µs-precision parquet read (`epoch_us(ts)`, which floors the nanos)
-    * must use: a bare `ts div 1000` truncates toward zero and would
-    * land one µs LATE for a pre-1970, non-µs-aligned nano timestamp —
-    * the same truncate-vs-floor class the r14 pmod window-bucketing fix
-    * closed. Benign on the µs-aligned fixture (TESTDATA ns = µs·1000),
-    * fixed at the class level anyway; `pmod(ts, 1000) ∈ [0, 1000)`
-    * makes the subtraction the floor multiple and the div exact. */
-  private val NS_FLOOR_US = "(ts - pmod(ts, 1000)) div 1000"
+  /** Raw-nanos → microseconds, TRUNCATING toward zero — the ONE
+    * spelling every `eventsRawNanos` consumer whose oracle goes
+    * through DuckDB's µs-precision parquet read must use, with the
+    * semantics pinned EMPIRICALLY (BASELINE.md, round 15): DuckDB
+    * 1.0.0 reads TIMESTAMP(NANOS) parquet by TRUNCATING the nanos
+    * toward zero to µs (pyarrow fixture: raw −1500 ns → −1 µs,
+    * −999 ns → 0, −2001 ns → −2), so Spark's integer `div` — which
+    * also truncates — is the exact mirror. A floor spelling
+    * (`(ts − pmod(ts,1000)) div 1000`) would land one µs EARLY for
+    * pre-1970 non-µs-aligned nanos; round 15 briefly shipped that
+    * respelling on an advisory premise that DuckDB floors, then
+    * reverted it when the probe showed truncation. (This is a
+    * DIFFERENT seam from µs→window bucketing, where both engines'
+    * oracles deliberately floor via the positive-mod spelling — the
+    * r14 fix — because calendar buckets must floor; the ns→µs READ is
+    * a precision cast, and DuckDB casts by truncation.) Benign either
+    * way on the µs-aligned fixture (TESTDATA ns = µs·1000). */
+  private val NS_TO_US = "ts div 1000"
 
   /** q_text_normalize dirty fixture prefix: every pinned mojibake
     * entry (built FROM the map, so a future entry is exercised
@@ -422,7 +430,7 @@ object ExtQueries {
       // greedy-first anchoring (the operator's pinned convention —
       // the oracle replays it as a chain of per-step min() CTEs)
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr(NS_FLOOR_US))
+        .withColumn("ts_us", expr(NS_TO_US))
       Funnel.funnel(e, "user_id", "ts_us", "event_type",
         Seq("view", "click", "purchase"), 7200000000L)
     }),
@@ -430,7 +438,7 @@ object ExtQueries {
       // daily-grain cohort retention triangle; period arithmetic is
       // pure integer µs division, so the oracle replays it exactly
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr(NS_FLOOR_US))
+        .withColumn("ts_us", expr(NS_TO_US))
       Retention.cohortRetention(e, "user_id", "ts_us", DAY_US)
     }),
     "q_events_intervals" -> ((s, dir) => {
@@ -438,7 +446,7 @@ object ExtQueries {
       // interval, overlapping/touching ones coalesce — interval-merge
       // sessionization, the islands-and-gaps construction
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr(NS_FLOOR_US))
+        .withColumn("ts_us", expr(NS_TO_US))
         .select(col("user_id"), col("ts_us").as("ivl_start"),
           (col("ts_us") + lit(1800000000L)).as("ivl_end"))
       Intervals.mergeIntervals(e, "user_id", "ivl_start", "ivl_end")
@@ -448,7 +456,7 @@ object ExtQueries {
       // 2^-10 so the window moments are exact long sums (identical
       // under Spark's linear frames and DuckDB's segment trees)
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr(NS_FLOOR_US))
+        .withColumn("ts_us", expr(NS_TO_US))
         .select(col("event_id"), col("event_type"), col("ts_us"), col("value"))
       Anomaly.rollingZScores(e, "event_type", "ts_us", "event_id", "value",
           windowN = 24)
@@ -483,7 +491,7 @@ object ExtQueries {
       // the streaming anomaly twin's batch path: same quantized rolling
       // fold per type, so the oracle is q_events_anomaly's SQL verbatim
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr(NS_FLOOR_US))
+        .withColumn("ts_us", expr(NS_TO_US))
       StreamingDemo.anomalyStream(e, "event_type", "ts_us", "event_id",
         "value", windowN = 24).toDF()
     }),
@@ -492,7 +500,7 @@ object ExtQueries {
       // per user, final row only — must equal the batch operator, so
       // the oracle is q_events_funnel's SQL verbatim
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr(NS_FLOOR_US))
+        .withColumn("ts_us", expr(NS_TO_US))
       StreamingDemo.funnelStream(e, "user_id", "ts_us", "event_type",
         Seq("view", "click", "purchase"), 7200000000L).toDF()
     }),
@@ -504,7 +512,7 @@ object ExtQueries {
       // ~4.1k events in at sf0.01, so the prefix boundary is exercised
       StreamingDemo.budgetAdmitStream(
         Tables.eventsRawNanos(s, dir)
-          .select(col("event_id"), expr(NS_FLOOR_US).as("ts_us"),
+          .select(col("event_id"), expr(NS_TO_US).as("ts_us"),
             pmod(col("event_id"), lit(97L)).as("weight")),
         "event_id", "ts_us", "weight", budget = 200000L).toDF()
     }),
@@ -636,7 +644,7 @@ object ExtQueries {
       // the drift-dashboard series: each day's event-type mix vs the
       // whole-corpus reference distribution, exact TV per window
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr(NS_FLOOR_US))
+        .withColumn("ts_us", expr(NS_TO_US))
       val ref = e.groupBy(col("event_type").as("category"))
         .agg(count(lit(1)).as("n"))
       Drift.windowedTvDrift(e, "ts_us", "event_type", DAY_US, ref)
@@ -736,7 +744,7 @@ object ExtQueries {
       // Simpson diversity — same shared (window, category) count
       // stage as q_drift_tv_windowed, same exact per-window reduce
       val e = Tables.eventsRawNanos(s, dir)
-        .withColumn("ts_us", expr(NS_FLOOR_US))
+        .withColumn("ts_us", expr(NS_TO_US))
       PipelineOps.windowedDiversity(e, "ts_us", "event_type", DAY_US)
     }),
     "q_select_budget" -> ((s, dir) => {
@@ -779,7 +787,7 @@ object ExtQueries {
       // clicks enriched with the user's most recent purchase value at
       // or before the click (microsecond domain — see q_events_sessionize)
       val e = Tables.eventsRawNanos(s, dir)
-        .select(col("event_id"), col("user_id"), expr(NS_FLOOR_US).as("ts_us"),
+        .select(col("event_id"), col("user_id"), expr(NS_TO_US).as("ts_us"),
           col("event_type"), col("value"))
       AsofJoin.asofJoin(
         e.where(col("event_type") === "click")
@@ -792,7 +800,7 @@ object ExtQueries {
       // pandas direction='nearest' parity: the closer of the previous
       // and next purchase, ties to backward
       val e = Tables.eventsRawNanos(s, dir)
-        .select(col("event_id"), col("user_id"), expr(NS_FLOOR_US).as("ts_us"),
+        .select(col("event_id"), col("user_id"), expr(NS_TO_US).as("ts_us"),
           col("event_type"), col("value"))
       AsofJoin.asofJoinNearest(
         e.where(col("event_type") === "click")
@@ -805,7 +813,7 @@ object ExtQueries {
       // the attribution mirror: clicks enriched with the user's NEXT
       // purchase value at or after the click
       val e = Tables.eventsRawNanos(s, dir)
-        .select(col("event_id"), col("user_id"), expr(NS_FLOOR_US).as("ts_us"),
+        .select(col("event_id"), col("user_id"), expr(NS_TO_US).as("ts_us"),
           col("event_type"), col("value"))
       AsofJoin.asofJoinForward(
         e.where(col("event_type") === "click")
@@ -819,7 +827,7 @@ object ExtQueries {
       // purchase of the same user — the binned point-in-interval join;
       // binWidth = the window span, so each interval hits ≤2 buckets
       val e = Tables.eventsRawNanos(s, dir)
-        .select(col("event_id"), col("user_id"), expr(NS_FLOOR_US).as("ts_us"),
+        .select(col("event_id"), col("user_id"), expr(NS_TO_US).as("ts_us"),
           col("event_type"), col("value"))
       RangeJoin.pointInInterval(
         e.where(col("event_type") === "click")
@@ -1183,16 +1191,17 @@ object ExtQueries {
     // ── streaming twin: per-user sessionization (batch mode) ───────
     // Millis (not raw nanos) because DuckDB reads TIMESTAMP(NANOS)
     // parquet at microsecond precision. The oracle's chain is
-    // epoch_us(ts) // 1000 — a FLOOR to µs at the parquet read, then a
-    // TRUNCATING integer divide to ms — so the Spark side mirrors that
-    // exact chain (floor ns→µs, then `div`-truncate µs→ms) instead of
-    // a single `ts DIV 1000000`, which diverges for a pre-1970
-    // non-µs-aligned nano timestamp (same class as NS_FLOOR_US).
+    // epoch_us(ts) // 1000 — a TRUNCATING ns→µs parquet read (the
+    // NS_TO_US finding), then a truncating integer divide to ms — and
+    // truncation toward zero COMPOSES across nested positive divisors,
+    // so the Spark chain `(ts div 1000) div 1000` equals both that
+    // chain and a single `ts DIV 1000000` for every input, negative
+    // non-aligned nanos included.
     "q_events_sessionize" -> ((s, dir) => {
       StreamingDemo.sessionizeMillis(
         Tables.eventsRawNanos(s, dir)
           .select(col("user_id"),
-            expr(s"($NS_FLOOR_US) div 1000").as("ts_ms")),
+            expr(s"($NS_TO_US) div 1000").as("ts_ms")),
         gapMinutes = 30)
     }),
 
@@ -1204,7 +1213,7 @@ object ExtQueries {
     // DuckDB-precision reason as q_events_sessionize.
     "q_stream_dedup" -> ((s, dir) => {
       val e = Tables.eventsRawNanos(s, dir)
-        .select(col("event_id"), expr(NS_FLOOR_US).as("ts_us"),
+        .select(col("event_id"), expr(NS_TO_US).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
       val dups = e.where(col("event_id") % 5 === 0)
         .withColumn("ts_us", col("ts_us") + lit(180000000L))

@@ -41,11 +41,13 @@ object Verify {
       }
       val sec = (System.nanoTime() - tq) / 1e9
       if (sec > slowest._2) slowest = (name, sec)
-      // operators persist self-join inputs; don't let ~50 queries
-      // accumulate pinned cache in one session. Deliberately NOT
-      // CacheScope.releaseAll: that would also clear CodebookCache,
-      // whose cross-query fit reuse is the point of a gate session
-      // (the ANN queries share their deterministic IVF fits here)
+      // operators persist self-join inputs; don't let ~160 queries
+      // accumulate pinned cache OR registry refs in one session.
+      // releaseFrames (NOT releaseAll): frames and their tracked
+      // strong refs drop per query, while CodebookCache survives —
+      // cross-query fit reuse is the point of a gate session (the ANN
+      // queries share their deterministic IVF fits here)
+      graft.CacheScope.releaseFrames()
       spark.catalog.clearCache()
     }
     System.err.println(s"[verify] codebook fit reuse: ${CodebookCache.hits} hits")

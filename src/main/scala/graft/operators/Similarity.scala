@@ -322,6 +322,24 @@ object Similarity {
     new Codebook(centers, dim, sample)
   }
 
+  /** THE row-local probe selection — top-`np` (dist, list idx) pairs
+    * per row over a precomputed `__dists` array column, ties broken by
+    * list idx (natural struct order = [[probeTriples]]' stable sortBy):
+    * the ONE spelling every distributed probe side shares with the
+    * driver path and the DuckDB oracles' `ORDER BY d, cidx`. Factored
+    * (r15 self-review) because four verbatim copies of a value-identity
+    * contract is how one of them silently drifts. */
+  private def probeListsExpr(np: Int): Column =
+    explode(expr(
+      s"transform(slice(array_sort(transform(__dists, (d, i) -> struct(d, i))), 1, $np), x -> x.i)"))
+
+  /** THE first-min argmin list assignment over `__dists` (INT list id,
+    * 0 on a null distance array) — the corpus-bucketing spelling every
+    * IVF consumer shares. */
+  private def argminList: Column =
+    coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
+      .cast("int"), lit(0))
+
   /** Per-vector squared distance to every center, as one array column —
     * argmin via array_position(min). A single tight-loop expression
     * ([[graft.functions.CentroidDists]]): the k·d-term Column spelling
@@ -457,8 +475,7 @@ object Similarity {
     val bucketed = c
       .withColumn("__dists", centerDistArr(centers, dim))
       .withColumn("__list",
-        coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
-          .cast("int"), lit(0)))
+        argminList)
       .drop("__dists")
 
     // queries (small, driver-side): nprobe nearest centroids each
@@ -545,8 +562,7 @@ object Similarity {
     val bucketed = Dedup.capBuckets(
       c.withColumn("__dists", centerDistArr(centers, dim))
         .select(col("neighbor_id"), col("__cv"),
-          coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
-            .cast("int"), lit(0)).as("__list")),
+          argminList.as("__list")),
       Seq("__list"), maxListSize)
     // top-nprobe (dist, idx) per query, ROW-LOCAL — the knnGraph probe
     // spelling (natural struct order = dist asc, then list idx asc,
@@ -555,8 +571,7 @@ object Similarity {
       .withColumn("__dists",
         graft.functions.CentroidDists.dists(col("__qv"), centers))
       .select(col("query_id"), col("__qv"),
-        explode(expr(
-          s"transform(slice(array_sort(transform(__dists, (d, i) -> struct(d, i))), 1, $np), x -> x.i)"))
+        probeListsExpr(np)
           .as("__list"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -640,16 +655,14 @@ object Similarity {
       c.withColumn("__dists", centerDistArr(centers, dim)))
     val bucketed = Dedup.capBuckets(
       withD.select(col("neighbor_id"), col("__cv"),
-        coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
-          .cast("int"), lit(0)).as("__list")),
+        argminList.as("__list")),
       Seq("__list"), maxListSize)
     // top-nprobe (dist, idx) per row, ROW-LOCAL: sort the zipped
     // structs (natural struct order = dist asc, then list idx asc —
     // the oracle's ORDER BY d, cidx), slice, project the idx
     val probes = withD.select(col("neighbor_id").as("query_id"),
         col("__cv").as("__qv"),
-        explode(expr(
-          s"transform(slice(array_sort(transform(__dists, (d, i) -> struct(d, i))), 1, $np), x -> x.i)"))
+        probeListsExpr(np)
           .as("__list"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -762,15 +775,13 @@ object Similarity {
     val bucketed = Dedup.capBuckets(
       c.withColumn("__dists", centerDistArr(centers, dim))
         .select(col("neighbor_id"), col("__cv"),
-          coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
-            .cast("int"), lit(0)).as("__list")),
+          argminList.as("__list")),
       Seq("__list"), maxListSize)
     val probes = q
       .withColumn("__dists",
         graft.functions.CentroidDists.dists(col("__qv"), centers))
       .select(col("query_id"), col("__qv"),
-        explode(expr(
-          s"transform(slice(array_sort(transform(__dists, (d, i) -> struct(d, i))), 1, $np), x -> x.i)"))
+        probeListsExpr(np)
           .as("__list"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -954,6 +965,7 @@ object Similarity {
              m: Int = 4, ksub: Int = 16, candidates: Int = 50,
              seed: Long = 9): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0 && candidates > 0, "k and candidates must be positive")
     val sub = dim / m
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
@@ -1062,8 +1074,7 @@ object Similarity {
       val assigned = c
         .withColumn("__dists", centerDistArr(centers, dim))
         .withColumn("__cl",
-          coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
-            .cast("int"), lit(0)))
+          argminList)
         .drop("__dists")
       val comps = assigned.select(col("__cl"),
         posexplode(col("__cv").cast(org.apache.spark.sql.types.ArrayType(
@@ -1121,6 +1132,8 @@ object Similarity {
                 m: Int = 4, ksub: Int = 16, candidates: Int = 50,
                 seed: Long = 9): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0 && candidates > 0, "k and candidates must be positive")
+    require(nprobe > 0, "nprobe must be positive")
     val cFit = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val sample = collectFitSample(cFit, seed)
     ivfPqTopKImpl(corpus, queries, idCol, vecCol, k, dim,
@@ -1175,6 +1188,8 @@ object Similarity {
                             coarse: Array[Array[Double]], nprobe: Int,
                             m: Int, ksub: Int, candidates: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0 && candidates > 0, "k and candidates must be positive")
+    require(nprobe > 0, "nprobe must be positive")
     val spark = corpus.sparkSession
     val sub = dim / m
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
@@ -1189,8 +1204,7 @@ object Similarity {
     val listed = c
       .withColumn("__dists", centerDistArr(coarse, dim))
       .withColumn("__list",
-        coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
-          .cast("int"), lit(0)))
+        argminList)
       .drop("__dists")
       .withColumn("__rv", zip_with(
         col("__cv").cast(org.apache.spark.sql.types.ArrayType(
@@ -1289,6 +1303,8 @@ object Similarity {
                            seed: Long = 9,
                            maxListSize: Long = 100000L): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0 && candidates > 0, "k and candidates must be positive")
+    require(nprobe > 0, "nprobe must be positive")
     val cFit = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val sample = collectFitSample(cFit, seed)
     ivfPqTopKDistributedImpl(corpus, queries, idCol, vecCol, k, dim,
@@ -1317,6 +1333,8 @@ object Similarity {
                                        candidates: Int,
                                        maxListSize: Long): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0 && candidates > 0, "k and candidates must be positive")
+    require(nprobe > 0, "nprobe must be positive")
     val sub = dim / m
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
@@ -1333,8 +1351,7 @@ object Similarity {
     val listed = Dedup.capBuckets(c
         .withColumn("__dists", centerDistArr(coarse, dim))
         .withColumn("__list",
-          coalesce((array_position(col("__dists"), array_min(col("__dists"))) - 1)
-            .cast("int"), lit(0)))
+          argminList)
         .drop("__dists"),
         Seq("__list"), maxListSize)
       .withColumn("__rv", zip_with(col("__cv").cast(dblArr),
@@ -1354,8 +1371,7 @@ object Similarity {
       .withColumn("__dists",
         graft.functions.CentroidDists.dists(col("__qv"), coarse))
       .select(col("query_id"),
-        explode(expr(
-          s"transform(slice(array_sort(transform(__dists, (d, i) -> struct(d, i))), 1, $np), x -> x.i)"))
+        probeListsExpr(np)
           .as("__list"),
         col("__qv"))
       .withColumn("__qrv", zip_with(col("__qv").cast(dblArr),

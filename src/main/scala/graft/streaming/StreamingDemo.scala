@@ -809,11 +809,21 @@ object StreamingDemo {
           s"budgetAdmitStream: NULL '$c' — ids/timestamps must be non-null"))
           .cast("long"))
         .otherwise(col(c).cast("long"))
+    // Long.MinValue is doubly unusable: it IS the stream arm's frontier
+    // sentinel (such an event would read as already-seen) and its
+    // negation overflows to itself in the batch arm's −ts score — a
+    // real timestamp is never within a hair of Long.MinValue µs, so
+    // raise rather than carve out sentinel arithmetic
+    def tsGuard(c: String) =
+      when(col(c) === Long.MinValue, raise_error(lit(
+          s"budgetAdmitStream: '$c' = Long.MinValue is reserved (frontier sentinel / negation overflow)"))
+          .cast("long"))
+        .otherwise(nonNullLong(c))
     // the ONE guarded projection both arms consume — the stream==batch
     // contract starts at identical admissible inputs
     val guarded = events.select(
       nonNullLong(idCol).as("event_id"),
-      nonNullLong(tsUsCol).as("ts_us"),
+      tsGuard(tsUsCol).as("ts_us"),
       when(col(weightCol) < 0 || col(weightCol).isNull,
           raise_error(concat(
             lit(s"budgetAdmitStream: negative or NULL '$weightCol' at $idCol="),

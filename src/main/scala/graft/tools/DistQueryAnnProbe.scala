@@ -37,8 +37,10 @@ object DistQueryAnnProbe {
         "cast(((id * 2654435761 + i * 97) % 1000) / 1000.0 + 0.001 as float))")
         .as("v"))
 
+    // the engine's own rule over the fit-sample cap — not a re-derived
+    // copy that could silently drift from the real nlist
     def modelNlist(m: Long): Int =
-      math.min(math.max(2, math.round(math.sqrt(math.min(m, 100000L).toDouble)).toInt), 1024)
+      Similarity.autoNlist(math.min(m, 100000L).toInt)
 
     Seq(base.toLong, 2L * base, 4L * base).foreach { m =>
       val c = corpus(m)

@@ -44,10 +44,10 @@ object KnnGraphProbe {
         "cast(((id * 2654435761 + i * 97) % 1000) / 1000.0 + 0.001 as float))")
         .as("v"))
 
-    // fit-sample cap (Similarity.collectFitSample) and the autoNlist
-    // √-rule, mirrored here so the printed model volume is honest
+    // the engine's own autoNlist over the fit-sample cap
+    // (Similarity.collectFitSample) — not a re-derived copy
     def modelNlist(m: Long): Int =
-      math.min(math.max(2, math.round(math.sqrt(math.min(m, 100000L).toDouble)).toInt), 1024)
+      Similarity.autoNlist(math.min(m, 100000L).toInt)
 
     Seq(base.toLong, 2L * base, 4L * base).foreach { m =>
       val nlist = modelNlist(m)
