@@ -608,15 +608,46 @@ object Dedup {
         posexplode(graft.functions.Tokenize.wordShingles(col("__toks"), k))
           .as(Seq("__pos", "__gram")))
       .select(col(idCol), col("__pos"), md5(col("__gram")).as("__h")))
-    // spans seen >1 time, each with its canonical first occurrence
-    val dup = occ.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__n"),
-        min(struct(col(idCol), col("__pos"))).as("__keep"))
-      .where(col("__n") > 1)
-      .select(col("__h"), col(s"__keep.$idCol").as("__kid"),
-        col("__keep.__pos").as("__kpos"))
-    val marked = occ.join(dup, Seq("__h"))
-      .where(!(col(idCol) === col("__kid") && col("__pos") === col("__kpos")))
+    // spans seen >1 time, each with its canonical first occurrence.
+    // For integral ids the (id, pos) pair is packed into one
+    // DECIMAL(38,0) — id·2³² + pos is strictly monotone in
+    // lexicographic (id, pos) for pos ∈ [0, 2³²) (posexplode yields
+    // nonneg ints), and |id|·2³² ≤ 2⁹⁵ < 10³⁸ so the packing is exact
+    // for ANY long id — because `min(struct(...))` is not
+    // hash-aggregable: it planned as a SortAggregate pair that sorted
+    // every span occurrence twice (measured: the dominant stage of
+    // q_dedup_spans, 82 s executor time on a 0.4M-span corpus vs a
+    // HashAggregate's streaming pass; plan diff in plans/r15/). The
+    // canonical-occurrence exclusion compares the same packed value,
+    // so no unpack is ever needed. Non-integral ids keep the struct
+    // spelling — packing has no order isomorphism there.
+    val idIsIntegral = {
+      import org.apache.spark.sql.types._
+      df.schema(idCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    val marked = if (idIsIntegral) {
+      def packed(id: Column, pos: Column): Column =
+        id.cast("decimal(38,0)") * lit(4294967296L) + pos
+      val dup = occ.groupBy(col("__h"))
+        .agg(count(lit(1)).as("__n"),
+          min(packed(col(idCol), col("__pos"))).as("__keep"))
+        .where(col("__n") > 1)
+        .select(col("__h"), col("__keep"))
+      occ.join(dup, Seq("__h"))
+        .where(packed(col(idCol), col("__pos")) =!= col("__keep"))
+    } else {
+      val dup = occ.groupBy(col("__h"))
+        .agg(count(lit(1)).as("__n"),
+          min(struct(col(idCol), col("__pos"))).as("__keep"))
+        .where(col("__n") > 1)
+        .select(col("__h"), col(s"__keep.$idCol").as("__kid"),
+          col("__keep.__pos").as("__kpos"))
+      occ.join(dup, Seq("__h"))
+        .where(!(col(idCol) === col("__kid") && col("__pos") === col("__kpos")))
+    }
     // per-document covered positions — volume scales with the
     // duplication rate, not the corpus (a duplicate-free document
     // never appears); collect_set dedups overlapping spans inside the

@@ -59,19 +59,33 @@ object Dsir {
                   idCol: String, textCol: String,
                   buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    require(!Set("n_grams", "dsir_weight", "__b", "__gram").contains(idCol),
+    require(!Set("n_grams", "dsir_weight", "__b", "__gram",
+      "__cr", "__ct", "__nraw", "__ntgt").contains(idCol),
       s"idCol '$idCol' collides with an internal column name")
     val rawB = graft.CacheScope.track(docBuckets(raw, idCol, textCol, buckets))
-    // tracked like rawB: consumed twice (tgtCnt aggregation + nTgt
-    // count) — without the cache the target gram explode re-runs.
-    // Cheap either way (the target is broadcast-small by contract),
-    // but symmetry keeps the plan honest if that contract loosens.
-    val tgtB = graft.CacheScope.track(docBuckets(target, idCol, textCol, buckets))
+    // single consumer now (tgtCnt below) — no persist needed; the
+    // target gram explode runs once, inside the tgtCnt build
+    val tgtB = docBuckets(target, idCol, textCol, buckets)
 
-    val rawCnt = rawB.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
-    val tgtCnt = tgtB.groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
-    val nRaw = rawB.count()
-    val nTgt = tgtB.count()
+    // the bucket-count frames are ≤ `buckets` rows and consumed twice
+    // each (the broadcast probe join + their own total), so they are
+    // the scoped persists; the gram totals nRaw/nTgt are the SUMS of
+    // these counts, read off the tiny cached frames — the former
+    // count() actions were two extra gram-frame passes (corpus-scale
+    // on the raw side). They stay driver-read LITERALS in the ratio:
+    // a broadcast 1-row cross-join spelling was measured SLOWER
+    // (round 15) — the nested-loop join rides every gram position.
+    val rawCnt = graft.CacheScope.track(
+      rawB.groupBy(col("__b")).agg(count(lit(1)).as("__cr")))
+    val tgtCnt = graft.CacheScope.track(
+      tgtB.groupBy(col("__b")).agg(count(lit(1)).as("__ct")))
+    def totalOf(cnt: DataFrame, c: String): Long =
+      cnt.agg(sum(col(c))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val nRaw = totalOf(rawCnt, "__cr")
+    val nTgt = totalOf(tgtCnt, "__ct")
 
     // importance ratio per position: integer-exact operands, one
     // multiply each side, one divide, then the 2^16 clip — replayed

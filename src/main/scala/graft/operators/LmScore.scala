@@ -51,27 +51,31 @@ object LmScore {
     require(vocabSize >= 1 && bigramCap >= 1, "caps must be positive")
     require(!Set("pos", "word", "m", "a", "uc", "bc", "n_tokens", "lm_score",
       "__v", "__c", "__p", "__hi", "__lo", "__shi", "__slo", "__n",
-      "__uc_first", "__uc_prev").contains(idCol),
+      "__uc_first", "__uc_prev", "__t", "__pw", "__vw", "__ntot")
+      .contains(idCol),
       s"idCol '$idCol' collides with an internal column name")
     val v1 = vocabSize + 1 // vocab + UNK, the add-one denominator width
 
     val words = TextFunctions.tokens(lower(coalesce(col(textCol), lit(""))))
-    // token adjacency is ROW-LOCAL: the previous word rides along in
-    // the same exploded struct (element_at over the materialized token
-    // array, 1-based = the 0-based predecessor), so NO doc-keyed
-    // window/sort ever touches the corpus — a `lag` spelling would
-    // shuffle and sort every token position by document, the one
-    // corpus-position-scaled exchange this operator would otherwise
-    // have. The persisted token array is the lambda's CSE barrier.
-    val tokenized = graft.CacheScope.track(
-      docs.select(col(idCol), words.as("__t")))
+    // token adjacency is ROW-LOCAL: the previous word is read off the
+    // materialized token array AFTER the explode (element_at, 1-based
+    // = the 0-based predecessor), so NO doc-keyed window/sort ever
+    // touches the corpus — a `lag` spelling would shuffle and sort
+    // every token position by document. The token array rides through
+    // the Generate as a retained child column: the Project computing
+    // it sits BELOW the Generate, so the tokenizer runs exactly once
+    // per row with no persist needed — the previous spelling kept the
+    // element_at inside a transform() lambda, whose per-element
+    // re-evaluation hazard forced a full corpus-token cache
+    // (write + read of every token array) purely as a CSE barrier;
+    // that extra corpus pass is gone (round 15, guide §1.2/§2.3).
     val pairs0 = graft.CacheScope.track(
-      tokenized.select(col(idCol),
-          posexplode(transform(col("__t"), (t, i) => struct(t.as("w"),
-            when(i > 0, element_at(col("__t"), i)).otherwise(lit(null))
-              .as("pw")))).as(Seq("pos", "__s")))
-        .select(col(idCol), col("pos"),
-          col("__s.w").as("word"), col("__s.pw").as("__pw")))
+      docs.select(col(idCol), words.as("__t"))
+        .select(col(idCol), col("__t"),
+          posexplode(col("__t")).as(Seq("pos", "word")))
+        .select(col(idCol), col("pos"), col("word"),
+          when(col("pos") > 0, element_at(col("__t"), col("pos")))
+            .otherwise(lit(null)).as("__pw")))
 
     // vocabulary: deterministic top-k unigrams (md5 tie-break — hex
     // digests order identically in every engine)
@@ -80,21 +84,30 @@ object LmScore {
       .select(col("word"), lit(1).as("__v"))
     // both ends of the bigram map through the SAME broadcast vocab —
     // the predecessor's mapped symbol depends only on its word, never
-    // on cross-row state
+    // on cross-row state. The second probe joins a qualified alias of
+    // the SAME broadcast subplan on the same build key (word), so
+    // ReuseExchange ships one vocab build instead of two (the earlier
+    // rename-inside-the-exchange spelling defeated canonicalization
+    // and paid the vocab agg+sort+limit twice; round 15, guide §2.4).
+    val vb = broadcast(vocab)
     val mapped = graft.CacheScope.track(
-      pairs0.join(broadcast(vocab), Seq("word"), "left")
-        .join(broadcast(vocab.select(col("word").as("__pw"),
-          col("__v").as("__v2"))), Seq("__pw"), "left")
+      pairs0.join(vb, Seq("word"), "left")
+        .withColumnRenamed("__v", "__vw").as("j1")
+        .join(vb.as("v2"), col("__pw") === col("v2.word"), "left")
         .select(col(idCol), col("pos"),
-          when(col("__v").isNotNull, col("word")).otherwise(lit(Unk)).as("m"),
+          when(col("__vw").isNotNull, col("j1.word")).otherwise(lit(Unk)).as("m"),
           when(col("__pw").isNull, lit(null))
-            .otherwise(when(col("__v2").isNotNull, col("__pw"))
+            .otherwise(when(col("v2.__v").isNotNull, col("__pw"))
               .otherwise(lit(Unk))).as("a")))
 
     // persisted: read three times below (nTotal + both score-side
     // broadcast joins) — and nTotal comes from the ≤(vocabSize+1)-row
     // unigram table's own counts, NOT a second corpus-wide count()
-    // pass over `mapped`
+    // pass over `mapped`. It stays a driver-read LITERAL deliberately:
+    // folding it in as a broadcast 1-row cross join was measured
+    // SLOWER (round 15) — the nested-loop join rides every scored
+    // position, a per-row cost at any scale, while the head() is one
+    // tiny agg over the cached unigram table.
     val uni = graft.CacheScope.track(
       mapped.groupBy(col("m")).agg(count(lit(1)).as("uc")))
     val nTotal = uni.agg(sum(col("uc"))).head() match {
@@ -109,17 +122,21 @@ object LmScore {
         md5(concat(col("a"), lit("\u0001"), col("m"))).asc)
       .limit(bigramCap)
 
-    // per-position probability: exact-integer ratio, one IEEE division
+    // per-position probability: exact-integer ratio, one IEEE division.
+    // Both unigram probes share ONE broadcast build via the
+    // qualified-alias / ReuseExchange idiom (build key is uni.m in
+    // both).
     val p = when(col("a").isNull,
         (col("__uc_first") + 1).cast("double") / lit((nTotal + v1).toDouble))
       .otherwise(
         (coalesce(col("bc"), lit(0L)) + 1).cast("double") /
-          (col("__uc_prev") + lit(v1.toLong)).cast("double"))
+          (col("u2.uc") + lit(v1.toLong)).cast("double"))
+    val ub = broadcast(uni)
     val scoredPos = pairs
       .join(broadcast(big), Seq("a", "m"), "left")
-      .join(broadcast(uni.select(col("m"), col("uc").as("__uc_first"))), Seq("m"), "left")
-      .join(broadcast(uni.select(col("m").as("a"), col("uc").as("__uc_prev"))),
-        Seq("a"), "left")
+      .join(ub, Seq("m"), "left")
+      .withColumnRenamed("uc", "__uc_first")
+      .join(ub.as("u2"), col("a") === col("u2.m"), "left")
       .select(col(idCol), p.as("__p"))
 
     // exact pinned mean per document (long-reassembled, see scaladoc)
@@ -185,6 +202,12 @@ object LmScore {
       scored, "lm_score", "__v", "__rk", "__cnt")
     // smallest min-rank inside tertile k: 3·(r−1) ≥ k·n, all-long
     def tertileRank(k: Long): Long = (k * n + 2L) / 3L + 1L
+    // boundary scores are exact doubles FROM the data, re-embedded as
+    // literals — the >= cuts reproduce the rank cut bit-for-bit. They
+    // stay driver-read LITERALS deliberately: a broadcast 1-row cross
+    // join spelling was measured SLOWER (round 15) — the nested-loop
+    // join rides every corpus row in the labeling scan, while the
+    // head() is one tiny agg over the distinct-score rank frame.
     val (s1, s2) =
       if (n == 0L) (None, None)
       else {
@@ -194,8 +217,6 @@ object LmScore {
         (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
          if (r.isNullAt(1)) None else Some(r.getDouble(1)))
       }
-    // boundary scores are exact doubles FROM the data, re-embedded as
-    // literals — the >= cuts reproduce the rank cut bit-for-bit
     val tail: Column = lit("tail")
     val withMid = s1.fold(tail)(v =>
       when(col("lm_score") >= v, lit("middle")).otherwise(tail))

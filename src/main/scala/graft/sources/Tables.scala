@@ -29,8 +29,35 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     eventsRawNanos(spark, sfDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+  def documents(spark: SparkSession, sfDir: String): DataFrame  =
+    spreadScan(spark, table(spark, sfDir, "documents"), "doc_id")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spreadScan(spark, table(spark, sfDir, "embeddings"), "vec_id")
+
+  /** Scale-adaptive scan spreading for the CPU-per-row-heavy corpora
+    * (documents: tokenize/shingle/md5 per row; embeddings: per-vector
+    * float math). A small parquet file is one scan split — the whole
+    * pre-shuffle pipeline of every consumer (exactly the expression-
+    * dominant part of the text/ANN operator families) would run on one
+    * or two cores while the rest idle. When the scan yields fewer
+    * partitions than the cluster's default parallelism, hash-spread it
+    * over the id column (deterministic, no sort-before-repartition
+    * cost, no SPARK-38388 rand-key hazard); when the scan already has
+    * at least that many splits — any real-scale table — this is the
+    * identity and adds NOTHING to the plan, so there is no extra
+    * corpus shuffle at 100 TB. Explicit numPartitions keeps AQE from
+    * coalescing the spread back to one tiny partition. Every operator
+    * downstream is partitioning-independent by the repo's oracle
+    * contract (the tri-SF DuckDB gate re-proves it against this
+    * layout); filters/pruning still push through a repartition to the
+    * scan.
+    */
+  private def spreadScan(spark: SparkSession, df: DataFrame,
+                         key: String): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(key))
+  }
 
   /** events with the epoch-nanosecond `ts` as LongType, for integer-exact
     * window-bucket arithmetic mirrored by the DuckDB oracles' `epoch_ns`.
