@@ -532,7 +532,14 @@ object Dedup {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
     require(!increment.columns.contains("fp"),
       "fp is the reserved output column name")
-    val corpusFp = corpus.select(TextFunctions.fingerprint(col(textCol)).as("fp"))
+    // persisted: the count pre-pass (when armed), the Bloom build and
+    // the confirm semi-join each consume this frame — without the
+    // cache the corpus text re-scans and re-fingerprints up to three
+    // times; with it the corpus is read once and the re-reads are
+    // 16-byte fingerprints (round 15, guide §2.3: shuffle/scan keys,
+    // not payloads)
+    val corpusFp = graft.CacheScope.track(
+      corpus.select(TextFunctions.fingerprint(col(textCol)).as("fp")))
     val expected = math.max(
       if (expectedCorpusDocs > 0) expectedCorpusDocs else corpusFp.count(), 1L)
     val bloom = corpusFp.stat.bloomFilter("fp", expected, fpp)

@@ -576,12 +576,39 @@ object PipelineOps {
     // rebuild join ambiguous
     val base = df.select(col(idCol), col(textCol))
     val quoted = java.util.regex.Pattern.quote(delim)
-    val winners = base.select(col(idCol),
-        posexplode(split(coalesce(col(textCol), lit("")), quoted))
-          .as(Seq("__pos", "__line")))
-      .groupBy(md5(col("__line")).as("__h"))
-      .agg(min(struct(col(idCol), col("__pos"))).as("__w"))
-      .select(col(s"__w.$idCol").as(idCol), col("__w.__pos").as("__pos"))
+    val occ = base.select(col(idCol),
+      posexplode(split(coalesce(col(textCol), lit("")), quoted))
+        .as(Seq("__pos", "__line")))
+    // winner pick: for integral ids the (id, pos) pair packs into one
+    // DECIMAL(38,0) — id·2³² + pos is strictly monotone in
+    // lexicographic (id, pos) for pos ∈ [0, 2³²), |id|·2³² ≤ 2⁹⁵ < 10³⁸
+    // — because `min(struct(...))` is not hash-aggregable: it planned
+    // as a SortAggregate pair sorting every line occurrence twice (the
+    // Dedup.dedupSpans finding, round 15; plan diff in plans/r15/).
+    // The unpack is exact: pos = pmod(w, 2³²) and id = (w − pos)/2³²
+    // divides an exact multiple (quotient ≤ 19 digits, well inside
+    // DECIMAL(38,11)). Non-integral ids keep the struct spelling.
+    val idIsIntegral = {
+      import org.apache.spark.sql.types._
+      base.schema(idCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    val winners = if (idIsIntegral) {
+      val two32 = lit(4294967296L)
+      occ.groupBy(md5(col("__line")).as("__h"))
+        .agg(min(col(idCol).cast("decimal(38,0)") * two32 + col("__pos"))
+          .as("__w"))
+        .select(
+          ((col("__w") - pmod(col("__w"), two32)) / two32)
+            .cast(base.schema(idCol).dataType).as(idCol),
+          pmod(col("__w"), two32).cast("int").as("__pos"))
+    } else {
+      occ.groupBy(md5(col("__line")).as("__h"))
+        .agg(min(struct(col(idCol), col("__pos"))).as("__w"))
+        .select(col(s"__w.$idCol").as(idCol), col("__w.__pos").as("__pos"))
+    }
     val keptPos = winners.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__pos"))).as("__kp"))
     // the split array is materialized ONCE per row before the rebuild:
