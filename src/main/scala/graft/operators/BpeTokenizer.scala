@@ -57,19 +57,28 @@ object BpeTokenizer {
         coalesce(col(textCol), lit("")).as("__t"))
       .orderBy(col("__h")).limit(sampleCap)
       .collect().sortBy(_.getString(0))
-    // sample words as code-point token arrays
-    var words: Array[Array[String]] =
-      rows.flatMap(r => splitWords(r.getString(1))).map(Bpe.codePointSplit)
+    // sample words as code-point token arrays, COLLAPSED to distinct
+    // words with multiplicities (Sennrich's word-frequency dict): a
+    // pair's count is Σ freq · (occurrences in word) — the identical
+    // arithmetic the per-occurrence loop computed, over a vocabulary-
+    // sized array instead of every word occurrence (round 15: the fit
+    // was ~1 s of driver time per query, dominated by re-counting and
+    // re-merging duplicate words each round)
+    var words: Array[(Array[String], Long)] = rows.view
+      .flatMap(r => splitWords(r.getString(1)))
+      .groupBy(identity).view
+      .map { case (w, occ) => (Bpe.codePointSplit(w), occ.size.toLong) }
+      .toArray
     val merges = new scala.collection.mutable.ArrayBuffer[(String, String)](numMerges)
     var round = 0
     while (round < numMerges) {
       val counts = new java.util.HashMap[(String, String), Long]()
       var wi = 0
       while (wi < words.length) {
-        val w = words(wi)
+        val (w, freq) = words(wi)
         var i = 0
         while (i < w.length - 1) {
-          counts.merge((w(i), w(i + 1)), 1L, _ + _)
+          counts.merge((w(i), w(i + 1)), freq, _ + _)
           i += 1
         }
         wi += 1
@@ -95,7 +104,9 @@ object BpeTokenizer {
         }
       merges += best
       if (best != Sentinel)
-        words = words.map(Bpe.applyMerge(_, best._1, best._2))
+        words = words.map { case (w, freq) =>
+          (Bpe.applyMerge(w, best._1, best._2), freq)
+        }
       round += 1
     }
     merges.toSeq

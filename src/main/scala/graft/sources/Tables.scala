@@ -31,8 +31,15 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   def documents(spark: SparkSession, sfDir: String): DataFrame  =
     spreadScan(spark, table(spark, sfDir, "documents"), "doc_id")
+  // embeddings deliberately NOT spread (round 15, measured): its
+  // consumers are driver-bounded deterministic fits + broadcast probe
+  // joins over a small frame — the spread exchange added an AQE stage
+  // barrier per query with no compute to parallelize behind it
+  // (q_kmeans_refine median 0.48 → 1.13 s with the spread, recovered
+  // on revert), while the text family's tokenize/shingle/md5 chains
+  // are where the spread pays.
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    spreadScan(spark, table(spark, sfDir, "embeddings"), "vec_id")
+    table(spark, sfDir, "embeddings")
 
   /** Scale-adaptive scan spreading for the CPU-per-row-heavy corpora
     * (documents: tokenize/shingle/md5 per row; embeddings: per-vector
