@@ -33,6 +33,17 @@ import org.apache.spark.sql.types._
   */
 object MediaCodecs {
 
+  // ImageIO's stream cache is DISK-BACKED by default: every encode and
+  // decode creates (and deletes) a temp file, so an image query churns
+  // thousands of tiny files per pass — per-row I/O whose cost tracks
+  // host disk/page-cache state (the round-14 q_image_histogram
+  // variance watch item). Memory-backed streams are result-identical
+  // (same codec, same bytes); the images here are row-sized, never
+  // larger than a task can hold. The object initializer runs once per
+  // JVM wherever these codecs execute — executors included, since the
+  // mapPartitions closures reference this object's methods.
+  ImageIO.setUseCache(false)
+
   // ── deterministic fixtures ─────────────────────────────────────────
 
   /** Image geometry/pixel formulas — shared by the renderer and (in
