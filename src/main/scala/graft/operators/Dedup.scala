@@ -192,53 +192,136 @@ object Dedup {
     *
     * bands·rowsPerBand must equal numHashes of the signature frame.
     * `maxBucketSize` is the hot-bucket skew guard ([[capBuckets]]).
+    * `attachMinDocs` picks between the two value-identical spellings
+    * (see [[PairAttachMinDocs]]): pair-first-then-attach at scale,
+    * signature-attached below it.
     */
+  /** Corpus-size floor for the pair-first LSH spelling: below it the
+    * two signature-attach joins' fixed stage cost exceeds the payload
+    * saving. Measured (LshShuffleProbe, round 16, same-session A/B at
+    * each size): 30k docs parity (2.4 vs 2.4 s), 100k docs pair-first
+    * 1.5× faster (12.2 → 8.0 s), 1M docs 2.9× faster (54.5 → 18.8 s,
+    * shuffle bytes 3155 → 1184 MiB); at the sf0.1 gate (6.6k docs) the
+    * attached spelling is ~0.35 s faster (MicroBench n=7 A/B). The
+    * probe is a `limit(k+1).count()` over the already-persisted
+    * signature frame — it short-circuits after k+1 rows, so at real
+    * scale it reads ~one partition, and both spellings are
+    * value-identical (spec-pinned twin, oracle-green both ways). */
+  private[operators] val PairAttachMinDocs = 50000L
+
   def minhashCandidatePairs(sigs: DataFrame, numHashes: Int = 32,
                             bands: Int = 8, tau: Double = 0.5,
-                            maxBucketSize: Long = 100000L): DataFrame = {
+                            maxBucketSize: Long = 100000L,
+                            attachMinDocs: Long = PairAttachMinDocs): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // persist the compact signature frame too (n rows × numHashes ints —
-    // cheap): populating the capped cache below evaluates its input
-    // subtree TWICE (once for capBuckets' hot groupBy, once as the
-    // anti-join probe side), and that subtree otherwise carries the
-    // expensive shingle→md5→min-agg shuffle from minhashSignatures.
-    // With sigs cached, the double evaluation re-reads n×32 ints and
-    // re-runs only the trivial band explode (r4 driver bench: 7.13s
-    // without this persist vs ~4s with the agg run once).
+    // persist the compact signature frame (n rows × numHashes ints —
+    // cheap): it feeds the capped-band build below (whose double
+    // evaluation — hot groupBy + anti-join probe — would otherwise
+    // re-run the expensive shingle→md5→min signature subtree twice;
+    // r4 driver bench: 7.13s without this persist vs ~4s), the size
+    // probe, and — on the pair-first path — both signature attaches.
     val sigsC = graft.CacheScope.track(sigs)
-    // persist the CAPPED banded frame: a self-join evaluates its
-    // subtree once per side, and this subtree carries BOTH the
-    // shingle→signature aggregation and the hot-bucket groupBy shuffle
-    // from capBuckets. Round 3 persisted the compact signature frame
-    // instead, betting the explode was free to recompute — the driver
-    // bench said otherwise (q_dedup_minhash_lsh 3.98s → 10.16s),
-    // because the capBuckets aggregation pass re-ran per side. The
-    // cache is bands×n rows of (id, sig, band, bucket); default
-    // MEMORY_AND_DISK spills rather than OOMs at scale.
-    val banded = graft.CacheScope.track(capBuckets(
-      bandExplode(sigsC, numHashes, bands),
-      Seq("band", "bucket"), maxBucketSize))
-    // est_jaccard is computed inside the join projection and the τ
-    // filter applied BEFORE the pair dedup: the distinct shuffle then
-    // carries (id_a, id_b, est) instead of two numHashes-long signature
-    // arrays, and sub-threshold band collisions never shuffle at all
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (aggregate(zip_with(col("a.sig"), col("b.sig"),
+    if (corpusAtLeast(sigsC, attachMinDocs)) {
+      // PAIR-FIRST-THEN-ATTACH (round 16, guide §2.3 / §8: shuffle
+      // keys, not payloads): banded rows carry (id, band, bucket) ONLY
+      // — the numHashes-int signature array no longer rides every
+      // banded row (×bands, ×2 join sides) through the self-join's
+      // exchange and the capped cache. Unique candidate pairs are
+      // formed and distinct'd as bare (id_a, id_b) rows; the
+      // signatures are then attached by two id-keyed joins against the
+      // compact cached signature frame and est_jaccard computed ONCE
+      // per unique pair (the attached spelling recomputes it per
+      // colliding band). Result-identical: the pair set is the same
+      // (band, bucket) equi-join, est_jaccard is a pure function of
+      // the two signatures, and the τ filter commutes with the pair
+      // distinct. Measured at 1M docs, 2% planted twins
+      // (LshShuffleProbe): shuffle 3155 → 1184 MiB, wall 54.5 → 18.8 s,
+      // identical 19417-pair output.
+      val banded = graft.CacheScope.track(capBuckets(
+        bandExplode(sigsC, numHashes, bands),
+        Seq("band", "bucket"), maxBucketSize))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      attachEstJaccard(cand, sigsC, numHashes, tau, "id_a", "id_b")
+    } else {
+      // small-corpus spelling: the signature rides the banded rows and
+      // est_jaccard is computed in the self-join projection, τ-filtered
+      // BEFORE the pair distinct — two fewer joins, and the payload
+      // weight is immaterial under [[PairAttachMinDocs]] docs. The
+      // CAPPED banded frame persists because a self-join evaluates its
+      // subtree once per side, and this subtree carries BOTH the
+      // signature aggregation and the hot-bucket groupBy shuffle from
+      // capBuckets (round 3 persisted the compact signature frame
+      // instead and the driver bench read 3.98s → 10.16s).
+      val banded = graft.CacheScope.track(capBuckets(
+        bandExplodeAttached(sigsC, numHashes, bands),
+        Seq("band", "bucket"), maxBucketSize))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          (aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+            .cast("double") / lit(numHashes)).as("est_jaccard"))
+        .where(col("est_jaccard") >= tau)
+        .dropDuplicates("id_a", "id_b")
+    }
+  }
+
+  /** True iff `df` has at least `minDocs` rows, by a short-circuiting
+    * `limit(minDocs+1).count()` — at scale this reads one or a few
+    * partitions of the (persisted) input, never the whole frame;
+    * `minDocs <= 0` is always true (the spec's force-big-path knob). */
+  private def corpusAtLeast(df: DataFrame, minDocs: Long): Boolean =
+    minDocs <= 0 ||
+      (minDocs < Int.MaxValue &&
+        df.limit(minDocs.toInt + 1).count() > minDocs)
+
+  /** Attach both signatures to a bare id-pair frame and compute the
+    * agreeing-position fraction, keeping pairs at est ≥ tau — the
+    * shared confirm step of the pair-first LSH spellings. The sig
+    * frames join id-keyed (the pair side is the duplicate set, tiny
+    * relative to the corpus at any real duplication rate — AQE
+    * broadcasts it; worst case this is one corpus-scale id-keyed
+    * shuffle of the signatures, still ×bands×2 less than riding the
+    * self-join). */
+  private def attachEstJaccard(pairs: DataFrame, sigs: DataFrame,
+                               numHashes: Int, tau: Double,
+                               aCol: String, bCol: String): DataFrame = {
+    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+    val sa = sigs.select(col("id").as(aCol), sigArr.as("__siga"))
+    val sb = sigs.select(col("id").as(bCol), sigArr.as("__sigb"))
+    pairs.join(sa, Seq(aCol)).join(sb, Seq(bCol))
+      .select(col(aCol), col(bCol),
+        (aggregate(zip_with(col("__siga"), col("__sigb"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast("double") / lit(numHashes)).as("est_jaccard"))
       .where(col("est_jaccard") >= tau)
-      .dropDuplicates("id_a", "id_b")
   }
 
-  /** Band-explode a [[minhashSignatures]] frame into (id, sig, band,
+  /** Band-explode a [[minhashSignatures]] frame into (id, band,
     * bucket) rows; the bucket is the band's signature slice itself
     * (equi-joinable array — no re-hash needed, and SQL engines can
-    * mirror it exactly). */
+    * mirror it exactly). Deliberately does NOT carry the full
+    * signature: band rows feed join inputs, and the signature is
+    * attached pair-first afterward ([[attachEstJaccard]]). */
   private def bandExplode(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"), slice(sigArr, b * r + 1, r).as("bucket"))
+    }: _*)
+    sigs.select(col("id"), explode(bandStructs).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** [[bandExplode]] with the full signature attached — the
+    * small-corpus band frame, where carrying the array through the
+    * pair join is cheaper than attaching it afterward. */
+  private def bandExplodeAttached(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
     val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
     val bandStructs = array((0 until bands).map { b =>
@@ -260,9 +343,10 @@ object Dedup {
     * itself and the pair volume is bounded by the increment's bucket
     * collisions. Both sides keep the [[capBuckets]] hot-bucket guard
     * (a viral duplicate cluster in EITHER frame would otherwise make
-    * one bucket quadratic); est_jaccard is computed in the join
-    * projection and τ-filtered before the pair distinct, so
-    * sub-threshold collisions never shuffle.
+    * one bucket quadratic). Above [[PairAttachMinDocs]] corpus docs
+    * the band rows shed the signature payload and est_jaccard is
+    * attached pair-first (round 16); below it the signature rides the
+    * join and the τ filter runs before the pair distinct.
     *
     * @return (inc_id, corpus_id, est_jaccard) candidate pairs at
     *         est_jaccard ≥ tau
@@ -270,25 +354,52 @@ object Dedup {
   def minhashIncrementalPairs(corpusSigs: DataFrame, incSigs: DataFrame,
                               numHashes: Int = 32, bands: Int = 8,
                               tau: Double = 0.5,
-                              maxBucketSize: Long = 100000L): DataFrame = {
+                              maxBucketSize: Long = 100000L,
+                              attachMinDocs: Long = PairAttachMinDocs): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // persist the signature frames, not the capped band frames: with
     // no self-join each capped frame feeds exactly one join side, but
     // capBuckets itself evaluates its input twice (hot groupBy +
     // anti-join probe) and the subtree below the explode carries the
-    // expensive shingle→md5→min signature work
+    // expensive shingle→md5→min signature work.
     val cS = graft.CacheScope.track(corpusSigs)
     val iS = graft.CacheScope.track(incSigs)
-    val c = capBuckets(bandExplode(cS, numHashes, bands), Seq("band", "bucket"), maxBucketSize)
-    val i = capBuckets(bandExplode(iS, numHashes, bands), Seq("band", "bucket"), maxBucketSize)
-    i.as("a").join(c.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
-      .select(col("a.id").as("inc_id"), col("b.id").as("corpus_id"),
-        (aggregate(zip_with(col("a.sig"), col("b.sig"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / lit(numHashes)).as("est_jaccard"))
-      .where(col("est_jaccard") >= tau)
-      .dropDuplicates("inc_id", "corpus_id")
+    // the corpus side decides the spelling — it is the side whose
+    // banded payload weight matters at scale (the increment is the
+    // daily crawl, orders of magnitude smaller)
+    if (corpusAtLeast(cS, attachMinDocs)) {
+      // pair-first-then-attach, like [[minhashCandidatePairs]] (round
+      // 16): band rows carry (id, band, bucket) only; the signatures
+      // join back id-keyed on the distinct'd pair set
+      val c = capBuckets(bandExplode(cS, numHashes, bands), Seq("band", "bucket"), maxBucketSize)
+      val i = capBuckets(bandExplode(iS, numHashes, bands), Seq("band", "bucket"), maxBucketSize)
+      val cand = i.as("a").join(c.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.id").as("inc_id"), col("b.id").as("corpus_id"))
+        .dropDuplicates("inc_id", "corpus_id")
+      val sigArr = array((0 until numHashes).map(j => col(s"s$j")): _*)
+      cand
+        .join(iS.select(col("id").as("inc_id"), sigArr.as("__siga")), Seq("inc_id"))
+        .join(cS.select(col("id").as("corpus_id"), sigArr.as("__sigb")), Seq("corpus_id"))
+        .select(col("inc_id"), col("corpus_id"),
+          (aggregate(zip_with(col("__siga"), col("__sigb"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+            .cast("double") / lit(numHashes)).as("est_jaccard"))
+        .where(col("est_jaccard") >= tau)
+    } else {
+      // small-corpus spelling: signatures ride the band rows, est in
+      // the join projection, τ filter before the pair distinct
+      val c = capBuckets(bandExplodeAttached(cS, numHashes, bands), Seq("band", "bucket"), maxBucketSize)
+      val i = capBuckets(bandExplodeAttached(iS, numHashes, bands), Seq("band", "bucket"), maxBucketSize)
+      i.as("a").join(c.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.id").as("inc_id"), col("b.id").as("corpus_id"),
+          (aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+            .cast("double") / lit(numHashes)).as("est_jaccard"))
+        .where(col("est_jaccard") >= tau)
+        .dropDuplicates("inc_id", "corpus_id")
+    }
   }
 
   /** Collapse near-dup candidate pairs into survivor sets: every

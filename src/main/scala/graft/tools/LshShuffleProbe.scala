@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Scale probe for the LSH pair-join payload cut (round 16, guide
+  * §2.3/§8: shuffle keys, not payloads): at N synthetic documents with
+  * a low planted duplication rate (2% of docs have one near-dup twin —
+  * the realistic regime for a crawled corpus), compares
+  *
+  *  - `attached` — the round-≤15 spelling: the numHashes-int signature
+  *    array rides every banded row (×bands, ×2 self-join sides)
+  *    through the (band, bucket) self-join, est_jaccard computed per
+  *    colliding band, τ-filtered before the pair distinct;
+  *  - `pairfirst` — the shipped spelling ([[Dedup.minhashCandidatePairs]]):
+  *    banded rows carry (id, band, bucket) only, pairs distinct as
+  *    bare id pairs, signatures attached id-keyed afterward.
+  *
+  * Both variants alternate inside ONE session (same-window A/B) and a
+  * stage listener totals shuffle read/write bytes per run, so the
+  * payload claim is a measured byte count, not a plan reading.
+  *
+  * Usage: sbt "runMain graft.tools.LshShuffleProbe [rows] [n]"
+  */
+object LshShuffleProbe {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val n = args.lift(1).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val srB = new java.util.concurrent.atomic.AtomicLong
+    val swB = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          srB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          swB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+
+    // synthetic corpus: every doc gets 32 collision-free tokens
+    // (w<id>_<j>); every 50th doc spawns a twin (id+rows) sharing the
+    // first 26 of its 32 tokens — est_jaccard high, one planted pair
+    // per twin, no giant clusters (the capBuckets path is probed by
+    // its own spec; this probe measures the pair-join payload)
+    def tokensOf(idc: org.apache.spark.sql.Column, k: Int) =
+      array_join(transform(sequence(lit(0), lit(k - 1)),
+        j => concat(lit("w"), idc, lit("_"), j)), " ")
+    val base = spark.range(rows).select(col("id"), tokensOf(col("id"), 32).as("text"))
+    // two-step select: an outer col("id") INSIDE a transform() lambda
+    // resolves late, against the select's own output aliases (measured
+    // — a single-select spelling gave every twin its new id's tokens
+    // and zero planted pairs), so the original id is carried under an
+    // unambiguous name first
+    val twins = spark.range(rows).where(col("id") % 50 === 0)
+      .select(col("id").as("orig"), (col("id") + rows).as("id"))
+      .select(col("id"), tokensOf(col("orig"), 26).as("text"))
+    val corpus = base.unionByName(twins)
+
+    val numHashes = 32; val bands = 8; val tau = 0.3
+
+    // the round-≤15 spelling, inlined (sig rides the banded rows)
+    def attachedPairs(): org.apache.spark.sql.DataFrame = {
+      val r = numHashes / bands
+      val sigsC = graft.CacheScope.track(
+        Dedup.minhashSignatures(corpus, "id", "text", numHashes, 3))
+      val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+      val bandStructs = array((0 until bands).map { b =>
+        struct(lit(b).as("band"), slice(sigArr, b * r + 1, r).as("bucket"))
+      }: _*)
+      val bandedRaw = sigsC.select(col("id"), sigArr.as("sig"),
+          explode(bandStructs).as("bb"))
+        .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      val hot = bandedRaw.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__bs")).where(col("__bs") > 100000L)
+        .select(col("band"), col("bucket"))
+      val banded = graft.CacheScope.track(
+        bandedRaw.join(broadcast(hot), Seq("band", "bucket"), "left_anti"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          (aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+            .cast("double") / lit(numHashes)).as("est_jaccard"))
+        .where(col("est_jaccard") >= tau)
+        .dropDuplicates("id_a", "id_b")
+    }
+
+    def pairFirst(): org.apache.spark.sql.DataFrame =
+      Dedup.minhashCandidatePairs(
+        Dedup.minhashSignatures(corpus, "id", "text", numHashes, 3),
+        numHashes, bands, tau, attachMinDocs = 0L) // force the big path
+
+    def run(tag: String, f: () => org.apache.spark.sql.DataFrame): Unit = {
+      spark.catalog.clearCache()
+      srB.set(0L); swB.set(0L)
+      spark.sparkContext.setJobDescription(s"lsh-probe:$tag")
+      val t0 = System.nanoTime()
+      val pairs = f().count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      graft.CacheScope.releaseAll()
+      println(f"[lsh-probe] rows=$rows%d mode=$tag%-10s wall=$wall%7.2fs " +
+        f"pairs=$pairs%d shuffle_read=${srB.get / 1048576.0}%8.1f MiB " +
+        f"shuffle_write=${swB.get / 1048576.0}%8.1f MiB")
+    }
+
+    for (_ <- 1 to n) {
+      run("attached", () => attachedPairs())
+      run("pairfirst", () => pairFirst())
+    }
+    spark.stop()
+  }
+}

@@ -87,6 +87,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(est == 1.0)
   }
 
+  test("pair-first and attached LSH spellings are value-identical (both ops)") {
+    // the round-16 scale guard (Dedup.PairAttachMinDocs) picks between
+    // two spellings of the same candidate-pair computation; this twin
+    // pins them equal so the guard can never change what a query
+    // computes. attachMinDocs = 0 forces pair-first-then-attach,
+    // Long.MaxValue forces the signature-attached small path.
+    val sigs = Dedup.minhashSignatures(corpus, "id", "text", numHashes = 32, shingleSize = 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().map(_.toSeq).toSeq
+    val big = Dedup.minhashCandidatePairs(sigs, 32, 8, 0.3, attachMinDocs = 0L)
+    val small = Dedup.minhashCandidatePairs(sigs, 32, 8, 0.3, attachMinDocs = Long.MaxValue)
+    assert(big.columns.toSeq == small.columns.toSeq)
+    val bigRows = canon(big)
+    assert(bigRows.nonEmpty && bigRows == canon(small))
+    // the incremental (cross-frame) twin
+    val incSigs = Dedup.minhashSignatures(
+      corpus.select(($"id" + 1000L).as("id"), $"text"), "id", "text", 32, 3)
+    val bigI = Dedup.minhashIncrementalPairs(sigs, incSigs, 32, 8, 0.3, attachMinDocs = 0L)
+    val smallI = Dedup.minhashIncrementalPairs(sigs, incSigs, 32, 8, 0.3, attachMinDocs = Long.MaxValue)
+    assert(bigI.columns.toSeq == smallI.columns.toSeq)
+    val bigIRows = canon(bigI)
+    assert(bigIRows.nonEmpty && bigIRows == canon(smallI))
+    graft.CacheScope.releaseAll()
+  }
+
   test("simhashPairs: exact dup at hamming 0, 1-token-changed dup found") {
     // the piece join GUARANTEES pairs at hamming ≤ 3 (4×15-bit
     // pigeonhole); larger radii are best-effort — so plant a copy of
