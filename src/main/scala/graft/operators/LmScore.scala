@@ -27,13 +27,15 @@ import graft.functions.TextFunctions
   *
   * Scale shape: one token explode carrying each position's
   * predecessor ROW-LOCALLY (element_at over the materialized token
-  * array — no doc-keyed window/sort ever touches the corpus);
-  * vocabulary and transition tables are two map-side-combinable count
-  * aggregates cut to deterministic top-k (count desc, md5 tie-break)
-  * and BROADCAST — the corpus-sized frames never shuffle on token
-  * keys for scoring, and both bigram ends map through the same
-  * broadcast vocab; the per-doc mean is one groupBy with exact long
-  * sums. Caps keep both tables broadcast-small at any corpus size.
+  * array — no doc-keyed window/sort ever touches the corpus); the
+  * WHOLE fit is one map-side-combinable (word, prev-word) adjacency
+  * count — vocabulary, unigram and transition tables are exact sums
+  * over that small frame (two-level aggregation, round 16), cut to
+  * deterministic top-k (count desc, md5 tie-break) and BROADCAST —
+  * the corpus-sized frames never shuffle on token keys for scoring,
+  * and both bigram ends map through the same broadcast vocab; the
+  * per-doc mean is one groupBy with exact long sums. Caps keep both
+  * tables broadcast-small at any corpus size.
   *
   * The per-doc pinned totals reassemble in LONG arithmetic —
   * hi·2²⁰+lo is exact below 2⁶³, i.e. up to 2²³ ≈ 8M tokens per
@@ -51,7 +53,7 @@ object LmScore {
     require(vocabSize >= 1 && bigramCap >= 1, "caps must be positive")
     require(!Set("pos", "word", "m", "a", "uc", "bc", "n_tokens", "lm_score",
       "__v", "__c", "__p", "__hi", "__lo", "__shi", "__slo", "__n",
-      "__uc_first", "__uc_prev", "__t", "__pw", "__vw", "__ntot")
+      "__uc_first", "__uc_prev", "__t", "__pw", "__vw", "__fw", "__ntot")
       .contains(idCol),
       s"idCol '$idCol' collides with an internal column name")
     val v1 = vocabSize + 1 // vocab + UNK, the add-one denominator width
@@ -77,55 +79,91 @@ object LmScore {
           when(col("pos") > 0, element_at(col("__t"), col("pos")))
             .otherwise(lit(null)).as("__pw")))
 
+    // FUSED FIT (round 16, guide §1.2/§2.3 two-level aggregation): ONE
+    // corpus-scale aggregation — the (word, prev-word) adjacency
+    // counts — feeds every fit table. The previous chain aggregated
+    // the corpus THREE times (vocab unigrams over pairs0, unigram and
+    // bigram counts over a second corpus-scale persisted `mapped`
+    // frame); vocab, mapped-unigram and mapped-bigram counts are all
+    // exact sums over these ≤|distinct bigram type| rows, so the
+    // corpus-scale `mapped` cache (a full write + two reads of every
+    // token position) is gone and the scoring pass maps through the
+    // broadcast vocab inline as its only remaining consumer.
+    val rawPairs = graft.CacheScope.track(
+      pairs0.groupBy(col("word"), col("__pw")).agg(count(lit(1)).as("__ntot")))
+
     // vocabulary: deterministic top-k unigrams (md5 tie-break — hex
-    // digests order identically in every engine)
-    val vocab = pairs0.groupBy(col("word")).agg(count(lit(1)).as("__c"))
+    // digests order identically in every engine); word totals are the
+    // per-word sums of the adjacency counts (every position carries
+    // exactly one word), NOT a second corpus pass
+    val wordCounts = rawPairs.groupBy(col("word")).agg(sum(col("__ntot")).as("__c"))
+    // persisted: the vocab is broadcast-consumed FIVE times (uni build,
+    // both bigram-end maps, both scoring-side maps) and each broadcast
+    // build evaluates its subtree — without the cache every build
+    // re-runs the word-count agg + top-k sort over the adjacency frame
+    // (measured +1.1 s on q_lm_score at sf0.1); with it the rebuilds
+    // read ≤vocabSize rows
+    val vocab = graft.CacheScope.track(wordCounts
       .orderBy(col("__c").desc, md5(col("word")).asc).limit(vocabSize)
-      .select(col("word"), lit(1).as("__v"))
+      .select(col("word"), lit(1).as("__v")))
     // both ends of the bigram map through the SAME broadcast vocab —
     // the predecessor's mapped symbol depends only on its word, never
-    // on cross-row state. The second probe joins a qualified alias of
-    // the SAME broadcast subplan on the same build key (word), so
-    // ReuseExchange ships one vocab build instead of two (the earlier
-    // rename-inside-the-exchange spelling defeated canonicalization
-    // and paid the vocab agg+sort+limit twice; round 15, guide §2.4).
+    // on cross-row state
     val vb = broadcast(vocab)
-    val mapped = graft.CacheScope.track(
-      pairs0.join(vb, Seq("word"), "left")
-        .withColumnRenamed("__v", "__vw").as("j1")
-        .join(vb.as("v2"), col("__pw") === col("v2.word"), "left")
-        .select(col(idCol), col("pos"),
-          when(col("__vw").isNotNull, col("j1.word")).otherwise(lit(Unk)).as("m"),
-          when(col("__pw").isNull, lit(null))
-            .otherwise(when(col("v2.__v").isNotNull, col("__pw"))
-              .otherwise(lit(Unk))).as("a")))
 
     // persisted: read three times below (nTotal + both score-side
     // broadcast joins) — and nTotal comes from the ≤(vocabSize+1)-row
-    // unigram table's own counts, NOT a second corpus-wide count()
-    // pass over `mapped`. It stays a driver-read LITERAL deliberately:
-    // folding it in as a broadcast 1-row cross join was measured
-    // SLOWER (round 15) — the nested-loop join rides every scored
-    // position, a per-row cost at any scale, while the head() is one
-    // tiny agg over the cached unigram table.
+    // unigram table's own counts, NOT a corpus-wide count() pass. It
+    // stays a driver-read LITERAL deliberately: folding it in as a
+    // broadcast 1-row cross join was measured SLOWER (round 15) — the
+    // nested-loop join rides every scored position, a per-row cost at
+    // any scale, while the head() is one tiny agg over the cached
+    // unigram table.
     val uni = graft.CacheScope.track(
-      mapped.groupBy(col("m")).agg(count(lit(1)).as("uc")))
+      wordCounts.join(vb, Seq("word"), "left")
+        .select(when(col("__v").isNotNull, col("word")).otherwise(lit(Unk)).as("m"),
+          col("__c"))
+        .groupBy(col("m")).agg(sum(col("__c")).as("uc")))
     val nTotal = uni.agg(sum(col("uc"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
 
-    val pairs = mapped
-    val big = pairs.where(col("a").isNotNull)
-      .groupBy(col("a"), col("m")).agg(count(lit(1)).as("bc"))
+    // the scoring-side symbol mapping, inline (single consumer now —
+    // no persist): one pass over the cached token positions through
+    // the broadcast vocab
+    val pairs = pairs0.join(vb, Seq("word"), "left")
+      .withColumnRenamed("__v", "__vw").as("j1")
+      .join(vb.as("v2"), col("__pw") === col("v2.word"), "left")
+      .select(col(idCol), col("pos"),
+        when(col("__vw").isNotNull, col("j1.word")).otherwise(lit(Unk)).as("m"),
+        when(col("__pw").isNull, lit(null))
+          .otherwise(when(col("v2.__v").isNotNull, col("__pw"))
+            .otherwise(lit(Unk))).as("a"))
+    // mapped bigram counts: map BOTH ends of the adjacency-count rows
+    // through the vocab and re-aggregate — sum(__ntot) over the raw
+    // groups collapsing to one (a, m) equals the per-position count
+    // the corpus-pass spelling took, exactly
+    val big = rawPairs.where(col("__pw").isNotNull)
+      .join(vb, Seq("word"), "left")
+      .withColumnRenamed("__v", "__fw").as("f1")
+      .join(vb.as("fv2"), col("__pw") === col("fv2.word"), "left")
+      .select(
+        when(col("__fw").isNotNull, col("f1.word")).otherwise(lit(Unk)).as("m"),
+        when(col("fv2.__v").isNotNull, col("__pw")).otherwise(lit(Unk)).as("a"),
+        col("__ntot"))
+      .groupBy(col("a"), col("m")).agg(sum(col("__ntot")).as("bc"))
       .orderBy(col("bc").desc,
         md5(concat(col("a"), lit("\u0001"), col("m"))).asc)
       .limit(bigramCap)
 
     // per-position probability: exact-integer ratio, one IEEE division.
-    // Both unigram probes share ONE broadcast build via the
-    // qualified-alias / ReuseExchange idiom (build key is uni.m in
-    // both).
+    // The two unigram probes are two broadcast builds — Spark does NOT
+    // reuse the exchange across them (round 16, plans/r16: 0
+    // ReusedExchange nodes; the round-15 claim that a qualified alias
+    // makes ReuseExchange fire was wrong and is struck) — but both
+    // builds read the persisted ≤(vocabSize+1)-row `uni` cache, so the
+    // duplicate build cost is bounded by the vocab cap, not the corpus.
     val p = when(col("a").isNull,
         (col("__uc_first") + 1).cast("double") / lit((nTotal + v1).toDouble))
       .otherwise(
