@@ -79,7 +79,7 @@ object ExtQueries {
     * over this exact fixture — sharing the builder keeps the probe's
     * recorded numbers and parity check on the gate's corpus. */
   private[graft] def lineFixture(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val d = Tables.documentsSpread(s, dir).select(col("doc_id"), col("text"))
     // NULL text ≡ '' in the fixture: without the coalesce a NULL doc's
     // chunk lines NULL-propagate through concat and are silently
     // DROPPED by array_join's null-skip while '' docs keep their
@@ -207,7 +207,7 @@ object ExtQueries {
     * a probe with its own hand-rolled copy would silently diverge if
     * this convention ever changed. */
   private[graft] def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+    val d = Tables.documentsSpread(s, dir).select(col("doc_id").as("id"), col("text"))
     val toks = TextFunctions.tokens(coalesce(col("text"), lit("")))
     val truncated = d.select((col("id") + ID_OFFSET).as("id"),
       array_join(slice(toks, lit(1),
@@ -246,7 +246,7 @@ object ExtQueries {
         size(TextFunctions.bpeishTokens(col("text"))).as("n_bpeish"))
     }),
     "q_text_quality" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"), col("text"),
           TextFunctions.tokens(col("text")).as("__toks"),
           TextFunctions.tokens(lower(col("text"))).as("__ltoks"))
@@ -257,7 +257,7 @@ object ExtQueries {
           TextFunctions.qualityScoreOf(col("text"), col("__toks"), col("__ltoks")).as("quality"))
     }),
     "q_text_langid" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"), col("text"),
           TextFunctions.tokens(lower(col("text"))).as("__ltoks"))
         .select(col("doc_id"),
@@ -268,7 +268,7 @@ object ExtQueries {
         TextFunctions.fingerprint(col("text")).as("fp"))
     }),
     "q_text_simhash" -> ((s, dir) => {
-      Tables.documents(s, dir).select(col("doc_id"),
+      Tables.documentsSpread(s, dir).select(col("doc_id"),
         TextFunctions.simhash(col("text")).as("simhash"))
     }),
     "q_text_repetition" -> ((s, dir) => {
@@ -283,13 +283,13 @@ object ExtQueries {
       // corpus-LM scoring: bigram add-one model fit on the corpus
       // itself, docs score the mean transition probability — the
       // perplexity filter without the log's cross-libm ulp hazard
-      LmScore.score(Tables.documents(s, dir), "doc_id", "text",
+      LmScore.score(Tables.documentsSpread(s, dir), "doc_id", "text",
         vocabSize = 2000, bigramCap = 10000)
     }),
     "q_lm_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail perplexity tertiles over the corpus-LM
       // score; min-rank cut, no global window
-      LmScore.buckets(Tables.documents(s, dir), "doc_id", "text",
+      LmScore.buckets(Tables.documentsSpread(s, dir), "doc_id", "text",
         vocabSize = 2000, bigramCap = 10000)
     }),
     "q_bpe_tokenize" -> ((s, dir) => {
@@ -297,7 +297,7 @@ object ExtQueries {
       // driver-side (the codebook pattern applied to tokenizers), then
       // one literal-merge-table expression scan encodes every doc; the
       // fingerprint column gates the exact token stream
-      BpeTokenizer.trainEncode(Tables.documents(s, dir), "doc_id", "text",
+      BpeTokenizer.trainEncode(Tables.documentsSpread(s, dir), "doc_id", "text",
         numMerges = 20)
     }),
     "q_quality_model" -> ((s, dir) => {
@@ -311,7 +311,7 @@ object ExtQueries {
       // the synthetic corpus carries no PII, so the fixture injects a
       // deterministic email + IPv4 per row — the oracle hashes the full
       // redacted text, so the whole match/replace surface is gated
-      Tables.documents(s, dir).select(col("doc_id"),
+      Tables.documentsSpread(s, dir).select(col("doc_id"),
         concat(lit("contact user"), col("doc_id"), lit("@example.com from 10."),
           col("doc_id") % 256, lit(".0.1 "), coalesce(col("text"), lit(""))).as("__pii"))
         .select(col("doc_id"),
@@ -350,14 +350,14 @@ object ExtQueries {
     "q_decontaminate" -> ((s, dir) => {
       // span excision twin of q_contamination: same probe split, but
       // overlapping 5-gram spans are cut out and the text rebuilt
-      val d = Tables.documents(s, dir)
+      val d = Tables.documentsSpread(s, dir)
       PipelineOps.decontaminateSpans(d.where(col("doc_id") % 50 =!= 0),
         d.where(col("doc_id") % 50 === 0), "doc_id", "text", n = 5)
     }),
     "q_bm25_topk" -> ((s, dir) => {
       // lexical retrieval audit: every 97th doc's first 4 tokens stand
       // in for an audit query set, retrieving top-5 from the rest
-      val d = Tables.documents(s, dir)
+      val d = Tables.documentsSpread(s, dir)
       val qs = d.where(col("doc_id") % 97 === 0)
         .select(col("doc_id"), array_join(slice(
           graft.functions.TextFunctions.tokens(coalesce(col("text"), lit(""))),
@@ -368,7 +368,7 @@ object ExtQueries {
       // DSIR importance weights: every 50th doc stands in for the
       // target corpus (the contamination split), the rest is the raw
       // corpus being scored
-      val d = Tables.documents(s, dir)
+      val d = Tables.documentsSpread(s, dir)
       Dsir.dsirWeights(d.where(col("doc_id") % 50 =!= 0),
         d.where(col("doc_id") % 50 === 0), "doc_id", "text")
     }),
@@ -414,7 +414,7 @@ object ExtQueries {
       // maxDocFreq 390 drops the ~15 near-ubiquitous words at sf0.01,
       // keeping the rebuild order-sensitive
       PipelineOps.stripBoilerplate(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        Tables.documentsSpread(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", maxDocFreq = 390L, delim = " ")
     }),
     "q_dedup_lines" -> ((s, dir) => {
@@ -422,7 +422,7 @@ object ExtQueries {
       // strip query): every occurrence of a word beyond the corpus-wide
       // first (smallest doc_id, then position) is removed
       PipelineOps.dedupLines(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        Tables.documentsSpread(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", delim = " ")
     }),
     "q_events_funnel" -> ((s, dir) => {
@@ -599,13 +599,13 @@ object ExtQueries {
     "q_tfidf_terms" -> ((s, dir) => {
       // per-document keyword extraction: top-5 terms by tf · the
       // quarter-power idf (the Bm25 exactness deviation — ln-free)
-      PipelineOps.topTfidfTerms(Tables.documents(s, dir)
+      PipelineOps.topTfidfTerms(Tables.documentsSpread(s, dir)
         .select(col("doc_id"), col("text")), "doc_id", "text", k = 5)
     }),
     "q_collocations" -> ((s, dir) => {
       // phrase mining: the 50 most-associated adjacent token pairs by
       // 2×2 χ² vs margin independence, hapaxes guarded at minCount 5
-      PipelineOps.collocations(Tables.documents(s, dir), "text", k = 50)
+      PipelineOps.collocations(Tables.documentsSpread(s, dir), "text", k = 50)
     }),
     "q_k_anonymity" -> ((s, dir) => {
       // release-gate audit on (nation, market segment) quasi-ids over
@@ -653,7 +653,7 @@ object ExtQueries {
       // drift report: the 50 tokens most over/under-represented in the
       // English slice vs the rest, ranked by the 2×2 χ² (ln-free by
       // design, so scores are bit-identical cross-engine)
-      val d = Tables.documents(s, dir)
+      val d = Tables.documentsSpread(s, dir)
       PipelineOps.corpusKeyness(d.where(col("lang") === "en"),
         d.where(col("lang") =!= "en"), "text", k = 50)
     }),
@@ -662,7 +662,7 @@ object ExtQueries {
       // MG sketch pass (bounded state, complete candidates) + confirm
       // pass over the ≤k candidates only — the full vocabulary never
       // shuffles
-      HeavyHitters.frequentTokens(Tables.documents(s, dir), "text", k = 32)
+      HeavyHitters.frequentTokens(Tables.documentsSpread(s, dir), "text", k = 32)
     }),
     "q_fuzzy_join" -> ((s, dir) => {
       // record linkage on customer names: every pair within edit
@@ -677,7 +677,7 @@ object ExtQueries {
       // word WITHIN a document collapse to the doc-local first
       // occurrence; zero-shuffle row-local projection
       PipelineOps.dedupLinesInDoc(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        Tables.documentsSpread(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", delim = " ")
     }),
     "q_text_normalize" -> ((s, dir) => {
@@ -687,13 +687,13 @@ object ExtQueries {
       // the IDENTICAL dirty text and runs TextNormalize.oracleExpr
       val raw = concat(lit(DIRTY_PREFIX),
         coalesce(col("text"), lit("")), lit("  "))
-      Tables.documents(s, dir).select(col("doc_id"),
+      Tables.documentsSpread(s, dir).select(col("doc_id"),
           TextNormalize.normalizeText(raw).as("text_norm"),
           length(raw).cast("long").as("len_raw"))
         .withColumn("len_norm", length(col("text_norm")).cast("long"))
     }),
     "q_vocab_topk" -> ((s, dir) => {
-      PipelineOps.vocabProfile(Tables.documents(s, dir), "doc_id", "text", k = 50)
+      PipelineOps.vocabProfile(Tables.documentsSpread(s, dir), "doc_id", "text", k = 50)
     }),
     "q_snapshot_diff" -> ((s, dir) => {
       // crawl-refresh delta: new snapshot drops every 13th doc,
@@ -712,7 +712,7 @@ object ExtQueries {
       // tokenizer-coverage audit: per-doc fraction of tokens outside
       // the corpus's own top-200 vocabulary — broadcast vocab against
       // the exploded token stream, one doc-key shuffle
-      PipelineOps.oovRate(Tables.documents(s, dir), "doc_id", "text",
+      PipelineOps.oovRate(Tables.documentsSpread(s, dir), "doc_id", "text",
         vocabSize = 200)
     }),
     "q_oov_rate_supplied" -> ((s, dir) => {
@@ -720,7 +720,7 @@ object ExtQueries {
       // the whole corpus scored against only the English slice's
       // top-100 vocabulary — "how badly does an en-fit vocab shred
       // the other languages?"
-      val d = Tables.documents(s, dir)
+      val d = Tables.documentsSpread(s, dir)
       PipelineOps.oovRateAgainst(d, "doc_id", "text",
         PipelineOps.vocabProfile(d.where(col("lang") === "en"),
           "doc_id", "text", k = 100), "word")
@@ -779,7 +779,7 @@ object ExtQueries {
     "q_contamination" -> ((s, dir) => {
       // probe set = every 50th doc standing in for a benchmark; corpus
       // = the rest, screened for shared word 5-grams
-      val d = Tables.documents(s, dir)
+      val d = Tables.documentsSpread(s, dir)
       PipelineOps.contaminationCheck(d.where(col("doc_id") % 50 =!= 0),
         d.where(col("doc_id") % 50 === 0), "doc_id", "text", n = 5)
     }),
@@ -870,7 +870,7 @@ object ExtQueries {
       // crawl-vs-corpus: corpus = all documents; increment = truncated
       // (80%-token) copies of every 3rd doc — near-dups the cross join
       // must surface without ever pairing corpus×corpus
-      val d = Tables.documents(s, dir)
+      val d = Tables.documentsSpread(s, dir)
       val corpusSigs = Dedup.minhashSignatures(
         d.select(col("doc_id").as("id"), col("text")), "id", "text",
         numHashes = 32, shingleSize = 3)
@@ -1138,11 +1138,11 @@ object ExtQueries {
     // reading a PNG/WAV (MediaCodecs scaladoc)
     "q_image_decode" -> ((s, dir) => {
       MediaCodecs.decodeImageMetadata(
-        MediaCodecs.renderImages(Tables.documents(s, dir), "doc_id"), "doc_id")
+        MediaCodecs.renderImages(Tables.documentsSpread(s, dir), "doc_id"), "doc_id")
     }),
     "q_image_histogram" -> ((s, dir) => {
       MediaCodecs.imageGrayHistogram(
-        MediaCodecs.renderImages(Tables.documents(s, dir), "doc_id"), "doc_id")
+        MediaCodecs.renderImages(Tables.documentsSpread(s, dir), "doc_id"), "doc_id")
     }),
     // the STREAMING decode twin run in batch mode — the typed
     // mapPartitions spelling executes identically on both, so this
@@ -1150,11 +1150,11 @@ object ExtQueries {
     // true-stream run + stream==batch parity live in StreamingSpec
     "q_image_meta_stream" -> ((s, dir) => {
       MediaCodecs.decodeImageMetadataStream(
-        MediaCodecs.renderImages(Tables.documents(s, dir), "doc_id"), "doc_id")
+        MediaCodecs.renderImages(Tables.documentsSpread(s, dir), "doc_id"), "doc_id")
     }),
     "q_image_resize" -> ((s, dir) => {
       MediaCodecs.resizeImagesNN(
-        MediaCodecs.renderImages(Tables.documents(s, dir), "doc_id"), "doc_id",
+        MediaCodecs.renderImages(Tables.documentsSpread(s, dir), "doc_id"), "doc_id",
           dstW = 8, dstH = 8)
         .select(col("doc_id"), col("decode_ok"), col("width"), col("height"),
           col("mean_gray")) // resized PNG bytes stay spec-checked, not oracle-able

@@ -29,7 +29,7 @@ object MinhashProbe {
       df.write.format("noop").mode("overwrite").save()
 
     // the gate fixture's derived corpus (originals + truncated copies)
-    val d = Tables.documents(spark, dir).select(col("doc_id").as("id"), col("text"))
+    val d = Tables.documentsSpread(spark, dir).select(col("doc_id").as("id"), col("text"))
     val trunc = d.select((col("id") + 1000000L).as("id"),
       array_join(slice(graft.functions.TextFunctions.tokens(col("text")), lit(1),
         greatest((size(graft.functions.TextFunctions.tokens(col("text"))) * 4) / 5, lit(1)).cast("int")), " ").as("text"))

@@ -30,7 +30,7 @@ object RepetitionProbe {
       println(f"$name%-22s min ${ts.min}%.3f s  runs ${ts.map(t => f"$t%.3f").mkString(" ")}")
     }
 
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 

@@ -28,7 +28,7 @@ object ShardFlowProbe {
     }
 
     val ID_OFFSET = 10000000L
-    val d = Tables.documents(spark, dir).select(col("doc_id").as("id"), col("text"))
+    val d = Tables.documentsSpread(spark, dir).select(col("doc_id").as("id"), col("text"))
     val truncated = d.select((col("id") + ID_OFFSET).as("id"),
       array_join(slice(TextFunctions.tokens(col("text")), lit(1),
         greatest((size(TextFunctions.tokens(col("text"))) * 4) / 5, lit(1)).cast("int")), " ").as("text"))
