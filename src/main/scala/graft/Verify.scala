@@ -31,7 +31,18 @@ object Verify {
     var slowest = ("", 0.0)
     val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    attempted.foreach { case (name, fn) =>
+    // dump the measured-slowest queries FIRST (round 16): the r15 dump
+    // spent 40 of its 331 s on q_recommend_charts alone; front-loading
+    // the known-expensive names means any future dump-budget squeeze
+    // truncates only the cheap tail, never the queries that cost the
+    // most to re-dump. Order within each class is the declaration
+    // order (stable), so the manifest stays comparable.
+    val dumpFirst = Seq("q_recommend_charts", "q_coret_umap", "q_coret_tsne",
+      "q_coret_lda", "q_scagnostics", "q_coret_dbscan")
+    val ordered = attempted.toSeq.sortBy { case (name, _) =>
+      val i = dumpFirst.indexOf(name); if (i >= 0) i else dumpFirst.size
+    }
+    ordered.foreach { case (name, fn) =>
       val tq = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -630,11 +630,25 @@ object Dedup {
     * lambda in the engine's dedup layer runs on the increment side only
     * (the Bloom probe; the corpus side stays pure codegen).
     *
+    * DRIVER-MEMORY CEILING (round 16, documented bound): the Bloom
+    * filter materializes ON THE DRIVER (`stat.bloomFilter` merges the
+    * per-partition filters there) and is then broadcast whole, sized
+    * at optimal m = −n·ln(fpp)/ln²2 ≈ n·9.585 bits at the default
+    * fpp 0.01 — ~1.2 MB per million corpus docs, ~1.2 GB at 10⁹ docs,
+    * ~12 GB at 10¹⁰ (BloomSizingSpec pins the math against Spark's
+    * sketch). Past a few billion docs either raise `fpp` (the cost is
+    * only fpp·|increment| extra confirm rows, and fpp 0.1 HALVES the
+    * filter: ~6 GB at 10¹⁰), give the driver the memory, or shard the
+    * filter by a fingerprint prefix and run the shards as independent
+    * increments — the operator itself stays within one driver-held
+    * filter by design because that is what keeps the corpus unshuffled.
+    *
     * @param expectedCorpusDocs sizes the Bloom filter; 0 (default)
     *        triggers a counting pre-pass — pass the known corpus row
     *        count to skip it
     * @param fpp Bloom false-positive rate; tune against increment size
     *        (candidate overhead = fpp·|increment| extra confirm rows)
+    *        and the driver ceiling above
     */
   def incrementalDedup(corpus: DataFrame, increment: DataFrame,
                        keyCol: String, textCol: String,
@@ -747,8 +761,16 @@ object Dedup {
       }
     }
     val marked = if (idIsIntegral) {
+      // NULL ids coalesce to Long.MinValue BEFORE packing (round-15
+      // advice): packed(null, pos) would be NULL, which min() skips —
+      // a different winner than the struct branch, whose min sorts
+      // null ids first. Long.MinValue is the packing's smallest id, so
+      // a null-id occurrence wins exactly when the struct spelling
+      // would have it win, and the exclusion compares the same
+      // coalesced value on both sides.
       def packed(id: Column, pos: Column): Column =
-        id.cast("decimal(38,0)") * lit(4294967296L) + pos
+        coalesce(id, lit(Long.MinValue)).cast("decimal(38,0)") *
+          lit(4294967296L) + pos
       val dup = occ.groupBy(col("__h"))
         .agg(count(lit(1)).as("__n"),
           min(packed(col(idCol), col("__pos"))).as("__keep"))

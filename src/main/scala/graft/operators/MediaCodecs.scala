@@ -41,8 +41,15 @@ object MediaCodecs {
   // (same codec, same bytes); the images here are row-sized, never
   // larger than a task can hold. The object initializer runs once per
   // JVM wherever these codecs execute — executors included, since the
-  // mapPartitions closures reference this object's methods.
+  // mapPartitions closures reference this object's methods. Belt and
+  // braces (round-15 advice): every ImageIO call site below ALSO runs
+  // the idempotent, effectively-free setter first, so the setting can
+  // never depend on classload order if a future path reaches ImageIO
+  // without touching this initializer.
   ImageIO.setUseCache(false)
+
+  /** Idempotent static-field write — safe to repeat per call. */
+  @inline private def noDiskCache(): Unit = ImageIO.setUseCache(false)
 
   // ── deterministic fixtures ─────────────────────────────────────────
 
@@ -81,6 +88,7 @@ object MediaCodecs {
           y += 1
         }
         val bos = new ByteArrayOutputStream()
+        noDiskCache()
         ImageIO.write(img, "png", bos)
         Row(id, bos.toByteArray, "image/png")
       }
@@ -91,7 +99,7 @@ object MediaCodecs {
   // ── real image decode ──────────────────────────────────────────────
 
   private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    try { noDiskCache(); Option(ImageIO.read(new ByteArrayInputStream(bytes))) }
     catch { case _: Exception => None }
 
   /** Integer luminance — (299r + 587g + 114b)/1000, truncating — so the
@@ -235,6 +243,7 @@ object MediaCodecs {
               y += 1
             }
             val bos = new ByteArrayOutputStream()
+            noDiskCache()
             ImageIO.write(out, "png", bos)
             Row(r.get(0), true, bos.toByteArray, dstW.toLong, dstH.toLong,
               graySum.toDouble / (dstW.toLong * dstH))
@@ -507,6 +516,7 @@ object MediaCodecs {
             y += 1
           }
           val bos = new ByteArrayOutputStream()
+          noDiskCache()
           ImageIO.write(img, "jpg", bos)
           bos.toByteArray
         }
@@ -635,6 +645,7 @@ object MediaCodecs {
   private def decodeFrame(bytes: Array[Byte], off: Int, len: Int,
                           w: Int, h: Int, compression: Int): Array[Int] =
     if (compression == MJPG) {
+      noDiskCache()
       val img = ImageIO.read(new ByteArrayInputStream(bytes, off, len))
       require(img != null && img.getWidth == w && img.getHeight == h, "bad MJPG frame")
       val out = new Array[Int](w * h)

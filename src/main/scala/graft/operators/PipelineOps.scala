@@ -597,8 +597,26 @@ object PipelineOps {
     }
     val winners = if (idIsIntegral) {
       val two32 = lit(4294967296L)
+      // NULL ids coalesce to the id TYPE's MinValue before packing
+      // (round-15 advice): a NULL packed value would be SKIPPED by
+      // min() while the struct branch sorts null ids first — the
+      // branches must pick the same winner on a mixed null/non-null
+      // line group. Type-aware so the unpack's cast back to the id
+      // type cannot wrap; the sentinel winner joins back to no
+      // document — exactly the struct branch's observable behavior
+      // (a null winner id never equi-joins).
+      val sentinel = {
+        import org.apache.spark.sql.types._
+        base.schema(idCol).dataType match {
+          case IntegerType => Int.MinValue.toLong
+          case ShortType   => Short.MinValue.toLong
+          case ByteType    => Byte.MinValue.toLong
+          case _           => Long.MinValue
+        }
+      }
       occ.groupBy(md5(col("__line")).as("__h"))
-        .agg(min(col(idCol).cast("decimal(38,0)") * two32 + col("__pos"))
+        .agg(min(coalesce(col(idCol), lit(sentinel)).cast("decimal(38,0)")
+          * two32 + col("__pos"))
           .as("__w"))
         .select(
           ((col("__w") - pmod(col("__w"), two32)) / two32)

@@ -47,17 +47,26 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   /** Shuffles the PLANNER required (ENSURE_REQUIREMENTS — joins, aggs,
-    * windows). The Tables-layer scan spread is an explicit
-    * REPARTITION_BY_NUM layout exchange that exists only when a scan
-    * yields fewer partitions than the default parallelism — identity at
-    * any real scale — so the "no shuffle" contracts below pin the
-    * absence of REQUIRED shuffles, which is what a 100 TB plan cares
-    * about. An accidental distribution-forcing operator still fails. */
-  private def requiredShuffles(plan: Seq[SparkPlan]): Seq[ShuffleExchangeExec] =
+    * windows) PLUS any explicit repartition that is not the
+    * Tables-layer scan spread. The spread is the one whitelisted
+    * exchange: REPARTITION_BY_NUM at exactly defaultParallelism
+    * partitions (it exists only when a scan yields fewer partitions
+    * than that — identity at any real scale). Everything else —
+    * an operator-level repartition/rebalance of any origin, or a
+    * REPARTITION_BY_NUM at some other partition count — counts, so an
+    * accidental distribution-forcing operator still fails these
+    * contracts (round-15 advice: the ENSURE_REQUIREMENTS-only match
+    * let explicit repartitions through). */
+  private def requiredShuffles(plan: Seq[SparkPlan]): Seq[ShuffleExchangeExec] = {
+    import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, REPARTITION_BY_NUM}
+    val spreadParts = spark.sparkContext.defaultParallelism
     plan.collect {
+      case e: ShuffleExchangeExec if e.shuffleOrigin == ENSURE_REQUIREMENTS => e
       case e: ShuffleExchangeExec
-        if e.shuffleOrigin == org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => e
+        if !(e.shuffleOrigin == REPARTITION_BY_NUM &&
+             e.outputPartitioning.numPartitions == spreadParts) => e
     }
+  }
 
   /** Shuffled (non-broadcast) joins keyed on any of the given content
     * columns — the 100 TB regression the broadcast-model operators
