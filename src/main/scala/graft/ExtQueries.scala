@@ -1273,10 +1273,24 @@ object ExtQueries {
       // left_semi evaluate the input subtree once per side): without
       // this the fixture + both rule kernels run twice — the same
       // discipline as the dedup family's persisted signature frames
-      val passed = graft.CacheScope.track(
+      // localCheckpoint, not persist (round 16, guide §3.3): the
+      // composed clean→gate plan below this point fed ~0.8 s/action of
+      // driver optimizer+codegen time (the round-15 "planning gap"
+      // item); eager checkpoint materializes the SAME frame a persist
+      // would but truncates the lineage to a LogicalRDD, so the
+      // dedup/cap/split stages re-plan over a leaf. Measured ABBA at
+      // sf0.1 (MicroBench n=7 ×4, alternating): persist 1.93/1.88 s
+      // medians vs checkpoint 1.81/1.64 s. Blocks are freed by the
+      // ContextCleaner when the frame goes unreachable (the
+      // nearDupSurvivors precedent); executor-loss recompute is lost
+      // with the lineage — acceptable for a gate-scale composition,
+      // and at cluster scale the loud failure mode is the same one
+      // nearDupSurvivors documents.
+      val passed =
         CurationRules.gopherAugment(cleaned, "doc_id", "text", minWords = 20L)
           .where(col("gopher_pass") === 1L)
-          .select(col("doc_id"), col("text"), col("n_lines_kept"), col("n_words")))
+          .select(col("doc_id"), col("text"), col("n_lines_kept"), col("n_words"))
+          .localCheckpoint()
       val deduped = Dedup.exactDedup(passed, "doc_id", "text")
       val withSource = deduped.join(
         Tables.documents(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
